@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Mirrors the reference's `ExecutionEnvironment`/`StreamExecutionEnvironment`
+  * pair (reference: ExecutionEnviromentreadTextFile创建DataSource分析.md:3-9,53-96)
+  * with a single session: batch = `spark.read`, streaming = `spark.readStream`
+  * (the translateForBatch/translateForStreaming split, flink_arch.drawio page
+  * "StreamGraph-JobGraph-ExecutorGraph生成过程", is Spark's read/readStream split).
+  *
+  * Config choices are 100TB-cluster-minded, tested on local[N]:
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+  *  - shuffle.partitions small locally (driver sets ~#cores); on a real
+  *    cluster this is overridden by AQE's coalescing from a high initial.
+  *  - parquet nanosAsLong: the `events` table carries TIMESTAMP(NANOS),
+  *    which Spark's vectorized reader otherwise rejects.
+  */
+object Engine {
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Ensure an externally-created session can read the nanos-timestamp
+    * `events` parquet; safe to call repeatedly. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

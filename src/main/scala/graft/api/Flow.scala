@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, DataFrame, Encoder, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed dataflow facade mirroring the reference's `DataStream` surface —
+  * "datastream.map.flatmap.reduce.sink — every operator is a function"
+  * (reference: flink_arch.drawio:1, page "DataStream分析").
+  *
+  * Thin wrapper over `Dataset[T]`: every combinator delegates to the
+  * declarative Dataset API so Catalyst still sees the whole plan
+  * (operator chaining ≙ WholeStageCodegen; reference `setChaining`/
+  * `createChain`, drawio page "StreamGraph-JobGraph-ExecutorGraph生成过程").
+  * Works identically for batch and streaming datasets — the reference's
+  * translateForBatch/translateForStreaming split is `read` vs `readStream`.
+  */
+final class Flow[T](val ds: Dataset[T]) extends Serializable {
+
+  /** T1 `map` (drawio page "DataStream分析": StreamMap.processElement). */
+  def map[U: Encoder](f: T => U): Flow[U] = new Flow(ds.map(f))
+
+  /** T2 `flatMap`. */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Flow[U] =
+    new Flow(ds.flatMap(x => f(x).iterator.to(Iterable)))
+
+  /** T3 `filter`. */
+  def filter(p: T => Boolean): Flow[T] = new Flow(ds.filter(p))
+
+  /** T4 `keyBy` — hash partitioning by key, prerequisite of keyed state. */
+  def keyBy[K: Encoder](f: T => K): KeyedFlow[K, T] = new KeyedFlow(ds.groupByKey(f))
+
+  /** T6 `transform(...)` escape hatch: arbitrary per-partition operator. */
+  def mapPartitions[U: Encoder](f: Iterator[T] => Iterator[U]): Flow[U] =
+    new Flow(ds.mapPartitions(f))
+
+  /** Q7 union. */
+  def union(other: Flow[T]): Flow[T] = new Flow(ds.union(other.ds))
+
+  /** T7 join (typed equi-join on extracted keys). */
+  def joinWith[U](other: Flow[U], cond: org.apache.spark.sql.Column, joinType: String = "inner"): Flow[(T, U)] =
+    new Flow(ds.joinWith(other.ds, cond, joinType))
+
+  /** S6 sinks. Batch parquet sink; `print` ≙ reference's print() sink. */
+  def sinkParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
+  def print(n: Int = 20): Unit = ds.show(n, truncate = false)
+
+  def toDF: DataFrame = ds.toDF()
+  def count(): Long = ds.count()
+  def collectSeq(): Seq[T] = ds.collect().toSeq
+}
+
+/** Keyed stream: reference's `KeyedStream` (implied by keyBy/reduce/sum,
+  * SURVEY §2.2 T4/T5/T8; keyed state in managed memory per drawio page
+  * "Flink memory" ≙ Structured Streaming state store). */
+final class KeyedFlow[K, T](val kv: KeyValueGroupedDataset[K, T]) extends Serializable {
+
+  /** T5 keyed `reduce`. Batch semantics: final value per key (Flink's
+    * rolling emission is per-record; divergence documented in SURVEY §7.4.1 —
+    * for per-record emission in streaming use [[flatMapWithState]]). */
+  def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): Flow[(K, T)] =
+    new Flow(kv.reduceGroups(f))
+
+  def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): Flow[U] = new Flow(kv.mapGroups(f))
+
+  def flatMapGroups[U: Encoder](f: (K, Iterator[T]) => IterableOnce[U]): Flow[U] =
+    new Flow(kv.flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator.to(Iterable)))
+
+  /** T8 `sum`-style counting (WordCount: drawio page "yarn per job 启动流程"). */
+  def count()(implicit e: Encoder[(K, Long)]): Flow[(K, Long)] = new Flow(kv.count())
+
+  /** W6 custom keyed stateful op (ProcessFunction-shaped, SURVEY §2.4). */
+  def flatMapWithState[S: Encoder, U: Encoder](
+      outputMode: OutputMode,
+      timeout: GroupStateTimeout)(
+      f: (K, Iterator[T], GroupState[S]) => Iterator[U]): Flow[U] =
+    new Flow(kv.flatMapGroupsWithState(outputMode, timeout)(f))
+}
+
+object Flow {
+  /** S1 `readTextFile` (batch): dataset of lines. */
+  def fromText(spark: SparkSession, path: String): Flow[String] =
+    new Flow(spark.read.textFile(path))
+
+  /** S7 collection source / local debugging (≙ executeOnCollections). */
+  def fromCollection[T: Encoder](spark: SparkSession, data: Seq[T]): Flow[T] =
+    new Flow(spark.createDataset(data))
+
+  def fromDataset[T](ds: Dataset[T]): Flow[T] = new Flow(ds)
+
+  /** S3 `readFile(..., PROCESS_CONTINUOUSLY, interval)`: monitored
+    * directory as an unbounded stream of lines (FileStreamSource does the
+    * driver-side discovery + distributed read the reference traces in
+    * ContinuousFileMonitoringFunction/ContinuousFileReaderOperator). */
+  def fromTextStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): Flow[String] = {
+    import spark.implicits._
+    new Flow(spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path).as[String])
+  }
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2.3 relational surface Q1–Q12 over the TPC-H-ish tables.
+  *
+  * All compositions of the reference's own operator model —
+  * map/filter/keyBy/reduce/join/sink (flink_arch.drawio page
+  * "DataStream分析") — expressed declaratively so Catalyst plans them
+  * (pushdown, pruning, broadcast, AQE). Scale notes per query below.
+  *
+  * Oracle-parity conventions (DuckDB hash-compare):
+  *  - every output column explicitly aliased, same name both sides;
+  *  - aggregate/cast types aligned (DuckDB sum(int)→hugeint, year→bigint,
+  *    row_number→bigint are cast to Spark's int/bigint equivalents);
+  *  - deterministic tiebreakers on every order-sensitive query.
+  */
+object Relational {
+
+  /** Queries where one ANSI SQL text runs identically on Spark (via
+    * temp views over the parquet) and DuckDB: single source of truth. */
+  private def shared(name: String, sql: String, bench: Boolean = true): QueryDef =
+    QueryDef(name, Some(sql), bench) { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(sql)
+    }
+
+  // Q1 — projection + scalar expressions (arith, concat, lower, substr, year).
+  // Scale: narrow map over the fact table; no shuffle; column-pruned scan.
+  private val q1 = shared("q1_project",
+    """SELECT l_orderkey,
+      |       l_linenumber,
+      |       l_extendedprice * (1 - l_discount)                AS revenue,
+      |       l_extendedprice * (1 - l_discount) * (1 + l_tax)  AS charge,
+      |       l_returnflag || '/' || l_linestatus               AS flag_status,
+      |       lower(l_returnflag)                               AS rf_lower,
+      |       substr(cast(l_shipdate AS STRING), 1, 7)          AS ship_month,
+      |       cast(year(l_shipdate) AS INT)                     AS ship_year
+      |FROM lineitem""".stripMargin)
+
+  // Q2 — filter with conjunct/disjunct/IN/BETWEEN/LIKE/IS NULL.
+  // Scale: all predicates pushable to the parquet scan (PushedFilters).
+  private val q2 = QueryDef("q2_filter", Some(
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN '1996-01-01' AND '1998-12-31'
+      |  AND l_returnflag IN ('A', 'N')
+      |  AND l_quantity BETWEEN 5 AND 45
+      |  AND (l_linestatus LIKE 'O%' OR l_discount > 0.05)
+      |  AND l_extendedprice IS NOT NULL""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate").between("1996-01-01", "1998-12-31")
+        && col("l_returnflag").isin("A", "N")
+        && col("l_quantity").between(5, 45)
+        && (col("l_linestatus").like("O%") || col("l_discount") > 0.05)
+        && col("l_extendedprice").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+  }
+
+  // Q3 — multi-key hash aggregate, sum/count/avg/min/max (TPC-H Q1 shape).
+  // Scale: partial (map-side) agg before the shuffle is automatic for all
+  // these aggregates; output cardinality is tiny (|flag|×|status|).
+  private val q3 = QueryDef("q3_agg", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity)                                    AS sum_qty,
+      |       sum(l_extendedprice)                               AS sum_base_price,
+      |       sum(l_extendedprice * (1 - l_discount))            AS sum_disc_price,
+      |       avg(l_quantity)                                    AS avg_qty,
+      |       avg(l_discount)                                    AS avg_disc,
+      |       min(l_extendedprice)                               AS min_price,
+      |       max(l_extendedprice)                               AS max_price,
+      |       count(*)                                           AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_discount").as("avg_disc"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // Q4 — inner equi-join chain customer⋈orders⋈lineitem + aggregate.
+  // Scale: both joins shuffle on their keys (SMJ/SHJ — AQE picks); the
+  // aggregate reuses the o_custkey-side shuffle where possible. No
+  // driver-side work; output is per-customer (bounded by |customer|).
+  private val q4 = QueryDef("q4_join", Some(
+    """SELECT c_custkey, c_name,
+      |       count(*)                                AS n_items,
+      |       sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  // Q4b — left outer join preserving customers without orders.
+  private val q4l = QueryDef("q4_join_left", Some(
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  // Q4c — left semi join: customers having at least one high-value order.
+  // Scale: semi-join avoids materializing the orders payload.
+  private val q4s = QueryDef("q4_join_semi", Some(
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.join(
+      t.orders.filter(col("o_totalprice") > 200000),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  // Q4d — left anti join: customers with no 'F'-status order.
+  private val q4a = QueryDef("q4_join_anti", Some(
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.join(
+      t.orders.filter(col("o_orderstatus") === "F"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  // Q4e — full outer join of per-customer order stats against customers.
+  private val q4f = QueryDef("q4_join_full", Some(
+    """SELECT c_custkey, c_name, o.n_orders AS n_orders
+      |FROM customer
+      |FULL JOIN (SELECT o_custkey, count(*) AS n_orders
+      |           FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o.o_custkey""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val per = t.orders.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    t.customer.join(per, col("c_custkey") === col("o_custkey"), "full")
+      .select(col("c_custkey"), col("c_name"), col("n_orders"))
+  }
+
+  // Q5 — broadcast join of small dims (nation 25 rows, region 5 rows).
+  // Scale: explicit broadcast() hints keep the big side shuffle-free —
+  // the dims replicate to every executor; only the final tiny aggregate
+  // shuffles. At 100TB this is the only sane plan for dim joins.
+  private val q5 = QueryDef("q5_broadcast_join", Some(
+    """SELECT n_name, r_name, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(count(lit(1)).as("n_customers"), sum("c_acctbal").as("total_bal"))
+  }
+
+  // Q6 — top-k: highest-revenue customers. Deterministic tiebreak on key.
+  // Scale: planner turns orderBy+limit into TakeOrderedAndProject —
+  // per-partition top-k then a k-row merge on the driver; never a full sort.
+  private val q6 = QueryDef("q6_topk", Some(
+    """SELECT c_custkey, c_name, revenue FROM (
+      |  SELECT c_custkey, c_name,
+      |         sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |  FROM customer
+      |  JOIN orders   ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY c_custkey, c_name)
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // Q7 — set operations (distinct semantics in both engines).
+  private val q7u = QueryDef("q7_union", Some(
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+      .union(t.orders.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("custkey")))
+      .distinct()
+  }
+
+  private val q7i = QueryDef("q7_intersect", Some(
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+      .intersect(t.orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  private val q7e = QueryDef("q7_except", Some(
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey").as("custkey"))
+      .except(t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+  }
+
+  // Q8 — window functions: row_number/rank/lag + running frame sum.
+  // Deterministic ORDER BY (orderdate, orderkey — orderkey unique).
+  // Scale: single shuffle on the partition key, in-partition sort; frames
+  // evaluated streaming within each partition.
+  private val q8 = QueryDef("q8_window", Some(
+    """SELECT o_custkey, o_orderkey,
+      |       cast(row_number() OVER w AS INT)         AS rn,
+      |       cast(rank()       OVER w AS INT)         AS rnk,
+      |       lag(o_totalprice) OVER w                 AS prev_price,
+      |       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                                                 AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      sum("o_totalprice").over(wf).as("running_spend"))
+  }
+
+  // Q9 — rollup and cube hierarchies over nation × order-year.
+  private def q9Base(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+  }
+  private val q9OracleBase =
+    """FROM (SELECT n_name, cast(year(o_orderdate) AS INT) AS order_year, o_totalprice
+      |      FROM orders
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation   ON c_nationkey = n_nationkey)""".stripMargin
+
+  private val q9r = QueryDef("q9_rollup", Some(
+    s"""SELECT n_name, order_year, sum(o_totalprice) AS revenue, count(*) AS n_orders
+       |$q9OracleBase
+       |GROUP BY ROLLUP(n_name, order_year)""".stripMargin)) { (spark, dir) =>
+    q9Base(spark, dir)
+      .rollup(col("n_name"), col("order_year"))
+      .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  private val q9c = QueryDef("q9_cube", Some(
+    s"""SELECT n_name, order_year, sum(o_totalprice) AS revenue, count(*) AS n_orders
+       |$q9OracleBase
+       |GROUP BY CUBE(n_name, order_year)""".stripMargin)) { (spark, dir) =>
+    q9Base(spark, dir)
+      .cube(col("n_name"), col("order_year"))
+      .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  // Q10 — deterministic dedup-by-key (keep min doc_id per identical text).
+  // Scale: hash-partition on the dedup key; map-side partial min.
+  private val q10 = QueryDef("q10_dedup", Some(
+    """SELECT cast(min(doc_id) AS BIGINT) AS doc_id, text
+      |FROM documents GROUP BY text""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+  }
+
+  // Q12 — exact + approximate distinct counting.
+  private val q12 = shared("q12_count_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       count(DISTINCT l_partkey)  AS n_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  // HLL sketch — no SQL oracle (approximate); rows-only check + unit test
+  // asserting relative error vs exact counts.
+  private val q12a = QueryDef("q12_approx_distinct", None) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    q1, q2, q3, q4, q4l, q4s, q4a, q4f, q5, q6,
+    q7u, q7i, q7e, q8, q9r, q9c, q10, q12, q12a)
+}
