@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-data pipelines (SURVEY §2.6 E1):
+  * exact, blocked n-gram Jaccard, MinHash-LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on the key; map-side partial agg.
+  *  - blocked Jaccard: exact pairwise *within small blocks* — correct
+  *    but O(block²); the verification baseline, not the scale path.
+  *  - MinHash-LSH: signatures are one explode+groupBy (shuffle by doc),
+  *    candidates one self-join on (band, bandHash) (shuffle by band) —
+  *    never all-pairs. This is the 100TB path.
+  *  - SimHash: 64-bit signature per doc; near-pairs via pigeonhole
+  *    blocking on 16-bit chunks (hamming <= 3 guarantees a matching
+  *    chunk), then exact popcount filter.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per identical key (deterministic,
+    * unlike dropDuplicates' arbitrary-row semantics). */
+  def exactByKey(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(keyCol).agg(min(idCol).as(idCol)).select(idCol, keyCol)
+
+  /** |A ∩ B| / |A ∪ B| over two array<string> set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      nullif(size(array_union(a, b)), lit(0))
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Mersenne prime 2^31 - 1: the classic universal-hash modulus. */
+  private val P = 2147483647L
+  private val K = 128   // signature length
+  private val Bands = 64 // 64 bands x 2 rows: P(candidate | j=0.5) ~ 1 - 1e-8
+
+  /** Deterministic hash-family coefficients (fixed seed — signatures are
+    * reproducible across runs/clusters). */
+  private val rnd = new scala.util.Random(42)
+  private val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt((P - 1).toInt))
+  private val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
+
+  /** MinHash signatures: `idCol`, sig array<bigint>[K]. Input: one row
+    * per doc with an array-of-shingles column. Docs with zero shingles
+    * are dropped (no signature is defined for the empty set).
+    *
+    * One explode + one groupBy(doc): the K mins fold map-side, so the
+    * shuffle carries only K longs per doc regardless of doc size. */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(array_distinct(col(shingleCol))).as("sh"))
+      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(P)))
+    val minCols = (0 until K).map(i => min(pmod(lit(A(i)) * col("h") + lit(B(i)), lit(P))).as(s"m$i"))
+    ex.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH over the signatures: (idA, idB),
+    * idA < idB. Shuffles on (band, bandHash) only. */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val r = K / Bands
+    val bandHashes = (0 until Bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(j => col("sig")(b * r + j))): _*)
+    }
+    val banded = sigs
+      .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified by exact
+    * Jaccard on the shingle sets, so precision is exact and only recall
+    * depends on the LSH parameters. Returns (id_a, id_b, jaccard). */
+  def minhashNearDups(docs: DataFrame, idCol: String, shingleCol: String,
+                      threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol), array_distinct(col(shingleCol)).as("shset"))
+    val cands = lshCandidates(minhashSignatures(docs, idCol, shingleCol), idCol)
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash per doc from a token-array column: sign of the
+    * per-bit vote sum over xxhash64(token). Single explode + groupBy;
+    * the 64 vote sums fold map-side. */
+  def simhash64(docs: DataFrame, idCol: String, tokenCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(col(tokenCol)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val bits = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    ex.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as("simhash"))
+  }
+
+  /** Near-pairs by SimHash: hamming(a,b) <= maxDist (<= 3 by default).
+    * Pigeonhole blocking on the 4 16-bit chunks — a pair within distance
+    * 3 must agree on at least one chunk, so the join never goes
+    * all-pairs; the exact popcount filter runs only on blocked pairs. */
+  def simhashNearPairs(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+    }
+    val blocked = sigs.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("b")).select(col(idCol), col("simhash"),
+      col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
+    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

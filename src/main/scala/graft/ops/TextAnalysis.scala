@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data pipelines (SURVEY §2.6 E3):
+  * tokenization, n-gram shingling, language-ID heuristic, quality
+  * scoring, document fingerprinting.
+  *
+  * Everything is a Catalyst `Column` built from codegen'd builtins
+  * (`split`/`filter`/`transform`/`aggregate`) — no UDFs, so whole-stage
+  * codegen fuses these into the scan pipeline and they scale linearly
+  * with no shuffle. The reference's model (every operator is a user
+  * function, flink_arch.drawio page "DataStream分析") maps to these
+  * declarative expressions instead of opaque closures.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles (n=3) — the dedup unit for MinHash/Jaccard.
+    * Guarded so short docs yield an empty array (Spark `sequence` would
+    * otherwise produce a *descending* range for size < 3). */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** Bigrams for n-gram frequency analysis. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+  }
+
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(m => lit(m)): _*)))
+
+  /** Language-ID by stopword-marker voting (n-gram-free heuristic: count
+    * language-specific function words, argmax with fixed precedence
+    * en > es > de > fr; no votes → "und"). Deterministic and
+    * SQL-expressible, so oracle-checkable; a char-n-gram profile model
+    * would follow the same aggregate-over-markers shape. */
+  def langIdPredicted(text: Column): Column = {
+    val en = markerCount(text, LangMarkers.en)
+    val es = markerCount(text, LangMarkers.es)
+    val de = markerCount(text, LangMarkers.de)
+    val fr = markerCount(text, LangMarkers.fr)
+    when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  object LangMarkers {
+    val en = Seq("the", "and", "of", "to", "a")
+    val es = Seq("el", "los", "las", "una")
+    val de = Seq("der", "und", "das", "ein")
+    val fr = Seq("le", "les", "et", "une")
+  }
+
+  val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column = markerCount(text, Stopwords)
+
+  /** Stopword ratio — a standard fluency signal in data-quality filters. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / nullif(tokenCount(text), lit(0))
+
+  /** Composite quality score in [0,1]: half stopword fluency, half
+    * length saturation (docs >= 100 tokens get full length credit). */
+  def qualityScore(text: Column): Column =
+    coalesce(stopwordRatio(text), lit(0.0)) * 0.5 +
+      least(tokenCount(text), lit(100)).cast("double") / 100.0 * 0.5
+
+  /** Rolling polynomial fingerprint over characters, mod 1e9+7.
+    * Stays in long range (acc < p, so acc*31 + 127 < 2^35) — safe under
+    * ANSI overflow checking; empty-char artifacts of regex split are
+    * filtered so engines agree on the char sequence. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.ops.TextAnalysis.{shingles3, tokens}
+import graft.sources.Tables
+
+/** SURVEY §2.6 E1 — document deduplication operators over `documents`
+  * (exact dedup is q10_dedup in Relational).
+  */
+object DedupQueries {
+
+  // Blocked exact n-gram (word-trigram) Jaccard near-dup pairs — the
+  // oracle-checkable baseline. Blocks: (lang, n_chars div 64). Correct
+  // but O(block²); the scale path is e1_minhash_lsh below.
+  private val ngramJaccard = QueryDef("e1_ngram_jaccard", Some(
+    """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS bucket,
+      |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |s AS (SELECT doc_id, lang, bucket,
+      |             list_distinct(CASE WHEN len(t) < 3 THEN []
+      |                                ELSE list_transform(range(1, len(t) - 1),
+      |                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |                           END) AS sh
+      |      FROM d)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS jaccard
+      |  FROM s a JOIN s b
+      |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin)) { (spark, dir) =>
+    val base = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang"), expr("n_chars div 64").as("bucket"),
+      array_distinct(shingles3(col("text"))).as("sh"))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // MinHash-LSH near-dup detection — the 100TB-scale path (no all-pairs
+  // join anywhere). Verified pairs (exact Jaccard on candidates), so
+  // output ⊆ e1_ngram_jaccard's pairs with probabilistic recall; the
+  // ScalaTest spec checks recall vs the exact baseline. No SQL oracle
+  // (murmur3 signatures aren't reproducible in DuckDB) → rows-only.
+  private val minhash = QueryDef("e1_minhash_lsh", None) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    Dedup.minhashNearDups(docs, "doc_id", "sh", threshold = 0.5)
+  }
+
+  // SimHash signatures per document (64-bit); near-pair extraction is
+  // Dedup.simhashNearPairs (tested in ScalaTest). Rows-only: hash-based.
+  private val simhash = QueryDef("e1_simhash", None) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    Dedup.simhash64(docs, "doc_id", "t")
+  }
+
+  // Embedding-cosine near-dup pairs (exact all-pairs at test scale;
+  // blocked/LSH variant is e2_ann_topk). Oracle via DuckDB list ops.
+  private val embed = QueryDef("e1_embed_neardup", Some(
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_dot_product(a.v, b.v)
+      |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.4""".stripMargin)) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ngramJaccard, minhash, simhash, embed)
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.sources.Tables
+
+/** SURVEY §2.6 E4 — multimodal binary-column plumbing. The documents'
+  * UTF-8 bytes stand in for media payloads (testdata has no binary
+  * column); the decode step is a deterministic stub (see Multimodal).
+  */
+object MultimodalQueries {
+
+  // Binary content identity: byte length + content hash — the exact-dup
+  // primitive for media files. md5 over the same UTF-8 bytes both sides.
+  private val features = QueryDef("mm_features", Some(
+    """SELECT doc_id,
+      |       cast(octet_length(cast(text AS BLOB)) AS INT) AS byte_len,
+      |       md5(text) AS content_md5
+      |FROM documents""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).as("byte_len"),
+      md5(encode(col("text"), "UTF-8")).as("content_md5"))
+  }
+
+  // Typed decode pipeline: MediaRecord → mapPartitions decode stub →
+  // MediaMeta. The fake header fields are deterministic functions of the
+  // bytes, so even the stub is oracle-checkable.
+  private val meta = QueryDef("mm_meta", Some(
+    """SELECT doc_id AS id,
+      |       cast(octet_length(cast(text AS BLOB)) AS INT)       AS byte_len,
+      |       cast(16 + ascii(substr(text, 1, 1)) % 240 AS INT)   AS width,
+      |       cast(16 + ascii(substr(text, 2, 1)) % 240 AS INT)   AS height,
+      |       cast(1 + octet_length(cast(text AS BLOB)) % 4 AS INT) AS channels
+      |FROM documents""".stripMargin)) { (spark, dir) =>
+    Multimodal.extractMeta(Multimodal.fromDocuments(Tables(spark, dir).documents))
+      .toDF("id", "byte_len", "width", "height", "channels")
+  }
+
+  // Frame sampling (typed flatMap over binary payloads). Rows-only.
+  private val frames = QueryDef("mm_frames", None, bench = false) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Tables(spark, dir).documents),
+        stride = 256, maxFrames = 16)
+      .select(col("id"), col("frameIdx").as("frame_idx"), col("offset"),
+        length(col("frameBytes")).as("frame_len"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(features, meta, frames)
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** SURVEY §2.6 E2 — similarity search over `embeddings`. */
+object SimilarityQueries {
+
+  // Exact cosine top-5 for query vectors vec_id < 5: broadcast the query
+  // set, one scan of the corpus, per-query window top-k.
+  private val knn = QueryDef("e2_knn_brute", Some(
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ne FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |             list_dot_product(qe, ne)
+      |               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS cos
+      |      FROM q, c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             cast(row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)
+  }
+
+  // LSH-bucketed approximate top-5 (the scale path: same-bucket
+  // candidates only). Rows-only; recall vs brute force is ScalaTest'd.
+  private val ann = QueryDef("e2_ann_topk", None) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+    Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5, nPlanes = 8, dim = 64)
+  }
+
+  val defs: Seq[QueryDef] = Seq(knn, ann)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.Flow
+import graft.ops.TextAnalysis._
+import graft.sources.Tables
+
+/** SURVEY §2.6 E3 — text analysis over `documents`, plus the flagship
+  * WordCount (the reference's canonical example, flink_arch.drawio page
+  * "yarn per job 启动流程"). All pure-builtin expressions: narrow,
+  * codegen'd, shuffle only at the final aggregate.
+  */
+object TextQueries {
+
+  // WordCount through the typed Flow API: S8 source → T2 flatMap →
+  // T4 keyBy → T8 count → named columns.
+  private val wordcount = QueryDef("wordcount", Some(
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    Flow.fromDataset(Tables(spark, dir).documents.select("text").as[String])
+      .flatMap(_.split(" "))
+      .filter(_.nonEmpty)
+      .keyBy(identity)
+      .count()
+      .toDF
+      .toDF("word", "cnt")
+  }
+
+  private val stats = QueryDef("txt_stats", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents)
+      |SELECT doc_id,
+      |       cast(len(t) AS INT)                    AS n_tokens,
+      |       cast(len(list_distinct(t)) AS INT)     AS n_distinct,
+      |       cast(length(text) AS INT)              AS n_chars,
+      |       cast(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+      |         / nullif(len(t), 0)                  AS avg_token_len
+      |FROM d""".stripMargin)) { (spark, dir) =>
+    val t = tokens(col("text"))
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      length(col("text")).as("n_chars"),
+      (aggregate(transform(t, x => length(x)), lit(0), (a, b) => a + b).cast("double")
+        / nullif(size(t), lit(0))).as("avg_token_len"))
+  }
+
+  private val langid = QueryDef("txt_langid", Some(
+    """WITH d AS (SELECT doc_id, lang,
+      |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |m AS (SELECT doc_id, lang,
+      |             len(list_filter(t, x -> x IN ('the','and','of','to','a')))  AS en,
+      |             len(list_filter(t, x -> x IN ('el','los','las','una')))     AS es,
+      |             len(list_filter(t, x -> x IN ('der','und','das','ein')))    AS de,
+      |             len(list_filter(t, x -> x IN ('le','les','et','une')))      AS fr
+      |      FROM d)
+      |SELECT doc_id, lang,
+      |       CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+      |            WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+      |            WHEN de > 0 AND de >= fr THEN 'de'
+      |            WHEN fr > 0 THEN 'fr'
+      |            ELSE 'und' END AS pred_lang
+      |FROM m""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang"),
+      langIdPredicted(col("text")).as("pred_lang"))
+  }
+
+  private val quality = QueryDef("txt_quality", Some(
+    """WITH d AS (SELECT doc_id,
+      |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |m AS (SELECT doc_id, len(t) AS n_tokens,
+      |             len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is'))) AS n_stop
+      |      FROM d)
+      |SELECT doc_id,
+      |       cast(n_tokens AS INT) AS n_tokens,
+      |       cast(n_stop AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+      |       coalesce(cast(n_stop AS DOUBLE) / nullif(n_tokens, 0), 0.0) * 0.5
+      |         + cast(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5 AS score
+      |FROM m""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      qualityScore(col("text")).as("score"))
+  }
+
+  private val fp = QueryDef("txt_fingerprint", Some(
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(list_filter(str_split(text, ''), c -> c <> ''),
+      |                          c -> ascii(c)::BIGINT)),
+      |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |FROM documents""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents.select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+  }
+
+  private val ngrams = QueryDef("txt_ngrams", Some(
+    """WITH d AS (SELECT list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |b AS (SELECT unnest(CASE WHEN len(t) < 2 THEN []
+      |                         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |                    END) AS bigram
+      |      FROM d)
+      |SELECT bigram, count(*) AS cnt
+      |FROM b GROUP BY bigram
+      |ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams)
+}
