@@ -49,31 +49,52 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket signature: bit j = sign(<v, h_j>). */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    val hp = hyperplanes(nPlanes, dim)
+  /** Per-table sign-bucket signatures: table t hashes the vector with
+    * planes [t*planesPerTable, (t+1)*planesPerTable). Returns an
+    * array<struct<tbl,bucket>> for explode-and-join. Multi-table OR
+    * amplification: a pair is a candidate if it collides in ANY table —
+    * recall 1-(1-p^k)^L instead of single-table p^k. */
+  def lshTables(v: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {
+    val hp = hyperplanes(tables * planesPerTable, dim)
     val vd = toDouble(v)
-    (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vd, lit(hp(j)), (x, h) => x * h), lit(0.0), (acc, p) => acc + p)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    val entries = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { j =>
+        val proj = aggregate(
+          zip_with(vd, lit(hp(t * planesPerTable + j)), (x, h) => x * h),
+          lit(0.0), (acc, p) => acc + p)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    array(entries: _*)
   }
 
-  /** Approximate top-k: candidates share the LSH bucket with the query;
-    * exact cosine + window top-k within candidates. Same output schema
-    * as [[bruteForceTopK]]; recall < 1 (more planes → fewer, purer
-    * buckets; fewer planes → higher recall). */
+  /** Approximate top-k via multi-table hyperplane LSH: candidates are
+    * rows sharing a (table, bucket) cell with the query in at least one
+    * table; exact cosine + window top-k within the (deduplicated)
+    * candidates. Same output schema as [[bruteForceTopK]]; recall is
+    * probabilistic and tested against the exact baseline.
+    *
+    * Scale shape: corpus scanned once to emit `tables` bucket entries
+    * per row, then a hash-partitioned equi-join on (tbl, bucket) — never
+    * a cross product. More tables → higher recall, more candidates. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("bucket", lshBucket(col("qe"), nPlanes, dim)))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      .withColumn("bucket", lshBucket(col("ne"), nPlanes, dim))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(q, Seq("bucket"))
+    def bucketed(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
+        explode(lshTables(col("embedding"), tables, planesPerTable, dim)).as("e"))
+      .select(col(idAs), col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    // candidate id-pairs: collide in any table; dedupe ids only (cheap
+    // shuffle), embeddings re-attached afterwards
+    val cand = bucketed(corpus, "neighbor_id")
+      .join(broadcast(bucketed(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos", cosine(col("qe"), col("ne")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -30,7 +30,7 @@ object SimilarityQueries {
   // candidates only). Rows-only; recall vs brute force is ScalaTest'd.
   private val ann = QueryDef("e2_ann_topk", None) { (spark, dir) =>
     val e = Tables(spark, dir).embeddings
-    Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5, nPlanes = 8, dim = 64)
+    Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5)
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann)

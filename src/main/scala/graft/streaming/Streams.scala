@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface of the engine (SURVEY §2.4 W1–W7).
+  *
+  * The reference's streaming model (continuous file monitor feeding
+  * parallel readers, keyed state in managed memory/RocksDB, savepoints —
+  * ExecutionEnviromentreadTextFile创建DataSource分析.md:3-9,363-371;
+  * flink_arch.drawio page "Flink memory") maps to: FileStreamSource,
+  * the state store behind windowed/stateful aggregations, and
+  * checkpointLocation restart. Semantics deltas are documented in
+  * SURVEY §7.4 (per-trigger emission, watermark drops, append-only
+  * directories, checkpoint-not-savepoint).
+  */
+object Streams {
+
+  /** W3 tumbling event-time window + W4 watermark. Late rows beyond
+    * `watermark` are dropped (the declared contract; Flink would allow a
+    * side output). */
+  def tumblingAgg(events: DataFrame, tsCol: String, watermark: String,
+                  width: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** W3 sliding window. */
+  def slidingAgg(events: DataFrame, tsCol: String, watermark: String,
+                 width: String, slide: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** W3 session window (gap-based). */
+  def sessionAgg(events: DataFrame, tsCol: String, watermark: String,
+                 gap: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("session") +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** W5 stream-stream inner join: equi-key + event-time range, both
+    * sides watermarked (Spark needs the range bound to purge state). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftTs: String, rightTs: String,
+                       leftWatermark: String, rightWatermark: String,
+                       keyCond: Column, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r, keyCond
+      && col(rightTs) >= col(leftTs)
+      && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** T5 exact semantics — per-record rolling reduce. Flink's keyed
+    * `reduce` emits the running value for every input record; Structured
+    * Streaming aggregations emit per trigger. This stateful op restores
+    * the per-record contract: for each key it emits one row per input
+    * element carrying the running reduction (W6 machinery). */
+  def rollingReduce[K: Encoder, T: Encoder](
+      ds: Dataset[T], key: T => K, reduce: (T, T) => T)(
+      implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, (K, T)](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: K, it: Iterator[T], state: GroupState[T]) =>
+          var acc = state.getOption
+          val out = it.map { t =>
+            acc = Some(acc.fold(t)(reduce(_, t)))
+            (k, acc.get)
+          }.toList
+          acc.foreach(state.update)
+          out.iterator
+      }
+
+  /** S6 streaming sinks. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** W7: parquet sink with checkpoint — stop + restart with the same
+    * checkpointLocation is the savepoint-restore equivalent. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.ops.TextAnalysis.{shingles3, tokens}
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private lazy val docs = Tables(spark, TestSession.sf0001).documents
+    .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    .cache()
+
+  /** Exact all-pairs Jaccard >= t — the ground truth LSH must recall. */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val a = docs.select(col("doc_id").as("id_a"), array_distinct(col("sh")).as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), array_distinct(col("sh")).as("sb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("sa"), col("sb")))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH near-dups: exact precision, full recall at j>=0.5 on sf0.001") {
+    val got = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = exactPairs(0.5)
+    // precision is exact by construction (candidates are re-verified)
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // 64 bands x 2 rows: P(miss | j=0.5) ~ 1e-8 — expect full recall here
+    assert(got == truth, s"missed pairs: ${truth -- got}")
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val s1 = Dedup.minhashSignatures(docs, "doc_id", "sh").orderBy("doc_id").collect()
+    val s2 = Dedup.minhashSignatures(docs, "doc_id", "sh").orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text").select(col("doc_id"), tokens(col("text")).as("t"))
+    val sig = Dedup.simhash64(d, "doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 12)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 12)
+  }
+
+  test("simhashNearPairs finds the identical pair via pigeonhole blocking") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words nothing shared here at all ok")
+    ).toDF("doc_id", "text").select(col("doc_id"), tokens(col("text")).as("t"))
+    val sigs = Dedup.simhash64(d, "doc_id", "t")
+    val pairs = Dedup.simhashNearPairs(sigs, "doc_id", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("exactByKey keeps min id and is idempotent") {
+    import spark.implicits._
+    val df = Seq((10L, "x"), (3L, "x"), (5L, "y")).toDF("id", "k")
+    val d1 = Dedup.exactByKey(df, "k", "id")
+    assert(d1.collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((3L, "x"), (5L, "y")))
+    assert(Dedup.exactByKey(d1, "k", "id").count() == d1.count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Flow
+
+/** SURVEY §2.2 core transforms T1–T8 through the typed Flow facade. */
+class FlowSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("T1 map / T3 filter / S7 collection source") {
+    val out = Flow.fromCollection(spark, Seq(1, 2, 3, 4, 5))
+      .map(_ * 2).filter(_ > 4).collectSeq().sorted
+    assert(out == Seq(6, 8, 10))
+  }
+
+  test("T2 flatMap / T4 keyBy / T8 count (WordCount shape)") {
+    val wc = Flow.fromCollection(spark, Seq("a b a", "b a"))
+      .flatMap(_.split(" ")).keyBy(identity).count()
+      .collectSeq().toMap
+    assert(wc == Map("a" -> 3, "b" -> 2))
+  }
+
+  test("T5 keyed reduce — batch final-value semantics") {
+    val out = Flow.fromCollection(spark, Seq(("k1", 1), ("k1", 2), ("k2", 5)))
+      .keyBy(_._1)
+      .reduce((a, b) => (a._1, a._2 + b._2))
+      .map { case (k, v) => (k, v._2) }
+      .collectSeq().toMap
+    assert(out == Map("k1" -> 3, "k2" -> 5))
+  }
+
+  test("T5 edge cases: empty input, single element, all-equal keys") {
+    assert(Flow.fromCollection(spark, Seq.empty[Int]).keyBy(_ % 2).count().count() == 0)
+    assert(Flow.fromCollection(spark, Seq(7)).keyBy(_ => "k").count().collectSeq() == Seq(("k", 1L)))
+    val allEq = Flow.fromCollection(spark, Seq.fill(100)(1)).keyBy(identity).count().collectSeq()
+    assert(allEq == Seq((1, 100L)))
+  }
+
+  test("T6 mapPartitions (transform escape hatch)") {
+    val out = Flow.fromCollection(spark, (1 to 10).toSeq)
+      .mapPartitions(it => Iterator.single(it.sum))
+      .collectSeq().sum
+    assert(out == 55)
+  }
+
+  test("Q7 union preserves duplicates (union all semantics)") {
+    val f = Flow.fromCollection(spark, Seq(1, 2))
+    assert(f.union(f).count() == 4)
+  }
+
+  test("T7 typed joinWith") {
+    val l = Flow.fromCollection(spark, Seq((1, "a"), (2, "b")))
+    val r = Flow.fromCollection(spark, Seq((1, 10.0), (3, 30.0)))
+    val j = l.joinWith(r, l.ds("_1") === r.ds("_1"), "inner").collectSeq()
+    assert(j == Seq(((1, "a"), (1, 10.0))))
+  }
+
+  test("S1 readTextFile + S6 parquet sink round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-flow").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"), "x\ny\nz")
+    val flow = Flow.fromText(spark, s"$dir/in.txt")
+    assert(flow.count() == 3)
+    flow.sinkParquet(s"$dir/out.parquet")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 3)
+  }
+}

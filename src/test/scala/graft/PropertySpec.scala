@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.api.Flow
+
+/** SURVEY §5.3 — algebraic laws over the Flow combinators, sampled with
+  * ScalaCheck generators (fixed seeds: deterministic CI). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val listGen = Gen.listOfN(30, Gen.chooseNum(-50, 50))
+
+  private def samples(n: Int): Seq[List[Int]] =
+    (0 until n).map(i => listGen.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil))
+
+  test("union count = sum of counts") {
+    for (xs <- samples(5)) {
+      val f = Flow.fromCollection(spark, xs).union(Flow.fromCollection(spark, xs.reverse))
+      assert(f.count() == 2L * xs.size)
+    }
+  }
+
+  test("filter p and filter !p partition the input") {
+    for (xs <- samples(5)) {
+      val f = Flow.fromCollection(spark, xs)
+      val p = (x: Int) => x % 3 == 0
+      assert(f.filter(p).count() + f.filter(x => !p(x)).count() == xs.size)
+    }
+  }
+
+  test("keyBy+count equals Scala groupBy sizes") {
+    for (xs <- samples(5)) {
+      val got = Flow.fromCollection(spark, xs).keyBy(_ % 5).count().collectSeq().toMap
+      val want = xs.groupBy(_ % 5).view.mapValues(_.size.toLong).toMap
+      assert(got == want)
+    }
+  }
+
+  test("dedup (distinct) is idempotent") {
+    for (xs <- samples(5)) {
+      val d1 = Flow.fromDataset(Flow.fromCollection(spark, xs).ds.distinct())
+      assert(d1.ds.distinct().count() == d1.count())
+    }
+  }
+
+  test("map fusion: map(f).map(g) == map(f andThen g)") {
+    for (xs <- samples(5)) {
+      val f = (x: Int) => x + 1
+      val g = (x: Int) => x * 2
+      val lhs = Flow.fromCollection(spark, xs).map(f).map(g).collectSeq().sorted
+      val rhs = Flow.fromCollection(spark, xs).map(f andThen g).collectSeq().sorted
+      assert(lhs == rhs)
+    }
+  }
+}

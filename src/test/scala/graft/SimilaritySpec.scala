@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private lazy val emb = Tables(spark, TestSession.sf0001).embeddings.cache()
+
+  test("cosine: self-similarity = 1, orthogonal = 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-12)
+    assert(math.abs(cs(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, descending") {
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(q, emb, 5).collect()
+    assert(out.length == 15)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getLong(1) == qid), "self-match leaked")
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not descending")
+    }
+  }
+
+  test("annTopK recall vs brute force (8 tables x 4 planes, sf0.001)") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no planted near-dups: top-5 "neighbors" sit at cos ~0.3-0.5, where
+    // per-plane collision p ~ 0.6; OR-amplification over 8 tables of 4
+    // planes gives expected recall ~0.7 — assert a conservative floor
+    assert(approx.nonEmpty)
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}

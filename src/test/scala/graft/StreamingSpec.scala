@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.streaming.Streams
+
+/** SURVEY §2.4 W1–W7 via MemoryStream (≙ S4 addSource) and temp dirs. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("W2 keyed streaming aggregate (WordCount-on-stream, update mode)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = in.toDS().flatMap(_.split(" ")).groupBy("value").count()
+    val q = counts.writeStream.format("memory").queryName("wc_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData("a b a"); q.processAllAvailable()
+      in.addData("b a");   q.processAllAvailable()
+      val m = spark.table("wc_stream").groupBy("value").agg(max("count").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("a" -> 3L, "b" -> 2L))
+    } finally q.stop()
+  }
+
+  test("W3+W4 tumbling window with watermark drops late rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.tumblingAgg(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), "x"), (ts(5), "x")); q.processAllAvailable()
+      // advance watermark beyond window [0,10) end + 10min delay
+      in.addData((ts(31), "x")); q.processAllAvailable()
+      // late row for the already-closed [0,10) window -> dropped
+      in.addData((ts(2), "x")); q.processAllAvailable()
+      in.addData((ts(55), "x")); q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 00:00:00") == 2L, s"late row not dropped: $rows")
+    } finally q.stop()
+  }
+
+  test("W3 session window (10-minute gap)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.sessionAgg(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two bursts separated by > gap, then advance watermark to close them
+      in.addData((ts(1), "u"), (ts(3), "u"), (ts(20), "u")); q.processAllAvailable()
+      in.addData((ts(59), "flush")); q.processAllAvailable()
+      val ns = spark.table("sessions").filter(col("k") === "u")
+        .select("n").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ns == Seq(1L, 2L), s"sessions: $ns")
+    } finally q.stop()
+  }
+
+  test("W5 stream-stream join with time-range condition") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      buys.toDF().toDF("buy_ts", "buy_user"),
+      "click_ts", "buy_ts", "20 minutes", "20 minutes",
+      col("click_user") === col("buy_user"), "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(1), 7L), (ts(1), 8L))
+      buys.addData((ts(5), 7L))        // within 15min of click -> joins
+      buys.addData((ts(40), 8L))       // 39min later -> outside range
+      q.processAllAvailable()
+      val out = spark.table("ssj").select("click_user").collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(7L), s"joined users: $out")
+    } finally q.stop()
+  }
+
+  test("W6/T5 rollingReduce emits per-record running values") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val rolled = Streams.rollingReduce[String, (String, Int)](
+      in.toDS(), _._1, (a, b) => (a._1, a._2 + b._2))
+    val q = rolled.toDF("k", "v").writeStream.format("memory").queryName("rolling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("k", 1)); q.processAllAvailable()
+      in.addData(("k", 2)); q.processAllAvailable()
+      in.addData(("k", 4)); q.processAllAvailable()
+      val vals = spark.table("rolling").select("v").collect()
+        .map(_.getStruct(0).getInt(1)).sorted.toSeq
+      assert(vals == Seq(1, 3, 7), s"running values: $vals") // every record emitted
+    } finally q.stop()
+  }
+
+  test("W1+W7 file-monitor source, checkpoint stop/restart (savepoint contract)") {
+    import spark.implicits._
+    val srcDir = tmp("graft-stream-src")
+    val outDir = tmp("graft-stream-out")
+    val ckpt = tmp("graft-stream-ckpt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.txt"), "a\nb")
+    val flow1 = api.Flow.fromTextStream(spark, srcDir)
+    val q1 = Streams.toParquetSink(flow1.toDF, outDir, ckpt)
+    q1.awaitTermination(60000); // AvailableNow terminates when caught up
+    assert(spark.read.parquet(outDir).count() == 2)
+    // "savepoint restore": new file, restart from same checkpoint
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f2.txt"), "c")
+    val q2 = Streams.toParquetSink(api.Flow.fromTextStream(spark, srcDir).toDF, outDir, ckpt)
+    q2.awaitTermination(60000)
+    val all = spark.read.parquet(outDir).as[String].collect().sorted.toSeq
+    assert(all == Seq("a", "b", "c"), s"restart reprocessed or lost rows: $all")
+  }
+}

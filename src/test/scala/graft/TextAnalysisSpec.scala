@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.ops.TextAnalysis._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokens drops empties; counts") {
+    assert(one[Int](tokenCount(col("text")), "a  b c") == 3)
+    assert(one[Int](tokenCount(col("text")), "") == 0)
+    assert(one[Int](distinctTokenCount(col("text")), "a b a") == 2)
+  }
+
+  test("shingles3 guards short docs (no descending-sequence bug)") {
+    assert(one[collection.Seq[String]](shingles3(col("text")), "a b").toSeq == Seq.empty)
+    assert(one[collection.Seq[String]](shingles3(col("text")), "a b c d").toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("bigrams") {
+    assert(one[collection.Seq[String]](bigrams(col("text")), "x").toSeq == Seq.empty)
+    assert(one[collection.Seq[String]](bigrams(col("text")), "x y z").toSeq == Seq("x y", "y z"))
+  }
+
+  test("fingerprint matches hand-rolled polynomial hash") {
+    val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(one[Long](fingerprint(col("text")), "ab") == expected)
+    assert(one[Long](fingerprint(col("text")), "") == 0L)
+  }
+
+  test("langId votes with precedence; no markers -> und") {
+    assert(one[String](langIdPredicted(col("text")), "the cat and dog") == "en")
+    assert(one[String](langIdPredicted(col("text")), "el los gato") == "es")
+    assert(one[String](langIdPredicted(col("text")), "xyz qqq") == "und")
+    // tie en vs es resolves to en (fixed precedence)
+    assert(one[String](langIdPredicted(col("text")), "the el") == "en")
+  }
+
+  test("qualityScore bounded [0,1]") {
+    val s = one[Double](qualityScore(col("text")), "the " * 200)
+    assert(s >= 0.0 && s <= 1.0)
+    assert(one[Double](qualityScore(col("text")), "") == 0.0)
+  }
+}
