@@ -1,23 +1,80 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Registry
+
+/** Per-round benchmark: runs every bench-flagged query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology: each query is forced through the noop sink (full
+  * materialization of every output row — `count()` would let Catalyst
+  * prune the computation under test), 1 warmup + 3 timed runs, median.
+  * A streaming entry (`w2_stream_ingest`) times a keyed streaming
+  * aggregate over MemoryStream microbatches.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** W2 keyed streaming aggregate throughput probe: seconds to push
+    * `batches` microbatches of `perBatch` synthetic events through a
+    * groupBy-count with the state store. */
+  private def streamIngestSec(spark: SparkSession, batches: Int, perBatch: Int): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("value"))
+    val q = agg.writeStream.format("noop")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try timeIt {
+      var i = 0L
+      (0 until batches).foreach { _ =>
+        in.addData((0 until perBatch).map { j => i += 1; (i % 1000, j.toDouble) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = Engine.defaultCpus
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = Engine.session("graft-bench", cpus)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Registry.all.filter(_.bench).foreach { q =>
+      try {
+        val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
+        results(q.name) = median((0 until runs).map(_ => timeIt(materialize(q.run(spark, sfDir)))))
+        System.err.println(f"[bench] ${q.name}%-22s warm=$warm%8.2fs med=${results(q.name)}%8.2fs")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          results(q.name) = -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    results("w2_stream_ingest") = {
+      streamIngestSec(spark, batches = 2, perBatch = 10000) // warmup
+      median((0 until runs).map(_ => streamIngestSec(spark, batches = 10, perBatch = 20000)))
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` columns (SURVEY §4: the one justified codegen
+  * extension, for E2 similarity search).
+  *
+  * vs the builtin composition (`aggregate(zip_with(...))` ×3 passes):
+  * a single fused loop, no per-element lambda dispatch, no array
+  * allocation — and `doGenCode` keeps it inside whole-stage codegen.
+  * Math is double-accumulated in index order, bit-identical to the
+  * builtin composition, so oracle results are unchanged.
+  *
+  * Null elements inside the arrays are treated as 0 (embedding columns
+  * don't carry element nulls); a null array yields null (BinaryExpression
+  * null-intolerance).
+  */
+case class CosineSimilarityF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Shim.AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi: Double = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi: Double = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for the native cosine (classic-session path). */
+  def cosineF(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarityF(Shim.expression(a), Shim.expression(b)))
+}

@@ -34,6 +34,36 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
   }
 
+  /** Word-trigram shingles as 64-bit hashes — skips building shingle
+    * strings entirely. For dedup math (set sizes, Jaccard counts) hashed
+    * shingles are equivalent to string shingles up to 64-bit collisions
+    * (~n²/2⁶⁵ — negligible), at a fraction of the CPU and shuffle width.
+    *
+    * Typed implementation, not a Column: sliding-window expressions via
+    * `transform(sequence(...), i => element_at(t, i)...)` re-evaluate
+    * the token array per element (Spark HOFs are interpreted and don't
+    * CSE the bound array), turning shingling O(n²)-ish per doc. A plain
+    * JVM loop is linear and ~40× faster at sf0.1 — this is the
+    * reference's `transform()` escape hatch (SURVEY §2.2 T6) used as
+    * designed. */
+  def shingleHashes3Typed(text: String): Array[Long] = {
+    val toks = text.split(" ").iterator.filter(_.nonEmpty).toArray
+    if (toks.length < 3) Array.empty[Long]
+    else {
+      val out = new Array[Long](toks.length - 2)
+      var i = 0
+      while (i < toks.length - 2) {
+        val s = Seq(toks(i), toks(i + 1), toks(i + 2))
+        // two independent 32-bit murmurs → 64 bits (collision ~n²/2⁶⁵)
+        val h1 = scala.util.hashing.MurmurHash3.orderedHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.orderedHash(s, 0x85ebca6b)
+        out(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
   /** Bigrams for n-gram frequency analysis. */
   def bigrams(text: Column): Column = {
     val t = tokens(text)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity}
-import graft.ops.TextAnalysis.{shingles3, tokens}
+import graft.ops.TextAnalysis.{shingleHashes3Typed, tokens}
 import graft.sources.Tables
 
 /** SURVEY §2.6 E1 — document deduplication operators over `documents`
@@ -11,8 +11,8 @@ import graft.sources.Tables
 object DedupQueries {
 
   // Blocked exact n-gram (word-trigram) Jaccard near-dup pairs — the
-  // oracle-checkable baseline. Blocks: (lang, n_chars div 64). Correct
-  // but O(block²); the scale path is e1_minhash_lsh below.
+  // oracle-checkable baseline. Blocks: (lang, n_chars div 64). Exact
+  // within blocks; cross-block recall is e1_minhash_lsh's job.
   private val ngramJaccard = QueryDef("e1_ngram_jaccard", Some(
     """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS bucket,
       |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
@@ -30,14 +30,35 @@ object DedupQueries {
       |  FROM s a JOIN s b
       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin)) { (spark, dir) =>
-    val base = Tables(spark, dir).documents.select(
-      col("doc_id"), col("lang"), expr("n_chars div 64").as("bucket"),
-      array_distinct(shingles3(col("text"))).as("sh"))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "bucket"))
+    // Inverted-index formulation (the 100TB-correct shape for exact
+    // blocked Jaccard): explode distinct hashed shingles, self-join on
+    // the shingle hash within the block, count common shingles per
+    // pair, then jaccard = c / (|A| + |B| - c). Never materializes
+    // per-pair array intersections; pairs sharing no shingle never
+    // appear (their jaccard is 0 < threshold). Values are identical to
+    // the oracle's set formulation (counts of the same sets, hashed).
+    // The explicit repartition puts one exchange under both self-join
+    // sides, so ReusedExchange computes the shingle index ONCE.
+    import spark.implicits._
+    val ex = Tables(spark, dir).documents
+      .select("doc_id", "lang", "n_chars", "text").as[(Long, String, Long, String)]
+      .map { case (id, lang, nChars, text) =>
+        (id, lang, nChars / 64, shingleHashes3Typed(text))
+      }
+      .toDF("doc_id", "lang", "bucket", "sh")
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(col("sh")).as("n"), explode(col("sh")).as("h"))
+      .repartition(col("lang"), col("bucket"), col("h"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+      col("lang"), col("bucket"), col("h"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      col("lang"), col("bucket"), col("h"))
+    a.join(b, Seq("lang", "bucket", "h"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -48,8 +69,11 @@ object DedupQueries {
   // ScalaTest spec checks recall vs the exact baseline. No SQL oracle
   // (murmur3 signatures aren't reproducible in DuckDB) → rows-only.
   private val minhash = QueryDef("e1_minhash_lsh", None) { (spark, dir) =>
+    import spark.implicits._
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, shingleHashes3Typed(text)) }
+      .toDF("doc_id", "sh")
     Dedup.minhashNearDups(docs, "doc_id", "sh", threshold = 0.5)
   }
 

@@ -113,8 +113,15 @@ object TextQueries {
       |SELECT bigram, count(*) AS cnt
       |FROM b GROUP BY bigram
       |ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin)) { (spark, dir) =>
+    // typed flatMap (T2): sliding bigrams in a JVM loop — the Column HOF
+    // version re-evaluates the token array per element (see
+    // TextAnalysis.shingleHashes3Typed) and is ~10× slower here
+    import spark.implicits._
     Tables(spark, dir).documents
-      .select(explode(bigrams(col("text"))).as("bigram"))
+      .select("text").as[String]
+      .flatMap(t => t.split(" ").iterator.filter(_.nonEmpty).sliding(2)
+        .withPartial(false).map(_.mkString(" ")))
+      .toDF("bigram")
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to `private[sql]` surface the classic Column API
+  * hides in Spark 4 (Column ⇄ catalyst Expression). Living in an
+  * `org.apache.spark.sql` subpackage is the established pattern for
+  * Spark extension libraries needing these two hooks; nothing else of
+  * Spark's internals is touched.
+  */
+object Shim {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

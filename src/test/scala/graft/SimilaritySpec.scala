@@ -10,6 +10,15 @@ class SimilaritySpec extends AnyFunSuite {
 
   private lazy val emb = Tables(spark, TestSession.sf0001).embeddings.cache()
 
+  test("native cosine_f expression = HOF composition bit-for-bit") {
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        .filter(col("id2") < 20))
+      .withColumn("native", Similarity.cosine(col("embedding"), col("e2")))
+      .withColumn("hof", Similarity.cosineHof(col("embedding"), col("e2")))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("cosine: self-similarity = 1, orthogonal = 0") {
     import spark.implicits._
     val df = Seq(
