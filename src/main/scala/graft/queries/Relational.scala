@@ -313,7 +313,66 @@ object Relational {
       .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
   }
 
+  // Q9c — GROUPING SETS (SQL surface; rollup/cube are the API surface).
+  private val q9g = shared("q9_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       sum(o_totalprice) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  // Q1b — date functions: month-level truncation + extraction.
+  private val q1d = QueryDef("q1_dates", Some(
+    """SELECT cast(cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS STRING) AS order_month,
+      |       cast(year(o_orderdate) AS INT)    AS y,
+      |       cast(month(o_orderdate) AS INT)   AS m,
+      |       count(*)                          AS n,
+      |       sum(o_totalprice)                 AS revenue
+      |FROM orders
+      |GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast("string").as("order_month"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("revenue"))
+  }
+
+  // Q11 — array functions over the embedding column: size, element
+  // access, slice, reduction (the builtin-HOF surface).
+  private val q11a = QueryDef("q11_array", Some(
+    """SELECT vec_id,
+      |       cast(len(embedding) AS INT)          AS dim,
+      |       embedding[1]                         AS first_val,
+      |       cast(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INT)
+      |                                            AS n_positive,
+      |       list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS sq_norm
+      |FROM embeddings""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).embeddings.select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      aggregate(col("embedding"), lit(0),
+        (acc, x) => acc + when(x > 0, 1).otherwise(0)).as("n_positive"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"))
+  }
+
+  // §2.5 UDAF surface: typed Aggregator registered as an untyped UDAF.
+  // Partial buffers merge map-side like builtin aggregates.
+  private val qUdaf = QueryDef("q_udaf_wavg", Some(
+    """SELECT l_returnflag,
+      |       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+    val wavg = udaf(graft.ops.Aggregators.WeightedAvg)
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    q1, q2, q3, q4, q4l, q4s, q4a, q4f, q5, q6,
-    q7u, q7i, q7e, q8, q9r, q9c, q10, q12, q12a)
+    q1, q1d, q2, q3, q4, q4l, q4s, q4a, q4f, q5, q6,
+    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -122,16 +122,29 @@ final case class LongOffset2(offset: Long) extends Offset {
   override def json(): String = offset.toString
 }
 
-/** Microbatch side: offsets are row ids; each trigger serves the next
-  * `rowsPerBatch` ids split across `numPartitions` range splits. */
+/** Microbatch side: offsets are row ids. All rows are "available"
+  * immediately (bounded source); batch pacing goes through
+  * SupportsAdmissionControl — `ReadLimit.maxRows(rowsPerBatch)` bounds
+  * each trigger from the start offset. (Pacing off `commit()` does not
+  * work: MicroBatchExecution plans the next batch from offsets, not
+  * commit callbacks.) */
 final class SyntheticMicroBatch(rows: Long, rowsPerBatch: Long, numPartitions: Int, seed: Long)
-    extends MicroBatchStream {
-  private var committed = 0L
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = LongOffset2(0L)
-  override def latestOffset(): Offset = LongOffset2(math.min(rows, committed + rowsPerBatch))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-controlled; use latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LongOffset2].offset
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    LongOffset2(math.min(rows, s + step))
+  }
+  override def reportLatestOffset(): Offset = LongOffset2(rows)
   override def deserializeOffset(json: String): Offset = LongOffset2(json.toLong)
-  override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[LongOffset2].offset
+  override def commit(end: Offset): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[LongOffset2].offset, end.asInstanceOf[LongOffset2].offset)
     SyntheticTable.ranges(s, e, numPartitions).map {
