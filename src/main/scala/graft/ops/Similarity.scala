@@ -78,6 +78,46 @@ object Similarity {
     array(entries: _*)
   }
 
+  /** IVF-style approximate top-k (the second scale path, alongside
+    * [[annTopK]]): the corpus is clustered into `nCells` cells around
+    * deterministic seed centroids (every (n/nCells)-th vector by id —
+    * a one-pass stand-in for trained k-means centroids; swapping in
+    * trained centroids changes nothing structurally). Each corpus row
+    * joins its single nearest cell; each query probes its `nProbe`
+    * nearest cells; candidates come from a hash equi-join on cell id.
+    *
+    * Scale shape: centroids broadcast twice (assignment + probing), one
+    * shuffle on cell id — corpus is never cross-joined. Recall grows
+    * with nProbe/nCells (tested vs the exact baseline). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random sample of nCells rows (TakeOrdered —
+    // no global sort materialization)
+    val centroids = broadcast(
+      corpus.orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
+        .limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("ce")))
+    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
+      val w = Window.partitionBy(idAs).orderBy(col("sim").desc, col("cell_id"))
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+        .join(centroids)
+        .withColumn("sim", cosine(col(vecAs), col("ce")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col(idAs), col(vecAs), col("cell_id"))
+    }
+    val cells = assign(corpus, "neighbor_id", "ne", 1)
+    val probes = assign(queries, "query_id", "qe", nProbe)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(probes, "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rk")
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * rows sharing a (table, bucket) cell with the query in at least one
     * table; exact cosine + window top-k within the (deduplicated)

@@ -33,5 +33,12 @@ object SimilarityQueries {
     Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5)
   }
 
-  val defs: Seq[QueryDef] = Seq(knn, ann)
+  // IVF cells + probing — the clustered scale path. Rows-only; recall
+  // vs brute force is ScalaTest'd.
+  private val ivf = QueryDef("e2_ivf_topk", None) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 5, nCells = 16, nProbe = 4)
+  }
+
+  val defs: Seq[QueryDef] = Seq(knn, ann, ivf)
 }

@@ -19,7 +19,8 @@ object Streams {
 
   /** W3 tumbling event-time window + W4 watermark. Late rows beyond
     * `watermark` are dropped (the declared contract; Flink would allow a
-    * side output). */
+    * side output). Note: Spark watermarks require `timestamp` (ltz) —
+    * cast `timestamp_ntz` columns first (identity under a UTC session). */
   def tumblingAgg(events: DataFrame, tsCol: String, watermark: String,
                   width: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
     events

@@ -22,7 +22,7 @@ object PlanAudit {
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
         "SortMergeJoin" -> plan.contains("SortMergeJoin"),
         "NestedLoop" -> plan.contains("NestedLoop"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
+        "WholeStageCodegen" -> (plan.contains("WholeStageCodegen") || plan.contains("*(")),
         "Exchange" -> plan.contains("Exchange"),
         "ReusedExchange" -> plan.contains("ReusedExchange"))
       println(s"== $n: " + flags.collect { case (k, true) => k }.mkString(", "))

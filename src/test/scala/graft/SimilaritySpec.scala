@@ -43,6 +43,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK recall vs brute force (16 cells, probe 4)") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, emb, 5, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("annTopK recall vs brute force (8 tables x 4 planes, sf0.001)") {
     val q = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
