@@ -128,5 +128,24 @@ object TextQueries {
       .limit(100)
   }
 
-  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams)
+  // Token counting two ways: whitespace tokens and BPE-ish subword
+  // pieces (greedy ≤4-char alpha runs — a stand-in for merge-table BPE
+  // with identical counting plumbing).
+  private val tokenCountQ = QueryDef("txt_token_count", Some(
+    """SELECT doc_id,
+      |       cast(len(list_filter(str_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+      |       cast(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT)          AS n_bpe_pieces,
+      |       cast(length(replace(text, ' ', '')) AS DOUBLE)
+      |         / nullif(len(regexp_extract_all(text, '[a-z]{1,4}')), 0)        AS chars_per_piece
+      |FROM documents""".stripMargin)) { (spark, dir) =>
+    val pieces = size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_ws_tokens"),
+      pieces.as("n_bpe_pieces"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double")
+        / nullif(pieces, lit(0))).as("chars_per_piece"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ)
 }

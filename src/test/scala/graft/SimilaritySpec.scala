@@ -10,6 +10,16 @@ class SimilaritySpec extends AnyFunSuite {
 
   private lazy val emb = Tables(spark, TestSession.sf0001).embeddings.cache()
 
+  test("cosine_f callable from SQL via GraftExtensions") {
+    graft.sources.Tables(spark, TestSession.sf0001).embeddings
+      .createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT cosine_f(a.embedding, b.embedding) AS c
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("native cosine_f expression = HOF composition bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
