@@ -90,6 +90,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Winnowing --------------------------------------------------------
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling hashes
+    * of char k-grams, keeping the minimum in each sliding window of `w`
+    * (rightmost on ties), deduplicating consecutive picks. Guarantees
+    * any shared substring of length >= k + w - 1 shares a fingerprint —
+    * the substring-robust fingerprint (vs whole-doc hashing, which any
+    * edit breaks). Typed (sliding-window work; see shingleHashes3Typed
+    * for why not a Column HOF). */
+  def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    if (text.length < k) return Array.empty[Long]
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < k) { h = h * 31 + text.charAt(i + j); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    if (n <= w) Array(hs.min)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastPick = -1
+      var s = 0
+      while (s + w <= n) {
+        var best = s
+        var j = s
+        while (j < s + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        if (best != lastPick) { out += hs(best); lastPick = best }
+        s += 1
+      }
+      out.toArray
+    }
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per doc from a token-array column: sign of the

@@ -104,5 +104,19 @@ object DedupQueries {
       .select("id_a", "id_b", "cos")
   }
 
-  val defs: Seq[QueryDef] = Seq(ngramJaccard, minhash, simhash, embed)
+  // Winnowing fingerprint stats per doc (substring-robust fingerprints;
+  // pair extraction would join on exploded fingerprints like the
+  // inverted index above). Rows-only: hash-based.
+  private val winnow = QueryDef("e1_winnow", None) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val fp = graft.ops.Dedup.winnowFingerprints(text)
+        (id, fp.length, if (fp.isEmpty) 0L else fp.min)
+      }
+      .toDF("doc_id", "n_fingerprints", "min_fp")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ngramJaccard, minhash, simhash, embed, winnow)
 }

@@ -147,5 +147,36 @@ object TextQueries {
         / nullif(pieces, lit(0))).as("chars_per_piece"))
   }
 
-  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ)
+  // TF-IDF top-3 terms per document. Scale shape: one explode+groupBy
+  // for tf; df is a tiny per-term aggregate (broadcast); doc count is a
+  // 1-row broadcast; final per-doc top-k via window.
+  private val tfidf = QueryDef("txt_tfidf", Some(
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, term, tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |             cast(row_number() OVER (PARTITION BY doc_id
+      |                                     ORDER BY score DESC, term) AS INT) AS rk
+      |      FROM s)
+      |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = Tables(spark, dir).documents.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "score", "rk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf)
 }

@@ -77,6 +77,15 @@ object Streams {
           out.iterator
       }
 
+  /** Streaming exact dedup by key within the watermark horizon (the
+    * stream-side of E1/Q10): state for a key is dropped once the
+    * watermark passes its event time, so state stays bounded. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** S6 streaming sinks. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

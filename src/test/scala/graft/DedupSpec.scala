@@ -69,6 +69,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnowing: shared substrings share fingerprints; edits stay local") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val edited = base.replace("jumps", "leaps")
+    val f1 = Dedup.winnowFingerprints(base).toSet
+    val f2 = Dedup.winnowFingerprints(edited).toSet
+    assert((f1 & f2).nonEmpty, "no shared fingerprints after a one-word edit")
+    val overlap = (f1 & f2).size.toDouble / f1.size
+    assert(overlap > 0.5, s"edit destroyed too many fingerprints: $overlap")
+    assert(Dedup.winnowFingerprints("ab").isEmpty)                   // shorter than k
+    assert(Dedup.winnowFingerprints("abcde").length == 1)            // single k-gram
+    assert(Dedup.winnowFingerprints(base).sameElements(Dedup.winnowFingerprints(base)))
+  }
+
+  test("W-side streaming dedup drops duplicate keys within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = graft.streaming.Streams.dedupStream(
+      in.toDF().toDF("ts", "event_id"), "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      in.addData((t0, 1L), (t0, 1L), (t0, 2L)); q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L)); q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"dedup failed: $ids")
+    } finally q.stop()
+  }
+
   test("exactByKey keeps min id and is idempotent") {
     import spark.implicits._
     val df = Seq((10L, "x"), (3L, "x"), (5L, "y")).toDF("id", "k")
