@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarityF
+import graft.functions.{CosineSimilarityF, VectorizeCosineRule}
 
-/** SparkSessionExtensions entry point: registers the engine's native
-  * Catalyst functions so SQL text can call them
-  * (`SELECT cosine_f(a.embedding, b.embedding) ...`). Enabled via
-  * `spark.sql.extensions=graft.GraftExtensions` (Engine sets it).
+/** SparkSessionExtensions entry point (enabled via
+  * `spark.sql.extensions=graft.GraftExtensions`, Engine sets it):
+  *  - `cosine_f` as a SQL-callable native function;
+  *  - [[VectorizeCosineRule]] optimizer rule rewriting the builtin HOF
+  *    cosine composition into the fused codegen expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityF].getName, "cosine_f"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityF(children(0), children(1))))
+    ext.injectOptimizerRule(_ => VectorizeCosineRule)
   }
 }

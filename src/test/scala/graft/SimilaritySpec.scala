@@ -10,6 +10,14 @@ class SimilaritySpec extends AnyFunSuite {
 
   private lazy val emb = Tables(spark, TestSession.sf0001).embeddings.cache()
 
+  test("VectorizeCosineRule rewrites the HOF composition to cosine_f") {
+    val df = emb.limit(10).select(
+      Similarity.cosineHof(col("embedding"), col("embedding")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_f"), s"rule did not fire:\n$optimized")
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("cosine_f callable from SQL via GraftExtensions") {
     graft.sources.Tables(spark, TestSession.sf0001).embeddings
       .createOrReplaceTempView("emb_sql")
