@@ -68,10 +68,15 @@ object Bench {
           results(q.name) = -1.0
       }
     }
-    results("w2_stream_ingest") = {
-      streamIngestSec(spark, batches = 2, perBatch = 10000) // warmup
-      median((0 until runs).map(_ => streamIngestSec(spark, batches = 10, perBatch = 20000)))
-    }
+    results("w2_stream_ingest") =
+      try {
+        streamIngestSec(spark, batches = 2, perBatch = 10000) // warmup
+        median((0 until runs).map(_ => streamIngestSec(spark, batches = 10, perBatch = 20000)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] w2_stream_ingest failed: ${e.getMessage}")
+          -1.0
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   *   info <queryName>          — print the optimized plan
   *   streams                   — list active streaming queries
   *   stop <streamName>         — stop an active streaming query
+  *
+  * `streams`/`stop` act on the CURRENT JVM's session (embedded use —
+  * call EngineCli.main from the job driver); sessions in other
+  * processes are out of scope, as in the reference's CLI, which talks
+  * to its own cluster client.
   */
 object EngineCli {
   def main(args: Array[String]): Unit = args.toList match {

@@ -19,9 +19,10 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
   /** T1 `map` (drawio page "DataStream分析": StreamMap.processElement). */
   def map[U: Encoder](f: T => U): Flow[U] = new Flow(ds.map(f))
 
-  /** T2 `flatMap`. */
+  /** T2 `flatMap` (lazy: the function's iterator is consumed, never
+    * materialized). */
   def flatMap[U: Encoder](f: T => IterableOnce[U]): Flow[U] =
-    new Flow(ds.flatMap(x => f(x).iterator.to(Iterable)))
+    new Flow(ds.flatMap(f))
 
   /** T3 `filter`. */
   def filter(p: T => Boolean): Flow[T] = new Flow(ds.filter(p))

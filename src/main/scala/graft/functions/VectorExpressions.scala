@@ -14,23 +14,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * vs the builtin composition (`aggregate(zip_with(...))` ×3 passes):
   * a single fused loop, no per-element lambda dispatch, no array
   * allocation — and `doGenCode` keeps it inside whole-stage codegen.
-  * Math is double-accumulated in index order, bit-identical to the
-  * builtin composition, so oracle results are unchanged.
+  * On well-formed inputs (equal lengths, nonzero norms, no element
+  * nulls) the math is double-accumulated in index order, bit-identical
+  * to the builtin composition, so oracle results are unchanged.
   *
-  * Null elements inside the arrays are treated as 0 (embedding columns
-  * don't carry element nulls); a null array yields null (BinaryExpression
-  * null-intolerance).
+  * Degenerate inputs yield NULL: mismatched lengths (zip_with would
+  * null-pad), zero-norm/empty vectors (division by zero — matches
+  * DuckDB's x/0 → NULL, and NULL sorts last under desc, so top-k never
+  * ranks a zero vector first). Null elements inside the arrays count
+  * as 0; a null array yields null (BinaryExpression null-intolerance).
   */
 case class CosineSimilarityF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[Shim.AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_f"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -39,7 +44,8 @@ case class CosineSimilarityF(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -51,15 +57,22 @@ case class CosineSimilarityF(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
-         |  double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |    double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * expressions are interpreted and re-traverse the arrays three times;
   * the native expression is one loop inside whole-stage codegen
   * (measured ~80× on all-pairs workloads) and accumulates in the same
-  * index order, so results are bit-identical.
+  * index order: bit-identical results on well-formed inputs. Degenerate
+  * inputs (zero norms, mismatched lengths) yield NULL where the HOF
+  * composition would raise an ANSI divide-by-zero or null-pad — the
+  * engine's declared cosine contract (see CosineSimilarityF).
   *
   * This is the engine's example of plan-level rewriting (SURVEY §4):
   * users writing the declarative composition get the fast path without
@@ -39,18 +42,29 @@ object VectorizeCosineRule extends Rule[LogicalPlan] {
   }
 
   /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)
-    * — the dot-product composition — returning (a, b). */
+    * — the dot-product composition — returning (a, b). The multiply/add
+    * arguments must be exactly the enclosing lambda's two bound
+    * variables (in either order), otherwise e.g. (x,y) -> x*x or
+    * (acc,v) -> v+v would be misrecognized as a dot product. */
   private object Dot {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(DoubleView(a), DoubleView(b),
-              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), mArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), aArgs, _),
             finish: LambdaFunction)
-          if isIdentity(finish) =>
+          if bindsExactly(mArgs, x, y) && bindsExactly(aArgs, acc, v) && isIdentity(finish) =>
         Some((a, b))
       case _ => None
+    }
+    /** args are two distinct bound vars and {l, r} uses both, once each. */
+    private def bindsExactly(args: Seq[NamedExpression], l: NamedLambdaVariable,
+                             r: NamedLambdaVariable): Boolean = args match {
+      case Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable) =>
+        a1.exprId != a2.exprId && l.exprId != r.exprId &&
+          Set(l.exprId, r.exprId) == Set(a1.exprId, a2.exprId)
+      case _ => false
     }
     private def isIdentity(l: LambdaFunction): Boolean = l match {
       case LambdaFunction(out: NamedLambdaVariable, Seq(in: NamedLambdaVariable), _) =>

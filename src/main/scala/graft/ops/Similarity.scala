@@ -66,10 +66,14 @@ object Similarity {
   def lshTables(v: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {
     val hp = hyperplanes(tables * planesPerTable, dim)
     val vd = toDouble(v)
+    // guard: a dim mismatch would null-pad every projection → all rows
+    // in bucket 0 of every table → silent all-pairs join. Fail loudly.
+    val checked = when(assert_true(size(vd) === dim,
+      lit(s"lshTables: embedding length != dim=$dim")).isNull, vd)
     val entries = (0 until tables).map { t =>
       val bucket = (0 until planesPerTable).map { j =>
         val proj = aggregate(
-          zip_with(vd, lit(hp(t * planesPerTable + j)), (x, h) => x * h),
+          zip_with(checked, lit(hp(t * planesPerTable + j)), (x, h) => x * h),
           lit(0.0), (acc, p) => acc + p)
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y))

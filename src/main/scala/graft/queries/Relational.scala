@@ -292,10 +292,7 @@ object Relational {
   private val q10 = QueryDef("q10_dedup", Some(
     """SELECT cast(min(doc_id) AS BIGINT) AS doc_id, text
       |FROM documents GROUP BY text""".stripMargin)) { (spark, dir) =>
-    Tables(spark, dir).documents
-      .groupBy("text")
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id", "text")
+    graft.ops.Dedup.exactByKey(Tables(spark, dir).documents, "text", "doc_id")
   }
 
   // Q12 — exact + approximate distinct counting.

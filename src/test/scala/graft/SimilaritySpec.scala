@@ -37,6 +37,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("cosine_f degenerate inputs yield null (zero norm, length mismatch)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm
+      (Array(1.0f), Array(1.0f, 2.0f)),          // length mismatch
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f))     // well-formed
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+    // and a null never wins a desc-ordered top-k
+    assert(df.orderBy(col("c").desc).collect().head.getDouble(0) == 1.0)
+  }
+
+  test("VectorizeCosineRule does NOT rewrite non-dot-product lambdas") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val sumSq = (c: org.apache.spark.sql.Column) => {
+      val cd = transform(c, x => x.cast("double"))
+      agg_(zip_with(cd, cd, (x, _) => x * x), lit(0.0), (acc, v) => acc + v)
+    }
+    val df = emb.limit(5).select(
+      (sumSq(col("embedding")) / (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("embedding")))))
+        .as("not_cosine"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("cosine_f"),
+      "rule misfired on (x,y) -> x*x")
+  }
+
   test("cosine: self-similarity = 1, orthogonal = 0") {
     import spark.implicits._
     val df = Seq(
