@@ -1,0 +1,59 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** End-to-end training-data pipeline over the fixture tables — the
+  * composed "what a user of the engine runs" demo:
+  *
+  *   documents → quality filter → exact dedup → near-dup removal
+  *   (MinHash-LSH) → join to embeddings (doc_id ≡ vec_id in fixtures)
+  *   → ANN self-similarity scan for leakage candidates.
+  *
+  * Every stage is one of the library's public operators; the pipeline
+  * is a single lazy plan per stage group (no driver-side loops), so it
+  * scales exactly as its constituent operators do.
+  */
+object PipelineDemo {
+
+  case class Result(kept: DataFrame, nearDupPairs: DataFrame, leakage: DataFrame)
+
+  def run(spark: SparkSession, dir: String): Result = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+
+    // 1. quality gate: keep docs with a minimum quality score
+    val scored = docs.withColumn("score", TextAnalysis.qualityScore(col("text")))
+    val quality = scored.filter(col("score") >= 0.3)
+
+    // 2. exact dedup by content
+    val exact = Dedup.exactByKey(quality, "text", "doc_id")
+
+    // 3. near-dup removal: drop the higher doc_id of every verified pair
+    val shingled = exact.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) => (id, TextAnalysis.shingleHashes3Typed(text)) }
+      .toDF("doc_id", "sh")
+    val pairs = Dedup.minhashNearDups(shingled, "doc_id", "sh", threshold = 0.5)
+    val dropIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // 4. attach embeddings and scan for near-identical vectors among the
+    //    kept docs (train/eval leakage candidates)
+    val emb = Tables(spark, dir).embeddings
+      .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+    val leakage = Similarity.annTopK(emb, emb, k = 1)
+      .filter(col("cos") >= 0.99)
+
+    Result(kept, pairs, leakage)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.Engine.session("pipeline-demo")
+    val r = run(spark, dir)
+    println(s"kept=${r.kept.count()} nearDupPairs=${r.nearDupPairs.count()} leakage=${r.leakage.count()}")
+    spark.stop()
+  }
+}

@@ -56,6 +56,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W3 sliding window: each event lands in width/slide windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.slidingAgg(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes", "5 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(7), "x")); q.processAllAvailable()
+      in.addData((ts(59), "x")); q.processAllAvailable() // advance watermark
+      val starts = spark.table("slide").filter(col("n") === 1)
+        .select(col("window.start").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+      // event at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+      assert(starts.contains("2024-01-01 00:00:00") && starts.contains("2024-01-01 00:05:00"),
+        s"windows: $starts")
+    } finally q.stop()
+  }
+
   test("W3 session window (10-minute gap)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
