@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityF(children(0), children(1))))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -38,17 +38,24 @@ object Similarity {
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows
     * of `corpus` (self-matches on equal ids excluded). Output:
-    * query_id, neighbor_id, cos, rk (1-based). */
+    * query_id, neighbor_id, cos, rk (1-based).
+    *
+    * Scale shape: one corpus scan against the broadcast query set; the
+    * per-query top-k runs through the custom GroupedTopK operator
+    * (bounded heaps, map-side partial, k rows per group shuffled) —
+    * never a full per-group sort; ranks are then assigned on the tiny
+    * k×|queries| result. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qe"), col("ne")))
+      .select("query_id", "neighbor_id", "cos")
+    val top = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), k, Seq(("cos", true), ("neighbor_id", false)))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w))
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.GroupedTopK
+
+/** The custom grouped-top-k physical operator vs the window-function
+  * formulation it replaces. */
+class GroupedTopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private lazy val orders = graft.sources.Tables(spark, TestSession.sf0001).orders.cache()
+
+  private def windowTopK(k: Int): Set[(Long, Long)] = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("matches window row_number top-k (unique tiebreaker)") {
+    val got = GroupedTopK(orders, Seq("o_custkey"), 3,
+      Seq(("o_totalprice", true), ("o_orderkey", false)))
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == windowTopK(3))
+  }
+
+  test("k larger than any group returns everything") {
+    val got = GroupedTopK(orders, Seq("o_custkey"), 1000,
+      Seq(("o_totalprice", true), ("o_orderkey", false))).count()
+    assert(got == orders.count())
+  }
+
+  test("plans as two-phase GroupedTopKExec with one exchange, no sort") {
+    val df = GroupedTopK(orders, Seq("o_custkey"), 3,
+      Seq(("o_totalprice", true), ("o_orderkey", false)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(plan).length == 2, s"plan:\n$plan")
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+    assert(plan.contains("Exchange"), s"missing group exchange:\n$plan")
+  }
+
+  test("composes with downstream operators") {
+    val top = GroupedTopK(orders, Seq("o_custkey"), 2,
+      Seq(("o_totalprice", true), ("o_orderkey", false)))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(top.filter(col("n") > 2).count() == 0)
+  }
+}
