@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("asofJoin picks most recent right row <= ts, equal ts matches, none -> null") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0)).toDF("k", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("price"))
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out == Map(
+      "a" -> 100.0,  // equal ts matches
+      "b" -> 150.0,  // most recent of the two
+      "c" -> -1.0,   // before any right row
+      "d" -> -1.0))  // other key
+  }
+
+  test("rangeJoin equals naive cross-join filter") {
+    val points = (0L until 200L).map(i => (i % 3, i)).toDF("k", "p")
+    val intervals = Seq((0L, 10L, 50L, "i1"), (1L, 40L, 45L, "i2"), (0L, 190L, 400L, "i3"),
+      (2L, 0L, 200L, "i4")).toDF("k", "lo", "hi", "name")
+    val fast = TemporalJoins.rangeJoin(points, intervals, "k", "p", "lo", "hi", bucketWidth = 16)
+      .select("k", "p", "name").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("k", "p", "name").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+}
