@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Degenerate inputs yield NULL: mismatched lengths (zip_with would
   * null-pad), zero-norm/empty vectors (division by zero — matches
   * DuckDB's x/0 → NULL, and NULL sorts last under desc, so top-k never
-  * ranks a zero vector first). Null elements inside the arrays count
-  * as 0; a null array yields null (BinaryExpression null-intolerance).
+  * ranks a zero vector first), and any NULL element (strict null
+  * propagation, matching the HOF composition where x*y=NULL poisons the
+  * aggregate — so the optimizer rewrite never changes results). A null
+  * array yields null (BinaryExpression null-intolerance).
   */
 case class CosineSimilarityF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -39,8 +41,9 @@ case class CosineSimilarityF(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi: Double = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
-      val yi: Double = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi: Double = x.getFloat(i).toDouble
+      val yi: Double = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -65,13 +68,16 @@ case class CosineSimilarityF(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
-         |    double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) {
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
        """.stripMargin
     })

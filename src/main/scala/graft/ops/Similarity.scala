@@ -109,17 +109,24 @@ object Similarity {
       corpus.orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
         .limit(nCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("ce")))
-    def assign(df: DataFrame, idAs: String, vecAs: String, keep: Int) = {
-      val w = Window.partitionBy(idAs).orderBy(col("sim").desc, col("cell_id"))
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
-        .join(centroids)
-        .withColumn("sim", cosine(col(vecAs), col("ce")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .select(col(idAs), col(vecAs), col("cell_id"))
-    }
-    val cells = assign(corpus, "neighbor_id", "ne", 1)
-    val probes = assign(queries, "query_id", "qe", nProbe)
+    def scoredCells(df: DataFrame, idAs: String, vecAs: String) = df
+      .select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+      .join(centroids)
+      .withColumn("sim", cosine(col(vecAs), col("ce")))
+    // corpus → single nearest cell via max_by (map-side partial agg —
+    // a window here would shuffle+sort the corpus×nCells cross product
+    // just to pick an argmax). Tiebreak: higher sim, then lower cell_id.
+    val cells = scoredCells(corpus, "neighbor_id", "ne")
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"),
+        first(col("ne")).as("ne"))
+    // queries → nProbe nearest cells (query set is small; window is fine)
+    val w0 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell_id"))
+    val probes = scoredCells(queries, "query_id", "qe")
+      .withColumn("crk", row_number().over(w0))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cells.join(probes, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))

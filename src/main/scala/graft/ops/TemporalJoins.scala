@@ -25,21 +25,32 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tag sides; right rows sort before left at equal ts so same-ts matches
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"asofJoin: value columns ${valueCols.filter(leftCols.contains)} collide with left columns")
+    // The whole right payload travels as ONE struct per right row (never
+    // null for a right row, even if every field is null), so the carried
+    // match is a consistent single right row — per-column carry would
+    // skip genuinely-null fields and mix columns from different rows.
+    val payload = struct(valueCols.map(col): _*)
+    // tag sides; right rows sort before left at equal ts so same-ts
+    // matches. Null-key right rows can never match (SQL equality join
+    // semantics, same as DuckDB ASOF) — dropped up front.
     val l = left.withColumn("__side", lit(1))
-      .withColumns(valueCols.map(v => v -> lit(null).cast(right.schema(v).dataType)).toMap)
-    val r = right.select((keyCol +: tsCol +: valueCols).map(col): _*)
+      .withColumn("__rv", lit(null).cast(right.select(payload).schema.head.dataType))
+    val r = right.filter(col(keyCol).isNotNull)
+      .select((keyCol +: tsCol +: valueCols).map(col): _*)
       .withColumn("__side", lit(0))
+      .withColumn("__rv", payload)
       .withColumns(leftCols.filterNot(c => c == keyCol || c == tsCol)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-    val unioned = l.select((leftCols ++ valueCols :+ "__side").map(col): _*)
-      .unionByName(r.select((leftCols ++ valueCols :+ "__side").map(col): _*))
+    val cols = leftCols :+ "__side" :+ "__rv"
+    val unioned = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(v => col(s"__rv.$v").as(v)): _*)
   }
 
   /** Range (interval-containment) join: pairs (point, interval) with
@@ -58,8 +69,17 @@ object TemporalJoins {
                 pointCol: String, loCol: String, hiCol: String,
                 bucketWidth: Long): DataFrame = {
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    // last bucket of the half-open [lo, hi): floor(hi/w), minus one when
+    // hi sits exactly on a bucket edge — correct for fractional bounds
+    // too (the integer-only floor((hi-1)/w) would drop matches there).
+    // greatest() clamps inverted intervals (hi < lo) to a single bucket
+    // instead of a descending sequence exploding into huge arrays; the
+    // exact predicate then emits nothing for them.
+    val loBucket = floor(col(loCol) / bucketWidth)
+    val hiBucket = floor(col(hiCol) / bucketWidth) -
+      when(col(hiCol) % bucketWidth === 0, 1).otherwise(0)
     val i = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / bucketWidth), floor((col(hiCol) - 1) / bucketWidth))))
+      explode(sequence(loBucket, greatest(loBucket, hiBucket))))
     p.join(i, Seq(keyCol, "__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

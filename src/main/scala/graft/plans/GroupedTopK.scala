@@ -25,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   * Rows equal under the full `ordering` beyond position k are dropped
   * arbitrarily — supply a unique tiebreaker column (as every
   * deterministic top-k should) for stable output.
+  *
+  * Memory: each task holds (groups-in-partition × k) retained rows on
+  * heap with no spill path — bounded and small for the top-k shapes
+  * this targets (k ≪ group size), but a very high-cardinality group
+  * key with large k belongs in the window/sort operator (which spills)
+  * instead.
   */
 final case class GroupedTopKNode(
     groupExprs: Seq[Expression],
@@ -114,13 +120,14 @@ object GroupedTopK {
             orderSpec: Seq[(String, Boolean)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
     import org.apache.spark.sql.graftshim.Shim
+    require(k > 0, s"GroupedTopK: k must be positive, got $k")
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${plan.output.map(_.name)}"))
     val order = orderSpec.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
-    Shim.ofRows(SparkSession.active,
+    Shim.ofRows(df.sparkSession,
       GroupedTopKNode(groupCols.map(attr), order, k, plan))
   }
 }

@@ -39,14 +39,16 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosine_f degenerate inputs yield null (zero norm, length mismatch)") {
     import spark.implicits._
-    val df = Seq(
-      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm
-      (Array(1.0f), Array(1.0f, 2.0f)),          // length mismatch
-      (Array(1.0f, 0.0f), Array(1.0f, 0.0f))     // well-formed
-    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val data: Seq[(Seq[Option[Float]], Seq[Option[Float]])] = Seq(
+      (Seq(Some(0.0f), Some(0.0f)), Seq(Some(1.0f), Some(2.0f))), // zero norm
+      (Seq(Some(1.0f)), Seq(Some(1.0f), Some(2.0f))),             // length mismatch
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),       // null element
+      (Seq(Some(1.0f), Some(0.0f)), Seq(Some(1.0f), Some(0.0f)))) // well-formed
+    val df = data.toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
     val rows = df.collect()
-    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
-    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    assert(math.abs(rows(3).getDouble(0) - 1.0) < 1e-12)
     // and a null never wins a desc-ordered top-k
     assert(df.orderBy(col("c").desc).collect().head.getDouble(0) == 1.0)
   }

@@ -21,6 +21,39 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "d" -> -1.0))  // other key
   }
 
+  test("asofJoin carries genuinely-null payload fields (no stale value)") {
+    val left = Seq((1L, 5L, "row")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 1L, Some(10.0)), (1L, 3L, None)).toDF("k", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("price")).collect().head
+    assert(out.isNullAt(3), s"stale value carried: $out") // ts=3 row's null price wins
+  }
+
+  test("asofJoin never matches null keys (SQL equality semantics)") {
+    val left = Seq((Option.empty[Long], 5L, "l")).toDF("k", "ts", "tag")
+    val right = Seq((Option.empty[Long], 3L, 9.0)).toDF("k", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("price")).collect().head
+    assert(out.isNullAt(3), "null keys matched each other")
+  }
+
+  test("asofJoin rejects value-column name collisions") {
+    val df = Seq((1L, 2L, 3.0)).toDF("k", "ts", "price")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(df, df, "k", "ts", Seq("price"))
+    }
+  }
+
+  test("rangeJoin: inverted interval yields nothing (no bucket explosion)") {
+    val points = Seq((1L, 50L)).toDF("k", "p")
+    val bad = Seq((1L, 1700000000000L, 0L, "corrupt")).toDF("k", "lo", "hi", "name")
+    assert(TemporalJoins.rangeJoin(points, bad, "k", "p", "lo", "hi", 1000L).count() == 0)
+  }
+
+  test("rangeJoin: fractional bounds keep edge matches") {
+    val points = Seq((1L, 6.2)).toDF("k", "p")
+    val iv = Seq((1L, 5.5, 6.5, "i")).toDF("k", "lo", "hi", "name")
+    assert(TemporalJoins.rangeJoin(points, iv, "k", "p", "lo", "hi", 2L).count() == 1)
+  }
+
   test("rangeJoin equals naive cross-join filter") {
     val points = (0L until 200L).map(i => (i % 3, i)).toDF("k", "p")
     val intervals = Seq((0L, 10L, 50L, "i1"), (1L, 40L, 45L, "i2"), (0L, 190L, 400L, "i3"),
