@@ -369,7 +369,62 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  // Q3b — percentile/median aggregates (interpolated, double column —
+  // Spark `percentile` and DuckDB `quantile_cont` agree there).
+  private val q3p = QueryDef("q3_percentiles", Some(
+    """SELECT l_returnflag,
+      |       median(l_quantity)              AS med_qty,
+      |       quantile_cont(l_quantity, 0.9)  AS p90_qty,
+      |       quantile_cont(l_extendedprice, 0.25) AS p25_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("median(l_quantity)").as("med_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+  }
+
+  // Q3c — statistical aggregates.
+  private val q3s = QueryDef("q3_stats", Some(
+    """SELECT l_returnflag,
+      |       stddev_samp(l_extendedprice)            AS sd_price,
+      |       var_samp(l_quantity)                    AS var_qty,
+      |       corr(l_quantity, l_extendedprice)       AS corr_qp,
+      |       covar_samp(l_quantity, l_extendedprice) AS cov_qp
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        stddev_samp("l_extendedprice").as("sd_price"),
+        var_samp("l_quantity").as("var_qty"),
+        corr("l_quantity", "l_extendedprice").as("corr_qp"),
+        covar_samp("l_quantity", "l_extendedprice").as("cov_qp"))
+  }
+
+  // Q3d — argmax with deterministic tiebreak: max_by over a struct on
+  // the Spark side; window formulation in the oracle (DuckDB arg_max
+  // can't take a struct tiebreaker).
+  private val q3m = QueryDef("q_agg_argmax", Some(
+    """SELECT l_returnflag, l_orderkey AS top_orderkey, l_extendedprice AS top_price
+      |FROM (SELECT l_returnflag, l_orderkey, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_returnflag
+      |                                ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+      |      FROM lineitem)
+      |WHERE rn = 1""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_orderkey"), struct(col("l_extendedprice"), -col("l_orderkey"))).as("top_orderkey"),
+        max("l_extendedprice").as("top_price"))
+  }
+
+  // Q2b — null grouping keys flow through aggregation identically.
+  private val q2n = shared("q2_null_groups",
+    """SELECT nullif(l_returnflag, 'A') AS rf, count(*) AS n, sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
-    q1, q1d, q2, q3, q4, q4l, q4s, q4a, q4f, q5, q6,
+    q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf)
 }
