@@ -90,6 +90,23 @@ object Streams {
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
+  /** S6 custom sink: per-microbatch callback (the upsert/merge pattern —
+    * each trigger hands the batch DataFrame + id to user code; exactly-
+    * once requires the callback to be idempotent on batchId, which is
+    * the same contract Flink's two-phase sinks place on the committer). */
+  def toForeachBatchSink(df: DataFrame, checkpoint: String)(
+      fn: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(fn)
+      .start()
+
+  /** Observability: named metrics evaluated per batch/trigger without a
+    * second pass over the data (`Dataset.observe`); read them from
+    * `StreamingQueryProgress.observedMetrics` or a QueryExecutionListener. */
+  def withMetrics(df: DataFrame, name: String, metrics: Seq[Column]): DataFrame =
+    df.observe(name, metrics.head, metrics.tail: _*)
+
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -135,6 +135,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S6 foreachBatch sink sees every batch with its id") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Streams.toForeachBatchSink(in.toDF(), tmp("graft-feb")) {
+      (batch, id) => seen.add((id, batch.count()))
+    }
+    try {
+      in.addData(1, 2, 3); q.processAllAvailable()
+      in.addData(4); q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+      assert(batches.map(_._2) == Seq(3L, 1L), s"batches: $batches")
+    } finally q.stop()
+  }
+
+  test("observe metrics surface per microbatch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Int]
+    val observed = Streams.withMetrics(in.toDF(), "m",
+      Seq(count(lit(1)).as("rows"), sum("value").as("total")))
+    val q = observed.writeStream.format("noop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(1, 2, 3); q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("m"))).last
+      assert(m.getAs[Long]("rows") == 3L && m.getAs[Long]("total") == 6L)
+    } finally q.stop()
+  }
+
   test("W1+W7 file-monitor source, checkpoint stop/restart (savepoint contract)") {
     import spark.implicits._
     val srcDir = tmp("graft-stream-src")
