@@ -44,6 +44,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic downscale of the fake payload — byte
+    * subsampling at the scale ratio, dimensions scaled in the metadata.
+    * A real implementation swaps in a pixel resampler; the per-partition
+    * map shape (decoder/scaler context reused across rows) is the part
+    * that matters at scale and stays identical. */
+  def resize(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (w, _, _) = decodeStub(r.content)
+        val ratio = math.max(1, w / math.max(targetW, 1))
+        val scaled = r.content.grouped(ratio).map(_.head).toArray
+        r.copy(path = s"${r.path}#${targetW}x$targetH", content = scaled)
+      }
+    }
+  }
+
   /** STUB frame sampler: every `stride` bytes stands in for a decoded
     * frame; real video sampling keeps this exact flatMap shape. */
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int, maxFrames: Int): Dataset[Frame] = {

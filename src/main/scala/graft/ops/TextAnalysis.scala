@@ -92,6 +92,26 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Character-n-gram language-ID variant: scores text against small
+    * per-language char-trigram profiles (the classic n-gram-profile
+    * method in miniature — real profiles would be trained; these are the
+    * highest-frequency function-word trigrams per language). Same
+    * argmax/precedence contract as [[langIdPredicted]]. */
+  def langIdCharNgram(text: Column): Column = {
+    def score(trigrams: Seq[String]): Column =
+      trigrams.map(t => size(split(text, java.util.regex.Pattern.quote(t))) - 1)
+        .reduce(_ + _)
+    val en = score(Seq("the", " an", "of "))
+    val es = score(Seq(" el", "los", " un"))
+    val de = score(Seq("der", "und", "ein"))
+    val fr = score(Seq(" le", "les", " et"))
+    when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   object LangMarkers {
     val en = Seq("the", "and", "of", "to", "a")
     val es = Seq("el", "los", "las", "una")

@@ -56,6 +56,18 @@ class FlowSpec extends AnyFunSuite {
     assert(j == Seq(((1, "a"), (1, 10.0))))
   }
 
+  test("multimodal resize stub shrinks payload, keeps record shape") {
+    import graft.ops.Multimodal
+    val docs = graft.sources.Tables(spark, TestSession.sf0001).documents.limit(20)
+    val media = Multimodal.fromDocuments(docs)
+    val resized = Multimodal.resize(media, targetW = 16, targetH = 16).collect().toSeq
+    val orig = media.collect().map(r => r.id -> r.content.length).toMap
+    resized.foreach { r =>
+      assert(r.content.length <= orig(r.id))
+      assert(r.path.endsWith("#16x16"))
+    }
+  }
+
   test("S1 readTextFile + S6 parquet sink round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-flow").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"), "x\ny\nz")

@@ -41,6 +41,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one[String](langIdPredicted(col("text")), "the el") == "en")
   }
 
+  test("langIdCharNgram scores char trigrams with same precedence contract") {
+    assert(one[String](langIdCharNgram(col("text")), "the cat of the house") == "en")
+    assert(one[String](langIdCharNgram(col("text")), "der hund und das") == "de")
+    assert(one[String](langIdCharNgram(col("text")), "zzz qqq") == "und")
+  }
+
   test("qualityScore bounded [0,1]") {
     val s = one[Double](qualityScore(col("text")), "the " * 200)
     assert(s >= 0.0 && s <= 1.0)
