@@ -135,6 +135,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W5b stream-static join enriches the stream against a batch dim") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Timestamp, Long)]
+    val joined = in.toDF().toDF("ts", "user_id").join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 3L)); q.processAllAvailable()
+      val rows = spark.table("ss_join").select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("S6 foreachBatch sink sees every batch with its id") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
