@@ -36,6 +36,20 @@ object Bench {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
+    // State-store partition count is fixed at first run from
+    // spark.sql.shuffle.partitions; size it to the workload (20k rows /
+    // 1k keys per batch) instead of the relational default — per-batch
+    // overhead is proportional to state partitions, not data.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamIngestRun(spark, batches, perBatch)
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  private def streamIngestRun(spark: SparkSession, batches: Int, perBatch: Int): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
     val agg = in.toDF().toDF("user_id", "value")
       .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("value"))

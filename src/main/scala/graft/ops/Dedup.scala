@@ -42,20 +42,62 @@ object Dedup {
   private val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt((P - 1).toInt))
   private val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
 
+  /** FNV-1a 64-bit over chars: cheap, deterministic, JVM-side string
+    * hash for shingle normalization (any universal-enough family works;
+    * only determinism is contractual). */
+  private def strHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** K permutation-mins over a doc's shingle hashes in one tight JVM
+    * loop. Duplicate shingles can't change a min, so no de-dup pass. */
+  private def sigOf(hs: Array[Long]): Array[Long] = {
+    val sig = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val hm = ((hs(i) % P) + P) % P // into [0, P); A*hm+B stays < 2^63
+      var k = 0
+      while (k < K) {
+        val v = (A(k) * hm + B(k)) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** MinHash signatures: `idCol`, sig array<bigint>[K]. Input: one row
-    * per doc with an array-of-shingles column. Docs with zero shingles
-    * are dropped (no signature is defined for the empty set).
+    * per doc with an array-of-shingles column (string or integral
+    * elements). Docs with zero shingles are dropped (no signature is
+    * defined for the empty set).
     *
-    * One explode + one groupBy(doc): the K mins fold map-side, so the
-    * shuffle carries only K longs per doc regardless of doc size. */
+    * Computed as a typed narrow map — a per-doc JVM loop, NO shuffle:
+    * the signature of a doc depends only on that doc, so an
+    * explode+groupBy formulation would shuffle |doc|×|shingles| rows
+    * for nothing, and Spark's higher-order array functions are
+    * interpreted (no codegen). Embarrassingly parallel at any scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
-    val ex = docs
-      .select(col(idCol), explode(array_distinct(col(shingleCol))).as("sh"))
-      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(P)))
-    val minCols = (0 until K).map(i => min(pmod(lit(A(i)) * col("h") + lit(B(i)), lit(P))).as(s"m$i"))
-    ex.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val elem = docs.schema(shingleCol).dataType.asInstanceOf[ArrayType].elementType
+    val hashed: org.apache.spark.sql.Dataset[(Long, Array[Long])] = elem match {
+      case StringType =>
+        docs.select(col(idCol).cast("long"), col(shingleCol))
+          .as[(Long, Array[String])]
+          .map { case (id, sh) => (id, if (sh == null) Array.empty[Long] else sh.map(strHash64)) }
+      case _ =>
+        docs.select(col(idCol).cast("long"), col(shingleCol).cast("array<long>"))
+          .as[(Long, Array[Long])]
+          .map { case (id, sh) => (id, if (sh == null) Array.empty[Long] else sh) }
+    }
+    hashed
+      .flatMap { case (id, hs) => if (hs.isEmpty) None else Some((id, sigOf(hs))) }
+      .toDF(idCol, "sig")
   }
 
   /** Candidate pairs from banded LSH over the signatures: (idA, idB),
