@@ -424,7 +424,97 @@ object Relational {
     """SELECT nullif(l_returnflag, 'A') AS rf, count(*) AS n, sum(l_quantity) AS qty
       |FROM lineitem GROUP BY 1""".stripMargin)
 
+  // Q4e — correlated EXISTS. Catalyst rewrites it to a left-semi join
+  // (RewritePredicateSubquery), so the plan is the same shuffle-on-key
+  // shape as q4_join_semi; the subquery syntax is what's under test.
+  private val q4ex = shared("q_subq_exists",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin)
+
+  // Q4n — NOT EXISTS → left-anti join rewrite.
+  private val q4nx = shared("q_subq_not_exists",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)
+
+  // Q4s2 — scalar subqueries: correlated (count per outer row → left
+  // outer join + null→0 fixup by Catalyst) and uncorrelated (computed
+  // once, broadcast as a literal).
+  private val q4sc = shared("q_subq_scalar",
+    """SELECT o_orderkey, o_totalprice,
+      |       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
+
+  // Q7b — multiset set ops (ALL variants keep duplicates).
+  private val q7ia = shared("q7_intersect_all",
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |INTERSECT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'""".stripMargin)
+
+  private val q7ea = shared("q7_except_all",
+    """SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+      |EXCEPT ALL
+      |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)
+
+  // Q13 — pivot through the dedicated DataFrame API. Values are declared
+  // explicitly (Seq("A","N","R")) so no driver-side distinct-collect
+  // runs before planning — the scale-correct way to pivot. Oracle =
+  // the equivalent conditional aggregation.
+  private val qPivot = QueryDef("q_pivot", Some(
+    """SELECT l_linestatus,
+      |       sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+      |       sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+      |       sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+  }
+
+  // Q8b — ranking/distribution window functions beyond q8_window:
+  // ntile, percent_rank, cume_dist, first_value, nth_value with an
+  // explicit ROWS frame. Deterministic total order via the custkey
+  // tiebreaker. Casts are no-ops on Spark, needed by DuckDB (ntile →
+  // bigint there).
+  private val q8b = shared("q8_window_dist",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |       cast(ntile(4) OVER w AS INT)  AS bal_quartile,
+      |       percent_rank() OVER w          AS pct_rank,
+      |       cume_dist() OVER w             AS cum_dist,
+      |       first_value(c_custkey) OVER w  AS richest_cust,
+      |       nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+      |                                     ORDER BY c_acctbal DESC, c_custkey
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                                      AS second_cust
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)
+
+  // Q1s — string-function coverage: levenshtein, split_part, translate,
+  // lpad, regexp_extract, reverse. One narrow projection; casts are
+  // no-ops on Spark (DuckDB levenshtein/length → bigint).
+  private val qStrings = shared("q_strings",
+    """SELECT p_partkey,
+      |       cast(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_brand,
+      |       split_part(p_name, ' ', 1)                    AS first_word,
+      |       split_part(p_brand, '#', 2)                   AS brand_num,
+      |       translate(p_type, 'AEIOU', 'aeiou')           AS type_tr,
+      |       lpad(cast(p_size AS STRING), 4, '0')          AS size_pad,
+      |       regexp_extract(p_brand, '([0-9]+)', 1)        AS brand_digits,
+      |       upper(substr(p_name, 1, 3))                   AS name_pfx,
+      |       reverse(p_name)                               AS name_rev,
+      |       cast(length(p_name) AS INT)                   AS name_len
+      |FROM part""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
-    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf)
+    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
+    q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings)
 }

@@ -178,5 +178,38 @@ object TextQueries {
       .select("doc_id", "term", "score", "rk")
   }
 
-  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf)
+  // Repetition / boilerplate detection: duplicate-token ratio and the
+  // dominant token's share — high values flag low-quality repetitive
+  // text for pipeline filtering. Narrow per-doc expressions; the mode
+  // share uses a tight typed loop (HOFs are interpreted in Spark).
+  private val repetition = QueryDef("txt_repetition", Some(
+    """WITH d AS (SELECT doc_id,
+      |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents)
+      |SELECT doc_id,
+      |       cast(len(t) AS INT)                AS n_tokens,
+      |       1.0 - cast(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0)
+      |                                          AS dup_ratio,
+      |       cast(list_max(list_transform(list_distinct(t),
+      |                     x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+      |         / nullif(len(t), 0)              AS top_token_share
+      |FROM d""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length
+        val counts = new scala.collection.mutable.HashMap[String, Int]()
+        toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+        val dupRatio =
+          if (n == 0) None else Some(1.0 - counts.size.toDouble / n)
+        val topShare =
+          if (n == 0) None else Some(counts.valuesIterator.max.toDouble / n)
+        (id, n, dupRatio, topShare)
+      }
+      .toDF("doc_id", "n_tokens", "dup_ratio", "top_token_share")
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf, repetition)
 }
