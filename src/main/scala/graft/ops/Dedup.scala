@@ -132,6 +132,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Duplicate clusters (connected components) ------------------------
+
+  /** Connected components over an undirected edge list: (node, comp)
+    * where comp is the minimum node id reachable from `node`. Only
+    * nodes appearing in an edge are returned (isolated nodes are their
+    * own component — callers left-join and coalesce).
+    *
+    * Min-label propagation: each round joins labels to the symmetric
+    * edge list and takes the per-node min over neighbors — one shuffle
+    * per round, rounds bounded by the component diameter. Near-dup
+    * clusters are shallow (most are pairs/triangles), so this
+    * terminates in 2-3 rounds in practice; for adversarial long-chain
+    * graphs the large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) gets
+    * O(log n) rounds at the same per-round shuffle cost. Each round is
+    * localCheckpoint'ed to truncate lineage (at cluster scale use
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()`); the
+    * driver loop carries only a 0/1 convergence probe, never data. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    var labels = sym.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = sym
+        .join(labels.select(col("node").as("b"), col("comp").as("nb_comp")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min("nb_comp").as("min_nb"))
+      val next = labels
+        .join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("min_nb"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("node"), col("comp").as("old")), "node")
+        .filter(col("comp") =!= col("old"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ---- Winnowing --------------------------------------------------------
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling hashes

@@ -142,4 +142,34 @@ object TextAnalysis {
       filter(split(text, ""), ch => ch =!= ""),
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  // ---- PII redaction ----------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // 13-16 digits allowing space/dash separators (card-shaped), checked
+  // before the looser phone pattern so cards don't half-match as phones.
+  private val CardRe = "\\b\\d(?:[ -]?\\d){12,15}\\b"
+  private val PhoneRe = "(?<![\\w.])\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?(?:[ .-]?\\d{2,4}){2,3}(?!\\w|\\.\\d)"
+
+  /** Redact common PII shapes (emails, IPv4s, card-shaped digit runs,
+    * phone-shaped digit runs) with typed placeholders — the scrub pass a
+    * training pipeline runs before publishing text. Pattern order
+    * matters: email before phone (digits in local parts), card before
+    * phone (a 15-digit run must not half-match as a phone). Pure
+    * codegen'd regexp_replace chain — narrow, no shuffle, pushes
+    * through any downstream plan. Recall/precision bounds are the
+    * regexes'; tune per corpus. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    val c = regexp_replace(i, CardRe, "<CARD>")
+    regexp_replace(c, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII matches redacted (pre-redaction occurrence count). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(text, lit(CardRe), lit(0)))
 }

@@ -10,11 +10,10 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  // Blocked exact n-gram (word-trigram) Jaccard near-dup pairs — the
-  // oracle-checkable baseline. Blocks: (lang, n_chars div 64). Exact
-  // within blocks; cross-block recall is e1_minhash_lsh's job.
-  private val ngramJaccard = QueryDef("e1_ngram_jaccard", Some(
-    """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS bucket,
+  /** Oracle CTE prefix producing near-dup pairs at j >= 0.5 — shared by
+    * e1_ngram_jaccard and the e1_dup_clusters recursive closure. */
+  private val pairsSqlCte =
+    """d AS (SELECT doc_id, lang, n_chars // 64 AS bucket,
       |                  list_filter(str_split(text, ' '), x -> x <> '') AS t
       |           FROM documents),
       |s AS (SELECT doc_id, lang, bucket,
@@ -22,23 +21,26 @@ object DedupQueries {
       |                                ELSE list_transform(range(1, len(t) - 1),
       |                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |                           END) AS sh
-      |      FROM d)
-      |SELECT doc_a, doc_b, jaccard FROM (
+      |      FROM d),
+      |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         cast(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |           / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS jaccard
       |  FROM s a JOIN s b
       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin)) { (spark, dir) =>
-    // Inverted-index formulation (the 100TB-correct shape for exact
-    // blocked Jaccard): explode distinct hashed shingles, self-join on
-    // the shingle hash within the block, count common shingles per
-    // pair, then jaccard = c / (|A| + |B| - c). Never materializes
-    // per-pair array intersections; pairs sharing no shingle never
-    // appear (their jaccard is 0 < threshold). Values are identical to
-    // the oracle's set formulation (counts of the same sets, hashed).
-    // The explicit repartition puts one exchange under both self-join
-    // sides, so ReusedExchange computes the shingle index ONCE.
+      |WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Blocked exact trigram-Jaccard near-dup pairs, inverted-index
+    * formulation (the 100TB-correct shape for exact blocked Jaccard):
+    * explode distinct hashed shingles, self-join on the shingle hash
+    * within the block, count common shingles per pair, then
+    * jaccard = c / (|A| + |B| - c). Never materializes per-pair array
+    * intersections; pairs sharing no shingle never appear (their
+    * jaccard is 0 < threshold). Values are identical to the oracle's
+    * set formulation (counts of the same sets, hashed). The explicit
+    * repartition puts one exchange under both self-join sides, so
+    * ReusedExchange computes the shingle index ONCE. */
+  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     val ex = Tables(spark, dir).documents
       .select("doc_id", "lang", "n_chars", "text").as[(Long, String, Long, String)]
@@ -61,6 +63,41 @@ object DedupQueries {
         col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // Blocked exact n-gram (word-trigram) Jaccard near-dup pairs — the
+  // oracle-checkable baseline. Blocks: (lang, n_chars div 64). Exact
+  // within blocks; cross-block recall is e1_minhash_lsh's job.
+  private val ngramJaccard = QueryDef("e1_ngram_jaccard", Some(
+    s"""WITH $pairsSqlCte
+       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin)) { (spark, dir) =>
+    jaccardPairs(spark, dir)
+  }
+
+  // Duplicate clusters: connected components over the near-dup pairs,
+  // every document labeled with its cluster's canonical (minimum)
+  // doc_id, keep = 1 on the canonical row — the "drop all but one copy
+  // per duplicate cluster" decision a training pipeline applies.
+  // Oracle: recursive-CTE transitive closure over the same pairs.
+  private val dupClusters = QueryDef("e1_dup_clusters", Some(
+    s"""WITH RECURSIVE $pairsSqlCte,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT doc.doc_id,
+       |       coalesce(comp.cluster_id, doc.doc_id) AS cluster_id,
+       |       cast(doc.doc_id = coalesce(comp.cluster_id, doc.doc_id) AS INT) AS keep
+       |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val cc = Dedup.connectedComponents(jaccardPairs(spark, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    Tables(spark, dir).documents.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
   // MinHash-LSH near-dup detection — the 100TB-scale path (no all-pairs
@@ -118,5 +155,5 @@ object DedupQueries {
       .toDF("doc_id", "n_fingerprints", "min_fp")
   }
 
-  val defs: Seq[QueryDef] = Seq(ngramJaccard, minhash, simhash, embed, winnow)
+  val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed, winnow)
 }

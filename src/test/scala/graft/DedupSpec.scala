@@ -102,6 +102,33 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("connectedComponents matches local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // mix of chains, triangles, singleton-adjacent pairs
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L)) ++
+      Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))).filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val got = Dedup.connectedComponents(df, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    assert(got.keySet == truth.keySet)
+    // same partition into components, canonical = min member
+    got.foreach { case (n, c) => assert(c == truth(n), s"node $n: got $c want ${truth(n)}") }
+  }
+
+  test("connectedComponents handles a long chain (diameter > 2 rounds)") {
+    import spark.implicits._
+    val chain = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(chain, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+  }
+
   test("exactByKey keeps min id and is idempotent") {
     import spark.implicits._
     val df = Seq((10L, "x"), (3L, "x"), (5L, "y")).toDF("id", "k")

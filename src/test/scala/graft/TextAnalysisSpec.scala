@@ -52,4 +52,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s >= 0.0 && s <= 1.0)
     assert(one[Double](qualityScore(col("text")), "") == 0.0)
   }
+
+  test("redactPii scrubs emails, IPs, cards, phones; leaves clean text alone") {
+    def red(s: String) = one[String](redactPii(col("text")), s)
+    assert(red("mail me at jane.doe+x@example.co.uk today") == "mail me at <EMAIL> today")
+    assert(red("server 192.168.0.1 down") == "server <IP> down")
+    assert(red("card 4111 1111 1111 1111 on file") == "card <CARD> on file")
+    assert(red("call +1 (415) 555-2671 now") == "call <PHONE> now")
+    assert(red("call 020 7946 0958.") == "call <PHONE>.")
+    val clean = "no personal data here just words and the number 42"
+    assert(red(clean) == clean)
+  }
+
+  test("piiCount counts redactable spans") {
+    def cnt(s: String) = one[Int](piiCount(col("text")), s)
+    assert(cnt("a@b.com and c@d.org at 10.0.0.1") == 3)
+    assert(cnt("nothing here") == 0)
+  }
 }
