@@ -145,13 +145,49 @@ object Similarity {
     * Scale shape: corpus scanned once to emit `tables` bucket entries
     * per row, then a hash-partitioned equi-join on (tbl, bucket) — never
     * a cross product. More tables → higher recall, more candidates. */
+  /** Typed bucket signatures: all tables×planes projections of a row in
+    * one fused JVM loop (the Column/HOF formulation re-interprets 32
+    * aggregate(zip_with) trees per row — same math, ~10× the CPU).
+    * Bit-identical to [[lshTables]]: same plane order, same
+    * float→double promotion, same summation order. */
+  private def bucketSignatures(df: DataFrame, idAs: String,
+                               tables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hp = hyperplanes(tables * planesPerTable, dim)
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        // dim mismatch would zero-pad projections → one giant bucket →
+        // silent all-pairs join. Fail loudly instead.
+        require(v != null && v.length == dim,
+          s"lsh: embedding length ${if (v == null) "null" else v.length} != dim=$dim")
+        val out = new Array[(Long, Int, Long)](tables)
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var j = 0
+          while (j < planesPerTable) {
+            val plane = hp(t * planesPerTable + j)
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += v(i) * plane(i); i += 1 }
+            if (s > 0) bucket |= (1L << j)
+            j += 1
+          }
+          out(t) = (id, t, bucket)
+          t += 1
+        }
+        out.toSeq
+      }
+      .toDF(idAs, "tbl", "bucket")
+  }
+
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bucketed(df: DataFrame, idAs: String) = df
-      .select(col("vec_id").as(idAs),
-        explode(lshTables(col("embedding"), tables, planesPerTable, dim)).as("e"))
-      .select(col(idAs), col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    def bucketed(df: DataFrame, idAs: String) =
+      bucketSignatures(df, idAs, tables, planesPerTable, dim)
     // candidate id-pairs: collide in any table; dedupe ids only (cheap
     // shuffle), embeddings re-attached afterwards
     val cand = bucketed(corpus, "neighbor_id")

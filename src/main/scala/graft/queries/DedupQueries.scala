@@ -107,10 +107,16 @@ object DedupQueries {
   // (murmur3 signatures aren't reproducible in DuckDB) → rows-only.
   private val minhash = QueryDef("e1_minhash_lsh", None) { (spark, dir) =>
     import spark.implicits._
+    // The shingle table feeds three plan branches (signatures, set_a,
+    // set_b re-verification); localCheckpoint materializes it once per
+    // run instead of re-shingling 3x. At cluster scale this is a
+    // persist/checkpoint of the shingled corpus — standard practice
+    // before an LSH join.
     val docs = Tables(spark, dir).documents
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, shingleHashes3Typed(text)) }
       .toDF("doc_id", "sh")
+      .localCheckpoint()
     Dedup.minhashNearDups(docs, "doc_id", "sh", threshold = 0.5)
   }
 
