@@ -57,6 +57,63 @@ object Streams {
       && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** W5 stream-stream LEFT OUTER join: like [[streamStreamJoin]] but
+    * unmatched left rows are emitted null-extended once the watermark
+    * passes their join window (state for them can then be dropped —
+    * outer results cannot be emitted eagerly because a match may still
+    * arrive within the time bound). */
+  def streamStreamJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                leftTs: String, rightTs: String,
+                                leftWatermark: String, rightWatermark: String,
+                                keyCond: Column, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r, keyCond
+      && col(rightTs) >= col(leftTs)
+      && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"), "left_outer")
+  }
+
+  /** W6 with event-time timers: session assembly via
+    * flatMapGroupsWithState + EventTimeTimeout — the
+    * ProcessFunction-register-timer pattern (keyed state + timers on
+    * the reference side). Per key the state buffers (count, start, end);
+    * every batch re-arms the timeout at `end + gapMs`; when the
+    * watermark passes it, the session closes: one summary row
+    * (key, n_events, session_start_ms, session_end_ms) is emitted and
+    * the state cleared. State is bounded by the number of open
+    * sessions, not the stream length. */
+  def sessionizeWithTimeout(events: DataFrame, tsCol: String, watermark: String,
+                            keyCol: String, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, s0, e0) = state.get
+            state.remove()
+            Iterator.single((k, n, s0, e0))
+          } else {
+            var (n, s0, e0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            it.foreach { case (_, ts) =>
+              val ms = ts.getTime
+              n += 1
+              if (ms < s0) s0 = ms
+              if (ms > e0) e0 = ms
+            }
+            state.update((n, s0, e0))
+            state.setTimeoutTimestamp(e0 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF(keyCol, "n_events", "session_start_ms", "session_end_ms")
+  }
+
   /** T5 exact semantics — per-record rolling reduce. Flink's keyed
     * `reduce` emits the running value for every input record; Structured
     * Streaming aggregations emit per trigger. This stateful op restores

@@ -117,6 +117,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W5c stream-stream LEFT OUTER join null-extends unmatched rows after watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.streamStreamJoinLeftOuter(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      buys.toDF().toDF("buy_ts", "buy_user"),
+      "click_ts", "buy_ts", "5 minutes", "5 minutes",
+      col("click_user") === col("buy_user"), "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(1), 7L), (ts(1), 9L))
+      buys.addData((ts(5), 7L))       // matches user 7; user 9 unmatched
+      q.processAllAvailable()
+      // advance both watermarks far past click+maxDelay so the
+      // unmatched left row can be finalized and emitted
+      clicks.addData((ts(59), 1L))
+      buys.addData((ts(59), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer")
+        .select("click_user", "buy_user").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows.contains((7L, Some(7L))), s"match lost: $rows")
+      assert(rows.contains((9L, None)), s"unmatched row not null-extended: $rows")
+    } finally q.stop()
+  }
+
+  test("W6 sessionizeWithTimeout closes sessions via event-time timers") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sessions = Streams.sessionizeWithTimeout(
+      in.toDF().toDF("ts", "user_id"), "ts", "0 seconds", "user_id",
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess_timer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L), (ts(5), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      assert(spark.table("sess_timer").isEmpty) // sessions still open
+      in.addData((ts(45), 3L)) // watermark jumps past both ends + gap
+      q.processAllAvailable()
+      val out = spark.table("sess_timer")
+        .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val base = ts(0).getTime
+      assert(out == Set(
+        (1L, 2L, base + 60000L, base + 300000L),
+        (2L, 1L, base + 120000L, base + 120000L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("W6/T5 rollingReduce emits per-record running values") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
