@@ -43,6 +43,14 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
 
   /** S6 sinks. Batch parquet sink; `print` ≙ reference's print() sink. */
   def sinkParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet sink — the 100TB table layout:
+    * readers filtering on the partition columns prune whole directories
+    * at planning time (PartitionFilters in the scan) instead of reading
+    * and discarding rows. Pick low-cardinality columns; a
+    * high-cardinality partition key makes a small-files problem. */
+  def sinkParquetPartitioned(path: String, partitionCols: String*): Unit =
+    ds.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   def print(n: Int = 20): Unit = ds.show(n, truncate = false)
 
   def toDF: DataFrame = ds.toDF()

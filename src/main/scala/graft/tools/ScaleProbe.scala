@@ -46,6 +46,32 @@ object ScaleProbe {
         ev.select("user_id", "event_id", "value"), Seq("user_id"), 5,
         Seq(("value", true), ("event_id", false)))
     }
+
+    // E1 at 20x volume: replicate sf0.1 documents (~100k docs) with
+    // per-replica perturbation, then MinHash-LSH near-dups + duplicate
+    // clusters. Validates the no-all-pairs claim: runtime must track the
+    // candidate count (clusters of ~20 replicas), not |docs|².
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    import spark.implicits._
+    val shingled = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"),
+        when(col("rep") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+      .localCheckpoint()
+    stage("minhash_docs_20x") {
+      graft.ops.Dedup.minhashNearDups(shingled, "doc_id", "sh", threshold = 0.5)
+    }
+    stage("dup_clusters_20x") {
+      val pairs = graft.ops.Dedup
+        .minhashNearDups(shingled, "doc_id", "sh", threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
     spark.stop()
   }
 }

@@ -29,6 +29,32 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(back.select("r_name").distinct().count() == 5)
   }
 
+  test("partitioned parquet layout prunes partitions at planning time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = graft.sources.Tables(spark, TestSession.sf0001).events
+      .select("event_id", "user_id", "event_type", "value")
+    graft.api.Flow.fromDataset(events.as[(Long, Long, String, Double)])
+      .sinkParquetPartitioned(dir, "event_type")
+
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val expected = events.filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+    // the partition filter is a planning-time PartitionFilter, and the
+    // executed scan reads only the purchase directory's file (1 of 5)
+    val qe = pruned.queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("event_type"),
+      s"partition filter missing from scan:\n$plan")
+    qe.executedPlan.execute().count() // run THIS plan instance to fill metrics
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"expected 1 pruned file, read ${scan.metrics("numFiles").value}")
+  }
+
   test("W1/S3: parquet file-monitor stream over event slices + window agg") {
     import org.apache.spark.sql.streaming.OutputMode
     val srcDir = java.nio.file.Files.createTempDirectory("graft-evstream").toString
