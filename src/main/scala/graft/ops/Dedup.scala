@@ -117,19 +117,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Sorted-distinct long-array intersection size: single merge scan,
+    * no per-row hash-set builds (what array_intersect does). */
+  private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates verified by exact
     * Jaccard on the shingle sets, so precision is exact and only recall
-    * depends on the LSH parameters. Returns (id_a, id_b, jaccard). */
+    * depends on the LSH parameters. Returns (id_a, id_b, jaccard).
+    *
+    * Hashed (long) shingles take a typed verification path: sets are
+    * distinct+sorted once per doc, then each candidate pair is one
+    * merge scan — array_intersect/array_union would rebuild hash sets
+    * per pair, the hot loop of the whole pipeline at scale. */
   def minhashNearDups(docs: DataFrame, idCol: String, shingleCol: String,
                       threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol), array_distinct(col(shingleCol)).as("shset"))
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val elem = docs.schema(shingleCol).dataType.asInstanceOf[ArrayType].elementType
     val cands = lshCandidates(minhashSignatures(docs, idCol, shingleCol), idCol)
-    cands
-      .join(sets.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (elem == StringType) {
+      val sets = docs.select(col(idCol), array_distinct(col(shingleCol)).as("shset"))
+      cands
+        .join(sets.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val sets = docs
+        .select(col(idCol).cast("long"), col(shingleCol).cast("array<long>"))
+        .as[(Long, Array[Long])]
+        .map { case (id, sh) =>
+          val d = if (sh == null) Array.empty[Long] else sh.distinct
+          java.util.Arrays.sort(d)
+          (id, d)
+        }
+        .toDF(idCol, "shset")
+      cands
+        .join(sets.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .flatMap { case (a, b, sa, sb) =>
+          val c = intersectCount(sa, sb)
+          val u = sa.length + sb.length - c
+          if (u > 0 && c.toDouble / u >= threshold) Some((a, b, c.toDouble / u)) else None
+        }
+        .toDF("id_a", "id_b", "jaccard")
+    }
   }
 
   // ---- Duplicate clusters (connected components) ------------------------

@@ -513,8 +513,34 @@ object Relational {
       |       cast(length(p_name) AS INT)                   AS name_len
       |FROM part""".stripMargin)
 
+  // Q6b — global ORDER BY with no limit: exercises RangePartitioning
+  // (sampled range boundaries → shuffle → per-partition sort) rather
+  // than TakeOrderedAndProject. The hash compare is order-insensitive;
+  // what's under test is that the full-sort plan computes the same
+  // rows. Scale: the one operator that must see every row through a
+  // range shuffle — kept off narrow outputs (3 columns).
+  private val qSortGlobal = shared("q_sort_global",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+
+  // Q4c — explicit cross join (CartesianProduct over two broadcastable
+  // dims; 125 rows). The one join shape with no key to shuffle on.
+  private val qCross = shared("q_cross_join",
+    """SELECT n.n_name, r.r_name
+      |FROM nation n CROSS JOIN region r
+      |WHERE n.n_regionkey <> r.r_regionkey""".stripMargin)
+
+  // Q4i — uncorrelated IN subquery → left-semi join rewrite.
+  private val q4in = shared("q_subq_in",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
-    q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings)
+    q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
+    qSortGlobal, qCross, q4in)
 }
