@@ -55,4 +55,29 @@ class PropertySpec extends AnyFunSuite {
       assert(lhs == rhs)
     }
   }
+
+  test("percentile_approx within declared accuracy of exact percentile") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx")).collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // accuracy=1000 → rank error <= n/1000; check the VALUE error via the
+    // empirical quantile spread: approx must land within the p45..p55 band
+    val band = li.agg(
+      expr("percentile(l_extendedprice, 0.45)"),
+      expr("percentile(l_extendedprice, 0.55)")).collect().head
+    assert(approx >= band.getDouble(0) && approx <= band.getDouble(1),
+      s"approx median $approx outside p45..p55 band [$band] around exact $exact")
+  }
+
+  test("seeded sample is reproducible and near the requested fraction") {
+    val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
+    val n = li.count()
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 == s2, "same seed must give the same sample")
+    assert(math.abs(s1.toDouble / n - 0.1) < 0.03, s"fraction ${s1.toDouble / n} far from 0.1")
+  }
 }
