@@ -53,7 +53,13 @@ object Bench {
     val in = MemoryStream[(Long, Double)]
     val agg = in.toDF().toDF("user_id", "value")
       .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("value"))
+    // tmpfs checkpoint: the probe measures state-store throughput, not
+    // /tmp's ext4 fsync latency (a cluster would use fast local disks
+    // or RocksDB with its own WAL batching for this)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-bench-ckpt").toString
     val q = agg.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
     try timeIt {
       var i = 0L
@@ -61,7 +67,10 @@ object Bench {
         in.addData((0 until perBatch).map { j => i += 1; (i % 1000, j.toDouble) })
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
   }
 
   def main(args: Array[String]): Unit = {
