@@ -79,8 +79,10 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Engine.session("graft-bench", cpus)
 
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the set (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    Registry.all.filter(_.bench).foreach { q =>
+    Registry.all.filter(_.bench).filter(q => only.forall(_.contains(q.name))).foreach { q =>
       try {
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
         results(q.name) = median((0 until runs).map(_ => timeIt(materialize(q.run(spark, sfDir)))))
@@ -91,7 +93,7 @@ object Bench {
           results(q.name) = -1.0
       }
     }
-    results("w2_stream_ingest") =
+    if (only.forall(_.contains("w2_stream_ingest"))) results("w2_stream_ingest") =
       try {
         streamIngestSec(spark, batches = 2, perBatch = 10000) // warmup
         median((0 until runs).map(_ => streamIngestSec(spark, batches = 10, perBatch = 20000)))
