@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Z-order layout: the property under test is the one that drives
+  * row-group skipping — per-file min/max spans must be narrow on BOTH
+  * z-columns, where a single-column sort leaves the other column's
+  * span at full width. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("zvalue2 interleaves bits (known values)") {
+    import spark.implicits._
+    val r = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Layout.zvalue2(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(a=3=0b011, b=5=0b101) = b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 0b100111
+    assert(r == Seq(0L, 1L, 2L, 39L))
+  }
+
+  test("z-order layout narrows per-file stat spans on both dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val n = 100000
+    // two independent uniform dims, 0..1023
+    val df = spark.range(n.toLong).select(
+      pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024L)).as("y"),
+      col("id"))
+
+    Layout.writeZOrdered(df, s"$dir/z", col("x"), col("y"), nFiles = 16, bits = 10)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/x")
+
+    def spans(path: String): (Double, Double) = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).collect().head
+      (per.getDouble(0), per.getDouble(1))
+    }
+    val (zx, zy) = spans(s"$dir/z")
+    val (zx1, zy1) = spans(s"$dir/x")
+    // single-column layout: x clustered, y full-width (~1023)
+    assert(zx1 < 100 && zy1 > 900, s"x-sort layout: x span $zx1, y span $zy1")
+    // z-order: BOTH dims' spans well under full width — each file is a box
+    assert(zx < 600 && zy < 600, s"z-order spans not narrowed: x $zx, y $zy")
+
+    // layout does not change query results
+    val box = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("x").between(100, 150) && col("y").between(200, 250))
+        .agg(count(lit(1))).collect().head.getLong(0)
+    assert(box(spark.read.parquet(s"$dir/z")) == box(df))
+  }
+}

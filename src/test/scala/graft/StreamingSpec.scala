@@ -205,6 +205,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W1b AvailableNow trigger drains the backlog then stops (backfill mode)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = tmp("graft-avnow")
+    val events = graft.sources.Tables(spark, TestSession.sf0001).events
+      .select("event_id", "user_id", "event_type", "value")
+    events.limit(300).write.mode("overwrite").parquet(s"$srcDir/a")
+    events.limit(500).write.mode("overwrite").parquet(s"$srcDir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      val total = spark.table("avnow").agg(sum("count")).collect().head.getLong(0)
+      assert(total == 800, s"drained rows: $total")
+    } finally q.stop()
+  }
+
   test("S6 foreachBatch sink sees every batch with its id") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
