@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityF, VectorizeCosineRule}
+import graft.functions.{CosineSimilarityF, MinHashSigAgg, VectorizeCosineRule}
 
 /** SparkSessionExtensions entry point (enabled via
   * `spark.sql.extensions=graft.GraftExtensions`, Engine sets it):
@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityF].getName, "cosine_f"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAgg].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigAgg(children.head)))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }

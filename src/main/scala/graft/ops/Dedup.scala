@@ -32,15 +32,15 @@ object Dedup {
   // ---- MinHash ----------------------------------------------------------
 
   /** Mersenne prime 2^31 - 1: the classic universal-hash modulus. */
-  private val P = 2147483647L
-  private val K = 128   // signature length
+  private[graft] val P = 2147483647L
+  private[graft] val K = 128   // signature length
   private val Bands = 64 // 64 bands x 2 rows: P(candidate | j=0.5) ~ 1 - 1e-8
 
   /** Deterministic hash-family coefficients (fixed seed — signatures are
     * reproducible across runs/clusters). */
   private val rnd = new scala.util.Random(42)
-  private val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt((P - 1).toInt))
-  private val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
+  private[graft] val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt((P - 1).toInt))
+  private[graft] val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
 
   /** FNV-1a 64-bit over chars: cheap, deterministic, JVM-side string
     * hash for shingle normalization (any universal-enough family works;

@@ -102,6 +102,23 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SQL minhash_sig aggregate equals typed minhashSignatures") {
+    import spark.implicits._
+    val hashed = Tables(spark, TestSession.sf0001).documents
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+    hashed.select(col("doc_id"), explode(col("sh")).as("h"))
+      .createOrReplaceTempView("shingles")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(h) AS sig FROM shingles GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaTyped = Dedup.minhashSignatures(hashed, "doc_id", "sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql.keySet == viaTyped.keySet)
+    viaTyped.foreach { case (id, sig) => assert(viaSql(id) == sig, s"doc $id differs") }
+  }
+
   test("connectedComponents matches local union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
