@@ -211,5 +211,28 @@ object TextQueries {
       .toDF("doc_id", "n_tokens", "dup_ratio", "top_token_share")
   }
 
-  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf, repetition)
+  // Corpus composition stats per (source, lang) — the first report any
+  // training-data curation run produces. Single shuffle; median folds
+  // through the same percentile machinery as q3_percentiles.
+  private val sourceStats = QueryDef("txt_source_stats", Some(
+    """SELECT source, lang,
+      |       count(*) AS n_docs,
+      |       cast(sum(n_chars) AS BIGINT) AS total_chars,
+      |       avg(n_chars) AS avg_chars,
+      |       median(n_chars) AS med_chars,
+      |       cast(min(n_chars) AS BIGINT) AS min_chars,
+      |       cast(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY source, lang""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        avg("n_chars").as("avg_chars"),
+        expr("median(n_chars)").as("med_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf, repetition, sourceStats)
 }
