@@ -79,10 +79,11 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Engine.session("graft-bench", cpus)
 
-    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the set (local iteration)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the set (local
+    // iteration; may name bench=false queries too)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    Registry.all.filter(_.bench).filter(q => only.forall(_.contains(q.name))).foreach { q =>
+    Registry.all.filter(q => only.map(_.contains(q.name)).getOrElse(q.bench)).foreach { q =>
       try {
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
         results(q.name) = median((0 until runs).map(_ => timeIt(materialize(q.run(spark, sfDir)))))
