@@ -34,7 +34,7 @@ object Dedup {
   /** Mersenne prime 2^31 - 1: the classic universal-hash modulus. */
   private[graft] val P = 2147483647L
   private[graft] val K = 128   // signature length
-  private val Bands = 64 // 64 bands x 2 rows: P(candidate | j=0.5) ~ 1 - 1e-8
+  private[graft] val Bands = 64 // 64 bands x 2 rows: P(candidate | j=0.5) ~ 1 - 1e-8
 
   /** Deterministic hash-family coefficients (fixed seed — signatures are
     * reproducible across runs/clusters). */
@@ -54,7 +54,7 @@ object Dedup {
 
   /** K permutation-mins over a doc's shingle hashes in one tight JVM
     * loop. Duplicate shingles can't change a min, so no de-dup pass. */
-  private def sigOf(hs: Array[Long]): Array[Long] = {
+  private[graft] def sigOf(hs: Array[Long]): Array[Long] = {
     val sig = Array.fill(K)(Long.MaxValue)
     var i = 0
     while (i < hs.length) {

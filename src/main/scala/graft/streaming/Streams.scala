@@ -134,6 +134,64 @@ object Streams {
           out.iterator
       }
 
+  /** Streaming NEAR-dup candidates (E1 on a stream): each document is
+    * MinHash-signed and banded (same family as the batch
+    * [[graft.ops.Dedup]] pipeline); the stream is keyed by
+    * (band, bucketHash) and per-bucket state holds the docs seen, so a
+    * document pairs with near-duplicates from EARLIER microbatches —
+    * cross-batch recall the per-batch `dropDuplicates` shape can't
+    * give. Candidates (id_a < id_b) may repeat across bands; callers
+    * dedupe downstream (the batch pipeline's `distinct`). State is
+    * bounded: `maxPerBucket` docs per bucket (FIFO eviction — newest
+    * docs pair against the most recent history, the dedup-against-
+    * recent-corpus contract); at cluster scale add a timeout like
+    * [[sessionizeWithTimeout]] to expire cold buckets.
+    *
+    * Input: (doc_id long, text string). Output: (id_a, id_b). */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxPerBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.{Dedup, TextAnalysis}
+    val r = Dedup.K / Dedup.Bands
+    val banded = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = TextAnalysis.shingleHashes3Typed(text)
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val sig = Dedup.sigOf(hs)
+          (0 until Dedup.Bands).iterator.map { b =>
+            val slice = (0 until r).map(j => sig(b * r + j))
+            (id, b, scala.util.hashing.MurmurHash3.orderedHash(slice, b).toLong)
+          }
+        }
+      }
+      .toDF(idCol, "band", "bh")
+    banded
+      .groupByKey(row => (row.getInt(1), row.getLong(2)))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.foreach { row =>
+            val id = row.getLong(0)
+            if (!seen.contains(id)) {
+              seen.foreach { other =>
+                if (other != id)
+                  out += ((math.min(id, other), math.max(id, other)))
+              }
+              seen = (id :: seen).take(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Streaming exact dedup by key within the watermark horizon (the
     * stream-side of E1/Q10): state for a key is dropped once the
     * watermark passes its event time, so state stays bounded. */

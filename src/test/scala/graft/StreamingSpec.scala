@@ -205,6 +205,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E1-stream nearDupCandidates pairs near-dups across microbatches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+    val in = MemoryStream[(Long, String)]
+    val cands = Streams.nearDupCandidates(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, base), (10L, "completely unrelated words about catalyst optimizer internals and shuffles"))
+      q.processAllAvailable()
+      in.addData((2L, base + " again")) // near-dup of doc 1, later batch
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"cross-batch near-dup missed: $pairs")
+      assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L),
+        s"unrelated doc paired: $pairs")
+    } finally q.stop()
+  }
+
   test("W1b AvailableNow trigger drains the backlog then stops (backfill mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = tmp("graft-avnow")
