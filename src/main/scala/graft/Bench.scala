@@ -33,9 +33,6 @@ object Bench {
     * `batches` microbatches of `perBatch` synthetic events through a
     * groupBy-count with the state store. */
   private def streamIngestSec(spark: SparkSession, batches: Int, perBatch: Int): Double = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sql = spark.sqlContext
     // State-store partition count is fixed at first run from
     // spark.sql.shuffle.partitions; size it to the workload (20k rows /
     // 1k keys per batch) instead of the relational default — per-batch
@@ -56,8 +53,10 @@ object Bench {
     // tmpfs checkpoint: the probe measures state-store throughput, not
     // /tmp's ext4 fsync latency (a cluster would use fast local disks
     // or RocksDB with its own WAL batching for this)
-    val ckpt = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "graft-bench-ckpt").toString
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isDirectory(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft-bench-ckpt")
+    else java.nio.file.Files.createTempDirectory("graft-bench-ckpt")).toString
     val q = agg.writeStream.format("noop")
       .option("checkpointLocation", ckpt)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()

@@ -39,8 +39,8 @@ object Dedup {
   /** Deterministic hash-family coefficients (fixed seed — signatures are
     * reproducible across runs/clusters). */
   private val rnd = new scala.util.Random(42)
-  private[graft] val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt((P - 1).toInt))
-  private[graft] val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
+  private[graft] val A: Array[Long] = Array.fill(K)(1L + rnd.nextInt((P - 1).toInt))
+  private[graft] val B: Array[Long] = Array.fill(K)(rnd.nextInt(P.toInt).toLong)
 
   /** FNV-1a 64-bit over chars: cheap, deterministic, JVM-side string
     * hash for shingle normalization (any universal-enough family works;
@@ -81,10 +81,16 @@ object Dedup {
     * for nothing, and Spark's higher-order array functions are
     * interpreted (no codegen). Embarrassingly parallel at any scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, ShortType, StringType}
     val spark = docs.sparkSession
     import spark.implicits._
+    // fail loudly on contract narrowing: a silent cast("long") would null
+    // string ids and truncate fractional shingles into false duplicates
+    require(Seq(IntegerType, LongType, ShortType).contains(docs.schema(idCol).dataType),
+      s"minhash: id column '$idCol' must be integral, got ${docs.schema(idCol).dataType}")
     val elem = docs.schema(shingleCol).dataType.asInstanceOf[ArrayType].elementType
+    require(elem == StringType || Seq(IntegerType, LongType, ShortType).contains(elem),
+      s"minhash: shingle elements must be string or integral, got $elem")
     val hashed: org.apache.spark.sql.Dataset[(Long, Array[Long])] = elem match {
       case StringType =>
         docs.select(col(idCol).cast("long"), col(shingleCol))
@@ -196,9 +202,13 @@ object Dedup {
     * driver loop carries only a 0/1 convergence probe, never data. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // materialize once: every round joins against sym — without this the
+    // whole upstream edge pipeline (e.g. the LSH join) re-executes per
+    // iteration
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .localCheckpoint()
     var labels = sym.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
       .localCheckpoint()
@@ -221,6 +231,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — component " +
+          "diameter exceeds maxIter; raise it, or use a large-star/small-star " +
+          "formulation for long-chain graphs")
     labels
   }
 

@@ -167,9 +167,16 @@ object TextAnalysis {
     regexp_replace(c, PhoneRe, "<PHONE>")
   }
 
-  /** Count of PII matches redacted (pre-redaction occurrence count). */
-  def piiCount(text: Column): Column =
+  /** Count of spans [[redactPii]] replaces — each pattern counted on
+    * the text as the previous stage leaves it, mirroring the staged
+    * redaction exactly (a card run must not double-count as a phone). */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterCard = regexp_replace(afterIp, CardRe, "<CARD>")
     size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
-      size(regexp_extract_all(text, lit(CardRe), lit(0)))
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(afterIp, lit(CardRe), lit(0))) +
+      size(regexp_extract_all(afterCard, lit(PhoneRe), lit(0)))
+  }
 }

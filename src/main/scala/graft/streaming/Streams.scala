@@ -76,12 +76,18 @@ object Streams {
   /** W6 with event-time timers: session assembly via
     * flatMapGroupsWithState + EventTimeTimeout — the
     * ProcessFunction-register-timer pattern (keyed state + timers on
-    * the reference side). Per key the state buffers (count, start, end);
-    * every batch re-arms the timeout at `end + gapMs`; when the
-    * watermark passes it, the session closes: one summary row
-    * (key, n_events, session_start_ms, session_end_ms) is emitted and
-    * the state cleared. State is bounded by the number of open
-    * sessions, not the stream length. */
+    * the reference side). Per key the state holds the OPEN session
+    * (count, start, end); arriving events are folded in event-time
+    * order, and a gap > `gapMs` between consecutive events closes the
+    * open session immediately (emitting its summary) and opens a new
+    * one — so two sessions whose events land in the same batch still
+    * come out as two rows. The last open session closes via the timer
+    * re-armed at `end + gapMs` once the watermark passes it. Output
+    * rows: (key, n_events, session_start_ms, session_end_ms). State is
+    * bounded by open sessions, not stream length. Events later than
+    * the open session's span merge into it (min/max); drop late rows
+    * upstream via the watermark filter if strict gap semantics on
+    * disordered input matter. */
   def sessionizeWithTimeout(events: DataFrame, tsCol: String, watermark: String,
                             keyCol: String, gapMs: Long): DataFrame = {
     val spark = events.sparkSession
@@ -99,16 +105,25 @@ object Streams {
             state.remove()
             Iterator.single((k, n, s0, e0))
           } else {
-            var (n, s0, e0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
-            it.foreach { case (_, ts) =>
-              val ms = ts.getTime
-              n += 1
-              if (ms < s0) s0 = ms
-              if (ms > e0) e0 = ms
+            val times = it.map(_._2.getTime).toArray
+            java.util.Arrays.sort(times)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var open = state.getOption
+            times.foreach { ms =>
+              open = open match {
+                case Some((n, s0, e0)) if ms - e0 <= gapMs =>
+                  Some((n + 1, math.min(s0, ms), math.max(e0, ms)))
+                case Some((n, s0, e0)) => // gap exceeded: close, start new
+                  closed += ((k, n, s0, e0))
+                  Some((1L, ms, ms))
+                case None => Some((1L, ms, ms))
+              }
             }
-            state.update((n, s0, e0))
-            state.setTimeoutTimestamp(e0 + gapMs)
-            Iterator.empty
+            open.foreach { case (_, _, e0) =>
+              state.update(open.get)
+              state.setTimeoutTimestamp(e0 + gapMs)
+            }
+            closed.iterator
           }
       }
       .toDF(keyCol, "n_events", "session_start_ms", "session_end_ms")

@@ -156,17 +156,28 @@ class StreamingSpec extends AnyFunSuite {
     val q = sessions.writeStream.format("memory").queryName("sess_timer")
       .outputMode(OutputMode.Append()).start()
     try {
-      in.addData((ts(1), 1L), (ts(5), 1L), (ts(2), 2L))
+      // user 1: two sessions in ONE batch (00:01-00:05, then 00:30 —
+      // gap 25min > 10min) — the first must close at the gap split,
+      // without waiting for a timer
+      in.addData((ts(1), 1L), (ts(5), 1L), (ts(30), 1L), (ts(2), 2L))
       q.processAllAvailable()
-      assert(spark.table("sess_timer").isEmpty) // sessions still open
-      in.addData((ts(45), 3L)) // watermark jumps past both ends + gap
+      val base = ts(0).getTime
+      val early = spark.table("sess_timer")
+        .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // user 1's first session closes at the gap split; user 2's closes
+      // via timer (the 00:30 event pushed the watermark past 00:02+gap)
+      assert(early == Set(
+        (1L, 2L, base + 60000L, base + 300000L),
+        (2L, 1L, base + 120000L, base + 120000L)), s"after batch 1: $early")
+      in.addData((ts(59), 3L)) // watermark jumps past open ends + gap
       q.processAllAvailable()
       val out = spark.table("sess_timer")
         .select("user_id", "n_events", "session_start_ms", "session_end_ms")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      val base = ts(0).getTime
       assert(out == Set(
         (1L, 2L, base + 60000L, base + 300000L),
+        (1L, 1L, base + 1800000L, base + 1800000L),
         (2L, 1L, base + 120000L, base + 120000L)), s"got $out")
     } finally q.stop()
   }

@@ -64,9 +64,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(red(clean) == clean)
   }
 
-  test("piiCount counts redactable spans") {
+  test("piiCount counts exactly what redactPii replaces") {
     def cnt(s: String) = one[Int](piiCount(col("text")), s)
     assert(cnt("a@b.com and c@d.org at 10.0.0.1") == 3)
+    assert(cnt("call +1 (415) 555-2671 now") == 1)
+    // a card run counts once, not again as a phone
+    assert(cnt("card 4111 1111 1111 1111 on file") == 1)
     assert(cnt("nothing here") == 0)
   }
 }
