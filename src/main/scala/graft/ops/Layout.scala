@@ -49,4 +49,20 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Save `df` as a bucketed+sorted catalog table: rows are
+    * hash-clustered into `nBuckets` files by `bucketCol` at WRITE time,
+    * so joins and aggregations on that key read the co-located layout
+    * and skip their shuffle entirely — pay the exchange once when the
+    * 100TB table is produced, never again per query. Verified by the
+    * LayoutSpec plan assertion (bucketed⋈bucketed has zero Exchange
+    * nodes). Requires saveAsTable (bucket metadata lives in the
+    * catalog, not the parquet files). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

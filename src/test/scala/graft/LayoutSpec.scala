@@ -55,4 +55,30 @@ class LayoutSpec extends AnyFunSuite {
         .agg(count(lit(1))).collect().head.getLong(0)
     assert(box(spark.read.parquet(s"$dir/z")) == box(df))
   }
+
+  test("bucketed tables join without any shuffle") {
+    val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables(spark, TestSession.sf0001).orders
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the same rows as the shuffled join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
 }
