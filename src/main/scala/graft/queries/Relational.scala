@@ -538,9 +538,42 @@ object Relational {
       |FROM orders
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)""".stripMargin)
 
+  // Q14 — data-quality gate: null keys, range violations, duplicate
+  // (orderkey, linenumber) pairs, referential orphans. Row predicates
+  // fold into one scan; uniqueness and the orphan anti-join each take
+  // their own (necessary) shuffle.
+  private val qValidate = QueryDef("q_validate", Some(
+    """SELECT 'null_l_orderkey' AS check_name,
+      |       cast(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'range_l_quantity',
+      |       cast(count(CASE WHEN l_quantity IS NOT NULL
+      |                        AND (l_quantity < 0 OR l_quantity > 100) THEN 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'dup_line_id',
+      |       cast(coalesce(sum(c - 1), 0) AS BIGINT)
+      |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'orphan_lineitem', cast(count(*) AS BIGINT)
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)) {
+    (spark, dir) =>
+      import graft.ops.Validate
+      val t = Tables(spark, dir)
+      val li = t.lineitem
+      Validate.report(
+        Validate.rowViolations(li, Seq(
+          Validate.notNull("l_orderkey"),
+          Validate.inRange("l_quantity", 0, 100))),
+        Validate.duplicateKeys(li, "dup_line_id", Seq("l_orderkey", "l_linenumber")),
+        Validate.orphans(li, "orphan_lineitem", "l_orderkey", t.orders, "o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in)
+    qSortGlobal, qCross, q4in, qValidate)
 }
