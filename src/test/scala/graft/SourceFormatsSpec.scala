@@ -29,6 +29,18 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(back.select("r_name").distinct().count() == 5)
   }
 
+  test("orc round-trips with pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = graft.sources.Tables(spark, TestSession.sf0001).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    src.write.mode("overwrite").orc(s"$dir/li.orc")
+    val back = spark.read.orc(s"$dir/li.orc").filter(col("l_returnflag") === "A")
+    assert(back.count() == src.filter(col("l_returnflag") === "A").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      s"orc pushdown missing:\n$plan")
+  }
+
   test("partitioned parquet layout prunes partitions at planning time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
