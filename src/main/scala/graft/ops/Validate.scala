@@ -26,15 +26,24 @@ object Validate {
   def matches(c: String, regex: String): Check =
     Check(s"format_$c", col(c).isNotNull && !col(c).rlike(regex))
 
-  /** Row-predicate violations: ONE scan, one conditional-sum per check. */
+  /** Row-predicate violations: ONE scan, one conditional-sum per check.
+    * coalesce keeps empty-input counts at 0 (sum over zero rows is
+    * null), matching the SQL count(CASE...) the oracle uses. */
   def rowViolations(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val aggs = checks.map(c => sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+    require(checks.nonEmpty, "rowViolations: empty check list")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"rowViolations: duplicate check names in ${checks.map(_.name)}")
+    // synthetic aliases c0..cN so check names never meet a SQL parser
+    // (dots/quotes/spaces in names are legal)
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (check_name, n_violations)
-    wide.selectExpr(
-      s"stack(${checks.size}, " +
-        checks.map(c => s"'${c.name}', ${c.name}").mkString(", ") +
-        ") AS (check_name, n_violations)")
+    val entries = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"c$i").as("n_violations"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name"), col("e.n_violations"))
   }
 
   /** Duplicate-key violations: rows beyond the first per key. */
@@ -52,5 +61,8 @@ object Validate {
       .select(lit(name).as("check_name"), col("n_violations"))
 
   /** Full report: union of all check families. */
-  def report(parts: DataFrame*): DataFrame = parts.reduce(_.unionAll(_))
+  def report(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "report: no check results to combine")
+    parts.reduce(_.unionAll(_))
+  }
 }

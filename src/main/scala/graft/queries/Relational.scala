@@ -552,6 +552,11 @@ object Relational {
       |                        AND (l_quantity < 0 OR l_quantity > 100) THEN 1 END) AS BIGINT)
       |FROM lineitem
       |UNION ALL
+      |SELECT 'range_l_quantity_30',
+      |       cast(count(CASE WHEN l_quantity IS NOT NULL
+      |                        AND (l_quantity < 0 OR l_quantity > 30) THEN 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
       |SELECT 'dup_line_id',
       |       cast(coalesce(sum(c - 1), 0) AS BIGINT)
       |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
@@ -566,7 +571,10 @@ object Relational {
       Validate.report(
         Validate.rowViolations(li, Seq(
           Validate.notNull("l_orderkey"),
-          Validate.inRange("l_quantity", 0, 100))),
+          Validate.inRange("l_quantity", 0, 100),
+          // a deliberately tight bound that real rows violate, so the
+          // oracle hash-compare exercises non-zero counting too
+          Validate.inRange("l_quantity", 0, 30).copy(name = "range_l_quantity_30"))),
         Validate.duplicateKeys(li, "dup_line_id", Seq("l_orderkey", "l_linenumber")),
         Validate.orphans(li, "orphan_lineitem", "l_orderkey", t.orders, "o_orderkey"))
   }

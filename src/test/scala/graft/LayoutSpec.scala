@@ -61,11 +61,11 @@ class LayoutSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     val ord = graft.sources.Tables(spark, TestSession.sf0001).orders
       .select("o_orderkey", "o_totalprice")
-    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
-    Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     try {
+      Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+      Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
