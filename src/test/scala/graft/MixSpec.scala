@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Mix
+
+class MixSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("fractionsFor caps at 1.0 and realizes target ratios") {
+    val f = Mix.fractionsFor(
+      counts = Map("web" -> 8000L, "books" -> 1000L, "code" -> 1000L),
+      targetShares = Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+    // books/code are the binding strata (need 1000/0.25 = 4000 total):
+    // web samples 2000/8000, books+code keep everything
+    assert(f("books") == 1.0 && f("code") == 1.0)
+    assert(math.abs(f("web") - 0.25) < 1e-9)
+  }
+
+  test("toProportions approximates target mix on documents and is deterministic") {
+    val docs = graft.sources.Tables(spark, TestSession.sf0001).documents
+    val target = Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2)
+    val mixed = Mix.toProportions(docs, "lang", target)
+    val got = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == target.keySet) // other langs dropped
+    val total = got.values.sum.toDouble
+    target.foreach { case (lang, share) =>
+      val actual = got(lang) / total
+      assert(math.abs(actual - share) < 0.12,
+        s"$lang: got share $actual, want ~$share (counts $got)")
+    }
+    // deterministic for the fixed seed
+    val again = Mix.toProportions(docs, "lang", target).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+}
