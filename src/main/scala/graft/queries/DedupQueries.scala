@@ -161,5 +161,25 @@ object DedupQueries {
       .toDF("doc_id", "n_fingerprints", "min_fp")
   }
 
-  val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed, winnow)
+  // Incremental dedup: new documents (odd ids here) kept only if their
+  // content fingerprint is absent from a reference corpus (even ids) —
+  // the "dedup the new crawl against the training set" pattern. One
+  // anti-join on the 64-bit content hash; the reference side would be
+  // a bloom/broadcast at 100TB when it fits, else this same shuffle.
+  private val dedupAgainst = QueryDef("e1_dedup_against", Some(
+    """SELECT n.doc_id, n.n_chars
+      |FROM documents n
+      |WHERE n.doc_id % 2 = 1
+      |  AND NOT EXISTS (SELECT 1 FROM documents r
+      |                  WHERE r.doc_id % 2 = 0 AND md5(r.text) = md5(n.text))""".stripMargin)) {
+    (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+      val refFps = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fp"))
+      newDocs.join(refFps, Seq("fp"), "left_anti").select("doc_id", "n_chars")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed, winnow, dedupAgainst)
 }
