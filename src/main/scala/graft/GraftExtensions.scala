@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigAgg(children.head)))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -48,4 +48,28 @@ class GroupedTopKSpec extends AnyFunSuite {
       .groupBy("o_custkey").agg(count(lit(1)).as("n"))
     assert(top.filter(col("n") > 2).count() == 0)
   }
+
+  test("rewrite rule turns row_number-filter-drop into GroupedTopK") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val q = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+    assert(q.queryExecution.optimizedPlan.toString.contains("GroupedTopKNode"),
+      s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    val got = q.select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == windowTopK(3))
+  }
+
+  test("rewrite rule does NOT fire when the rank column survives or for rank()") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val keepsRank = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(!keepsRank.queryExecution.optimizedPlan.toString.contains("GroupedTopKNode"))
+    val rankNotRowNumber = orders.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!rankNotRowNumber.queryExecution.optimizedPlan.toString.contains("GroupedTopKNode"))
+  }
 }
