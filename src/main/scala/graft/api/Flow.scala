@@ -77,6 +77,27 @@ final class KeyedFlow[K, T](val kv: KeyValueGroupedDataset[K, T]) extends Serial
   /** T8 `sum`-style counting (WordCount: drawio page "yarn per job 启动流程"). */
   def count()(implicit e: Encoder[(K, Long)]): Flow[(K, Long)] = new Flow(kv.count())
 
+  /** T8 keyed sum over a numeric projection of the element — the
+    * reference's `keyBy(...).sum(...)` shape. Map-side partial
+    * aggregation (agg over groupByKey), not a reduceGroups scan. */
+  def sumBy(f: T => Double)(implicit e: Encoder[(K, Double)]): Flow[(K, Double)] = {
+    val agg = new org.apache.spark.sql.expressions.Aggregator[T, Double, Double] {
+      override def zero: Double = 0.0
+      override def reduce(b: Double, a: T): Double = b + f(a)
+      override def merge(b1: Double, b2: Double): Double = b1 + b2
+      override def finish(r: Double): Double = r
+      override def bufferEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+      override def outputEncoder: Encoder[Double] = org.apache.spark.sql.Encoders.scalaDouble
+    }
+    new Flow(kv.agg(agg.toColumn))
+  }
+
+  /** Keyed min/max by a numeric projection (rolling-aggregate family). */
+  def minBy(f: T => Double)(implicit e1: Encoder[T], e: Encoder[(K, T)]): Flow[(K, T)] =
+    new Flow(kv.reduceGroups((a: T, b: T) => if (f(a) <= f(b)) a else b))
+  def maxBy(f: T => Double)(implicit e1: Encoder[T], e: Encoder[(K, T)]): Flow[(K, T)] =
+    new Flow(kv.reduceGroups((a: T, b: T) => if (f(a) >= f(b)) a else b))
+
   /** W6 custom keyed stateful op (ProcessFunction-shaped, SURVEY §2.4). */
   def flatMapWithState[S: Encoder, U: Encoder](
       outputMode: OutputMode,

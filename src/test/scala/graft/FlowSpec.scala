@@ -68,6 +68,18 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("T8 keyed sumBy/minBy/maxBy aggregate the reference's keyed shapes") {
+    import spark.implicits._
+    val data = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0), ("b", 1.0), ("a", 0.5))
+    val keyed = Flow.fromCollection(spark, data).keyBy(_._1)
+    val sums = keyed.sumBy(_._2).collectSeq().toMap
+    assert(sums == Map("a" -> 4.0, "b" -> 5.0))
+    val mins = keyed.minBy(_._2).collectSeq().toMap
+    assert(mins == Map("a" -> ("a", 0.5), "b" -> ("b", 1.0)))
+    val maxs = keyed.maxBy(_._2).collectSeq().toMap
+    assert(maxs == Map("a" -> ("a", 2.5), "b" -> ("b", 4.0)))
+  }
+
   test("S1 readTextFile + S6 parquet sink round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-flow").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"), "x\ny\nz")
