@@ -80,7 +80,7 @@ final class KeyedFlow[K, T](val kv: KeyValueGroupedDataset[K, T]) extends Serial
   /** T8 keyed sum over a numeric projection of the element — the
     * reference's `keyBy(...).sum(...)` shape. Map-side partial
     * aggregation (agg over groupByKey), not a reduceGroups scan. */
-  def sumBy(f: T => Double)(implicit e: Encoder[(K, Double)]): Flow[(K, Double)] = {
+  def sumBy(f: T => Double): Flow[(K, Double)] = {
     val agg = new org.apache.spark.sql.expressions.Aggregator[T, Double, Double] {
       override def zero: Double = 0.0
       override def reduce(b: Double, a: T): Double = b + f(a)
@@ -92,11 +92,17 @@ final class KeyedFlow[K, T](val kv: KeyValueGroupedDataset[K, T]) extends Serial
     new Flow(kv.agg(agg.toColumn))
   }
 
-  /** Keyed min/max by a numeric projection (rolling-aggregate family). */
+  /** Keyed min/max by a numeric projection (rolling-aggregate family).
+    * Total order via Double.compare — NaN sorts greatest (Spark's sort
+    * semantics), so results are deterministic on NaN-bearing data; ties
+    * under f pick an arbitrary element (project a unique tiebreaker
+    * into f if that matters). */
   def minBy(f: T => Double)(implicit e1: Encoder[T], e: Encoder[(K, T)]): Flow[(K, T)] =
-    new Flow(kv.reduceGroups((a: T, b: T) => if (f(a) <= f(b)) a else b))
+    new Flow(kv.reduceGroups((a: T, b: T) =>
+      if (java.lang.Double.compare(f(a), f(b)) <= 0) a else b))
   def maxBy(f: T => Double)(implicit e1: Encoder[T], e: Encoder[(K, T)]): Flow[(K, T)] =
-    new Flow(kv.reduceGroups((a: T, b: T) => if (f(a) >= f(b)) a else b))
+    new Flow(kv.reduceGroups((a: T, b: T) =>
+      if (java.lang.Double.compare(f(a), f(b)) >= 0) a else b))
 
   /** W6 custom keyed stateful op (ProcessFunction-shaped, SURVEY §2.4). */
   def flatMapWithState[S: Encoder, U: Encoder](

@@ -48,7 +48,7 @@ object GroupedTopKRewriteRule extends Rule[LogicalPlan] {
         if isRowNumberFrame(frame) && partSpec.nonEmpty &&
           rankLimit(cond, al.toAttribute).exists(_ > 0) &&
           !projectList.exists(_.references.contains(al.toAttribute)) =>
-      Project(projectList,
-        GroupedTopKNode(partSpec, orderSpec, rankLimit(cond, al.toAttribute).get, child))
+      val k = rankLimit(cond, al.toAttribute).get // same call as the guard
+      Project(projectList, GroupedTopKNode(partSpec, orderSpec, k, child))
   }
 }

@@ -12,11 +12,19 @@ class GroupedTopKSpec extends AnyFunSuite {
 
   private lazy val orders = graft.sources.Tables(spark, TestSession.sf0001).orders.cache()
 
+  /** Genuine window-operator baseline: rn stays in the projection so
+    * GroupedTopKRewriteRule cannot fire on it (it only rewrites when
+    * the rank column is projected away) — this must execute Spark's
+    * own window operator, never the operator under test. */
   private def windowTopK(k: Int): Set[(Long, Long)] = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("o_custkey", "o_orderkey").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "rn")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("GroupedTopKNode"),
+      "baseline was rewritten — it is no longer a window-operator baseline")
+    // collect WITH rn: a select dropping it here would re-create the
+    // exact pattern the rewrite rule matches
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
   test("matches window row_number top-k (unique tiebreaker)") {
