@@ -579,9 +579,26 @@ object Relational {
         Validate.orphans(li, "orphan_lineitem", "l_orderkey", t.orders, "o_orderkey"))
   }
 
+  // Q4sk — the salted join under the oracle gate: lineitem⋈orders via
+  // Skew.saltedJoin (big side salted randomly, small side exploded
+  // across all salts) must produce EXACTLY the rows of the plain join —
+  // salting redistributes hot keys, never changes semantics. At scale
+  // this is the manual fallback when AQE's skew splitting can't help
+  // (e.g. skewed broadcast-ineligible dimensions).
+  private val qSkewJoin = QueryDef("q_salted_join", Some(
+    """SELECT l_orderkey, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    graft.ops.Skew.saltedJoin(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+        "l_orderkey", salt = 8)
+      .select("l_orderkey", "l_quantity", "o_totalprice")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in, qValidate)
+    qSortGlobal, qCross, q4in, qValidate, qSkewJoin)
 }

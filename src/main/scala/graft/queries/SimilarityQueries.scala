@@ -40,5 +40,23 @@ object SimilarityQueries {
     Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 5, nCells = 16, nProbe = 4)
   }
 
-  val defs: Seq[QueryDef] = Seq(knn, ann, ivf)
+  // Per-label centroids as (label, dim, mean) rows — the map-side-
+  // combinable shape distributed k-means uses for its mean step
+  // (posexplode then partial-agg per (label, dim); the shuffle carries
+  // one partial sum per group, not vectors). 1-based dim to match
+  // SQL's generate_subscripts.
+  private val centroids = QueryDef("e2_label_centroids", Some(
+    """SELECT label, cast(i AS INT) AS dim_idx, avg(v) AS avg_val, count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY label, i""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), (col("i") + 1).as("dim_idx"))
+      .agg(avg(col("v").cast("double")).as("avg_val"),
+        count(lit(1)).as("n_vecs"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, centroids)
 }
