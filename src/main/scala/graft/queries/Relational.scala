@@ -596,9 +596,23 @@ object Relational {
       .select("l_orderkey", "l_quantity", "o_totalprice")
   }
 
+  // Q3sk — two-phase salted aggregation vs the plain GROUP BY oracle:
+  // partial sums per (key, salt), combined per key. Equal results by
+  // the algebraic-aggregate law; the point at scale is that no single
+  // reducer sees a hot key's full row set.
+  private val qSkewAgg = QueryDef("q_salted_agg", Some(
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+    graft.ops.Skew.saltedAgg(
+      Tables(spark, dir).lineitem.select("l_returnflag", "l_quantity"),
+      "l_returnflag", salt = 8)(
+      partial = _.agg(sum("l_quantity").as("ps"), count(lit(1)).as("pn")),
+      combine = _.agg(sum("ps").as("sum_qty"), sum("pn").as("n")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in, qValidate, qSkewJoin)
+    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg)
 }
