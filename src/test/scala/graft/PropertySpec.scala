@@ -56,6 +56,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: any shared substring of length >= k+w-1 shares a fingerprint") {
+    // k=5, w=4 defaults: guarantee threshold 8 chars
+    val alpha = Gen.listOfN(12, Gen.alphaLowerChar).map(_.mkString)
+    val shared = Gen.listOfN(9, Gen.alphaLowerChar).map(_.mkString)
+    for (i <- 0 until 20) {
+      val s = shared(Gen.Parameters.default, Seed(i.toLong)).get
+      val p1 = alpha(Gen.Parameters.default, Seed(1000L + i)).get
+      val p2 = alpha(Gen.Parameters.default, Seed(2000L + i)).get
+      val p3 = alpha(Gen.Parameters.default, Seed(3000L + i)).get
+      val p4 = alpha(Gen.Parameters.default, Seed(4000L + i)).get
+      val f1 = graft.ops.Dedup.winnowFingerprints(p1 + s + p2).toSet
+      val f2 = graft.ops.Dedup.winnowFingerprints(p3 + s + p4).toSet
+      assert((f1 & f2).nonEmpty,
+        s"""9-char shared substring "$s" produced no shared fingerprint (docs "${p1 + s + p2}", "${p3 + s + p4}")""")
+    }
+  }
+
+  test("zvalue2 is invertible: de-interleaving the Morton code recovers both inputs") {
+    import org.apache.spark.sql.functions._
+    val pair = for {
+      a <- Gen.chooseNum(0L, 1023L)
+      b <- Gen.chooseNum(0L, 1023L)
+    } yield (a, b)
+    val cases = (0 until 50).map(i => pair(Gen.Parameters.default, Seed(i.toLong)).get)
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), graft.ops.Layout.zvalue2(col("a"), col("b"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 10) {
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z decoded to ($ra,$rb), want ($a,$b)")
+    }
+  }
+
   test("percentile_approx within declared accuracy of exact percentile") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
