@@ -90,7 +90,7 @@ object DedupQueries {
        |       coalesce(comp.cluster_id, doc.doc_id) AS cluster_id,
        |       cast(doc.doc_id = coalesce(comp.cluster_id, doc.doc_id) AS INT) AS keep
        |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id""".stripMargin),
-    bench = false) { (spark, dir) =>
+    bench = true) { (spark, dir) =>
     val cc = Dedup.connectedComponents(jaccardPairs(spark, dir), "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
     Tables(spark, dir).documents.select("doc_id")
