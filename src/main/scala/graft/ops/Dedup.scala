@@ -182,6 +182,59 @@ object Dedup {
     }
   }
 
+  // ---- Embedding near-dup (sign-LSH blocked) ----------------------------
+
+  /** Embedding-cosine near-dup pairs: deterministic integer sign-LSH
+    * blocking + exact cosine verification — the 100TB shape. Candidates
+    * are rows sharing a (table, bucket) cell in ANY of `tables` tables
+    * (a hash equi-join), verified with the exact codegen'd cosine;
+    * there is no all-pairs/NestedLoop anywhere in the plan.
+    *
+    * Precision is exact (every emitted pair really has cos >= threshold);
+    * recall is probabilistic like MinHash-LSH: 1.0 on clustered corpora
+    * at real near-dup thresholds (cos >= 0.9 — see the clustered-recall
+    * spec), ~0.8 worst-case on fully isotropic vectors at cos 0.4 (the
+    * synthetic test data — measured in DedupSpec). The quantized
+    * projections are exact int64 arithmetic, so a plain-SQL oracle
+    * reproduces the blocking bit-for-bit — unlike gaussian planes, this
+    * keeps the operator hash-checkable end-to-end.
+    *
+    * The exact all-pairs formulation ([[embedNearDupsExact]]) remains
+    * the recall baseline in specs, NOT a shipped operator: an exact
+    * sub-quadratic cosine-threshold join over dense vectors does not
+    * exist in general, so at corpus scale blocked-candidates-plus-verify
+    * is the honest contract (same as every production near-dup system).
+    */
+  def embedNearDups(emb: DataFrame, threshold: Double, tables: Int = 48,
+                    planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    // repartition on the join key so both self-join sides share one
+    // exchange (ReusedExchange): signatures are computed ONCE
+    val sigs = Similarity.intBucketSignatures(emb, "vid", tables, planesPerTable, dim)
+      .repartition(col("tbl"), col("bucket"))
+    val cand = sigs.select(col("vid").as("id_a"), col("tbl"), col("bucket"))
+      .join(sigs.select(col("vid").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact all-pairs baseline for [[embedNearDups]] recall specs — O(n²)
+    * by construction; never ship this against a real corpus. */
+  def embedNearDupsExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   // ---- Duplicate clusters (connected components) ------------------------
 
   /** Connected components over an undirected edge list: (node, comp)

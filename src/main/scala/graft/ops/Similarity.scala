@@ -91,9 +91,9 @@ object Similarity {
 
   /** IVF-style approximate top-k (the second scale path, alongside
     * [[annTopK]]): the corpus is clustered into `nCells` cells around
-    * deterministic seed centroids (every (n/nCells)-th vector by id —
-    * a one-pass stand-in for trained k-means centroids; swapping in
-    * trained centroids changes nothing structurally). Each corpus row
+    * deterministic centroids (the `nCells` rows ordered first by
+    * `pmod(xxhash64(vec_id), 1000000007)` — a hash-ordered deterministic
+    * sample, then Lloyd-refined; see [[trainCentroids]]). Each corpus row
     * joins its single nearest cell; each query probes its `nProbe`
     * nearest cells; candidates come from a hash equi-join on cell id.
     *
@@ -172,6 +172,75 @@ object Similarity {
             var s = 0.0
             var i = 0
             while (i < dim) { s += v(i) * plane(i); i += 1 }
+            if (s > 0) bucket |= (1L << j)
+            j += 1
+          }
+          out(t) = (id, t, bucket)
+          t += 1
+        }
+        out.toSeq
+      }
+      .toDF(idAs, "tbl", "bucket")
+  }
+
+  // ---- Deterministic integer sign-LSH (oracle-mirrorable) ---------------
+
+  /** Avalanche-mixed 32-bit plane weights from the flat (plane, dim)
+    * index — plain integer arithmetic (`*`, `%`, `xor`, `//`) so a SQL
+    * oracle (DuckDB) reproduces every weight exactly. Gaussian planes
+    * would be statistically nicer but are not reproducible in SQL;
+    * sign-LSH only needs symmetric, decorrelated weights. */
+  private[graft] def intPlaneWeights(nPlanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val x = p.toLong * dim + i + 1
+      var h = (x * 2654435761L) % 4294967296L
+      h ^= (h >> 16)
+      h = (h * 40503L) % 4294967296L
+      h ^= (h >> 13)
+      h - 2147483648L
+    }
+
+  /** Quantization scale 2^20: multiplying a float-derived double by a
+    * power of two is EXACT, so `floor(v * 2^20)` is bit-identical in the
+    * JVM and in SQL — no rounding-mode or summation-order ambiguity can
+    * flip a bucket sign. Overflow headroom: |q| <= |v|·2^20, so with
+    * |v| < 2^11 the 64-dim integer dot against 2^31 weights stays
+    * below 2^63. */
+  private[graft] val QuantScale = 1048576L
+
+  /** (id, tbl, bucket) sign-LSH signatures over integer-quantized
+    * projections — exact int64 arithmetic end-to-end, mirrorable in a
+    * plain-SQL oracle. One narrow typed pass per row (`tables` output
+    * rows each); candidates then come from an equi-join on
+    * (tbl, bucket) — the 100TB shape, never all-pairs. */
+  private[graft] def intBucketSignatures(df: DataFrame, idAs: String,
+      tables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hp = intPlaneWeights(tables * planesPerTable, dim)
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        require(v != null && v.length == dim,
+          s"intLsh: embedding length ${if (v == null) "null" else v.length} != dim=$dim")
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          val d = v(i).toDouble
+          require(math.abs(d) < 2048.0, s"intLsh: |v|=$d exceeds quantization headroom")
+          q(i) = math.floor(d * QuantScale).toLong
+          i += 1
+        }
+        val out = new Array[(Long, Int, Long)](tables)
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var j = 0
+          while (j < planesPerTable) {
+            val plane = hp(t * planesPerTable + j)
+            var s = 0L
+            var k = 0
+            while (k < dim) { s += q(k) * plane(k); k += 1 }
             if (s > 0) bucket |= (1L << j)
             j += 1
           }

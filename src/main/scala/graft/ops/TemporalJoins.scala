@@ -33,11 +33,14 @@ object TemporalJoins {
     // skip genuinely-null fields and mix columns from different rows.
     val payload = struct(valueCols.map(col): _*)
     // tag sides; right rows sort before left at equal ts so same-ts
-    // matches. Null-key right rows can never match (SQL equality join
-    // semantics, same as DuckDB ASOF) — dropped up front.
+    // matches. Null-key and null-ts right rows can never match (SQL
+    // equality / ASOF inequality semantics, same as DuckDB ASOF) —
+    // dropped up front: a null-ts right row would otherwise sort
+    // nulls-first and leak its payload onto left rows with no real
+    // prior match.
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(right.select(payload).schema.head.dataType))
-    val r = right.filter(col(keyCol).isNotNull)
+    val r = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select((keyCol +: tsCol +: valueCols).map(col): _*)
       .withColumn("__side", lit(0))
       .withColumn("__rv", payload)

@@ -26,13 +26,33 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object GroupedTopKRewriteRule extends Rule[LogicalPlan] {
 
-  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) && k == 1 => Some(1)
-    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
-    case _ => None
+  /** Matches the rank attribute, bare or behind the implicit
+    * int→bigint cast type coercion inserts for `rn <= 3L` (SQL bigint
+    * literals would otherwise silently skip the rewrite). */
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    object R {
+      def unapply(e: Expression): Boolean = e match {
+        case a: Attribute => a.semanticEquals(rn)
+        case Cast(a: Attribute, LongType, _, _) => a.semanticEquals(rn)
+        case _ => false
+      }
+    }
+    object K {
+      def unapply(e: Expression): Option[Int] = e match {
+        case Literal(k: Int, IntegerType) => Some(k)
+        case Literal(k: Long, LongType) if k >= Int.MinValue && k <= Int.MaxValue => Some(k.toInt)
+        case _ => None
+      }
+    }
+    cond match {
+      case LessThanOrEqual(R(), K(k)) => Some(k)
+      case LessThan(R(), K(k)) => Some(k - 1)
+      case EqualTo(R(), K(k)) if k == 1 => Some(1)
+      case GreaterThanOrEqual(K(k), R()) => Some(k)
+      case GreaterThan(K(k), R()) => Some(k - 1)
+      case _ => None
+    }
   }
 
   private def isRowNumberFrame(frame: WindowFrame): Boolean = frame match {

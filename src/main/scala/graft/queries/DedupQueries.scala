@@ -128,23 +128,38 @@ object DedupQueries {
     Dedup.simhash64(docs, "doc_id", "t")
   }
 
-  // Embedding-cosine near-dup pairs (exact all-pairs at test scale;
-  // blocked/LSH variant is e2_ann_topk). Oracle via DuckDB list ops.
+  // Embedding-cosine near-dup pairs via deterministic integer sign-LSH
+  // blocking (48 tables × 8 planes) + exact cosine verify — the 100TB
+  // shape: equi-join on (tbl, bucket), no all-pairs/NestedLoop node.
+  // The quantized projections are exact int64 arithmetic, so the DuckDB
+  // oracle mirrors the blocking bit-for-bit and the operator stays
+  // hash-checked. Recall vs the exact all-pairs baseline is measured in
+  // DedupSpec (1.0 on clustered data at cos>=0.9; ~0.8 on the isotropic
+  // synthetic embeddings at cos 0.4).
   private val embed = QueryDef("e1_embed_neardup", Some(
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv FROM e),
+      |idx AS (SELECT tbl, j, i, ((tbl*8 + j)*64 + i + 1) AS x
+      |        FROM range(0,48) t(tbl), range(0,8) jj(j), range(0,64) ii(i)),
+      |w1 AS (SELECT tbl, j, i, (x*2654435761) % 4294967296 AS h FROM idx),
+      |w2 AS (SELECT tbl, j, i, (xor(h, h//65536) * 40503) % 4294967296 AS h FROM w1),
+      |wt AS (SELECT tbl, j, i, xor(h, h//8192) - 2147483648 AS w FROM w2),
+      |wl AS (SELECT tbl, j, list(w ORDER BY i) AS wv FROM wt GROUP BY tbl, j),
+      |proj AS (SELECT q.vec_id, wl.tbl, wl.j,
+      |           list_sum(list_transform(range(1,65), i -> q.qv[i]*wl.wv[i])) AS s
+      |         FROM q, wl),
+      |sig AS (SELECT vec_id, tbl,
+      |          sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |        FROM proj GROUP BY vec_id, tbl),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |         list_dot_product(a.v, b.v)
-      |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |  SELECT id_a, id_b,
+      |         list_dot_product(ea.v, eb.v)
+      |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
       |WHERE cos >= 0.4""".stripMargin)) { (spark, dir) =>
-    val e = Tables(spark, dir).embeddings
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
-      .filter(col("cos") >= 0.4)
-      .select("id_a", "id_b", "cos")
+    Dedup.embedNearDups(Tables(spark, dir).embeddings, threshold = 0.4)
   }
 
   // Winnowing fingerprint stats per doc (substring-robust fingerprints;

@@ -146,6 +146,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 20 && got.values.forall(_ == 0L))
   }
 
+  test("embedNearDups: exact precision, recall vs all-pairs baseline, no NestedLoop") {
+    val emb = Tables(spark, TestSession.sf001).embeddings
+    val blocked = Dedup.embedNearDups(emb, threshold = 0.4)
+    // plan must be the 100TB shape: equi-join candidates, never all-pairs
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "embedNearDups plan contains an all-pairs join node")
+    val got = blocked.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.embedNearDupsExact(emb, 0.4).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision exact by construction (candidates re-verified with exact cosine)
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // worst case for sign-LSH: fully isotropic vectors at a 66-degree
+    // threshold (these synthetic embeddings have no cluster structure and
+    // max pair cos < 0.6). Deterministic given the data: 47/59 measured.
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.75, s"isotropic recall $recall < 0.75 (${got.size}/${truth.size})")
+  }
+
+  test("embedNearDups: full recall on clustered corpus at near-dup threshold") {
+    import spark.implicits._
+    // the real-world case: documents with true near-duplicates (clustered
+    // embeddings, cos >= 0.9) — sign-LSH blocking must not lose any pair
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(40, 64)(rnd.nextGaussian().toFloat)
+    val pts = (0 until 400).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Dedup.embedNearDups(emb, threshold = 0.9).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.embedNearDupsExact(emb, 0.9).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus produced no near-dup pairs")
+    assert(got == truth, s"missed: ${(truth -- got).take(5)}… extra: ${got -- truth}")
+  }
+
   test("exactByKey keeps min id and is idempotent") {
     import spark.implicits._
     val df = Seq((10L, "x"), (3L, "x"), (5L, "y")).toDF("id", "k")

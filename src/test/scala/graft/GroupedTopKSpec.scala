@@ -71,6 +71,21 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(got == windowTopK(3))
   }
 
+  test("rewrite rule fires on a bigint rank bound (rn <= 3L)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // type coercion wraps rn in a cast to bigint — the rule must still match
+    val q = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(3L))
+      .drop("rn")
+    assert(q.queryExecution.optimizedPlan.toString.contains("GroupedTopKNode"),
+      s"rewrite did not fire on Long literal:\n${q.queryExecution.optimizedPlan}")
+    val got = q.select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == windowTopK(3))
+  }
+
   test("rewrite rule does NOT fire when the rank column survives or for rank()") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -35,6 +35,21 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out.isNullAt(3), "null keys matched each other")
   }
 
+  test("asofJoin never matches null-timestamp rows on either side") {
+    // a null-ts right row sorts nulls-first and would otherwise leak its
+    // payload onto left rows that have no real prior match (DuckDB ASOF
+    // never matches a NULL ts); a null-ts left row must get no match.
+    val left = Seq((1L, Some(5L), "early"), (1L, Some(20L), "late"), (1L, None, "nullts"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, None, 666.0), (1L, Some(10L), 100.0)).toDF("k", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("price"))
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out == Map(
+      "early" -> -1.0,   // before the only real right row; null-ts row must NOT leak
+      "late" -> 100.0,
+      "nullts" -> -1.0)) // null-ts probe matches nothing
+  }
+
   test("asofJoin rejects value-column name collisions") {
     val df = Seq((1L, 2L, 3.0)).toDF("k", "ts", "price")
     intercept[IllegalArgumentException] {

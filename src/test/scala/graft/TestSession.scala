@@ -6,4 +6,5 @@ import org.apache.spark.sql.SparkSession
 object TestSession {
   lazy val spark: SparkSession = Engine.session("graft-test", "4")
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
