@@ -100,15 +100,84 @@ object Similarity {
     * Scale shape: centroids broadcast twice (assignment + probing), one
     * shuffle on cell id — corpus is never cross-joined. Recall grows
     * with nProbe/nCells (tested vs the exact baseline). */
+  /** Deterministic Lloyd-trained IVF centroids: seeds are the `nCells`
+    * rows first in `pmod(xxhash64(vec_id), 1000000007)` order (a
+    * hash-ordered deterministic sample — TakeOrdered, no global sort),
+    * refined by `iters` rounds of assign + mean.
+    *
+    * Scale shape per round (MLlib KMeans' shape): centroids broadcast,
+    * ONE narrow pass over the corpus computing per-partition
+    * (cell → sumVec, count) partials in a JVM loop — no shuffle of
+    * corpus rows at all; the driver combines partitions × nCells
+    * bounded partials (nCells × dim doubles — model state, not data).
+    * Cosine assignment ignores vector norms, so cells are trained on
+    * the same metric they serve. Empty cells keep their previous
+    * centroid. Returns (cell_id, ce: array<float>). */
+  def trainCentroids(corpus: DataFrame, nCells: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus.orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
+      .limit(nCells)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(seeds.nonEmpty, "trainCentroids: empty corpus")
+    val dim = seeds(0).length
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    var centers = seeds
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val partials = vecs.mapPartitions { rows =>
+        val cs = bc.value
+        val k = cs.length
+        // pre-normalized centers: cosine argmax = dot with unit centers
+        val unit = cs.map { c =>
+          val n = math.sqrt(c.map(x => x * x).sum)
+          if (n == 0.0) c else c.map(_ / n)
+        }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        rows.foreach { v =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            var dot = 0.0; var nv = 0.0
+            var i = 0
+            while (i < dim) { dot += v(i) * unit(c)(i); nv += v(i).toDouble * v(i); i += 1 }
+            val sim = if (nv == 0.0) 0.0 else dot / math.sqrt(nv)
+            if (sim > bestSim) { bestSim = sim; best = c } // strict > keeps lowest cell on ties
+            c += 1
+          }
+          val s = sums(best)
+          var i = 0
+          while (i < dim) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        Iterator.range(0, k).filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val nextSums = Array.fill(centers.length)(new Array[Double](dim))
+      val nextCounts = new Array[Long](centers.length)
+      partials.foreach { case (c, s, n) =>
+        var i = 0
+        while (i < dim) { nextSums(c)(i) += s(i); i += 1 }
+        nextCounts(c) += n
+      }
+      centers = centers.indices.toArray.map { c =>
+        if (nextCounts(c) == 0) centers(c) // empty cell: keep previous centroid
+        else nextSums(c).map(_ / nextCounts(c))
+      }
+      bc.destroy()
+      it += 1
+    }
+    spark.createDataset(centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) })
+      .toDF("cell_id", "ce")
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // deterministic pseudo-random sample of nCells rows (TakeOrdered —
-    // no global sort materialization)
-    val centroids = broadcast(
-      corpus.orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
-        .limit(nCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("ce")))
+    val centroids = broadcast(trainCentroids(corpus, nCells, lloydIters))
     def scoredCells(df: DataFrame, idAs: String, vecAs: String) = df
       .select(col("vec_id").as(idAs), col("embedding").as(vecAs))
       .join(centroids)

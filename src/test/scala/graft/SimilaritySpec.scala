@@ -90,15 +90,52 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ivfTopK recall vs brute force (16 cells, probe 4)") {
+  test("ivfTopK recall vs brute force (16 cells, probe 4, Lloyd-trained)") {
     val q = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfTopK(q, emb, 5, nCells = 16, nProbe = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty)
+    // isotropic synthetic embeddings are k-means' worst case (no cluster
+    // structure; "neighbors" sit at cos 0.3-0.5 and scatter across
+    // cells) — Lloyd training still lifts recall 0.43 → ~0.55 here.
+    // The clustered-corpus test below is the shape real corpora have.
     val recall = (approx & truth).size.toDouble / truth.size
-    assert(recall >= 0.3, s"recall $recall")
+    assert(recall >= 0.45, s"recall $recall")
+  }
+
+  test("ivfTopK on a clustered corpus: trained centroids give ~full recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val pts = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat))
+    }
+    val clustered = pts.toDF("vec_id", "embedding").cache()
+    val q = clustered.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, clustered, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, clustered, 5, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"clustered recall $recall") // measured 1.0 at 5 iters
+  }
+
+  test("trainCentroids is deterministic and empty cells keep previous centroid") {
+    import spark.implicits._
+    val c1 = Similarity.trainCentroids(emb, 16, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val c2 = Similarity.trainCentroids(emb, 16, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(c1 == c2, "training not deterministic across runs")
+    // duplicate corpus of a single point: every vector lands in one cell,
+    // the other cells must keep their (seed) centroid, not NaN out
+    val onePt = (0 until 50).map(i => (i.toLong, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val cs = Similarity.trainCentroids(onePt, 4, iters = 2).collect()
+    assert(cs.length == 4)
+    assert(cs.forall(r => !r.getSeq[Float](1).exists(_.isNaN)), "NaN centroid from empty cell")
   }
 
   test("annTopK recall vs brute force (8 tables x 4 planes, sf0.001)") {
