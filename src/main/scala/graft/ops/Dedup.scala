@@ -237,6 +237,65 @@ object Dedup {
 
   // ---- Duplicate clusters (connected components) ------------------------
 
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    * large-star hangs every neighbor larger than `u` under
+    * min(Γ(u) ∪ u); small-star hangs `u` and its smaller neighbors
+    * under its minimum neighbor. Each round halves tree heights, so
+    * convergence is O(log n) rounds even on chain graphs where
+    * min-label propagation needs O(diameter). Per round: two
+    * groupBy+join shuffles on node id, edges localCheckpoint'ed, the
+    * driver carries only the convergence probe. Returns
+    * ((node, comp) labels, rounds used). */
+  private[graft] def connectedComponentsStarWithRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    var cur = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = cur.limit(1).count() == 0
+    while (!converged && rounds < maxIter) {
+      // large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u});
+      // output is oriented large→small by construction (v > u >= m)
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the oriented edges: hang u and all its smaller
+      // neighbors under u's minimum neighbor
+      val mSmall = ls.groupBy("u").agg(min("v").as("m"))
+      val withM = ls.join(mSmall, "u")
+      val ss = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      converged = ss.count() == cur.count() &&
+        ss.exceptAll(cur).limit(1).count() == 0
+      cur = ss
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds")
+    // fixed point is a star per component: every edge points at the
+    // component minimum
+    val labels = cur.select(col("u").as("node"), col("v").as("comp"))
+      .union(cur.select(col("v").as("node"), col("v").as("comp")))
+      .groupBy("node").agg(min("comp").as("comp"))
+    (labels, rounds)
+  }
+
+  /** [[connectedComponentsStarWithRounds]] without the round count. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxIter)._1
+
   /** Connected components over an undirected edge list: (node, comp)
     * where comp is the minimum node id reachable from `node`. Only
     * nodes appearing in an edge are returned (isolated nodes are their
@@ -246,15 +305,17 @@ object Dedup {
     * edge list and takes the per-node min over neighbors — one shuffle
     * per round, rounds bounded by the component diameter. Near-dup
     * clusters are shallow (most are pairs/triangles), so this
-    * terminates in 2-3 rounds in practice; for adversarial long-chain
-    * graphs the large-star/small-star formulation (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) gets
-    * O(log n) rounds at the same per-round shuffle cost. Each round is
-    * localCheckpoint'ed to truncate lineage (at cluster scale use
-    * `spark.sparkContext.setCheckpointDir` + `checkpoint()`); the
-    * driver loop carries only a 0/1 convergence probe, never data. */
+    * terminates in 2-3 rounds in practice. If propagation has not
+    * converged after `switchAfter` rounds, the component diameter
+    * exceeds the budget (a long-chain graph) and the implementation
+    * switches to [[connectedComponentsStar]] — O(log n) rounds at the
+    * same per-round shuffle cost — instead of crawling one hop per
+    * round. Each round is localCheckpoint'ed to truncate lineage (at
+    * cluster scale use `spark.sparkContext.setCheckpointDir` +
+    * `checkpoint()`); the driver loop carries only a 0/1 convergence
+    * probe, never data. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, switchAfter: Int = 8): DataFrame = {
     // materialize once: every round joins against sym — without this the
     // whole upstream edge pipeline (e.g. the LSH join) re-executes per
     // iteration
@@ -267,7 +328,7 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    while (iter < math.min(switchAfter, maxIter) && !converged) {
       val viaNeighbors = sym
         .join(labels.select(col("node").as("b"), col("comp").as("nb_comp")), "b")
         .groupBy(col("a").as("node"))
@@ -285,11 +346,11 @@ object Dedup {
       iter += 1
     }
     if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — component " +
-          "diameter exceeds maxIter; raise it, or use a large-star/small-star " +
-          "formulation for long-chain graphs")
-    labels
+      // component diameter exceeds the propagation budget: a long-chain
+      // graph where one-hop-per-round would crawl. Star contraction
+      // finishes in O(log n) rounds on exactly these graphs.
+      connectedComponentsStar(edges, srcCol, dstCol, maxIter)
+    else labels
   }
 
   // ---- Winnowing --------------------------------------------------------

@@ -26,11 +26,17 @@ import org.apache.spark.sql.SparkSession
   * arbitrarily — supply a unique tiebreaker column (as every
   * deterministic top-k should) for stable output.
   *
-  * Memory: each task holds (groups-in-partition × k) retained rows on
-  * heap with no spill path — bounded and small for the top-k shapes
-  * this targets (k ≪ group size), but a very high-cardinality group
-  * key with large k belongs in the window/sort operator (which spills)
-  * instead.
+  * Memory: each task retains at most `spark.graft.topk.maxRetainedRows`
+  * (default 4M) heap rows. Past the budget the operator degrades
+  * gracefully instead of OOMing on high-cardinality group keys:
+  *  - the partial (map-side) phase stops admitting NEW groups and passes
+  *    their rows through unfiltered — semantically free, since the final
+  *    phase is exact regardless of what the partial pruned;
+  *  - the final phase dumps its heaps plus the remaining input into a
+  *    spillable external sorter ordered by (group, ordering) and streams
+  *    the first k rows of each sorted group — the same spill behavior
+  *    the window/sort plan would have, without giving up the map-side
+  *    pruning already done.
   */
 final case class GroupedTopKNode(
     groupExprs: Seq[Expression],
@@ -68,11 +74,22 @@ final case class GroupedTopKExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numPassThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows passed through on partial budget breach"),
+    "numSortFallbacks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partitions falling back to spillable sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupSchema = groupExprs
     val order = ordering
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val maxRetained = math.max(limit.toLong,
+      conf.getConfString("spark.graft.topk.maxRetainedRows", (4 << 20).toString).toLong)
+    val passThroughMetric = longMetric("numPassThroughRows")
+    val sortFallbackMetric = longMetric("numSortFallbacks")
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupSchema, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput.map(e => e: Expression), childOutput)
@@ -83,14 +100,19 @@ final case class GroupedTopKExec(
       val heapCmp = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
       }
-      while (iter.hasNext) {
-        val row = iter.next() match {
-          case u: UnsafeRow => u
-          case r => toUnsafe(r)
-        }
+      val maxGroups = math.max(1L, maxRetained / limit)
+      import scala.jdk.CollectionConverters._
+
+      def flushHeaps(): Iterator[InternalRow] =
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+      /** Absorb into the group's heap; true when the row was consumed,
+        * false when the group budget is exhausted (caller decides). */
+      def absorb(row: UnsafeRow): Boolean = {
         val key = groupProj.apply(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxGroups) return false
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, heapCmp)
           heaps.put(key.copy(), heap)
         }
@@ -100,9 +122,57 @@ final case class GroupedTopKExec(
           heap.poll()
           heap.add(row.copy())
         }
+        true
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+      val unsafeIter = iter.map {
+        case u: UnsafeRow => u
+        case r => toUnsafe(r)
+      }
+
+      if (isPartial) {
+        // Map side: rows of groups beyond the budget stream through
+        // unfiltered (the exact final phase prunes them); tracked groups
+        // keep their bounded heaps. Lazy suffix flushes the heaps only
+        // after the input is exhausted.
+        unsafeIter.flatMap { row =>
+          if (absorb(row)) Iterator.empty
+          else { passThroughMetric.add(1); Iterator.single(row.copy(): InternalRow) }
+        } ++ flushHeaps()
+      } else {
+        // Reduce side: absorb until the budget trips, then dump heaps +
+        // the tripping row + remaining input into a spillable sort on
+        // (group, ordering) and stream the first k rows per sorted group.
+        var breached = false
+        var tripped: UnsafeRow = null
+        while (unsafeIter.hasNext && !breached) {
+          val row = unsafeIter.next()
+          if (!absorb(row)) { breached = true; tripped = row.copy() }
+        }
+        if (!breached) flushHeaps()
+        else {
+          sortFallbackMetric.add(1)
+          val groupSort = groupSchema.map(e =>
+            SortOrder(BindReferences.bindReference(e, childOutput),
+              org.apache.spark.sql.catalyst.expressions.Ascending))
+          val fullSort = groupSort ++ order.map(BindReferences.bindReference(_, childOutput))
+          val sorter = org.apache.spark.sql.graftshim.Shim.rowSorter(
+            org.apache.spark.sql.graftshim.Shim.schemaOf(childOutput),
+            GenerateOrdering.generate(fullSort))
+          sorter.insertRow(tripped)
+          flushHeaps().foreach(r => sorter.insertRow(r.asInstanceOf[UnsafeRow]))
+          heaps.clear()
+          val sorted = sorter.sort(unsafeIter)
+          var curKey: UnsafeRow = null
+          var emitted = 0
+          sorted.filter { r =>
+            val key = groupProj.apply(r.asInstanceOf[UnsafeRow])
+            if (curKey == null || key != curKey) { curKey = key.copy(); emitted = 0 }
+            emitted += 1
+            emitted <= limit
+          }
+        }
+      }
     }
   }
 

@@ -21,4 +21,27 @@ object Shim {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Task-side page size for spillable sorters (private[spark] on SparkEnv). */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  def schemaOf(attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(attrs)
+
+  /** A spill-capable row sorter with the prefix optimization disabled
+    * (constant prefix → every comparison falls through to `ordering`). */
+  def rowSorter(schema: org.apache.spark.sql.types.StructType,
+                ordering: scala.math.Ordering[org.apache.spark.sql.catalyst.InternalRow]): org.apache.spark.sql.execution.UnsafeExternalRowSorter = {
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: org.apache.spark.sql.catalyst.InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
+      }
+    }
+    UnsafeExternalRowSorter.create(
+      schema, ordering, PrefixComparators.LONG, prefixComputer, pageSizeBytes, false)
+  }
 }

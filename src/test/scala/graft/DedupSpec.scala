@@ -146,6 +146,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 20 && got.values.forall(_ == 0L))
   }
 
+  test("star contraction matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)) ++
+      Seq.fill(40)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))).filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponentsStar(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    assert(got == truth)
+  }
+
+  test("star contraction converges in O(log n) rounds on a 500-node chain") {
+    import spark.implicits._
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) =
+      Dedup.connectedComponentsStarWithRounds(chain, "src", "dst", maxIter = 20)
+    // Kiveris et al.: alternating rounds halve tree heights — expect
+    // ~log2(500) ≈ 9 (+ slack); label propagation would need 499.
+    assert(rounds <= 13, s"took $rounds rounds (not O(log n))")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents auto-switches to star contraction past switchAfter") {
+    import spark.implicits._
+    // 60-node chain: diameter 59 >> switchAfter 3; label propagation
+    // alone would need 59 rounds — the switch must still yield exact labels
+    val chain = (100L until 159L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(chain, "src", "dst", maxIter = 20, switchAfter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 100L))
+  }
+
   test("embedNearDups: exact precision, recall vs all-pairs baseline, no NestedLoop") {
     val emb = Tables(spark, TestSession.sf001).embeddings
     val blocked = Dedup.embedNearDups(emb, threshold = 0.4)

@@ -71,6 +71,45 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(got == windowTopK(3))
   }
 
+  test("high-cardinality group key under a tiny retained-rows budget: falls back, stays exact") {
+    // every o_orderkey is its own group (~7.5k groups at sf0.001): with
+    // maxRetainedRows=64 both phases trip their budgets — the partial
+    // phase passes rows through, the final phase takes the spillable
+    // sort path — and the result must still equal the window plan's.
+    spark.conf.set("spark.graft.topk.maxRetainedRows", "64")
+    try {
+      val top = graft.plans.GroupedTopK(orders, Seq("o_orderkey"), 1,
+        Seq(("o_totalprice", true), ("o_orderkey", false)))
+      // collect `top` itself: a .select() would wrap it in a NEW
+      // QueryExecution and the metrics we inspect below would belong to
+      // a never-executed plan copy
+      val got = top.collect()
+        .map(r => (r.getLong(r.fieldIndex("o_orderkey")), r.getDouble(r.fieldIndex("o_totalprice")))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val want = orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_orderkey", "o_totalprice").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, s"fallback path diverged: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+      // prove the degraded paths actually ran (not a vacuous pass)
+      def findTopK(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.plans.GroupedTopKExec] =
+        p.flatMap {
+          case g: graft.plans.GroupedTopKExec => Seq(g)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findTopK(s.plan)
+          case _ => Nil
+        }
+      val execs = top.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findTopK(a.executedPlan)
+        case p => findTopK(p)
+      }
+      assert(execs.nonEmpty)
+      val passThrough = execs.map(_.metrics("numPassThroughRows").value).sum
+      val sortFallbacks = execs.map(_.metrics("numSortFallbacks").value).sum
+      assert(passThrough > 0, "partial phase never hit its budget")
+      assert(sortFallbacks > 0, "final phase never took the spillable-sort path")
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
+  }
+
   test("rewrite rule fires on a bigint rank bound (rn <= 3L)") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
