@@ -102,6 +102,21 @@ object Bench {
           System.err.println(s"[bench] w2_stream_ingest failed: ${e.getMessage}")
           -1.0
       }
+    // same probe on the RocksDB state store (the 100TB keyed-state
+    // backend): state off-heap in native RocksDB instead of the on-heap
+    // HDFS-backed map
+    if (only.forall(_.contains("w2_stream_ingest_rocksdb"))) results("w2_stream_ingest_rocksdb") =
+      try {
+        Engine.useRocksDBStateStore(spark)
+        try {
+          streamIngestSec(spark, batches = 2, perBatch = 10000) // warmup
+          median((0 until runs).map(_ => streamIngestSec(spark, batches = 10, perBatch = 20000)))
+        } finally Engine.useDefaultStateStore(spark)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] w2_stream_ingest_rocksdb failed: ${e.getMessage}")
+          -1.0
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -38,6 +38,27 @@ object Engine {
     spark
   }
 
+  /** Route streaming keyed state to the embedded-RocksDB provider — the
+    * reference's "rocksDB state backend" (flink_arch.drawio page "Flink
+    * memory"): state lives off the JVM heap in native memory + local
+    * disk, so executor heap no longer bounds keyed-state size. At 100TB
+    * keyed-state scale this is the only viable backend; the default
+    * HDFS-backed provider keeps every key on-heap. Session-wide conf —
+    * call before starting queries. Reversible via
+    * [[useDefaultStateStore]]. */
+  def useRocksDBStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark
+  }
+
+  /** Back to the default HDFS-backed (on-heap) state store provider. */
+  def useDefaultStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark
+  }
+
   /** Ensure an externally-created session can read the nanos-timestamp
     * `events` parquet; safe to call repeatedly. */
   def tune(spark: SparkSession): SparkSession = {

@@ -157,54 +157,96 @@ object Streams {
     * cross-batch recall the per-batch `dropDuplicates` shape can't
     * give. Candidates (id_a < id_b) may repeat across bands; callers
     * dedupe downstream (the batch pipeline's `distinct`). State is
-    * bounded: `maxPerBucket` docs per bucket (FIFO eviction — newest
-    * docs pair against the most recent history, the dedup-against-
-    * recent-corpus contract); at cluster scale add a timeout like
-    * [[sessionizeWithTimeout]] to expire cold buckets.
+    * bounded two ways: `maxPerBucket` docs per bucket (FIFO eviction —
+    * newest docs pair against the most recent history, the dedup-
+    * against-recent-corpus contract), and — when `tsCol` is given —
+    * cold buckets expire wholesale via an event-time timer
+    * `bucketTtlMs` after their newest doc (the
+    * [[sessionizeWithTimeout]] timer pattern), so bucket cardinality
+    * tracks the active horizon, not the stream's lifetime.
     *
-    * Input: (doc_id long, text string). Output: (id_a, id_b). */
+    * Input: (doc_id long, text string[, event-time ts]).
+    * Output: (id_a, id_b). */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxPerBucket: Int = 64): DataFrame = {
+                        maxPerBucket: Int = 64,
+                        tsCol: Option[String] = None,
+                        watermark: String = "10 minutes",
+                        bucketTtlMs: Long = 1800000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.{Dedup, TextAnalysis}
     val r = Dedup.K / Dedup.Bands
-    val banded = docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = TextAnalysis.shingleHashes3Typed(text)
-        if (hs.isEmpty) Iterator.empty
-        else {
-          val sig = Dedup.sigOf(hs)
-          (0 until Dedup.Bands).iterator.map { b =>
-            val slice = (0 until r).map(j => sig(b * r + j))
-            (id, b, scala.util.hashing.MurmurHash3.orderedHash(slice, b).toLong)
-          }
+    def bandsOf(id: Long, text: String): Iterator[(Long, Int, Long)] = {
+      val hs = TextAnalysis.shingleHashes3Typed(text)
+      if (hs.isEmpty) Iterator.empty
+      else {
+        val sig = Dedup.sigOf(hs)
+        (0 until Dedup.Bands).iterator.map { b =>
+          val slice = (0 until r).map(j => sig(b * r + j))
+          (id, b, scala.util.hashing.MurmurHash3.orderedHash(slice, b).toLong)
         }
       }
-      .toDF(idCol, "band", "bh")
-    banded
-      .groupByKey(row => (row.getInt(1), row.getLong(2)))
-      .flatMapGroupsWithState[List[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          rows.foreach { row =>
-            val id = row.getLong(0)
-            if (!seen.contains(id)) {
-              seen.foreach { other =>
-                if (other != id)
-                  out += ((math.min(id, other), math.max(id, other)))
-              }
-              seen = (id :: seen).take(maxPerBucket)
-            }
+    }
+    // shared per-bucket pairing step; returns the new seen-list
+    def emitPairs(seen0: List[Long], rows: Iterator[org.apache.spark.sql.Row],
+                  out: scala.collection.mutable.ArrayBuffer[(Long, Long)]): List[Long] = {
+      var seen = seen0
+      rows.foreach { row =>
+        val id = row.getLong(0)
+        if (!seen.contains(id)) {
+          seen.foreach { other =>
+            if (other != id)
+              out += ((math.min(id, other), math.max(id, other)))
           }
-          state.update(seen)
-          out.iterator
+          seen = (id :: seen).take(maxPerBucket)
+        }
       }
-      .toDF("id_a", "id_b")
+      seen
+    }
+    tsCol match {
+      case None =>
+        docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) => bandsOf(id, text) }
+          .toDF(idCol, "band", "bh")
+          .groupByKey(row => (row.getInt(1), row.getLong(2)))
+          .flatMapGroupsWithState[List[Long], (Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[List[Long]]) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              state.update(emitPairs(state.getOption.getOrElse(Nil), rows, out))
+              out.iterator
+          }
+          .toDF("id_a", "id_b")
+      case Some(ts) =>
+        docs
+          .select(col(idCol).cast("long"), col(textCol).cast("string"),
+            col(ts).cast("timestamp").as("__ts"))
+          .as[(Long, String, java.sql.Timestamp)]
+          .flatMap { case (id, text, t) => bandsOf(id, text).map(x => (x._1, x._2, x._3, t)) }
+          .toDF(idCol, "band", "bh", "__ts")
+          .withWatermark("__ts", watermark)
+          .groupByKey(row => (row.getInt(1), row.getLong(2)))
+          .flatMapGroupsWithState[List[Long], (Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (_, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[List[Long]]) =>
+              if (state.hasTimedOut) {
+                state.remove() // cold bucket: drop the whole seen-list
+                Iterator.empty
+              } else {
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                var maxTs = Long.MinValue
+                val buffered = rows.map { r => maxTs = math.max(maxTs, r.getTimestamp(3).getTime); r }
+                state.update(emitPairs(state.getOption.getOrElse(Nil), buffered, out))
+                // re-arm: expire bucketTtlMs after the newest doc (never
+                // behind the watermark, which would be rejected)
+                state.setTimeoutTimestamp(
+                  math.max(maxTs + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
+                out.iterator
+              }
+          }
+          .toDF("id_a", "id_b")
+    }
   }
 
   /** Streaming exact dedup by key within the watermark horizon (the
@@ -236,6 +278,45 @@ object Streams {
     * `StreamingQueryProgress.observedMetrics` or a QueryExecutionListener. */
   def withMetrics(df: DataFrame, name: String, metrics: Seq[Column]): DataFrame =
     df.observe(name, metrics.head, metrics.tail: _*)
+
+  // ---- Late-data accounting (Flink side-output equivalent) --------------
+
+  /** Exact count of rows this query's watermarked stateful operators
+    * have dropped as late, summed over completed triggers (Spark's
+    * per-operator `numRowsDroppedByWatermark` — no extra pass over the
+    * data). Closes half of the documented side-output divergence
+    * (SURVEY §7.4 item 2): Spark drops late rows silently; this makes
+    * the drop count first-class. Progress retention bounds the window
+    * (default last 100 triggers) — poll per trigger for lifetime totals. */
+  def lateRowsDropped(q: StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark))
+      .sum
+
+  /** The capture half of the side-output equivalent: a foreachBatch
+    * query over the SAME source that replicates Spark's watermark
+    * advancement rule — watermark for trigger n = (max event time over
+    * triggers < n) − delay, never decreasing — and hands each batch's
+    * late rows (those an aggregation with the same `delayMs` would
+    * drop) to `onLate`. The classifier state is one driver-side long;
+    * a fresh run restarts the watermark at −∞ exactly like a fresh
+    * aggregation checkpoint would. */
+  def captureLateRows(events: DataFrame, tsCol: String, delayMs: Long,
+                      checkpoint: String)(onLate: DataFrame => Unit): StreamingQuery = {
+    var watermarkMs = Long.MinValue // foreachBatch runs on the driver
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = watermarkMs
+        if (cur > Long.MinValue)
+          onLate(batch.filter(unix_millis(col(tsCol).cast("timestamp")) < cur))
+        else
+          onLate(batch.limit(0))
+        val mx = batch.agg(max(unix_millis(col(tsCol).cast("timestamp")))).head()
+        if (!mx.isNullAt(0)) watermarkMs = math.max(cur, mx.getLong(0) - delayMs)
+      }
+      .start()
+  }
 
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */

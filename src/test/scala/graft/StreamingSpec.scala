@@ -237,6 +237,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E1-stream bucket state expires via event-time TTL (cold buckets evicted)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val cands = Streams.nearDupCandidates(
+      in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      tsCol = Some("ts"), watermark = "1 minute", bucketTtlMs = 120000L) // 2-min TTL
+    val q = cands.writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L, base)); q.processAllAvailable()
+      val stateAfterWarm = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterWarm > 0, "no bucket state created")
+      // jump event time far past ts(1) + TTL + watermark: timers fire
+      in.addData((ts(50), 10L, "completely unrelated words about catalyst optimizer internals and shuffles"))
+      q.processAllAvailable()
+      // one more batch so timed-out state removal lands in a progress report
+      in.addData((ts(52), 11L, "other unrelated prose about parquet row groups and encodings today"))
+      q.processAllAvailable()
+      val stateAfterTtl = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterTtl < stateAfterWarm + 128, // doc1's 64 buckets must be gone
+        s"cold buckets not evicted: warm=$stateAfterWarm now=$stateAfterTtl")
+      // doc 2 is a near-dup of doc 1 but arrives after doc 1's buckets
+      // expired: no cross-pair may surface (history really was dropped)
+      in.addData((ts(53), 2L, base + " again")); q.processAllAvailable()
+      val pairs = spark.table("neardup_ttl").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 2L)), s"expired history still paired: $pairs")
+    } finally q.stop()
+  }
+
+  test("W4b late-data accounting: drop counter + capture channel (side-output equivalent)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.tumblingAgg(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("late_acct")
+      .outputMode(OutputMode.Append()).start()
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cap = Streams.captureLateRows(
+      in.toDF().toDF("ts", "k"), "ts", delayMs = 600000L, checkpoint = tmp("late-cap")) {
+      late => late.collect().foreach(r => captured.add(r.getTimestamp(0).getTime))
+    }
+    try {
+      in.addData((ts(1), "x"), (ts(5), "x"))
+      q.processAllAvailable(); cap.processAllAvailable()
+      in.addData((ts(31), "x")) // watermark -> 00:21
+      q.processAllAvailable(); cap.processAllAvailable()
+      in.addData((ts(2), "x"), (ts(32), "x")) // ts(2) < 00:21: dropped + captured
+      q.processAllAvailable(); cap.processAllAvailable()
+      assert(Streams.lateRowsDropped(q) == 1L,
+        s"drop counter: ${Streams.lateRowsDropped(q)}")
+      assert(captured.size == 1 && captured.peek() == ts(2).getTime,
+        s"capture channel got: ${captured.toArray.toSeq}")
+    } finally { q.stop(); cap.stop() }
+  }
+
+  test("W2b keyed streaming aggregate under the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    Engine.useRocksDBStateStore(spark)
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val agg = in.toDF().toDF("user_id", "value")
+        .groupBy("user_id").agg(sum("value").as("total"))
+      val q = agg.writeStream.format("memory").queryName("rocksdb_agg")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+        in.addData((1L, 3.0));            q.processAllAvailable()
+        val m = spark.table("rocksdb_agg").groupBy("user_id").agg(max("total").as("t"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(m == Map(1L -> 4.0, 2L -> 2.0), s"got $m")
+        val provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        assert(provider.contains("RocksDB"))
+      } finally q.stop()
+    } finally Engine.useDefaultStateStore(spark)
+  }
+
   test("W1b AvailableNow trigger drains the backlog then stops (backfill mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = tmp("graft-avnow")
