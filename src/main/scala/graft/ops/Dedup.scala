@@ -182,6 +182,34 @@ object Dedup {
     }
   }
 
+  // ---- Dedup against a reference corpus ---------------------------------
+
+  /** Dedup-against-corpus with a broadcast Bloom pre-filter — the
+    * documented 100TB path for "drop the new crawl's docs already in
+    * the training set". A Bloom filter over the reference fingerprints
+    * is built in one aggregation (the driver holds only the sketch,
+    * `-n·ln(fpp)/ln²2` bits ≈ 1.2 GB per 10⁹ keys at 1% fpp) and
+    * broadcast; rows it rules out are DEFINITELY new and bypass the
+    * join entirely, and only the ~fpp-fraction of flagged rows reach
+    * the exact anti-join. Bloom filters have no false negatives, so the
+    * result is row-identical to the plain anti-join — same oracle —
+    * while the shuffle carries |new|·(dupRate + fpp) rows instead of
+    * |new|. The membership probe is a per-row UDF by necessity (Spark
+    * exposes no Column API over sketches); it is narrow, branch-free,
+    * and prunes a shuffle — the one trade the "functions, not UDFs"
+    * rule exists to permit. */
+  def dedupAgainstBloom(newDocs: DataFrame, refFps: DataFrame, fpCol: String,
+                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = refFps.stat.bloomFilter(fpCol, expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val definitelyNew = newDocs.filter(!might(col(fpCol)))
+    val flagged = newDocs.filter(might(col(fpCol)))
+    val verified = flagged.join(refFps.select(fpCol).distinct(), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(verified.select(newDocs.columns.map(col): _*))
+  }
+
   // ---- Embedding near-dup (sign-LSH blocked) ----------------------------
 
   /** Embedding-cosine near-dup pairs: deterministic integer sign-LSH

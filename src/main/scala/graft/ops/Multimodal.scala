@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with a typed metadata struct.
   *
   * The Spark-side plumbing — schema, typed records, per-partition batch
-  * decode, feature schema — is real and tested. The actual media decode
-  * is STUBBED (`decodeStub`): the container has no image/audio codecs,
-  * so it derives a deterministic fake header from the bytes. Swapping in
-  * a real decoder (e.g. javacv / a JNI codec) changes only that one
-  * function; the distributed shape (mapPartitions so a decoder instance
-  * is created once per partition, not per row — the same
+  * decode, feature schema — is real and tested, and so is header
+  * METADATA extraction: [[parseImageHeader]] reads width/height/
+  * channels straight out of real PNG/JPEG container headers with pure
+  * JVM byte arithmetic (no codec library). Only pixel DECODING remains
+  * stubbed (`decodeStub`, used for payloads that are not real media):
+  * the container ships no image/audio codecs. Swapping in a real pixel
+  * decoder (e.g. javacv / a JNI codec) changes only that one function;
+  * the distributed shape (mapPartitions so a decoder instance is
+  * created once per partition, not per row — the same
   * open-once-per-split pattern the reference traces in
   * `openInputFormat()`, ExecutionEnviromentreadTextFile创建DataSource分析.md:98-100)
   * stays identical.
@@ -32,13 +35,65 @@ object Multimodal {
     (16 + b0 % 240, 16 + b1 % 240, 1 + (n % 4))
   }
 
+  /** REAL container-header parse for PNG and JPEG payloads: width,
+    * height, channels read straight from the header bytes — pure JVM
+    * byte arithmetic, no codec library required (only pixel DECODING
+    * needs one; that part remains [[decodeStub]] for synthetic
+    * payloads). None when neither magic matches. */
+  def parseImageHeader(content: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = content(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    val n = content.length
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // len(4) "IHDR"(4) width(4 BE) height(4 BE) bitdepth(1) colortype(1)
+    if (n >= 26 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        content(12) == 'I' && content(13) == 'H' && content(14) == 'D' && content(15) == 'R') {
+      val channels = u8(25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolour
+        case 3 => 1 // palette-indexed
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolour + alpha
+        case _ => return None
+      }
+      Some((be32(16), be32(20), channels))
+    }
+    // JPEG: FF D8, then marker segments; dimensions live in the first
+    // start-of-frame marker (C0–CF excluding C4/C8/CC):
+    // FF Cx len(2) precision(1) height(2 BE) width(2 BE) components(1)
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 <= n) {
+        if (u8(i) != 0xff) return None // desynced marker stream
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone markers carry no length
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+                   marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return Some((be16(i + 7), be16(i + 5), u8(i + 9)))
+        } else {
+          i += 2 + be16(i + 2) // skip the segment payload
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Header parse when the payload is a real container, stub otherwise —
+    * the single decode entry point [[extractMeta]] batches over. */
+  def decodeMeta(content: Array[Byte]): (Int, Int, Int) =
+    parseImageHeader(content).getOrElse(decodeStub(content))
+
   /** Batch feature extraction: one decoder init per partition. */
   def extractMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // decoder/codec context would be opened once here, per partition
       it.map { r =>
-        val (w, h, c) = decodeStub(r.content)
+        val (w, h, c) = decodeMeta(r.content)
         MediaMeta(r.id, r.content.length, w, h, c)
       }
     }

@@ -59,36 +59,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH. */
-  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
-
-  /** Per-table sign-bucket signatures: table t hashes the vector with
-    * planes [t*planesPerTable, (t+1)*planesPerTable). Returns an
-    * array<struct<tbl,bucket>> for explode-and-join. Multi-table OR
-    * amplification: a pair is a candidate if it collides in ANY table —
-    * recall 1-(1-p^k)^L instead of single-table p^k. */
-  def lshTables(v: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {
-    val hp = hyperplanes(tables * planesPerTable, dim)
-    val vd = toDouble(v)
-    // guard: a dim mismatch would null-pad every projection → all rows
-    // in bucket 0 of every table → silent all-pairs join. Fail loudly.
-    val checked = when(assert_true(size(vd) === dim,
-      lit(s"lshTables: embedding length != dim=$dim")).isNull, vd)
-    val entries = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).map { j =>
-        val proj = aggregate(
-          zip_with(checked, lit(hp(t * planesPerTable + j)), (x, h) => x * h),
-          lit(0.0), (acc, p) => acc + p)
-        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    array(entries: _*)
-  }
-
   /** IVF-style approximate top-k (the second scale path, alongside
     * [[annTopK]]): the corpus is clustered into `nCells` cells around
     * deterministic centroids (the `nCells` rows ordered first by
@@ -205,53 +175,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
-  /** Approximate top-k via multi-table hyperplane LSH: candidates are
-    * rows sharing a (table, bucket) cell with the query in at least one
-    * table; exact cosine + window top-k within the (deduplicated)
-    * candidates. Same output schema as [[bruteForceTopK]]; recall is
-    * probabilistic and tested against the exact baseline.
-    *
-    * Scale shape: corpus scanned once to emit `tables` bucket entries
-    * per row, then a hash-partitioned equi-join on (tbl, bucket) — never
-    * a cross product. More tables → higher recall, more candidates. */
-  /** Typed bucket signatures: all tables×planes projections of a row in
-    * one fused JVM loop (the Column/HOF formulation re-interprets 32
-    * aggregate(zip_with) trees per row — same math, ~10× the CPU).
-    * Bit-identical to [[lshTables]]: same plane order, same
-    * float→double promotion, same summation order. */
-  private def bucketSignatures(df: DataFrame, idAs: String,
-                               tables: Int, planesPerTable: Int, dim: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hp = hyperplanes(tables * planesPerTable, dim)
-    df.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        // dim mismatch would zero-pad projections → one giant bucket →
-        // silent all-pairs join. Fail loudly instead.
-        require(v != null && v.length == dim,
-          s"lsh: embedding length ${if (v == null) "null" else v.length} != dim=$dim")
-        val out = new Array[(Long, Int, Long)](tables)
-        var t = 0
-        while (t < tables) {
-          var bucket = 0L
-          var j = 0
-          while (j < planesPerTable) {
-            val plane = hp(t * planesPerTable + j)
-            var s = 0.0
-            var i = 0
-            while (i < dim) { s += v(i) * plane(i); i += 1 }
-            if (s > 0) bucket |= (1L << j)
-            j += 1
-          }
-          out(t) = (id, t, bucket)
-          t += 1
-        }
-        out.toSeq
-      }
-      .toDF(idAs, "tbl", "bucket")
-  }
-
   // ---- Deterministic integer sign-LSH (oracle-mirrorable) ---------------
 
   /** Avalanche-mixed 32-bit plane weights from the flat (plane, dim)
@@ -321,11 +244,22 @@ object Similarity {
       .toDF(idAs, "tbl", "bucket")
   }
 
+  /** Approximate top-k via multi-table sign-LSH: candidates are rows
+    * sharing a (table, bucket) cell with the query in at least one
+    * table; exact cosine + window top-k within the (deduplicated)
+    * candidates. Same output schema as [[bruteForceTopK]]; recall is
+    * probabilistic and tested against the exact baseline. Signatures
+    * come from [[intBucketSignatures]] — exact integer arithmetic, so
+    * the whole operator is reproducible in a plain-SQL oracle.
+    *
+    * Scale shape: corpus scanned once to emit `tables` bucket entries
+    * per row, then a hash-partitioned equi-join on (tbl, bucket) — never
+    * a cross product. More tables → higher recall, more candidates. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def bucketed(df: DataFrame, idAs: String) =
-      bucketSignatures(df, idAs, tables, planesPerTable, dim)
+      intBucketSignatures(df, idAs, tables, planesPerTable, dim)
     // candidate id-pairs: collide in any table; dedupe ids only (cheap
     // shuffle), embeddings re-attached afterwards
     val cand = bucketed(corpus, "neighbor_id")

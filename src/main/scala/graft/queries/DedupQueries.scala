@@ -196,5 +196,27 @@ object DedupQueries {
       newDocs.join(refFps, Seq("fp"), "left_anti").select("doc_id", "n_chars")
   }
 
-  val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed, winnow, dedupAgainst)
+  // Same contract through the Bloom pre-filter path (broadcast sketch
+  // rules most genuinely-new docs out of the join; flagged rows get the
+  // exact anti-join): row-identical to e1_dedup_against by construction
+  // (no false negatives), so it shares the oracle — while shuffling only
+  // the flagged fraction at scale.
+  private val dedupAgainstBloom = QueryDef("e1_dedup_against_bloom", Some(
+    """SELECT n.doc_id, n.n_chars
+      |FROM documents n
+      |WHERE n.doc_id % 2 = 1
+      |  AND NOT EXISTS (SELECT 1 FROM documents r
+      |                  WHERE r.doc_id % 2 = 0 AND md5(r.text) = md5(n.text))""".stripMargin)) {
+    (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+      val refFps = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fp"))
+      Dedup.dedupAgainstBloom(newDocs, refFps, "fp", expectedItems = 20000)
+        .select("doc_id", "n_chars")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
+    winnow, dedupAgainst, dedupAgainstBloom)
 }

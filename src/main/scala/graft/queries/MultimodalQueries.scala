@@ -37,8 +37,17 @@ object MultimodalQueries {
       .toDF("id", "byte_len", "width", "height", "channels")
   }
 
-  // Frame sampling (typed flatMap over binary payloads). Rows-only.
-  private val frames = QueryDef("mm_frames", None, bench = false) { (spark, dir) =>
+  // Frame sampling (typed flatMap over binary payloads). The sampling
+  // arithmetic — frame count, offsets, slice lengths over the UTF-8
+  // byte payload — is fully deterministic, so it gets a real oracle
+  // (was rows-only).
+  private val frames = QueryDef("mm_frames", Some(
+    """WITH f AS (SELECT doc_id, octet_length(cast(text AS BLOB)) AS len,
+      |                  unnest(range(0, least(16, greatest(1, octet_length(cast(text AS BLOB)) // 256)))) AS i
+      |           FROM documents)
+      |SELECT doc_id AS id, cast(i AS INT) AS frame_idx, cast(i*256 AS INT) AS "offset",
+      |       cast(least(256, len - i*256) AS INT) AS frame_len
+      |FROM f""".stripMargin), bench = false) { (spark, dir) =>
     import spark.implicits._
     Multimodal.sampleFrames(
         Multimodal.fromDocuments(Tables(spark, dir).documents),

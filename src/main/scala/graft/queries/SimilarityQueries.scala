@@ -27,8 +27,37 @@ object SimilarityQueries {
   }
 
   // LSH-bucketed approximate top-5 (the scale path: same-bucket
-  // candidates only). Rows-only; recall vs brute force is ScalaTest'd.
-  private val ann = QueryDef("e2_ann_topk", None) { (spark, dir) =>
+  // candidates only). The integer sign-LSH signatures are exact int64
+  // arithmetic, so the DuckDB oracle reproduces the full operator —
+  // bucketing, candidate join, exact rescoring, top-k — bit-for-bit
+  // (was rows-only when the planes were JVM-seeded gaussians).
+  private val ann = QueryDef("e2_ann_topk", Some(
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv FROM e),
+      |idx AS (SELECT tbl, j, i, ((tbl*4 + j)*64 + i + 1) AS x
+      |        FROM range(0,8) t(tbl), range(0,4) jj(j), range(0,64) ii(i)),
+      |w1 AS (SELECT tbl, j, i, (x*2654435761) % 4294967296 AS h FROM idx),
+      |w2 AS (SELECT tbl, j, i, (xor(h, h//65536) * 40503) % 4294967296 AS h FROM w1),
+      |wt AS (SELECT tbl, j, i, xor(h, h//8192) - 2147483648 AS w FROM w2),
+      |wl AS (SELECT tbl, j, list(w ORDER BY i) AS wv FROM wt GROUP BY tbl, j),
+      |proj AS (SELECT q.vec_id, wl.tbl, wl.j,
+      |           list_sum(list_transform(range(1,65), i -> q.qv[i]*wl.wv[i])) AS s
+      |         FROM q, wl),
+      |sig AS (SELECT vec_id, tbl,
+      |          sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |        FROM proj GROUP BY vec_id, tbl),
+      |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      |         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |         WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+      |s AS (SELECT query_id, neighbor_id,
+      |             list_dot_product(ea.v, eb.v)
+      |               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      |      FROM cand JOIN e ea ON ea.vec_id = cand.query_id JOIN e eb ON eb.vec_id = cand.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             cast(row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= 5""".stripMargin)) { (spark, dir) =>
     val e = Tables(spark, dir).embeddings
     Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5)
   }

@@ -221,6 +221,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got == truth, s"missed: ${(truth -- got).take(5)}… extra: ${got -- truth}")
   }
 
+  test("dedupAgainstBloom equals the exact anti-join (no false negatives possible)") {
+    val docs = Tables(spark, TestSession.sf001).documents
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val refFps = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("fp"))
+    val viaBloom = Dedup.dedupAgainstBloom(newDocs, refFps, "fp", expectedItems = 20000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAntiJoin = newDocs.join(refFps, Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == viaAntiJoin,
+      s"bloom path diverged: extra=${viaBloom -- viaAntiJoin} missing=${viaAntiJoin -- viaBloom}")
+  }
+
   test("exactByKey keeps min id and is idempotent") {
     import spark.implicits._
     val df = Seq((10L, "x"), (3L, "x"), (5L, "y")).toDF("id", "k")

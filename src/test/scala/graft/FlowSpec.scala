@@ -68,6 +68,47 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal parseImageHeader reads real PNG and JPEG headers (pure JVM)") {
+    import graft.ops.Multimodal
+    // hand-built minimal PNG: signature + IHDR(640x360, colortype 6 = RGBA)
+    def pngHeader(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0) ++ be32(0) // bitdepth, ct, misc, fake CRC
+    }
+    assert(Multimodal.parseImageHeader(pngHeader(640, 360, 6)) == Some((640, 360, 4)))
+    assert(Multimodal.parseImageHeader(pngHeader(31, 7, 0)) == Some((31, 7, 1)))
+    assert(Multimodal.parseImageHeader(pngHeader(16, 16, 2)) == Some((16, 16, 3)))
+    // hand-built minimal JPEG: SOI, APP0 segment, then SOF0(1024x768, 3 comps)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ Array.fill[Byte](14)(0) ++ // APP0
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(768) ++ be16(1024) ++ Array[Byte](3) ++ Array.fill[Byte](9)(0)
+    assert(Multimodal.parseImageHeader(jpeg) == Some((1024, 768, 3)))
+    // non-media bytes fall back to None (extractMeta then uses the stub)
+    assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
+    assert(Multimodal.parseImageHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("multimodal extractMeta end-to-end: real headers parsed, text stubs unchanged") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val txt = "some document text".getBytes("UTF-8")
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "mem://a.png", "image/png", png),
+      Multimodal.MediaRecord(2L, "mem://b.txt", "text/plain", txt)).toDS()
+    val metas = Multimodal.extractMeta(ds).collect().map(m => m.id -> m).toMap
+    assert(metas(1L) == Multimodal.MediaMeta(1L, png.length, 320, 200, 3))
+    val (sw, sh, sc) = Multimodal.decodeStub(txt)
+    assert(metas(2L) == Multimodal.MediaMeta(2L, txt.length, sw, sh, sc))
+  }
+
   test("T8 keyed sumBy/minBy/maxBy aggregate the reference's keyed shapes") {
     import spark.implicits._
     val data = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0), ("b", 1.0), ("a", 0.5))
