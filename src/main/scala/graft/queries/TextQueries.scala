@@ -234,5 +234,30 @@ object TextQueries {
         max("n_chars").as("max_chars"))
   }
 
-  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams, tokenCountQ, tfidf, repetition, sourceStats)
+  // Benchmark decontamination: which "training" docs (doc_id % 97 != 0)
+  // share verbatim word trigrams with the "benchmark" set (% 97 == 0).
+  // Inverted-index equi-join on the trigram (hashed JVM-side, string
+  // SQL-side — counts of the same distinct sets either way, the
+  // e1_ngram_jaccard precedent).
+  private val contamination = QueryDef("e3_contamination", Some(
+    """WITH d AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+      |           ELSE list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gs
+      |      FROM d),
+      |trn AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0),
+      |evn AS (SELECT doc_id AS eval_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT trn.doc_id, evn.eval_id, count(*) AS n_shared
+      |FROM trn JOIN evn USING (gram)
+      |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    graft.ops.Contamination.overlapReport(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text")
+  }
+
+  val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
+    tokenCountQ, tfidf, repetition, sourceStats, contamination)
 }

@@ -72,4 +72,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cnt("card 4111 1111 1111 1111 on file") == 1)
     assert(cnt("nothing here") == 0)
   }
+
+  test("contamination: planted benchmark sentence is flagged, clean docs are not") {
+    val bench = "what is the capital of france and when was it founded exactly"
+    val train = Seq(
+      (1L, s"some long preamble then $bench plus trailing words"), // contaminated
+      (2L, "a completely clean document about spark shuffle internals and memory"),
+      (3L, "capital france founded when exactly scrambled words no shared trigram run"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, bench)).toDF("doc_id", "text")
+    val report = graft.ops.Contamination.overlapReport(train, evalSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.map(_._1).toSet == Set(1L), s"flagged: ${report.toSeq}")
+    assert(report.head._3 >= 9, s"shared trigrams: ${report.head._3}") // 11-word sentence → 9 trigrams
+    val dropList = graft.ops.Contamination.contaminatedIds(train, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropList == Set(1L))
+    // minHits raises the bar: no pair shares >= 100 trigrams
+    assert(graft.ops.Contamination.overlapReport(train, evalSet, "doc_id", "text",
+      minHits = 100L).isEmpty)
+  }
 }
