@@ -258,6 +258,30 @@ object TextQueries {
       "doc_id", "text")
   }
 
+  // Bigram-LM fluency scoring (perplexity filter): model trained on the
+  // even-id half of the corpus, every doc scored under it. MLE bigram
+  // probs, ln(1e-9) floor for unseen bigrams; docs with < 2 tokens have
+  // no bigrams and are omitted on both sides.
+  private val lmScore = QueryDef("e3_lm_score", Some(
+    """WITH d AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []
+      |           ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS bigram
+      |       FROM d),
+      |m2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+      |m1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1 FROM m2 GROUP BY 1),
+      |model AS (SELECT bigram, cast(c2 AS DOUBLE) / c1 AS p
+      |          FROM m2 JOIN m1 ON split_part(m2.bigram, ' ', 1) = m1.w1),
+      |sc AS (SELECT bg.doc_id, coalesce(ln(model.p), ln(1e-9)) AS lp
+      |       FROM bg LEFT JOIN model USING (bigram))
+      |SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob
+      |FROM sc GROUP BY doc_id""".stripMargin)) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val model = graft.ops.LanguageModel.trainBigramModel(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.ops.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, repetition, sourceStats, contamination)
+    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore)
 }

@@ -318,6 +318,32 @@ object Streams {
       .start()
   }
 
+  // ---- Portable state export (savepoint equivalent) ---------------------
+
+  /** Keyed state of a (stopped or running) query's stateful operator,
+    * read straight out of its checkpoint via Spark's state data source:
+    * one row per state entry with `key` / `value` structs. The
+    * reference's savepoint surface ("portable state export",
+    * …DataSource分析.md:363-387) maps to this + [[exportState]]:
+    * checkpoints stay engine-internal for restart, but the STATE ITSELF
+    * is inspectable and exportable as plain columns. (Import stays
+    * checkpoint-restart — Spark exposes no public state writer.) */
+  def readState(spark: org.apache.spark.sql.SparkSession, checkpoint: String,
+                operatorId: Int = 0, batchId: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("statestore")
+      .option("operatorId", operatorId)
+    batchId.foreach(b => r.option("batchId", b))
+    r.load(checkpoint)
+  }
+
+  /** Savepoint-style export: dump an operator's keyed state to parquet —
+    * portable, schema'd, joinable (e.g. seed a new pipeline's reference
+    * corpus from a streaming dedup's seen-set). */
+  def exportState(spark: org.apache.spark.sql.SparkSession, checkpoint: String,
+                  outPath: String, operatorId: Int = 0): Unit =
+    readState(spark, checkpoint, operatorId)
+      .write.mode("overwrite").parquet(outPath)
+
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -319,6 +319,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally Engine.useDefaultStateStore(spark)
   }
 
+  test("W7b state export: checkpointed keyed state reads back as plain columns") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = tmp("state-export-ckpt")
+    val agg = in.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(sum("value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("state_export_agg")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, 1.5), (2L, 2.0)); q.processAllAvailable()
+      in.addData((1L, 3.5));            q.processAllAvailable()
+    } finally q.stop()
+    // read the aggregation operator's state straight from the checkpoint
+    val state = Streams.readState(spark, ckpt)
+    val keyed = state.select(col("key.user_id"), col("value.sum"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(keyed == Map(1L -> 5.0, 2L -> 2.0), s"state read: $keyed")
+    // and the parquet export round-trips
+    val out = tmp("state-export-out")
+    Streams.exportState(spark, ckpt, out)
+    val exported = spark.read.parquet(out).select(col("key.user_id"), col("value.sum"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exported == keyed)
+  }
+
   test("W1b AvailableNow trigger drains the backlog then stops (backfill mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = tmp("graft-avnow")

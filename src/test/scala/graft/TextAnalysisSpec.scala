@@ -73,6 +73,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cnt("nothing here") == 0)
   }
 
+  test("bigram LM: in-distribution text scores higher than scrambled text") {
+    import graft.ops.LanguageModel
+    val fluent = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = Seq(
+      (1L, fluent), (2L, fluent), (3L, s"$fluent and then $fluent"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.trainBigramModel(train, "text")
+    // every training bigram has p in (0, 1]
+    val ps = model.select("p").collect().map(_.getDouble(0))
+    assert(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1.0))
+    val probe = Seq(
+      (10L, fluent),                                                   // in-distribution
+      (11L, "dog lazy the over jumps fox brown quick the bank river")) // scrambled
+      .toDF("doc_id", "text")
+    val scores = LanguageModel.scoreDocs(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) > scores(11L) + 1.0,
+      s"fluent ${scores(10L)} not above scrambled ${scores(11L)}")
+    // a doc with one token has no bigrams and is omitted
+    val one = LanguageModel.scoreDocs(
+      Seq((20L, "word")).toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(one.isEmpty)
+  }
+
   test("contamination: planted benchmark sentence is flagged, clean docs are not") {
     val bench = "what is the capital of france and when was it founded exactly"
     val train = Seq(
