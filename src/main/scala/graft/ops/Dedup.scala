@@ -43,9 +43,11 @@ object Dedup {
   private[graft] val B: Array[Long] = Array.fill(K)(rnd.nextInt(P.toInt).toLong)
 
   /** FNV-1a 64-bit over chars: cheap, deterministic, JVM-side string
-    * hash for shingle normalization (any universal-enough family works;
-    * only determinism is contractual). */
-  private def strHash64(s: String): Long = {
+    * hash for shingle normalization — and SQL-expressible (the XOR
+    * touches only the low byte, the wrapping multiply is HUGEINT
+    * mod-2⁶⁴ arithmetic), which is what lets the minhash oracle
+    * reproduce signatures end-to-end in DuckDB. */
+  private[graft] def strHash64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
@@ -107,17 +109,21 @@ object Dedup {
   }
 
   /** Candidate pairs from banded LSH over the signatures: (idA, idB),
-    * idA < idB. Shuffles on (band, bandHash) only. */
+    * idA < idB. Shuffles on (band, slice) only. The join key is the
+    * band's RAW signature slice (r values), not a hash of it: exact
+    * band equality is what LSH theory assumes (a band hash can only add
+    * false candidates via its own collisions), and plain integers are
+    * reproducible in the SQL oracle where xxhash64 is not. */
   def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
     val r = K / Bands
-    val bandHashes = (0 until Bands).map { b =>
-      xxhash64((lit(b) +: (0 until r).map(j => col("sig")(b * r + j))): _*)
+    val slices = (0 until Bands).map { b =>
+      array((0 until r).map(j => col("sig")(b * r + j)): _*)
     }
     val banded = sigs
-      .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+      .select(col(idCol), posexplode(array(slices: _*)).as(Seq("band", "slice")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("slice"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("slice"))
+    a.join(b, Seq("band", "slice"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -421,12 +427,20 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per doc from a token-array column: sign of the
-    * per-bit vote sum over xxhash64(token). Single explode + groupBy;
-    * the 64 vote sums fold map-side. */
+    * per-bit vote sum over the FNV-1a token hash (SQL-reproducible, so
+    * the operator carries a DuckDB oracle; every occurrence votes, so
+    * token frequency weights the signature). One narrow typed explode +
+    * one groupBy; the 64 vote sums fold map-side. */
   def simhash64(docs: DataFrame, idCol: String, tokenCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val ex = docs
-      .select(col(idCol), explode(col(tokenCol)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col(idCol).cast("long"), col(tokenCol).cast("array<string>"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        if (toks == null) Iterator.empty else toks.iterator.map(t => (id, strHash64(t)))
+      }
+      .toDF(idCol, "h")
     val votes = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
     }

@@ -53,11 +53,11 @@ object TextAnalysis {
       val out = new Array[Long](toks.length - 2)
       var i = 0
       while (i < toks.length - 2) {
-        val s = Seq(toks(i), toks(i + 1), toks(i + 2))
-        // two independent 32-bit murmurs → 64 bits (collision ~n²/2⁶⁵)
-        val h1 = scala.util.hashing.MurmurHash3.orderedHash(s, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.orderedHash(s, 0x85ebca6b)
-        out(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        // FNV-1a over the space-joined trigram: 64-bit, collision
+        // ~n²/2⁶⁵ at corpus scale, and — unlike murmur3 — expressible
+        // in plain SQL (HUGEINT arithmetic), which is what lets the
+        // full MinHash-LSH pipeline carry a DuckDB oracle
+        out(i) = Dedup.strHash64(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
         i += 1
       }
       out.distinct

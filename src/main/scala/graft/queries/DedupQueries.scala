@@ -103,9 +103,56 @@ object DedupQueries {
   // MinHash-LSH near-dup detection — the 100TB-scale path (no all-pairs
   // join anywhere). Verified pairs (exact Jaccard on candidates), so
   // output ⊆ e1_ngram_jaccard's pairs with probabilistic recall; the
-  // ScalaTest spec checks recall vs the exact baseline. No SQL oracle
-  // (murmur3 signatures aren't reproducible in DuckDB) → rows-only.
-  private val minhash = QueryDef("e1_minhash_lsh", None) { (spark, dir) =>
+  // ScalaTest spec checks recall vs the exact baseline — AND the whole
+  // pipeline now carries a DuckDB oracle: the FNV-1a shingle hash is
+  // plain HUGEINT arithmetic, the 128-permutation signature minimums
+  // use the A/B coefficient family inlined as literals, and candidates
+  // join on raw band slices. Signatures, candidates, and verified
+  // jaccards reproduce bit-for-bit in SQL.
+  private val minhash = QueryDef("e1_minhash_lsh", Some(
+    s"""WITH d AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN []
+       |            ELSE list_transform(range(1, len(t) - 1),
+       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS gram
+       |       FROM d),
+       |fnv AS (SELECT doc_id,
+       |          list_reduce(
+       |            list_prepend(14695981039346656037::HUGEINT,
+       |              list_transform(str_split(gram, ''), c -> ascii(c)::HUGEINT)),
+       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+       |        FROM sh),
+       |hd AS (SELECT DISTINCT doc_id,
+       |         (CASE WHEN h >= 9223372036854775808::HUGEINT
+       |               THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS sv
+       |       FROM fnv),
+       |hm AS (SELECT doc_id, sv, ((sv % 2147483647) + 2147483647) % 2147483647 AS hm FROM hd),
+       |ab AS (SELECT k, a[k+1] AS a, b[k+1] AS b
+       |       FROM (SELECT [${Dedup.A.mkString(",")}] AS a,
+       |                    [${Dedup.B.mkString(",")}] AS b), range(0, 128) t(k)),
+       |sig AS (SELECT doc_id, k, min((ab.a::HUGEINT * hm.hm + ab.b) % 2147483647)::BIGINT AS s
+       |        FROM hm, ab GROUP BY doc_id, k),
+       |band AS (SELECT s0.doc_id, s0.k // 2 AS band, s0.s AS s0v, s1.s AS s1v
+       |         FROM sig s0 JOIN sig s1
+       |           ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
+       |         WHERE s0.k % 2 = 0),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM band x JOIN band y
+       |           ON x.band = y.band AND x.s0v = y.s0v AND x.s1v = y.s1v
+       |              AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, count(*) AS n FROM hm GROUP BY doc_id),
+       |inter AS (SELECT cand.id_a, cand.id_b, count(*) AS c
+       |          FROM cand
+       |          JOIN hm ha ON ha.doc_id = cand.id_a
+       |          JOIN hm hb ON hb.doc_id = cand.id_b AND hb.sv = ha.sv
+       |          GROUP BY cand.id_a, cand.id_b)
+       |SELECT i.id_a, i.id_b,
+       |       cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+       |FROM inter i
+       |JOIN sets sa ON sa.doc_id = i.id_a
+       |JOIN sets sb ON sb.doc_id = i.id_b
+       |WHERE cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     // The shingle table feeds three plan branches (signatures, set_a,
     // set_b re-verification); localCheckpoint materializes it once per
@@ -120,9 +167,34 @@ object DedupQueries {
     Dedup.minhashNearDups(docs, "doc_id", "sh", threshold = 0.5)
   }
 
-  // SimHash signatures per document (64-bit); near-pair extraction is
-  // Dedup.simhashNearPairs (tested in ScalaTest). Rows-only: hash-based.
-  private val simhash = QueryDef("e1_simhash", None) { (spark, dir) =>
+  // SimHash signatures per document (64-bit). FNV token hashing makes
+  // the signature SQL-reproducible: the oracle recomputes every token
+  // hash, all 64 bit-votes, and the sign aggregation (was rows-only
+  // under xxhash64). Near-pair extraction is Dedup.simhashNearPairs
+  // (tested in ScalaTest).
+  private val simhash = QueryDef("e1_simhash", Some {
+    val pw = (0 until 64).map(j => BigInt(1) << j).mkString(",")
+    s"""WITH d AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+       |           FROM documents),
+       |fnv AS (SELECT doc_id,
+       |          list_reduce(
+       |            list_prepend(14695981039346656037::HUGEINT,
+       |              list_transform(str_split(tok, ''), c -> ascii(c)::HUGEINT)),
+       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+       |        FROM d),
+       |pw AS (SELECT j.j, p[j.j+1] AS p FROM (SELECT [$pw]::HUGEINT[] AS p), range(0, 64) j(j)),
+       |votes AS (SELECT fnv.doc_id, pw.j,
+       |            sum(CASE WHEN (fnv.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM fnv, pw GROUP BY fnv.doc_id, pw.j),
+       |sig AS (SELECT votes.doc_id,
+       |          sum(CASE WHEN votes.v > 0 THEN pw.p ELSE 0::HUGEINT END) AS s
+       |        FROM votes JOIN pw ON pw.j = votes.j GROUP BY votes.doc_id)
+       |SELECT doc_id,
+       |       (CASE WHEN s >= 9223372036854775808::HUGEINT
+       |             THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS simhash
+       |FROM sig""".stripMargin
+  }) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
     Dedup.simhash64(docs, "doc_id", "t")
@@ -164,8 +236,41 @@ object DedupQueries {
 
   // Winnowing fingerprint stats per doc (substring-robust fingerprints;
   // pair extraction would join on exploded fingerprints like the
-  // inverted index above). Rows-only: hash-based.
-  private val winnow = QueryDef("e1_winnow", None) { (spark, dir) =>
+  // inverted index above). The rolling k-gram hash is wrapping 64-bit
+  // arithmetic and the window-min selection is an argmin with a
+  // rightmost tiebreak — both SQL-expressible, so the oracle recomputes
+  // every fingerprint pick (was rows-only). A picked position's windows
+  // form one consecutive run, so the consecutive-dedup emit count
+  // equals count(DISTINCT pick).
+  private val winnow = QueryDef("e1_winnow", Some(
+    """WITH doc AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |short AS (SELECT doc_id, 0 AS n_fingerprints, 0::BIGINT AS min_fp FROM doc WHERE len < 5),
+      |pos AS (SELECT doc_id, text, len - 4 AS n, unnest(range(1, len - 3)) AS p FROM doc WHERE len >= 5),
+      |kh AS (SELECT doc_id, n, p,
+      |         (SELECT (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |                       THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
+      |          FROM (SELECT list_reduce(
+      |                  list_prepend(1125899906842597::HUGEINT,
+      |                    list_transform(str_split(substr(text, p::INT, 5), ''), c -> ascii(c)::HUGEINT)),
+      |                  (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h)) AS sv
+      |       FROM pos),
+      |small AS (SELECT doc_id, 1 AS n_fingerprints, min(sv)::BIGINT AS min_fp
+      |          FROM kh WHERE n <= 4 GROUP BY doc_id),
+      |winidx AS (SELECT doc_id, unnest(range(0, n - 3)) AS s
+      |           FROM (SELECT DISTINCT doc_id, n FROM kh WHERE n > 4)),
+      |win1 AS (SELECT w.doc_id, w.s, min(k.sv) AS minh
+      |         FROM winidx w JOIN kh k ON k.doc_id = w.doc_id AND k.p BETWEEN w.s+1 AND w.s+4
+      |         GROUP BY w.doc_id, w.s),
+      |picks AS (SELECT win1.doc_id, win1.s, win1.minh, max(k.p) AS pick
+      |          FROM win1 JOIN kh k ON k.doc_id = win1.doc_id
+      |            AND k.p BETWEEN win1.s+1 AND win1.s+4 AND k.sv = win1.minh
+      |          GROUP BY win1.doc_id, win1.s, win1.minh),
+      |large AS (SELECT doc_id, cast(count(DISTINCT pick) AS INT) AS n_fingerprints,
+      |                 min(minh)::BIGINT AS min_fp
+      |          FROM picks GROUP BY doc_id)
+      |SELECT doc_id, cast(n_fingerprints AS INT) AS n_fingerprints, min_fp FROM short
+      |UNION ALL SELECT doc_id, cast(n_fingerprints AS INT), min_fp FROM small
+      |UNION ALL SELECT doc_id, n_fingerprints, min_fp FROM large""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     Tables(spark, dir).documents
       .select("doc_id", "text").as[(Long, String)]
