@@ -23,11 +23,37 @@ object LanguageModel {
     * vanishing probability): keeps scoring total and finite. */
   val UnseenLogProb: Double = math.log(1e-9)
 
+  /** Typed bigram explosion: the Column-HOF formulation
+    * (`transform(sequence(...), element_at(t, i))`) is interpreted and
+    * re-evaluates the token array per element — a measured 10×+ cost on
+    * the two hottest scans of this operator. Plain JVM loop instead
+    * (the same escape hatch as shingleHashes3Typed). */
+  private def explodeBigrams(df: DataFrame, idCol: Option[String], textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idCol match {
+      case Some(id) =>
+        df.select(col(id).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .flatMap { case (i, text) =>
+            val t = text.split(" ").iterator.filter(_.nonEmpty).toArray
+            (0 until t.length - 1).iterator.map(j => (i, t(j) + " " + t(j + 1)))
+          }
+          .toDF(id, "bigram")
+      case None =>
+        df.select(col(textCol).cast("string")).as[String]
+          .flatMap { text =>
+            val t = text.split(" ").iterator.filter(_.nonEmpty).toArray
+            (0 until t.length - 1).iterator.map(j => t(j) + " " + t(j + 1))
+          }
+          .toDF("bigram")
+    }
+  }
+
   /** MLE bigram model from a training corpus: (bigram, p) where
     * p = c(w1 w2) / c(w1 ·). */
   def trainBigramModel(train: DataFrame, textCol: String): DataFrame = {
-    val counts = train
-      .select(explode(TextAnalysis.bigrams(col(textCol))).as("bigram"))
+    val counts = explodeBigrams(train, None, textCol)
       .groupBy("bigram").agg(count(lit(1)).as("c2"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val prefix = counts.groupBy("w1").agg(sum("c2").as("c1"))
@@ -41,8 +67,7 @@ object LanguageModel {
     * (score them by length rules instead). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 model: DataFrame): DataFrame =
-    docs
-      .select(col(idCol), explode(TextAnalysis.bigrams(col(textCol))).as("bigram"))
+    explodeBigrams(docs, Some(idCol), textCol)
       .join(model, Seq("bigram"), "left")
       .groupBy(idCol)
       .agg(
