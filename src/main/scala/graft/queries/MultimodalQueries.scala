@@ -56,5 +56,21 @@ object MultimodalQueries {
         length(col("frameBytes")).as("frame_len"))
   }
 
-  val defs: Seq[QueryDef] = Seq(features, meta, frames)
+  // Resize plumbing (typed per-partition map): the stub's byte
+  // subsampling is deterministic arithmetic — stride = width/16, output
+  // length = ceil(len/stride) — so it gets an oracle too.
+  private val resizeQ = QueryDef("mm_resize", Some(
+    """SELECT doc_id AS id,
+      |       'mem://documents/' || doc_id || '#16x16' AS path,
+      |       cast((octet_length(cast(text AS BLOB))
+      |             + greatest(1, (16 + ascii(substr(text, 1, 1)) % 240) // 16) - 1)
+      |            // greatest(1, (16 + ascii(substr(text, 1, 1)) % 240) // 16) AS INT) AS n_bytes
+      |FROM documents""".stripMargin), bench = false) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.resize(
+        Multimodal.fromDocuments(Tables(spark, dir).documents), targetW = 16, targetH = 16)
+      .select(col("id"), col("path"), length(col("content")).as("n_bytes"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ)
 }
