@@ -175,6 +175,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
+  // ---- Int8 quantization (embedding storage at scale) -------------------
+
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = floor(v_i/scale + 0.5) — 4× smaller than float32 on disk and
+    * over the wire, which at a 100TB embedding corpus is the difference
+    * between caching the table and not. `floor(x + 0.5)` (not
+    * `Math.round`-style half-even ambiguity) keeps the rounding
+    * bit-identical in plain SQL, so the quantizer is oracle-checkable.
+    * cos(v, dequantized) == cos(v, q) exactly (the positive scale
+    * cancels), so reconstruction quality is measured directly on q.
+    * Zero vectors quantize to zeros with scale 0. Output:
+    * (vec_id, scale, q: array<byte>). */
+  private def quantizeCore(v: Array[Float]): (Double, Array[Byte]) = {
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = maxAbs / 127.0
+    val q = new Array[Byte](v.length)
+    if (scale > 0) {
+      i = 0
+      while (i < v.length) { q(i) = math.floor(v(i) / scale + 0.5).toByte; i += 1 }
+    }
+    (scale, q)
+  }
+
+  /** (vec_id, scale, q: binary) — q is true int8 on disk (parquet
+    * BINARY), 4× smaller than the float32 column. Dequantize as
+    * q(i) · scale. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => val (scale, q) = quantizeCore(v); (id, scale, q) }
+      .toDF("vec_id", "scale", "q")
+  }
+
+  /** Quantization quality report, one typed pass: (vec_id, scale,
+    * q_sum, cos_recon) with cos_recon = cos(v, q) in double,
+    * index-order accumulation (mirrors the SQL oracle exactly). */
+  def quantizeInt8Report(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (scale, q) = quantizeCore(v)
+        var qSum = 0L
+        var dot = 0.0; var nv = 0.0; var nq = 0.0
+        var i = 0
+        while (i < v.length) {
+          val vd = v(i).toDouble; val qd = q(i).toDouble
+          qSum += q(i)
+          dot += vd * qd; nv += vd * vd; nq += qd * qd
+          i += 1
+        }
+        val denom = math.sqrt(nv) * math.sqrt(nq)
+        (id, scale, qSum, if (denom == 0.0) Double.NaN else dot / denom)
+      }
+      .toDF("vec_id", "scale", "q_sum", "cos_recon")
+  }
+
   // ---- Deterministic integer sign-LSH (oracle-mirrorable) ---------------
 
   /** Avalanche-mixed 32-bit plane weights from the flat (plane, dim)

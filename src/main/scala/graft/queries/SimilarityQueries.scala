@@ -87,5 +87,28 @@ object SimilarityQueries {
         count(lit(1)).as("n_vecs"))
   }
 
-  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, centroids)
+  // Int8 quantization report: per-vector scale, quantized sum, and the
+  // reconstruction cosine cos(v, q) (== cos(v, dequantized v), the
+  // positive scale cancels). floor(x+0.5) rounding is bit-identical in
+  // SQL, so the whole quantizer is oracle-checked. bench=false: a
+  // 500-row fixture op; the scale story is storage, not CPU.
+  private val quantize = QueryDef("e2_quantize_int8", Some(
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |             CASE WHEN scale > 0
+      |                  THEN list_transform(v, x -> floor(x / scale + 0.5))
+      |                  ELSE list_transform(v, x -> 0.0) END AS qv
+      |      FROM s)
+      |SELECT vec_id, scale,
+      |       cast(list_sum(qv) AS BIGINT) AS q_sum,
+      |       list_dot_product(v, qv)
+      |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos_recon
+      |FROM q""".stripMargin), bench = false) { (spark, dir) =>
+    Similarity.quantizeInt8Report(Tables(spark, dir).embeddings)
+  }
+
+  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, centroids, quantize)
 }

@@ -123,6 +123,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, s"clustered recall $recall") // measured 1.0 at 5 iters
   }
 
+  test("int8 quantization: <=0.5-ulp-of-scale error, high reconstruction cosine, zero-safe") {
+    import spark.implicits._
+    val qd = Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getAs[Array[Byte]](2))).toList
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    qd.foreach { case (id, scale, q) =>
+      val v = orig(id)
+      assert(q.length == v.length)
+      // per-element reconstruction error bounded by scale/2 (round-to-nearest)
+      q.zip(v).foreach { case (qi, vi) =>
+        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-12,
+          s"vec $id: |${qi * scale} - $vi| > scale/2=$scale")
+      }
+    }
+    // reconstruction cosine stays near 1 (int8 is plenty for 64-dim)
+    val recon = Similarity.quantizeInt8Report(emb)
+      .select("cos_recon").collect().map(_.getDouble(0))
+    assert(recon.forall(_ >= 0.999), s"worst cos_recon ${recon.min}")
+    // zero vector: scale 0, all-zero bytes, no crash
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")).collect().head
+    assert(z.getDouble(1) == 0.0 && z.getAs[Array[Byte]](2).forall(_ == 0))
+  }
+
   test("trainCentroids is deterministic and empty cells keep previous centroid") {
     import spark.implicits._
     val c1 = Similarity.trainCentroids(emb, 16, iters = 3).collect()
