@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate statistics for corpus-scale counting.
+  *
+  * Count–min sketch (Cormode & Muthukrishnan): a depth × width counter
+  * table; every occurrence increments one bucket per row, an item's
+  * estimate is the MIN of its buckets. Estimates are one-sided
+  * (est >= true count, always) with expected excess N/width — the
+  * standard way to track token/domain/n-gram frequencies over a corpus
+  * whose key cardinality dwarfs memory.
+  *
+  * Scale shape: the sketch is a groupBy over (row, bucket) — bounded
+  * depth×width cells regardless of key cardinality, fully map-side
+  * combinable, and broadcastable back for estimation. Hashing is the
+  * FNV + universal-family arithmetic shared with minhash, so the whole
+  * sketch reproduces bit-for-bit in a SQL oracle.
+  */
+object Sketches {
+
+  /** Per-token CMS estimate vs exact count for the `k` most frequent
+    * tokens: (token, exact_cnt, cms_est). The exact count exists to
+    * grade the sketch — production pipelines keep only the sketch and
+    * a candidate set. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+                      depth: Int = 4, width: Int = 1024, k: Int = 20): DataFrame = {
+    require(depth <= Dedup.A.length, s"depth $depth exceeds coefficient family")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one narrow pass: every token occurrence with its FNV hash
+    val toks = docs.select(col(textCol).cast("string")).as[String]
+      .flatMap { t =>
+        t.split(" ").iterator.filter(_.nonEmpty).map(tok => (tok, Dedup.strHash64(tok)))
+      }
+      .toDF("token", "sv")
+      .withColumn("hm", ((col("sv") % Dedup.P) + Dedup.P) % Dedup.P)
+    val buckets = (0 until depth).map { r =>
+      ((lit(Dedup.A(r)) * col("hm") + lit(Dedup.B(r))) % Dedup.P % width).as(s"b$r")
+    }
+    val exploded = toks.select(
+      (col("token") +: buckets): _*)
+      .select(col("token"), posexplode(array((0 until depth).map(r => col(s"b$r")): _*))
+        .as(Seq("r", "bucket")))
+    // the sketch: bounded depth×width cells, map-side combinable
+    val cms = exploded.groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    // estimate = min over rows of the token's bucket counters
+    val est = exploded.distinct()
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy("token").agg(min("c").as("cms_est"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    exact.join(est, "token")
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(k)
+      .select("token", "exact_cnt", "cms_est")
+  }
+}

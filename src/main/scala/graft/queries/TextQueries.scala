@@ -282,6 +282,41 @@ object TextQueries {
     graft.ops.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
   }
 
+  // Count-min-sketch heavy hitters: top-20 tokens with exact count and
+  // the CMS estimate (4 x 1024 counters). The FNV + universal-family
+  // bucketing reproduces in SQL, so the sketch itself is oracle-checked
+  // cell for cell; the one-sided bound (est >= exact) is spec'd.
+  private val heavyHitters = QueryDef("e3_heavy_hitters", Some {
+    val a = (0 until 4).map(graft.ops.Dedup.A).mkString(",")
+    val b = (0 until 4).map(graft.ops.Dedup.B).mkString(",")
+    s"""WITH tok AS (SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |             FROM documents),
+       |fnv AS (SELECT token,
+       |          list_reduce(
+       |            list_prepend(14695981039346656037::HUGEINT,
+       |              list_transform(str_split(token, ''), c -> ascii(c)::HUGEINT)),
+       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+       |        FROM tok),
+       |hm AS (SELECT token,
+       |         (((CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                 THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT % 2147483647)
+       |          + 2147483647) % 2147483647 AS hm
+       |       FROM fnv),
+       |bk AS (SELECT token, r.r, ((ab.a[r.r+1]*hm + ab.b[r.r+1]) % 2147483647) % 1024 AS bucket
+       |       FROM hm, range(0, 4) r(r), (SELECT [$a] AS a, [$b] AS b) ab),
+       |cms AS (SELECT r, bucket, count(*) AS c FROM bk GROUP BY r, bucket),
+       |est AS (SELECT token, min(c) AS cms_est
+       |        FROM (SELECT DISTINCT token, r, bucket FROM bk) db
+       |        JOIN cms USING (r, bucket) GROUP BY token),
+       |exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token)
+       |SELECT exact.token, exact_cnt, cms_est
+       |FROM exact JOIN est USING (token)
+       |ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin
+  }) { (spark, dir) =>
+    graft.ops.Sketches.cmsHeavyHitters(Tables(spark, dir).documents, "text")
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore)
+    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters)
 }

@@ -346,6 +346,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(exported == keyed)
   }
 
+  test("W6b timer-based sessionization under the RocksDB state store") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    Engine.useRocksDBStateStore(spark)
+    try {
+      val in = MemoryStream[(Timestamp, Long)]
+      val sessions = Streams.sessionizeWithTimeout(
+        in.toDF().toDF("ts", "user_id"), "ts", "0 seconds", "user_id",
+        gapMs = 10 * 60 * 1000)
+      val q = sessions.writeStream.format("memory").queryName("sess_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((ts(1), 1L), (ts(5), 1L)); q.processAllAvailable()
+        in.addData((ts(40), 1L)); q.processAllAvailable() // gap closes session 1
+        in.addData((ts(59), 2L)); q.processAllAvailable() // advances watermark
+        val rows = spark.table("sess_rocks").filter(col("user_id") === 1L)
+          .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+        assert(rows.contains(2L), s"first session (2 events) not closed: $rows")
+      } finally q.stop()
+    } finally Engine.useDefaultStateStore(spark)
+  }
+
   test("W1b AvailableNow trigger drains the backlog then stops (backfill mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = tmp("graft-avnow")

@@ -73,6 +73,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cnt("nothing here") == 0)
   }
 
+  test("CMS heavy hitters: one-sided estimates, exact on the dominant token") {
+    val docs = graft.sources.Tables(spark, TestSession.sf0001).documents
+    val hh = graft.ops.Sketches.cmsHeavyHitters(docs, "text", k = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.nonEmpty)
+    // CMS never under-counts
+    hh.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"'$tok': est $est < exact $exact")
+    }
+    // excess stays near the N/width expectation (one row would give
+    // E[excess] = N/1024; min over 4 rows is far tighter)
+    val n = hh.map(_._2).sum // lower bound on N; real N is the full token count
+    hh.foreach { case (tok, exact, est) =>
+      assert(est - exact <= math.max(64L, n / 16),
+        s"'$tok': excess ${est - exact} too large for a 4x1024 sketch")
+    }
+  }
+
   test("bigram LM: in-distribution text scores higher than scrambled text") {
     import graft.ops.LanguageModel
     val fluent = "the quick brown fox jumps over the lazy dog near the river bank today"
