@@ -20,6 +20,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Corpus text normalization — the first pass of every training-data
+    * pipeline: strip control characters (keep \n\t), collapse runs of
+    * whitespace to single spaces, trim. All codegen'd builtin regexps;
+    * dedup/shingling downstream then sees canonical text, so
+    * whitespace-only variants hash identically. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

@@ -317,6 +317,24 @@ object TextQueries {
     graft.ops.Sketches.cmsHeavyHitters(Tables(spark, dir).documents, "text")
   }
 
+  // Text normalization: control-char strip + whitespace collapse + trim,
+  // verified by length and content hash of every cleaned doc.
+  private val clean = QueryDef("txt_clean", Some(
+    """SELECT doc_id,
+      |       cast(length(cleaned) AS INT) AS clean_len,
+      |       md5(cleaned) AS clean_md5
+      |FROM (SELECT doc_id,
+      |             trim(regexp_replace(
+      |               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |               '\s+', ' ', 'g')) AS cleaned
+      |      FROM documents)""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("doc_id"), graft.ops.TextAnalysis.cleanText(col("text")).as("cleaned"))
+      .select(col("doc_id"),
+        length(col("cleaned")).as("clean_len"),
+        md5(encode(col("cleaned"), "UTF-8")).as("clean_md5"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters)
+    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters, clean)
 }
