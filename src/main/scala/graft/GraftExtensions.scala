@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigAgg].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[graft.functions.Fnv64].getName, "fnv64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Fnv64(children.head)))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)

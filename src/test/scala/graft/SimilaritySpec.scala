@@ -28,6 +28,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("fnv64 SQL function = Dedup.strHash64 bit-for-bit (codegen + interpreted)") {
+    import spark.implicits._
+    val samples = Seq("", "a", "the quick brown fox", "tok", "uniécode",
+      "a b c d e f g", "\t tabs \n and newlines")
+    samples.toDF("s").createOrReplaceTempView("fnv_probe")
+    val viaSql = spark.sql("SELECT s, fnv64(s) AS h FROM fnv_probe")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      val expect = graft.ops.Dedup.strHash64(s) // private[graft]; spec shares the package
+      assert(viaSql(s) == expect, s"'$s': sql ${viaSql(s)} != jvm $expect")
+    }
+    // null propagates
+    assert(spark.sql("SELECT fnv64(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
+
   test("native cosine_f expression = HOF composition bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
