@@ -49,6 +49,16 @@ object Engine {
   def useRocksDBStateStore(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Bound RocksDB NATIVE memory (off-heap, invisible to -Xmx): without
+    // this every state partition's instance sizes its own write buffers
+    // and block cache independently, and N queries x P partitions can
+    // exhaust native memory (observed: std::bad_alloc killing the bench
+    // JVM at teardown). boundedMemoryUsage routes all instances through
+    // one shared LRUCache capped at maxMemoryUsageMB — the same knob a
+    // production cluster needs so state memory is budgeted per executor
+    // rather than per partition.
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "1024")
     spark
   }
 
