@@ -42,11 +42,16 @@ object Dedup {
   private[graft] val A: Array[Long] = Array.fill(K)(1L + rnd.nextInt((P - 1).toInt))
   private[graft] val B: Array[Long] = Array.fill(K)(rnd.nextInt(P.toInt).toLong)
 
-  /** FNV-1a 64-bit over chars: cheap, deterministic, JVM-side string
-    * hash for shingle normalization — and SQL-expressible (the XOR
-    * touches only the low byte, the wrapping multiply is HUGEINT
+  /** FNV-1a 64-bit over UTF-16 code units: cheap, deterministic,
+    * JVM-side string hash for shingle normalization — and
+    * SQL-expressible (the XOR touches only the low 16 bits since
+    * every code unit is < 2^16, the wrapping multiply is HUGEINT
     * mod-2⁶⁴ arithmetic), which is what lets the minhash oracle
-    * reproduce signatures end-to-end in DuckDB. */
+    * reproduce signatures end-to-end in DuckDB for all BMP text.
+    * Oracle-parity caveat: supplementary-plane characters (beyond
+    * U+FFFF) hash here as two surrogate units but split as ONE code
+    * point in SQL's str_split — astral-character corpora would need a
+    * UTF-16 expansion on the oracle side. */
   private[graft] def strHash64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -389,8 +394,11 @@ object Dedup {
     if (!converged)
       // component diameter exceeds the propagation budget: a long-chain
       // graph where one-hop-per-round would crawl. Star contraction
-      // finishes in O(log n) rounds on exactly these graphs.
-      connectedComponentsStar(edges, srcCol, dstCol, maxIter)
+      // finishes in O(log n) rounds on exactly these graphs. Seed it
+      // with the already-materialized symmetric edge set — re-deriving
+      // from `edges` would re-execute the whole upstream pipeline (LSH
+      // candidate join etc.) that `sym`'s localCheckpoint cut off.
+      connectedComponentsStar(sym, "a", "b", maxIter)
     else labels
   }
 

@@ -66,7 +66,10 @@ object Multimodal {
     // FF Cx len(2) precision(1) height(2 BE) width(2 BE) components(1)
     else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 9 <= n) {
+      // i+10 <= n: the SOF branch reads through u8(i+9) (components
+      // byte) — a truncated stream whose SOF lands at the boundary must
+      // fall out to None, not index past the array
+      while (i + 10 <= n) {
         if (u8(i) != 0xff) return None // desynced marker stream
         val marker = u8(i + 1)
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
@@ -83,9 +86,12 @@ object Multimodal {
   }
 
   /** Header parse when the payload is a real container, stub otherwise —
-    * the single decode entry point [[extractMeta]] batches over. */
+    * the single decode entry point [[extractMeta]] batches over.
+    * Malformed/truncated containers degrade to the stub instead of
+    * failing the task: one corrupt blob must not kill a 100TB scan. */
   def decodeMeta(content: Array[Byte]): (Int, Int, Int) =
-    parseImageHeader(content).getOrElse(decodeStub(content))
+    scala.util.Try(parseImageHeader(content)).toOption.flatten
+      .getOrElse(decodeStub(content))
 
   /** Batch feature extraction: one decoder init per partition. */
   def extractMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {

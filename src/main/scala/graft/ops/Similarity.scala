@@ -166,12 +166,188 @@ object Similarity {
       .withColumn("crk", row_number().over(w0))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cells.join(probes, "cell_id")
+    // each corpus row lives in exactly one cell, so the probe join
+    // yields each (query, neighbor) pair at most once — safe to feed
+    // straight into the bounded-heap top-k, ranks assigned after on the
+    // k×|queries| result (the bruteForceTopK pattern; a row_number
+    // window here would fully sort every candidate group)
+    val scored = cells.join(probes, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qe"), col("ne")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos")
+    val top = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), k, Seq(("cos", true), ("neighbor_id", false)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select("query_id", "neighbor_id", "cos", "rk")
+  }
+
+  // ---- Deterministic integer-quantized IVF (oracle-mirrorable) ----------
+
+  /** 32-bit avalanche mix (same chain as [[intPlaneWeights]]): plain
+    * `*`, `%`, `xor`, `//` so a SQL oracle reproduces it exactly. */
+  private[graft] def mix32(x: Long): Long = {
+    var h = (x * 2654435761L) % 4294967296L
+    h ^= (h >> 16)
+    h = (h * 40503L) % 4294967296L
+    h ^ (h >> 13)
+  }
+
+  /** Training-side quantization scale 2^10: coarser than [[QuantScale]]
+    * on purpose — cell assignment only needs the argmax to be stable,
+    * and the smaller magnitudes keep every integer dot product and its
+    * double image exact (see [[trainCentroidsQuant]]). */
+  private[graft] val IvfQuantScale = 1024L
+
+  private def quantizeVec(v: Array[Float], dim: Int): Array[Long] = {
+    require(v != null && v.length == dim,
+      s"ivfQuant: embedding length ${if (v == null) "null" else v.length} != dim=$dim")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val d = v(i).toDouble
+      require(math.abs(d) < MaxAbsInput, s"ivfQuant: |v|=$d exceeds quantization headroom")
+      q(i) = math.floor(d * IvfQuantScale).toLong
+      i += 1
+    }
+    q
+  }
+
+  /** Cell pick maximizing `dot(q, S_c) / n_c` — the mean-dot metric with
+    * the division deferred: the dot is an exact integer (so partials
+    * combine associatively) and the single double division is IEEE-
+    * identical in the JVM and in SQL. Ties go to the lower cell id. */
+  private def bestCellQuant(qv: Array[Long], sums: Array[Array[Long]],
+                            counts: Array[Long]): Int = {
+    var best = 0; var bestM = Double.NegativeInfinity
+    var c = 0
+    while (c < sums.length) {
+      var d = 0L
+      var i = 0
+      val s = sums(c)
+      while (i < qv.length) { d += qv(i) * s(i); i += 1 }
+      val m = d.toDouble / counts(c).toDouble
+      if (m > bestM) { bestM = m; best = c } // strict > keeps lowest cell on ties
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic IVF centroid state: seeds are the `nCells` corpus
+    * rows first in [[mix32]]`(vec_id+1)` order, refined by `iters`
+    * rounds of integer-Lloyd — assignment by the mean-dot metric above,
+    * update keeping per-cell (sum-vector, count) in exact integers.
+    *
+    * Integer sums are associative, so the trained state is IDENTICAL
+    * under any partitioning or scheduling order — unlike float-mean
+    * Lloyd ([[trainCentroids]]), whose partial-combine order perturbs
+    * the low bits. That determinism is what lets a plain-SQL oracle
+    * replay training bit-for-bit, and at cluster scale it makes reruns
+    * reproduce the same cell layout exactly.
+    *
+    * Scale shape per round: state broadcast (nCells x dim longs), ONE
+    * narrow pass computing per-partition (cell -> sumVec, count)
+    * partials — corpus rows never shuffle. Exactness bound: every dot
+    * and its double image stay exact while |corpus| < 2^27 rows per the
+    * headroom comment on [[IvfQuantScale]] (dot <= N * 2^26 < 2^53). */
+  private[graft] def trainCentroidsQuant(corpus: DataFrame, nCells: Int,
+      iters: Int, dim: Int): (Array[Array[Long]], Array[Long]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (mix32(id + 1), id, quantizeVec(v, dim)) }
+      .toDF("h", "vec_id", "qv")
+      .orderBy("h", "vec_id").limit(nCells) // TakeOrdered — no global sort
+      .select(col("qv")).as[Array[Long]].collect()
+    require(seeds.length == nCells, s"ivfQuant: corpus smaller than nCells=$nCells")
+    var sums = seeds
+    var counts = Array.fill[Long](nCells)(1L)
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    var it = 0
+    while (it < iters) {
+      val bcS = spark.sparkContext.broadcast(sums)
+      val bcN = spark.sparkContext.broadcast(counts)
+      val partials = vecs.mapPartitions { rows =>
+        val (s0, n0) = (bcS.value, bcN.value)
+        val acc = Array.fill(nCells)(new Array[Long](dim))
+        val cnt = new Array[Long](nCells)
+        rows.foreach { v =>
+          val qv = quantizeVec(v, dim)
+          val c = bestCellQuant(qv, s0, n0)
+          val a = acc(c)
+          var i = 0
+          while (i < dim) { a(i) += qv(i); i += 1 }
+          cnt(c) += 1
+        }
+        Iterator.range(0, nCells).filter(cnt(_) > 0).map(c => (c, acc(c), cnt(c)))
+      }.collect()
+      val nextS = Array.fill(nCells)(new Array[Long](dim))
+      val nextN = new Array[Long](nCells)
+      partials.foreach { case (c, s, n) =>
+        var i = 0
+        while (i < dim) { nextS(c)(i) += s(i); i += 1 }
+        nextN(c) += n
+      }
+      // empty cells keep their previous state
+      sums = Array.tabulate(nCells)(c => if (nextN(c) == 0) sums(c) else nextS(c))
+      counts = Array.tabulate(nCells)(c => if (nextN(c) == 0) counts(c) else nextN(c))
+      bcS.destroy(); bcN.destroy()
+      it += 1
+    }
+    (sums, counts)
+  }
+
+  /** Deterministic integer-quantized IVF top-k: same plan shape as
+    * [[ivfTopK]] (broadcast cell state, hash equi-join on cell id,
+    * exact cosine rescore, bounded-heap top-k) but every training and
+    * assignment step is exact integer arithmetic + one IEEE double
+    * division — the output is bit-reproducible across runs, cluster
+    * layouts, and in a plain-SQL oracle. The float-Lloyd [[ivfTopK]]
+    * remains the statistically-nicer variant; this one trades centroid
+    * precision (2^10 quantization) for end-to-end determinism. */
+  def ivfTopKQuant(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+                   dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (sums, counts) = trainCentroidsQuant(corpus, nCells, iters, dim)
+    val bcS = spark.sparkContext.broadcast(sums)
+    val bcN = spark.sparkContext.broadcast(counts)
+    // corpus -> single best cell, one narrow pass
+    val cells = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, bestCellQuant(quantizeVec(v, dim), bcS.value, bcN.value).toLong, v)
+      }
+      .toDF("neighbor_id", "cell_id", "ne")
+    // queries -> nProbe best cells each (query set is small)
+    val probes = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val qv = quantizeVec(v, dim)
+        val (s0, n0) = (bcS.value, bcN.value)
+        val ms = Array.tabulate(nCells) { c =>
+          var d = 0L
+          var i = 0
+          while (i < dim) { d += qv(i) * s0(c)(i); i += 1 }
+          (d.toDouble / n0(c).toDouble, c.toLong)
+        }
+        // sort by metric desc, cell asc — identical to the SQL mirror's
+        // row_number() ORDER BY m DESC, cell_id
+        ms.sortBy { case (m, c) => (-m, c) }.take(nProbe)
+          .map { case (_, c) => (id, c, v) }.toSeq
+      }
+      .toDF("query_id", "cell_id", "qe")
+    val scored = cells.join(broadcast(probes), "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .select("query_id", "neighbor_id", "cos")
+    val top = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), k, Seq(("cos", true), ("neighbor_id", false)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
@@ -257,10 +433,19 @@ object Similarity {
   /** Quantization scale 2^20: multiplying a float-derived double by a
     * power of two is EXACT, so `floor(v * 2^20)` is bit-identical in the
     * JVM and in SQL — no rounding-mode or summation-order ambiguity can
-    * flip a bucket sign. Overflow headroom: |q| <= |v|·2^20, so with
-    * |v| < 2^11 the 64-dim integer dot against 2^31 weights stays
-    * below 2^63. */
+    * flip a bucket sign. Overflow headroom: with |v| < 2^6 (enforced per
+    * element), |q| <= 2^26, and the dot product against a plane is
+    * bounded by `2^26 * sum_k |w_k|` — asserted < 2^63 per plane at
+    * weight construction ([[intBucketSignatures]]), so int64 wrap is
+    * impossible by construction rather than by expectation. (The earlier
+    * 2^11 bound was wrong: 64 terms of 2^31-quantized x 2^31-weight
+    * products reach ~2^68 and wrap silently in the JVM while a BIGINT
+    * oracle errors out.) */
   private[graft] val QuantScale = 1048576L
+
+  /** Largest per-element magnitude [[intBucketSignatures]] accepts;
+    * embeddings here are unit-scale so real data sits far below it. */
+  private[graft] val MaxAbsInput = 64.0
 
   /** (id, tbl, bucket) sign-LSH signatures over integer-quantized
     * projections — exact int64 arithmetic end-to-end, mirrorable in a
@@ -272,6 +457,15 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val hp = intPlaneWeights(tables * planesPerTable, dim)
+    // Exact overflow guarantee: |q_k| <= MaxAbsInput*QuantScale, so
+    // |dot| <= maxQ * sum_k |w_k|. Checked on the constant weight table
+    // once, here — not per row, and not left to expectation.
+    val maxQ = (MaxAbsInput * QuantScale).toLong
+    hp.foreach { plane =>
+      val sumAbs = plane.foldLeft(0L)((a, w) => a + math.abs(w))
+      require(sumAbs <= Long.MaxValue / maxQ,
+        s"intLsh: plane weight mass $sumAbs could overflow int64 dot product")
+    }
     df.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -281,7 +475,7 @@ object Similarity {
         var i = 0
         while (i < dim) {
           val d = v(i).toDouble
-          require(math.abs(d) < 2048.0, s"intLsh: |v|=$d exceeds quantization headroom")
+          require(math.abs(d) < MaxAbsInput, s"intLsh: |v|=$d exceeds quantization headroom")
           q(i) = math.floor(d * QuantScale).toLong
           i += 1
         }
@@ -330,11 +524,17 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     val qv = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(qv, "query_id").join(cv, "neighbor_id")
+    // top-k through the bounded-heap operator (k rows per group survive
+    // the map side), THEN ranks on the tiny k×|queries| result — a
+    // row_number window over the raw candidates would sort every
+    // bucket-collision group in full (the bruteForceTopK pattern)
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos", cosine(col("qe"), col("ne")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos")
+    val top = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), k, Seq(("cos", true), ("neighbor_id", false)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 }

@@ -120,7 +120,7 @@ object DedupQueries {
        |          list_reduce(
        |            list_prepend(14695981039346656037::HUGEINT,
        |              list_transform(str_split(gram, ''), c -> ascii(c)::HUGEINT)),
-       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |            (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
        |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
        |        FROM sh),
        |hd AS (SELECT DISTINCT doc_id,
@@ -180,7 +180,7 @@ object DedupQueries {
        |          list_reduce(
        |            list_prepend(14695981039346656037::HUGEINT,
        |              list_transform(str_split(tok, ''), c -> ascii(c)::HUGEINT)),
-       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |            (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
        |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
        |        FROM d),
        |pw AS (SELECT j.j, p[j.j+1] AS p FROM (SELECT [$pw]::HUGEINT[] AS p), range(0, 64) j(j)),

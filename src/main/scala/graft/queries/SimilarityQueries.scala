@@ -62,11 +62,68 @@ object SimilarityQueries {
     Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 5)
   }
 
-  // IVF cells + probing — the clustered scale path. Rows-only; recall
-  // vs brute force is ScalaTest'd.
-  private val ivf = QueryDef("e2_ivf_topk", None) { (spark, dir) =>
+  // IVF cells + probing — the clustered scale path, in its
+  // deterministic integer-quantized form: seeds by a 32-bit avalanche
+  // mix of vec_id, two integer-Lloyd rounds (exact associative sums),
+  // assignment by dot(q, S_c)/n_c with one IEEE double division. Every
+  // step replays bit-for-bit in SQL, so the FULL operator — training,
+  // assignment, probing, rescoring, top-k — is hash-checked (was
+  // rows-only when training used float means, whose partial-combine
+  // order isn't reproducible). The float-Lloyd ivfTopK keeps its
+  // recall specs as the statistically-nicer variant.
+  private def ivfAssign(st: String, t: String): String =
+    s"""a$t AS (SELECT q.vec_id, s.cell_id,
+       |         (list_sum(list_transform(range(1, 65), i -> q.qv[i] * s.sv[i]))::DOUBLE
+       |          / s.n::DOUBLE) AS m
+       |       FROM q, $st s),
+       |r$t AS (SELECT vec_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |        FROM a$t),
+       |g$t AS (SELECT vec_id, cell_id FROM r$t WHERE rn = 1)""".stripMargin
+  private def ivfUpdate(prev: String, t: String): String =
+    s"""s${t}e AS (SELECT g$t.cell_id, unnest(q.qv) AS x, generate_subscripts(q.qv, 1) AS i
+       |        FROM g$t JOIN q USING (vec_id)),
+       |s${t}g AS (SELECT cell_id, i, sum(x)::BIGINT AS sx FROM s${t}e GROUP BY cell_id, i),
+       |s${t}v AS (SELECT cell_id, list(sx ORDER BY i) AS sv FROM s${t}g GROUP BY cell_id),
+       |n$t AS (SELECT cell_id, count(*)::BIGINT AS n FROM g$t GROUP BY cell_id),
+       |st$t AS (SELECT p.cell_id, coalesce(v.sv, p.sv) AS sv, coalesce(n$t.n, p.n) AS n
+       |        FROM $prev p LEFT JOIN s${t}v v USING (cell_id) LEFT JOIN n$t USING (cell_id))""".stripMargin
+  private val ivf = QueryDef("e2_ivf_topk", Some(
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
+       |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM q),
+       |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
+       |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
+       |sd AS (SELECT mx.h, mx.vec_id, q.qv FROM mx JOIN q USING (vec_id)
+       |       ORDER BY mx.h, mx.vec_id LIMIT 16),
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n
+       |        FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pf AS (SELECT vec_id AS query_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |       FROM af WHERE vec_id < 5),
+       |pr AS (SELECT query_id, cell_id FROM pf WHERE rn <= 4),
+       |cand AS (SELECT pr.query_id, gf.vec_id AS neighbor_id
+       |         FROM pr JOIN gf USING (cell_id) WHERE pr.query_id <> gf.vec_id),
+       |sc AS (SELECT query_id, neighbor_id,
+       |             list_dot_product(ea.v, eb.v)
+       |               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+       |       FROM cand JOIN e ea ON ea.vec_id = cand.query_id
+       |                 JOIN e eb ON eb.vec_id = cand.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, cos,
+       |             cast(row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, cos, rk FROM rr WHERE rk <= 5""".stripMargin)) { (spark, dir) =>
     val e = Tables(spark, dir).embeddings
-    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 5, nCells = 16, nProbe = 4)
+    Similarity.ivfTopKQuant(e.filter(col("vec_id") < 5), e, k = 5,
+      nCells = 16, nProbe = 4, iters = 2)
   }
 
   // Per-label centroids as (label, dim, mean) rows — the map-side-

@@ -295,7 +295,7 @@ object TextQueries {
        |          list_reduce(
        |            list_prepend(14695981039346656037::HUGEINT,
        |              list_transform(str_split(token, ''), c -> ascii(c)::HUGEINT)),
-       |            (acc, x) -> ((acc - acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |            (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
        |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
        |        FROM tok),
        |hm AS (SELECT token,

@@ -190,4 +190,53 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (approx & truth).size.toDouble / truth.size
     assert(recall >= 0.4, s"recall $recall")
   }
+
+  test("annTopK and ivfTopK run their top-k through GroupedTopKExec, not a full window sort") {
+    // the candidate-set top-k must be the bounded-heap operator; the
+    // only Window allowed over candidate-scale data is none — row_number
+    // re-ranking runs on the k×|queries| output of GroupedTopK
+    def topKExecs(df: org.apache.spark.sql.DataFrame): Seq[graft.plans.GroupedTopKExec] = {
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.plans.GroupedTopKExec] =
+        p.flatMap {
+          case g: graft.plans.GroupedTopKExec => Seq(g)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(s.plan)
+          case _ => Nil
+        }
+      df.collect() // execute so AQE finalizes the real plan
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => find(a.executedPlan)
+        case p => find(p)
+      }
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.annTopK(q, emb, 5)
+    assert(topKExecs(ann).nonEmpty, s"annTopK plan lacks GroupedTopKExec:\n${ann.queryExecution.executedPlan}")
+    val ivf = Similarity.ivfTopK(q, emb, 5, nCells = 8, nProbe = 2, lloydIters = 1)
+    assert(topKExecs(ivf).nonEmpty, s"ivfTopK plan lacks GroupedTopKExec:\n${ivf.queryExecution.executedPlan}")
+    val ivfQ = Similarity.ivfTopKQuant(q, emb, 5, nCells = 8, nProbe = 2, iters = 1)
+    assert(topKExecs(ivfQ).nonEmpty, s"ivfTopKQuant plan lacks GroupedTopKExec:\n${ivfQ.queryExecution.executedPlan}")
+  }
+
+  test("ivfTopKQuant is bit-deterministic across runs and partitionings") {
+    val q = emb.filter(col("vec_id") < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKQuant(q, c, 5, nCells = 16, nProbe = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val a = run(emb)
+    val b = run(emb.repartition(13)) // different partitioning must not perturb training
+    assert(a == b, s"quantized IVF diverged across partitionings: ${(a -- b).take(3)}")
+  }
+
+  test("ivfTopKQuant recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKQuant(q, emb, 5, nCells = 16, nProbe = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (approx & truth).size.toDouble / truth.size
+    // 4-of-16 cells probed on an unclustered corpus: same ballpark as
+    // the float-Lloyd variant's floor
+    assert(recall >= 0.5, s"recall $recall")
+  }
 }
