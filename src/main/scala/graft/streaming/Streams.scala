@@ -134,20 +134,43 @@ object Streams {
     * Streaming aggregations emit per trigger. This stateful op restores
     * the per-record contract: for each key it emits one row per input
     * element carrying the running reduction (W6 machinery). */
+  private def rollingReduceFunc[K, T](reduce: (T, T) => T):
+      (K, Iterator[T], GroupState[T]) => Iterator[(K, T)] =
+    (k: K, it: Iterator[T], state: GroupState[T]) => {
+      var acc = state.getOption
+      val out = it.map { t =>
+        acc = Some(acc.fold(t)(reduce(_, t)))
+        (k, acc.get)
+      }.toList
+      acc.foreach(state.update)
+      out.iterator
+    }
+
   def rollingReduce[K: Encoder, T: Encoder](
       ds: Dataset[T], key: T => K, reduce: (T, T) => T)(
       implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
     ds.groupByKey(key)
-      .flatMapGroupsWithState[T, (K, T)](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (k: K, it: Iterator[T], state: GroupState[T]) =>
-          var acc = state.getOption
-          val out = it.map { t =>
-            acc = Some(acc.fold(t)(reduce(_, t)))
-            (k, acc.get)
-          }.toList
-          acc.foreach(state.update)
-          out.iterator
-      }
+      .flatMapGroupsWithState[T, (K, T)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(rollingReduceFunc(reduce))
+
+  /** [[rollingReduce]] bootstrapped from imported state — the IMPORT
+    * half of the savepoint surface (reference `ACTION_SAVEPOINT` /
+    * `setSavepointRestoreSettings`, …DataSource分析.md:363-371,387):
+    * [[exportState]] dumps a query's keyed state to portable parquet,
+    * [[importState]] decodes it, and this seeds a NEW query (fresh
+    * checkpoint, possibly different partitioning/provider/topology)
+    * with that state via flatMapGroupsWithState's initial-state
+    * overload. Keys present in `initial` resume their reduction
+    * mid-stream exactly as if the original query had never stopped;
+    * checkpoint-restart remains the same-topology path. */
+  def rollingReduceWithInitial[K: Encoder, T: Encoder](
+      ds: Dataset[T], key: T => K, reduce: (T, T) => T,
+      initial: Dataset[(K, T)])(
+      implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, (K, T)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initialState = initial.groupByKey(_._1).mapValues(_._2))(rollingReduceFunc(reduce))
 
   /** Streaming NEAR-dup candidates (E1 on a stream): each document is
     * MinHash-signed and banded (same family as the batch
@@ -298,22 +321,63 @@ object Streams {
     * advancement rule — watermark for trigger n = (max event time over
     * triggers < n) − delay, never decreasing — and hands each batch's
     * late rows (those an aggregation with the same `delayMs` would
-    * drop) to `onLate`. The classifier state is one driver-side long;
-    * a fresh run restarts the watermark at −∞ exactly like a fresh
-    * aggregation checkpoint would. */
+    * drop) to `onLate`.
+    *
+    * The classifier watermark is PERSISTED per batch under
+    * `<checkpoint>/graft-watermark/<batchId>` (pre-batch value first,
+    * post-batch appended once known), mirroring what a real watermarked
+    * operator recovers from its commit log: a restart resumes from the
+    * recorded watermark instead of −∞, and a replayed batch (failure
+    * before the sink commit) re-classifies with the SAME pre-batch
+    * watermark as the original attempt — no row changes verdict across
+    * restarts. The batch is cached across the two passes (late filter +
+    * max aggregate) so the source is read once per trigger. */
   def captureLateRows(events: DataFrame, tsCol: String, delayMs: Long,
                       checkpoint: String)(onLate: DataFrame => Unit): StreamingQuery = {
-    var watermarkMs = Long.MinValue // foreachBatch runs on the driver
+    val dir = new java.io.File(checkpoint, "graft-watermark")
+    dir.mkdirs()
+    def parse(f: java.io.File): Array[Long] =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.split(",").filter(_.nonEmpty).map(_.toLong)
+    def writeAtomic(f: java.io.File, content: String): Unit = {
+      val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // recover: newest batch's post-watermark (or its pre-watermark if
+    // the run died between classify and advance)
+    var watermarkMs = dir.listFiles((_, n) => n.forall(_.isDigit)) match {
+      case null => Long.MinValue
+      case fs if fs.isEmpty => Long.MinValue
+      case fs =>
+        val vs = parse(fs.maxBy(_.getName.toLong))
+        if (vs.length >= 2) vs(1) else vs.headOption.getOrElse(Long.MinValue)
+    }
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cur = watermarkMs
-        if (cur > Long.MinValue)
-          onLate(batch.filter(unix_millis(col(tsCol).cast("timestamp")) < cur))
-        else
-          onLate(batch.limit(0))
-        val mx = batch.agg(max(unix_millis(col(tsCol).cast("timestamp")))).head()
-        if (!mx.isNullAt(0)) watermarkMs = math.max(cur, mx.getLong(0) - delayMs)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val f = new java.io.File(dir, batchId.toString)
+        // a replayed batch classifies with its original pre-batch
+        // watermark, not whatever the interrupted attempt advanced to
+        val cur = if (f.exists()) parse(f).headOption.getOrElse(watermarkMs)
+                  else { writeAtomic(f, watermarkMs.toString); watermarkMs }
+        val cached = batch.persist()
+        try {
+          if (cur > Long.MinValue)
+            onLate(cached.filter(unix_millis(col(tsCol).cast("timestamp")) < cur))
+          else
+            onLate(cached.limit(0))
+          val mx = cached.agg(max(unix_millis(col(tsCol).cast("timestamp")))).head()
+          watermarkMs =
+            if (mx.isNullAt(0)) cur else math.max(cur, mx.getLong(0) - delayMs)
+          writeAtomic(f, s"$cur,$watermarkMs")
+          // bound the dir: only the latest file is ever read on recovery,
+          // earlier ones exist for replays of their own batch id
+          Option(dir.listFiles((_, n) => n.forall(_.isDigit)))
+            .foreach(_.filter(_.getName.toLong < batchId - 2).foreach(_.delete()))
+        } finally cached.unpersist()
       }
       .start()
   }
@@ -343,6 +407,28 @@ object Streams {
                   outPath: String, operatorId: Int = 0): Unit =
     readState(spark, checkpoint, operatorId)
       .write.mode("overwrite").parquet(outPath)
+
+  /** Savepoint IMPORT: decode a state export ([[exportState]] parquet,
+    * one row per entry with `key`/`value` structs) into the typed
+    * (key, state) Dataset that seeds a new query via the initial-state
+    * overloads (e.g. [[rollingReduceWithInitial]]). The caller supplies
+    * the struct decoders because the export's column layout is the
+    * state ENCODER's schema, which only the owning pipeline knows. */
+  def importState[K: Encoder, S: Encoder](
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      decode: (org.apache.spark.sql.Row, org.apache.spark.sql.Row) => (K, S))(
+      implicit e: Encoder[(K, S)]): Dataset[(K, S)] = {
+    val raw = spark.read.parquet(path)
+    val valueType = raw.schema("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    // flatMapGroupsWithState checkpoints wrap the user state in a
+    // single `groupState` struct (plus timeout bookkeeping); unwrap so
+    // the decoder sees the state encoder's own fields
+    val value =
+      if (valueType.fieldNames.headOption.contains("groupState")) col("value.groupState")
+      else col("value")
+    raw.select(col("key"), value.as("value"))
+      .map(r => decode(r.getStruct(0), r.getStruct(1)))
+  }
 
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */

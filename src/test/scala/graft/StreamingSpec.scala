@@ -7,9 +7,30 @@ import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 import graft.streaming.Streams
 
-/** SURVEY §2.4 W1–W7 via MemoryStream (≙ S4 addSource) and temp dirs. */
-class StreamingSpec extends AnyFunSuite {
+/** SURVEY §2.4 W1–W7 via MemoryStream (≙ S4 addSource) and temp dirs.
+  * Parameterized over the state-store provider: the whole stateful
+  * suite (windows, stream-stream joins, timers, rollingReduce,
+  * near-dup candidate state, savepoint import, restarts) runs against
+  * BOTH the default HDFS-backed (on-heap) provider and RocksDB — the
+  * 100TB keyed-state backend must pass the same contract, not just a
+  * smoke probe. Suites run sequentially in the forked test JVM, so the
+  * session-wide provider toggle cannot cross-talk. */
+abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSession.spark
+
+  // memory-sink names must differ between the two provider suites:
+  // within one JVM a stopped query's table lingers in the catalog
+  private def qn(name: String): String = if (rocksdb) name + "_rx" else name
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    if (rocksdb) Engine.useRocksDBStateStore(spark)
+  }
+  override protected def afterAll(): Unit = {
+    if (rocksdb) Engine.useDefaultStateStore(spark)
+    super.afterAll()
+  }
 
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
@@ -22,12 +43,12 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
     val counts = in.toDS().flatMap(_.split(" ")).groupBy("value").count()
-    val q = counts.writeStream.format("memory").queryName("wc_stream")
+    val q = counts.writeStream.format("memory").queryName(qn("wc_stream"))
       .outputMode(OutputMode.Update()).start()
     try {
       in.addData("a b a"); q.processAllAvailable()
       in.addData("b a");   q.processAllAvailable()
-      val m = spark.table("wc_stream").groupBy("value").agg(max("count").as("c"))
+      val m = spark.table(qn("wc_stream")).groupBy("value").agg(max("count").as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(m == Map("a" -> 3L, "b" -> 2L))
     } finally q.stop()
@@ -40,7 +61,7 @@ class StreamingSpec extends AnyFunSuite {
     val agg = Streams.tumblingAgg(
       in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
       Seq("k"), Seq(count(lit(1)).as("n")))
-    val q = agg.writeStream.format("memory").queryName("tumble")
+    val q = agg.writeStream.format("memory").queryName(qn("tumble"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData((ts(1), "x"), (ts(5), "x")); q.processAllAvailable()
@@ -49,7 +70,7 @@ class StreamingSpec extends AnyFunSuite {
       // late row for the already-closed [0,10) window -> dropped
       in.addData((ts(2), "x")); q.processAllAvailable()
       in.addData((ts(55), "x")); q.processAllAvailable()
-      val rows = spark.table("tumble")
+      val rows = spark.table(qn("tumble"))
         .select(col("window.start").cast("string"), col("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(rows("2024-01-01 00:00:00") == 2L, s"late row not dropped: $rows")
@@ -63,12 +84,12 @@ class StreamingSpec extends AnyFunSuite {
     val agg = Streams.slidingAgg(
       in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes", "5 minutes",
       Seq("k"), Seq(count(lit(1)).as("n")))
-    val q = agg.writeStream.format("memory").queryName("slide")
+    val q = agg.writeStream.format("memory").queryName(qn("slide"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData((ts(7), "x")); q.processAllAvailable()
       in.addData((ts(59), "x")); q.processAllAvailable() // advance watermark
-      val starts = spark.table("slide").filter(col("n") === 1)
+      val starts = spark.table(qn("slide")).filter(col("n") === 1)
         .select(col("window.start").cast("string")).collect().map(_.getString(0)).sorted.toSeq
       // event at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
       assert(starts.contains("2024-01-01 00:00:00") && starts.contains("2024-01-01 00:05:00"),
@@ -83,13 +104,13 @@ class StreamingSpec extends AnyFunSuite {
     val agg = Streams.sessionAgg(
       in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
       Seq("k"), Seq(count(lit(1)).as("n")))
-    val q = agg.writeStream.format("memory").queryName("sessions")
+    val q = agg.writeStream.format("memory").queryName(qn("sessions"))
       .outputMode(OutputMode.Append()).start()
     try {
       // two bursts separated by > gap, then advance watermark to close them
       in.addData((ts(1), "u"), (ts(3), "u"), (ts(20), "u")); q.processAllAvailable()
       in.addData((ts(59), "flush")); q.processAllAvailable()
-      val ns = spark.table("sessions").filter(col("k") === "u")
+      val ns = spark.table(qn("sessions")).filter(col("k") === "u")
         .select("n").collect().map(_.getLong(0)).sorted.toSeq
       assert(ns == Seq(1L, 2L), s"sessions: $ns")
     } finally q.stop()
@@ -105,14 +126,14 @@ class StreamingSpec extends AnyFunSuite {
       buys.toDF().toDF("buy_ts", "buy_user"),
       "click_ts", "buy_ts", "20 minutes", "20 minutes",
       col("click_user") === col("buy_user"), "15 minutes")
-    val q = joined.writeStream.format("memory").queryName("ssj")
+    val q = joined.writeStream.format("memory").queryName(qn("ssj"))
       .outputMode(OutputMode.Append()).start()
     try {
       clicks.addData((ts(1), 7L), (ts(1), 8L))
       buys.addData((ts(5), 7L))        // within 15min of click -> joins
       buys.addData((ts(40), 8L))       // 39min later -> outside range
       q.processAllAvailable()
-      val out = spark.table("ssj").select("click_user").collect().map(_.getLong(0)).toSeq
+      val out = spark.table(qn("ssj")).select("click_user").collect().map(_.getLong(0)).toSeq
       assert(out == Seq(7L), s"joined users: $out")
     } finally q.stop()
   }
@@ -127,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
       buys.toDF().toDF("buy_ts", "buy_user"),
       "click_ts", "buy_ts", "5 minutes", "5 minutes",
       col("click_user") === col("buy_user"), "10 minutes")
-    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+    val q = joined.writeStream.format("memory").queryName(qn("ssj_outer"))
       .outputMode(OutputMode.Append()).start()
     try {
       clicks.addData((ts(1), 7L), (ts(1), 9L))
@@ -138,7 +159,7 @@ class StreamingSpec extends AnyFunSuite {
       clicks.addData((ts(59), 1L))
       buys.addData((ts(59), 1L))
       q.processAllAvailable()
-      val rows = spark.table("ssj_outer")
+      val rows = spark.table(qn("ssj_outer"))
         .select("click_user", "buy_user").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
       assert(rows.contains((7L, Some(7L))), s"match lost: $rows")
@@ -153,7 +174,7 @@ class StreamingSpec extends AnyFunSuite {
     val sessions = Streams.sessionizeWithTimeout(
       in.toDF().toDF("ts", "user_id"), "ts", "0 seconds", "user_id",
       gapMs = 10 * 60 * 1000)
-    val q = sessions.writeStream.format("memory").queryName("sess_timer")
+    val q = sessions.writeStream.format("memory").queryName(qn("sess_timer"))
       .outputMode(OutputMode.Append()).start()
     try {
       // user 1: two sessions in ONE batch (00:01-00:05, then 00:30 —
@@ -162,7 +183,7 @@ class StreamingSpec extends AnyFunSuite {
       in.addData((ts(1), 1L), (ts(5), 1L), (ts(30), 1L), (ts(2), 2L))
       q.processAllAvailable()
       val base = ts(0).getTime
-      val early = spark.table("sess_timer")
+      val early = spark.table(qn("sess_timer"))
         .select("user_id", "n_events", "session_start_ms", "session_end_ms")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       // user 1's first session closes at the gap split; user 2's closes
@@ -172,7 +193,7 @@ class StreamingSpec extends AnyFunSuite {
         (2L, 1L, base + 120000L, base + 120000L)), s"after batch 1: $early")
       in.addData((ts(59), 3L)) // watermark jumps past open ends + gap
       q.processAllAvailable()
-      val out = spark.table("sess_timer")
+      val out = spark.table(qn("sess_timer"))
         .select("user_id", "n_events", "session_start_ms", "session_end_ms")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(out == Set(
@@ -188,16 +209,67 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(String, Int)]
     val rolled = Streams.rollingReduce[String, (String, Int)](
       in.toDS(), _._1, (a, b) => (a._1, a._2 + b._2))
-    val q = rolled.toDF("k", "v").writeStream.format("memory").queryName("rolling")
+    val q = rolled.toDF("k", "v").writeStream.format("memory").queryName(qn("rolling"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData(("k", 1)); q.processAllAvailable()
       in.addData(("k", 2)); q.processAllAvailable()
       in.addData(("k", 4)); q.processAllAvailable()
-      val vals = spark.table("rolling").select("v").collect()
+      val vals = spark.table(qn("rolling")).select("v").collect()
         .map(_.getStruct(0).getInt(1)).sorted.toSeq
       assert(vals == Seq(1, 3, 7), s"running values: $vals") // every record emitted
     } finally q.stop()
+  }
+
+  test("W7c savepoint import: exported state seeds a fresh query identically to an uninterrupted run") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val reduce: ((String, Int), (String, Int)) => (String, Int) =
+      (a, b) => (a._1, a._2 + b._2)
+    val b1 = Seq(("x", 1), ("y", 10))
+    val b2 = Seq(("x", 2), ("y", 20), ("z", 100))
+    val b3 = Seq(("x", 4), ("y", 40), ("z", 200), ("w", 7))
+
+    // uninterrupted reference run: b1, b2, b3 through one query
+    def runQuery(name: String, batches: Seq[Seq[(String, Int)]], ckpt: String,
+                 build: org.apache.spark.sql.Dataset[(String, Int)] => org.apache.spark.sql.Dataset[(String, (String, Int))]): Unit = {
+      val in = MemoryStream[(String, Int)]
+      val q = build(in.toDS()).toDF("k", "v").writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def rows(name: String) = spark.table(name).select("k", "v")
+      .collect().map(r => (r.getString(0), (r.getStruct(1).getString(0), r.getStruct(1).getInt(1))))
+
+    runQuery(qn("sp_full"), Seq(b1, b2, b3), tmp("sp-full-ckpt"),
+      ds => Streams.rollingReduce[String, (String, Int)](ds, _._1, reduce))
+    val fullB3 = rows(qn("sp_full")).toSet -- {
+      // subtract the b1+b2 prefix: re-run just the prefix to identify it
+      runQuery(qn("sp_prefix"), Seq(b1, b2), tmp("sp-prefix-ckpt"),
+        ds => Streams.rollingReduce[String, (String, Int)](ds, _._1, reduce))
+      rows(qn("sp_prefix")).toSet
+    }
+
+    // interrupted run: b1+b2, stop, export state, import into a FRESH
+    // query (new checkpoint), then b3
+    val ckptA = tmp("sp-a-ckpt")
+    runQuery(qn("sp_a"), Seq(b1, b2), ckptA,
+      ds => Streams.rollingReduce[String, (String, Int)](ds, _._1, reduce))
+    val exported = tmp("sp-export")
+    Streams.exportState(spark, ckptA, exported)
+    val initial = Streams.importState[String, (String, Int)](spark, exported) {
+      (k, v) => (k.getString(0), (v.getString(0), v.getInt(1)))
+    }
+    runQuery(qn("sp_b"), Seq(b3), tmp("sp-b-ckpt"),
+      ds => Streams.rollingReduceWithInitial[String, (String, Int)](ds, _._1, reduce, initial))
+    val resumedB3 = rows(qn("sp_b")).toSet
+
+    assert(resumedB3 == fullB3,
+      s"resumed continuation diverged:\n got $resumedB3\n want $fullB3")
+    // and the continuation really carried state (x resumed from 3, not 0)
+    assert(resumedB3.contains(("x", ("x", 7))), s"x did not resume mid-reduction: $resumedB3")
   }
 
   test("W5b stream-static join enriches the stream against a batch dim") {
@@ -206,11 +278,11 @@ class StreamingSpec extends AnyFunSuite {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val in = MemoryStream[(Timestamp, Long)]
     val joined = in.toDF().toDF("ts", "user_id").join(broadcast(dim), Seq("user_id"), "left")
-    val q = joined.writeStream.format("memory").queryName("ss_join")
+    val q = joined.writeStream.format("memory").queryName(qn("ss_join"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData((ts(1), 1L), (ts(2), 3L)); q.processAllAvailable()
-      val rows = spark.table("ss_join").select("user_id", "tier").collect()
+      val rows = spark.table(qn("ss_join")).select("user_id", "tier").collect()
         .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
       assert(rows == Map(1L -> Some("gold"), 3L -> None))
     } finally q.stop()
@@ -222,14 +294,14 @@ class StreamingSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
     val in = MemoryStream[(Long, String)]
     val cands = Streams.nearDupCandidates(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
-    val q = cands.writeStream.format("memory").queryName("neardup_stream")
+    val q = cands.writeStream.format("memory").queryName(qn("neardup_stream"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData((1L, base), (10L, "completely unrelated words about catalyst optimizer internals and shuffles"))
       q.processAllAvailable()
       in.addData((2L, base + " again")) // near-dup of doc 1, later batch
       q.processAllAvailable()
-      val pairs = spark.table("neardup_stream").distinct().collect()
+      val pairs = spark.table(qn("neardup_stream")).distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs.contains((1L, 2L)), s"cross-batch near-dup missed: $pairs")
       assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L),
@@ -245,7 +317,7 @@ class StreamingSpec extends AnyFunSuite {
     val cands = Streams.nearDupCandidates(
       in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text",
       tsCol = Some("ts"), watermark = "1 minute", bucketTtlMs = 120000L) // 2-min TTL
-    val q = cands.writeStream.format("memory").queryName("neardup_ttl")
+    val q = cands.writeStream.format("memory").queryName(qn("neardup_ttl"))
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData((ts(1), 1L, base)); q.processAllAvailable()
@@ -263,7 +335,7 @@ class StreamingSpec extends AnyFunSuite {
       // doc 2 is a near-dup of doc 1 but arrives after doc 1's buckets
       // expired: no cross-pair may surface (history really was dropped)
       in.addData((ts(53), 2L, base + " again")); q.processAllAvailable()
-      val pairs = spark.table("neardup_ttl").distinct().collect()
+      val pairs = spark.table(qn("neardup_ttl")).distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!pairs.contains((1L, 2L)), s"expired history still paired: $pairs")
     } finally q.stop()
@@ -276,7 +348,7 @@ class StreamingSpec extends AnyFunSuite {
     val agg = Streams.tumblingAgg(
       in.toDF().toDF("ts", "k"), "ts", "10 minutes", "10 minutes",
       Seq("k"), Seq(count(lit(1)).as("n")))
-    val q = agg.writeStream.format("memory").queryName("late_acct")
+    val q = agg.writeStream.format("memory").queryName(qn("late_acct"))
       .outputMode(OutputMode.Append()).start()
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val cap = Streams.captureLateRows(
@@ -297,6 +369,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); cap.stop() }
   }
 
+  test("W4c captureLateRows recovers its watermark across restart (no re-classification)") {
+    val srcDir = tmp("late-src")
+    val ckpt = tmp("late-restart-ckpt")
+    var n = 0
+    def write(rows: Seq[Timestamp]): Unit = {
+      n += 1
+      val content = rows.map(t => s"""{"ms":${t.getTime}}""").mkString("\n")
+      java.nio.file.Files.write(
+        new java.io.File(srcDir, s"f$n.json").toPath, content.getBytes("UTF-8"))
+    }
+    val schema = new org.apache.spark.sql.types.StructType().add("ms", "long")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def capture() = Streams.captureLateRows(
+      spark.readStream.schema(schema).json(srcDir)
+        .select(timestamp_millis(col("ms")).as("ts")),
+      "ts", delayMs = 600000L, ckpt) { late =>
+      late.collect().foreach(r => captured.add(r.getTimestamp(0).getTime))
+    }
+    write(Seq(ts(1), ts(5)))
+    val c1 = capture()
+    try {
+      c1.processAllAvailable()
+      write(Seq(ts(31))) // advances the persisted watermark to 00:21
+      c1.processAllAvailable()
+    } finally c1.stop()
+    assert(captured.isEmpty, s"premature capture: ${captured.toArray.toSeq}")
+    // restart from the same checkpoint: ts(2) predates the recovered
+    // 00:21 watermark and must be captured — a -infinity reset (the old
+    // driver-side var) would classify it on-time
+    write(Seq(ts(2), ts(32)))
+    val c2 = capture()
+    try c2.processAllAvailable() finally c2.stop()
+    assert(captured.toArray.toSeq == Seq(ts(2).getTime),
+      s"capture after restart: ${captured.toArray.toSeq}")
+  }
+
   test("W2b keyed streaming aggregate under the RocksDB state store provider") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -305,12 +413,12 @@ class StreamingSpec extends AnyFunSuite {
       val in = MemoryStream[(Long, Double)]
       val agg = in.toDF().toDF("user_id", "value")
         .groupBy("user_id").agg(sum("value").as("total"))
-      val q = agg.writeStream.format("memory").queryName("rocksdb_agg")
+      val q = agg.writeStream.format("memory").queryName(qn("rocksdb_agg"))
         .outputMode(OutputMode.Update()).start()
       try {
         in.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
         in.addData((1L, 3.0));            q.processAllAvailable()
-        val m = spark.table("rocksdb_agg").groupBy("user_id").agg(max("total").as("t"))
+        val m = spark.table(qn("rocksdb_agg")).groupBy("user_id").agg(max("total").as("t"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         assert(m == Map(1L -> 4.0, 2L -> 2.0), s"got $m")
         val provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
@@ -326,7 +434,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = tmp("state-export-ckpt")
     val agg = in.toDF().toDF("user_id", "value")
       .groupBy("user_id").agg(sum("value").as("total"))
-    val q = agg.writeStream.format("memory").queryName("state_export_agg")
+    val q = agg.writeStream.format("memory").queryName(qn("state_export_agg"))
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update()).start()
     try {
@@ -355,13 +463,13 @@ class StreamingSpec extends AnyFunSuite {
       val sessions = Streams.sessionizeWithTimeout(
         in.toDF().toDF("ts", "user_id"), "ts", "0 seconds", "user_id",
         gapMs = 10 * 60 * 1000)
-      val q = sessions.writeStream.format("memory").queryName("sess_rocks")
+      val q = sessions.writeStream.format("memory").queryName(qn("sess_rocks"))
         .outputMode(OutputMode.Append()).start()
       try {
         in.addData((ts(1), 1L), (ts(5), 1L)); q.processAllAvailable()
         in.addData((ts(40), 1L)); q.processAllAvailable() // gap closes session 1
         in.addData((ts(59), 2L)); q.processAllAvailable() // advances watermark
-        val rows = spark.table("sess_rocks").filter(col("user_id") === 1L)
+        val rows = spark.table(qn("sess_rocks")).filter(col("user_id") === 1L)
           .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
         assert(rows.contains(2L), s"first session (2 events) not closed: $rows")
       } finally q.stop()
@@ -379,13 +487,13 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/*")
     val q = stream.groupBy("event_type").count()
-      .writeStream.format("memory").queryName("avnow")
+      .writeStream.format("memory").queryName(qn("avnow"))
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
     try {
       assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
-      val total = spark.table("avnow").agg(sum("count")).collect().head.getLong(0)
+      val total = spark.table(qn("avnow")).agg(sum("count")).collect().head.getLong(0)
       assert(total == 800, s"drained rows: $total")
     } finally q.stop()
   }
@@ -439,3 +547,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Seq("a", "b", "c"), s"restart reprocessed or lost rows: $all")
   }
 }
+
+/** Default (HDFS-backed, on-heap) state store provider. */
+class StreamingSpec extends StreamingSpecBase(rocksdb = false)
+
+/** Same contract under the RocksDB provider (VERDICT r2 item 5). */
+class StreamingRocksDBSpec extends StreamingSpecBase(rocksdb = true)
