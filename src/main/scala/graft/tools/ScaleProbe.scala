@@ -107,6 +107,45 @@ object ScaleProbe {
         docs20.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", minHits = 3L)
     }
+    // …and with a 4x-larger eval side (1/23 of the corpus): the
+    // broadcast inverted index grows with the eval set, the train
+    // side's cost must not
+    stage("contamination_20x_bigeval") {
+      graft.ops.Contamination.overlapReport(
+        docs20.filter(col("doc_id") % 23 =!= 0),
+        docs20.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", minHits = 3L)
+    }
+
+    // Bigram-LM train + score at 20x docs: typed bigram explosion is
+    // one narrow pass; counts and the per-doc score agg are map-side
+    // combinable, so runtime tracks token volume, not |docs|².
+    val docs20ck = docs20.localCheckpoint()
+    stage("lm_train_score_20x") {
+      val model = graft.ops.LanguageModel.trainBigramModel(docs20ck, "text")
+      graft.ops.LanguageModel.scoreDocs(docs20ck, "doc_id", "text", model)
+    }
+
+    // CMS heavy hitters at 20x docs: sketch stays depth x width cells
+    // regardless of volume; only the bounded sketch broadcasts back.
+    stage("heavy_hitters_20x") {
+      graft.ops.Sketches.cmsHeavyHitters(docs20ck, "text")
+    }
+
+    // Int8 quantization at 25x vectors: one narrow typed pass, no
+    // shuffle at all — throughput must scale linearly with rows.
+    stage("quantize_int8_25x") {
+      graft.ops.Similarity.quantizeInt8(emb25)
+    }
+
+    // Deterministic quantized IVF at 25x vectors (50k): training is
+    // iters+1 narrow passes with nCells x dim integer partials; the
+    // candidate join is cell-bucketed. nCells scales with sqrt(n).
+    stage("ivf_quant_25x") {
+      val q25 = emb25.filter(col("vec_id") % 2001 === 0) // ~25 spread queries
+      graft.ops.Similarity.ivfTopKQuant(q25, emb25, k = 5,
+        nCells = 64, nProbe = 8, iters = 2)
+    }
     spark.stop()
   }
 }
