@@ -43,4 +43,35 @@ object Mix {
     val fractions = fractionsFor(counts, targetShares)
     df.stat.sampleBy(stratumCol, fractions, seed)
   }
+
+  /** Deterministic hash-based train/val/test split: each row's integral
+    * `idCol` is avalanche-mixed ([[Similarity.mix32]], plain `*`/`%`/
+    * `xor`/`//` arithmetic) into a bucket in [0, 10000); `splits` maps
+    * cumulative per-myriad bounds to names, e.g.
+    * `Seq(("train", 9800), ("val", 9900), ("test", 10000))`.
+    *
+    * Hash-based (not random) on purpose: the assignment is a pure
+    * function of the id, so it is stable across runs, cluster layouts,
+    * and INCREMENTAL INGESTION — a document keeps its split forever,
+    * which is what keeps eval sets uncontaminated as the corpus grows.
+    * Narrow codegen'd expression, no shuffle, and exactly mirrorable
+    * in a SQL oracle. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.last._2 == 10000,
+      s"Mix.hashSplit: bounds must end at 10000, got $splits")
+    require(splits.map(_._2) == splits.map(_._2).sorted,
+      s"Mix.hashSplit: bounds must be ascending, got $splits")
+    // mix32 as a Column: identical op chain to the JVM/SQL versions
+    val x = col(idCol).cast("long") + lit(1L)
+    val h0 = pmod(x * lit(2654435761L), lit(4294967296L))
+    val h1 = h0.bitwiseXOR(floor(h0 / 65536).cast("long"))
+    val h2 = pmod(h1 * lit(40503L), lit(4294967296L))
+    val h = h2.bitwiseXOR(floor(h2 / 8192).cast("long"))
+    val bucket = pmod(h, lit(10000L))
+    val assign = splits.foldRight(lit(null).cast("string")) {
+      case ((name, bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for LLM pretraining (the layout step between a
+  * cleaned corpus and the trainer): documents are concatenated in
+  * ascending id order and SPLIT at fixed context-window boundaries of
+  * `capacity` tokens — the classic pack-and-split layout, where a
+  * window may end mid-document and the remainder flows into the next
+  * window. Output: one row per (document × context window) segment.
+  *
+  * Scale shape — the interesting part is the GLOBAL prefix sum over
+  * token counts. A window over a global ORDER BY would funnel the
+  * whole corpus through one partition; instead this runs the classic
+  * two-phase distributed scan:
+  *   1. range-partition by id + sort within partitions (the shuffle a
+  *      global sort needs anyway, but parallel end-to-end),
+  *   2. one narrow pass summing each partition's tokens (P longs to
+  *      the driver),
+  *   3. one narrow pass re-walking each partition with its exclusive
+  *      prefix offset, emitting segments directly.
+  * The result is independent of partition count/boundaries — the
+  * prefix offsets absorb them — so the operator is deterministic and
+  * mirrorable by a plain windowed cumulative sum in the SQL oracle.
+  *
+  * Segment arithmetic is pure integer: a doc spanning global tokens
+  * [gs, gs+n) intersects packs gs/cap … (gs+n-1)/cap; within pack p it
+  * occupies pack positions [max(gs, p·cap), min(gs+n, (p+1)·cap)) − p·cap.
+  * Empty docs (0 tokens) produce no segments.
+  */
+object Pack {
+
+  /** (doc_id, pack_id, pack_pos, doc_off, seg_len) for every segment.
+    * `tokensCol` must be a non-negative integral token count. */
+  def sequencePack(docs: DataFrame, idCol: String, tokensCol: String,
+                   capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, "pack capacity must be positive")
+    val spark = docs.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).cast("long").as("n"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    // per-partition imperative prefix logic — the one shape Dataset ops
+    // can't express (mapPartitions loses the partition index)
+    val rdd = parts.queryExecution.toRdd.mapPartitions(
+      it => it.map(r => (r.getLong(0), r.getLong(1))), preservesPartitioning = true)
+    val totals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
+      }
+      .collect().toMap // P longs of model state, not data
+    val nParts = totals.keys.maxOption.getOrElse(-1) + 1
+    val offsets = Array.tabulate(nParts)(identity)
+      .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L)) // exclusive prefix
+    val segs = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var g = offsets(i)
+      it.flatMap { case (id, n) =>
+        val gs = g
+        g += n
+        if (n <= 0) Iterator.empty
+        else (gs / capacity to (gs + n - 1) / capacity).iterator.map { pk =>
+          val segStart = math.max(gs, pk * capacity)
+          val segEnd = math.min(gs + n, (pk + 1) * capacity)
+          Row(id, pk, segStart - pk * capacity, segStart - gs, segEnd - segStart)
+        }
+      }
+    }
+    spark.createDataFrame(segs, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", LongType, nullable = false),
+      StructField("doc_off", LongType, nullable = false),
+      StructField("seg_len", LongType, nullable = false))))
+  }
+
+  /** Per-pack fill report over [[sequencePack]] output: (pack_id,
+    * n_segments, n_tokens, fill_ratio). Every pack but the last is
+    * exactly full by construction — the report is the validation a
+    * pipeline runs before shipping packs to the trainer. */
+  def packReport(segments: DataFrame, capacity: Long): DataFrame =
+    segments.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_segments"), sum("seg_len").as("n_tokens"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / capacity.toDouble)
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Mix, Pack, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-layout operators over `documents`: sequence packing and
+  * deterministic corpus splits (SURVEY §2.6 pipeline surface). */
+object PackQueries {
+
+  // GPT-style pack-and-split at 512-token context windows: docs
+  // concatenated in id order, split at window boundaries. The Spark
+  // side runs the two-phase distributed prefix sum (no global-order
+  // window); the oracle is the plain windowed cumulative sum the
+  // distributed scan must equal.
+  private val pack = QueryDef("pk_sequence_pack", Some(
+    """WITH t AS (SELECT doc_id,
+      |             cast(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, n,
+      |        coalesce(sum(n) OVER (ORDER BY doc_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                 0)::BIGINT AS gs
+      |      FROM t),
+      |s AS (SELECT doc_id, n, gs FROM c WHERE n > 0),
+      |seg AS (SELECT doc_id, n, gs,
+      |          unnest(range(gs // 512, (gs + n - 1) // 512 + 1)) AS pack_id
+      |        FROM s)
+      |SELECT doc_id, pack_id,
+      |       greatest(gs, pack_id * 512) - pack_id * 512 AS pack_pos,
+      |       greatest(gs, pack_id * 512) - gs AS doc_off,
+      |       least(gs + n, (pack_id + 1) * 512) - greatest(gs, pack_id * 512) AS seg_len
+      |FROM seg""".stripMargin)) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+    Pack.sequencePack(docs, "doc_id", "n", capacity = 512L)
+  }
+
+  // Stable hash-based train/val/test split (98/1/1): assignment is a
+  // pure function of doc_id — survives reruns and incremental
+  // ingestion, so eval membership never drifts into the train set.
+  private val split = QueryDef("pk_hash_split", Some(
+    """WITH m0 AS (SELECT doc_id, ((doc_id + 1) * 2654435761) % 4294967296 AS h
+      |            FROM documents),
+      |m1 AS (SELECT doc_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, xor(h, h // 8192) % 10000 AS b FROM m1)
+      |SELECT doc_id,
+      |       CASE WHEN b < 9800 THEN 'train'
+      |            WHEN b < 9900 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM m""".stripMargin), bench = false) { (spark, dir) =>
+    Mix.hashSplit(Tables(spark, dir).documents.select(col("doc_id")), "doc_id",
+      Seq(("train", 9800), ("val", 9900), ("test", 10000)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pack, split)
+}

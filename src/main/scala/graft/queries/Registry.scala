@@ -18,7 +18,8 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      PackQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

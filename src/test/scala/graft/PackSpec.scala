@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Mix, Pack}
+
+class PackSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def docs(counts: (Long, Long)*) = {
+    import spark.implicits._
+    counts.toSeq.toDF("doc_id", "n")
+  }
+
+  test("sequencePack splits docs exactly at capacity boundaries") {
+    val segs = Pack.sequencePack(docs((1L, 3L), (2L, 5L), (3L, 4L)), "doc_id", "n", capacity = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(s => (s._1, s._2)).toSeq
+    // stream: doc1 [0,3), doc2 [3,8), doc3 [8,12); packs of 4
+    assert(segs == Seq(
+      (1L, 0L, 0L, 0L, 3L),             // doc1 fills pack0[0..3)
+      (2L, 0L, 3L, 0L, 1L),             // doc2 head ends pack0
+      (2L, 1L, 0L, 1L, 4L),             // doc2 tail fills pack1
+      (3L, 2L, 0L, 0L, 4L)),            // doc3 = pack2
+      s"segments: $segs")
+  }
+
+  test("sequencePack invariants: per-doc coverage, full packs, empty docs skipped") {
+    import spark.implicits._
+    val d = docs((0 until 200).map(i => (i.toLong, (i % 7).toLong)): _*)
+    val segs = Pack.sequencePack(d, "doc_id", "n", capacity = 16L).cache()
+    // every token of every non-empty doc is covered exactly once, in order
+    val perDoc = segs.groupBy("doc_id").agg(sum("seg_len").as("s"), min("doc_off").as("o"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    d.collect().foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      if (n == 0) assert(!perDoc.contains(id), s"empty doc $id emitted segments")
+      else assert(perDoc(id) == ((n, 0L)), s"doc $id coverage ${perDoc.get(id)} != $n")
+    }
+    // every pack except the last is exactly full
+    val fills = Pack.packReport(segs, 16L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1)
+    assert(fills.dropRight(1).forall(_._2 == 16L), s"non-full interior pack: ${fills.toSeq}")
+  }
+
+  test("sequencePack output is independent of the partition count") {
+    import spark.implicits._
+    val d = docs((0 until 500).map(i => (i.toLong, (i % 11 + 1).toLong)): _*)
+    def run(p: Int) = Pack.sequencePack(d, "doc_id", "n", capacity = 64L, numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val a = run(3)
+    val b = run(17)
+    assert(a == b, s"partitioning changed the packing: ${(a -- b).take(3)}")
+  }
+
+  test("hashSplit is deterministic, complete, and near the requested proportions") {
+    import spark.implicits._
+    val d = (0 until 20000).map(_.toLong).toDF("doc_id")
+    val s1 = Mix.hashSplit(d, "doc_id", Seq(("train", 9000), ("val", 9500), ("test", 10000)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Mix.hashSplit(d.repartition(7), "doc_id",
+      Seq(("train", 9000), ("val", 9500), ("test", 10000)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "split assignment not stable across partitionings")
+    val shares = s1.values.groupBy(identity).view.mapValues(_.size / 20000.0).toMap
+    assert(math.abs(shares("train") - 0.90) < 0.02, s"shares: $shares")
+    assert(math.abs(shares("val") - 0.05) < 0.01, s"shares: $shares")
+    assert(math.abs(shares("test") - 0.05) < 0.01, s"shares: $shares")
+    // matches the JVM mix32 reference bit-for-bit
+    s1.take(100).foreach { case (id, split) =>
+      val b = graft.ops.Similarity.mix32(id + 1) % 10000
+      val want = if (b < 9000) "train" else if (b < 9500) "val" else "test"
+      assert(split == want, s"id $id: col-expr $split != jvm $want")
+    }
+  }
+}
