@@ -56,22 +56,41 @@ object Mix {
     * which is what keeps eval sets uncontaminated as the corpus grows.
     * Narrow codegen'd expression, no shuffle, and exactly mirrorable
     * in a SQL oracle. */
+  /** [[graft.ops.Similarity.mix32]] as a Column over an integral id —
+    * identical op chain to the JVM and SQL versions (divisions are by
+    * powers of two, so the double intermediate stays exact). */
+  def mix32Col(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = id.cast("long") + lit(1L)
+    val h0 = pmod(x * lit(2654435761L), lit(4294967296L))
+    val h1 = h0.bitwiseXOR(floor(h0 / 65536).cast("long"))
+    val h2 = pmod(h1 * lit(40503L), lit(4294967296L))
+    h2.bitwiseXOR(floor(h2 / 8192).cast("long"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.last._2 == 10000,
       s"Mix.hashSplit: bounds must end at 10000, got $splits")
     require(splits.map(_._2) == splits.map(_._2).sorted,
       s"Mix.hashSplit: bounds must be ascending, got $splits")
-    // mix32 as a Column: identical op chain to the JVM/SQL versions
-    val x = col(idCol).cast("long") + lit(1L)
-    val h0 = pmod(x * lit(2654435761L), lit(4294967296L))
-    val h1 = h0.bitwiseXOR(floor(h0 / 65536).cast("long"))
-    val h2 = pmod(h1 * lit(40503L), lit(4294967296L))
-    val h = h2.bitwiseXOR(floor(h2 / 8192).cast("long"))
-    val bucket = pmod(h, lit(10000L))
+    val bucket = pmod(mix32Col(col(idCol)), lit(10000L))
     val assign = splits.foldRight(lit(null).cast("string")) {
       case ((name, bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
     }
     df.withColumn("split", assign)
   }
+
+  /** Per-stratum frequency capping: keep at most `cap` rows per value
+    * of `stratumCol` (domain caps in web corpora — no single source may
+    * dominate the mixture), chosen deterministically by hash priority
+    * ([[mix32Col]] of the id, id tiebreak) so reruns keep the SAME
+    * survivors. Runs through the bounded-heap GroupedTopK operator: at
+    * most `cap` rows per stratum survive the map side, so a stratum
+    * with 10^9 rows costs a cap-sized heap, never a per-stratum sort. */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    cap: Int): DataFrame =
+    graft.plans.GroupedTopK(
+      df.withColumn("__pri", mix32Col(col(idCol))),
+      Seq(stratumCol), cap, Seq(("__pri", false), (idCol, false)))
+      .drop("__pri")
 }

@@ -77,6 +77,55 @@ object Pack {
       StructField("seg_len", LongType, nullable = false))))
   }
 
+  /** Deterministic token-budget subsample: documents are ranked by an
+    * avalanche hash of their id (a reproducible shuffle — no RNG state,
+    * stable under reruns and incremental ingestion) and taken in that
+    * order until the global token budget is reached: a doc is kept iff
+    * the tokens BEFORE it in priority order are < `budget` ("take
+    * until full", so the last doc may overshoot). The "give me a 50B-
+    * token slice of this 5T-token corpus, reproducibly" step.
+    *
+    * Same two-phase distributed prefix scan as [[sequencePack]], keyed
+    * by (hash, id) — no global-order window, partition-boundary
+    * independent. Output: (doc_id, n_tokens, cum_before). */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = docs.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n"),
+        Mix.mix32Col(col(idCol)).as("h"))
+      .repartitionByRange(p, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+    val rdd = parts.queryExecution.toRdd.mapPartitions(
+      it => it.map(r => (r.getLong(0), r.getLong(1))), preservesPartitioning = true)
+    val totals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
+      }
+      .collect().toMap
+    val nParts = totals.keys.maxOption.getOrElse(-1) + 1
+    val offsets = Array.tabulate(nParts)(identity)
+      .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val kept = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var g = offsets(i)
+      // whole partitions beyond the budget short-circuit at the iterator
+      if (g >= budget) Iterator.empty
+      else it.flatMap { case (id, n) =>
+        val before = g
+        g += n
+        if (before < budget) Iterator.single(Row(id, n, before)) else Iterator.empty
+      }
+    }
+    spark.createDataFrame(kept, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("cum_before", LongType, nullable = false))))
+  }
+
   /** Per-pack fill report over [[sequencePack]] output: (pack_id,
     * n_segments, n_tokens, fill_ratio). Every pack but the last is
     * exactly full by construction — the report is the validation a

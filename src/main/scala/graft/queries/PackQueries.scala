@@ -53,5 +53,46 @@ object PackQueries {
       Seq(("train", 9800), ("val", 9900), ("test", 10000)))
   }
 
-  val defs: Seq[QueryDef] = Seq(pack, split)
+  // Reproducible token-budget slice: docs in avalanche-hash priority
+  // order until 20k tokens. Same distributed prefix scan as packing;
+  // oracle is the windowed cumsum it must equal.
+  private val budget = QueryDef("pk_token_budget", Some(
+    """WITH t AS (SELECT doc_id,
+      |             cast(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |           FROM documents),
+      |m0 AS (SELECT doc_id, ((doc_id + 1) * 2654435761) % 4294967296 AS h FROM t),
+      |m1 AS (SELECT doc_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, xor(h, h // 8192) AS h FROM m1),
+      |c AS (SELECT t.doc_id, t.n, m.h,
+      |        coalesce(sum(t.n) OVER (ORDER BY m.h, t.doc_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                 0)::BIGINT AS cb
+      |      FROM t JOIN m USING (doc_id))
+      |SELECT doc_id, n AS n_tokens, cb AS cum_before FROM c WHERE cb < 20000""".stripMargin)) {
+    (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      Pack.tokenBudgetSample(docs, "doc_id", "n", budget = 20000L)
+  }
+
+  // Per-source frequency cap (domain capping): at most 10 docs per
+  // source, survivors chosen by hash priority — deterministic across
+  // reruns. Runs through the bounded-heap GroupedTopK operator.
+  private val cap = QueryDef("mx_source_cap", Some(
+    """WITH m0 AS (SELECT doc_id, source,
+      |              ((doc_id + 1) * 2654435761) % 4294967296 AS h FROM documents),
+      |m1 AS (SELECT doc_id, source, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, source, xor(h, h // 8192) AS h FROM m1),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |      FROM m)
+      |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin), bench = false) {
+    (spark, dir) =>
+      Mix.capPerStratum(
+        Tables(spark, dir).documents.select(col("doc_id"), col("source")),
+        "doc_id", "source", cap = 10)
+        .select("doc_id", "source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap)
 }

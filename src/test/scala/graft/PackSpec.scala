@@ -53,6 +53,36 @@ class PackSpec extends AnyFunSuite {
     assert(a == b, s"partitioning changed the packing: ${(a -- b).take(3)}")
   }
 
+  test("tokenBudgetSample: budget respected, priority order, partition-invariant") {
+    import spark.implicits._
+    val d = docs((0 until 300).map(i => (i.toLong, (i % 13 + 1).toLong)): _*)
+    def run(p: Int) = Pack.tokenBudgetSample(d, "doc_id", "n", budget = 500L, numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(4)
+    assert(a == run(19), "partitioning changed the sample")
+    // every kept doc started strictly under budget; the kept set is a
+    // prefix of the (hash, id) priority order
+    assert(a.forall(_._3 < 500L))
+    val keptIds = a.map(_._1)
+    val pri = (0 until 300).map(i => (graft.ops.Similarity.mix32(i + 1L), i.toLong)).sorted
+    var cum = 0L
+    val want = pri.takeWhile { case (_, id) =>
+      val keep = cum < 500L; cum += (id % 13 + 1); keep
+    }.map(_._2).toSet
+    assert(keptIds == want, s"sample != priority prefix: ${(keptIds -- want).take(3)} / ${(want -- keptIds).take(3)}")
+  }
+
+  test("capPerStratum keeps at most cap rows per stratum, deterministically") {
+    import spark.implicits._
+    val d = (0 until 1000).map(i => (i.toLong, s"src${i % 7}")).toDF("doc_id", "source")
+    val capped = graft.ops.Mix.capPerStratum(d, "doc_id", "source", cap = 20)
+    val bySrc = capped.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 20L), s"caps: $bySrc")
+    val again = graft.ops.Mix.capPerStratum(d.repartition(11), "doc_id", "source", cap = 20)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == capped.collect().map(r => r.getLong(0)).toSet, "survivors not stable")
+  }
+
   test("hashSplit is deterministic, complete, and near the requested proportions") {
     import spark.implicits._
     val d = (0 until 20000).map(_.toLong).toDF("doc_id")
