@@ -32,20 +32,18 @@ import org.apache.spark.sql.types._
   */
 object Pack {
 
-  /** (doc_id, pack_id, pack_pos, doc_off, seg_len) for every segment.
-    * `tokensCol` must be a non-negative integral token count. */
-  def sequencePack(docs: DataFrame, idCol: String, tokensCol: String,
-                   capacity: Long, numPartitions: Int = 0): DataFrame = {
-    require(capacity > 0, "pack capacity must be positive")
-    val spark = docs.sparkSession
-    val p = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).cast("long").as("n"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-    // per-partition imperative prefix logic — the one shape Dataset ops
-    // can't express (mapPartitions loses the partition index)
+  /** The shared two-phase distributed prefix scan: rows as (id, value)
+    * sorted by `sortCols` within range partitions, re-walked with each
+    * partition's exclusive prefix offset. `emit(id, value, prefixBefore)`
+    * produces the output rows. The per-partition imperative walk is the
+    * one shape Dataset ops can't express (mapPartitions loses the
+    * partition index), hence the RDD drop-down; the shuffle is the one
+    * range exchange, reused across both passes. */
+  private def prefixScan(df: DataFrame, sortCols: Seq[String], p: Int)(
+      emit: (Long, Long, Long) => Iterator[Row]): org.apache.spark.rdd.RDD[Row] = {
+    val parts = df
+      .repartitionByRange(p, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
     val rdd = parts.queryExecution.toRdd.mapPartitions(
       it => it.map(r => (r.getLong(0), r.getLong(1))), preservesPartitioning = true)
     val totals = rdd
@@ -56,17 +54,33 @@ object Pack {
     val nParts = totals.keys.maxOption.getOrElse(-1) + 1
     val offsets = Array.tabulate(nParts)(identity)
       .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L)) // exclusive prefix
-    val segs = rdd.mapPartitionsWithIndex { case (i, it) =>
+    rdd.mapPartitionsWithIndex { case (i, it) =>
       var g = offsets(i)
       it.flatMap { case (id, n) =>
-        val gs = g
+        val before = g
         g += n
-        if (n <= 0) Iterator.empty
-        else (gs / capacity to (gs + n - 1) / capacity).iterator.map { pk =>
-          val segStart = math.max(gs, pk * capacity)
-          val segEnd = math.min(gs + n, (pk + 1) * capacity)
-          Row(id, pk, segStart - pk * capacity, segStart - gs, segEnd - segStart)
-        }
+        emit(id, n, before)
+      }
+    }
+  }
+
+  /** (doc_id, pack_id, pack_pos, doc_off, seg_len) for every segment.
+    * `tokensCol` must be a non-negative integral token count. */
+  def sequencePack(docs: DataFrame, idCol: String, tokensCol: String,
+                   capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, "pack capacity must be positive")
+    val spark = docs.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val segs = prefixScan(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n")),
+      Seq("doc_id"), p) { (id, n, gs) =>
+      if (n <= 0) Iterator.empty
+      else (gs / capacity to (gs + n - 1) / capacity).iterator.map { pk =>
+        val segStart = math.max(gs, pk * capacity)
+        val segEnd = math.min(gs + n, (pk + 1) * capacity)
+        Row(id, pk, segStart - pk * capacity, segStart - gs, segEnd - segStart)
       }
     }
     spark.createDataFrame(segs, StructType(Seq(
@@ -75,6 +89,24 @@ object Pack {
       StructField("pack_pos", LongType, nullable = false),
       StructField("doc_off", LongType, nullable = false),
       StructField("seg_len", LongType, nullable = false))))
+  }
+
+  /** Dense contiguous row ids 0…N−1 in ascending `orderCol` order — the
+    * gap-free numbering `monotonically_increasing_id` does NOT give
+    * (it strides by partition) and a `row_number()` window only gives
+    * through a single-partition sort. Same two-phase scan with value=1:
+    * the prefix count IS the id. The "assign every training example a
+    * stable dense index" step. Output: (orderCol, dense_id). */
+  def denseIds(df: DataFrame, orderCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = prefixScan(
+      df.select(col(orderCol).cast("long").as("id"), lit(1L).as("one")),
+      Seq("id"), p) { (id, _, before) => Iterator.single(Row(id, before)) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(orderCol, LongType, nullable = false),
+      StructField("dense_id", LongType, nullable = false))))
   }
 
   /** Deterministic token-budget subsample: documents are ranked by an
@@ -94,31 +126,12 @@ object Pack {
     val spark = docs.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+    val kept = prefixScan(
+      docs.select(col(idCol).cast("long").as("doc_id"),
         col(tokensCol).cast("long").as("n"),
-        Mix.mix32Col(col(idCol)).as("h"))
-      .repartitionByRange(p, col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-    val rdd = parts.queryExecution.toRdd.mapPartitions(
-      it => it.map(r => (r.getLong(0), r.getLong(1))), preservesPartitioning = true)
-    val totals = rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
-      }
-      .collect().toMap
-    val nParts = totals.keys.maxOption.getOrElse(-1) + 1
-    val offsets = Array.tabulate(nParts)(identity)
-      .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
-    val kept = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var g = offsets(i)
-      // whole partitions beyond the budget short-circuit at the iterator
-      if (g >= budget) Iterator.empty
-      else it.flatMap { case (id, n) =>
-        val before = g
-        g += n
-        if (before < budget) Iterator.single(Row(id, n, before)) else Iterator.empty
-      }
+        Mix.mix32Col(col(idCol)).as("h")),
+      Seq("h", "doc_id"), p) { (id, n, before) =>
+      if (before < budget) Iterator.single(Row(id, n, before)) else Iterator.empty
     }
     spark.createDataFrame(kept, StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

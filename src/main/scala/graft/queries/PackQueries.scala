@@ -94,5 +94,15 @@ object PackQueries {
         .select("doc_id", "source")
   }
 
-  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap)
+  // Dense gap-free ids in doc_id order via the distributed prefix
+  // scan — the numbering monotonically_increasing_id can't give and a
+  // row_number window would single-partition.
+  private val dense = QueryDef("pk_dense_ids", Some(
+    """SELECT doc_id,
+      |       cast(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS dense_id
+      |FROM documents""".stripMargin), bench = false) { (spark, dir) =>
+    Pack.denseIds(Tables(spark, dir).documents.select(col("doc_id")), "doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense)
 }

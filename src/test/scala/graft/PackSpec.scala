@@ -83,6 +83,18 @@ class PackSpec extends AnyFunSuite {
     assert(again == capped.collect().map(r => r.getLong(0)).toSet, "survivors not stable")
   }
 
+  test("denseIds: contiguous 0..N-1 in order, partition-invariant") {
+    import spark.implicits._
+    // non-contiguous, shuffled input ids
+    val d = scala.util.Random.shuffle((0 until 400).map(i => i.toLong * 7 + 3)).toDF("doc_id")
+    def run(p: Int) = Pack.denseIds(d, "doc_id", numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val a = run(5)
+    assert(a == run(23), "partitioning changed the numbering")
+    assert(a.map(_._2) == (0L until 400L), s"ids not dense: ${a.take(5)}")
+    assert(a.map(_._1) == a.map(_._1).sorted, "dense order != id order")
+  }
+
   test("hashSplit is deterministic, complete, and near the requested proportions") {
     import spark.implicits._
     val d = (0 until 20000).map(_.toLong).toDF("doc_id")
