@@ -172,6 +172,49 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout(),
         initialState = initial.groupByKey(_._1).mapValues(_._2))(rollingReduceFunc(reduce))
 
+  /** [[rollingReduce]] on Spark 4's transformWithState — the modern
+    * arbitrary-state API (typed ValueState/ListState/MapState handles,
+    * per-state TTL, explicit timers) that supersedes
+    * flatMapGroupsWithState and maps onto the reference's richer
+    * ProcessFunction state surface. Same per-record contract; pass
+    * `initial` (e.g. from [[importState]]) to seed a fresh query with
+    * exported state — the savepoint-import path on the new API.
+    * Requires the RocksDB state store provider
+    * ([[graft.Engine.useRocksDBStateStore]]); Spark rejects
+    * transformWithState on the HDFS-backed provider. */
+  def rollingReduceTws[K: Encoder, T: Encoder](
+      ds: Dataset[T], key: T => K, reduce: (T, T) => T,
+      initial: Option[Dataset[(K, T)]] = None)(
+      implicit e: Encoder[(K, T)]): Dataset[(K, T)] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+    val tEnc = implicitly[Encoder[T]]
+    val proc = new StatefulProcessorWithInitialState[K, T, (K, T), T] {
+      @transient private var acc: ValueState[T] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        acc = getHandle.getValueState[T]("acc", tEnc, TTLConfig.NONE)
+      override def handleInitialState(k: K, s: T, tv: TimerValues): Unit =
+        acc.update(s)
+      override def handleInputRows(k: K, rows: Iterator[T], tv: TimerValues): Iterator[(K, T)] = {
+        var cur = if (acc.exists()) Some(acc.get()) else None
+        val out = rows.map { t =>
+          cur = Some(cur.fold(t)(reduce(_, t)))
+          (k, cur.get)
+        }.toList
+        cur.foreach(acc.update)
+        out.iterator
+      }
+    }
+    val grouped = ds.groupByKey(key)
+    initial match {
+      case Some(init) =>
+        grouped.transformWithState(proc, TimeMode.None(), OutputMode.Append(),
+          init.groupByKey(_._1).mapValues(_._2), implicitly[Encoder[(K, T)]], tEnc)
+      case None =>
+        grouped.transformWithState(proc, TimeMode.None(), OutputMode.Append(),
+          implicitly[Encoder[(K, T)]])
+    }
+  }
+
   /** Streaming NEAR-dup candidates (E1 on a stream): each document is
     * MinHash-signed and banded (same family as the batch
     * [[graft.ops.Dedup]] pipeline); the stream is keyed by

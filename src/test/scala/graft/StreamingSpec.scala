@@ -272,6 +272,60 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(resumedB3.contains(("x", ("x", 7))), s"x did not resume mid-reduction: $resumedB3")
   }
 
+  test("W6c rollingReduce on transformWithState: per-record contract + cross-API state import") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // transformWithState requires RocksDB regardless of which suite runs this
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Engine.useRocksDBStateStore(spark)
+    try {
+      val reduce: ((String, Int), (String, Int)) => (String, Int) =
+        (a, b) => (a._1, a._2 + b._2)
+      // per-record running values, same contract as flatMapGroupsWithState
+      val in = MemoryStream[(String, Int)]
+      val rolled = Streams.rollingReduceTws[String, (String, Int)](
+        in.toDS(), _._1, reduce)
+      val q = rolled.toDF("k", "v").writeStream.format("memory").queryName(qn("tws_roll"))
+        .option("checkpointLocation", tmp("tws-roll-ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(("k", 1)); q.processAllAvailable()
+        in.addData(("k", 2), ("k", 4)); q.processAllAvailable()
+        val vals = spark.table(qn("tws_roll")).select("v").collect()
+          .map(_.getStruct(0).getInt(1)).sorted.toSeq
+        assert(vals == Seq(1, 3, 7), s"running values: $vals")
+      } finally q.stop()
+
+      // savepoint portability ACROSS APIs: state exported from the
+      // flatMapGroupsWithState implementation seeds the
+      // transformWithState one
+      val ckptA = tmp("tws-seed-src-ckpt")
+      val inA = MemoryStream[(String, Int)]
+      val qA = Streams.rollingReduce[String, (String, Int)](inA.toDS(), _._1, reduce)
+        .toDF("k", "v").writeStream.format("memory").queryName(qn("tws_seed_src"))
+        .option("checkpointLocation", ckptA)
+        .outputMode(OutputMode.Append()).start()
+      try { inA.addData(("x", 5), ("y", 11)); qA.processAllAvailable() } finally qA.stop()
+      val exported = tmp("tws-seed-export")
+      Streams.exportState(spark, ckptA, exported)
+      val initial = Streams.importState[String, (String, Int)](spark, exported) {
+        (k, v) => (k.getString(0), (v.getString(0), v.getInt(1)))
+      }
+      val inB = MemoryStream[(String, Int)]
+      val qB = Streams.rollingReduceTws[String, (String, Int)](
+        inB.toDS(), _._1, reduce, initial = Some(initial))
+        .toDF("k", "v").writeStream.format("memory").queryName(qn("tws_seeded"))
+        .option("checkpointLocation", tmp("tws-seed-ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        inB.addData(("x", 1)); qB.processAllAvailable()
+        val got = spark.table(qn("tws_seeded")).select("k", "v").collect()
+          .map(r => r.getString(0) -> r.getStruct(1).getInt(1)).toMap
+        assert(got == Map("x" -> 6), s"seeded continuation: $got") // 5 (imported) + 1
+      } finally qB.stop()
+    } finally saved.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
   test("W5b stream-static join enriches the stream against a batch dim") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
