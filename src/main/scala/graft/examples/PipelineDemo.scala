@@ -11,7 +11,8 @@ import graft.sources.Tables
   *   documents → quality filter → LM fluency filter → exact dedup →
   *   near-dup removal (MinHash-LSH) → benchmark decontamination →
   *   join to embeddings (doc_id ≡ vec_id in fixtures) → ANN
-  *   self-similarity scan for leakage candidates.
+  *   self-similarity scan for leakage candidates → domain caps →
+  *   stable train/val/test split → sequence packing for the trainer.
   *
   * Every stage is one of the library's public operators; the pipeline
   * is a single lazy plan per stage group (no driver-side loops), so it
@@ -20,7 +21,8 @@ import graft.sources.Tables
 object PipelineDemo {
 
   case class Result(kept: DataFrame, nearDupPairs: DataFrame,
-                    contaminated: DataFrame, leakage: DataFrame)
+                    contaminated: DataFrame, leakage: DataFrame,
+                    split: DataFrame, packs: DataFrame)
 
   def run(spark: SparkSession, dir: String): Result = {
     import spark.implicits._
@@ -65,7 +67,20 @@ object PipelineDemo {
     val leakage = Similarity.annTopK(emb, emb, k = 1)
       .filter(col("cos") >= 0.99)
 
-    Result(kept, pairs, contaminated, leakage)
+    // 7. layout for the trainer: per-source domain caps, a stable
+    //    train/val/test split, then the train slice packed into
+    //    1024-token context windows
+    val capped = graft.ops.Mix.capPerStratum(
+      kept.join(docs.select("doc_id", "source"), "doc_id"), // source dropped by dedup
+      "doc_id", "source", cap = 1000)
+    val split = graft.ops.Mix.hashSplit(capped, "doc_id",
+      Seq(("train", 9800), ("val", 9900), ("test", 10000)))
+    val packs = graft.ops.Pack.sequencePack(
+      split.filter(col("split") === "train")
+        .withColumn("n", TextAnalysis.tokenCount(col("text"))),
+      "doc_id", "n", capacity = 1024L)
+
+    Result(kept, pairs, contaminated, leakage, split, packs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,7 +88,8 @@ object PipelineDemo {
     val spark = graft.Engine.session("pipeline-demo")
     val r = run(spark, dir)
     println(s"kept=${r.kept.count()} nearDupPairs=${r.nearDupPairs.count()} " +
-      s"contaminated=${r.contaminated.count()} leakage=${r.leakage.count()}")
+      s"contaminated=${r.contaminated.count()} leakage=${r.leakage.count()} " +
+      s"trainPacks=${r.packs.select("pack_id").distinct().count()}")
     spark.stop()
   }
 }

@@ -22,5 +22,14 @@ class PipelineDemoSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("doc_id") % 101 =!= 0)
     assert(keptContam.isEmpty, "contaminated doc survived the pipeline")
     r.leakage.collect() // runs without error; may be empty
+    // layout stages: every kept doc gets exactly one split; the train
+    // slice packs into full 1024-token windows (last may be partial)
+    import org.apache.spark.sql.functions._
+    assert(r.split.count() == r.split.select("doc_id").distinct().count())
+    assert(r.split.filter(col("split").isNull).isEmpty, "doc without a split")
+    val fills = graft.ops.Pack.packReport(r.packs, 1024L)
+      .orderBy("pack_id").collect().map(_.getLong(2))
+    assert(fills.nonEmpty && fills.dropRight(1).forall(_ == 1024L),
+      s"interior pack not full: ${fills.toSeq}")
   }
 }
