@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with a typed metadata struct.
   *
   * The Spark-side plumbing — schema, typed records, per-partition batch
-  * decode, feature schema — is real and tested, and so is header
-  * METADATA extraction: [[parseImageHeader]] reads width/height/
-  * channels straight out of real PNG/JPEG container headers with pure
-  * JVM byte arithmetic (no codec library). Only pixel DECODING remains
-  * stubbed (`decodeStub`, used for payloads that are not real media):
-  * the container ships no image/audio codecs. Swapping in a real pixel
-  * decoder (e.g. javacv / a JNI codec) changes only that one function;
-  * the distributed shape (mapPartitions so a decoder instance is
-  * created once per partition, not per row — the same
-  * open-once-per-split pattern the reference traces in
-  * `openInputFormat()`, ExecutionEnviromentreadTextFile创建DataSource分析.md:98-100)
-  * stays identical.
+  * decode, feature schema — is real and tested, and so are TWO decode
+  * levels: header METADATA extraction ([[parseImageHeader]], pure JVM
+  * byte arithmetic over PNG/JPEG containers) and full PIXEL decode for
+  * images ([[decodePixels]]/[[pixelStats]]/[[resizeImages]] on the
+  * JDK's own ImageIO codecs — PNG/JPEG/GIF/BMP, headless, no external
+  * library; oracle-verified end-to-end by `mm_pixels`). Only AUDIO and
+  * VIDEO decoding remains stubbed (`decodeStub`/`sampleFrames` for
+  * payloads that are not decodable images): the JDK ships no such
+  * codecs. Swapping in a real media decoder (e.g. javacv / a JNI
+  * codec) changes only that one function; the distributed shape
+  * (mapPartitions so a decoder instance is created once per partition,
+  * not per row — the same open-once-per-split pattern the reference
+  * traces in `openInputFormat()`,
+  * ExecutionEnviromentreadTextFile创建DataSource分析.md:98-100) stays
+  * identical.
   */
 object Multimodal {
 
@@ -133,6 +136,107 @@ object Multimodal {
         Frame(r.id, i, off, r.content.slice(off, math.min(off + stride, r.content.length)))
       }
     }
+  }
+
+  // ---- REAL pixel decode (JDK ImageIO — PNG/JPEG/GIF/BMP readers ship
+  // with the JVM, no external codec needed; runs headless) ---------------
+
+  /** Decode a real image container to pixels. None for payloads ImageIO
+    * has no reader for (synthetic fixtures, audio/video — those keep the
+    * labeled stubs; video/audio codecs genuinely don't ship in the JDK).
+    * On a cluster, set `-Djava.awt.headless=true` in executor JVM opts;
+    * here it's set lazily before first use. */
+  def decodePixels(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    System.setProperty("java.awt.headless", "true")
+    scala.util.Try(Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content)))).toOption.flatten
+  }
+
+  /** Real per-image pixel statistics: dimensions, raster band count, and
+    * exact integer per-channel sums (sums, not means, so an oracle can
+    * reproduce them without float-division ambiguity). Rows whose
+    * payload is not a decodable image are dropped — pair with
+    * [[extractMeta]] for the metadata-only view of mixed corpora. One
+    * ImageIO reader context per partition via mapPartitions. */
+  case class PixelStats(id: Long, width: Int, height: Int, channels: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+  def pixelStats(ds: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePixels(r.content).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(r.id, w, h, img.getRaster.getNumBands, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** REAL resize for decodable images (area-averaging resample via
+    * Graphics2D, re-encoded as lossless PNG); payloads ImageIO can't
+    * read fall back to the byte-subsampling stub so mixed corpora still
+    * flow. Same per-partition shape as [[resize]]. */
+  def resizeImages(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        decodePixels(r.content) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img.getScaledInstance(targetW, targetH,
+              java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(path = s"${r.path}#${targetW}x$targetH",
+              mediaType = "image/png", content = bos.toByteArray)
+          case None =>
+            val (w, _, _) = decodeStub(r.content)
+            val ratio = math.max(1, w / math.max(targetW, 1))
+            r.copy(path = s"${r.path}#${targetW}x$targetH",
+              content = r.content.grouped(ratio).map(_.head).toArray)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG: pixel (x,y) = RGB((id+x)%256,
+    * (id+y)%256, (id+x+y)%256), encoded through the REAL ImageIO PNG
+    * writer. Lossless, so decode returns these exact values — which is
+    * what lets a SQL oracle verify the whole encode→decode→aggregate
+    * pipeline from the closed form. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x) % 256).toInt
+        val g = ((id + y) % 256).toInt
+        val b = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Fixture adapter: documents' text bytes as a stand-in media payload

@@ -72,5 +72,32 @@ object MultimodalQueries {
       .select(col("id"), col("path"), length(col("content")).as("n_bytes"))
   }
 
-  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ)
+  // REAL pixel decode through the JDK's ImageIO PNG codec: one
+  // deterministic gradient PNG per doc_id < 64 is ENCODED by the real
+  // PNG writer, DECODED by the real reader, and reduced to exact
+  // integer channel sums — which the oracle reproduces from the
+  // generating closed form. A broken or stubbed codec cannot pass
+  // this. (Video/audio decode remains stubbed: the JDK ships no such
+  // codecs.)
+  private val pixels = QueryDef("mm_pixels", Some(
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+      |pxy AS (SELECT doc_id, x.x AS x, y.y AS y
+      |        FROM ids, range(0, 32) x(x), range(0, 16) y(y))
+      |SELECT doc_id AS id,
+      |       cast(32 AS INT) AS width, cast(16 AS INT) AS height,
+      |       cast(3 AS INT) AS channels,
+      |       cast(sum((doc_id + x) % 256) AS BIGINT)     AS sum_r,
+      |       cast(sum((doc_id + y) % 256) AS BIGINT)     AS sum_g,
+      |       cast(sum((doc_id + x + y) % 256) AS BIGINT) AS sum_b
+      |FROM pxy GROUP BY doc_id""".stripMargin), bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .filter(col("doc_id") < 64).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, s"synthetic://$id", "image/png", Multimodal.syntheticPng(id, 32, 16)))
+    Multimodal.pixelStats(media)
+      .toDF("id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ, pixels)
 }

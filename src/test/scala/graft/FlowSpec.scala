@@ -109,6 +109,56 @@ class FlowSpec extends AnyFunSuite {
     assert(metas(2L) == Multimodal.MediaMeta(2L, txt.length, sw, sh, sc))
   }
 
+  test("multimodal REAL pixel decode: PNG and JPEG roundtrip through the JDK codec") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // real PNG: encode the deterministic gradient, decode, check exact sums
+    val png = Multimodal.syntheticPng(5L, 32, 16)
+    assert(Multimodal.parseImageHeader(png) == Some((32, 16, 3)), "real PNG header")
+    val ds = Seq(Multimodal.MediaRecord(5L, "mem://g.png", "image/png", png)).toDS()
+    val st = Multimodal.pixelStats(ds).collect().head
+    def sumR(id: Long) = (0 until 32).map(x => (id + x) % 256).sum * 16
+    def sumG(id: Long) = (0 until 16).map(y => (id + y) % 256).sum * 32
+    def sumB(id: Long) = (for (x <- 0 until 32; y <- 0 until 16) yield (id + x + y) % 256).sum
+    assert((st.width, st.height, st.channels) == ((32, 16, 3)))
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((sumR(5), sumG(5), sumB(5))),
+      s"pixel sums: $st")
+    // real JPEG decodes too (lossy — only dims asserted)
+    val img = Multimodal.decodePixels(png).get
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jst = Multimodal.pixelStats(
+      Seq(Multimodal.MediaRecord(6L, "mem://g.jpg", "image/jpeg", bos.toByteArray)).toDS())
+      .collect().head
+    assert((jst.width, jst.height) == ((32, 16)))
+    // non-image payloads are dropped by pixelStats, not errors
+    assert(Multimodal.pixelStats(
+      Seq(Multimodal.MediaRecord(7L, "mem://t.txt", "text/plain", "not an image".getBytes)).toDS())
+      .isEmpty)
+  }
+
+  test("multimodal REAL resize: area-averaged downscale preserves channel means") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // constant-color image: any correct resampler preserves it exactly
+    val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, 0x406080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(Multimodal.MediaRecord(1L, "mem://c.png", "image/png", bos.toByteArray)).toDS()
+    val resized = Multimodal.resizeImages(ds, 8, 8).collect().head
+    assert(resized.mediaType == "image/png" && resized.path.endsWith("#8x8"))
+    val st = Multimodal.pixelStats(Seq(resized).toDS()).collect().head
+    assert((st.width, st.height) == ((8, 8)))
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((0x40L * 64, 0x60L * 64, 0x80L * 64)),
+      s"constant color not preserved: $st")
+    // non-image payloads take the stub path and still flow
+    val stub = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRecord(2L, "mem://t.txt", "text/plain",
+        ("x" * 400).getBytes)).toDS(), 8, 8).collect().head
+    assert(stub.content.nonEmpty && stub.path.endsWith("#8x8"))
+  }
+
   test("T8 keyed sumBy/minBy/maxBy aggregate the reference's keyed shapes") {
     import spark.implicits._
     val data = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0), ("b", 1.0), ("a", 0.5))
