@@ -146,6 +146,14 @@ object ScaleProbe {
       graft.ops.Similarity.ivfTopKQuant(q25, emb25, k = 5,
         nCells = 64, nProbe = 8, iters = 2)
     }
+
+    // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
+    // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
+    // packing, materializing the final pack segments. One number for
+    // "the whole training-data flow on this corpus".
+    stage("pipeline_e2e_sf") {
+      graft.examples.PipelineDemo.run(spark, sfDir).packs
+    }
     spark.stop()
   }
 }
