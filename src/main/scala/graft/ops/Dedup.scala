@@ -218,7 +218,7 @@ object Dedup {
     val definitelyNew = newDocs.filter(!might(col(fpCol)))
     val flagged = newDocs.filter(might(col(fpCol)))
     val verified = flagged.join(refFps.select(fpCol).distinct(), Seq(fpCol), "left_anti")
-    definitelyNew.unionByName(verified.select(newDocs.columns.map(col): _*))
+    definitelyNew.unionByName(verified.select(newDocs.columns.toIndexedSeq.map(col): _*))
   }
 
   // ---- Embedding near-dup (sign-LSH blocked) ----------------------------
