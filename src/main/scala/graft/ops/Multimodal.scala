@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * byte arithmetic over PNG/JPEG containers) and full PIXEL decode for
   * images ([[decodePixels]]/[[pixelStats]]/[[resizeImages]] on the
   * JDK's own ImageIO codecs — PNG/JPEG/GIF/BMP, headless, no external
-  * library; oracle-verified end-to-end by `mm_pixels`). Only AUDIO and
-  * VIDEO decoding remains stubbed (`decodeStub`/`sampleFrames` for
-  * payloads that are not decodable images): the JDK ships no such
-  * codecs. Swapping in a real media decoder (e.g. javacv / a JNI
+  * library; oracle-verified end-to-end by `mm_pixels`) — and, as of
+  * round 3, full AUDIO decode for WAV/AIFF/AU PCM payloads on the
+  * JDK's own `javax.sound.sampled` codecs ([[decodeAudioSamples]]/
+  * [[audioStats]], oracle-verified by `mm_audio` through the same
+  * real-encoder→real-decoder→closed-form scheme). Only VIDEO decoding
+  * remains stubbed (`decodeStub`/`sampleFrames` for payloads that are
+  * not decodable images or audio): the JDK ships no video codec.
+  * Swapping in a real video decoder (e.g. javacv / a JNI
   * codec) changes only that one function; the distributed shape
   * (mapPartitions so a decoder instance is created once per partition,
   * not per row — the same open-once-per-split pattern the reference
@@ -236,6 +240,112 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---- REAL audio decode (JDK javax.sound.sampled — WAV/AIFF/AU PCM
+  // readers ship with the JVM; no audio DEVICE is touched, only the
+  // file codecs, so this runs headless) ---------------------------------
+
+  /** Decoded PCM clip: container-level format fields plus the raw
+    * samples as signed 16-bit values (channel-interleaved, exactly as
+    * stored — WAV PCM is lossless, so these are the encoder's inputs
+    * bit-for-bit). */
+  case class AudioClip(sampleRateHz: Int, channels: Int, samples: Array[Short])
+
+  /** Decode a real audio container (WAV/AIFF/AU, 8/16-bit PCM) to its
+    * samples via the JDK's sampled-audio codecs. None for payloads the
+    * JDK has no reader for (synthetic fixtures, video — those keep the
+    * labeled stubs). 8-bit input is widened to 16-bit samples; only
+    * PCM_SIGNED/PCM_UNSIGNED encodings are accepted (compressed
+    * encodings like ULAW would need a conversion pass). */
+  def decodeAudioSamples(content: Array[Byte]): Option[AudioClip] =
+    scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!signed && !unsigned) None
+        else if (f.getSampleSizeInBits != 8 && f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out =
+            if (f.getSampleSizeInBits == 8) {
+              val a = new Array[Short](bytes.length)
+              var i = 0
+              while (i < bytes.length) {
+                // 8-bit WAV is unsigned by convention; recenter to signed
+                a(i) = (if (unsigned) ((bytes(i) & 0xff) - 128) else bytes(i).toInt).toShort
+                i += 1
+              }
+              a
+            } else {
+              val n = bytes.length / 2
+              val a = new Array[Short](n)
+              val big = f.isBigEndian
+              var i = 0
+              while (i < n) {
+                val (lo, hi) = if (big) (bytes(2 * i + 1), bytes(2 * i)) else (bytes(2 * i), bytes(2 * i + 1))
+                a(i) = (((hi.toInt) << 8) | (lo & 0xff)).toShort
+                i += 1
+              }
+              a
+            }
+          Some(AudioClip(f.getSampleRate.toInt, f.getChannels, out))
+        }
+      } finally ais.close()
+    }.toOption.flatten
+
+  /** Real per-clip audio statistics: format fields plus exact integer
+    * sample aggregates (sum, sum of |s|, peak |s|) — integers, not
+    * float means, so a SQL oracle reproduces them exactly. Rows whose
+    * payload is not decodable audio are dropped. One codec context per
+    * partition via mapPartitions (the open-once-per-split shape). */
+  case class AudioStats(id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+                        sum_s: Long, sum_abs: Long, peak_abs: Int)
+  def audioStats(ds: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudioSamples(r.content).map { clip =>
+          var (sum, sabs) = (0L, 0L)
+          var peak = 0
+          var i = 0
+          while (i < clip.samples.length) {
+            val s = clip.samples(i).toLong
+            sum += s; sabs += math.abs(s)
+            if (math.abs(s) > peak) peak = math.abs(s).toInt
+            i += 1
+          }
+          AudioStats(r.id, clip.sampleRateHz, clip.channels, clip.samples.length.toLong, sum, sabs, peak)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic mono WAV: sample i = ((37·id + 7919·i)
+    * mod 65536) − 32768, 16-bit PCM at `sampleRateHz`, encoded through
+    * the REAL JDK WAV writer. PCM is lossless, so decode returns these
+    * exact values — the same closed-form-oracle scheme as
+    * [[syntheticPng]]. */
+  def syntheticWav(id: Long, nSamples: Int, sampleRateHz: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((37L * id + 7919L * i) % 65536L) - 32768L
+      val s = v.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

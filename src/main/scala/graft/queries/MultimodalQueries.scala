@@ -99,5 +99,34 @@ object MultimodalQueries {
       .toDF("id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ, pixels)
+  // REAL audio decode through the JDK's sampled-audio WAV codec: one
+  // deterministic 16-bit PCM clip per doc_id < 64 is ENCODED by the
+  // real WAV writer, DECODED by the real reader, and reduced to exact
+  // integer sample aggregates — reproduced by the oracle from the
+  // generating closed form, sample i = ((37·id + 7919·i) % 65536) −
+  // 32768 over n = 800 + id % 257 samples. PCM is lossless, so a
+  // stubbed or lossy codec cannot pass this. (Only video decode
+  // remains stubbed: the JDK ships no video codec.)
+  private val audio = QueryDef("mm_audio", Some(
+    """WITH ids AS (SELECT doc_id, 800 + doc_id % 257 AS n FROM documents WHERE doc_id < 64),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids),
+      |v AS (SELECT doc_id, n, (37*doc_id + 7919*i) % 65536 - 32768 AS smp FROM s)
+      |SELECT doc_id AS id,
+      |       cast(16000 AS INT) AS sample_rate, cast(1 AS INT) AS channels,
+      |       cast(any_value(n) AS BIGINT)   AS n_samples,
+      |       cast(sum(smp) AS BIGINT)       AS sum_s,
+      |       cast(sum(abs(smp)) AS BIGINT)  AS sum_abs,
+      |       cast(max(abs(smp)) AS INT)     AS peak_abs
+      |FROM v GROUP BY doc_id""".stripMargin), bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .filter(col("doc_id") < 64).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, s"synthetic://$id.wav", "audio/wav",
+        Multimodal.syntheticWav(id, (800 + id % 257).toInt, 16000)))
+    Multimodal.audioStats(media)
+      .toDF("id", "sample_rate", "channels", "n_samples", "sum_s", "sum_abs", "peak_abs")
+  }
+
+  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ, pixels, audio)
 }

@@ -159,6 +159,38 @@ class FlowSpec extends AnyFunSuite {
     assert(stub.content.nonEmpty && stub.path.endsWith("#8x8"))
   }
 
+  test("multimodal REAL audio decode: WAV PCM roundtrip through the JDK codec") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // encode the deterministic clip with the real writer, decode with the
+    // real reader, check exact sample aggregates against the closed form
+    val n = 1000
+    val wav = Multimodal.syntheticWav(37L, n, 16000)
+    val ds = Seq(Multimodal.MediaRecord(37L, "mem://a.wav", "audio/wav", wav)).toDS()
+    val st = Multimodal.audioStats(ds).collect().head
+    val expected = (0 until n).map(i => ((37L * 37L + 7919L * i) % 65536L) - 32768L)
+    assert((st.sample_rate, st.channels, st.n_samples) == ((16000, 1, n.toLong)))
+    assert(st.sum_s == expected.sum, s"sum: $st")
+    assert(st.sum_abs == expected.map(math.abs).sum, s"sumAbs: $st")
+    assert(st.peak_abs == expected.map(math.abs).max.toInt, s"peak: $st")
+    // stereo interleaving: channels reported, both channels' samples counted
+    val pcm = Array.tabulate[Byte](400 * 2 * 2) { j => (j % 7).toByte }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 400L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val st2 = Multimodal.audioStats(Seq(
+      Multimodal.MediaRecord(2L, "mem://s.wav", "audio/wav", bos.toByteArray)).toDS())
+      .collect().head
+    assert((st2.channels, st2.n_samples) == ((2, 800L)))
+    // non-audio payloads are dropped by audioStats, not errors
+    assert(Multimodal.audioStats(Seq(
+      Multimodal.MediaRecord(3L, "mem://t.txt", "text/plain", "not audio".getBytes)).toDS())
+      .isEmpty)
+  }
+
   test("T8 keyed sumBy/minBy/maxBy aggregate the reference's keyed shapes") {
     import spark.implicits._
     val data = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0), ("b", 1.0), ("a", 0.5))
