@@ -73,6 +73,92 @@ object Streams {
       && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"), "left_outer")
   }
 
+  /** W3+W5 session-window stream-stream JOIN — the combination Spark
+    * lacks natively (its stream-stream joins take only time-RANGE
+    * conditions and its session windows only feed aggregations;
+    * declared divergence SURVEY §7.4.3, closed here with the W6
+    * machinery). Two keyed streams join when their rows fall into the
+    * SAME gap-based event-time session: both sides are tagged and
+    * unioned, grouped by the join key, and a flatMapGroupsWithState
+    * buffers the open session's rows per side. A gap > `gapMs` between
+    * consecutive events (either side) closes the session and emits its
+    * inner-join pairs (L×R within the session); the last open session
+    * closes via the event-time timer once the watermark passes
+    * end+gap, exactly like [[sessionizeWithTimeout]].
+    *
+    * State per key is one open session's row buffers — the same
+    * watermark-bounded retention Spark's own stream-stream join keeps,
+    * organized per session instead of per time-range. Sessions with
+    * rows on only one side emit nothing (inner semantics).
+    *
+    * Input: both sides (key long, event-time ts, value string) by
+    * column name. Output: (k, session_start_ms, session_end_ms,
+    * l_ts_ms, l_v, r_ts_ms, r_v), one row per joined pair. */
+  def sessionWindowJoin(left: DataFrame, right: DataFrame,
+                        keyCol: String, tsCol: String, valCol: String,
+                        watermark: String, gapMs: Long): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, isLeft: Boolean) =
+      df.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        lit(isLeft).as("is_left"),
+        col(valCol).cast("string").as("v"))
+    // one open session: (start, end, leftRows, rightRows) — a tuple so
+    // the state encoder is the stock product encoder (method-local case
+    // classes don't reflect cleanly into ExpressionEncoders)
+    type Sess = (Long, Long, List[(Long, String)], List[(Long, String)])
+    def one(ms: Long, isLeft: Boolean, v: String): Sess =
+      (ms, ms, if (isLeft) List((ms, v)) else Nil, if (isLeft) Nil else List((ms, v)))
+    def pairs(k: Long, s: Sess): Iterator[(Long, Long, Long, Long, String, Long, String)] =
+      for ((lt, lv) <- s._3.reverseIterator; (rt, rv) <- s._4.reverseIterator)
+        yield (k, s._1, s._2, lt, lv, rt, rv)
+    side(left, isLeft = true).unionByName(side(right, isLeft = false))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Boolean, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Long, Long, List[(Long, String)], List[(Long, String)]),
+          (Long, Long, Long, Long, String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp, Boolean, String)],
+         state: GroupState[(Long, Long, List[(Long, String)], List[(Long, String)])]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            pairs(k, s)
+          } else {
+            val rows = it.map(t => (t._2.getTime, t._3, t._4)).toArray
+            java.util.Arrays.sort(rows, java.util.Comparator.comparingLong(
+              (t: (Long, Boolean, String)) => t._1))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Sess]
+            var open = state.getOption
+            rows.foreach { case (ms, isLeft, v) =>
+              open = open match {
+                case Some((s0, e0, lb, rb)) if ms - e0 <= gapMs =>
+                  Some((math.min(s0, ms), math.max(e0, ms),
+                    if (isLeft) (ms, v) :: lb else lb,
+                    if (isLeft) rb else (ms, v) :: rb))
+                case Some(s) => // gap exceeded: close, start new
+                  closed += s
+                  Some(one(ms, isLeft, v))
+                case None =>
+                  Some(one(ms, isLeft, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // clamp past the current watermark or Spark rejects a
+              // timer at-or-before it (events can be older than wm-gap)
+              state.setTimeoutTimestamp(
+                math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.flatMap(pairs(k, _))
+          }
+      }
+      .toDF("k", "session_start_ms", "session_end_ms", "l_ts_ms", "l_v", "r_ts_ms", "r_v")
+  }
+
   /** W6 with event-time timers: session assembly via
     * flatMapGroupsWithState + EventTimeTimeout — the
     * ProcessFunction-register-timer pattern (keyed state + timers on

@@ -167,6 +167,46 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("W3+W5 session-window stream-stream join scopes pairs to gap sessions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streams.sessionWindowJoin(
+      l.toDF().toDF("ts", "k", "v"), r.toDF().toDF("ts", "k", "v"),
+      "k", "ts", "v", "10 minutes", gapMs = 10 * 60 * 1000)
+    val q = joined.writeStream.format("memory").queryName(qn("sess_join"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // key 1, session A: l@1, l@3, r@5 chain within the 10-min gap
+      l.addData((ts(1), 1L, "l1"), (ts(3), 1L, "l2"))
+      r.addData((ts(5), 1L, "r1"))
+      // key 2: left-only burst -> inner semantics, no output ever
+      l.addData((ts(2), 2L, "lonely"))
+      q.processAllAvailable()
+      // key 1, session B: 25 min after A's end -> closes A in-batch
+      l.addData((ts(30), 1L, "l3"))
+      r.addData((ts(32), 1L, "r2"))
+      q.processAllAvailable()
+      // advance BOTH source watermarks past B's end + gap -> timer closes B
+      l.addData((ts(59), 9L, "flush")); r.addData((ts(59), 9L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table(qn("sess_join")).collect().map(row =>
+        (row.getLong(0), row.getString(4), row.getString(6),
+         row.getLong(1), row.getLong(2))).toSet
+      val a = (ts(1).getTime, ts(5).getTime)
+      val b = (ts(30).getTime, ts(32).getTime)
+      assert(rows == Set(
+        (1L, "l1", "r1", a._1, a._2),
+        (1L, "l2", "r1", a._1, a._2),
+        (1L, "l3", "r2", b._1, b._2)),
+        s"session-scoped pairs wrong: $rows")
+      // cross-session pair (l1,r2) absent; key 2 emitted nothing
+      assert(!rows.exists { case (_, lv, rv, _, _) => lv == "l1" && rv == "r2" })
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("W6 sessionizeWithTimeout closes sessions via event-time timers") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
