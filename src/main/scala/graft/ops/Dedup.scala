@@ -221,6 +221,62 @@ object Dedup {
     definitelyNew.unionByName(verified.select(newDocs.columns.toIndexedSeq.map(col): _*))
   }
 
+  // ---- Segment-level (sub-document) dedup --------------------------------
+
+  /** Split a doc into consecutive `segWords`-word segments (last one may
+    * be short). Typed narrow flatMap — per-doc JVM loop, no shuffle (a
+    * `transform(sequence(...))` HOF would be interpreted per element). */
+  def segmentize(docs: DataFrame, idCol: String, textCol: String, segWords: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(' ')
+        val n = (words.length + segWords - 1) / segWords
+        (0 until n).iterator.map { i =>
+          (id, i, words.slice(i * segWords, math.min((i + 1) * segWords, words.length))
+            .mkString(" "))
+        }
+      }
+      .toDF(idCol, "seg_idx", "seg")
+  }
+
+  /** Segment-level exact dedup across the corpus — the distributed
+    * granularity of "deduplicating training data" below whole-document
+    * level (Lee et al. 2022 dedup exact substrings with a suffix array;
+    * pipelines at cluster scale approximate that at fixed segment
+    * granularity, which is what C4-style line dedup is). Every
+    * `segWords`-word segment survives only at its FIRST corpus
+    * occurrence (min (doc_id, seg_idx) — deterministic, not
+    * dropDuplicates' arbitrary row); docs are reassembled from their
+    * surviving segments in order. Docs whose every segment occurs
+    * earlier elsewhere vanish entirely (the whole-doc-dup case).
+    *
+    * Scale shape: segmentize is narrow; ONE hash shuffle on the segment
+    * text with a map-side-combinable min — the winner row IS the
+    * surviving segment, so no join back; reassembly is a second keyed
+    * shuffle on doc id. Both keys are high-cardinality and skew-free
+    * (segment texts; doc ids). At 100 TB the segment-text shuffle key
+    * can be swapped for fnv64(seg) to shrink shuffle bytes — kept as
+    * raw text here so the oracle compares exact strings, not hashes.
+    *
+    * Output: (idCol, text — surviving segments joined, n_kept). */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    segWords: Int): DataFrame = {
+    val segs = segmentize(docs, idCol, textCol, segWords)
+    val winners = segs
+      .groupBy("seg")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.seg_idx").as("seg_idx"), col("seg"))
+    winners
+      .groupBy(idCol)
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
+          " ").as(textCol),
+        count(lit(1)).cast("long").as("n_kept"))
+  }
+
   // ---- Embedding near-dup (sign-LSH blocked) ----------------------------
 
   /** Embedding-cosine near-dup pairs: deterministic integer sign-LSH

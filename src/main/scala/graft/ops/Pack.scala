@@ -139,6 +139,43 @@ object Pack {
       StructField("cum_before", LongType, nullable = false))))
   }
 
+  /** Context-window chunking with overlap: each doc's word sequence is
+    * split into chunks of `chunkWords`, consecutive chunks sharing
+    * `overlapWords` (stride = chunk − overlap) — the RAG/long-doc
+    * preprocessing step sequencePack's concat-everything layout is not
+    * (chunks never cross doc boundaries; overlap preserves context at
+    * the seams). Chunks start at i·stride while that is a fresh start
+    * inside the doc; the final chunk is the first one whose end reaches
+    * the doc's end (so a doc never yields a chunk that adds no new
+    * words). Narrow typed flatMap — per-doc JVM loop, zero shuffle,
+    * embarrassingly parallel at any corpus size.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_words). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   chunkWords: Int, overlapWords: Int): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      "need 0 <= overlap < chunk")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stride = chunkWords - overlapWords
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(' ')
+        val len = words.length
+        // chunks i = 0 .. nc-1, start = i*stride; last chunk = first
+        // whose end (start + chunkWords) covers len
+        val nc = if (len <= chunkWords) 1
+                 else 1 + (len - chunkWords + stride - 1) / stride
+        (0 until nc).iterator.map { i =>
+          val s = i * stride
+          val e = math.min(s + chunkWords, len)
+          (id, i, words.slice(s, e).mkString(" "), (e - s).toLong)
+        }
+      }
+      .toDF(idCol, "chunk_idx", "chunk_text", "n_words")
+  }
+
   /** Per-pack fill report over [[sequencePack]] output: (pack_id,
     * n_segments, n_tokens, fill_ratio). Every pack but the last is
     * exactly full by construction — the report is the validation a

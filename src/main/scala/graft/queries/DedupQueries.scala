@@ -322,6 +322,27 @@ object DedupQueries {
         .select("doc_id", "n_chars")
   }
 
+  // Segment-level (sub-document) exact dedup: every 3-word segment
+  // survives only at its first corpus occurrence (min (doc_id,
+  // seg_idx)), docs reassembled from survivors. The oracle replays the
+  // same segmentation (1-based list slicing), the same first-occurrence
+  // window, and the same in-order reassembly in SQL.
+  private val segmentDedup = QueryDef("e1_segment_dedup", Some(
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, ws, unnest(range(0, (len(ws)+2)//3)) AS i FROM w),
+      |segs AS (SELECT doc_id, cast(i AS INT) AS seg_idx,
+      |                array_to_string(ws[i*3+1:i*3+3], ' ') AS seg FROM s),
+      |win AS (SELECT doc_id, seg_idx, seg,
+      |               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |        FROM segs)
+      |SELECT doc_id,
+      |       string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+      |       cast(count(*) AS BIGINT) AS n_kept
+      |FROM win WHERE rn = 1
+      |GROUP BY doc_id""".stripMargin)) { (spark, dir) =>
+    Dedup.dedupSegments(Tables(spark, dir).documents, "doc_id", "text", segWords = 3)
+  }
+
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
-    winnow, dedupAgainst, dedupAgainstBloom)
+    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup)
 }

@@ -104,5 +104,24 @@ object PackQueries {
     Pack.denseIds(Tables(spark, dir).documents.select(col("doc_id")), "doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense)
+  // Context-window chunking with overlap (chunk 16 words, stride 12):
+  // the RAG/long-doc layout where chunks never cross doc boundaries and
+  // consecutive chunks share 4 words. The oracle replays the chunk-count
+  // closed form and the 1-based list slicing in SQL.
+  private val chunk = QueryDef("pk_chunk", Some(
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |n AS (SELECT doc_id, ws, len(ws) AS len,
+      |             CASE WHEN len(ws) <= 16 THEN 1
+      |                  ELSE 1 + (len(ws) - 16 + 11) // 12 END AS nc
+      |      FROM w),
+      |c AS (SELECT doc_id, ws, len, unnest(range(0, nc)) AS i FROM n)
+      |SELECT doc_id, cast(i AS INT) AS chunk_idx,
+      |       array_to_string(ws[i*12+1:least(i*12+16, len)], ' ') AS chunk_text,
+      |       cast(least(i*12+16, len) - i*12 AS BIGINT) AS n_words
+      |FROM c""".stripMargin)) { (spark, dir) =>
+    Pack.chunkWindows(Tables(spark, dir).documents, "doc_id", "text",
+      chunkWords = 16, overlapWords = 4)
+  }
+
+  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense, chunk)
 }

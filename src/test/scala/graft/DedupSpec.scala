@@ -242,4 +242,30 @@ class DedupSpec extends AnyFunSuite {
     assert(d1.collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((3L, "x"), (5L, "y")))
     assert(Dedup.exactByKey(d1, "k", "id").count() == d1.count())
   }
+
+  test("dedupSegments keeps first corpus occurrence, reassembles in order") {
+    import spark.implicits._
+    // doc 1: [a b, c d]; doc 2 repeats "a b" (stolen by doc 1) and adds
+    // "e f"; doc 3 is an exact dup of doc 1 -> vanishes entirely;
+    // doc 4 repeats doc 1's segment *within itself* -> only first kept
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d"),
+      (4L, "g h a b g h")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segWords = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(out == List(
+      (1L, "a b c d", 2L),
+      (2L, "e f", 1L),
+      (4L, "g h", 1L)), s"got: $out")
+    // idempotent: a second pass removes nothing more
+    val again = Dedup.dedupSegments(
+      Seq((1L, "a b c d"), (2L, "e f"), (4L, "g h")).toDF("doc_id", "text"), "doc_id", "text", 2)
+    assert(again.count() == 3)
+    // short tail segment ("d") kept as its own unit
+    val tail = Dedup.dedupSegments(Seq((7L, "x y d")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().head
+    assert(tail.getString(1) == "x y d" && tail.getLong(2) == 2L)
+  }
 }

@@ -115,4 +115,29 @@ class PackSpec extends AnyFunSuite {
       assert(split == want, s"id $id: col-expr $split != jvm $want")
     }
   }
+
+  test("chunkWindows: overlap at seams, doc-bounded, full word coverage") {
+    import spark.implicits._
+    // 10 words, chunk 4, overlap 1 (stride 3): starts 0,3,6 -> last chunk
+    // [6,10) len 4 reaches the end; no start-9 chunk (it adds no window)
+    val d = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = Pack.chunkWindows(d, "doc_id", "text", chunkWords = 4, overlapWords = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(rows == List(
+      (1L, 0, "w0 w1 w2 w3", 4L),
+      (1L, 1, "w3 w4 w5 w6", 4L),
+      (1L, 2, "w6 w7 w8 w9", 4L),
+      (2L, 0, "a b", 2L)), s"got: $rows")
+    // consecutive chunks share exactly `overlap` words at the seam
+    rows.sliding(2).foreach {
+      case List((d1, i1, t1, _), (d2, i2, t2, _)) if d1 == d2 && i2 == i1 + 1 =>
+        assert(t1.split(' ').takeRight(1).sameElements(t2.split(' ').take(1)),
+          s"seam mismatch between chunk $i1 and $i2")
+      case _ =>
+    }
+    // every word of the doc appears in at least one chunk
+    val covered = rows.filter(_._1 == 1L).flatMap(_._3.split(' ')).toSet
+    assert(covered == (0 until 10).map("w" + _).toSet)
+  }
 }
