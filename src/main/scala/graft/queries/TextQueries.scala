@@ -335,6 +335,46 @@ object TextQueries {
         md5(encode(col("cleaned"), "UTF-8")).as("clean_md5"))
   }
 
+  // Model-based classification (E3): multinomial Naive Bayes language
+  // ID — train = counting on the stable hash-split train slice, score
+  // the held-out 20%, Laplace smoothing, label-ascending tie-break.
+  // The whole model (counts, totals, vocab, priors) reproduces in SQL,
+  // so training AND inference are hash-checked end-to-end.
+  private val nbClassifier = QueryDef("e3_nb_classifier", Some(
+    """WITH m0 AS (SELECT doc_id, ((doc_id + 1) * 2654435761) % 4294967296 AS h FROM documents),
+      |m1 AS (SELECT doc_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |sp AS (SELECT doc_id, xor(h, h // 8192) % 10000 AS b FROM m1),
+      |tr AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN sp USING (doc_id) WHERE b < 8000),
+      |te AS (SELECT d.doc_id, d.text FROM documents d JOIN sp USING (doc_id) WHERE b >= 8000),
+      |trtok AS (SELECT lang, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok FROM tr),
+      |cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM trtok GROUP BY 1, 2),
+      |lab AS (SELECT c.lang, sum(c.c)::BIGINT AS n_tokens, p.n_docs
+      |        FROM cnt c
+      |        JOIN (SELECT lang, count(*)::BIGINT AS n_docs FROM tr GROUP BY 1) p USING (lang)
+      |        GROUP BY c.lang, p.n_docs),
+      |voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM trtok),
+      |td AS (SELECT count(*)::DOUBLE AS total FROM tr),
+      |tetok AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok FROM te),
+      |ll AS (SELECT t.doc_id, l.lang,
+      |         sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (l.n_tokens + voc.v))) AS ll,
+      |         count(*)::BIGINT AS n_tok
+      |       FROM tetok t CROSS JOIN lab l CROSS JOIN voc
+      |       LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, l.lang,
+      |         coalesce(ll.ll, 0) + ln(l.n_docs / td.total) AS score,
+      |         coalesce(ll.n_tok, 0)::BIGINT AS n_tok
+      |       FROM te d CROSS JOIN lab l CROSS JOIN td
+      |       LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.lang = l.lang)
+      |SELECT doc_id, lang AS pred, n_tok AS n_tokens
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+      |      FROM sc)
+      |WHERE rk = 1""".stripMargin)) { (spark, dir) =>
+    graft.ops.Classifier.classifyHeldOut(Tables(spark, dir).documents,
+      "doc_id", "text", "lang", trainPerMyriad = 8000)
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters, clean)
+    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    clean, nbClassifier)
 }
