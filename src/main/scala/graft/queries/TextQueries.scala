@@ -374,7 +374,25 @@ object TextQueries {
       "doc_id", "text", "lang", trainPerMyriad = 8000)
   }
 
+  // Real BPE tokenizer (train + encode) over the corpus. rows-only by
+  // design: merge selection is data-dependent iteration (each round's
+  // pair counts depend on the previous winner), which static SQL can't
+  // express — BpeSpec instead pins training and encoding to a
+  // single-threaded reference implementation on real corpus slices,
+  // plus partition-invariance and round-trip laws. Deterministic
+  // (count DESC, pair ASC tie-break), so the rows are still stable.
+  // bench=false: the query re-trains its merge table each run, which
+  // times the training loop, not a steady-state operator.
+  private val bpe = QueryDef("txt_bpe", None, bench = false) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 60, minWordFreq = 2)
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).as("n_bpe_tokens"),
+        concat_ws("|", slice(col("bpe_tokens"), 1, 8)).as("bpe_preview"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier)
+    clean, nbClassifier, bpe)
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Bpe
+
+/** Pins the distributed BPE to a single-threaded reference
+  * implementation (same count/tie-break/merge-all-occurrences rules)
+  * — the verification stand-in for a SQL oracle, which data-dependent
+  * iteration can't have. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // --- reference implementation (independent of the Spark code path) ---
+  private def refTrain(words: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    var dict: Map[List[String], Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- dict; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best.filter(_._2 >= 2) match {
+        case None => continue = false
+        case Some((pair, _)) =>
+          merges += pair
+          dict = dict.groupBy { case (syms, _) => refMerge(syms, pair) }
+            .map { case (m, g) => m -> g.values.sum }
+      }
+    }
+    merges.toSeq
+  }
+  private def refMerge(syms: List[String], p: (String, String)): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case a :: b :: t if a == p._1 && b == p._2 => out += a + b; rest = t
+      case a :: t => out += a; rest = t
+    }
+    out.result()
+  }
+  private def refEncode(word: String, ranks: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList
+    var go = true
+    while (go && syms.length >= 2) {
+      val pairs = syms.zip(syms.tail)
+      val ranked = pairs.filter(ranks.contains).map(p => (ranks(p), p))
+      if (ranked.isEmpty) go = false
+      else syms = refMerge(syms, ranked.minBy(_._1)._2)
+    }
+    syms
+  }
+
+  private val sennrich: Seq[String] =
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("training matches the reference on the Sennrich fixture") {
+    val df = sennrich.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = Bpe.train(df, "text", numMerges = 10)
+    val want = refTrain(sennrich, 10)
+    assert(got == want)
+    // first merge of the classic fixture: ("e","s") with count 9
+    assert(got.head == ("e", "s"))
+  }
+
+  test("training is partition-invariant and rerun-deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+    val a = Bpe.train(docs.repartition(1), "text", numMerges = 12, minWordFreq = 2)
+    val b = Bpe.train(docs.repartition(7), "text", numMerges = 12, minWordFreq = 2)
+    assert(a == b)
+    assert(a.length == 12)
+  }
+
+  test("training matches the reference on a real corpus slice") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).cache()
+    val words = docs.select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)).toSeq
+    val got = Bpe.train(docs, "text", numMerges = 15)
+    assert(got == refTrain(words, 15))
+  }
+
+  test("encode is greedy-by-rank and round-trips") {
+    val merges = refTrain(sennrich, 8)
+    val ranks = merges.zipWithIndex.toMap
+    val in = Seq((1L, "low lower lowest"), (2L, "newest widest unseen"),
+      (3L, ""), (4L, "xyzzy")).toDF("id", "text")
+    val got = Bpe.encode(in, "id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // matches the reference word-by-word
+    assert(got(1L) == "low lower lowest".split(" ").flatMap(refEncode(_, ranks)).toSeq)
+    assert(got(2L) == "newest widest unseen".split(" ").flatMap(refEncode(_, ranks)).toSeq)
+    assert(got(3L) == Seq.empty)
+    // round-trip: concatenating a word's tokens reproduces the word
+    assert(refEncode("xyzzy", ranks).mkString == "xyzzy")
+    assert(got(4L).mkString == "xyzzy")
+  }
+
+  test("merged tokens shrink the sequence (compression actually happens)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val merges = Bpe.train(docs, "text", numMerges = 30, minWordFreq = 2)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+    import org.apache.spark.sql.functions._
+    val Array(nBpe, nChar) = enc
+      .agg(sum(size($"bpe_tokens")), sum(aggregate($"bpe_tokens", lit(0L),
+        (acc, t) => acc + length(t)))).as[(Long, Long)].collect()
+      .flatMap(t => Array(t._1, t._2))
+    assert(nBpe < nChar) // strictly fewer tokens than characters
+  }
+}
