@@ -610,9 +610,51 @@ object Relational {
       combine = _.agg(sum("ps").as("sum_qty"), sum("pn").as("n")))
   }
 
+  // CDC MERGE apply: a synthetic change batch (two versioned update
+  // waves, deletes, and new-key inserts, all derived deterministically
+  // from orders itself) merged into the orders snapshot. Latest seq
+  // wins per key, deletes vanish, inserts append; the snapshot side is
+  // touched once by a broadcast key anti-join.
+  private val qMerge = QueryDef("q_merge_upsert", Some(
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         o_totalprice + 1000 AS o_totalprice,
+      |         1 AS seq, (o_orderkey % 21 = 0) AS del
+      |  FROM o WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2000, 2, false
+      |  FROM o WHERE o_orderkey % 14 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, 1, false
+      |  FROM o WHERE o_orderkey % 97 = 0),
+      |latest AS (SELECT * FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+      |    FROM ch) WHERE rk = 1)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice FROM o
+      |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM latest WHERE NOT del""".stripMargin)) { (spark, dir) =>
+    val o = Tables(spark, dir).orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val v1 = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("seq", lit(1L))
+      .withColumn("del", col("o_orderkey") % 21 === 0)
+    val v2 = o.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2000)
+      .withColumn("seq", lit(2L)).withColumn("del", lit(false))
+    val ins = o.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("seq", lit(1L)).withColumn("del", lit(false))
+    graft.ops.Cdc.mergeUpsert(o, v1.unionByName(v2).unionByName(ins),
+      Seq("o_orderkey"), "seq", "del")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg)
+    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge)
 }
