@@ -50,6 +50,32 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a small-file parquet directory into `targetBytes`-sized
+    * files — the table-maintenance pass that keeps a 100TB corpus
+    * readable after streaming/incremental ingestion has littered it
+    * with per-trigger files. Scan-side split planning already groups
+    * small files into tasks (`maxPartitionBytes`/`openCostInBytes`);
+    * what it cannot fix is NameNode/listing pressure, per-file footer
+    * overhead, and row groups far below the HDFS block, which is what
+    * rewriting does. File count = ceil(inputBytes / targetBytes)
+    * from the source's actual on-disk size — no collect, no sampling;
+    * a round-robin repartition balances rows regardless of input skew.
+    * Content-preserving by construction (a pure rewrite), which
+    * LayoutSpec asserts along with the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles.toLong
+  }
+
   /** Save `df` as a bucketed+sorted catalog table: rows are
     * hash-clustered into `nBuckets` files by `bucketCol` at WRITE time,
     * so joins and aggregations on that key read the co-located layout

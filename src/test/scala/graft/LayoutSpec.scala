@@ -81,4 +81,26 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("compact merges a many-small-files directory, content-preserving") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$dir/in"; val out = s"$dir/out"
+    // 64 tiny files, like a streaming sink's per-trigger litter
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(64).write.parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = inBytes / 4 // expect ceil(inputBytes/target) ≈ 4-5 files
+    val n = graft.ops.Layout.compact(spark, in, out, target)
+    assert(parquetFiles(out) == n && n <= 5)
+    // pure rewrite: exact same multiset of rows
+    val a = spark.read.parquet(in)
+    val b = spark.read.parquet(out)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
