@@ -38,4 +38,37 @@ object Cdc {
       .select(target.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(upserts)
   }
+
+  /** Snapshot diff: classify every key across two corpus versions as
+    * `added` (new only), `removed` (old only), `changed` (present in
+    * both, any compare column differs — null-safe), or `unchanged` —
+    * the audit step between two pipeline runs ("what did this rebuild
+    * actually touch?") and the input to incremental downstream refresh
+    * (recompute embeddings/dedup only for added+changed).
+    *
+    * One full-outer hash equi-join on the key — both sides shuffle
+    * once on the same key, so at 100 TB the cost is the two scans plus
+    * one co-partitioned merge; comparison is a narrow codegen'd
+    * expression, and nothing collects. Output: keyCols + change_type.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.snapshotDiff: empty key")
+    require(compareCols.nonEmpty, "Cdc.snapshotDiff: no compare columns")
+    val o = oldDf.select((keyCols ++ compareCols).map(col).toIndexedSeq: _*)
+      .withColumn("__old", lit(1))
+    val n0 = newDf.select((keyCols ++ compareCols).map(col).toIndexedSeq: _*)
+      .withColumn("__new", lit(1))
+    val n = compareCols.foldLeft(n0)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+    val joined = o.join(n, keyCols, "full_outer")
+    val differs = compareCols
+      .map(c => !(col(c) <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    joined.withColumn("change_type",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select((keyCols.map(col) :+ col("change_type")).toIndexedSeq: _*)
+  }
 }

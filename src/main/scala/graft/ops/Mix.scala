@@ -59,8 +59,15 @@ object Mix {
   /** [[graft.ops.Similarity.mix32]] as a Column over an integral id —
     * identical op chain to the JVM and SQL versions (divisions are by
     * powers of two, so the double intermediate stays exact). */
-  def mix32Col(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val x = id.cast("long") + lit(1L)
+  def mix32Col(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mix32Col(id, 0L)
+
+  /** Seeded variant: the same avalanche chain over `id + 1 + seed` —
+    * each seed yields an independent-looking permutation of the ids
+    * (epoch shuffles, re-draws) while staying exactly mirrorable in
+    * SQL. */
+  def mix32Col(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+    val x = id.cast("long") + lit(1L + seed)
     val h0 = pmod(x * lit(2654435761L), lit(4294967296L))
     val h1 = h0.bitwiseXOR(floor(h0 / 65536).cast("long"))
     val h2 = pmod(h1 * lit(40503L), lit(4294967296L))
@@ -78,6 +85,58 @@ object Mix {
       case ((name, bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
     }
     df.withColumn("split", assign)
+  }
+
+  /** Temperature-flattened source sampling (the multilingual-mixing
+    * move from XLM-R / mT5: resample so stratum shares follow
+    * count^α, α < 1 lifting the tail sources a proportional sample
+    * would drown). Downsample-only, deterministic, and — for the
+    * default α = 0.5 — EXACT integer arithmetic end-to-end:
+    *
+    *   w_s = floor(sqrt(c_s))  (IEEE sqrt is correctly rounded, so
+    *                            floor∘sqrt is bit-identical in the JVM
+    *                            and SQL; general α uses pow and is
+    *                            driver-computed)
+    *   t_s = min(c_s, N·w_s ÷ ΣW)   (integer division)
+    *
+    * and each stratum keeps its t_s rows of smallest (hash, id) —
+    * stable across reruns and incremental ingestion.
+    *
+    * Scale shape: per-stratum counts are one tiny aggregate (model
+    * state, rows = |strata|); selection runs through the bounded-heap
+    * GroupedTopK at k = max t_s — at most k rows per stratum survive
+    * the map side — and the exact per-stratum rank is then a window
+    * over the ≤ k·|strata| survivors, never a sort of the input. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"Mix: need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(stratumCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |strata| rows
+    require(counts.nonEmpty, "Mix: empty input")
+    val w = counts.view.mapValues { c =>
+      if (alpha == 0.5) math.sqrt(c.toDouble).toLong // exact: see scaladoc
+      else math.floor(math.pow(c.toDouble, alpha)).toLong
+    }.toMap
+    val n = counts.values.sum
+    val sumW = w.values.sum
+    require(sumW > 0, "Mix: all stratum weights zero")
+    require(w.values.forall(ws => ws == 0 || n <= Long.MaxValue / ws),
+      "Mix: N * w_s overflows int64 — rescale weights")
+    val targets = counts.map { case (s, c) => s -> math.min(c, n * w(s) / sumW) }
+    val kMax = targets.values.max.toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tdf = broadcast(targets.toSeq.toDF(stratumCol, "__t"))
+    val survivors = graft.plans.GroupedTopK(
+      df.withColumn("__pri", mix32Col(col(idCol))),
+      Seq(stratumCol), kMax, Seq(("__pri", false), (idCol, false)))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("__pri"), col(idCol))
+    survivors
+      .withColumn("__rn", row_number().over(wnd))
+      .join(tdf, stratumCol)
+      .filter(col("__rn") <= col("__t"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
   /** Per-stratum frequency capping: keep at most `cap` rows per value

@@ -139,6 +139,32 @@ object Pack {
       StructField("cum_before", LongType, nullable = false))))
   }
 
+  /** Deterministic epoch shuffle: every row gets a dense position
+    * 0…N−1 in ascending (hash(seed, id), id) order — the global
+    * training-order permutation a dataloader consumes each epoch.
+    * Hash-derived (no RNG state), so the order is reproducible across
+    * reruns and machines, a different `seed` gives an independent
+    * permutation for the next epoch, and late-arriving rows don't
+    * displace existing positions except where they hash between them.
+    *
+    * Same two-phase distributed prefix scan as [[denseIds]] — the only
+    * shuffle is one range exchange on the hash key; no global-order
+    * window, no single-partition funnel, positions independent of
+    * partitioning. Output: (idCol, shuffle_pos). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = prefixScan(
+      df.select(col(idCol).cast("long").as("id"), lit(1L).as("one"),
+        Mix.mix32Col(col(idCol), seed).as("h")),
+      Seq("h", "id"), p) { (id, _, before) => Iterator.single(Row(id, before)) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("shuffle_pos", LongType, nullable = false))))
+  }
+
   /** Context-window chunking with overlap: each doc's word sequence is
     * split into chunks of `chunkWords`, consecutive chunks sharing
     * `overlapWords` (stride = chunk − overlap) — the RAG/long-doc

@@ -351,6 +351,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus, then inside each
+    * cluster mark as a semantic duplicate every vector whose cosine to
+    * a LOWER-id cluster-mate exceeds `threshold` — the earliest member
+    * of each semantic group survives. Output one verdict row per
+    * corpus vector: (vec_id, cell_id, dup_of) with dup_of = the lowest
+    * qualifying cluster-mate id, NULL = kept.
+    *
+    * Clustering reuses [[trainCentroidsQuant]] — deterministic integer
+    * k-means — so the ENTIRE operator (seeding, Lloyd rounds,
+    * assignment, in-cell pair cosines, verdicts) replays bit-for-bit
+    * in a plain-SQL oracle.
+    *
+    * Scale shape: the pairwise stage is a hash equi-join on cell_id,
+    * so cost tracks Σ|cell|² — bounded by sizing nCells ≈
+    * |corpus| / targetCellSize (the paper's regime, cells of ~1k-10k
+    * at web scale) — never |corpus|². Driver state is nCells × dim
+    * longs regardless of corpus size; corpus rows shuffle once, on
+    * cell_id. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+                    iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (sums, counts) = trainCentroidsQuant(corpus, nCells, iters, dim)
+    val bcS = spark.sparkContext.broadcast(sums)
+    val bcN = spark.sparkContext.broadcast(counts)
+    val cells = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, bestCellQuant(quantizeVec(v, dim), bcS.value, bcN.value).toLong, v)
+      }
+      .toDF("vec_id", "cell_id", "emb")
+    val keep = cells.select(col("cell_id"), col("vec_id").as("kept_id"),
+      col("emb").as("ke"))
+    val cand = cells.select(col("cell_id"), col("vec_id").as("cand_id"),
+      col("emb").as("ce"))
+    val dups = keep.join(cand, "cell_id")
+      .filter(col("kept_id") < col("cand_id"))
+      .filter(cosine(col("ke"), col("ce")) > threshold)
+      .groupBy(col("cand_id").as("vec_id"))
+      .agg(min("kept_id").as("dup_of"))
+    cells.select("vec_id", "cell_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select("vec_id", "cell_id", "dup_of")
+  }
+
   // ---- Int8 quantization (embedding storage at scale) -------------------
 
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,

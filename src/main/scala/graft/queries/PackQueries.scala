@@ -123,5 +123,46 @@ object PackQueries {
       chunkWords = 16, overlapWords = 4)
   }
 
-  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense, chunk)
+  // Deterministic epoch shuffle (seed 1): global training-order
+  // permutation by seeded avalanche hash, dense positions 0…N−1 via the
+  // distributed prefix scan. The oracle is the single row_number()
+  // window the scan must equal.
+  private val shuffle = QueryDef("pk_shuffle", Some(
+    """WITH m0 AS (SELECT doc_id, ((doc_id + 2) * 2654435761) % 4294967296 AS h
+      |            FROM documents),
+      |m1 AS (SELECT doc_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, xor(h, h // 8192) AS h FROM m1)
+      |SELECT doc_id,
+      |       cast(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS shuffle_pos
+      |FROM m""".stripMargin)) { (spark, dir) =>
+    Pack.epochShuffle(Tables(spark, dir).documents.select(col("doc_id")),
+      "doc_id", seed = 1L)
+  }
+
+  // Temperature-flattened language mixing (α = 0.5): shares follow
+  // sqrt(count), lifting tail languages — exact integer targets
+  // (floor∘sqrt is IEEE-correctly-rounded on both sides, ÷ is integer
+  // division), survivors by hash priority. en's 44% share flattens to
+  // ~35% on this corpus; every step replays in SQL.
+  private val temperature = QueryDef("mx_temperature", Some(
+    """WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+      |w AS (SELECT lang, c, cast(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+      |tot AS (SELECT sum(c)::BIGINT AS n, sum(w)::BIGINT AS sw FROM w),
+      |t AS (SELECT lang, least(c, (tot.n * w.w) // tot.sw) AS t FROM w, tot),
+      |m0 AS (SELECT doc_id, lang, ((doc_id + 1) * 2654435761) % 4294967296 AS h
+      |       FROM documents),
+      |m1 AS (SELECT doc_id, lang, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, lang, xor(h, h // 8192) AS h FROM m1),
+      |r AS (SELECT doc_id, lang,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      |      FROM m)
+      |SELECT doc_id, lang FROM r JOIN t USING (lang) WHERE rn <= t.t""".stripMargin)) {
+    (spark, dir) =>
+      Mix.temperatureSample(
+        Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense, chunk, shuffle,
+    temperature)
 }

@@ -652,9 +652,41 @@ object Relational {
       Seq("o_orderkey"), "seq", "del")
   }
 
+  // Snapshot diff between two corpus versions (both derived
+  // deterministically from orders: "old" drops every 13th key, "new"
+  // drops every 11th and reprices every 5th): one full-outer equi-join,
+  // null-safe compare, one verdict row per key — the rebuild audit and
+  // the driver of incremental downstream refresh.
+  private val qDiff = QueryDef("q_snapshot_diff", Some(
+    """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |           WHERE o_orderkey % 13 <> 0),
+      |n AS (SELECT o_orderkey,
+      |             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+      |                  ELSE o_totalprice END AS o_totalprice,
+      |             o_orderstatus
+      |      FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |            WHEN n.o_orderkey IS NULL THEN 'removed'
+      |            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+      |            ELSE 'unchanged' END AS change_type
+      |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin)) {
+    (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val old = orders.filter(col("o_orderkey") % 13 =!= 0)
+      val neu = orders.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+      graft.ops.Cdc.snapshotDiff(old, neu, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge)
+    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff)
 }

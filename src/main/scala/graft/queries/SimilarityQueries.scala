@@ -126,6 +126,43 @@ object SimilarityQueries {
       nCells = 16, nProbe = 4, iters = 2)
   }
 
+  // SemDeDup semantic dedup: same deterministic integer k-means as
+  // e2_ivf_topk (seeds, two Lloyd rounds, final assignment all replay
+  // in SQL), then within each cell a vector is pruned iff some
+  // lower-id cluster-mate's exact cosine exceeds 0.4 — the in-cell
+  // self-join IS the scale story (Σ|cell|², never |corpus|²). One
+  // verdict row per vector keeps the whole operator hash-checkable.
+  private val semdedup = QueryDef("e1_semantic_dedup", Some(
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
+       |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM q),
+       |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
+       |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
+       |sd AS (SELECT mx.h, mx.vec_id, q.qv FROM mx JOIN q USING (vec_id)
+       |       ORDER BY mx.h, mx.vec_id LIMIT 16),
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n
+       |        FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pc AS (SELECT a.vec_id AS kept_id, b.vec_id AS cand_id,
+       |          list_dot_product(ea.v, eb.v)
+       |            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+       |       FROM gf a JOIN gf b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |       JOIN e ea ON ea.vec_id = a.vec_id
+       |       JOIN e eb ON eb.vec_id = b.vec_id),
+       |dup AS (SELECT cand_id AS vec_id, min(kept_id) AS dup_of
+       |        FROM pc WHERE cos > 0.4 GROUP BY 1)
+       |SELECT gf.vec_id, gf.cell_id, dup.dup_of
+       |FROM gf LEFT JOIN dup USING (vec_id)""".stripMargin)) { (spark, dir) =>
+    Similarity.semanticDedup(Tables(spark, dir).embeddings, threshold = 0.4,
+      nCells = 16, iters = 2)
+  }
+
   // Per-label centroids as (label, dim, mean) rows — the map-side-
   // combinable shape distributed k-means uses for its mean step
   // (posexplode then partial-agg per (label, dim); the shuffle carries
@@ -167,5 +204,5 @@ object SimilarityQueries {
     Similarity.quantizeInt8Report(Tables(spark, dir).embeddings)
   }
 
-  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, centroids, quantize)
+  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize)
 }

@@ -56,6 +56,32 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Seq((1L, "x", 1.0), (1L, "y", 9.0)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val old = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, None, 30.0),
+      (4L, Some("d"), 40.0)
+    ).toDF("k", "v", "x")
+    val neu = Seq(
+      (2L, Some("b"), 20.0),   // unchanged
+      (3L, None, 30.0),        // unchanged (null == null under <=>)
+      (4L, None, 40.0),        // changed (d -> null)
+      (5L, Some("e"), 50.0)    // added
+    ).toDF("k", "v", "x")      // key 1 removed
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("v", "x"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "unchanged"),
+      (4L, "changed"), (5L, "added")))
+  }
+
+  test("snapshotDiff: composite key and single compare column") {
+    val old = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val neu = Seq((1L, "x", 1.5), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k1", "k2"), Seq("v"))
+      .orderBy("k2").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("x", "changed"), ("y", "unchanged")))
+  }
+
   test("snapshot side is not shuffled: anti-join broadcasts the change keys") {
     val changes = Seq((2L, "b2", 21.0, 1L, false)).toDF("k", "v", "x", "seq", "del")
     val plan = Cdc.mergeUpsert(target, changes, Seq("k"), "seq", "del")

@@ -35,4 +35,23 @@ class MixSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("temperatureSample flattens shares to count^0.5, exact targets, deterministic") {
+    import spark.implicits._
+    // heavily skewed strata: a=900, b=90, c=10 (N=1000)
+    val rows = ((0 until 900).map(i => (i.toLong, "a")) ++
+      (900 until 990).map(i => (i.toLong, "b")) ++
+      (990 until 1000).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val out = Mix.temperatureSample(rows, "id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // w = floor(sqrt): a=30, b=9, c=3 (ΣW=42); t_s = min(c_s, 1000*w/42)
+    assert(got == Map("a" -> 714, "b" -> 90, "c" -> 10), s"targets off: $got")
+    // the flattening: head stratum is cut, tail strata keep everything
+    assert(got("b") == 90 && got("c") == 10, "tail strata must not be downsampled")
+    // deterministic: same survivors on rerun and under different partitioning
+    val again = Mix.temperatureSample(rows.repartition(7), "id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet, "survivors changed across partitionings")
+  }
 }

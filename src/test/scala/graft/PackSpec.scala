@@ -116,6 +116,27 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("epochShuffle: a dense permutation, seed-sensitive, partition-invariant") {
+    import spark.implicits._
+    val ids = (0L until 997L).toDF("id")
+    val s1 = Pack.epochShuffle(ids, "id", seed = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense 0..N-1, every id present exactly once
+    assert(s1.size == 997 && s1.values.toSet == (0L until 997L).toSet)
+    // partition-invariant
+    val s1b = Pack.epochShuffle(ids.repartition(7), "id", seed = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s1b, "positions changed with input partitioning")
+    // a different seed is a genuinely different permutation
+    val s2 = Pack.epochShuffle(ids, "id", seed = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2.values.toSet == (0L until 997L).toSet)
+    val moved = s1.count { case (id, p) => s2(id) != p }
+    assert(moved > 900, s"seed change moved only $moved/997 positions")
+    // and not the identity order either
+    assert(s1.count { case (id, p) => id == p } < 50, "shuffle left ids nearly in place")
+  }
+
   test("chunkWindows: overlap at seams, doc-bounded, full word coverage") {
     import spark.implicits._
     // 10 words, chunk 4, overlap 1 (stride 3): starts 0,3,6 -> last chunk

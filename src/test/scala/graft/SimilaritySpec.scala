@@ -227,6 +227,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, s"quantized IVF diverged across partitionings: ${(a -- b).take(3)}")
   }
 
+  test("semanticDedup: verdicts match an in-cell brute-force check and planted dups prune") {
+    import spark.implicits._
+    val out = Similarity.semanticDedup(emb, threshold = 0.4, nCells = 16, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.length == emb.count())
+    // recompute every verdict from the collected assignment: dup_of must
+    // be the LOWEST lower-id cluster-mate above threshold, None otherwise
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (id, cell, dupOf) =>
+      val mates = byCell(cell).map(_._1).filter(_ < id).sorted
+      val expect = mates.find(m => cos(vecs(m), vecs(id)) > 0.4)
+      assert(dupOf == expect, s"vec $id cell $cell: got $dupOf expected $expect")
+    }
+    // some verdicts must actually fire on this corpus (threshold 0.4)
+    assert(out.exists(_._3.isDefined), "no semantic duplicates found at 0.4")
+    // planted exact duplicates always prune toward the lower id
+    val planted = emb.limit(20).as[(Long, Array[Float], Int)]
+      .map { case (id, v, _) => (id + 10000L, v) }
+      .toDF("vec_id", "embedding")
+      .unionByName(emb.select("vec_id", "embedding"))
+    val verdicts = Similarity.semanticDedup(planted, threshold = 0.99, nCells = 16, iters = 2)
+      .filter(col("vec_id") >= 10000L).collect()
+    verdicts.foreach { r =>
+      // the original (cos = 1) qualifies, so dup_of is non-null and at
+      // most the original's id (a fixture near-dup may rank lower still)
+      assert(!r.isNullAt(2) && r.getLong(2) <= r.getLong(0) - 10000L,
+        s"planted dup ${r.getLong(0)} not pruned: $r")
+    }
+  }
+
+  test("semanticDedup is deterministic across partitionings") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(c, threshold = 0.4, nCells = 16, iters = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    assert(run(emb) == run(emb.repartition(13)))
+  }
+
   test("ivfTopKQuant recall vs brute force") {
     val q = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(q, emb, 5).collect()
