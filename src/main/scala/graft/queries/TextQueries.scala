@@ -392,7 +392,43 @@ object TextQueries {
         concat_ws("|", slice(col("bpe_tokens"), 1, 8)).as("bpe_preview"))
   }
 
+  // DSIR importance weights: target model = the English slice, raw
+  // model = the whole corpus, features = fnv64(token) mod 1024 hashed
+  // buckets, both models add-1-smoothed multinomials. The FNV chain and
+  // bucket arithmetic replay exactly in SQL (the e3_heavy_hitters
+  // recipe); ln/÷ are IEEE on both sides, matching at the compare's 6
+  // significant digits (the e3_lm_score precedent).
+  private val dsir = QueryDef("e3_dsir", Some(
+    """WITH tok AS (SELECT doc_id, lang,
+      |               unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+      |             FROM documents),
+      |fnv AS (SELECT doc_id, lang,
+      |          list_reduce(
+      |            list_prepend(14695981039346656037::HUGEINT,
+      |              list_transform(str_split(token, ''), c -> ascii(c)::HUGEINT)),
+      |            (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
+      |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+      |        FROM tok),
+      |bk AS (SELECT doc_id, lang,
+      |         ((((CASE WHEN h >= 9223372036854775808::HUGEINT
+      |                  THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
+      |             % 1024) + 1024) % 1024) AS b
+      |       FROM fnv),
+      |cr AS (SELECT b, count(*)::BIGINT AS c FROM bk GROUP BY 1),
+      |ct AS (SELECT b, count(*)::BIGINT AS c FROM bk WHERE lang = 'en' GROUP BY 1),
+      |nn AS (SELECT (SELECT sum(c) FROM cr)::BIGINT AS nr,
+      |              (SELECT coalesce(sum(c), 0) FROM ct)::BIGINT AS nt),
+      |model AS (SELECT cr.b,
+      |            ln((coalesce(ct.c, 0) + 1)::DOUBLE / (nn.nt + 1024)::DOUBLE)
+      |          - ln((cr.c + 1)::DOUBLE / (nn.nr + 1024)::DOUBLE) AS lw
+      |          FROM cr LEFT JOIN ct USING (b), nn)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lw) AS logw
+      |FROM bk JOIN model USING (b) GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    graft.ops.Dsir.importanceWeights(
+      Tables(spark, dir).documents, col("lang") === "en", "doc_id", "text")
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier, bpe)
+    clean, nbClassifier, bpe, dsir)
 }
