@@ -32,23 +32,34 @@ object Dsir {
   /** (idCol, n_tokens, logw) for every doc of `raw` with ≥1 token.
     * `isTarget` marks the rows whose tokens fit the target model —
     * typically a small curated slice of the same table (the paper's
-    * Wikipedia/books targets) or a join flag. */
+    * Wikipedia/books targets) or a join flag.
+    *
+    * Exactly two token-stream scans: one map-side-combinable aggregate
+    * producing both models' bucket counts at once (≤ B rows — bounded
+    * model state collected to the driver, which also yields the totals
+    * with no extra pass), and one scoring scan against the broadcast
+    * B-row log-ratio table. */
   def importanceWeights(raw: DataFrame, isTarget: Column, idCol: String,
                         textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "Dsir: buckets must be positive")
+    val spark = raw.sparkSession
+    import spark.implicits._
     val tok = raw.select(col(idCol), isTarget.as("__t"),
         explode(filter(split(col(textCol), " "), t => t =!= "")).as("token"))
       .withColumn("b", pmod(call_function("fnv64", col("token")), lit(buckets.toLong)))
-    val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-    val ct = tok.filter(col("__t")).groupBy("b").agg(count(lit(1)).as("ct"))
-    // totals from the bucket aggregates — B rows, not a corpus pass
-    val nR = cr.agg(sum("cr")).collect()(0).getLong(0)
-    val nT = ct.agg(coalesce(sum("ct"), lit(0L))).collect()(0).getLong(0)
-    val model = cr.join(ct, Seq("b"), "left").select(col("b"),
-      (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
-          / lit((nT + buckets).toDouble))
-        - log((col("cr") + 1).cast("double")
-          / lit((nR + buckets).toDouble))).as("lw"))
+    // scan 1: both bucket-count vectors in one aggregate
+    val cnts = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("__t"), lit(1))).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nR = cnts.map(_._2).sum
+    val nT = cnts.map(_._3).sum
+    // same IEEE ops as a SQL ln((c+1)/(N+B)): Math.log on one double ÷
+    val model = cnts.toSeq.map { case (b, crC, ctC) =>
+      (b, math.log((ctC + 1).toDouble / (nT + buckets).toDouble)
+        - math.log((crC + 1).toDouble / (nR + buckets).toDouble))
+    }.toDF("b", "lw")
+    // scan 2: score every token against the broadcast model
     tok.join(broadcast(model), "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("lw").as("logw"))
