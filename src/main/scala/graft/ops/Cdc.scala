@@ -39,6 +39,45 @@ object Cdc {
     survivors.unionByName(upserts)
   }
 
+  /** The (count, per-measure sum) aggregate snapshot
+    * [[incrementalAggRefresh]] maintains: one row per key with `cnt`
+    * and `sum_<measure>` columns — the algebraic (combinable) shape. */
+  def aggSnapshot(df: DataFrame, keyCols: Seq[String],
+                  measures: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"),
+        measures.map(m => sum(col(m)).as(s"sum_$m")): _*)
+
+  /** Incremental materialized-aggregate refresh: apply a change batch
+    * (rows tagged `opCol` = +1 insert / −1 retract) to an existing
+    * [[aggSnapshot]] WITHOUT rescanning the base table — the batch
+    * form of streaming view maintenance, and the only viable refresh
+    * at 100 TB where the base aggregate is petabytes of history and
+    * the delta is a day's partition. Count/sum are algebraic so
+    * retractions combine exactly; groups whose count reaches zero
+    * vanish, unseen keys appear.
+    *
+    * Scale shape: the delta is pre-aggregated (map-side combinable) to
+    * one row per touched key, then merged into the snapshot by a
+    * single full-outer equi-join on the key — the snapshot is touched
+    * once, and with |delta keys| ≪ |groups| the join broadcasts. */
+  def incrementalAggRefresh(baseAgg: DataFrame, delta: DataFrame,
+                            keyCols: Seq[String], opCol: String,
+                            measures: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.incrementalAggRefresh: empty key")
+    val d = delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(sum(col(opCol)).as("__dc"),
+        measures.map(m =>
+          sum(col(opCol) * col(m)).as(s"__ds_$m")): _*)
+    baseAgg.join(d, keyCols, "full_outer")
+      .select((keyCols.map(col) ++
+        Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt")) ++
+        measures.map(m =>
+          (coalesce(col(s"sum_$m"), lit(0.0)) + coalesce(col(s"__ds_$m"), lit(0.0)))
+            .as(s"sum_$m"))).toIndexedSeq: _*)
+      .filter(col("cnt") > 0)
+  }
+
   /** Snapshot diff: classify every key across two corpus versions as
     * `added` (new only), `removed` (old only), `changed` (present in
     * both, any compare column differs — null-safe), or `unchanged` —

@@ -684,9 +684,33 @@ object Relational {
         Seq("o_totalprice", "o_orderstatus"))
   }
 
+  // Incremental aggregate refresh: a (cnt, sums) snapshot built from
+  // 90% of lineitem is brought up to date by a delta batch (inserts =
+  // the missing 10%, retracts = every 7th base row) WITHOUT rescanning
+  // the base — the materialized-view maintenance move. The oracle is
+  // the direct aggregate over the equivalent final row set.
+  private val qIncr = QueryDef("q_incr_agg", Some(
+    """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+      |       sum(l_quantity) AS sum_l_quantity,
+      |       sum(l_extendedprice) AS sum_l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0
+      |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_returnflag",
+      "l_linestatus", "l_quantity", "l_extendedprice")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("l_quantity", "l_extendedprice")
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val baseAgg = graft.ops.Cdc.aggSnapshot(base, keys, ms)
+    val ins = li.filter(col("l_orderkey") % 10 === 0).withColumn("op", lit(1))
+    val del = base.filter(col("l_orderkey") % 7 === 0).withColumn("op", lit(-1))
+    graft.ops.Cdc.incrementalAggRefresh(baseAgg, ins.unionByName(del), keys, "op", ms)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
-    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff)
+    qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
+    qIncr)
 }

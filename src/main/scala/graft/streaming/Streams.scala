@@ -425,6 +425,56 @@ object Streams {
       .foreachBatch(fn)
       .start()
 
+  /** Streaming CDC apply: maintain a parquet snapshot under a change
+    * STREAM — each microbatch is merged via [[graft.ops.Cdc.mergeUpsert]]
+    * (latest seq wins per key, deletes vanish, inserts append) and the
+    * result written as an immutable versioned snapshot
+    * `targetDir/v=<batchId>`; readers take the highest version. Writing
+    * a NEW version per batch (never in-place) is what makes replay
+    * idempotent: if the query restarts and re-delivers a batch, the
+    * rewrite of `v=<batchId>` from the same predecessor produces the
+    * same bytes — the exactly-once contract foreachBatch requires of
+    * its committer. Change rows carry the target's columns + `seqCol` +
+    * boolean `deleteCol`.
+    *
+    * Scale note: at real scale the per-version rewrite cost is bounded
+    * the same way [[graft.ops.Cdc.mergeUpsert]] bounds it — the
+    * snapshot is touched by one broadcast key anti-join per batch — and
+    * old versions are retired by retention, not by this operator. */
+  def upsertSink(changes: DataFrame, targetDir: String, checkpoint: String,
+                 keyCols: Seq[String], seqCol: String,
+                 deleteCol: String): StreamingQuery = {
+    val targetCols = changes.columns.filterNot(c => c == seqCol || c == deleteCol)
+    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val dir = new java.io.File(targetDir)
+      val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong)
+        .filter(_ < batchId) // replay must ignore its own failed attempt
+      val target = versions.sorted.lastOption match {
+        case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+        case None => batch.sparkSession.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batch.select(targetCols.map(col).toIndexedSeq: _*).schema)
+      }
+      graft.ops.Cdc.mergeUpsert(target, batch, keyCols, seqCol, deleteCol)
+        .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+    }
+  }
+
+  /** Latest [[upsertSink]] snapshot version in `targetDir` (none before
+    * the first committed batch). */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(targetDir)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted.lastOption
+      .map(v => spark.read.parquet(s"$targetDir/v=$v"))
+  }
+
   /** Observability: named metrics evaluated per batch/trigger without a
     * second pass over the data (`Dataset.observe`); read them from
     * `StreamingQueryProgress.observedMetrics` or a QueryExecutionListener. */

@@ -82,6 +82,27 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Seq(("x", "changed"), ("y", "unchanged")))
   }
 
+  test("incrementalAggRefresh equals a direct recompute; groups vanish and appear") {
+    val base = Seq(
+      ("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)
+    ).toDF("k", "v")
+    val baseAgg = Cdc.aggSnapshot(base, Seq("k"), Seq("v"))
+    val delta = Seq(
+      ("a", 3.0, 1),   // insert into existing group
+      ("b", 5.0, -1),  // retract b's only row -> group vanishes
+      ("d", 9.0, 1)    // brand-new group appears
+    ).toDF("k", "v", "op")
+    val got = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 6.0), ("c", 1L, 7.0), ("d", 1L, 9.0)))
+    // equals the direct aggregate over the post-change row set
+    val finalRows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 7.0), ("d", 9.0))
+      .toDF("k", "v")
+    val direct = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(got == direct)
+  }
+
   test("snapshot side is not shuffled: anti-join broadcasts the change keys") {
     val changes = Seq((2L, "b2", 21.0, 1L, false)).toDF("k", "v", "x", "seq", "del")
     val plan = Cdc.mergeUpsert(target, changes, Seq("k"), "seq", "del")

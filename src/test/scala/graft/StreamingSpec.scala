@@ -608,6 +608,33 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6 streaming CDC upsert sink maintains a versioned snapshot") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, Boolean)] // k, v, seq, del
+    val target = tmp("graft-upsert-tgt")
+    val q = Streams.upsertSink(in.toDF().toDF("k", "v", "seq", "del"),
+      target, tmp("graft-upsert-ck"), Seq("k"), "seq", "del")
+    try {
+      // batch 0: two inserts
+      in.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      val s0 = Streams.latestSnapshot(spark, target).get
+        .as[(Long, String)].collect().toSet
+      assert(s0 == Set((1L, "a"), (2L, "b")))
+      // batch 1: update 1, delete 2, insert 3 — latest seq wins in-batch
+      in.addData((1L, "a2", 2L, false), (1L, "a3", 3L, false),
+        (2L, "b", 2L, true), (3L, "c", 1L, false))
+      q.processAllAvailable()
+      val s1 = Streams.latestSnapshot(spark, target).get
+        .as[(Long, String)].collect().toSet
+      assert(s1 == Set((1L, "a3"), (3L, "c")))
+      // both versions exist — immutable history, reader takes latest
+      val vs = new java.io.File(target).listFiles().map(_.getName).toSet
+      assert(vs.exists(_.startsWith("v=")) && vs.size >= 2, s"versions: $vs")
+    } finally q.stop()
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
