@@ -153,6 +153,67 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
+  // ---- Gopher quality rules ---------------------------------------------
+
+  /** The Gopher rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1): doc-level structural signals that cheaply
+    * reject boilerplate/machine-generated text before any model-based
+    * scoring. Every signal is a codegen'd builtin expression over one
+    * row — narrow, no shuffle, composes with any downstream filter. */
+  object Gopher {
+    /** The paper's 8 "must contain ≥2 of" function words. */
+    val RequiredStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+    def meanWordLength(text: Column): Column =
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        nullif(tokenCount(text), lit(0))
+
+    /** '#' and '…'-spelled-"..." occurrences per word. */
+    def symbolToWordRatio(text: Column): Column = {
+      val hashes = length(text) - length(regexp_replace(text, "#", ""))
+      val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+      (hashes + ellipses).cast("double") / nullif(tokenCount(text), lit(0))
+    }
+
+    def bulletLineFraction(text: Column): Column = {
+      val lines = split(text, "\n")
+      size(filter(lines, l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nullif(size(lines), lit(0))
+    }
+
+    def ellipsisLineFraction(text: Column): Column = {
+      val lines = split(text, "\n")
+      size(filter(lines, l => trim(l).endsWith("..."))).cast("double") /
+        nullif(size(lines), lit(0))
+    }
+
+    /** Fraction of words containing at least one alphabetic character. */
+    def alphaWordFraction(text: Column): Column =
+      size(filter(tokens(text), t => t.rlike("[a-zA-Z]"))).cast("double") /
+        nullif(tokenCount(text), lit(0))
+
+    /** Count of DISTINCT required stopwords present (≥2 passes). */
+    def requiredStopwordHits(text: Column): Column =
+      size(array_intersect(array_distinct(tokens(text)),
+        array(RequiredStopwords.map(lit): _*)))
+
+    /** All rules conjoined with the paper's thresholds. Word-count
+      * bounds [minWords, maxWords] are parameters (the paper uses
+      * [50, 100000]) so short-doc corpora can tune without forking the
+      * other thresholds. */
+    def keep(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+      val n = tokenCount(text)
+      n.between(minWords, maxWords) &&
+        meanWordLength(text).between(3.0, 10.0) &&
+        coalesce(symbolToWordRatio(text) < 0.1, lit(false)) &&
+        coalesce(bulletLineFraction(text) <= 0.9, lit(false)) &&
+        coalesce(ellipsisLineFraction(text) <= 0.3, lit(false)) &&
+        coalesce(alphaWordFraction(text) >= 0.8, lit(false)) &&
+        requiredStopwordHits(text) >= 2
+    }
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -19,7 +19,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ EventQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      PackQueries.defs ++ GraphQueries.defs
+      PackQueries.defs ++ GraphQueries.defs ++ TpchQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

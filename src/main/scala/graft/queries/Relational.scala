@@ -707,10 +707,26 @@ object Relational {
     graft.ops.Cdc.incrementalAggRefresh(baseAgg, ins.unionByName(del), keys, "op", ms)
   }
 
+  // Equi-width histogram — the OLAP distribution primitive. Bucket by
+  // integer arithmetic (not width_bucket, which the two engines define
+  // with different edge conventions); the top bucket is clamped so the
+  // max value doesn't create a singleton bucket 20. Scale: one partial
+  // agg per partition into 20 groups — scan-bound at any volume.
+  private val qHist = QueryDef("q_histogram", Some(
+    """SELECT least(cast(floor(o_totalprice / 25000) AS INT), 19) AS bucket,
+      |       count(*)                                            AS n_orders,
+      |       sum(o_totalprice)                                   AS sum_price
+      |FROM orders
+      |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy(least(floor(col("o_totalprice") / 25000).cast("int"), lit(19)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr)
+    qIncr, qHist)
 }

@@ -428,7 +428,52 @@ object TextQueries {
       Tables(spark, dir).documents, col("lang") === "en", "doc_id", "text")
   }
 
+  // Gopher rule-based quality filter (Rae et al. 2021 table A1): every
+  // structural signal and the conjoined keep decision, mirrored in SQL.
+  // minWords=30 (not the paper's 50) because the synthetic docs run
+  // 25-80 words — the parameterization TextAnalysis.Gopher.keep exposes.
+  private val gopher = QueryDef("txt_gopher", Some(
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(str_split(text, ' '), x -> x <> '') AS toks,
+      |         length(text) - length(replace(text, '#', '')) AS n_hash,
+      |         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         cast(len(toks) AS INT) AS n_words,
+      |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+      |           / nullif(len(toks), 0) AS mean_word_len,
+      |         (n_hash + n_ell)::DOUBLE / nullif(len(toks), 0) AS symbol_ratio,
+      |         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      |           / nullif(len(toks), 0) AS alpha_frac,
+      |         cast(len(list_filter(list_distinct(toks),
+      |           x -> list_contains(['the','be','to','of','and','that','have','with'], x)))
+      |           AS INT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+      |       coalesce(n_words BETWEEN 30 AND 100000
+      |                AND mean_word_len BETWEEN 3.0 AND 10.0
+      |                AND symbol_ratio < 0.1
+      |                AND alpha_frac >= 0.8
+      |                AND stop_hits >= 2, false) AS keep
+      |FROM s""".stripMargin)) { (spark, dir) =>
+    import graft.ops.TextAnalysis.{Gopher, tokenCount}
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_words"),
+      Gopher.meanWordLength(col("text")).as("mean_word_len"),
+      Gopher.symbolToWordRatio(col("text")).as("symbol_ratio"),
+      Gopher.alphaWordFraction(col("text")).as("alpha_frac"),
+      Gopher.requiredStopwordHits(col("text")).as("stop_hits"),
+      coalesce(Gopher.keep(col("text"), minWords = 30)
+        // bullet/ellipsis line rules are in Gopher.keep but vacuous here
+        // (single-line docs) — the SQL mirror omits them, so assert the
+        // same vacuity rather than diverge silently.
+        , lit(false)).as("keep"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier, bpe, dsir)
+    clean, nbClassifier, bpe, dsir, gopher)
 }
