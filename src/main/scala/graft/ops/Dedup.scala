@@ -193,6 +193,106 @@ object Dedup {
     }
   }
 
+  // ---- Incremental LSH: index once, query every batch -------------------
+
+  /** Sorted-distinct copy of a hash array (merge-scan-ready set form). */
+  private def sortedSet(hs: Array[Long]): Array[Long] = {
+    val d = hs.distinct
+    java.util.Arrays.sort(d)
+    d
+  }
+
+  /** Build a persistable LSH index over a reference corpus: per doc the
+    * MinHash signature AND the sorted-distinct shingle-hash set, in ONE
+    * narrow typed pass (no shuffle). Write the result as parquet once;
+    * every incremental batch then queries it via
+    * [[nearDupsAgainstIndex]] without ever re-shingling or re-hashing
+    * the corpus — the difference between O(|corpus|) per ingest and
+    * O(|batch|) per ingest at 100 TB. Docs with zero shingles are
+    * dropped (no signature is defined for the empty set).
+    *
+    * Input contract matches [[minhashSignatures]]; string shingles are
+    * FNV-hashed first so the stored set form is uniformly
+    * `array<bigint>` (Jaccard on hashed shingles equals string Jaccard
+    * up to 64-bit collisions — the documented trade of
+    * [[graft.ops.TextAnalysis.shingleHashes3Typed]]). */
+  def buildLshIndex(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, ShortType, StringType}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(Seq(IntegerType, LongType, ShortType).contains(docs.schema(idCol).dataType),
+      s"lshIndex: id column '$idCol' must be integral, got ${docs.schema(idCol).dataType}")
+    val elem = docs.schema(shingleCol).dataType.asInstanceOf[ArrayType].elementType
+    require(elem == StringType || Seq(IntegerType, LongType, ShortType).contains(elem),
+      s"lshIndex: shingle elements must be string or integral, got $elem")
+    val hashed: org.apache.spark.sql.Dataset[(Long, Array[Long])] = elem match {
+      case StringType =>
+        docs.select(col(idCol).cast("long"), col(shingleCol))
+          .as[(Long, Array[String])]
+          .map { case (id, sh) => (id, if (sh == null) Array.empty[Long] else sh.map(strHash64)) }
+      case _ =>
+        docs.select(col(idCol).cast("long"), col(shingleCol).cast("array<long>"))
+          .as[(Long, Array[Long])]
+          .map { case (id, sh) => (id, if (sh == null) Array.empty[Long] else sh) }
+    }
+    hashed
+      .flatMap { case (id, hs) =>
+        if (hs.isEmpty) None else Some((id, sigOf(hs), sortedSet(hs)))
+      }
+      .toDF(idCol, "sig", "shset")
+  }
+
+  /** Signature table → one row per (id, band, slice) for the banded
+    * equi-join. Kept as raw slices (not slice hashes) for the same
+    * oracle-reproducibility reason as [[lshCandidates]]. */
+  private def bandedSlices(index: DataFrame, idCol: String, outId: String): DataFrame = {
+    val r = K / Bands
+    val slices = (0 until Bands).map { b =>
+      array((0 until r).map(j => col("sig")(b * r + j)): _*)
+    }
+    index.select(col(idCol).as(outId), posexplode(array(slices: _*)).as(Seq("band", "slice")))
+  }
+
+  /** Near-duplicates of an incremental `batch` against a prebuilt
+    * corpus [[buildLshIndex]] — the steady-state ingest shape: "which
+    * docs in today's crawl slice near-duplicate the training corpus".
+    * Returns (corpus_id, batch_id, jaccard >= threshold), candidates
+    * verified by exact Jaccard merge scans (precision exact, recall =
+    * the LSH bands').
+    *
+    * Scale shape when `broadcastBatch` (default): the batch's banded
+    * slices and shingle sets BROADCAST; the corpus index is scanned
+    * in place and NEVER shuffles — per-ingest cost is one corpus scan
+    * + |candidates|, regardless of corpus size. Set
+    * `broadcastBatch=false` when the batch is itself huge (backfill):
+    * both sides then shuffle on (band, slice), the [[lshCandidates]]
+    * plan. */
+  def nearDupsAgainstIndex(index: DataFrame, batch: DataFrame, idCol: String,
+                           shingleCol: String, threshold: Double,
+                           broadcastBatch: Boolean = true): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bIdx = buildLshIndex(batch, idCol, shingleCol)
+    val maybeBc: DataFrame => DataFrame =
+      if (broadcastBatch) df => broadcast(df) else identity
+    val cands = bandedSlices(index, idCol, "corpus_id")
+      .join(maybeBc(bandedSlices(bIdx, idCol, "batch_id")), Seq("band", "slice"))
+      .select("corpus_id", "batch_id")
+      .distinct()
+    cands
+      .join(index.select(col(idCol).as("corpus_id"), col("shset").as("set_a")), "corpus_id")
+      .join(maybeBc(bIdx.select(col(idCol).as("batch_id"), col("shset").as("set_b"))),
+        "batch_id")
+      .select(col("corpus_id"), col("batch_id"), col("set_a"), col("set_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, sa, sb) =>
+        val c = intersectCount(sa, sb)
+        val u = sa.length + sb.length - c
+        if (u > 0 && c.toDouble / u >= threshold) Some((a, b, c.toDouble / u)) else None
+      }
+      .toDF("corpus_id", "batch_id", "jaccard")
+  }
+
   // ---- Dedup against a reference corpus ---------------------------------
 
   /** Dedup-against-corpus with a broadcast Bloom pre-filter — the

@@ -26,11 +26,24 @@ object Graph {
     * round is one hash equi-join of the (|V|-row) rank vector against
     * the edge list plus one map-side-combinable sum — the classic
     * edge-cut PageRank round, linear in |E| per iteration. The rank
-    * vector is re-checkpointed each round to truncate lineage; nothing
-    * collects to the driver.
+    * vector is re-checkpointed each round to truncate lineage (chaining
+    * rounds into one job was measured SLOWER — the re-analysis of the
+    * deepening self-join plan under AQE costs more than the jobs it
+    * saves); nothing collects to the driver.
+    *
+    * `broadcastRanks` broadcasts the |V|-row rank vector into the join
+    * so the |E|-row edge list is never shuffled per round. Measured at
+    * local[32] / 1M edges it LOSES (11.5s vs 6.5s median): the edge
+    * list's checkpoint partitioning already feeds the join exchange-
+    * free, so the broadcast only adds a per-round driver collect +
+    * broadcast build. It wins when the edge list CAN'T stay partitioned
+    * (multi-tenant clusters re-planning per round) or when |E|/|V| is
+    * large enough that even one rank-vector shuffle per round dominates
+    * — hence a flag, defaulting to the measured-faster shape.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+               iters: Int = 10, damping: Double = 0.85,
+               broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 0, "Graph.pageRank: negative iteration count")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -45,7 +58,8 @@ object Graph {
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      ranks = es.join(ranks, es("src") === ranks("node"))
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      ranks = es.join(r, es("src") === r("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node")
         .agg((lit(base) + lit(damping) * sum("c")).as("rank"))

@@ -343,6 +343,68 @@ object DedupQueries {
     Dedup.dedupSegments(Tables(spark, dir).documents, "doc_id", "text", segWords = 3)
   }
 
+  // Incremental LSH: the corpus (doc_id % 5 != 0) is indexed ONCE
+  // (signatures + shingle sets, one narrow pass); the ingest batch
+  // (doc_id % 5 = 0) is banded, BROADCAST, and joined against the
+  // index — the corpus never shuffles, so per-ingest cost is one
+  // corpus scan + |candidates| at any corpus size. The oracle replays
+  // the identical minhash machinery restricted to cross-split pairs.
+  private val lshIncremental = QueryDef("e1_lsh_incremental", Some(
+    s"""WITH d AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN []
+       |            ELSE list_transform(range(1, len(t) - 1),
+       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS gram
+       |       FROM d),
+       |fnv AS (SELECT doc_id,
+       |          list_reduce(
+       |            list_prepend(14695981039346656037::HUGEINT,
+       |              list_transform(str_split(gram, ''), c -> ascii(c)::HUGEINT)),
+       |            (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
+       |                        * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+       |        FROM sh),
+       |hd AS (SELECT DISTINCT doc_id,
+       |         (CASE WHEN h >= 9223372036854775808::HUGEINT
+       |               THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS sv
+       |       FROM fnv),
+       |hm AS (SELECT doc_id, sv, ((sv % 2147483647) + 2147483647) % 2147483647 AS hm FROM hd),
+       |ab AS (SELECT k, a[k+1] AS a, b[k+1] AS b
+       |       FROM (SELECT [${Dedup.A.mkString(",")}] AS a,
+       |                    [${Dedup.B.mkString(",")}] AS b), range(0, 128) t(k)),
+       |sig AS (SELECT doc_id, k, min((ab.a::HUGEINT * hm.hm + ab.b) % 2147483647)::BIGINT AS s
+       |        FROM hm, ab GROUP BY doc_id, k),
+       |band AS (SELECT s0.doc_id, s0.k // 2 AS band, s0.s AS s0v, s1.s AS s1v
+       |         FROM sig s0 JOIN sig s1
+       |           ON s1.doc_id = s0.doc_id AND s1.k = s0.k + 1
+       |         WHERE s0.k % 2 = 0),
+       |cand AS (SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS batch_id
+       |         FROM band x JOIN band y
+       |           ON x.band = y.band AND x.s0v = y.s0v AND x.s1v = y.s1v
+       |         WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0),
+       |sets AS (SELECT doc_id, count(*) AS n FROM hm GROUP BY doc_id),
+       |inter AS (SELECT cand.corpus_id, cand.batch_id, count(*) AS c
+       |          FROM cand
+       |          JOIN hm ha ON ha.doc_id = cand.corpus_id
+       |          JOIN hm hb ON hb.doc_id = cand.batch_id AND hb.sv = ha.sv
+       |          GROUP BY cand.corpus_id, cand.batch_id)
+       |SELECT i.corpus_id, i.batch_id,
+       |       cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+       |FROM inter i
+       |JOIN sets sa ON sa.doc_id = i.corpus_id
+       |JOIN sets sb ON sb.doc_id = i.batch_id
+       |WHERE cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) => (id, shingleHashes3Typed(text)) }
+        .toDF("doc_id", "sh")
+      val index = Dedup.buildLshIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "sh")
+      Dedup.nearDupsAgainstIndex(index,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "sh", threshold = 0.5)
+  }
+
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
-    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup)
+    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental)
 }

@@ -243,6 +243,64 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactByKey(d1, "k", "id").count() == d1.count())
   }
 
+  test("incremental LSH: index path finds exactly the full-LSH cross-split pairs") {
+    import spark.implicits._
+    val hashed = Tables(spark, TestSession.sf0001).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+      .cache()
+    val corpus = hashed.filter(col("doc_id") % 5 =!= 0)
+    val batch = hashed.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.buildLshIndex(corpus, "doc_id", "sh")
+    val got = Dedup.nearDupsAgainstIndex(index, batch, "doc_id", "sh", 0.5)
+      .select("corpus_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full LSH over everything, keep only cross-split
+    // pairs, re-orient to (corpus_id, batch_id)
+    val full = Dedup.minhashNearDups(hashed, "doc_id", "sh", 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (b, a) else (a, b) }.toSet
+    assert(got == full)
+    hashed.unpersist()
+  }
+
+  test("incremental LSH: batch side broadcasts, corpus index never shuffles to the join") {
+    import spark.implicits._
+    val hashed = Tables(spark, TestSession.sf0001).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+    val index = Dedup.buildLshIndex(hashed.filter(col("doc_id") % 5 =!= 0), "doc_id", "sh")
+    val plan = Dedup.nearDupsAgainstIndex(index,
+        hashed.filter(col("doc_id") % 5 === 0), "doc_id", "sh", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$plan")
+  }
+
+  test("incremental LSH: index survives a parquet round-trip") {
+    import spark.implicits._
+    val hashed = Tables(spark, TestSession.sf0001).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+    val corpus = hashed.filter(col("doc_id") % 5 =!= 0)
+    val batch = hashed.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    try {
+      Dedup.buildLshIndex(corpus, "doc_id", "sh").write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      val viaDisk = Dedup.nearDupsAgainstIndex(reloaded, batch, "doc_id", "sh", 0.5)
+        .select("corpus_id", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.nearDupsAgainstIndex(
+          Dedup.buildLshIndex(corpus, "doc_id", "sh"), batch, "doc_id", "sh", 0.5)
+        .select("corpus_id", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDisk == direct && viaDisk.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("dedupSegments keeps first corpus occurrence, reassembles in order") {
     import spark.implicits._
     // doc 1: [a b, c d]; doc 2 repeats "a b" (stolen by doc 1) and adds
