@@ -118,14 +118,34 @@ object Dedup {
     * band's RAW signature slice (r values), not a hash of it: exact
     * band equality is what LSH theory assumes (a band hash can only add
     * false candidates via its own collisions), and plain integers are
-    * reproducible in the SQL oracle where xxhash64 is not. */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    * reproducible in the SQL oracle where xxhash64 is not.
+    *
+    * `maxBucketSize` is the hot-bucket guard for boilerplate-heavy
+    * corpora: a (band, slice) bucket holding B docs emits B² candidate
+    * pairs, so one mega-bucket of near-identical boilerplate turns the
+    * candidate join quadratic. Buckets above the cap are DROPPED
+    * (before pairing — the bucket-size aggregate is one partial-agg
+    * pass over the banded rows). Recall cost is negligible for real
+    * near-dups: a j≥0.5 pair is expected to collide in ~16 of the 64
+    * bands, so it survives unless ALL its buckets are capped — which
+    * only happens for content so replicated that exact dedup (run
+    * first — see the pipeline-order note on [[minhashNearDups]])
+    * already owns it. None (default) = exact behavior, no cap. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
     val r = K / Bands
     val slices = (0 until Bands).map { b =>
       array((0 until r).map(j => col("sig")(b * r + j)): _*)
     }
-    val banded = sigs
+    val all = sigs
       .select(col(idCol), posexplode(array(slices: _*)).as(Seq("band", "slice")))
+    val banded = maxBucketSize match {
+      case None => all
+      case Some(cap) =>
+        val sizes = all.groupBy("band", "slice").agg(count(lit(1)).as("bsz"))
+        all.join(sizes.filter(col("bsz") <= cap), Seq("band", "slice"))
+          .drop("bsz")
+    }
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("slice"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("slice"))
     a.join(b, Seq("band", "slice"))
@@ -155,10 +175,12 @@ object Dedup {
     * merge scan — array_intersect/array_union would rebuild hash sets
     * per pair, the hot loop of the whole pipeline at scale. */
   def minhashNearDups(docs: DataFrame, idCol: String, shingleCol: String,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     val elem = docs.schema(shingleCol).dataType.asInstanceOf[ArrayType].elementType
-    val cands = lshCandidates(minhashSignatures(docs, idCol, shingleCol), idCol)
+    val cands = lshCandidates(minhashSignatures(docs, idCol, shingleCol), idCol,
+      maxBucketSize)
     if (elem == StringType) {
       val sets = docs.select(col(idCol), array_distinct(col(shingleCol)).as("shset"))
       cands

@@ -410,6 +410,28 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–static dimension enrichment with per-trigger dim refresh:
+    * each microbatch joins the dimension AS OF ITS OWN TRIGGER — the
+    * Flink "temporal table join against the latest version" shape on
+    * the microbatch boundary. The dim THUNK (e.g.
+    * `() => spark.read.parquet(dimPath)`) is re-invoked inside every
+    * batch, deliberately: a static DataFrame built once captures its
+    * file listing in the FileIndex at read time, so a plain
+    * stream-static join would keep serving the listing from query
+    * start; re-invoking the thunk re-lists, which is what makes a
+    * slowly-changing-dimension rewrite visible without a query restart.
+    *
+    * `broadcastDim` (default) keeps the per-batch join shuffle-free —
+    * the right shape for any dimension that fits an executor; a huge
+    * dim would flip this off and pre-bucket both sides instead. */
+  def enrichWithDim(stream: DataFrame, dim: () => DataFrame, joinCols: Seq[String],
+                    checkpoint: String, broadcastDim: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    toForeachBatchSink(stream, checkpoint) { (batch, id) =>
+      val d = if (broadcastDim) broadcast(dim()) else dim()
+      sink(batch.join(d, joinCols), id)
+    }
+
   /** S6 streaming sinks. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

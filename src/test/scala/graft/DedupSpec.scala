@@ -243,6 +243,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactByKey(d1, "k", "id").count() == d1.count())
   }
 
+  test("LSH hot-bucket cap bounds a mega-bucket's quadratic candidates, keeps real pairs") {
+    import spark.implicits._
+    // 200 identical boilerplate docs (one mega-bucket per band: 19,900
+    // pairs × 64 bands uncapped) + one genuine near-dup pair far from
+    // the boilerplate.
+    val boiler = "terms of service apply to all users of this site always"
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++ Seq((1001L, a), (1002L, b)))
+      .toDF("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, graft.ops.TextAnalysis.shingleHashes3Typed(t)) }
+      .toDF("doc_id", "sh")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh").localCheckpoint()
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id").count()
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucketSize = Some(10))
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped >= 19900, s"mega-bucket should pair quadratically, got $uncapped")
+    // the cap removes the boilerplate blow-up entirely...
+    assert(cappedPairs.size < 100, s"cap did not bound candidates: ${cappedPairs.size}")
+    // ...but the genuine near-dup pair (its buckets have occupancy 2) survives
+    assert(cappedPairs.contains((1001L, 1002L)), "capped LSH lost a real near-dup pair")
+    // default (no cap) is bit-identical to the previous behavior
+    assert(Dedup.lshCandidates(sigs, "doc_id", None).count() == uncapped)
+  }
+
   test("incremental LSH: index path finds exactly the full-LSH cross-split pairs") {
     import spark.implicits._
     val hashed = Tables(spark, TestSession.sf0001).documents

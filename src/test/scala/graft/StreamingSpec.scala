@@ -667,6 +667,34 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     val all = spark.read.parquet(outDir).as[String].collect().sorted.toSeq
     assert(all == Seq("a", "b", "c"), s"restart reprocessed or lost rows: $all")
   }
+  test("stream-static enrichment picks up a dimension rewrite between triggers") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dimDir = tmp("graft-dim")
+    val ckpt = tmp("graft-dim-ckpt")
+    Seq((1L, "bronze"), (2L, "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val in = MemoryStream[Long]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = Streams.enrichWithDim(
+      in.toDF().toDF("user_id"),
+      () => spark.read.parquet(dimDir),
+      Seq("user_id"), ckpt) { (batch, id) =>
+      batch.select("user_id", "tier").collect()
+        .foreach(r => out.synchronized { out += ((id, r.getLong(0), r.getString(1))) })
+    }
+    try {
+      in.addData(1L, 2L); q.processAllAvailable()
+      // SCD refresh: user 1 promoted, user 3 appears
+      Seq((1L, "gold"), (2L, "silver"), (3L, "bronze")).toDF("user_id", "tier")
+        .write.mode("overwrite").parquet(dimDir)
+      in.addData(1L, 3L); q.processAllAvailable()
+      val byBatch = out.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+      assert(byBatch(0L) == Set((1L, "bronze"), (2L, "silver")))
+      assert(byBatch(1L) == Set((1L, "gold"), (3L, "bronze")),
+        s"batch 1 saw a stale dimension: ${byBatch(1L)}")
+    } finally q.stop()
+  }
 }
 
 /** Default (HDFS-backed, on-heap) state store provider. */
