@@ -41,6 +41,27 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
   def joinWith[U](other: Flow[U], cond: org.apache.spark.sql.Column, joinType: String = "inner"): Flow[(T, U)] =
     new Flow(ds.joinWith(other.ds, cond, joinType))
 
+  /** Side-output split (Flink v1.12 `DataStream.split` / `OutputTag`
+    * shape): each element is routed to the FIRST tag whose predicate
+    * matches — tags are ordered and mutually exclusive by construction,
+    * so the outputs partition the matched elements exactly like
+    * side-output tags do (an element never lands in two outputs).
+    * Elements matching no tag are dropped (Flink's untagged default).
+    *
+    * Each returned flow is a declarative filter over the SAME source
+    * plan: predicates push down, and a consumer reading only one side
+    * output scans once. Consumers reading several should cache/persist
+    * the upstream first — same guidance Flink gives for multi-sink
+    * fan-out. */
+  def split(tags: (String, T => Boolean)*): Map[String, Flow[T]] = {
+    require(tags.map(_._1).distinct.size == tags.size, "split: duplicate tag names")
+    tags.zipWithIndex.map { case ((name, _), i) =>
+      val before = tags.take(i).map(_._2)
+      val p = tags(i)._2
+      name -> new Flow(ds.filter(t => p(t) && !before.exists(q => q(t))))
+    }.toMap
+  }
+
   /** S6 sinks. Batch parquet sink; `print` ≙ reference's print() sink. */
   def sinkParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
 

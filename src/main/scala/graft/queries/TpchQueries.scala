@@ -117,8 +117,8 @@ object TpchQueries {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+      |     OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
       |) shipping
       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)) { (spark, dir) =>
     val t = Tables(spark, dir)
@@ -130,8 +130,8 @@ object TpchQueries {
       .join(t.customer, col("c_custkey") === col("o_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3")
+        || (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2"))
       .withColumn("l_year", year(col("l_shipdate")).cast("int"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum(revenue).as("revenue"))

@@ -49,6 +49,18 @@ class FlowSpec extends AnyFunSuite {
     assert(f.union(f).count() == 4)
   }
 
+  test("side-output split: first-match routing, no element in two outputs") {
+    val f = Flow.fromCollection(spark, Seq(-3, -1, 0, 2, 4, 9))
+    val outs = f.split(
+      "negative" -> (_ < 0),
+      "even" -> (_ % 2 == 0),   // 0,2,4 — but negatives already routed
+      "small" -> (_ < 10))      // everything left: 9
+    assert(outs("negative").collectSeq().sorted == Seq(-3, -1))
+    assert(outs("even").collectSeq().sorted == Seq(0, 2, 4))
+    assert(outs("small").collectSeq() == Seq(9))
+    assertThrows[IllegalArgumentException](f.split("a" -> (_ => true), "a" -> (_ => true)))
+  }
+
   test("T7 typed joinWith") {
     val l = Flow.fromCollection(spark, Seq((1, "a"), (2, "b")))
     val r = Flow.fromCollection(spark, Seq((1, 10.0), (3, 30.0)))

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Engine-wide physical-plan invariants over EVERY registered query —
+  * the structural half of the 100 TB contract (the oracle checks the
+  * values). A change that silently turns a bucketed join into a
+  * nested-loop or drops a pushed filter fails here, not in a profiler
+  * three rounds later.
+  *
+  * Plans are inspected AFTER one execution: under AQE the pre-execution
+  * plan is a placeholder (`isFinalPlan=false`, no codegen annotation),
+  * so only the finalized plan tells the truth about join strategies and
+  * codegen spans. */
+class PlanInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  /** Queries DECLARED to plan a nested-loop/cartesian join:
+    *  - q_cross_join: the capability probe itself, bounded at 100 rows;
+    *  - q_subq_scalar / q_subq_not_exists / e3_nb_classifier / txt_tfidf:
+    *    scalar subqueries (corpus totals, vocab size) — Spark plans the
+    *    1-row aggregate as a broadcast NLJ build side, constant cost;
+    *  - e2_knn_brute: the DECLARED design broadcasts the tiny query set
+    *    against one corpus scan — a BroadcastNestedLoopJoin whose inner
+    *    side is k queries, linear in the corpus by construction. */
+  private val nestedLoopAllowed = Set("q_cross_join", "q_subq_scalar",
+    "q_subq_not_exists", "e3_nb_classifier", "txt_tfidf", "e2_knn_brute")
+
+  private lazy val plans: Map[String, String] =
+    Registry.all.map { q =>
+      val df = q.run(spark, TestSession.sf0001)
+      // collect() executes THIS Dataset's QueryExecution (a write would
+      // plan a fresh one and leave this AQE plan isFinalPlan=false,
+      // codegen-unannotated); after execution the adaptive plan prints
+      // its final form with `*(n)` codegen stage markers.
+      df.collect()
+      q.name -> df.queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no undeclared nested-loop or cartesian joins anywhere in the surface") {
+    val offenders = plans.collect {
+      case (name, p) if (p.contains("NestedLoop") || p.contains("CartesianProduct"))
+        && !nestedLoopAllowed(name) => name
+    }
+    assert(offenders.isEmpty, s"undeclared quadratic joins in: $offenders")
+  }
+
+  test("every lineitem scan prunes columns (no full-schema scans of the widest table)") {
+    // lineitem has 11 columns; a scan reading all of them for a query
+    // that projects a few is the classic pushdown regression.
+    // q1_project reads 8 of 11 on purpose; q_salted_join replicates
+    // whole rows by design.
+    val offenders = plans.collect {
+      case (name, p) if p.contains("ReadSchema") &&
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+          "l_shipdate").forall(p.contains) &&
+        !Set("q1_project", "q_salted_join").contains(name) => name
+    }
+    assert(offenders.isEmpty, s"full-width lineitem scans in: $offenders")
+  }
+
+  test("whole-stage codegen covers every batch query's hot path") {
+    val offenders = plans.collect {
+      case (name, p) if !p.contains("WholeStageCodegen") && !p.contains("*(") => name
+    }
+    assert(offenders.isEmpty, s"no codegen span at all in: $offenders")
+  }
+}
