@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * round 3, full AUDIO decode for WAV/AIFF/AU PCM payloads on the
   * JDK's own `javax.sound.sampled` codecs ([[decodeAudioSamples]]/
   * [[audioStats]], oracle-verified by `mm_audio` through the same
-  * real-encoder→real-decoder→closed-form scheme). Only VIDEO decoding
-  * remains stubbed (`decodeStub`/`sampleFrames` for payloads that are
-  * not decodable images or audio): the JDK ships no video codec.
+  * real-encoder→real-decoder→closed-form scheme), and — round 3b —
+  * real MULTI-FRAME decode for animated-GIF payloads
+  * ([[decodeGifFrames]]/[[videoFrameStats]], oracle-verified by
+  * `mm_video`): frame enumeration, stride sampling, and per-frame
+  * pixel decode on the JDK's own multi-frame codec. What remains
+  * stubbed (`decodeStub`/`sampleFrames`) is payloads with no JDK
+  * codec at all — inter-frame-compressed video (H.264 etc.).
   * Swapping in a real video decoder (e.g. javacv / a JNI
   * codec) changes only that one function; the distributed shape
   * (mapPartitions so a decoder instance is created once per partition,
@@ -346,6 +350,131 @@ object Multimodal {
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ---- REAL multi-frame (video-shaped) decode: animated GIF on the
+  // JDK's own GIF codec. GIF is the one multi-frame container whose
+  // reader AND writer ship with the JVM, so frame enumeration, frame
+  // sampling, and per-frame pixel decode are all real — only
+  // inter-frame-compressed codecs (H.264 etc.) remain out of scope
+  // (no JDK codec exists; a javacv swap changes just decodeGifFrames).
+
+  /** Decode every frame of a (possibly animated) GIF. None when the
+    * payload has no GIF reader. Frames are decoded full-size in storage
+    * order via the ImageReader index API — the same API a real video
+    * demuxer exposes (seek by frame index), which is why
+    * [[videoFrameStats]]'s sampling runs against it unchanged. */
+  def decodeGifFrames(content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    System.setProperty("java.awt.headless", "true")
+    scala.util.Try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        if (!r.getFormatName.equalsIgnoreCase("gif")) None
+        else {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          val frames = (0 until n).map(r.read)
+          r.dispose()
+          Some(frames)
+        }
+      }
+    }.toOption.flatten
+  }
+
+  /** Real frame sampling + per-frame decode over animated-GIF payloads:
+    * every `stride`-th frame up to `maxFrames`, reduced to exact
+    * integer gray-channel sums (the frames are written with an identity
+    * gray palette, so GIF's 256-color limit is lossless here and a SQL
+    * oracle reproduces the sums from the generating closed form).
+    * Non-GIF payloads are dropped. One reader per partition batch
+    * (mapPartitions — the open-once-per-split shape). */
+  case class VideoFrameStats(id: Long, frame_idx: Int, n_frames: Int,
+                             width: Int, height: Int, sum_gray: Long)
+  def videoFrameStats(ds: Dataset[MediaRecord], stride: Int,
+                      maxFrames: Int): Dataset[VideoFrameStats] = {
+    import ds.sparkSession.implicits._
+    require(stride >= 1 && maxFrames >= 1, "videoFrameStats: stride/maxFrames must be >= 1")
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeGifFrames(r.content).toSeq.flatMap { frames =>
+          frames.indices.collect {
+            case i if i % stride == 0 && i / stride < maxFrames =>
+              val img = frames(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              VideoFrameStats(r.id, i, frames.length, img.getWidth, img.getHeight, sum)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic animated GIF: `nFrames` full frames, frame
+    * f pixel (x,y) = gray level (id + 3f + x + 2y) mod 256, written
+    * through the REAL JDK GIF sequence writer over an identity 256-gray
+    * palette (index i → RGB(i,i,i)), so encoding is lossless and decode
+    * returns the closed form exactly — the [[syntheticPng]] scheme for
+    * the multi-frame case. */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + 3 * f + x + 2 * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      // The JDK GIF writer interlaces frames by default, which permutes
+      // row STORAGE order (sum-invariant, so aggregate oracles can't
+      // see it) and, at heights below the 8-row interlace cycle,
+      // round-trips incorrectly. Force interlaceFlag=FALSE through the
+      // image metadata tree so decode is position-exact.
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmtName = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmtName).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        kids.item(i) match {
+          case n: javax.imageio.metadata.IIOMetadataNode
+            if n.getNodeName == "ImageDescriptor" =>
+            n.setAttribute("interlaceFlag", "FALSE")
+          case _ =>
+        }
+        i += 1
+      }
+      meta.setFromTree(fmtName, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
     bos.toByteArray
   }
 

@@ -128,5 +128,34 @@ object MultimodalQueries {
       .toDF("id", "sample_rate", "channels", "n_samples", "sum_s", "sum_abs", "peak_abs")
   }
 
-  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ, pixels, audio)
+  // REAL multi-frame decode through the JDK's animated-GIF codec: per
+  // doc a deterministic 2-5-frame grayscale animation is ENCODED by the
+  // real GIF sequence writer (identity gray palette — lossless within
+  // GIF's 256 colors), every 2nd frame is sampled, DECODED by the real
+  // reader, and reduced to exact gray sums — all reproduced by the
+  // oracle from the closed form pixel(f,x,y) = (id+3f+x+2y) mod 256.
+  // Only inter-frame-compressed codecs (H.264 etc.) remain out of
+  // scope; no JDK codec exists for those.
+  private val video = QueryDef("mm_video", Some(
+    """WITH ids AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents WHERE doc_id < 64),
+      |f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS fi FROM ids),
+      |sampled AS (SELECT doc_id, nf, fi FROM f WHERE fi % 2 = 0),
+      |px AS (SELECT doc_id, nf, fi, x.x AS x, y.y AS y
+      |       FROM sampled, range(0, 16) x(x), range(0, 8) y(y))
+      |SELECT doc_id AS id, cast(fi AS INT) AS frame_idx,
+      |       cast(any_value(nf) AS INT) AS n_frames,
+      |       cast(16 AS INT) AS width, cast(8 AS INT) AS height,
+      |       cast(sum((doc_id + 3*fi + x + 2*y) % 256) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, fi""".stripMargin), bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .filter(col("doc_id") < 64).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(
+        id, s"synthetic://$id.gif", "image/gif",
+        Multimodal.syntheticGif(id, 16, 8, (2 + id % 4).toInt)))
+    Multimodal.videoFrameStats(media, stride = 2, maxFrames = 16)
+      .toDF("id", "frame_idx", "n_frames", "width", "height", "sum_gray")
+  }
+
+  val defs: Seq[QueryDef] = Seq(features, meta, frames, resizeQ, pixels, audio, video)
 }

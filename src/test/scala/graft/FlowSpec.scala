@@ -68,6 +68,26 @@ class FlowSpec extends AnyFunSuite {
     assert(j == Seq(((1, "a"), (1, 10.0))))
   }
 
+  test("multimodal REAL animated-GIF decode: frame-exact round trip, stride sampling") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // encode→decode round trip is pixel-exact (identity gray palette)
+    val bytes = Multimodal.syntheticGif(id = 7, w = 5, h = 4, nFrames = 3)
+    val frames = Multimodal.decodeGifFrames(bytes).get
+    assert(frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 5)
+      assert((frames(f).getRGB(x, y) & 0xff) == (7 + 3 * f + x + 2 * y) % 256,
+        s"pixel mismatch at f=$f x=$x y=$y")
+    // non-GIF payloads yield None (and are dropped by videoFrameStats)
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    // stride-2 sampling with maxFrames cap over a 6-frame clip: 0, 2
+    val ds = Seq(Multimodal.MediaRecord(9L, "mem://v.gif", "image/gif",
+      Multimodal.syntheticGif(9, 4, 2, nFrames = 6))).toDS()
+    val got = Multimodal.videoFrameStats(ds, stride = 2, maxFrames = 2)
+      .collect().map(v => (v.frame_idx, v.n_frames)).toSet
+    assert(got == Set((0, 6), (2, 6)))
+  }
+
   test("multimodal resize stub shrinks payload, keeps record shape") {
     import graft.ops.Multimodal
     val docs = graft.sources.Tables(spark, TestSession.sf0001).documents.limit(20)
