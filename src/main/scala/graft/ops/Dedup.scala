@@ -215,6 +215,67 @@ object Dedup {
     }
   }
 
+  // ---- Duplicated-span detection (arbitrary-offset substring dedup) ----
+
+  /** Cross-document duplicated SPANS at arbitrary token offsets — the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022) shape, where a 60-token boilerplate paragraph
+    * embedded mid-document is found no matter where it starts in
+    * either doc (fixed-boundary segment dedup — [[dedupSegments]] —
+    * only catches aligned repeats).
+    *
+    * Method: every `gramLen`-token gram at every offset, inverted-index
+    * self-join on the gram, then diagonal run detection — matches of
+    * the same doc pair with constant offset difference `d = ia − ib`
+    * and consecutive `ia` form one span (gaps-and-islands: `ia −
+    * row_number()` is constant within a run). A run of L matching
+    * grams witnesses a shared span of L + gramLen − 1 tokens; runs
+    * below `minRun` are noise and dropped.
+    *
+    * Scale shape: the gram explosion is |tokens| rows (the TF-IDF /
+    * contamination inverted-index cost, linear); the join shuffles on
+    * the gram; the run detection is one window per (pair, diagonal)
+    * partition — no all-pairs anything. `maxGramFreq` is the hot-gram
+    * guard (same cliff as [[lshCandidates]]'s mega-bucket): a gram in
+    * F positions joins F² — cap it and ultra-common boilerplate grams
+    * are excluded from seeding runs (true long spans survive via their
+    * rarer grams). None = exact, oracle-checked default.
+    *
+    * Returns (id_a, id_b, start_a, start_b, run_len, span_tokens),
+    * id_a < id_b, starts 0-based. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      gramLen: Int = 5, minRun: Int = 10,
+                      maxGramFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramLen >= 1 && minRun >= 1, "duplicatedSpans: gramLen/minRun must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val gramArr = when(size(toks) < gramLen, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (gramLen - 1)),
+        i => concat_ws(" ", (0 until gramLen).map(j => element_at(toks, i + j)): _*)))
+    val gramsAll = docs
+      .select(col(idCol).as("id"), posexplode(gramArr).as(Seq("i", "gram")))
+    val grams = maxGramFreq match {
+      case None => gramsAll
+      case Some(cap) =>
+        val freq = gramsAll.groupBy("gram").agg(count(lit(1)).as("gf"))
+        gramsAll.join(freq.filter(col("gf") <= cap), "gram").drop("gf")
+    }
+    val a = grams.select(col("id").as("id_a"), col("i").as("ia"), col("gram"))
+    val b = grams.select(col("id").as("id_b"), col("i").as("ib"), col("gram"))
+    val matches = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("d"))
+    val w = Window.partitionBy("id_a", "id_b", "d").orderBy("ia")
+    matches
+      .withColumn("island", col("ia") - row_number().over(w))
+      .groupBy("id_a", "id_b", "d", "island")
+      .agg(min("ia").as("start_a"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("id_a"), col("id_b"), col("start_a"),
+        (col("start_a") - col("d")).as("start_b"),
+        col("run_len"), (col("run_len") + (gramLen - 1)).as("span_tokens"))
+  }
+
   // ---- Incremental LSH: index once, query every batch -------------------
 
   /** Sorted-distinct copy of a hash array (merge-scan-ready set form). */

@@ -405,6 +405,35 @@ object DedupQueries {
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "sh", threshold = 0.5)
   }
 
+  // Arbitrary-offset duplicated spans (Lee et al. 2022 substring-dedup
+  // shape): 5-gram inverted-index self-join + diagonal gaps-and-islands
+  // run detection, runs >= 10 grams (14+ shared tokens). The oracle
+  // replays the identical construction: same grams, same diagonals,
+  // same island arithmetic.
+  private val dupSpans = QueryDef("e1_dup_spans", Some(
+    """WITH t AS (SELECT doc_id, list_filter(str_split(text,' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id, cast(i AS BIGINT) AS i, array_to_string(ws[i+1:i+5],' ') AS gram
+      |      FROM t, lateral unnest(range(0, greatest(len(ws)-4, 0))) u(i)),
+      |p AS (SELECT a.doc_id AS id_a, a.i AS ia, b.doc_id AS id_b, b.i AS ib
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (SELECT id_a, id_b, ia - ib AS d, ia,
+      |             row_number() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS rn
+      |      FROM p),
+      |runs AS (SELECT id_a, id_b, d, min(ia) AS start_a, count(*)::BIGINT AS run_len
+      |         FROM r GROUP BY id_a, id_b, d, ia - rn)
+      |SELECT id_a, id_b,
+      |       cast(start_a AS INT)       AS start_a,
+      |       cast(start_a - d AS INT)   AS start_b,
+      |       run_len,
+      |       run_len + 4                AS span_tokens
+      |FROM runs WHERE run_len >= 10""".stripMargin)) { (spark, dir) =>
+    Dedup.duplicatedSpans(Tables(spark, dir).documents, "doc_id", "text",
+        gramLen = 5, minRun = 10)
+      .withColumn("start_a", col("start_a").cast("int"))
+      .withColumn("start_b", col("start_b").cast("int"))
+  }
+
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
-    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental)
+    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental, dupSpans)
 }

@@ -243,6 +243,39 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactByKey(d1, "k", "id").count() == d1.count())
   }
 
+  test("duplicatedSpans finds a planted span at different offsets, exact boundaries") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ") // 20 shared tokens
+    val docA = s"alpha beta gamma $span tail1 tail2"          // span starts at offset 3
+    val docB = s"one $span other words here"                  // span starts at offset 1
+    val docC = "completely different content with no overlap at all whatsoever"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", gramLen = 5, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    // one span: 20 shared tokens = 16 matching 5-grams
+    assert(got.toSeq == Seq((1L, 2L, 3, 1, 16L, 20L)), s"got ${got.toSeq}")
+    // below minRun the same span is dropped
+    assert(Dedup.duplicatedSpans(docs, "doc_id", "text", gramLen = 5, minRun = 17).count() == 0)
+  }
+
+  test("duplicatedSpans maxGramFreq drops boilerplate-seeded runs, keeps rare spans") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"tos$i").mkString(" ")
+    val rare = (1 to 20).map(i => s"rare$i").mkString(" ")
+    // boilerplate span appears in 30 docs; the rare span in exactly 2
+    val docs = ((1 to 30).map(i => (i.toLong, s"pre$i $boiler post$i")) ++
+      Seq((100L, s"x y z $rare"), (101L, s"q $rare w")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.duplicatedSpans(docs, "doc_id", "text", gramLen = 5, minRun = 10,
+        maxGramFreq = Some(5))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // uncapped, the boilerplate pairs are all present too (30 choose 2)
+    val uncapped = Dedup.duplicatedSpans(docs, "doc_id", "text", 5, 10).count()
+    assert(uncapped == 435 + 1, s"got $uncapped")
+  }
+
   test("LSH hot-bucket cap bounds a mega-bucket's quadratic candidates, keeps real pairs") {
     import spark.implicits._
     // 200 identical boilerplate docs (one mega-bucket per band: 19,900
