@@ -167,6 +167,31 @@ object ScaleProbe {
         shingled.filter(col("doc_id") % 5 === 0), "doc_id", "sh", threshold = 0.5)
     }
 
+    // Duplicated spans at 20x replicas — the adversarial case for the
+    // hot-gram guard: every gram recurs in ~20 replicas, so uncapped
+    // matching would be ~400x the base corpus's. With maxGramFreq=30
+    // the probe must complete tracking |tokens| + capped matches, not
+    // gram-frequency².
+    lazy val docs20sp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"),
+        when(col("rep") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+    stage("dup_spans_20x_naive") {
+      graft.ops.Dedup.duplicatedSpans(docs20sp, "doc_id", "text",
+        gramLen = 5, minRun = 10, maxGramFreq = Some(30))
+    }
+    // The documented pipeline order (exact dedup FIRST — identical
+    // replica texts collapse before span detection): the span join then
+    // sees each distinct text once, i.e. matches track genuinely
+    // distinct near-duplicate content, not exact-copy multiplicity.
+    stage("dup_spans_20x") {
+      val distinctTexts = docs20sp.groupBy("text").agg(min("doc_id").as("doc_id"))
+      graft.ops.Dedup.duplicatedSpans(distinctTexts, "doc_id", "text",
+        gramLen = 5, minRun = 10, maxGramFreq = Some(30))
+    }
+
     // PageRank on a ~20x-larger graph than the sf0.1 trade graph
     // (~500k edges there): (user_id, event-id bucket) bipartite edges
     // give ~|rows| distinct edges capped by 64 buckets/user — ~6-10M
