@@ -276,6 +276,67 @@ object Dedup {
         col("run_len"), (col("run_len") + (gramLen - 1)).as("span_tokens"))
   }
 
+  /** The removal half of substring dedup (Lee et al. remove the
+    * duplicated text, not the document): every span found by
+    * [[duplicatedSpans]] is CUT from the higher-id doc of its pair —
+    * the lowest-id occurrence in the corpus always survives intact
+    * (the higher id of every pair is masked, so the minimum id of a
+    * span's clique is never touched; no iteration needed). Overlapping
+    * masks within a doc are interval-merged (touching intervals
+    * coalesce) before cutting, and the doc is reassembled from the
+    * surviving tokens in order — whitespace-normalized, like
+    * [[dedupSegments]].
+    *
+    * Returns every input doc: (idCol, text, n_removed). Scale: the
+    * span table is the [[duplicatedSpans]] cost; the merge is a
+    * per-doc mapGroups over that doc's spans (tiny); the cut is one
+    * narrow map over the docs joined to their merged intervals. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            gramLen: Int = 5, minRun: Int = 10,
+                            maxGramFreq: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = duplicatedSpans(docs, idCol, textCol, gramLen, minRun, maxGramFreq)
+    val merged = spans
+      .select(col("id_b").as("mid"), col("start_b").cast("long").as("s"),
+        (col("start_b") + col("span_tokens")).cast("long").as("e"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val sorted = it.map(t => (t._2, t._3)).toArray.sortBy(identity)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        for ((s, e) <- sorted) {
+          if (out.nonEmpty && s <= out.last._2)
+            out(out.length - 1) = (out.last._1, math.max(out.last._2, e))
+          else out += ((s, e))
+        }
+        (id, out.toArray.map(_._1), out.toArray.map(_._2))
+      }
+      .toDF("mid", "starts", "ends")
+    docs
+      .select(col(idCol).cast("long").as("did"), col(textCol).as("txt"))
+      .join(merged, col("did") === col("mid"), "left")
+      .select(col("did"), col("txt"), col("starts"), col("ends"))
+      .as[(Long, String, Array[Long], Array[Long])]
+      .map { case (id, text, starts, ends) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (starts == null) (id, ws.mkString(" "), 0L)
+        else {
+          val kept = ws.iterator.zipWithIndex.filterNot { case (_, i) =>
+            var j = 0
+            var in = false
+            while (j < starts.length && !in) {
+              if (i >= starts(j) && i < ends(j)) in = true
+              j += 1
+            }
+            in
+          }.map(_._1).toArray
+          (id, kept.mkString(" "), (ws.length - kept.length).toLong)
+        }
+      }
+      .toDF(idCol, "text", "n_removed")
+  }
+
   // ---- Incremental LSH: index once, query every batch -------------------
 
   /** Sorted-distinct copy of a hash array (merge-scan-ready set form). */

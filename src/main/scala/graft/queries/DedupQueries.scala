@@ -434,6 +434,50 @@ object DedupQueries {
       .withColumn("start_b", col("start_b").cast("int"))
   }
 
+  // The removal half: every detected span is cut from the higher-id
+  // doc (lowest-id occurrence survives), overlapping masks interval-
+  // merged (touching intervals coalesce — parity rule: new interval
+  // only when s > running max(e)), docs reassembled from surviving
+  // tokens. Oracle replays spans + merge + cut + reassembly in SQL.
+  private val spanRemoved = QueryDef("e1_span_removed", Some(
+    """WITH t AS (SELECT doc_id, list_filter(str_split(text,' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id, cast(i AS BIGINT) AS i, array_to_string(ws[i+1:i+5],' ') AS gram
+      |      FROM t, lateral unnest(range(0, greatest(len(ws)-4, 0))) u(i)),
+      |p AS (SELECT a.doc_id AS id_a, a.i AS ia, b.doc_id AS id_b, b.i AS ib
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (SELECT id_a, id_b, ia - ib AS d, ia,
+      |             row_number() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS rn
+      |      FROM p),
+      |runs AS (SELECT id_a, id_b, d, min(ia) AS start_a, count(*)::BIGINT AS run_len
+      |         FROM r GROUP BY id_a, id_b, d, ia - rn),
+      |spans AS (SELECT id_b AS mid, start_a - d AS s, start_a - d + run_len + 4 AS e
+      |          FROM runs WHERE run_len >= 10),
+      |m0 AS (SELECT mid, s, e,
+      |         max(e) OVER (PARTITION BY mid ORDER BY s, e
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |       FROM spans),
+      |m1 AS (SELECT mid, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM m0),
+      |m2 AS (SELECT mid, s, e, sum(ni) OVER (PARTITION BY mid ORDER BY s, e) AS grp FROM m1),
+      |mg AS (SELECT mid, grp, min(s) AS s, max(e) AS e FROM m2 GROUP BY mid, grp),
+      |tok AS (SELECT doc_id, cast(i AS BIGINT) AS i, ws[i+1] AS tk
+      |        FROM t, lateral unnest(range(0, len(ws))) u(i)),
+      |kept AS (SELECT tok.doc_id, tok.i, tok.tk
+      |         FROM tok LEFT JOIN mg
+      |           ON tok.doc_id = mg.mid AND tok.i >= mg.s AND tok.i < mg.e
+      |         WHERE mg.mid IS NULL),
+      |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text,
+      |               count(*)::BIGINT AS n
+      |        FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       coalesce(agg.text, '') AS text,
+      |       cast(len(t.ws) - coalesce(agg.n, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin)) { (spark, dir) =>
+    Dedup.removeDuplicatedSpans(Tables(spark, dir).documents, "doc_id", "text",
+      gramLen = 5, minRun = 10)
+  }
+
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
-    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental, dupSpans)
+    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental, dupSpans,
+    spanRemoved)
 }

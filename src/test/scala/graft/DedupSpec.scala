@@ -276,6 +276,23 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped == 435 + 1, s"got $uncapped")
   }
 
+  test("removeDuplicatedSpans cuts later occurrences, merges overlapping masks") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docA = s"a1 a2 a3 $span a4 a5"       // first occurrence — survives intact
+    val docB = s"b1 $span b2 b3"             // span cut
+    // docC carries the span twice, adjacent: both cut, intervals merge
+    val docC = s"c1 $span $span c2"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", gramLen = 5, minRun = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (docA, 0L), s"first occurrence must survive: ${got(1L)}")
+    assert(got(2L) == ("b1 b2 b3", 20L), s"got ${got(2L)}")
+    // docC: both copies (and the bridging grams between them) removed
+    assert(got(3L)._1.startsWith("c1") && !got(3L)._1.contains("s1")
+      && got(3L)._2 >= 40L, s"got ${got(3L)}")
+  }
+
   test("LSH hot-bucket cap bounds a mega-bucket's quadratic candidates, keeps real pairs") {
     import spark.implicits._
     // 200 identical boilerplate docs (one mega-bucket per band: 19,900
