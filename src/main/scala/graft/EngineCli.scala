@@ -14,6 +14,16 @@ import org.apache.spark.sql.SparkSession
   *   info <queryName>          — print the optimized plan
   *   streams                   — list active streaming queries
   *   stop <streamName>         — stop an active streaming query
+  *   cancel <streamName>       — alias of stop (microbatch queries always
+  *                               retain their checkpoint; the reference's
+  *                               stop-with-savepoint / cancel-without
+  *                               distinction collapses — restart from the
+  *                               checkpoint IS the savepoint restore)
+  *   savepoint <ckptDir> <out> — export a checkpoint's keyed state to
+  *                               parquet (ACTION_SAVEPOINT,
+  *                               …DataSource分析.md:363-371): portable,
+  *                               schema'd, re-importable via
+  *                               Streams.importState
   *
   * `streams`/`stop` act on the CURRENT JVM's session (embedded use —
   * call EngineCli.main from the job driver); sessions in other
@@ -33,10 +43,16 @@ object EngineCli {
       }
     case "streams" :: Nil =>
       withSession { spark => spark.streams.active.foreach(q => println(s"${q.name} ${q.id} ${q.status}")) }
-    case "stop" :: name :: Nil =>
+    case ("stop" | "cancel") :: name :: Nil =>
       withSession { spark => spark.streams.active.filter(_.name == name).foreach(_.stop()) }
+    case "savepoint" :: ckpt :: out :: Nil =>
+      withSession { spark =>
+        streaming.Streams.exportState(spark, ckpt, out)
+        println(s"state exported: $ckpt -> $out")
+      }
     case other =>
-      System.err.println(s"unknown command: ${other.mkString(" ")} (run|list|info|streams|stop)")
+      System.err.println(
+        s"unknown command: ${other.mkString(" ")} (run|list|info|streams|stop|cancel|savepoint)")
       sys.exit(2)
   }
 
