@@ -248,12 +248,25 @@ object Dedup {
                       maxGramFreq: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gramLen >= 1 && minRun >= 1, "duplicatedSpans: gramLen/minRun must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val gramArr = when(size(toks) < gramLen, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (gramLen - 1)),
-        i => concat_ws(" ", (0 until gramLen).map(j => element_at(toks, i + j)): _*)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Typed gram explosion — one tokenization per doc in a JVM loop.
+    // The declarative formulation (transform + element_at over a
+    // tokens() array) re-evaluates the interpreted split+filter HOF
+    // chain per element_at: measured 7s per join branch at sf0.1 vs
+    // ~0.2s for this flatMap — the same interpreted-HOF cliff the
+    // round-1 shingling fix documented. Ids must be integral (same
+    // contract as minhashSignatures).
     val gramsAll = docs
-      .select(col(idCol).as("id"), posexplode(gramArr).as(Seq("i", "gram")))
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = if (text == null) Array.empty[String]
+                 else text.split(" ").filter(_.nonEmpty)
+        if (ws.length < gramLen) Iterator.empty
+        else (0 to ws.length - gramLen).iterator
+          .map(i => (id, i, ws.slice(i, i + gramLen).mkString(" ")))
+      }
+      .toDF("id", "i", "gram")
     val grams = maxGramFreq match {
       case None => gramsAll
       case Some(cap) =>
@@ -319,7 +332,8 @@ object Dedup {
       .select(col("did"), col("txt"), col("starts"), col("ends"))
       .as[(Long, String, Array[Long], Array[Long])]
       .map { case (id, text, starts, ends) =>
-        val ws = text.split(" ").filter(_.nonEmpty)
+        val ws = if (text == null) Array.empty[String]
+                 else text.split(" ").filter(_.nonEmpty)
         if (starts == null) (id, ws.mkString(" "), 0L)
         else {
           val kept = ws.iterator.zipWithIndex.filterNot { case (_, i) =>

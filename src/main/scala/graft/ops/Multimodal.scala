@@ -370,19 +370,21 @@ object Multimodal {
     scala.util.Try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        if (!r.getFormatName.equalsIgnoreCase("gif")) None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
         else {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          val frames = (0 until n).map(r.read)
-          r.dispose()
-          Some(frames)
+          val r = readers.next()
+          if (!r.getFormatName.equalsIgnoreCase("gif")) None
+          else {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            val frames = (0 until n).map(r.read)
+            r.dispose()
+            Some(frames)
+          }
         }
-      }
+      } finally iis.close()
     }.toOption.flatten
   }
 
