@@ -35,6 +35,42 @@ class TpchSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), s"scan reads unprojected columns:\n$p")
   }
 
+  test("tpch_q1: scan reads only the 7 touched lineitem columns") {
+    val p = plan("tpch_q1")
+    assert(p.contains("PushedFilters: ["), s"shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey") && !p.contains("l_partkey"),
+      s"scan reads unprojected columns:\n$p")
+  }
+
+  test("tpch_q4: EXISTS plans as a semi join, not an aggregate-then-join") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+  }
+
+  test("tpch_q8/q14/q19: part and all dims broadcast — no dim shuffle") {
+    for ((n, minB) <- Seq(("tpch_q8", 4), ("tpch_q14", 1), ("tpch_q19", 1))) {
+      val p = plan(n)
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(broadcasts >= minB, s"$n: expected >=$minB broadcast joins, got $broadcasts:\n$p")
+    }
+  }
+
+  test("tpch_q15: max is a window over the aggregated rev table, evaluated once") {
+    val df = Registry.byName("tpch_q15").run(spark, TestSession.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // One lineitem scan only: a scalar-subquery formulation would scan +
+    // aggregate the fact twice; the window formulation reuses one pass.
+    val factScans = "lineitem".r.findAllIn(p).length
+    assert(factScans <= 2, s"rev table evaluated more than once:\n$p")
+  }
+
+  test("tpch_q22: scalar avg is uncorrelated (no per-row rescan), NOT EXISTS is anti join") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
+    val custScans = "customer".r.findAllIn(plan("tpch_q22")).length
+    assert(custScans <= 4, s"customer scanned per-row:\n$p")
+  }
+
   test("tpch_q18: lineitem pre-aggregates before joining orders") {
     val df = Registry.byName("tpch_q18").run(spark, TestSession.sf0001)
     val p = df.queryExecution.optimizedPlan.toString
