@@ -205,6 +205,51 @@ object ScaleProbe {
       graft.ops.Graph.pageRank(e, "src", "dst", iters = 10)
     }
 
+    // TPC-H composite shapes at 20x fact volume, dims unchanged — the
+    // exact shape of a fact-table scale-up: lineitem/orders replicate
+    // with order keys re-keyed consistently (key*20+rep) so join
+    // fan-out per key stays constant while volume grows 20x. The q5
+    // 6-way join must keep every dim broadcast (only the fact
+    // shuffles), q18's HAVING must still aggregate lineitem BELOW the
+    // join, and q1 is pure scan-aggregate throughput.
+    lazy val rep20 = spark.range(20).select(col("id").as("rep"))
+    lazy val l20 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(rep20)
+      .withColumn("l_orderkey", col("l_orderkey") * 20 + col("rep"))
+      .drop("rep")
+    lazy val o20 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .crossJoin(rep20)
+      .withColumn("o_orderkey", col("o_orderkey") * 20 + col("rep"))
+      .drop("rep")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    stage("tpch_q1_20x") {
+      l20.filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), sum(rev).as("sum_disc_price"),
+          avg("l_discount").as("avg_disc"), count(lit(1)).as("count_order"))
+    }
+    stage("tpch_q5_20x") {
+      val t = graft.sources.Tables(spark, sfDir)
+      t.customer
+        .join(o20.filter(col("o_orderdate") >= "1996-01-01"
+          && col("o_orderdate") < "1997-01-01"), col("c_custkey") === col("o_custkey"))
+        .join(l20, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name").agg(sum(rev).as("revenue"))
+    }
+    stage("tpch_q18_20x") {
+      val t = graft.sources.Tables(spark, sfDir)
+      val big = l20.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty")).filter(col("sum_qty") > 300)
+      big.join(o20, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for
