@@ -250,6 +250,33 @@ object ScaleProbe {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
 
+    // Skewed fact join at 60x: 40% of lineitem rows collapse onto ONE
+    // hot order key. q_salted_join demonstrates the MANUAL fix; this
+    // probe exercises the AUTOMATIC one — AQE skew-join splitting
+    // (thresholds lowered to local data sizes; on a cluster the 256MB
+    // default plays the same role). Measured against the identical
+    // join with splitting disabled: the hot partition then runs as a
+    // single straggler task while 31 cores idle.
+    lazy val lskew = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(spark.range(60).select(col("id").as("rep")))
+      .withColumn("l_orderkey",
+        when(col("l_linenumber") % 5 <= 1, lit(2000L))
+          .otherwise(col("l_orderkey") * 20 + (col("rep") % 20)))
+      .drop("rep")
+    def skewJoin() = lskew.join(o20, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    stage("skew_join_60x_aqe") { skewJoin() }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    stage("skew_join_60x_off") { skewJoin() }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for
