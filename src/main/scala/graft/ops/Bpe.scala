@@ -133,7 +133,8 @@ object Bpe {
         val ranks = ranksB.value
         val memo = scala.collection.mutable.HashMap.empty[String, List[String]]
         it.map { case (id, text) =>
-          val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          val ws = if (text == null) Array.empty[String] else text.split(" ")
+          val toks = ws.iterator.filter(_.nonEmpty).flatMap { w =>
             memo.getOrElseUpdate(w, encodeWord(w, ranks))
           }.toSeq
           (id, toks)

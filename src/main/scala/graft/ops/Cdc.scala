@@ -23,17 +23,24 @@ object Cdc {
     * `changes` must carry `target`'s columns plus `seqCol` and a
     * boolean `deleteCol`; (key, seq) pairs must be unique (the CDC
     * source's ordering contract — ties would make "latest" undefined).
-    */
+    *
+    * `broadcastKeys` = true (default) forces the change-key set to
+    * broadcast — right for the normal CDC regime where
+    * |changes| ≪ |snapshot|. For a backfill-sized batch (change keys
+    * too big for the driver/executors to hold) pass false and the
+    * anti-join falls back to Catalyst's choice (shuffle join). */
   def mergeUpsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
-                  seqCol: String, deleteCol: String): DataFrame = {
+                  seqCol: String, deleteCol: String,
+                  broadcastKeys: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.mergeUpsert: empty key")
     val keyCs = keyCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCs: _*).orderBy(col(seqCol).desc)
     val latest = changes.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
+    val keySet = latest.select(keyCs: _*).distinct()
     val survivors = target.join(
-      broadcast(latest.select(keyCs: _*).distinct()), keyCols, "left_anti")
+      if (broadcastKeys) broadcast(keySet) else keySet, keyCols, "left_anti")
     val upserts = latest.filter(!col(deleteCol))
       .select(target.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(upserts)

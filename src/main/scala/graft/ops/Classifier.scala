@@ -46,7 +46,12 @@ object Classifier {
     val vocabSize = counts.select("tok").distinct().count()
     val priors = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
-    val labels = totals.join(priors, Seq("label"))
+    // left join FROM priors: a class whose training docs are all
+    // empty/whitespace has no token rows, but its prior mass must
+    // survive (n_tokens = 0 → predict scores it on smoothing alone);
+    // an inner join would silently delete the class from the model
+    val labels = priors.join(totals, Seq("label"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     val kept = if (minCount > 1L) counts.filter(col("c") >= minCount) else counts
     NbModel(labels, kept, vocabSize, train.count())
   }

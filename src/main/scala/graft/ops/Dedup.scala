@@ -279,14 +279,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("ia"), col("ib"),
         (col("ia") - col("ib")).as("d"))
     val w = Window.partitionBy("id_a", "id_b", "d").orderBy("ia")
-    matches
+    val islands = matches
       .withColumn("island", col("ia") - row_number().over(w))
       .groupBy("id_a", "id_b", "d", "island")
       .agg(min("ia").as("start_a"), count(lit(1)).as("run_len"))
+    // Hot-gram holes: a capped gram INSIDE a true span leaves a hole
+    // that splits the diagonal into two islands — each of which can
+    // fall under minRun even though the span is long. On the same
+    // (pair, diagonal), islands separated by up to gramLen missing
+    // grams are overwhelmingly the same span (the hole is the capped
+    // boilerplate gram itself), so cap mode bridges them before the
+    // minRun filter; run_len counts only MATCHED grams, and
+    // span_tokens spans first-to-last matched gram. Exact mode
+    // (maxGramFreq = None) has no holes and skips the extra window.
+    val merged = maxGramFreq match {
+      case None => islands
+      case Some(_) =>
+        val ord = Window.partitionBy("id_a", "id_b", "d").orderBy("start_a")
+        islands
+          .withColumn("prev_end",
+            lag(col("start_a") + col("run_len"), 1).over(ord))
+          .withColumn("new_grp",
+            when(col("prev_end").isNull
+              || col("start_a") > col("prev_end") + gramLen, 1).otherwise(0))
+          .withColumn("grp", sum("new_grp").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("id_a", "id_b", "d", "grp")
+          .agg(min("start_a").as("start_a"), sum("run_len").as("run_len"),
+            max(col("start_a") + col("run_len")).as("end_a"))
+    }
+    val spanTokens = maxGramFreq match {
+      case None => col("run_len") + (gramLen - 1)
+      case Some(_) => col("end_a") - col("start_a") + (gramLen - 1)
+    }
+    merged
       .filter(col("run_len") >= minRun)
       .select(col("id_a"), col("id_b"), col("start_a"),
         (col("start_a") - col("d")).as("start_b"),
-        col("run_len"), (col("run_len") + (gramLen - 1)).as("span_tokens"))
+        col("run_len"), spanTokens.as("span_tokens"))
   }
 
   /** The removal half of substring dedup (Lee et al. remove the
@@ -490,7 +520,7 @@ object Dedup {
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val words = text.split(' ')
+        val words = if (text == null) Array.empty[String] else text.split(' ')
         val n = (words.length + segWords - 1) / segWords
         (0 until n).iterator.map { i =>
           (id, i, words.slice(i * segWords, math.min((i + 1) * segWords, words.length))

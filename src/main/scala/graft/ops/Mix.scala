@@ -110,7 +110,10 @@ object Mix {
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
                         alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"Mix: need 0 < alpha <= 1, got $alpha")
-    val counts = df.groupBy(stratumCol).count()
+    // cast the stratum to string for the driver-side model (any column
+    // type works, like hashSplit/capPerStratum); the join below casts
+    // the same way so matching is consistent
+    val counts = df.groupBy(col(stratumCol).cast("string").as(stratumCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |strata| rows
     require(counts.nonEmpty, "Mix: empty input")
     val w = counts.view.mapValues { c =>
@@ -123,10 +126,16 @@ object Mix {
     require(w.values.forall(ws => ws == 0 || n <= Long.MaxValue / ws),
       "Mix: N * w_s overflows int64 — rescale weights")
     val targets = counts.map { case (s, c) => s -> math.min(c, n * w(s) / sumW) }
+    // GroupedTopK's heap bound and row_number are Int — a stratum
+    // target past 2^31 rows needs a different shape (pre-split the
+    // stratum); fail loudly rather than wrap negative
+    require(targets.values.max <= Int.MaxValue.toLong,
+      s"Mix: a per-stratum target exceeds 2^31 rows (${targets.values.max}) — " +
+        "pre-partition the stratum or lower alpha")
     val kMax = targets.values.max.toInt
     val spark = df.sparkSession
     import spark.implicits._
-    val tdf = broadcast(targets.toSeq.toDF(stratumCol, "__t"))
+    val tdf = broadcast(targets.toSeq.toDF("__stratum_s", "__t"))
     val survivors = graft.plans.GroupedTopK(
       df.withColumn("__pri", mix32Col(col(idCol))),
       Seq(stratumCol), kMax, Seq(("__pri", false), (idCol, false)))
@@ -134,7 +143,7 @@ object Mix {
       .partitionBy(stratumCol).orderBy(col("__pri"), col(idCol))
     survivors
       .withColumn("__rn", row_number().over(wnd))
-      .join(tdf, stratumCol)
+      .join(tdf, col(stratumCol).cast("string") === col("__stratum_s"))
       .filter(col("__rn") <= col("__t"))
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }

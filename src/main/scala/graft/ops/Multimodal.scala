@@ -293,7 +293,11 @@ object Multimodal {
               var i = 0
               while (i < n) {
                 val (lo, hi) = if (big) (bytes(2 * i + 1), bytes(2 * i)) else (bytes(2 * i), bytes(2 * i + 1))
-                a(i) = (((hi.toInt) << 8) | (lo & 0xff)).toShort
+                val raw = ((hi.toInt) << 8) | (lo & 0xff)
+                // 16-bit unsigned stores silence at 32768; recenter like
+                // the 8-bit branch (raw is sign-extended from hi, so the
+                // unsigned reading is (raw & 0xffff))
+                a(i) = (if (unsigned) (raw & 0xffff) - 32768 else raw).toShort
                 i += 1
               }
               a

@@ -187,7 +187,7 @@ object Pack {
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val words = text.split(' ')
+        val words = if (text == null) Array.empty[String] else text.split(' ')
         val len = words.length
         // chunks i = 0 .. nc-1, start = i*stride; last chunk = first
         // whose end (start + chunkWords) covers len

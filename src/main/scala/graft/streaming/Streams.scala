@@ -131,29 +131,44 @@ object Streams {
             val rows = it.map(t => (t._2.getTime, t._3, t._4)).toArray
             java.util.Arrays.sort(rows, java.util.Comparator.comparingLong(
               (t: (Long, Boolean, String)) => t._1))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Sess]
-            var open = state.getOption
+            // Fold the sorted batch rows into their own session chain
+            // first, then merge the OPEN session into the chain at its
+            // chronological position. Folding rows straight into the
+            // open state would glue cross-batch late events (admitted
+            // by the watermark but far BEFORE the open session's
+            // start) into it — ms - e0 is negative, so an end-only
+            // check can't see the violated gap — and would also split
+            // two late events that belong to one earlier session.
+            val batchSess = scala.collection.mutable.ArrayBuffer.empty[Sess]
             rows.foreach { case (ms, isLeft, v) =>
-              open = open match {
-                case Some((s0, e0, lb, rb)) if ms - e0 <= gapMs =>
-                  Some((math.min(s0, ms), math.max(e0, ms),
-                    if (isLeft) (ms, v) :: lb else lb,
-                    if (isLeft) rb else (ms, v) :: rb))
-                case Some(s) => // gap exceeded: close, start new
-                  closed += s
-                  Some(one(ms, isLeft, v))
-                case None =>
-                  Some(one(ms, isLeft, v))
+              batchSess.lastOption match {
+                case Some(s) if ms - s._2 <= gapMs =>
+                  batchSess(batchSess.length - 1) =
+                    (s._1, math.max(s._2, ms),
+                      if (isLeft) (ms, v) :: s._3 else s._3,
+                      if (isLeft) s._4 else (ms, v) :: s._4)
+                case _ => batchSess += one(ms, isLeft, v)
               }
             }
-            open.foreach { s =>
+            val chain = scala.collection.mutable.ArrayBuffer.empty[Sess]
+            (state.getOption.toList ++ batchSess).sortBy(_._1).foreach { s =>
+              chain.lastOption match {
+                case Some(p) if s._1 - p._2 <= gapMs =>
+                  chain(chain.length - 1) =
+                    (p._1, math.max(p._2, s._2), s._3 ::: p._3, s._4 ::: p._4)
+                case _ => chain += s
+              }
+            }
+            // every chain session except the last is gap-closed (a
+            // later event could only reach it through a gap > gapMs)
+            chain.lastOption.foreach { s =>
               state.update(s)
               // clamp past the current watermark or Spark rejects a
               // timer at-or-before it (events can be older than wm-gap)
               state.setTimeoutTimestamp(
                 math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            closed.iterator.flatMap(pairs(k, _))
+            chain.dropRight(1).iterator.flatMap(pairs(k, _))
           }
       }
       .toDF("k", "session_start_ms", "session_end_ms", "l_ts_ms", "l_v", "r_ts_ms", "r_v")
@@ -469,10 +484,7 @@ object Streams {
     val targetCols = changes.columns.filterNot(c => c == seqCol || c == deleteCol)
     toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
-      val dir = new java.io.File(targetDir)
-      val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.stripPrefix("v=").toLong)
+      val versions = snapshotVersions(spark, targetDir)
         .filter(_ < batchId) // replay must ignore its own failed attempt
       val target = versions.sorted.lastOption match {
         case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
@@ -489,12 +501,24 @@ object Streams {
     * the first committed batch). */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
                      targetDir: String): Option[DataFrame] = {
-    val dir = new java.io.File(targetDir)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    snapshotVersions(spark, targetDir)
       .sorted.lastOption
       .map(v => spark.read.parquet(s"$targetDir/v=$v"))
+  }
+
+  /** Committed `v=<batchId>` snapshot versions under `targetDir`,
+    * listed through the Hadoop filesystem of the path's scheme —
+    * java.io.File would silently list nothing on a non-local URI
+    * (hdfs://, s3a://) and every batch would then merge against an
+    * empty target, losing the accumulated snapshot chain. */
+  private def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+                               targetDir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty[Long]
+    else fs.listStatus(path)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
   }
 
   /** Observability: named metrics evaluated per batch/trigger without a

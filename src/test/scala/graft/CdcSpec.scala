@@ -22,6 +22,18 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (9L, "new", 90.0)))
   }
 
+  test("broadcastKeys = false (backfill regime) matches the broadcast path") {
+    val changes = Seq(
+      (2L, "b2", 21.0, 1L, false),
+      (3L, "c", 30.0, 1L, true),
+      (9L, "new", 90.0, 1L, false)
+    ).toDF("k", "v", "x", "seq", "del")
+    val got = Cdc.mergeUpsert(target, changes, Seq("k"), "seq", "del",
+        broadcastKeys = false)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (9L, "new", 90.0)))
+  }
+
   test("latest sequence wins, including delete-then-reinstate") {
     val changes = Seq(
       (1L, "v1", 11.0, 1L, false),

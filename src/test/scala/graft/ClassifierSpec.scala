@@ -43,6 +43,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(pred.getAs[Long]("n_tokens") == 0L)
   }
 
+  test("a class whose training docs have no tokens keeps its prior") {
+    val train = Seq((1L, "x y", "a"), (2L, "   ", "b"), (3L, "", "b"))
+      .toDF("id", "text", "label")
+    val model = Classifier.naiveBayesTrain(train, "text", "label")
+    val labels = model.labels.collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"))).toMap
+    // inner-joining totals would silently delete class b from the model
+    assert(labels.contains("b"), s"token-free class dropped: $labels")
+    assert(labels("b") == (0L, 2L), s"wrong b stats: $labels")
+    // an empty doc scores on priors alone: b (2 docs) beats a (1 doc)
+    val pred = Classifier.naiveBayesPredict(
+      Seq((10L, "")).toDF("id", "text"), model, "id", "text").collect().head
+    assert(pred.getAs[String]("pred") == "b", s"got $pred")
+  }
+
   test("predictions are deterministic across partitionings") {
     val df = corpus(100)
     def run(parts: Int) = Classifier.naiveBayesPredict(

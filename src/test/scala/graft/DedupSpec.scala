@@ -276,6 +276,30 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped == 435 + 1, s"got $uncapped")
   }
 
+  test("duplicatedSpans cap mode bridges a hot-gram hole inside a long span") {
+    import spark.implicits._
+    // A and B share 15 tokens whose middle 3-gram also appears in 40
+    // filler docs: the cap drops that gram, splitting the diagonal
+    // into two 6-gram islands — both below minRun = 10. Bridging must
+    // still report ONE span with the full 15-token extent.
+    val shared = ((1 to 6).map(i => s"s$i") ++ Seq("hx", "hy", "hz") ++
+      (1 to 6).map(i => s"t$i")).mkString(" ")
+    val filler = (1 to 40).map(i => (1000L + i, "hx hy hz"))
+    val docs = (Seq((1L, shared), (2L, s"p1 p2 $shared")) ++ filler)
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        gramLen = 3, minRun = 10, maxGramFreq = Some(30))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    // 12 matched grams (hole at the hot gram), full span 15 tokens
+    assert(got.toSeq == Seq((1L, 2L, 0, 2, 12L, 15L)), s"got ${got.toSeq}")
+    // islands more than gramLen apart stay separate spans: without the
+    // cap the same corpus yields the one exact 13-gram span
+    val exact = Dedup.duplicatedSpans(docs, "doc_id", "text", 3, 10)
+      .collect().map(r => (r.getLong(4), r.getLong(5)))
+    assert(exact.toSeq == Seq((13L, 15L)), s"got ${exact.toSeq}")
+  }
+
   test("removeDuplicatedSpans cuts later occurrences, merges overlapping masks") {
     import spark.implicits._
     val span = (1 to 20).map(i => s"s$i").mkString(" ")

@@ -54,4 +54,17 @@ class MixSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSet == again.toSet, "survivors changed across partitionings")
   }
+
+  test("temperatureSample accepts a non-string stratum column") {
+    import spark.implicits._
+    val rows = ((0 until 900).map(i => (i.toLong, 1)) ++
+      (900 until 990).map(i => (i.toLong, 2)) ++
+      (990 until 1000).map(i => (i.toLong, 3))).toDF("id", "src")
+    val got = Mix.temperatureSample(rows, "id", "src").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byStratum = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // same targets as the string-stratum test: the driver-side model
+    // casts to string internally, output keeps the original type
+    assert(byStratum == Map(1 -> 714, 2 -> 90, 3 -> 10), s"targets off: $byStratum")
+  }
 }

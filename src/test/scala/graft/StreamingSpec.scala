@@ -207,6 +207,39 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("W3+W5 session join: cross-batch late event far before the open session stays separate") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    // 30-min watermark ADMITS the late event; the 10-min gap must
+    // still keep it out of the much-later open session (it arrives
+    // with ms < session start - gap, where only the e0-side check
+    // would wrongly glue it in because ms - e0 is negative)
+    val joined = Streams.sessionWindowJoin(
+      l.toDF().toDF("ts", "k", "v"), r.toDF().toDF("ts", "k", "v"),
+      "k", "ts", "v", "30 minutes", gapMs = 10 * 60 * 1000)
+    val q = joined.writeStream.format("memory").queryName(qn("sess_join_late"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      l.addData((ts(40), 1L, "l_open"))
+      r.addData((ts(42), 1L, "r_open"))
+      q.processAllAvailable()
+      // late-but-admitted: 00:15 is 25 min before the open [40,42]
+      l.addData((ts(15), 1L, "l_late"))
+      q.processAllAvailable()
+      // watermark delay is 30 min, so closing [40,42]+gap needs events
+      // past 01:22 — push both sources to 01:30
+      val flush = Timestamp.valueOf("2024-01-01 01:30:00")
+      l.addData((flush, 9L, "flush")); r.addData((flush, 9L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table(qn("sess_join_late")).collect().map(row =>
+        (row.getString(4), row.getString(6), row.getLong(1))).toSet
+      assert(rows == Set(("l_open", "r_open", ts(40).getTime)),
+        s"late event leaked into the open session: $rows")
+    } finally q.stop()
+  }
+
   test("W6 sessionizeWithTimeout closes sessions via event-time timers") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
