@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Composite analytical queries in the classic TPC-H shapes (Q1/Q3/Q4/
-  * Q5/Q6/Q7/Q8/Q10/Q14/Q15/Q18/Q19/Q22, adapted to the driver's column
-  * subset — no partsupp, no shipmode/commitdate, synthetic NATION_n
-  * names). Each is a multi-way
+/** Composite analytical queries in all 22 classic TPC-H shapes,
+  * adapted to the driver's column subset — no partsupp (the shapes that
+  * need it derive the part↔supplier relationship and a unit cost from
+  * the fact table), no shipmode/commitdate (lateness becomes "shipped
+  * after the order date"), synthetic NATION_n names. Each is a multi-way
   * join + aggregate composition of the reference's own operator model
   * (map/filter/keyBy/reduce/join — flink_arch.drawio page
   * "DataStream分析"), written through the DataFrame API so Catalyst owns
@@ -384,8 +385,13 @@ object TpchQueries {
       |                    AND o.o_orderdate >= '1999-01-01')
       |GROUP BY c_mktsegment""".stripMargin)) { (spark, dir) =>
     val t = Tables(spark, dir)
-    // Uncorrelated scalar: one 1-row aggregate, joined as a literal-ish
-    // broadcast (crossJoin of a 1-row frame — no per-row recomputation).
+    // Uncorrelated scalar: one 1-row aggregate, bound to every customer
+    // row via a broadcast nested-loop whose build side is exactly that
+    // one row — constant cost per probe row, the same plan Spark gives
+    // a SQL scalar subquery. (A constant-key equi-join can't avoid it:
+    // Catalyst folds lit = lit to true and drops the join keys.)
+    // Declared in PlanInvariantsSpec.nestedLoopAllowed with the other
+    // scalar binds.
     val avgBal = t.customer.filter(col("c_acctbal") > 0)
       .agg(avg("c_acctbal").as("avg_bal"))
     t.customer
@@ -397,5 +403,324 @@ object TpchQueries {
       .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q1t, q3, q4t, q5, q6, q7, q8t, q10, q14t, q15t, q18, q19t, q22t)
+  /** TPC-H Q12 (shipping priority classes), adapted: no shipmode or
+    * commit/receipt dates in the driver schema, so "late" becomes
+    * "shipped after the order date" and the grouping key is
+    * l_linestatus. Scale: the year filter pushes into the fact scan,
+    * orders contributes three columns, the lateness test rides the join
+    * as a residual, and the aggregate collapses to two rows with
+    * map-side partials before one tiny shuffle. */
+  private val q12t = QueryDef("tpch_q12", Some(
+    """SELECT l_linestatus,
+      |       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))     AS high_line_count,
+      |       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |GROUP BY l_linestatus""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(t.lineitem
+          .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+          .select("l_orderkey", "l_shipdate", "l_linestatus"),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution), adapted: the
+    * comment-pattern exclusion becomes an order-priority exclusion.
+    * Scale: the classic double aggregation — customer LEFT JOIN orders
+    * keeps zero-order customers (count(o_orderkey) ignores the nulls),
+    * first aggregate shuffles on c_custkey, the second on the ≤|distinct
+    * counts| histogram keys — each stage strictly smaller. */
+  private val q13t = QueryDef("tpch_q13", Some(
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.select("c_custkey")
+      .join(t.orders.filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue), adapted: no p_container,
+    * so the part predicate is brand + size. Scale: the correlated
+    * per-part average becomes an explicit aggregate joined back — the
+    * broadcast part filter prunes BOTH fact passes to the qualifying
+    * parts' lines before anything shuffles, and the threshold side
+    * (≤|qualifying parts| rows) broadcasts into the final filter. */
+  private val q17t = QueryDef("tpch_q17", Some(
+    """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_size < 15
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    // size < 15 keeps qualifying lines at sf0.001 (size < 5 has none —
+    // a NULL aggregate there would blind the smoke/plan checks)
+    val parts = t.part.filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+      .select("p_partkey")
+    val lines = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+    val thresh = lines.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
+    lines.join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: lateness is
+    * "shipped after the order date". A supplier qualifies per order when
+    * its line was late, the order has other suppliers, and none of the
+    * others were late. Scale: the double-EXISTS of the reference text is
+    * one per-(order, supplier) aggregate plus per-order window counts —
+    * the window input is the aggregated |order×supplier| table, far
+    * smaller than the fact, and supplier/nation broadcast at the end. */
+  private val q21t = QueryDef("tpch_q21", Some(
+    """WITH supp_order AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey, l_suppkey),
+      |flagged AS (
+      |  SELECT l_suppkey, late,
+      |         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      |         sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      |  FROM supp_order)
+      |SELECT s_name, count(*) AS numwait
+      |FROM flagged
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE late = 1 AND n_supp > 1 AND n_late = 1 AND n_name = 'NATION_12'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val so = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate"), 1).otherwise(0)).as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    so.withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("late").over(w))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+      // NATION_12 has qualifying waits at sf0.001 AND sf0.01 — an
+      // empty result would AQE-collapse the plan to EmptyRelation and
+      // blind the plan-invariant specs (see tpch_q7's nation choice)
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_12")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  // The remaining five reference shapes (Q2/Q9/Q11/Q16/Q20) need the
+  // partsupp table the driver schema omits. Where the shape only needs
+  // the part↔supplier RELATIONSHIP, it is derived from the fact table
+  // (distinct (l_partkey, l_suppkey) — who actually supplied what);
+  // where it needs a supply COST, the derived unit price
+  // min(l_extendedprice / l_quantity) stands in. Both derivations are
+  // deterministic, so the DuckDB oracle runs the identical definition.
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted: supply cost is the
+    * supplier's best observed unit price. Scale: the derived ps table is
+    * one fact aggregate; the per-part minimum over one region's
+    * suppliers is a window over that aggregate joined to broadcast dims
+    * — the correlated min-subquery never rescans anything. */
+  private val q2t = QueryDef("tpch_q2", Some(
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part
+      |JOIN ps ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+      |                       FROM ps ps2
+      |                       JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      |                       JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |                       JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |                       WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val ps = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val euSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val euPs = ps.join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+    euPs.withColumn("min_cost",
+        min("ps_supplycost").over(Window.partitionBy("l_partkey")))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(t.part.filter(col("p_size") === 15)),
+        col("p_partkey") === col("l_partkey"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 (product type profit), adapted: the partsupp supply cost
+    * becomes a retail-price-derived cost, so profit =
+    * revenue − 0.6·p_retailprice·quantity. Scale: part's name filter
+    * prunes the broadcast side first, which prunes the fact rows at the
+    * join; supplier/nation broadcast; one shuffle at the
+    * (nation, year) aggregate. */
+  private val q9t = QueryDef("tpch_q9", Some(
+    """SELECT n_name AS nation, cast(year(o_orderdate) AS INT) AS o_year,
+      |       sum(l_extendedprice * (1 - l_discount)
+      |           - 0.6 * p_retailprice * l_quantity) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(revenue - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+        .as("sum_profit"))
+  }
+
+  /** TPC-H Q11 (important stock), adapted: a part's "stock value" for
+    * one nation is its suppliers' lineitem revenue. Scale: the nation
+    * filter rides the broadcast supplier dim into the fact scan's join;
+    * the threshold is a 1-row aggregate OF the grouped result, reused
+    * via a broadcast scalar bind, so the fact is scanned once. */
+  private val q11t = QueryDef("tpch_q11", Some(
+    // The stock value is summed in exact integer CENTS: a double sum's
+    // result depends on accumulation order, and with 6+ integer digits
+    // the oracle's 6-sig-digit canonicalization can land the two
+    // engines on different sides of a rounding boundary. Integer sums
+    // are order-independent, so value and threshold agree bit-for-bit.
+    """WITH natl AS (
+      |  SELECT l_partkey,
+      |         sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY 1)
+      |SELECT l_partkey AS ps_partkey, cents / 100.0 AS part_value
+      |FROM natl
+      |WHERE cents > (SELECT sum(cents) * 0.001 FROM natl)""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    // NATION_3 has suppliers at sf0.001 too — an empty nation would
+    // AQE-collapse the whole plan to EmptyRelation at smoke scale
+    val natSupp = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val natl = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    // 1-row scalar bind, same declared broadcast-NLJ shape as tpch_q22
+    val thresh = natl.agg((sum("cents") * 0.001).as("thr"))
+    natl.crossJoin(broadcast(thresh))
+      .filter(col("cents") > col("thr"))
+      .select(col("ps_partkey"), (col("cents") / 100.0).as("part_value"))
+  }
+
+  /** TPC-H Q16 (part/supplier relationship counts), adapted: the
+    * relationship IS the derived distinct (part, supplier) pair set, and
+    * the complaint exclusion becomes negative account balance. Scale:
+    * the distinct pair-set is a map-side-combined aggregate of two fact
+    * columns; part broadcasts; the excluded-supplier set (a handful of
+    * rows) broadcasts as an anti-join; count(DISTINCT) expands once over
+    * the pruned pairs. */
+  private val q16t = QueryDef("tpch_q16", Some(
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      |  AND p_size IN (1,4,7,10,14,19,22,25)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val pairs = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    val keptParts = t.part.filter(col("p_brand") =!= "Brand#23"
+      && col("p_type") =!= "PROMO"
+      && col("p_size").isin(1, 4, 7, 10, 14, 19, 22, 25))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs
+      .join(broadcast(t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(keptParts), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 (potential part promotion), adapted: availqty is not in
+    * the schema, so a supplier qualifies by having shipped more than a
+    * threshold of some qualifying part in the year — the same nested
+    * semi-join chain (nation → supplier ⋉ (per-(supp, part) HAVING over
+    * name-filtered lines)). Scale: part's name filter broadcasts into
+    * the fact scan, the HAVING aggregate is map-side combined, and the
+    * supplier probe is a left-semi join against that small key set. */
+  private val q20t = QueryDef("tpch_q20", Some(
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    JOIN part ON p_partkey = l_partkey
+      |    WHERE p_name LIKE 'small%'
+      |      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(l_quantity) > 30)""".stripMargin)) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val heavy = t.lineitem
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(broadcast(t.part.filter(col("p_name").like("small%")).select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 30)
+      .select("l_suppkey")
+    t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q1t, q2t, q3, q4t, q5, q6, q7, q8t, q9t, q10,
+    q11t, q12t, q13t, q14t, q15t, q16t, q17t, q18, q19t, q20t, q21t, q22t)
 }

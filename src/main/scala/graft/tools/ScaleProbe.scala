@@ -249,6 +249,41 @@ object ScaleProbe {
         .join(t.customer, col("c_custkey") === col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
+    // Q21's shape is the riskiest of the composites at scale: a window
+    // over the per-(order, supplier) aggregate. The aggregate shrinks
+    // the fact ~4x before the window shuffle, and the window partitions
+    // on l_orderkey — growing the fact 20x grows window partitions 20x
+    // in COUNT, not in size, so no straggler appears. The probe pins
+    // that: cost must scale ~linearly with |fact|.
+    stage("tpch_q21_20x") {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.sources.Tables(spark, sfDir)
+      val so = l20.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o20.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_shipdate") > col("o_orderdate"), 1).otherwise(0)).as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      so.withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum("late").over(w))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+    }
+    // Q13's double aggregation at 20x orders: the first aggregate
+    // shuffles on c_custkey (unchanged cardinality, 20x rows in), the
+    // second on the tiny histogram keys — the shape where partial
+    // aggregation does all the work and the second shuffle is noise.
+    stage("tpch_q13_20x") {
+      val t = graft.sources.Tables(spark, sfDir)
+      t.customer.select("c_custkey")
+        .join(o20.filter(col("o_orderpriority") =!= "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }
 
     // Skewed fact join at 60x: 40% of lineitem rows collapse onto ONE
     // hot order key. q_salted_join demonstrates the MANUAL fix; this

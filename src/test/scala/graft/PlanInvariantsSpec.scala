@@ -18,14 +18,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   /** Queries DECLARED to plan a nested-loop/cartesian join:
     *  - q_cross_join: the capability probe itself, bounded at 100 rows;
-    *  - q_subq_scalar / q_subq_not_exists / e3_nb_classifier / txt_tfidf:
-    *    scalar subqueries (corpus totals, vocab size) — Spark plans the
-    *    1-row aggregate as a broadcast NLJ build side, constant cost;
+    *  - q_subq_scalar / q_subq_not_exists / e3_nb_classifier / txt_tfidf
+    *    / tpch_q11 / tpch_q22: scalar subqueries (corpus totals, vocab
+    *    size, the Q11 value threshold, the Q22 average balance) — Spark
+    *    plans the 1-row aggregate as a broadcast NLJ build side,
+    *    constant cost;
     *  - e2_knn_brute: the DECLARED design broadcasts the tiny query set
     *    against one corpus scan — a BroadcastNestedLoopJoin whose inner
     *    side is k queries, linear in the corpus by construction. */
   private val nestedLoopAllowed = Set("q_cross_join", "q_subq_scalar",
-    "q_subq_not_exists", "e3_nb_classifier", "txt_tfidf", "e2_knn_brute")
+    "q_subq_not_exists", "e3_nb_classifier", "txt_tfidf", "e2_knn_brute",
+    "tpch_q11", "tpch_q22")
 
   private lazy val plans: Map[String, String] =
     Registry.all.map { q =>

@@ -71,6 +71,52 @@ class TpchSpec extends AnyFunSuite {
     assert(custScans <= 4, s"customer scanned per-row:\n$p")
   }
 
+  test("tpch_q12: lateness rides the fact join; no extra shuffle beyond it") {
+    val p = plan("tpch_q12")
+    // the o/l join carries the l_shipdate > o_orderdate residual — it
+    // must not degrade to a nested loop
+    assert(!p.contains("NestedLoop"), s"lateness residual broke the equi-join:\n$p")
+    assert(p.contains("PushedFilters: ["), s"year filter not pushed:\n$p")
+  }
+
+  test("tpch_q13: LEFT join keeps zero-order customers through both aggregations") {
+    val p = plan("tpch_q13")
+    assert(p.contains("LeftOuter"), s"expected a left-outer join:\n$p")
+  }
+
+  test("tpch_q17: part filter and per-part threshold both broadcast") {
+    val p = plan("tpch_q17")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("NestedLoop"), "threshold join degraded to nested loop")
+  }
+
+  test("tpch_q21: window counts run over the (order, supplier) aggregate, dims broadcast") {
+    val df = Registry.byName("tpch_q21").run(spark, TestSession.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"per-order counts should be a window:\n$p")
+    // supplier + nation broadcast after the filter
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("tpch_q2: per-part min is a window over the derived ps aggregate, dims broadcast") {
+    val p = plan("tpch_q2")
+    assert(p.contains("Window"), s"per-part min should be a window:\n$p")
+    assert(!p.contains("NestedLoop"), "correlated min degraded to nested loop")
+  }
+
+  test("tpch_q9/q16/q20: dims broadcast; Q16 exclusion is an anti join; Q20 probe is semi") {
+    val p9 = plan("tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 3,
+      s"q9 dims should broadcast:\n$p9")
+    val p16 = plan("tpch_q16")
+    assert(p16.contains("LeftAnti"), s"q16 exclusion should be an anti join:\n$p16")
+    val p20 = plan("tpch_q20")
+    assert(p20.contains("LeftSemi"), s"q20 probe should be a semi join:\n$p20")
+  }
+
   test("tpch_q18: lineitem pre-aggregates before joining orders") {
     val df = Registry.byName("tpch_q18").run(spark, TestSession.sf0001)
     val p = df.queryExecution.optimizedPlan.toString
