@@ -312,6 +312,33 @@ object ScaleProbe {
     spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
+    // Runtime bloom-filter semi-join reduction: when the filtered build
+    // side of a fact join is too big to broadcast, Spark can still
+    // inject a `might_contain(l_orderkey)` probe into the fact scan,
+    // cutting shuffle volume by the build side's selectivity BEFORE the
+    // exchange — on a 100 TB fact this is the difference between
+    // shuffling the table and shuffling the ~1% that joins. Spark 4
+    // ships it ON but gated behind a 10 GB application-side scan
+    // threshold, so local runs never see it; the probe lowers the gates
+    // and A/Bs the identical shuffle join with injection on vs off.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    def bloomJoin() = {
+      val sel = o20.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= "1998-01-01")
+      l20.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+    }
+    stage("runtime_bloom_20x_on") { bloomJoin() }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    stage("runtime_bloom_20x_off") { bloomJoin() }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.unset(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for
