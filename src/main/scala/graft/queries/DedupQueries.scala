@@ -477,7 +477,54 @@ object DedupQueries {
       gramLen = 5, minRun = 10)
   }
 
+  /** The dedup pipeline's real ending: per duplicate cluster, KEEP the
+    * best member by quality score (not an arbitrary min-id member) —
+    * what a production corpus dedup ships. Representative = argmax by
+    * (score, then lowest doc_id), made deterministic on both engines by
+    * an explicit window ordering rather than max_by tie behavior.
+    * Scale: the window and the count run over CLUSTERED docs only
+    * (near-dup members, a small fraction of the corpus), partitioned by
+    * cluster_id; the same hash partitioning serves both the window and
+    * the final per-cluster aggregate, so adding quality-argmax costs no
+    * extra fact-scale shuffle over e1_dup_clusters. */
+  private val clusterRep = QueryDef("e1_cluster_rep", Some(
+    s"""WITH RECURSIVE $pairsSqlCte,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+       |q AS (SELECT doc_id,
+       |             coalesce(cast(len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+       |               / nullif(len(t), 0), 0.0) * 0.5
+       |             + cast(least(len(t), 100) AS DOUBLE) / 100.0 * 0.5 AS score
+       |      FROM d),
+       |ranked AS (
+       |  SELECT comp.cluster_id, comp.doc_id, q.score,
+       |         row_number() OVER (PARTITION BY comp.cluster_id
+       |                            ORDER BY q.score DESC, comp.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+       |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS rep_doc_id,
+       |       cast(n_members AS BIGINT) AS n_members, score AS rep_score
+       |FROM ranked WHERE rn = 1""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cc = Dedup.connectedComponents(jaccardPairs(spark, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val q = Tables(spark, dir).documents.select(
+      col("doc_id"), graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    cc.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_members"), col("score").as("rep_score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
     winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental, dupSpans,
-    spanRemoved)
+    spanRemoved, clusterRep)
 }

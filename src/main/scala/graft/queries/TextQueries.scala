@@ -473,7 +473,28 @@ object TextQueries {
         , lit(false)).as("keep"))
   }
 
+  // Multi-keyword tagging via the broadcast Aho–Corasick automaton —
+  // fixed lexicon of words AND multi-word phrases (phrases cross token
+  // boundaries, so this is substring matching, not token lookup). The
+  // oracle counts the same thing positionally: every offset where the
+  // keyword starts, overlaps included — exactly the automaton's
+  // end-position semantics.
+  private val keywordTags = QueryDef("txt_keywords", Some(
+    """WITH kws(kw) AS (VALUES ('spark'), ('table value'), ('fast key'),
+      |                        ('scan slow'), ('agg'), ('row')),
+      |pos AS (
+      |  SELECT d.doc_id, k.kw
+      |  FROM documents d
+      |  CROSS JOIN kws k
+      |  CROSS JOIN unnest(range(1, length(d.text) - length(k.kw) + 2)) AS t(p)
+      |  WHERE substr(d.text, p, length(k.kw)) = k.kw)
+      |SELECT doc_id, kw AS keyword, count(*) AS n
+      |FROM pos GROUP BY doc_id, kw""".stripMargin)) { (spark, dir) =>
+    graft.ops.KeywordTagger.tag(Tables(spark, dir).documents, "doc_id", "text",
+      Seq("spark", "table value", "fast key", "scan slow", "agg", "row"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier, bpe, dsir, gopher)
+    clean, nbClassifier, bpe, dsir, gopher, keywordTags)
 }

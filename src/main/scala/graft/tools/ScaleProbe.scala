@@ -339,6 +339,43 @@ object ScaleProbe {
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    // Multi-keyword tagging at 20x docs: Aho-Corasick's claim is that
+    // per-document cost is O(|text| + matches), INDEPENDENT of lexicon
+    // size, where a per-keyword contains-scan is O(|text| x |lexicon|).
+    // The A/B: the automaton over a ~27k-phrase lexicon vs the naive
+    // scan over only 200 keywords — if the naive slope held to 27k it
+    // would be ~135x its 200-keyword time; the automaton pays one
+    // broadcast trie instead.
+    lazy val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(30)
+      .collect().map(_.getString(0)).toSeq // 30-word model, driver-side
+    lazy val lex27k = (for (a <- vocab; b <- vocab; c <- vocab)
+      yield s"$a $b $c").toSeq // 27k trigram phrases
+    stage("keyword_tag_20x_ac27k") {
+      graft.ops.KeywordTagger.tag(docs20sp, "doc_id", "text", lex27k)
+    }
+    stage("keyword_tag_20x_scan200") {
+      import spark.implicits._
+      val kws = lex27k.take(200).toArray
+      val kwsB = spark.sparkContext.broadcast(kws)
+      docs20sp.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val ks = kwsB.value
+          it.flatMap { case (id, text) =>
+            ks.iterator.map { kw =>
+              var n = 0L; var p = 0
+              while (p + kw.length <= text.length) {
+                if (text.regionMatches(p, kw, 0, kw.length)) n += 1
+                p += 1
+              }
+              (id, kw, n)
+            }.filter(_._3 > 0L)
+          }
+        }.toDF("doc_id", "keyword", "n")
+    }
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for
