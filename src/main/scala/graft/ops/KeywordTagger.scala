@@ -23,12 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object KeywordTagger {
 
-  /** Immutable, serializable automaton. `next` is the goto function per
-    * node (char → node), `out` lists the keyword indices ending at each
-    * node (own + inherited through fail links, pre-merged at build time
-    * so the scan never chases fail chains for output). */
-  final case class Automaton(next: Array[Map[Char, Int]], fail: Array[Int],
-                             out: Array[Array[Int]], keywords: Array[String])
+  /** Immutable, serializable automaton. The goto function is flattened
+    * into CSR-style parallel arrays — node v's transitions are
+    * `chars/targets[charStart(v) until charStart(v+1))`, chars sorted
+    * for binary search — because the scan pays this lookup once per
+    * character of the corpus and a boxed per-node Map was measured ~3x
+    * slower at 20x volume. `out` lists the keyword indices ending at
+    * each node (own + inherited through fail links, pre-merged at build
+    * time so the scan never chases fail chains for output). */
+  final case class Automaton(charStart: Array[Int], chars: Array[Char],
+                             targets: Array[Int], fail: Array[Int],
+                             out: Array[Array[Int]], keywords: Array[String]) {
+    /** goto(s, c), -1 when absent. */
+    @inline def step(s: Int, c: Char): Int = {
+      var lo = charStart(s)
+      var hi = charStart(s + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = chars(mid)
+        if (mc == c) return targets(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+  }
 
   def build(keywords: Seq[String]): Automaton = {
     require(keywords.nonEmpty, "KeywordTagger: empty keyword set")
@@ -65,7 +84,22 @@ object KeywordTagger {
         queue += v
       }
     }
-    Automaton(next.map(_.toMap).toArray, fail,
+    // flatten goto into CSR arrays, per-node chars sorted
+    val n = next.length
+    val charStart = new Array[Int](n + 1)
+    var off = 0
+    val chars = new Array[Char](next.iterator.map(_.size).sum)
+    val targets = new Array[Int](chars.length)
+    var v = 0
+    while (v < n) {
+      charStart(v) = off
+      next(v).toArray.sortBy(_._1).foreach { case (c, t) =>
+        chars(off) = c; targets(off) = t; off += 1
+      }
+      v += 1
+    }
+    charStart(n) = off
+    Automaton(charStart, chars, targets, fail,
       outB.map(_.toArray).toArray, keywords.toArray)
   }
 
@@ -79,24 +113,43 @@ object KeywordTagger {
       .as[(Long, String)]
       .mapPartitions { it =>
         val ac = acB.value
+        // counts/touched are PARTITION-scoped and reset sparsely per
+        // doc: zeroing + scanning a |lexicon|-sized array per document
+        // was the measured bottleneck at 27k keywords (O(|lexicon|) per
+        // doc dwarfs O(|text|)); tracking touched indices keeps the
+        // per-doc cost at O(|text| + distinct matches).
+        val counts = new Array[Long](ac.keywords.length)
+        val touched = new Array[Int](ac.keywords.length)
         it.flatMap { case (id, text) =>
-          val counts = new Array[Long](ac.keywords.length)
+          var nTouched = 0
           if (text != null) {
             var s = 0
             var i = 0
             while (i < text.length) {
               val c = text.charAt(i)
-              while (s != 0 && !ac.next(s).contains(c)) s = ac.fail(s)
-              s = ac.next(s).getOrElse(c, 0)
+              var t = ac.step(s, c)
+              while (t < 0 && s != 0) { s = ac.fail(s); t = ac.step(s, c) }
+              s = if (t >= 0) t else 0
               val hits = ac.out(s)
               var j = 0
-              while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+              while (j < hits.length) {
+                val k = hits(j)
+                if (counts(k) == 0L) { touched(nTouched) = k; nTouched += 1 }
+                counts(k) += 1L
+                j += 1
+              }
               i += 1
             }
           }
-          counts.indices.iterator
-            .filter(counts(_) > 0L)
-            .map(k => (id, ac.keywords(k), counts(k)))
+          val rows = new Array[(Long, String, Long)](nTouched)
+          var r = 0
+          while (r < nTouched) {
+            val k = touched(r)
+            rows(r) = (id, ac.keywords(k), counts(k))
+            counts(k) = 0L // sparse reset for the next doc
+            r += 1
+          }
+          rows
         }
       }
       .toDF(idCol, "keyword", "n")
