@@ -26,11 +26,13 @@ object KeywordTagger {
   /** Immutable, serializable automaton. The goto function is flattened
     * into CSR-style parallel arrays — node v's transitions are
     * `chars/targets[charStart(v) until charStart(v+1))`, chars sorted
-    * for binary search — because the scan pays this lookup once per
-    * character of the corpus and a boxed per-node Map was measured ~3x
-    * slower at 20x volume. `out` lists the keyword indices ending at
-    * each node (own + inherited through fail links, pre-merged at build
-    * time so the scan never chases fail chains for output). */
+    * for binary search — keeping the per-character lookup boxing-free
+    * and the broadcast compact. (Measured caveat: this flattening alone
+    * was noise at 20x volume; the decisive cost was per-document
+    * |lexicon|-sized count arrays — see the sparse reset in `tag`.)
+    * `out` lists the keyword indices ending at each node (own +
+    * inherited through fail links, pre-merged at build time so the
+    * scan never chases fail chains for output). */
   final case class Automaton(charStart: Array[Int], chars: Array[Char],
                              targets: Array[Int], fail: Array[Int],
                              out: Array[Array[Int]], keywords: Array[String]) {

@@ -346,12 +346,16 @@ object ScaleProbe {
     // scan over only 200 keywords — if the naive slope held to 27k it
     // would be ~135x its 200-keyword time; the automaton pays one
     // broadcast trie instead.
-    lazy val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+    // lexicon construction (vocab job + 27k cross product) is forced
+    // BEFORE the timed stages so both A/B sides measure only tagging —
+    // lazily building it inside the first stage charged the AC side a
+    // documents scan the naive baseline never paid
+    val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").groupBy("w").count()
       .orderBy(col("count").desc, col("w")).limit(30)
       .collect().map(_.getString(0)).toSeq // 30-word model, driver-side
-    lazy val lex27k = (for (a <- vocab; b <- vocab; c <- vocab)
+    val lex27k = (for (a <- vocab; b <- vocab; c <- vocab)
       yield s"$a $b $c").toSeq // 27k trigram phrases
     stage("keyword_tag_20x_ac27k") {
       graft.ops.KeywordTagger.tag(docs20sp, "doc_id", "text", lex27k)
