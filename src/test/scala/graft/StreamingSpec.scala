@@ -54,6 +54,30 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("W2b keyword tagging applies unchanged to a stream (narrow op composability)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the SAME batch operator — a broadcast automaton + typed
+    // mapPartitions is stateless and narrow, so Structured Streaming
+    // accepts it per microbatch with no extra code
+    val tagged = graft.ops.KeywordTagger.tag(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Seq("spark", "table value"))
+    val q = tagged.writeStream.format("memory").queryName(qn("kw_stream"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "spark spark table value"))
+      q.processAllAvailable()
+      in.addData((2L, "no hits here"), (3L, "table value"))
+      q.processAllAvailable()
+      val rows = spark.table(qn("kw_stream")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, "spark", 2L), (1L, "table value", 1L),
+        (3L, "table value", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("W3+W4 tumbling window with watermark drops late rows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
