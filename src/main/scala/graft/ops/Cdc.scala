@@ -48,21 +48,48 @@ object Cdc {
 
   /** The (count, per-measure sum) aggregate snapshot
     * [[incrementalAggRefresh]] maintains: one row per key with `cnt`
-    * and `sum_<measure>` columns — the algebraic (combinable) shape. */
+    * and `sum_<measure>` columns — the algebraic (combinable) shape.
+    *
+    * Sums are stored as LONG fixed-point units (`scale` decimal
+    * digits, default cents): floating-point addition is not
+    * associative, so a DOUBLE snapshot maintained by base + delta −
+    * retract DRIFTS from the rebuilt aggregate — the exact failure
+    * this operator exists to avoid. Integer sums are
+    * order-independent, so refresh(snapshot, delta) is bit-identical
+    * to rebuild(final rows), always. Headroom: at scale=2 a LONG
+    * holds ~9.2e16 currency units of sum per group — 1e12 rows of
+    * 1e4-unit values — before overflow; raise concerns by keying
+    * finer, not by reverting to doubles. Convert to doubles for
+    * presentation with [[aggView]]. */
   def aggSnapshot(df: DataFrame, keyCols: Seq[String],
-                  measures: Seq[String]): DataFrame =
+                  measures: Seq[String], scale: Int = 2): DataFrame = {
+    val unit = math.pow(10, scale)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
-        measures.map(m => sum(col(m)).as(s"sum_$m")): _*)
+        measures.map(m =>
+          sum(round(col(m) * unit).cast("long")).as(s"sum_$m")): _*)
+  }
+
+  /** Presentation view of an [[aggSnapshot]]: fixed-point LONG sums
+    * divided back to doubles. The snapshot itself stays exact — only
+    * read through this, never write it back. */
+  def aggView(snapshot: DataFrame, measures: Seq[String],
+              scale: Int = 2): DataFrame = {
+    val unit = math.pow(10, scale)
+    measures.foldLeft(snapshot)((d, m) =>
+      d.withColumn(s"sum_$m", col(s"sum_$m") / unit))
+  }
 
   /** Incremental materialized-aggregate refresh: apply a change batch
     * (rows tagged `opCol` = +1 insert / −1 retract) to an existing
     * [[aggSnapshot]] WITHOUT rescanning the base table — the batch
     * form of streaming view maintenance, and the only viable refresh
     * at 100 TB where the base aggregate is petabytes of history and
-    * the delta is a day's partition. Count/sum are algebraic so
-    * retractions combine exactly; groups whose count reaches zero
-    * vanish, unseen keys appear.
+    * the delta is a day's partition. Count/sum over fixed-point LONGs
+    * are algebraic AND exact, so retractions cancel bit-for-bit:
+    * the refreshed snapshot equals the rebuilt one, not merely
+    * approximates it. Groups whose count reaches zero vanish, unseen
+    * keys appear. `scale` must match the snapshot's.
     *
     * Scale shape: the delta is pre-aggregated (map-side combinable) to
     * one row per touched key, then merged into the snapshot by a
@@ -70,17 +97,18 @@ object Cdc {
     * once, and with |delta keys| ≪ |groups| the join broadcasts. */
   def incrementalAggRefresh(baseAgg: DataFrame, delta: DataFrame,
                             keyCols: Seq[String], opCol: String,
-                            measures: Seq[String]): DataFrame = {
+                            measures: Seq[String], scale: Int = 2): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefresh: empty key")
+    val unit = math.pow(10, scale)
     val d = delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col(opCol)).as("__dc"),
         measures.map(m =>
-          sum(col(opCol) * col(m)).as(s"__ds_$m")): _*)
+          sum(col(opCol) * round(col(m) * unit).cast("long")).as(s"__ds_$m")): _*)
     baseAgg.join(d, keyCols, "full_outer")
       .select((keyCols.map(col) ++
         Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt")) ++
         measures.map(m =>
-          (coalesce(col(s"sum_$m"), lit(0.0)) + coalesce(col(s"__ds_$m"), lit(0.0)))
+          (coalesce(col(s"sum_$m"), lit(0L)) + coalesce(col(s"__ds_$m"), lit(0L)))
             .as(s"sum_$m"))).toIndexedSeq: _*)
       .filter(col("cnt") > 0)
   }

@@ -688,11 +688,14 @@ object Relational {
   // 90% of lineitem is brought up to date by a delta batch (inserts =
   // the missing 10%, retracts = every 7th base row) WITHOUT rescanning
   // the base — the materialized-view maintenance move. The oracle is
-  // the direct aggregate over the equivalent final row set.
+  // the direct aggregate over the equivalent final row set. Both sides
+  // sum integer cents (the tpch_q11 lesson): double sums are
+  // accumulation-order-dependent, and base + delta − retract drifted
+  // across the 6-sig-digit canonicalization boundary in round 3.
   private val qIncr = QueryDef("q_incr_agg", Some(
     """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
-      |       sum(l_quantity) AS sum_l_quantity,
-      |       sum(l_extendedprice) AS sum_l_extendedprice
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_l_quantity,
+      |       sum(cast(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_l_extendedprice
       |FROM lineitem
       |WHERE l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0
       |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
@@ -704,7 +707,9 @@ object Relational {
     val baseAgg = graft.ops.Cdc.aggSnapshot(base, keys, ms)
     val ins = li.filter(col("l_orderkey") % 10 === 0).withColumn("op", lit(1))
     val del = base.filter(col("l_orderkey") % 7 === 0).withColumn("op", lit(-1))
-    graft.ops.Cdc.incrementalAggRefresh(baseAgg, ins.unionByName(del), keys, "op", ms)
+    val refreshed = graft.ops.Cdc.incrementalAggRefresh(
+      baseAgg, ins.unionByName(del), keys, "op", ms)
+    graft.ops.Cdc.aggView(refreshed, ms)
   }
 
   // Equi-width histogram — the OLAP distribution primitive. Bucket by

@@ -104,15 +104,56 @@ class CdcSpec extends AnyFunSuite {
       ("b", 5.0, -1),  // retract b's only row -> group vanishes
       ("d", 9.0, 1)    // brand-new group appears
     ).toDF("k", "v", "op")
-    val got = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
+    val refreshed = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
+    val got = Cdc.aggView(refreshed, Seq("v"))
       .orderBy("k").as[(String, Long, Double)].collect().toSeq
     assert(got == Seq(("a", 3L, 6.0), ("c", 1L, 7.0), ("d", 1L, 9.0)))
-    // equals the direct aggregate over the post-change row set
+    // equals the direct aggregate over the post-change row set — the
+    // snapshot representation itself (long fixed-point), not a view
     val finalRows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 7.0), ("d", 9.0))
       .toDF("k", "v")
     val direct = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
-      .orderBy("k").as[(String, Long, Double)].collect().toSeq
-    assert(got == direct)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(refreshed.orderBy("k").as[(String, Long, Long)].collect().toSeq == direct)
+  }
+
+  test("refresh == rebuild EXACTLY under heavy retraction (values that drift as doubles)") {
+    // 0.1 is inexact in binary; summing thousands of them in different
+    // orders yields different doubles. The snapshot must not care:
+    // base has 4000 rows per key, the delta retracts 3999 of them and
+    // reinserts others — refresh must be BIT-identical to rebuild.
+    val rnd = new scala.util.Random(42)
+    val baseRows = (0 until 8000).map(i =>
+      (if (i % 2 == 0) "x" else "y", 0.01 * (rnd.nextInt(100000) - 50000)))
+    val base = baseRows.toDF("k", "v")
+    val baseAgg = Cdc.aggSnapshot(base, Seq("k"), Seq("v"))
+    // retract-everything-then-reinsert for key x; partial churn for y
+    val retractX = baseRows.filter(_._1 == "x").map { case (k, v) => (k, v, -1) }
+    val reinsertX = baseRows.filter(_._1 == "x").reverse.map { case (k, v) => (k, v, 1) }
+    val churnY = baseRows.filter(_._1 == "y").take(3999).map { case (k, v) => (k, v, -1) }
+    val delta = (retractX ++ reinsertX ++ churnY).toDF("k", "v", "op")
+    val refreshed = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val finalRows = (baseRows.filter(_._1 == "x") ++
+      baseRows.filter(_._1 == "y").drop(3999)).toDF("k", "v")
+    val rebuilt = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(refreshed == rebuilt,
+      s"incremental refresh drifted from rebuild: $refreshed vs $rebuilt")
+  }
+
+  test("retract-everything leaves an empty snapshot; re-refresh from empty works") {
+    val base = Seq(("a", 1.5), ("a", 2.5), ("b", 3.25)).toDF("k", "v")
+    val baseAgg = Cdc.aggSnapshot(base, Seq("k"), Seq("v"))
+    val retractAll = Seq(("a", 1.5, -1), ("a", 2.5, -1), ("b", 3.25, -1))
+      .toDF("k", "v", "op")
+    val emptied = Cdc.incrementalAggRefresh(baseAgg, retractAll, Seq("k"), "op", Seq("v"))
+    assert(emptied.count() == 0)
+    // a subsequent delta against the emptied snapshot seeds fresh groups
+    val reborn = Cdc.incrementalAggRefresh(emptied,
+      Seq(("a", 9.75, 1)).toDF("k", "v", "op"), Seq("k"), "op", Seq("v"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(reborn == Seq(("a", 1L, 975L)))
   }
 
   test("snapshot side is not shuffled: anti-join broadcasts the change keys") {
