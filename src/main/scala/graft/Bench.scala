@@ -94,6 +94,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the set (local
     // iteration; may name bench=false queries too)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Inter-query hygiene: a 134-query run accumulates JVM pressure
+    // (page/code cache, old-gen garbage) that round 3 measured as up to
+    // 9x min-to-median dispersion on late queries. Clearing cached
+    // relations and hinting a full GC between queries makes each median
+    // reflect the query, not its position in the run.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // every sample per query, for the dispersion map: host load on a
     // shared VM swings single runs +/-50%, so min/med/max lets a reader
@@ -106,6 +115,7 @@ object Bench {
     }
     Registry.all.filter(q => only.map(_.contains(q.name)).getOrElse(q.bench)).foreach { q =>
       try {
+        quiesce()
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
         record(q.name, (0 until runs).map(_ => timeIt(materialize(q.run(spark, sfDir)))), warm)
       } catch {
@@ -137,12 +147,17 @@ object Bench {
           results("w2_stream_ingest_rocksdb") = -1.0
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal timings: ms resolution is all the signal there is, and
+    // 9-fractional-digit doubles tripled the JSON line length past the
+    // driver's stdout tail window in round 3 (BENCH_r03 parsed: null).
+    def r3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val disp = samples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.min + "," + median(ts) + "," + ts.max + "]"
+      "\"" + k + "\":[" + r3(ts.min) + "," + r3(median(ts)) + "," + r3(ts.max) + "]"
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"sf":"$sfDir"}""")
     Console.out.flush()
     // Halt, don't exit: RocksDB's native teardown runs during session
     // stop / JVM shutdown hooks, and a native std::bad_alloc there turns
