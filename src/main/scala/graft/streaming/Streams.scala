@@ -316,6 +316,86 @@ object Streams {
     }
   }
 
+  /** W3/W7 tumbling-window count+sum aggregate REBUILT on
+    * transformWithState with event-time timers — exists for one
+    * reason: built-in `groupBy(window(...)).agg(...)` has no
+    * initial-state overload, so an exported windowed-agg state (the
+    * last savepoint-import residual, SURVEY §7.4.5) could not seed a
+    * fresh query. This TWS twin accepts `initial` (the built-in
+    * query's [[exportState]] parquet decoded via [[importState]]:
+    * key = (key, window-start ms), state = (count, sum)) and
+    * finalizes windows identically to the built-in aggregate in
+    * append mode: per-(key, window) state accumulates, an event-time
+    * timer at window end emits the finalized row and clears state,
+    * and rows for windows the watermark has already closed are
+    * dropped (the W4 contract).
+    *
+    * Scale shape: identical to the built-in operator — state is
+    * hash-partitioned by (key, window start), O(open windows)
+    * entries, each touched once per input row and once at
+    * finalization; no shuffle beyond the keyed exchange. Requires the
+    * RocksDB provider (transformWithState's own requirement), which
+    * is the 100 TB keyed-state backend anyway.
+    *
+    * Input: (key, event-time timestamp, value); the watermark is
+    * applied here on the timestamp field. Output:
+    * (key, window_start_ms, cnt, sum). */
+  def tumblingAggTws[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)],
+      watermark: String, widthMs: Long,
+      initial: Option[Dataset[((K, Long), (Long, Double))]] = None)(
+      implicit kw: Encoder[(K, Long)], st: Encoder[(Long, Double)],
+      out: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+    require(widthMs > 0, "tumblingAggTws: widthMs must be positive")
+    val keyed = ds.withWatermark("_2", watermark)
+      .groupByKey(r => (r._1, Math.floorDiv(r._2.getTime, widthMs) * widthMs))
+    val proc = new StatefulProcessorWithInitialState[
+        (K, Long), (K, java.sql.Timestamp, Double), (K, Long, Long, Double), (Long, Double)] {
+      @transient private var acc: ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        acc = getHandle.getValueState[(Long, Double)]("acc", st, TTLConfig.NONE)
+      override def handleInitialState(k: (K, Long), s: (Long, Double),
+                                      tv: TimerValues): Unit = {
+        acc.update(s)
+        getHandle.registerTimer(k._2 + widthMs)
+      }
+      override def handleInputRows(k: (K, Long),
+                                   rows: Iterator[(K, java.sql.Timestamp, Double)],
+                                   tv: TimerValues): Iterator[(K, Long, Long, Double)] = {
+        val end = k._2 + widthMs
+        // late-data contract: the built-in aggregate evicts a window's
+        // state once the watermark passes its end — rows arriving after
+        // that are dropped, never resurrected as a fresh partial
+        if (end <= tv.getCurrentWatermarkInMs()) Iterator.empty
+        else {
+          var (c, s) = if (acc.exists()) acc.get() else (0L, 0.0)
+          rows.foreach { r => c += 1; s += r._3 }
+          acc.update((c, s))
+          // same expiry per (key, window) every time — re-registration
+          // of an existing timer is a no-op, so this is idempotent
+          getHandle.registerTimer(end)
+          Iterator.empty
+        }
+      }
+      override def handleExpiredTimer(k: (K, Long), tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[(K, Long, Long, Double)] = {
+        val res =
+          if (acc.exists()) { val (c, s) = acc.get(); Iterator.single((k._1, k._2, c, s)) }
+          else Iterator.empty
+        acc.clear()
+        res
+      }
+    }
+    initial match {
+      case Some(init) =>
+        keyed.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append(),
+          init.groupByKey(_._1).mapValues(_._2), out, st)
+      case None =>
+        keyed.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append(), out)
+    }
+  }
+
   /** Streaming NEAR-dup candidates (E1 on a stream): each document is
     * MinHash-signed and banded (same family as the batch
     * [[graft.ops.Dedup]] pipeline); the stream is keyed by

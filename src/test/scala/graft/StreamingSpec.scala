@@ -423,6 +423,95 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally saved.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
 
+  test("W7d windowed-agg savepoint import: built-in window state seeds the TWS twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // transformWithState requires RocksDB regardless of which suite runs this
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Engine.useRocksDBStateStore(spark)
+    try {
+      val widthMs = 10L * 60 * 1000 // 10-minute tumbling windows
+      // b1 fills window [00,10); b2 fills [10,20) and opens [20,30);
+      // its max ts (25) pushes the watermark to 15, so [00,10) is
+      // finalized+evicted before the stop — the export carries ONLY the
+      // open windows [10,20) and [20,30) mid-accumulation.
+      val b1 = Seq((ts(1), "x", 1.0), (ts(5), "x", 2.0), (ts(3), "y", 10.0))
+      val b2 = Seq((ts(12), "x", 4.0), (ts(14), "y", 20.0), (ts(25), "x", 8.0))
+      // b3 adds to the open [20,30) window; the ts(45) pusher drives the
+      // watermark past 30 so every data window finalizes (the pusher's
+      // own [40,50) window stays open in BOTH runs, symmetrically).
+      val b3 = Seq((ts(22), "x", 16.0), (ts(27), "y", 40.0), (ts(45), "z", 0.0))
+
+      def runBuiltin(name: String, ckpt: String, batches: Seq[Seq[(Timestamp, String, Double)]]): Unit = {
+        val in = MemoryStream[(Timestamp, String, Double)]
+        val agg = Streams.tumblingAgg(in.toDF().toDF("ts", "k", "v"),
+          "ts", "10 minutes", "10 minutes", Seq("k"),
+          Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      def builtinRows(name: String): Set[(String, Long, Long, Double)] =
+        spark.table(name).collect().map { r =>
+          val w = r.getStruct(0)
+          (r.getString(1), w.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3))
+        }.toSet
+
+      // uninterrupted reference: every finalized window over b1..b3
+      runBuiltin(qn("wtws_full"), tmp("wtws-full-ckpt"), Seq(b1, b2, b3))
+      val full = builtinRows(qn("wtws_full"))
+      // interrupted: b1+b2, stop, export the open-window state
+      val ckptA = tmp("wtws-a-ckpt")
+      runBuiltin(qn("wtws_prefix"), ckptA, Seq(b1, b2))
+      val prefixEmitted = builtinRows(qn("wtws_prefix"))
+      val exported = tmp("wtws-export")
+      Streams.exportState(spark, ckptA, exported)
+      // decode the built-in aggregate's state layout: key =
+      // (window struct(start,end), k) in groupBy order; value = the
+      // aggregation buffer (count, sum) — stateFormatVersion 2 stores
+      // the buffer without the key columns
+      val initial = Streams.importState[(String, Long), (Long, Double)](spark, exported) {
+        (k, v) => ((k.getString(1), k.getStruct(0).getTimestamp(0).getTime),
+                   (v.getLong(0), v.getDouble(1)))
+      }
+      // the export holds only the OPEN windows ([10,20) and [20,30));
+      // the finalized-and-evicted [00,10) window must not leak in
+      val seeded = initial.collect().toMap
+      assert(seeded.keySet.map(_._2) == Set(ts(10).getTime, ts(20).getTime),
+        s"export does not hold exactly the open windows: $seeded")
+
+      // continuation: the TWS twin seeded with the imported state, fed b3
+      val inB = MemoryStream[(String, Timestamp, Double)]
+      val cont = Streams.tumblingAggTws[String](
+        inB.toDS(), "10 minutes", widthMs, initial = Some(initial))
+      val qB = cont.toDF("k", "window_start", "cnt", "sum_v")
+        .writeStream.format("memory").queryName(qn("wtws_cont"))
+        .option("checkpointLocation", tmp("wtws-b-ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        inB.addData(b3.map { case (t, k, v) => (k, t, v) })
+        qB.processAllAvailable()
+      } finally qB.stop()
+      val contRows = spark.table(qn("wtws_cont")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+      // continuation-identical: prefix-emitted ∪ continuation == uninterrupted
+      assert(prefixEmitted ++ contRows == full,
+        s"windowed continuation diverged:\n prefix $prefixEmitted\n cont $contRows\n full $full")
+      // and the carry is real: [20,30)'s x window combines the imported
+      // partial (ts 25 from b2) with b3's ts-22 row — cnt 2, not 1
+      assert(contRows.contains(("x", ts(20).getTime, 2L, 24.0)),
+        s"mid-window state did not carry across the import: $contRows")
+    } finally {
+      saved match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => Engine.useDefaultStateStore(spark)
+      }
+    }
+  }
+
   test("W5b stream-static join enriches the stream against a batch dim") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
