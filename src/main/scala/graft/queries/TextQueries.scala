@@ -374,16 +374,60 @@ object TextQueries {
       "doc_id", "text", "lang", trainPerMyriad = 8000)
   }
 
-  // Real BPE tokenizer (train + encode) over the corpus. rows-only by
-  // design: merge selection is data-dependent iteration (each round's
-  // pair counts depend on the previous winner), which static SQL can't
-  // express — BpeSpec instead pins training and encoding to a
-  // single-threaded reference implementation on real corpus slices,
-  // plus partition-invariance and round-trip laws. Deterministic
-  // (count DESC, pair ASC tie-break), so the rows are still stable.
+  // Real BPE tokenizer (train + encode) over the corpus — TWO-STAGE
+  // oracle. Training is data-dependent iteration (each round's pair
+  // counts depend on the previous winner), which static SQL can't
+  // express, so it stays pinned by BpeSpec's single-threaded
+  // reference-implementation parity AND by the committed fixture
+  // fixtures/bpe_merges_sf001.csv (tools.ExportBpeMerges regenerates
+  // it; training is deterministic — count DESC, pair ASC tie-break —
+  // so fixture == live training at the driver's sf0.01 verify scale,
+  // and BpeSpec asserts that freshness). ENCODING with a fixed merge
+  // table IS SQL-expressible: greedy lowest-rank merging equals
+  // applying merges in rank order (a later merge can only create
+  // pairs of later rank), and one rank applied to fixpoint with
+  // non-overlapping left-to-right replace() equals Bpe.applyMerge's
+  // single left-to-right pass. The recursive CTE walks each DISTINCT
+  // word through the ranks (advancing only when replace() is a
+  // no-op) over a chr(31)-delimited symbol string (corpus is ASCII;
+  // chr(31) never occurs in it — asserted in BpeSpec).
   // bench=false: the query re-trains its merge table each run, which
   // times the training loop, not a steady-state operator.
-  private val bpe = QueryDef("txt_bpe", None, bench = false) { (spark, dir) =>
+  private val bpe = QueryDef("txt_bpe", Some(
+    """WITH RECURSIVE m AS (SELECT rank, a, b FROM read_csv('/root/repo/fixtures/bpe_merges_sf001.csv',
+      |             header = true,
+      |             columns = {'rank': 'INTEGER', 'a': 'VARCHAR', 'b': 'VARCHAR'})),
+      |nm AS (SELECT count(*) AS n FROM m),
+      |words AS (SELECT DISTINCT w
+      |          FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+      |          WHERE w <> ''),
+      |init AS (SELECT w, 0 AS rank,
+      |                chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS sym
+      |         FROM words),
+      |enc AS (
+      |  SELECT w, rank, sym FROM init
+      |  UNION ALL
+      |  SELECT e.w,
+      |         CASE WHEN replace(e.sym, chr(31) || m.a || chr(31) || m.b || chr(31),
+      |                            chr(31) || m.a || m.b || chr(31)) = e.sym
+      |              THEN e.rank + 1 ELSE e.rank END,
+      |         replace(e.sym, chr(31) || m.a || chr(31) || m.b || chr(31),
+      |                 chr(31) || m.a || m.b || chr(31))
+      |  FROM enc e JOIN m ON m.rank = e.rank),
+      |toks AS (SELECT w, list_filter(str_split(sym, chr(31)), x -> x <> '') AS wt
+      |         FROM enc, nm WHERE rank = nm.n),
+      |docw AS (SELECT doc_id, unnest(lst) AS w,
+      |                unnest(range(1, len(lst) + 1)) AS ord
+      |         FROM (SELECT doc_id,
+      |                      list_filter(str_split(text, ' '), x -> x <> '') AS lst
+      |               FROM documents)),
+      |per_doc AS (SELECT d.doc_id, flatten(list(t.wt ORDER BY d.ord)) AS all_toks
+      |            FROM docw d JOIN toks t ON t.w = d.w
+      |            GROUP BY d.doc_id)
+      |SELECT doc_id,
+      |       cast(len(all_toks) AS INT) AS n_bpe_tokens,
+      |       array_to_string(all_toks[1:8], '|') AS bpe_preview
+      |FROM per_doc""".stripMargin), bench = false) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
     val merges = graft.ops.Bpe.train(docs, "text", numMerges = 60, minWordFreq = 2)
     graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
@@ -436,6 +480,7 @@ object TextQueries {
     """WITH t AS (
       |  SELECT doc_id,
       |         list_filter(str_split(text, ' '), x -> x <> '') AS toks,
+      |         str_split(text, chr(10)) AS lines,
       |         length(text) - length(replace(text, '#', '')) AS n_hash,
       |         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
       |  FROM documents),
@@ -447,6 +492,11 @@ object TextQueries {
       |         (n_hash + n_ell)::DOUBLE / nullif(len(toks), 0) AS symbol_ratio,
       |         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
       |           / nullif(len(toks), 0) AS alpha_frac,
+      |         len(list_filter(lines, l -> starts_with(trim(l), '-')
+      |               OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))::DOUBLE
+      |           / nullif(len(lines), 0) AS bullet_frac,
+      |         len(list_filter(lines, l -> ends_with(trim(l), '...')))::DOUBLE
+      |           / nullif(len(lines), 0) AS ellipsis_frac,
       |         cast(len(list_filter(list_distinct(toks),
       |           x -> list_contains(['the','be','to','of','and','that','have','with'], x)))
       |           AS INT) AS stop_hits
@@ -455,6 +505,8 @@ object TextQueries {
       |       coalesce(n_words BETWEEN 30 AND 100000
       |                AND mean_word_len BETWEEN 3.0 AND 10.0
       |                AND symbol_ratio < 0.1
+      |                AND bullet_frac <= 0.9
+      |                AND ellipsis_frac <= 0.3
       |                AND alpha_frac >= 0.8
       |                AND stop_hits >= 2, false) AS keep
       |FROM s""".stripMargin)) { (spark, dir) =>
@@ -466,11 +518,10 @@ object TextQueries {
       Gopher.symbolToWordRatio(col("text")).as("symbol_ratio"),
       Gopher.alphaWordFraction(col("text")).as("alpha_frac"),
       Gopher.requiredStopwordHits(col("text")).as("stop_hits"),
-      coalesce(Gopher.keep(col("text"), minWords = 30)
-        // bullet/ellipsis line rules are in Gopher.keep but vacuous here
-        // (single-line docs) — the SQL mirror omits them, so assert the
-        // same vacuity rather than diverge silently.
-        , lit(false)).as("keep"))
+      // keep's bullet/ellipsis LINE rules are now mirrored in the SQL
+      // (split on \n both sides), so a multi-line fixture can no longer
+      // silently flip engine vs oracle
+      coalesce(Gopher.keep(col("text"), minWords = 30), lit(false)).as("keep"))
   }
 
   // Multi-keyword tagging via the broadcast Aho–Corasick automaton —

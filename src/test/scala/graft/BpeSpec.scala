@@ -101,6 +101,37 @@ class BpeSpec extends AnyFunSuite {
     assert(got(4L).mkString == "xyzzy")
   }
 
+  test("committed merge fixture is fresh (txt_bpe two-stage oracle contract)") {
+    // The txt_bpe oracle replays ENCODING in DuckDB from
+    // fixtures/bpe_merges_sf001.csv; training itself stays pinned by
+    // the reference-parity tests above. This test closes the loop
+    // TRANSITIVELY: fixture == refTrain(sf0.01 word frequencies), and
+    // the parity tests prove Bpe.train == refTrain — so the fixture
+    // equals live training without re-running 60 distributed rounds in
+    // the shared test JVM (a full Bpe.train here OOM'd the suite).
+    // minWordFreq=2 is mirrored by the freq filter below.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect()
+    val expanded = freqs.filter(_._2 >= 2)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.toSeq
+    val live = refTrain(expanded, 60)
+    val src = scala.io.Source.fromFile("fixtures/bpe_merges_sf001.csv", "UTF-8")
+    val committed = try {
+      src.getLines().drop(1).map { l =>
+        val Array(_, a, b) = l.split(",", 3); (a, b)
+      }.toList
+    } finally src.close()
+    assert(committed == live,
+      "fixtures/bpe_merges_sf001.csv is stale — rerun graft.tools.ExportBpeMerges")
+    // the oracle's symbol delimiter must not occur in the corpus
+    import org.apache.spark.sql.functions._
+    val hits = docs.filter(col("text").contains("\u001f")).count()
+    assert(hits == 0, s"chr(31) appears in $hits documents — oracle delimiter unsafe")
+  }
+
   test("merged tokens shrink the sequence (compression actually happens)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
     val merges = Bpe.train(docs, "text", numMerges = 30, minWordFreq = 2)
