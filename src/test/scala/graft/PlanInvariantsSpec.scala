@@ -70,4 +70,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"no codegen span at all in: $offenders")
   }
+
+  test("e2 similarity scoring runs the native cosine INSIDE a codegen span") {
+    // The whole point of CosineSimilarityF is staying in whole-stage
+    // codegen on the corpus × queries hot path; a silent fallback to
+    // interpreted eval (e.g. an expression change breaking doGenCode)
+    // would be a multi-x regression the oracle can't see. Assert the
+    // executed plan evaluates cosine_f in a `*(n)` codegen'd node.
+    for (name <- Seq("e2_knn_brute", "e2_ann_topk", "e2_ivf_topk")) {
+      val p = plans(name)
+      assert(p.contains("cosine_f"), s"$name no longer scores with cosine_f:\n$p")
+      val inCodegen = p.linesIterator.exists(l => l.contains("cosine_f") && l.contains("*("))
+      assert(inCodegen, s"$name evaluates cosine_f OUTSIDE codegen (interpreted fallback):\n$p")
+    }
+  }
+
+  test("e2_knn_brute: the declared linear scan broadcasts its QUERY side") {
+    // The one intentionally O(|corpus|·|queries|) operator in the
+    // surface. Its contract: the tiny query set is the broadcast build
+    // side of a BroadcastNestedLoopJoin and the corpus streams once.
+    // Assert the shape (not just allowlist it) so a future change can't
+    // silently flip it into a shuffled NLJ or cartesian that would
+    // shuffle the corpus — the difference between "linear in corpus"
+    // and "dead at 100 TB".
+    val p = plans("e2_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"e2_knn_brute lost its broadcast NLJ shape:\n$p")
+    assert(p.contains("BuildRight"),
+      s"e2_knn_brute no longer builds (broadcasts) the query side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"e2_knn_brute degenerated into a shuffled cartesian:\n$p")
+  }
 }
