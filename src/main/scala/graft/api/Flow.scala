@@ -48,10 +48,15 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
     * side-output tags do (an element never lands in two outputs).
     * Elements matching no tag are dropped (Flink's untagged default).
     *
-    * Each returned flow is a declarative filter over the SAME source
-    * plan: predicates push down, and a consumer reading only one side
-    * output scans once. Consumers reading several should cache/persist
-    * the upstream first — same guidance Flink gives for multi-sink
+    * Each returned flow is a typed filter over the SAME source plan, so
+    * a consumer reading only one side output scans once — but the tag
+    * predicates are Scala lambdas, opaque to Catalyst: they do NOT push
+    * into the source scan (use Column predicates + `filter(Column)`
+    * when scan pruning matters), and the i-th output re-evaluates the
+    * i−1 preceding predicates per element to enforce first-match
+    * routing (O(k) per row for the last tag — keep tag lists short).
+    * Consumers reading several outputs should cache/persist the
+    * upstream first — same guidance Flink gives for multi-sink
     * fan-out. */
   def split(tags: (String, T => Boolean)*): Map[String, Flow[T]] = {
     require(tags.map(_._1).distinct.size == tags.size, "split: duplicate tag names")

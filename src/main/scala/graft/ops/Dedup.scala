@@ -465,6 +465,10 @@ object Dedup {
       if (broadcastBatch) df => broadcast(df) else identity
     val cands = bandedSlices(index, idCol, "corpus_id")
       .join(maybeBc(bandedSlices(bIdx, idCol, "batch_id")), Seq("band", "slice"))
+      // a doc present in BOTH the index and the batch (same id) would
+      // otherwise return itself as a jaccard-1.0 "near-dup"; id spaces
+      // may overlap in re-ingest scenarios, so exclude self-pairs here
+      .filter(col("corpus_id") =!= col("batch_id"))
       .select("corpus_id", "batch_id")
       .distinct()
     cands

@@ -392,13 +392,47 @@ object Multimodal {
     }.toOption.flatten
   }
 
+  /** Decode ONLY the sampled frames of a (possibly animated) GIF:
+    * every `stride`-th frame index up to `maxFrames` of them, via
+    * `reader.read(i)` on just those indices — per-record decode cost
+    * and heap are O(sampled frames), not O(total frames), which is the
+    * whole point of stride sampling on an hour-long clip. Returns
+    * (total frame count, sampled (index, frame) pairs); None when the
+    * payload has no GIF reader. */
+  def decodeGifSampled(content: Array[Byte], stride: Int, maxFrames: Int)
+      : Option[(Int, IndexedSeq[(Int, java.awt.image.BufferedImage)])] = {
+    System.setProperty("java.awt.headless", "true")
+    scala.util.Try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          if (!r.getFormatName.equalsIgnoreCase("gif")) None
+          else {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            val sampled = (0 until n).collect {
+              case i if i % stride == 0 && i / stride < maxFrames => (i, r.read(i))
+            }
+            r.dispose()
+            Some((n, sampled))
+          }
+        }
+      } finally iis.close()
+    }.toOption.flatten
+  }
+
   /** Real frame sampling + per-frame decode over animated-GIF payloads:
     * every `stride`-th frame up to `maxFrames`, reduced to exact
     * integer gray-channel sums (the frames are written with an identity
     * gray palette, so GIF's 256-color limit is lossless here and a SQL
     * oracle reproduces the sums from the generating closed form).
     * Non-GIF payloads are dropped. One reader per partition batch
-    * (mapPartitions — the open-once-per-split shape). */
+    * (mapPartitions — the open-once-per-split shape); unsampled frames
+    * are never decoded ([[decodeGifSampled]]). */
   case class VideoFrameStats(id: Long, frame_idx: Int, n_frames: Int,
                              width: Int, height: Int, sum_gray: Long)
   def videoFrameStats(ds: Dataset[MediaRecord], stride: Int,
@@ -407,10 +441,9 @@ object Multimodal {
     require(stride >= 1 && maxFrames >= 1, "videoFrameStats: stride/maxFrames must be >= 1")
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        decodeGifFrames(r.content).toSeq.flatMap { frames =>
-          frames.indices.collect {
-            case i if i % stride == 0 && i / stride < maxFrames =>
-              val img = frames(i)
+        decodeGifSampled(r.content, stride, maxFrames).toSeq.flatMap {
+          case (nFrames, sampled) =>
+            sampled.map { case (i, img) =>
               var sum = 0L
               var y = 0
               while (y < img.getHeight) {
@@ -418,8 +451,8 @@ object Multimodal {
                 while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
                 y += 1
               }
-              VideoFrameStats(r.id, i, frames.length, img.getWidth, img.getHeight, sum)
-          }
+              VideoFrameStats(r.id, i, nFrames, img.getWidth, img.getHeight, sum)
+            }
         }
       }
     }
