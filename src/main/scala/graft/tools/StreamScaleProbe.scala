@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming keyed-STATE scale probe under RocksDB — the batch
+  * ScaleProbe covers throughput; this one covers STATE GROWTH, the
+  * axis that actually kills long-running streaming jobs at 100 TB.
+  * Two long-lived queries (one per probe — the Bench.StreamProbe
+  * shape), each pushed `batches` microbatches at 10–20× the spec
+  * fixtures' key cardinality, recording per-batch wall time plus the
+  * state store's own counters (`numRowsTotal`, memory/size bytes)
+  * from StreamingQueryProgress. A cliff shows up as superlinear
+  * per-batch time or state rows growing with STREAM LIFETIME instead
+  * of the active horizon:
+  *
+  *  - `stream_session_join`: [[graft.streaming.Streams.sessionWindowJoin]]
+  *    over 20k concurrent keys (spec fixtures: 2–3). Event time
+  *    advances every batch, so closed sessions must leave state via
+  *    their event-time timers — bounded by OPEN sessions (≈ keys).
+  *  - `stream_neardup`: [[graft.streaming.Streams.nearDupCandidates]]
+  *    with event-time bucket TTL over ~5k docs/batch (spec fixtures:
+  *    a few hundred total). Per-bucket FIFO caps pair fan-out; the
+  *    TTL must expire cold buckets so bucket cardinality tracks the
+  *    horizon, not every bucket ever seen.
+  *
+  * Usage: runMain graft.tools.StreamScaleProbe [batches] [keys]
+  */
+object StreamScaleProbe {
+  private def progressLine(name: String, batch: Int, sec: Double,
+                           q: StreamingQuery): Unit = {
+    val so = Option(q.lastProgress).map(_.stateOperators).getOrElse(Array.empty)
+    val rows = so.map(_.numRowsTotal).sum
+    val mem = so.map(_.memoryUsedBytes).sum
+    println(f"STAGE $name%-24s batch=$batch%2d ${sec}%7.2fs stateRows=$rows%8d stateBytes=$mem%12d")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(10)
+    val keys = args.lift(1).map(_.toInt).getOrElse(20000)
+    val spark = graft.Engine.session("stream-scale-probe")
+    graft.Engine.useRocksDBStateStore(spark)
+    // state partitions sized to the workload, as Bench.StreamProbe does
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // A note on the reported stateBytes, established by A/B here: under
+    // Engine.useRocksDBStateStore's boundedMemoryUsage, the memory
+    // metric reports the SHARED 1 GiB LRU cache's fill level, which
+    // grows deterministically toward its cap while live rows stay flat
+    // (the second probe's batch-0 bytes continue exactly where the
+    // first probe's final batch left off — one cache, two queries).
+    // Measured: ~4.2 MB/batch growth at CONSTANT numRowsTotal,
+    // byte-identical across compactOnCommit=true ("compact" arg),
+    // minBatchesToRetain=3 ("retain3"), and a 2s maintenance interval
+    // ("maint2s") — so the curve is cache fill bounded at
+    // maxMemoryUsageMB by construction (the per-executor budget
+    // posture a production cluster wants), not version garbage and not
+    // a state leak. numRowsTotal is the live-state contract.
+    if (args.lift(2).contains("compact"))
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+    if (args.lift(2).contains("retain3"))
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "3")
+    if (args.lift(2).contains("maint2s"))
+      spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "2s")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    def ckpt(tag: String) = (if (java.nio.file.Files.isDirectory(shm))
+      java.nio.file.Files.createTempDirectory(shm, s"graft-ssp-$tag")
+    else java.nio.file.Files.createTempDirectory(s"graft-ssp-$tag")).toString
+
+    // ---- session-window stream-stream join, 20k concurrent keys ------
+    // Per batch: one left + one right row per key inside a 10s-gap
+    // session; event time advances 60s per batch, so batch i's sessions
+    // are ALL closed (and their state freed) by the time batch i+2's
+    // watermark lands. Bounded state = rows for <= ~2 batches of open
+    // sessions, independent of `batches`.
+    locally {
+      val left = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val right = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = graft.streaming.Streams.sessionWindowJoin(
+        left.toDF().toDF("k", "ts", "v"), right.toDF().toDF("k", "ts", "v"),
+        "k", "ts", "v", watermark = "30 seconds", gapMs = 10000L)
+      val q = joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("sess"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        var i = 0
+        while (i < batches) {
+          val base = 1700000000000L + i * 60000L
+          val t0 = System.nanoTime()
+          left.addData((0 until keys).map(k =>
+            (k.toLong, new java.sql.Timestamp(base + (k % 7) * 1000L), s"l$i")))
+          right.addData((0 until keys).map(k =>
+            (k.toLong, new java.sql.Timestamp(base + 2000L + (k % 5) * 1000L), s"r$i")))
+          q.processAllAvailable()
+          progressLine("stream_session_join_20k", i, (System.nanoTime() - t0) / 1e9, q)
+          i += 1
+        }
+      } finally q.stop()
+    }
+
+    // ---- streaming near-dup candidates with bucket TTL ---------------
+    // ~5k docs per batch; every 10th doc reuses an earlier text, so
+    // real candidates flow every batch. Texts are word sequences (the
+    // 3-shingle pipeline needs >= 3 tokens); event time advances 10
+    // minutes per batch against a 25-minute bucket TTL, so buckets
+    // older than ~3 batches must leave state via their timers.
+    locally {
+      val perBatch = 5000
+      val docs = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val cands = graft.streaming.Streams.nearDupCandidates(
+        docs.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+        maxPerBucket = 16, tsCol = Some("ts"), watermark = "5 minutes",
+        bucketTtlMs = 25 * 60 * 1000L)
+      val q = cands.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("ndup"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        var i = 0
+        while (i < batches) {
+          val base = 1700000000000L + i * 600000L
+          val t0 = System.nanoTime()
+          docs.addData((0 until perBatch).map { j =>
+            val gid = i.toLong * perBatch + j
+            // every 10th doc duplicates the text family of doc j-1
+            val seed = if (j % 10 == 0 && j > 0) gid - 1 else gid
+            val words = (0 until 12).map(w => s"w${(seed * 31 + w * 7) % 997}")
+            (gid, words.mkString(" "), new java.sql.Timestamp(base + (j % 60) * 1000L))
+          })
+          q.processAllAvailable()
+          progressLine("stream_neardup_5k", i, (System.nanoTime() - t0) / 1e9, q)
+          i += 1
+        }
+      } finally q.stop()
+    }
+
+    // Halt, not stop: same RocksDB native-teardown guard as Bench.
+    Console.out.flush()
+    Runtime.getRuntime.halt(0)
+  }
+}
