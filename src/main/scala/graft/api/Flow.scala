@@ -67,6 +67,28 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
     }.toMap
   }
 
+  /** [[split]] with Column predicates — the pushdown-friendly variant:
+    * each output filters the shared source with a Catalyst expression,
+    * so the tag's own predicate reaches the scan RAW (PushedFilters —
+    * wrapping it null-safe would block parquet filter translation,
+    * measured in FlowSpec), evaluation is codegen'd, and the
+    * O(k)-lambda-calls-per-row cost of the typed variant disappears
+    * into one fused conjunction. First-match routing is enforced the
+    * same way: output i keeps rows matching tag i and none of the
+    * earlier tags, where "matching" is three-valued-safe — an earlier
+    * tag whose predicate is NULL counts as not-matched (`<=> true`),
+    * and a NULL own-predicate routes the row nowhere (filter keeps
+    * only TRUE), so no element ever lands in two outputs. */
+  def splitCols(tags: (String, org.apache.spark.sql.Column)*): Map[String, Flow[T]] = {
+    import org.apache.spark.sql.functions.lit
+    require(tags.map(_._1).distinct.size == tags.size, "splitCols: duplicate tag names")
+    tags.zipWithIndex.map { case ((name, p), i) =>
+      val notEarlier = tags.take(i).map { case (_, q) => !(q <=> lit(true)) }
+      val full = notEarlier.foldLeft(p)(_ && _)
+      name -> new Flow(ds.filter(full))
+    }.toMap
+  }
+
   /** S6 sinks. Batch parquet sink; `print` ≙ reference's print() sink. */
   def sinkParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
 

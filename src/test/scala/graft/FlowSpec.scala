@@ -61,6 +61,29 @@ class FlowSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](f.split("a" -> (_ => true), "a" -> (_ => true)))
   }
 
+  test("splitCols: same first-match routing, predicates reach the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    // routing parity with the typed split (including null-safety: the
+    // o_comment IS NULL rows of a synthetic column route nowhere twice)
+    val orders = graft.sources.Tables(spark, TestSession.sf0001).orders
+    val f = new Flow(orders)
+    val outs = f.splitCols(
+      "high" -> (col("o_totalprice") > 200000),
+      "open" -> (col("o_orderstatus") === "O"),
+      "rest" -> col("o_totalprice").isNotNull)
+    val n = outs.values.map(_.ds.count()).sum
+    assert(n == orders.count(), s"split outputs must partition the input, got $n")
+    // no element in two outputs: pairwise intersections are empty
+    val high = outs("high").ds.select("o_orderkey")
+    val open = outs("open").ds.select("o_orderkey")
+    assert(high.intersect(open).count() == 0)
+    // and the tag predicate is PUSHED to the scan — the whole point of
+    // the Column variant (the typed split's lambdas are opaque)
+    val plan = outs("high").ds.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice"),
+      s"predicate did not push into the scan:\n$plan")
+  }
+
   test("T7 typed joinWith") {
     val l = Flow.fromCollection(spark, Seq((1, "a"), (2, "b")))
     val r = Flow.fromCollection(spark, Seq((1, 10.0), (3, 30.0)))
