@@ -346,12 +346,70 @@ object Streams {
       initial: Option[Dataset[((K, Long), (Long, Double))]] = None)(
       implicit kw: Encoder[(K, Long)], st: Encoder[(Long, Double)],
       out: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] = {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
     require(widthMs > 0, "tumblingAggTws: widthMs must be positive")
     val keyed = ds.withWatermark("_2", watermark)
       .groupByKey(r => (r._1, Math.floorDiv(r._2.getTime, widthMs) * widthMs))
+    windowedCountSumTws[K, (K, java.sql.Timestamp, Double)](
+      keyed, _._3, widthMs, initial)
+  }
+
+  /** Sliding-window twin of [[tumblingAggTws]] — the other built-in
+    * windowed aggregation without an initial-state overload. Each row
+    * is assigned to every window covering it (width/slide windows, the
+    * same expansion `groupBy(window(ts, w, s))` performs internally),
+    * then the shared per-(key, window-start) count+sum processor
+    * finalizes each window by event-time timer. State exported from a
+    * built-in sliding agg decodes with [[importWindowedCountSum]]
+    * unchanged (identical layout: key = (window struct, key), value =
+    * the (count, sum) buffer) and seeds this twin — W7e spec proves
+    * the continuation matches an uninterrupted run.
+    *
+    * Scale shape: input amplification is width/slide (a constant the
+    * user chose), after which cost is identical to the tumbling twin —
+    * state is O(open windows × keys), hash-partitioned, each entry
+    * touched per covering row and once at finalization. */
+  def slidingAggTws[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)],
+      watermark: String, widthMs: Long, slideMs: Long,
+      initial: Option[Dataset[((K, Long), (Long, Double))]] = None)(
+      implicit kw: Encoder[(K, Long)], st: Encoder[(Long, Double)],
+      rw: Encoder[(K, java.sql.Timestamp, Double, Long)],
+      out: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] = {
+    require(widthMs > 0 && slideMs > 0 && slideMs <= widthMs,
+      "slidingAggTws: need 0 < slideMs <= widthMs")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    // assign covering windows DECLARATIVELY (explode keeps the
+    // watermark tag on ts; a typed flatMap would drop it): window
+    // starts s = i·slide with t − width < s <= t
+    val t = unix_millis(col("_2"))
+    val exploded = ds.withWatermark("_2", watermark)
+      .withColumn("__wi", explode(sequence(
+        floor((t - lit(widthMs)).cast("double") / slideMs).cast("long") + 1,
+        floor(t.cast("double") / slideMs).cast("long"))))
+      .select(col("_1"), col("_2"), col("_3"), (col("__wi") * slideMs).as("__ws"))
+      .as[(K, java.sql.Timestamp, Double, Long)]
+    val keyed = exploded.groupByKey(r => (r._1, r._4))
+    windowedCountSumTws[K, (K, java.sql.Timestamp, Double, Long)](
+      keyed, _._3, widthMs, initial)
+  }
+
+  /** Shared (count, sum) windowed-aggregate processor on
+    * transformWithState behind [[tumblingAggTws]]/[[slidingAggTws]]:
+    * per-(key, window-start) ValueState accumulates, the event-time
+    * timer at window end emits the finalized row (append-mode parity
+    * with the built-in aggregates), rows for watermark-closed windows
+    * are dropped (the W4 contract), and `initial` seeds imported
+    * state ([[importWindowedCountSum]]). */
+  private def windowedCountSumTws[K, R](
+      keyed: org.apache.spark.sql.KeyValueGroupedDataset[(K, Long), R],
+      value: R => Double, widthMs: Long,
+      initial: Option[Dataset[((K, Long), (Long, Double))]])(
+      implicit kw: Encoder[(K, Long)], st: Encoder[(Long, Double)],
+      out: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
     val proc = new StatefulProcessorWithInitialState[
-        (K, Long), (K, java.sql.Timestamp, Double), (K, Long, Long, Double), (Long, Double)] {
+        (K, Long), R, (K, Long, Long, Double), (Long, Double)] {
       @transient private var acc: ValueState[(Long, Double)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         acc = getHandle.getValueState[(Long, Double)]("acc", st, TTLConfig.NONE)
@@ -360,8 +418,7 @@ object Streams {
         acc.update(s)
         getHandle.registerTimer(k._2 + widthMs)
       }
-      override def handleInputRows(k: (K, Long),
-                                   rows: Iterator[(K, java.sql.Timestamp, Double)],
+      override def handleInputRows(k: (K, Long), rows: Iterator[R],
                                    tv: TimerValues): Iterator[(K, Long, Long, Double)] = {
         val end = k._2 + widthMs
         // late-data contract: the built-in aggregate evicts a window's
@@ -370,7 +427,7 @@ object Streams {
         if (end <= tv.getCurrentWatermarkInMs()) Iterator.empty
         else {
           var (c, s) = if (acc.exists()) acc.get() else (0L, 0.0)
-          rows.foreach { r => c += 1; s += r._3 }
+          rows.foreach { r => c += 1; s += value(r) }
           acc.update((c, s))
           // same expiry per (key, window) every time — re-registration
           // of an existing timer is a no-op, so this is idempotent
@@ -734,6 +791,25 @@ object Streams {
     raw.select(col("key"), value.as("value"))
       .map(r => decode(r.getStruct(0), r.getStruct(1)))
   }
+
+  /** Decode an [[exportState]] parquet of a BUILT-IN tumbling-window
+    * count+sum aggregation (`groupBy(window(ts, w), key).agg(count,
+    * sum)`) into the ((key, window-start ms), (cnt, sum)) Dataset that
+    * seeds [[tumblingAggTws]] — the windowed half of the savepoint
+    * import, packaged so callers need not know the operator's state
+    * layout (key = (window struct, key col) in groupBy order; value =
+    * the (count, sum) aggregation buffer, stored keyless under state
+    * format version 2). The W7d spec proves the full path: export a
+    * built-in windowed agg mid-accumulation, seed the TWS twin, and
+    * the continuation matches an uninterrupted run. */
+  def importWindowedCountSum[K: Encoder](
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      implicit kw: Encoder[(K, Long)], st: Encoder[(Long, Double)],
+      e: Encoder[((K, Long), (Long, Double))]): Dataset[((K, Long), (Long, Double))] =
+    importState[(K, Long), (Long, Double)](spark, path) { (k, v) =>
+      ((k.getAs[K](1), k.getStruct(0).getTimestamp(0).getTime),
+       (v.getLong(0), v.getDouble(1)))
+    }
 
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */

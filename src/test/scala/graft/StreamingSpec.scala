@@ -468,14 +468,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       val prefixEmitted = builtinRows(qn("wtws_prefix"))
       val exported = tmp("wtws-export")
       Streams.exportState(spark, ckptA, exported)
-      // decode the built-in aggregate's state layout: key =
-      // (window struct(start,end), k) in groupBy order; value = the
-      // aggregation buffer (count, sum) — stateFormatVersion 2 stores
-      // the buffer without the key columns
-      val initial = Streams.importState[(String, Long), (Long, Double)](spark, exported) {
-        (k, v) => ((k.getString(1), k.getStruct(0).getTimestamp(0).getTime),
-                   (v.getLong(0), v.getDouble(1)))
-      }
+      // the library helper owns the built-in aggregate's state layout
+      val initial = Streams.importWindowedCountSum[String](spark, exported)
       // the export holds only the OPEN windows ([10,20) and [20,30));
       // the finalized-and-evicted [00,10) window must not leak in
       val seeded = initial.collect().toMap
@@ -504,6 +498,77 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // partial (ts 25 from b2) with b3's ts-22 row — cnt 2, not 1
       assert(contRows.contains(("x", ts(20).getTime, 2L, 24.0)),
         s"mid-window state did not carry across the import: $contRows")
+    } finally {
+      saved match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => Engine.useDefaultStateStore(spark)
+      }
+    }
+  }
+
+  test("W7e sliding-window savepoint import: built-in sliding state seeds the TWS twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Engine.useRocksDBStateStore(spark)
+    try {
+      val widthMs = 10L * 60 * 1000
+      val slideMs = 5L * 60 * 1000 // each event covers 2 windows
+      val b1 = Seq((ts(1), "x", 1.0), (ts(5), "x", 2.0), (ts(3), "y", 10.0))
+      val b2 = Seq((ts(12), "x", 4.0), (ts(14), "y", 20.0), (ts(25), "x", 8.0))
+      val b3 = Seq((ts(22), "x", 16.0), (ts(27), "y", 40.0), (ts(45), "z", 0.0))
+
+      def runBuiltin(name: String, ckpt: String, batches: Seq[Seq[(Timestamp, String, Double)]]): Unit = {
+        val in = MemoryStream[(Timestamp, String, Double)]
+        val agg = Streams.slidingAgg(in.toDF().toDF("ts", "k", "v"),
+          "ts", "10 minutes", "10 minutes", "5 minutes", Seq("k"),
+          Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      def builtinRows(name: String): Set[(String, Long, Long, Double)] =
+        spark.table(name).collect().map { r =>
+          val w = r.getStruct(0)
+          (r.getString(1), w.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3))
+        }.toSet
+
+      runBuiltin(qn("wtwe_full"), tmp("wtwe-full-ckpt"), Seq(b1, b2, b3))
+      val full = builtinRows(qn("wtwe_full"))
+      val ckptA = tmp("wtwe-a-ckpt")
+      runBuiltin(qn("wtwe_prefix"), ckptA, Seq(b1, b2))
+      val prefixEmitted = builtinRows(qn("wtwe_prefix"))
+      val exported = tmp("wtwe-export")
+      Streams.exportState(spark, ckptA, exported)
+      // the sliding agg's state layout is identical to the tumbling
+      // one's — the SAME import helper decodes it
+      val initial = Streams.importWindowedCountSum[String](spark, exported)
+
+      val inB = MemoryStream[(String, Timestamp, Double)]
+      val cont = Streams.slidingAggTws[String](
+        inB.toDS(), "10 minutes", widthMs, slideMs, initial = Some(initial))
+      val qB = cont.toDF("k", "window_start", "cnt", "sum_v")
+        .writeStream.format("memory").queryName(qn("wtwe_cont"))
+        .option("checkpointLocation", tmp("wtwe-b-ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        inB.addData(b3.map { case (t, k, v) => (k, t, v) })
+        qB.processAllAvailable()
+      } finally qB.stop()
+      val contRows = spark.table(qn("wtwe_cont")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+      assert(prefixEmitted ++ contRows == full,
+        s"sliding continuation diverged:\n prefix $prefixEmitted\n cont $contRows\n full $full")
+      // carry is real: [20,30) x combines the imported ts-25 partial
+      // (b2) with b3's ts-22 row (cnt 2, not 1), and [25,35) x is
+      // finalized from the PURELY imported partial (no b3 rows) —
+      // both only possible if the import seeded state
+      assert(contRows.contains(("x", ts(20).getTime, 2L, 24.0)) &&
+             contRows.contains(("x", ts(25).getTime, 1L, 8.0)),
+        s"mid-window state did not carry across the sliding import: $contRows")
     } finally {
       saved match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
