@@ -369,28 +369,9 @@ object Multimodal {
     * order via the ImageReader index API — the same API a real video
     * demuxer exposes (seek by frame index), which is why
     * [[videoFrameStats]]'s sampling runs against it unchanged. */
-  def decodeGifFrames(content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
-    System.setProperty("java.awt.headless", "true")
-    scala.util.Try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(content))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val r = readers.next()
-          if (!r.getFormatName.equalsIgnoreCase("gif")) None
-          else {
-            r.setInput(iis)
-            val n = r.getNumImages(true)
-            val frames = (0 until n).map(r.read)
-            r.dispose()
-            Some(frames)
-          }
-        }
-      } finally iis.close()
-    }.toOption.flatten
-  }
+  def decodeGifFrames(content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    decodeGifSampled(content, stride = 1, maxFrames = Int.MaxValue)
+      .map { case (_, frames) => frames.map(_._2) }
 
   /** Decode ONLY the sampled frames of a (possibly animated) GIF:
     * every `stride`-th frame index up to `maxFrames` of them, via

@@ -385,12 +385,19 @@ object TextQueries {
   // and BpeSpec asserts that freshness). ENCODING with a fixed merge
   // table IS SQL-expressible: greedy lowest-rank merging equals
   // applying merges in rank order (a later merge can only create
-  // pairs of later rank), and one rank applied to fixpoint with
-  // non-overlapping left-to-right replace() equals Bpe.applyMerge's
-  // single left-to-right pass. The recursive CTE walks each DISTINCT
-  // word through the ranks (advancing only when replace() is a
-  // no-op) over a chr(31)-delimited symbol string (corpus is ASCII;
-  // chr(31) never occurs in it — asserted in BpeSpec).
+  // pairs of later rank), and ONE non-overlapping left-to-right
+  // replace() per rank equals Bpe.applyMerge's single pass — BECAUSE
+  // each symbol is bracketed chr(31)·s·chr(30), so adjacent pair
+  // occurrences share no characters (a single-delimiter encoding
+  // breaks on self-merges: for pair (a,a) over 'aaaaa' the shared
+  // middle separator makes replace() skip-match [aa,a,aa] where
+  // applyMerge gives [aa,aa,a]). One pass also suffices per rank:
+  // merging (a,b) can never create a new adjacent (a,b) — the merged
+  // symbol 'ab' is a different symbol — so nothing is left for a
+  // second pass, same reason encodeWord's re-scan finds nothing.
+  // The recursive CTE walks each DISTINCT word through the ranks
+  // (exactly numMerges steps); corpus is ASCII and chr(30)/chr(31)
+  // never occur in it — asserted in BpeSpec.
   // bench=false: the query re-trains its merge table each run, which
   // times the training loop, not a steady-state operator.
   private val bpe = QueryDef("txt_bpe", Some(
@@ -402,19 +409,20 @@ object TextQueries {
       |          FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
       |          WHERE w <> ''),
       |init AS (SELECT w, 0 AS rank,
-      |                chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS sym
+      |                list_aggregate(list_transform(str_split(w, ''),
+      |                  c -> chr(31) || c || chr(30)), 'string_agg', '') AS sym
       |         FROM words),
       |enc AS (
       |  SELECT w, rank, sym FROM init
       |  UNION ALL
-      |  SELECT e.w,
-      |         CASE WHEN replace(e.sym, chr(31) || m.a || chr(31) || m.b || chr(31),
-      |                            chr(31) || m.a || m.b || chr(31)) = e.sym
-      |              THEN e.rank + 1 ELSE e.rank END,
-      |         replace(e.sym, chr(31) || m.a || chr(31) || m.b || chr(31),
-      |                 chr(31) || m.a || m.b || chr(31))
+      |  SELECT e.w, e.rank + 1,
+      |         replace(e.sym,
+      |                 chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+      |                 chr(31) || m.a || m.b || chr(30))
       |  FROM enc e JOIN m ON m.rank = e.rank),
-      |toks AS (SELECT w, list_filter(str_split(sym, chr(31)), x -> x <> '') AS wt
+      |toks AS (SELECT w,
+      |                list_filter(list_transform(str_split(sym, chr(31)),
+      |                  x -> replace(x, chr(30), '')), x -> x <> '') AS wt
       |         FROM enc, nm WHERE rank = nm.n),
       |docw AS (SELECT doc_id, unnest(lst) AS w,
       |                unnest(range(1, len(lst) + 1)) AS ord
@@ -424,10 +432,11 @@ object TextQueries {
       |per_doc AS (SELECT d.doc_id, flatten(list(t.wt ORDER BY d.ord)) AS all_toks
       |            FROM docw d JOIN toks t ON t.w = d.w
       |            GROUP BY d.doc_id)
-      |SELECT doc_id,
-      |       cast(len(all_toks) AS INT) AS n_bpe_tokens,
-      |       array_to_string(all_toks[1:8], '|') AS bpe_preview
-      |FROM per_doc""".stripMargin), bench = false) { (spark, dir) =>
+      |SELECT doc.doc_id,
+      |       coalesce(cast(len(p.all_toks) AS INT), 0) AS n_bpe_tokens,
+      |       coalesce(array_to_string(p.all_toks[1:8], '|'), '') AS bpe_preview
+      |FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id""".stripMargin),
+    bench = false) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
     val merges = graft.ops.Bpe.train(docs, "text", numMerges = 60, minWordFreq = 2)
     graft.ops.Bpe.encode(docs, "doc_id", "text", merges)

@@ -24,6 +24,17 @@ object ExportBpeMerges {
     val spark = graft.Engine.session("export-bpe-merges", "8")
     val docs = graft.sources.Tables(spark, sfDir).documents
     val merges = graft.ops.Bpe.train(docs, "text", numMerges = 60, minWordFreq = 2)
+    // the fixture is written unquoted and parsed by a plain split on
+    // both sides (DuckDB read_csv with a fixed 3-column schema;
+    // BpeSpec's staleness check) — fail LOUDLY if the corpus ever
+    // evolves symbols that would silently corrupt either parse or the
+    // oracle's chr(30)/chr(31) symbol brackets
+    merges.foreach { case (a, b) =>
+      val bad = "\",\n\r"
+      require(!(a + b).exists(bad.contains(_)),
+        s"merge symbol needs CSV quoting or clashes with the oracle delimiters: ($a,$b) — " +
+          "teach ExportBpeMerges/BpeSpec/the txt_bpe oracle proper escaping first")
+    }
     val f = new java.io.File(out)
     Option(f.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(f, "UTF-8")

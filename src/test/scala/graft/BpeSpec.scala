@@ -126,10 +126,11 @@ class BpeSpec extends AnyFunSuite {
     } finally src.close()
     assert(committed == live,
       "fixtures/bpe_merges_sf001.csv is stale — rerun graft.tools.ExportBpeMerges")
-    // the oracle's symbol delimiter must not occur in the corpus
-    import org.apache.spark.sql.functions._
-    val hits = docs.filter(col("text").contains("\u001f")).count()
-    assert(hits == 0, s"chr(31) appears in $hits documents — oracle delimiter unsafe")
+    // the oracle's symbol brackets (chr(31) open, chr(30) close) must
+    // not occur in the corpus
+    val hits = docs.filter(col("text").contains("\u001f")
+      || col("text").contains("\u001e")).count()
+    assert(hits == 0, s"chr(30)/chr(31) appear in $hits documents — oracle delimiters unsafe")
   }
 
   test("merged tokens shrink the sequence (compression actually happens)") {
