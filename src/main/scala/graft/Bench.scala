@@ -117,7 +117,14 @@ object Bench {
       try {
         quiesce()
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
-        record(q.name, (0 until runs).map(_ => timeIt(materialize(q.run(spark, sfDir)))), warm)
+        // quiesce between samples too, not just between queries: a run's
+        // unreferenced blocks (localCheckpoints, broadcasts) are freed by
+        // the ContextCleaner only after a GC, so without this the LAST
+        // sample of a heavy query pays the first two samples' garbage
+        // (gr_pagerank r04: 11s min, 58s max)
+        record(q.name, (0 until runs).map { _ =>
+          quiesce(); timeIt(materialize(q.run(spark, sfDir)))
+        }, warm)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -157,7 +164,46 @@ object Bench {
       "\"" + k + "\":[" + r3(ts.min) + "," + r3(median(ts)) + "," + r3(ts.max) + "]"
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"sf":"$sfDir"}""")
+    // The harness records only the LAST 2000 chars of stdout and parses the
+    // final JSON line out of that tail. 134 query entries (~3KB) never fit —
+    // every prior round's artifact ended up `parsed: null`. So: full fidelity
+    // (all medians + min/med/max dispersion) goes to BENCH_FULL.json in the
+    // repo root, and stdout gets ONE compact line whose `queries` map is a
+    // fixed headline subset, budget-capped well under the tail window.
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // Family-representative subset, most-informative first; the budget cap
+    // (not the list length) is what guarantees the line fits even if names
+    // grow. ~55 entries * ~22 chars ≈ 1.2KB, leaving room for the sbt
+    // "[success] Total time" line that shares the 2000-char tail.
+    val headline: Seq[String] =
+      Seq("w2_stream_ingest", "w2_stream_ingest_rocksdb", "wordcount") ++
+        (1 to 22).map(i => s"tpch_q$i") ++
+        Seq(
+          "q1_project", "q2_filter", "q3_agg", "q4_join", "q5_broadcast_join",
+          "q6_topk", "q7_union", "q8_window", "q9_rollup", "q10_dedup",
+          "q11_array", "q12_count_distinct", "q_histogram", "ev_sessionize",
+          "ev_grouped_topk", "ev_asof", "e1_minhash_lsh", "e1_dup_spans",
+          "e1_cluster_rep", "e2_knn_brute", "e2_ann_topk", "e2_ivf_topk",
+          "e3_nb_classifier", "txt_tfidf", "txt_keywords", "mm_pixels",
+          "pk_sequence_pack", "mx_temperature", "gr_pagerank",
+          "q_scd2", "q_zorder", "txt_pii", "txt_normalize")
+    val budget = 1500 // chars for the headline `queries` map body
+    val headEntries = scala.collection.mutable.ListBuffer[String]()
+    var used = 0
+    headline.foreach { k =>
+      results.get(k).foreach { v =>
+        val e = "\"" + k + "\":" + r3(v)
+        if (used + e.length + 1 <= budget) { headEntries += e; used += e.length + 1 }
+      }
+    }
+    val headQs = headEntries.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     Console.out.flush()
     // Halt, don't exit: RocksDB's native teardown runs during session
     // stop / JVM shutdown hooks, and a native std::bad_alloc there turns

@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.Fnv64].getName, "fnv64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Fnv64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNorm].getName, "unicode_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val form = children.lift(1) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) if v != null =>
+            v.toString
+          case None => "NFC"
+          case other => throw new IllegalArgumentException(
+            s"unicode_norm: form must be a string literal, got $other")
+        }
+        graft.functions.UnicodeNorm(children.head, form)
+      }))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)

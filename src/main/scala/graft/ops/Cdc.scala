@@ -67,14 +67,43 @@ object Cdc {
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
         measures.map(m =>
-          sum(round(col(m) * unit).cast("long")).as(s"sum_$m")): _*)
+          sum(round(col(m) * unit).cast("long")).as(s"sum_$m", scaleMeta(scale))): _*)
   }
+
+  /** Column-metadata stamp carrying the snapshot's fixed-point scale, so
+    * refresh/view can verify they were handed a snapshot in the units
+    * they are about to combine with, instead of trusting every caller to
+    * repeat the same default. */
+  private val ScaleKey = "graft.cdc.scale"
+  private def scaleMeta(scale: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder().putLong(ScaleKey, scale.toLong).build()
+
+  /** Guard against silently combining mismatched units: a snapshot from
+    * the old DOUBLE-based aggSnapshot (or any non-LONG source) would
+    * type-coerce through `coalesce + delta` into plausible-looking but
+    * wrong sums, and a snapshot built at a different `scale` would be
+    * off by powers of 10. Column metadata survives parquet round-trips,
+    * so a persisted snapshot keeps its stamp; snapshots assembled by
+    * hand (no stamp) are only checked for the LONG type. */
+  private def requireSnapshotScale(snapshot: DataFrame, measures: Seq[String],
+                                   scale: Int, op: String): Unit =
+    measures.foreach { m =>
+      val f = snapshot.schema(s"sum_$m")
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"Cdc.$op: sum_$m is ${f.dataType.simpleString}, expected LONG fixed-point " +
+          "(was this snapshot built by aggSnapshot?)")
+      if (f.metadata.contains(ScaleKey))
+        require(f.metadata.getLong(ScaleKey) == scale.toLong,
+          s"Cdc.$op: snapshot sum_$m was built at scale=${f.metadata.getLong(ScaleKey)} " +
+            s"but scale=$scale was passed — combining them would be off by powers of 10")
+    }
 
   /** Presentation view of an [[aggSnapshot]]: fixed-point LONG sums
     * divided back to doubles. The snapshot itself stays exact — only
     * read through this, never write it back. */
   def aggView(snapshot: DataFrame, measures: Seq[String],
               scale: Int = 2): DataFrame = {
+    requireSnapshotScale(snapshot, measures, scale, "aggView")
     val unit = math.pow(10, scale)
     measures.foldLeft(snapshot)((d, m) =>
       d.withColumn(s"sum_$m", col(s"sum_$m") / unit))
@@ -99,6 +128,7 @@ object Cdc {
                             keyCols: Seq[String], opCol: String,
                             measures: Seq[String], scale: Int = 2): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefresh: empty key")
+    requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefresh")
     val unit = math.pow(10, scale)
     val d = delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col(opCol)).as("__dc"),
@@ -109,8 +139,53 @@ object Cdc {
         Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt")) ++
         measures.map(m =>
           (coalesce(col(s"sum_$m"), lit(0L)) + coalesce(col(s"__ds_$m"), lit(0L)))
-            .as(s"sum_$m"))).toIndexedSeq: _*)
+            .as(s"sum_$m", scaleMeta(scale)))).toIndexedSeq: _*)
       .filter(col("cnt") > 0)
+  }
+
+  /** Build an SCD-2 (type-2 slowly-changing-dimension) history from a
+    * change stream: every change row becomes a version whose validity
+    * interval is [its own `orderCols.head`, the key's NEXT change)
+    * — `valid_to` NULL and `is_current` true on the latest version.
+    * The dimension-table idiom behind "what did this customer's record
+    * say when the order shipped" point-in-time joins, and the durable
+    * form of [[mergeUpsert]]'s history that upserts throw away.
+    *
+    * `orderCols` must be a deterministic total order per key (ties
+    * would make version boundaries ambiguous — pass a tiebreaker
+    * column, e.g. the change's own id, after the event time).
+    *
+    * Scale shape: one window over (key, order) — a single hash shuffle
+    * on the key, the same exchange any per-key history operation pays;
+    * no self-join, nothing driver-side. */
+  def scd2Build(changes: DataFrame, keyCols: Seq[String],
+                orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.scd2Build: empty key")
+    require(orderCols.nonEmpty, "Cdc.scd2Build: empty ordering")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    changes
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Incrementally apply a change batch to an existing [[scd2Build]]
+    * dimension: versions of untouched keys pass through UNREAD beyond
+    * one anti-join probe; only touched keys' histories are re-versioned
+    * (their old rows + the new changes re-run through [[scd2Build]]) —
+    * so a day's delta against a 100 TB dimension costs one scan plus
+    * O(|touched histories|), with the (tiny) change-key set broadcast
+    * by default, same regime switch as [[mergeUpsert]]. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                orderCols: Seq[String], broadcastKeys: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.scd2Apply: empty key")
+    val keySet = changes.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val bc: DataFrame = if (broadcastKeys) broadcast(keySet) else keySet
+    val untouched = dim.join(bc, keyCols, "left_anti")
+    val touchedHistory = dim.join(bc, keyCols, "left_semi")
+      .drop("valid_to", "is_current")
+    untouched.unionByName(
+      scd2Build(touchedHistory.unionByName(changes), keyCols, orderCols))
   }
 
   /** Snapshot diff: classify every key across two corpus versions as

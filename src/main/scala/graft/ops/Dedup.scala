@@ -465,10 +465,6 @@ object Dedup {
       if (broadcastBatch) df => broadcast(df) else identity
     val cands = bandedSlices(index, idCol, "corpus_id")
       .join(maybeBc(bandedSlices(bIdx, idCol, "batch_id")), Seq("band", "slice"))
-      // a doc present in BOTH the index and the batch (same id) would
-      // otherwise return itself as a jaccard-1.0 "near-dup"; id spaces
-      // may overlap in re-ingest scenarios, so exclude self-pairs here
-      .filter(col("corpus_id") =!= col("batch_id"))
       .select("corpus_id", "batch_id")
       .distinct()
     cands
@@ -478,9 +474,19 @@ object Dedup {
       .select(col("corpus_id"), col("batch_id"), col("set_a"), col("set_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .flatMap { case (a, b, sa, sb) =>
-        val c = intersectCount(sa, sb)
-        val u = sa.length + sb.length - c
-        if (u > 0 && c.toDouble / u >= threshold) Some((a, b, c.toDouble / u)) else None
+        // Self-pair exclusion: a doc present in BOTH the index and the
+        // batch would return itself as a jaccard-1.0 "near-dup". But raw
+        // id equality alone is NOT identity when id spaces overlap across
+        // re-ingests (the scenario this path serves), so a pair is dropped
+        // only when the id match is corroborated by identical shingle
+        // sets — a colliding id over DIFFERENT content stays a genuine
+        // candidate instead of a silent false negative.
+        if (a == b && java.util.Arrays.equals(sa, sb)) None
+        else {
+          val c = intersectCount(sa, sb)
+          val u = sa.length + sb.length - c
+          if (u > 0 && c.toDouble / u >= threshold) Some((a, b, c.toDouble / u)) else None
+        }
       }
       .toDF("corpus_id", "batch_id", "jaccard")
   }
@@ -671,6 +677,10 @@ object Dedup {
         .distinct().localCheckpoint()
       converged = ss.count() == cur.count() &&
         ss.exceptAll(cur).limit(1).count() == 0
+      // the superseded round's edge blocks are dead now (ss is eagerly
+      // materialized and the convergence probe above was the last read)
+      // — release them instead of pinning O(rounds) block sets
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(cur)
       cur = ss
       rounds += 1
     }
@@ -736,18 +746,32 @@ object Dedup {
         .join(labels.select(col("node"), col("comp").as("old")), "node")
         .filter(col("comp") =!= col("old"))
         .limit(1).count() == 0
+      // superseded label vector: next is materialized, convergence probe
+      // was its last read — release rather than pin O(rounds) block sets
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
       // component diameter exceeds the propagation budget: a long-chain
       // graph where one-hop-per-round would crawl. Star contraction
       // finishes in O(log n) rounds on exactly these graphs. Seed it
       // with the already-materialized symmetric edge set — re-deriving
       // from `edges` would re-execute the whole upstream pipeline (LSH
       // candidate join etc.) that `sym`'s localCheckpoint cut off.
-      connectedComponentsStar(sym, "a", "b", maxIter)
-    else labels
+      val out = connectedComponentsStar(sym, "a", "b", maxIter)
+      // star ran to completion (driver-side loop): its result is its own
+      // checkpointed fixed point, so the seed edges and the abandoned
+      // propagation labels are both dead
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(sym)
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
+      out
+    } else {
+      // the returned labels are checkpointed (self-contained); the edge
+      // materialization served its last join
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(sym)
+      labels
+    }
   }
 
   // ---- Winnowing --------------------------------------------------------

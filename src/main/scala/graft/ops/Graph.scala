@@ -59,13 +59,22 @@ object Graph {
     var it = 0
     while (it < iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
-      ranks = es.join(r, es("src") === r("node"))
+      val next = es.join(r, es("src") === r("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node")
         .agg((lit(base) + lit(damping) * sum("c")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: `next` is fully materialized here
+      // release the superseded round's blocks NOW instead of waiting for
+      // the ContextCleaner: otherwise every round pins another |V|-row
+      // block set and a multi-sample bench accumulates iters× that —
+      // measured as the 11s→58s dispersion escalation in BENCH_r04.
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(ranks)
+      ranks = next
       it += 1
     }
+    // the edge materialization served its iters joins; the returned rank
+    // vector is self-contained (lineage-truncated, own blocks)
+    org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(es)
     ranks
   }
 }

@@ -382,6 +382,11 @@ object Multimodal {
     * payload has no GIF reader. */
   def decodeGifSampled(content: Array[Byte], stride: Int, maxFrames: Int)
       : Option[(Int, IndexedSeq[(Int, java.awt.image.BufferedImage)])] = {
+    // outside the Try: stride=0 would throw ArithmeticException inside it,
+    // which toOption turns into None — indistinguishable from "payload has
+    // no GIF reader", silently dropping every record instead of failing
+    require(stride >= 1, s"decodeGifSampled: stride must be >= 1, got $stride")
+    require(maxFrames >= 1, s"decodeGifSampled: maxFrames must be >= 1, got $maxFrames")
     System.setProperty("java.awt.headless", "true")
     scala.util.Try {
       val iis = javax.imageio.ImageIO.createImageInputStream(

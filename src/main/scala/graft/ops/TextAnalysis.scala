@@ -250,4 +250,46 @@ object TextAnalysis {
       size(regexp_extract_all(afterIp, lit(CardRe), lit(0))) +
       size(regexp_extract_all(afterCard, lit(PhoneRe), lit(0)))
   }
+
+  /** The RE2-expressible subset of [[redactPii]]: email → IPv4 → card,
+    * in the same staged order, but WITHOUT the phone pass (its
+    * lookaround guards have no RE2 equivalent, so an external engine
+    * could not replay it). This is the oracle-checked chain — DuckDB
+    * replays these three patterns verbatim; the phone stage on top is
+    * spec-covered instead. */
+  def redactPiiPortable(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, CardRe, "<CARD>")
+  }
+
+  /** Per-stage match counts for [[redactPiiPortable]] (same staged
+    * evaluation: each pattern counted on the previous stage's output). */
+  def piiCountPortable(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))),
+      size(regexp_extract_all(afterIp, lit(CardRe), lit(0))))
+  }
+
+  /** The DuckDB-syntax regexes for the portable PII chain, exposed so
+    * the oracle SQL is built from the SAME source of truth as the Spark
+    * expression (a drift between the two is a correctness bug, not a
+    * tuning choice). Java and RE2 agree on these subsets. */
+  object PiiPatterns {
+    val email: String = EmailRe
+    val ipv4: String = Ipv4Re
+    val card: String = CardRe
+  }
+
+  /** Unicode normalization of a string column via the codegen'd
+    * [[graft.functions.UnicodeNorm]] expression. Run this BEFORE any
+    * hash-based dedup/fingerprinting: composed and decomposed forms of
+    * the same text must collapse to one representation or every
+    * accent-bearing near-duplicate silently escapes the dedup net. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.UnicodeNorm(
+        org.apache.spark.sql.graftshim.Shim.expression(text), form))
 }

@@ -728,10 +728,53 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
   }
 
+  // SCD-2 dimension build (Cdc.scd2Build): every order is a "change"
+  // to its customer's record; versions get [own date, next change)
+  // validity with (o_orderdate, o_orderkey) as the deterministic
+  // per-key total order. One window over one hash shuffle on the key.
+  private val qScd2 = QueryDef("q_scd2", Some(
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       lead(o_orderdate) OVER w AS valid_to,
+      |       lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)) {
+    (spark, dir) =>
+      graft.ops.Cdc.scd2Build(
+        Tables(spark, dir).orders
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+  }
+
+  // Z-order (Morton) clustering key (Layout.zvalue2): the multi-dim
+  // layout primitive for scan pruning at 100 TB. The oracle replays
+  // the bit interleave with unrolled shift/mask arithmetic — the same
+  // pure-integer computation, so the hash check covers every row's
+  // 16-bit z-value exactly.
+  private val qZorder = {
+    val zBits = 8
+    val zSql = (0 until zBits).map(i =>
+      s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    QueryDef("q_zorder", Some(
+      s"""WITH t AS (SELECT o_orderkey,
+         |                  o_orderkey % 256 AS a,
+         |                  CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS b
+         |           FROM orders)
+         |SELECT o_orderkey, a, b, CAST($zSql AS BIGINT) AS zval
+         |FROM t""".stripMargin)) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 256).as("a"),
+          (floor(col("o_totalprice") / 2000).cast("long") % 256).as("b"))
+        .select(col("o_orderkey"), col("a"), col("b"),
+          graft.ops.Layout.zvalue2(col("a"), col("b"), zBits).as("zval"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qHist)
+    qIncr, qHist, qScd2, qZorder)
 }

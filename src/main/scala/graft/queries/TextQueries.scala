@@ -400,8 +400,14 @@ object TextQueries {
   // never occur in it — asserted in BpeSpec.
   // bench=false: the query re-trains its merge table each run, which
   // times the training loop, not a steady-state operator.
+  // Fixture path resolved from the JVM's cwd (the repo root under sbt) at
+  // QueryDef-build time, so the oracle SQL the harness dumps carries the
+  // right absolute path for ANY checkout location instead of a hardcoded
+  // /root/repo.
+  private val bpeMergesPath =
+    new java.io.File("fixtures/bpe_merges_sf001.csv").getAbsolutePath
   private val bpe = QueryDef("txt_bpe", Some(
-    """WITH RECURSIVE m AS (SELECT rank, a, b FROM read_csv('/root/repo/fixtures/bpe_merges_sf001.csv',
+    s"""WITH RECURSIVE m AS (SELECT rank, a, b FROM read_csv('$bpeMergesPath',
       |             header = true,
       |             columns = {'rank': 'INTEGER', 'a': 'VARCHAR', 'b': 'VARCHAR'})),
       |nm AS (SELECT count(*) AS n FROM m),
@@ -554,7 +560,70 @@ object TextQueries {
       Seq("spark", "table value", "fast key", "scan slow", "agg", "row"))
   }
 
+  // PII redaction — the scrub pass before publishing training text.
+  // The corpus is synthetic prose, so each doc gets a deterministic
+  // PII-bearing suffix (derived from doc_id on BOTH sides) and the
+  // oracle replays the identical staged regexp chain. Patterns come
+  // from TextAnalysis.PiiPatterns — ONE source of truth, RE2∩Java
+  // compatible (the lookaround phone stage is spec-only; see
+  // redactPiiPortable). DuckDB regexp_replace needs the 'g' flag —
+  // Spark's is global by default.
+  private val pii = {
+    import graft.ops.TextAnalysis.PiiPatterns
+    QueryDef("txt_pii", Some(
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com via 10.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+         |  '.7 card 4242-4242-4242-4242 done' AS raw
+         |  FROM documents),
+         |s AS (SELECT doc_id, raw,
+         |  regexp_replace(raw, '${PiiPatterns.email}', '<EMAIL>', 'g') AS after_email
+         |  FROM t),
+         |s2 AS (SELECT doc_id, raw, after_email,
+         |  regexp_replace(after_email, '${PiiPatterns.ipv4}', '<IP>', 'g') AS after_ip
+         |  FROM s)
+         |SELECT doc_id,
+         |  regexp_replace(after_ip, '${PiiPatterns.card}', '<CARD>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(raw, '${PiiPatterns.email}')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(after_email, '${PiiPatterns.ipv4}')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(after_ip, '${PiiPatterns.card}')) AS INT) AS n_card
+         |FROM s2""".stripMargin)) { (spark, dir) =>
+      val raw = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com via 10.0."),
+        (col("doc_id") % 250).cast("string"),
+        lit(".7 card 4242-4242-4242-4242 done"))
+      val (nEmail, nIp, nCard) = piiCountPortable(raw)
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        redactPiiPortable(raw).as("redacted"),
+        nEmail.as("n_email"), nIp.as("n_ip"), nCard.as("n_card"))
+    }
+  }
+
+  // Unicode normalization via the codegen'd unicode_norm expression.
+  // The corpus is ASCII, so each doc gets a suffix mixing DECOMPOSED
+  // combining sequences (e + U+0301, i + U+0308 — NFC composes them,
+  // so len_norm < len_raw proves real composition) with an
+  // already-precomposed é (NFC idempotence) — both sides append the
+  // SAME constant and the oracle uses DuckDB's nfc_normalize. NFKC
+  // (ligature expansion etc.) has no DuckDB equivalent and is
+  // spec-covered instead.
+  private val NormSuffix = " café naïve café"
+  private val normalize = QueryDef("txt_normalize", Some(
+    s"""SELECT doc_id,
+       |       nfc_normalize(text || '$NormSuffix') AS norm,
+       |       CAST(length(text || '$NormSuffix') AS INT) AS len_raw,
+       |       CAST(length(nfc_normalize(text || '$NormSuffix')) AS INT) AS len_norm
+       |FROM documents""".stripMargin)) { (spark, dir) =>
+    val raw = concat(col("text"), lit(NormSuffix))
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      normalizeUnicode(raw).as("norm"),
+      length(raw).as("len_raw"),
+      length(normalizeUnicode(raw)).as("len_norm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier, bpe, dsir, gopher, keywordTags)
+    clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize)
 }

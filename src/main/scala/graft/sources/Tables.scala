@@ -27,16 +27,26 @@ final class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** `events` is written with parquet TIMESTAMP(NANOS); Spark reads it as
-    * a long (nanos since epoch) under `nanosAsLong`. DuckDB (the oracle)
-    * truncates TIMESTAMP(NANOS) to µs on read, so the engine contract for
-    * event time is microsecond precision: `ts_ns` is µs-truncated nanos
-    * (exact integer arithmetic), `ts` the equivalent `timestamp_ntz`. */
+  /** The engine contract for event time is microsecond precision:
+    * `ts_ns` is µs-truncated nanos-since-epoch (exact integer
+    * arithmetic), `ts` the equivalent `timestamp_ntz` — regardless of
+    * how the generator wrote the column. Two generator layouts exist:
+    * TIMESTAMP(NANOS) (rounds ≤4; Spark reads it as a nanos LONG under
+    * `nanosAsLong`, DuckDB truncates it to µs on read) and
+    * TIMESTAMP(MICROS) (round 5+; both engines read it natively). Both
+    * normalize to the same two columns, so every downstream query and
+    * oracle is layout-independent. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events")
-      .withColumn("ts_ns", expr("(ts div 1000) * 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts_ns", expr("(ts div 1000) * 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => // TIMESTAMP(MICROS), ntz; session TZ is UTC so the cast is exact
+        raw.withColumn("ts_ns", expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   def all: Map[String, DataFrame] = Map(

@@ -22,6 +22,18 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Unpersist the block-manager storage behind a localCheckpoint'd
+    * Dataset. `Dataset.unpersist` only knows the cache manager, so the
+    * RDD blocks a localCheckpoint pinned are otherwise freed only when
+    * the ContextCleaner GCs the reference — an iterative operator that
+    * checkpoints per round must release superseded rounds itself or its
+    * block-manager footprint grows linearly with iterations. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Task-side page size for spillable sorters (private[spark] on SparkEnv). */
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes

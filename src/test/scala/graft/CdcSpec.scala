@@ -156,6 +156,90 @@ class CdcSpec extends AnyFunSuite {
     assert(reborn == Seq(("a", 1L, 975L)))
   }
 
+  test("refresh/view reject a snapshot whose units don't match") {
+    val base = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val delta = Seq(("a", 3.0, 1)).toDF("k", "v", "op")
+    // scale stamped at snapshot time != scale passed to refresh/view
+    val snap4 = Cdc.aggSnapshot(base, Seq("k"), Seq("v"), scale = 4)
+    val e1 = intercept[IllegalArgumentException](
+      Cdc.incrementalAggRefresh(snap4, delta, Seq("k"), "op", Seq("v"), scale = 2))
+    assert(e1.getMessage.contains("scale=4"))
+    val e2 = intercept[IllegalArgumentException](Cdc.aggView(snap4, Seq("v"), scale = 2))
+    assert(e2.getMessage.contains("scale=4"))
+    // a double-typed snapshot (the pre-fixed-point layout) is refused
+    // outright instead of silently type-coercing into wrong sums
+    val doubleSnap = base.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+    val e3 = intercept[IllegalArgumentException](
+      Cdc.incrementalAggRefresh(doubleSnap, delta, Seq("k"), "op", Seq("v")))
+    assert(e3.getMessage.contains("LONG"))
+  }
+
+  test("scale stamp survives refresh chaining and a parquet round-trip") {
+    val base = Seq(("a", 1.0)).toDF("k", "v")
+    val delta = Seq(("a", 3.0, 1)).toDF("k", "v", "op")
+    val snap = Cdc.aggSnapshot(base, Seq("k"), Seq("v"), scale = 3)
+    val once = Cdc.incrementalAggRefresh(snap, delta, Seq("k"), "op", Seq("v"), scale = 3)
+    // chained refresh re-checks the stamp the previous refresh re-stamped
+    val twice = Cdc.incrementalAggRefresh(once, delta, Seq("k"), "op", Seq("v"), scale = 3)
+    assert(twice.as[(String, Long, Long)].collect().toSeq == Seq(("a", 3L, 7000L)))
+    // and a persisted snapshot keeps its units across the parquet boundary
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-snap").toString
+    try {
+      once.write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      val e = intercept[IllegalArgumentException](
+        Cdc.incrementalAggRefresh(reloaded, delta, Seq("k"), "op", Seq("v"), scale = 2))
+      assert(e.getMessage.contains("scale=3"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("scd2Build: validity intervals chain per key; latest version is current") {
+    val changes = Seq(
+      (1L, "2024-01-01", "bronze"),
+      (1L, "2024-03-01", "silver"),
+      (1L, "2024-06-01", "gold"),
+      (2L, "2024-02-01", "bronze")
+    ).toDF("k", "ts", "tier")
+    val got = Cdc.scd2Build(changes, Seq("k"), Seq("ts"))
+      .orderBy("k", "ts")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", "bronze", Some("2024-03-01"), false),
+      (1L, "2024-03-01", "silver", Some("2024-06-01"), false),
+      (1L, "2024-06-01", "gold", None, true),
+      (2L, "2024-02-01", "bronze", None, true)))
+  }
+
+  test("scd2Apply == full rebuild; untouched keys pass through; change keys broadcast") {
+    val initial = Seq(
+      (1L, "2024-01-01", "bronze"), (1L, "2024-03-01", "silver"),
+      (2L, "2024-02-01", "bronze"), (3L, "2024-04-01", "gold")
+    ).toDF("k", "ts", "tier")
+    val dim = Cdc.scd2Build(initial, Seq("k"), Seq("ts"))
+    // touch keys 1 (new version: closes the current 'silver') and 9 (new key);
+    // a backdated change for key 2 must re-thread that key's history too
+    val batch = Seq(
+      (1L, "2024-08-01", "gold"),
+      (2L, "2024-01-15", "trial"),
+      (9L, "2024-07-01", "bronze")
+    ).toDF("k", "ts", "tier")
+    val applied = Cdc.scd2Apply(dim, batch, Seq("k"), Seq("ts"))
+      .orderBy("k", "ts")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSeq
+    val rebuilt = Cdc.scd2Build(initial.unionByName(batch), Seq("k"), Seq("ts"))
+      .orderBy("k", "ts")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSeq
+    assert(applied == rebuilt, s"incremental apply diverged:\n$applied\nvs\n$rebuilt")
+    // backdated insert correctly became key 2's FIRST version, closed by the old one
+    assert(applied.contains((2L, "2024-01-15", "trial", Some("2024-02-01"), false)))
+    // plan: the change-key set reaches the dimension via broadcast joins
+    val plan = Cdc.scd2Apply(dim, batch, Seq("k"), Seq("ts"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"change keys not broadcast:\n$plan")
+  }
+
   test("snapshot side is not shuffled: anti-join broadcasts the change keys") {
     val changes = Seq((2L, "b2", 21.0, 1L, false)).toDF("k", "v", "x", "seq", "del")
     val plan = Cdc.mergeUpsert(target, changes, Seq("k"), "seq", "del")

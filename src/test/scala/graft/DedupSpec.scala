@@ -400,6 +400,28 @@ class DedupSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("incremental LSH: id collision drops true self-pairs but keeps near-dups with different content") {
+    import spark.implicits._
+    // re-ingest scenario: the batch's id space overlaps the corpus's.
+    // corpus 1 / batch 1: identical content -> true self-pair, excluded.
+    // corpus 3 / batch 3: same id but DIFFERENT (near-dup) content -> a
+    // genuine candidate that an id-only filter would silently lose.
+    val setA = (1L to 10L).toArray
+    val setA2 = setA.dropRight(1) :+ 11L // jaccard 9/11 with A
+    val setX = (101L to 110L).toArray
+    val setXv = setX.dropRight(1) :+ 111L
+    val corpus = Seq((1L, setA), (3L, setX)).toDF("doc_id", "sh")
+    val batch = Seq((1L, setA), (2L, setA2), (3L, setXv)).toDF("doc_id", "sh")
+    val index = Dedup.buildLshIndex(corpus, "doc_id", "sh")
+    val got = Dedup.nearDupsAgainstIndex(index, batch, "doc_id", "sh", 0.5)
+      .select("corpus_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 1L)), "identical-content self-pair must be excluded")
+    assert(got.contains((3L, 3L)),
+      "id-colliding near-dup with different content must be reported")
+    assert(got.contains((1L, 2L)), "ordinary cross-id near-dup must be reported")
+  }
+
   test("dedupSegments keeps first corpus occurrence, reassembles in order") {
     import spark.implicits._
     // doc 1: [a b, c d]; doc 2 repeats "a b" (stolen by doc 1) and adds

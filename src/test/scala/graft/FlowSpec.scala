@@ -109,6 +109,12 @@ class FlowSpec extends AnyFunSuite {
     val got = Multimodal.videoFrameStats(ds, stride = 2, maxFrames = 2)
       .collect().map(v => (v.frame_idx, v.n_frames)).toSet
     assert(got == Set((0, 6), (2, 6)))
+    // misuse fails loudly instead of silently decoding to None: stride=0
+    // used to throw ArithmeticException inside the Try -> records dropped
+    intercept[IllegalArgumentException](
+      Multimodal.decodeGifSampled(bytes, stride = 0, maxFrames = 2))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeGifSampled(bytes, stride = 1, maxFrames = 0))
   }
 
   test("multimodal resize stub shrinks payload, keeps record shape") {

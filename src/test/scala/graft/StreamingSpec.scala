@@ -101,6 +101,29 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("E1-stream exact dedup within the watermark horizon (dedupStream)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val dd = Streams.dedupStream(
+      in.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", Seq("id"))
+    val q = dd.writeStream.format("memory").queryName(qn("dedup"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L, "a"), (ts(2), 1L, "a-dup"), (ts(3), 2L, "b"))
+      q.processAllAvailable()
+      // same key in a later batch, still inside the horizon -> suppressed
+      in.addData((ts(5), 1L, "a-again")); q.processAllAvailable()
+      // advance the watermark far past id=1's state, then re-emit it:
+      // state was evicted, so the key is accepted again (the horizon
+      // contract — bounded state, not global dedup)
+      in.addData((ts(120), 9L, "advance")); q.processAllAvailable()
+      in.addData((ts(125), 1L, "a-new-epoch")); q.processAllAvailable()
+      val vs = spark.table(qn("dedup")).select("v").collect().map(_.getString(0)).toSet
+      assert(vs == Set("a", "b", "advance", "a-new-epoch"), s"got $vs")
+    } finally q.stop()
+  }
+
   test("W3 sliding window: each event lands in width/slide windows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
