@@ -35,6 +35,59 @@ object Layout {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Hilbert-curve index of (a, b) over a 2^bits × 2^bits grid — the
+    * stronger locality alternative to [[zvalue2]]: consecutive Hilbert
+    * indices are ALWAYS grid-adjacent (Manhattan distance 1), where the
+    * Morton curve jumps across the space at power-of-two boundaries, so
+    * range-partitioning by Hilbert index gives each output file a
+    * tighter (a, b) box and therefore better row-group pruning for box
+    * predicates. Implemented as the native codegen'd
+    * [[graft.functions.Hilbert2]] expression (the walk is a loop with
+    * coordinate swaps — `Column` case-when composition would duplicate
+    * sub-expressions 4^bits-fold; see the expression's scaladoc).
+    * LayoutSpec pins the adjacency invariant (every consecutive index
+    * pair is one grid step) — the property Morton provably lacks.
+    *
+    * Values are masked into [0, 2^bits) like [[zvalue2]]; pre-bucket
+    * wide domains so the low bits carry the locality. */
+  def hilbert2(a: Column, b: Column, bits: Int = 8): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.Hilbert2(
+        org.apache.spark.sql.graftshim.Shim.expression(a.cast("long")),
+        org.apache.spark.sql.graftshim.Shim.expression(b.cast("long")), bits))
+
+  /** The same xy→d walk emitted as SQL (one chained CTE per level) so an
+    * external engine can replay [[hilbert2]] bit-for-bit — the oracle
+    * and the Column expression are generated from ONE algorithm
+    * description, eliminating drift between engine and checker.
+    * `src` must provide columns `a`, `b` (pre-masked domain) plus
+    * `keyCols`; returns a query yielding keyCols + a, b, hkey. */
+    def hilbert2Sql(src: String, keyCols: Seq[String], bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val keys = keyCols.mkString(", ")
+    val levels = (0 until bits).map(i => 1L << (bits - 1 - i))
+    val ctes = new StringBuilder(
+      s"WITH lvl0 AS (SELECT $keys, a & $mask AS x, b & $mask AS y, CAST(0 AS BIGINT) AS d FROM $src)")
+    levels.zipWithIndex.foreach { case (s, i) =>
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      // flips only happen in the ry=0 quadrants (then x/y swap); ry=1
+      // leaves both coordinates untouched — same walk as the Column
+      // version's fx/fy/nx/ny
+      ctes.append(
+        s""",
+           |lvl${i + 1} AS (SELECT $keys,
+           |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END)
+           |       ELSE x END AS x,
+           |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END)
+           |       ELSE y END AS y,
+           |  d + ${s * s} * xor(3 * $rx, $ry) AS d
+           |  FROM lvl$i)""".stripMargin)
+    }
+    ctes.append(s"\nSELECT $keys, CAST(d AS BIGINT) AS hkey FROM lvl$bits")
+    ctes.toString
+  }
+
   /** Write `df` z-ordered on (a, b) into `nFiles` range-partitioned
     * parquet files. repartitionByRange samples z-value boundaries (no
     * full sort shuffle beyond the one range exchange); within each

@@ -55,4 +55,36 @@ object Sketches {
       .limit(k)
       .select("token", "exact_cnt", "cms_est")
   }
+
+  // ---- Mergeable HLL sketch rollup --------------------------------------
+  //
+  // The 100 TB pattern for distinct counting: you cannot afford to
+  // re-scan history to answer "distinct users this month", so each
+  // partition/day materializes a BINARY HyperLogLog sketch once, and any
+  // later query merges the stored sketches (register-wise max — exact
+  // associative/commutative algebra, order-insensitive) instead of
+  // touching rows. Built on Spark's Datasketches-backed hll_sketch_agg /
+  // hll_union_agg / hll_sketch_estimate builtins; SketchesSpec pins the
+  // contract that makes rollups trustworthy: estimate(merge(parts)) ==
+  // estimate(whole) EXACTLY (same registers), not merely approximately.
+
+  /** One HLL sketch per `keyCols` group over `col`'s values, as a
+    * binary column `hll` — the pre-aggregated, parquet-storable unit of
+    * an incremental distinct-count pipeline. `lgK` trades 2^lgK
+    * registers for accuracy (±~1.04/sqrt(2^lgK)). */
+  def hllPartials(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Merge stored [[hllPartials]] sketches UP a hierarchy (e.g. day →
+    * month): register-wise union per `keyCols` group, plus the
+    * estimate. Touches only |sketches| rows — never the base table. */
+  def hllRollup(partials: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (keyCols.isEmpty) partials.groupBy()
+      else partials.groupBy(keyCols.map(col).toIndexedSeq: _*)
+    grouped.agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
+      .withColumn("distinct_est", hll_sketch_estimate(col("hll")))
+  }
 }

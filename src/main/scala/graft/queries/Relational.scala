@@ -771,10 +771,31 @@ object Relational {
     }
   }
 
+  // Hilbert-curve clustering key (Layout.hilbert2): the tighter-locality
+  // alternative to q_zorder. The oracle SQL is EMITTED BY THE SAME
+  // generator as the Column expression (Layout.hilbert2Sql — one
+  // algorithm description, two backends), so engine and checker cannot
+  // drift; the hash check covers every row's full 16-bit walk including
+  // all eight levels of quadrant rotation.
+  private val qHilbert = QueryDef("q_hilbert", Some(
+    graft.ops.Layout.hilbert2Sql(
+      src = """(SELECT o_orderkey,
+              |        o_orderkey % 256 AS a,
+              |        CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS b
+              | FROM orders) t""".stripMargin,
+      keyCols = Seq("o_orderkey", "a", "b"), bits = 8))) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 256).as("a"),
+        (floor(col("o_totalprice") / 2000).cast("long") % 256).as("b"))
+      .select(col("o_orderkey"), col("a"), col("b"),
+        graft.ops.Layout.hilbert2(col("a"), col("b"), 8).as("hkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qHist, qScd2, qZorder)
+    qIncr, qHist, qScd2, qZorder, qHilbert)
 }

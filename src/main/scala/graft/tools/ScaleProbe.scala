@@ -380,6 +380,65 @@ object ScaleProbe {
         }.toDF("doc_id", "keyword", "n")
     }
 
+    // SCD-2 at 20x orders (~300k changes, ~30k keys): the BUILD is one
+    // window shuffle on the key — linear. The steady-state number is
+    // the APPLY: a ~1.5k-row change batch against the built dimension
+    // must cost one dim scan + O(|touched histories|), with the change
+    // keys broadcast — NOT a re-window of the whole dimension.
+    lazy val scd2Dim = graft.ops.Cdc.scd2Build(
+      o20.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+      Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    stage("scd2_build_20x") { scd2Dim }
+    val scd2DimMat = if (only.forall(_.contains("scd2_apply_20x")))
+      scd2Dim.localCheckpoint() else null
+    stage("scd2_apply_20x") {
+      val batch = o20.filter(col("o_orderkey") % 199 === 0)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("o_orderkey", -col("o_orderkey")) // new change rows
+      graft.ops.Cdc.scd2Apply(scd2DimMat, batch,
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    }
+
+    // Z-order layout at 20x lineitem (~12M rows): the write pays one
+    // range exchange + in-partition sort; the payoff probe reads a
+    // two-dimensional point-box predicate against the z-ordered layout
+    // vs the naive one — parquet row-group stats must prune MOST of
+    // the z-ordered files' row groups for a predicate on EITHER
+    // dimension, which an l_partkey-sorted or unsorted layout can't do
+    // for l_suppkey.
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    stage("zorder_write_12m") {
+      graft.ops.Layout.writeZOrdered(
+        l20.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+        s"$zdir/z", col("l_partkey"), col("l_suppkey"), nFiles = 64)
+      spark.read.parquet(s"$zdir/z").limit(1)
+    }
+    stage("plain_write_12m") {
+      l20.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$zdir/plain")
+      spark.read.parquet(s"$zdir/plain").limit(1)
+    }
+    def boxScan(path: String) = spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 120) && col("l_suppkey").between(10, 20))
+      .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+    stage("zorder_box_scan") { boxScan(s"$zdir/z") }
+    stage("plain_box_scan") { boxScan(s"$zdir/plain") }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir))
+
+    // PII scrub + unicode normalization at 20x docs: both are narrow
+    // codegen'd passes (staged regexp chain; unicode_norm with the
+    // isNormalized fast path over the mostly-ASCII corpus) — cost must
+    // track bytes scanned, linearly, with zero shuffle.
+    stage("pii_redact_20x") {
+      docs20.select(col("doc_id"),
+        graft.ops.TextAnalysis.redactPii(col("text")).as("redacted"))
+    }
+    stage("unicode_norm_20x") {
+      docs20.select(col("doc_id"),
+        graft.ops.TextAnalysis.normalizeUnicode(col("text")).as("norm"))
+    }
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for

@@ -21,6 +21,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(r == Seq(0L, 1L, 2L, 39L))
   }
 
+  test("hilbert2 walks every cell exactly once with unit steps (adjacency invariant)") {
+    import spark.implicits._
+    // full 16x16 grid through the Column expression; the curve must be a
+    // bijection onto 0..255 AND every consecutive index pair must be
+    // Manhattan-distance-1 apart — the locality property Morton lacks
+    // (zvalue2 jumps e.g. from (1,0)->(0,1) are fine but (3,1)->(0,2)
+    // crosses the space)
+    val cells = spark.range(256)
+      .select((col("id") % 16).as("a"), (col("id") / 16).cast("long").as("b"))
+      .select(col("a"), col("b"), Layout.hilbert2(col("a"), col("b"), 4).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L).toSeq, "not a bijection onto 0..255")
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (h2, (x2, y2))) =>
+      val dist = math.abs(x1 - x2) + math.abs(y1 - y2)
+      assert(dist == 1, s"curve jump at index $h2: ($x1,$y1)->($x2,$y2)")
+    }
+    // contrast: Morton provably violates adjacency (the 2x2-block seam)
+    val mort = spark.range(256)
+      .select((col("id") % 16).as("a"), (col("id") / 16).cast("long").as("b"))
+      .select(col("a"), col("b"), Layout.zvalue2(col("a"), col("b"), 4).as("z"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    val mortonJumps = mort.sliding(2).count { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(mortonJumps > 0, "expected Morton to have non-adjacent steps")
+  }
+
   test("z-order layout narrows per-file stat spans on both dimensions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
