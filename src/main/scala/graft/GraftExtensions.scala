@@ -41,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.UnicodeNorm(children.head, form)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert2"),
+      new ExpressionInfo(classOf[graft.functions.Hilbert2].getName, "hilbert2"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val bits = children.lift(2) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) if v != null =>
+            v.toString.toInt
+          case None => 8
+          case other => throw new IllegalArgumentException(
+            s"hilbert2: bits must be an integer literal, got $other")
+        }
+        graft.functions.Hilbert2(children(0), children(1), bits)
+      }))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * NULL in, NULL out. Inputs are masked into [0, 2^bits).
   */
 case class Hilbert2(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   require(bits >= 1 && bits <= 31, s"hilbert2: bits must be in [1,31], got $bits")
 

@@ -129,6 +129,46 @@ object Layout {
     nFiles.toLong
   }
 
+  /** Build a file-level min/max stats index over a parquet directory:
+    * one row per (file, indexed column) with its min and max — the
+    * manifest a lakehouse table format keeps, as a plain DataFrame you
+    * can persist next to the data. One scan builds it; after that,
+    * [[readPruned]] answers box predicates by consulting the (tiny)
+    * index instead of opening every file's footer. On a 100 TB table
+    * the footer-listing pass itself is the bottleneck this removes —
+    * and it is what makes the [[writeZOrdered]]/[[hilbert2]] layouts
+    * pay off twice: clustered files have NARROW min/max spans, so the
+    * index prunes most of them for any box query. */
+  def statsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Layout.statsIndex: no columns")
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+  }
+
+  /** Read only the files whose [[statsIndex]] ranges intersect
+    * `[lo, hi]` boxes per column (`bounds`: col → (lo, hi)). The index
+    * is consulted driver-side (it is |files| rows — the driver already
+    * holds the file listing itself); unindexed columns simply don't
+    * prune. Row-level filtering is still the caller's job — this
+    * prunes FILES, the reader's row-group stats prune further. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, index: DataFrame,
+                 bounds: Map[String, (Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "Layout.readPruned: no bounds")
+    val keep = bounds.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      acc && col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }
+    val files = index.filter(keep).select("file")
+      .collect().map(_.getString(0))
+    if (files.isEmpty) {
+      // preserve schema on the empty result
+      val any = index.select("file").limit(1).collect().map(_.getString(0))
+      spark.read.parquet(any.toIndexedSeq: _*).limit(0)
+    } else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Save `df` as a bucketed+sorted catalog table: rows are
     * hash-clustered into `nBuckets` files by `bucketCol` at WRITE time,
     * so joins and aggregations on that key read the co-located layout

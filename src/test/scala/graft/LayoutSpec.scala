@@ -50,6 +50,15 @@ class LayoutSpec extends AnyFunSuite {
     assert(mortonJumps > 0, "expected Morton to have non-adjacent steps")
   }
 
+  test("hilbert2 is SQL-callable through GraftExtensions (bits literal, int coercion)") {
+    val got = spark.sql(
+      "SELECT hilbert2(a, b, 4) AS h FROM VALUES (3, 5), (0, 0) AS t(a, b)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(
+      graft.functions.Hilbert2.index(3, 5, 4),
+      graft.functions.Hilbert2.index(0, 0, 4)))
+  }
+
   test("z-order layout narrows per-file stat spans on both dimensions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
@@ -83,6 +92,33 @@ class LayoutSpec extends AnyFunSuite {
       d.filter(col("x").between(100, 150) && col("y").between(200, 250))
         .agg(count(lit(1))).collect().head.getLong(0)
     assert(box(spark.read.parquet(s"$dir/z")) == box(df))
+  }
+
+  test("statsIndex + readPruned: box query touches only intersecting files, same answer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-statsidx").toString
+    try {
+      val df = spark.range(100000).select(
+        pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1024L)).as("y"),
+        col("id"))
+      Layout.writeZOrdered(df, s"$dir/z", col("x"), col("y"), nFiles = 16, bits = 10)
+      val idx = Layout.statsIndex(spark, s"$dir/z", Seq("x", "y"))
+      assert(idx.count() == 16)
+      val bounds = Map("x" -> (100L, 150L), "y" -> (200L, 250L))
+      val pruned = Layout.readPruned(spark, idx, bounds)
+      // the z-ordered layout makes most files non-intersecting: the
+      // pruned read must open strictly fewer than all 16
+      val opened = pruned.select(input_file_name()).distinct().count()
+      assert(opened < 16, s"index pruned nothing: opened $opened files")
+      // and the box answer is identical to the full scan's
+      def box(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("x").between(100, 150) && col("y").between(200, 250))
+          .agg(count(lit(1))).collect().head.getLong(0)
+      assert(box(pruned) == box(df))
+      // a box outside the domain prunes every file and returns empty
+      assert(Layout.readPruned(spark, idx, Map("x" -> (5000L, 6000L))).count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("bucketed tables join without any shuffle") {
