@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Hilbert2(children(0), children(1), bits)
       }))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }

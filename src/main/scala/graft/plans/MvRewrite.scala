@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Aggregate-navigation (materialized-view rewrite) for maintained
+  * [[graft.ops.Cdc.aggSnapshot]] snapshots.
+  *
+  * The 100 TB pattern: the base fact table is petabytes, its (count,
+  * fixed-point sum) snapshot is kilobytes and kept current by
+  * [[graft.ops.Cdc.incrementalAggRefresh]] from the change feed. This
+  * optimizer rule makes ad-hoc queries benefit WITHOUT opting in:
+  * `base.groupBy(keys').agg(count/sum/avg(m))` for any `keys' ⊆ keys`
+  * is rewritten to aggregate the snapshot instead — `count(*)` becomes
+  * `sum(cnt)`, `sum(m)` becomes `sum(sum_m)/10^scale`, `avg(m)` the
+  * quotient — so the petabyte scan becomes a kilobyte one. Coarser
+  * groupings re-aggregate the snapshot (sums of sums are exact over
+  * the fixed-point LONGs, the property that makes navigation sound).
+  *
+  * Strictly conservative matching: the aggregate's child must be the
+  * registered base relation (through column-pruning Projects only — a
+  * Filter means the snapshot can't answer it), grouping must be a
+  * subset of the snapshot keys, and every aggregate must be
+  * count(*)/count(1)/sum(m)/avg(m) over snapshot measures. Anything
+  * else leaves the plan untouched. Output attribute ids/names are
+  * preserved, so the rewrite is invisible to downstream operators.
+  *
+  * Semantics note (documented, deliberate): sums come back as the
+  * snapshot's exact fixed-point total — summing the raw doubles in a
+  * different order can differ in final ULPs; the snapshot's answer is
+  * the order-independent one.
+  */
+object MvRewrite {
+
+  final case class Entry(rootPaths: Set[String], keys: Seq[String],
+                         measures: Seq[String], scale: Int,
+                         snapshotPath: String)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Register a maintained snapshot for `basePath`: queries aggregating
+    * the base over `keys` (or a subset) on `measures` will read the
+    * snapshot parquet at `snapshotPath` instead. The snapshot must be
+    * (re)written by the maintenance pipeline; this only records the
+    * mapping. */
+  def register(spark: SparkSession, basePath: String, keys: Seq[String],
+               measures: Seq[String], snapshotPath: String,
+               scale: Int = 2): Unit = {
+    val roots = rootPathsOf(spark.read.parquet(basePath).queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MvRewrite.register: $basePath is not a file-backed relation"))
+    entries.put(basePath, Entry(roots, keys, measures, scale, snapshotPath))
+  }
+
+  def unregister(basePath: String): Unit = entries.remove(basePath)
+  def clear(): Unit = entries.clear()
+
+  private def rootPathsOf(p: LogicalPlan): Option[Set[String]] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      rootPathsOf(child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private[plans] def lookup(child: LogicalPlan): Option[Entry] =
+    rootPathsOf(child).flatMap { roots =>
+      import scala.jdk.CollectionConverters._
+      entries.values().asScala.find(_.rootPaths == roots)
+    }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, results, child, _) =>
+      MvRewrite.lookup(child) match {
+        case Some(e) => rewrite(agg, groupings, results, e).getOrElse(agg)
+        case None => agg
+      }
+  }
+
+  /** Control-flow bail: any unanswerable shape aborts the rewrite and
+    * leaves the original plan untouched. */
+  private object Unanswerable extends scala.util.control.ControlThrowable
+
+  private def rewrite(orig: Aggregate, groupings: Seq[Expression],
+                      results: Seq[NamedExpression],
+                      e: MvRewrite.Entry): Option[LogicalPlan] = try {
+    // grouping must be plain key columns, a subset of the snapshot keys
+    val groupNames = groupings.map {
+      case a: AttributeReference => a.name
+      case _ => throw Unanswerable
+    }
+    if (!groupNames.forall(e.keys.contains)) throw Unanswerable
+
+    val spark = SparkSession.active
+    val snap = spark.read.parquet(e.snapshotPath).queryExecution.analyzed
+    def snapAttr(name: String): Attribute =
+      snap.output.find(_.name == name).getOrElse(throw Unanswerable)
+    val unit = math.pow(10, e.scale)
+
+    // the optimizer runs AFTER analysis: no implicit coercions happen
+    // anymore, so every type adjustment must be an explicit Cast
+    def sumOf(a: Attribute): Expression =
+      AggregateExpression(Sum(a), Complete, isDistinct = false)
+    def sumAsDouble(a: Attribute): Expression = Cast(sumOf(a), DoubleType)
+
+    // map each result expression onto the snapshot; bail on anything
+    // the snapshot can't answer exactly
+    val mapped: Seq[NamedExpression] = results.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(snapAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
+        Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
+          name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Sum(ar: AttributeReference, _), _, false, _, _), name)
+          if e.measures.contains(ar.name) =>
+        Alias(Divide(sumAsDouble(snapAttr(s"sum_${ar.name}")), Literal(unit)),
+          name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Average(ar: AttributeReference, _), _, false, _, _), name)
+          if e.measures.contains(ar.name) =>
+        Alias(Divide(Divide(sumAsDouble(snapAttr(s"sum_${ar.name}")), Literal(unit)),
+          sumAsDouble(snapAttr("cnt"))), name)(exprId = al.exprId)
+      case _ => throw Unanswerable
+    }
+    val snapGroupings = groupNames.map(snapAttr)
+    logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +
+      s"from snapshot ${e.snapshotPath}")
+    Some(Aggregate(snapGroupings, mapped, snap))
+  } catch { case Unanswerable => None }
+}
