@@ -634,6 +634,48 @@ object Streams {
     }
   }
 
+  /** Streaming incremental view maintenance: keep a
+    * [[graft.ops.Cdc.aggSnapshot]] current under a change STREAM (rows
+    * tagged `opCol` = +1 insert / −1 retract). Each microbatch is
+    * pre-aggregated to one row per touched key and merged into the
+    * latest snapshot via [[graft.ops.Cdc.incrementalAggRefresh]] —
+    * exact under retraction (fixed-point LONG sums) — and written as
+    * an immutable `targetDir/v=<batchId>` version, idempotent on
+    * replay exactly like [[upsertSink]].
+    *
+    * This is the streaming half of the MV story: the maintained
+    * snapshot is what [[graft.plans.MvRewrite]] serves ad-hoc
+    * aggregates from — register the base table against
+    * [[latestSnapshotPath]] and queries over the petabyte base read a
+    * kilobyte snapshot that trails the change stream by one
+    * microbatch. Per-batch cost is O(|delta| + |touched groups|); the
+    * base table is never rescanned. */
+  def aggSnapshotSink(changes: DataFrame, targetDir: String, checkpoint: String,
+                      keyCols: Seq[String], opCol: String,
+                      measures: Seq[String], scale: Int = 2): StreamingQuery =
+    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val versions = snapshotVersions(spark, targetDir)
+        .filter(_ < batchId) // replay must ignore its own failed attempt
+      val prev = versions.sorted.lastOption match {
+        case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+        case None => // empty snapshot with the right schema + scale stamp
+          graft.ops.Cdc.aggSnapshot(
+            batch.filter(org.apache.spark.sql.functions.lit(false)),
+            keyCols, measures, scale)
+      }
+      graft.ops.Cdc.incrementalAggRefresh(prev, batch, keyCols, opCol,
+          measures, scale)
+        .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+    }
+
+  /** Path of the latest committed snapshot version under `targetDir`
+    * (for [[graft.plans.MvRewrite.register]]). */
+  def latestSnapshotPath(spark: org.apache.spark.sql.SparkSession,
+                         targetDir: String): Option[String] =
+    snapshotVersions(spark, targetDir).sorted.lastOption
+      .map(v => s"$targetDir/v=$v")
+
   /** Latest [[upsertSink]] snapshot version in `targetDir` (none before
     * the first committed batch). */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,

@@ -869,6 +869,50 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6b streaming IVM: aggSnapshotSink maintains an exact snapshot that MvRewrite serves") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double, Int)] // k, v, op
+    val target = tmp("graft-ivm-tgt")
+    val q = Streams.aggSnapshotSink(in.toDF().toDF("k", "v", "op"),
+      target, tmp("graft-ivm-ck"), Seq("k"), "op", Seq("v"))
+    try {
+      // batch 0: inserts
+      in.addData(("a", 1.5, 1), ("a", 2.5, 1), ("b", 10.0, 1))
+      q.processAllAvailable()
+      val s0 = graft.ops.Cdc.aggView(
+          Streams.latestSnapshot(spark, target).get, Seq("v"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(s0 == Set(("a", 2L, 4.0), ("b", 1L, 10.0)))
+      // batch 1: retract one of a's rows, empty b entirely, new key c
+      in.addData(("a", 1.5, -1), ("b", 10.0, -1), ("c", 7.25, 1))
+      q.processAllAvailable()
+      val snap = Streams.latestSnapshot(spark, target).get
+      // the streamed snapshot equals a from-scratch rebuild of the net rows
+      val rebuilt = graft.ops.Cdc.aggSnapshot(
+        Seq(("a", 2.5), ("c", 7.25)).toDF("k", "v"), Seq("k"), Seq("v"))
+      assert(snap.orderBy("k").as[(String, Long, Long)].collect().toSeq ==
+        rebuilt.orderBy("k").as[(String, Long, Long)].collect().toSeq)
+
+      // ...and MvRewrite serves ad-hoc aggregates from it: write the net
+      // rows as the "base table", register the maintained snapshot
+      val baseDir = tmp("graft-ivm-base")
+      Seq(("a", 2.5), ("c", 7.25)).toDF("k", "v")
+        .write.mode("overwrite").parquet(baseDir)
+      val snapPath = Streams.latestSnapshotPath(spark, target).get
+      graft.plans.MvRewrite.register(spark, baseDir, Seq("k"), Seq("v"), snapPath)
+      try {
+        val query = spark.read.parquet(baseDir)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val plan = query.queryExecution.executedPlan.toString
+        assert(plan.contains(snapPath) && !plan.contains(baseDir),
+          s"MV not served from streamed snapshot:\n$plan")
+        assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+          Seq(("a", 1L, 2.5), ("c", 1L, 7.25)))
+      } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
