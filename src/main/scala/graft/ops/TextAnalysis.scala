@@ -283,6 +283,45 @@ object TextAnalysis {
     val card: String = CardRe
   }
 
+  // ---- URL canonicalization ---------------------------------------------
+  //
+  // Crawl pipelines dedup and join on URLs, but the same resource
+  // arrives as HTTPS://Example.COM/a?utm_source=x&id=3#frag and
+  // https://example.com/a?id=3. Canonicalization = lowercase
+  // scheme-authority, drop the fragment, and keep ONLY an allowlist of
+  // query params (rebuilt in allowlist order) — the allowlist design is
+  // what makes the transform pure regexp_extract/concat, portable to
+  // the DuckDB oracle verbatim (a general param-preserving rewrite
+  // needs backreferences, whose replacement syntax differs between
+  // Java ($1) and RE2 (\1)).
+
+  /** Lowercased host (authority) of a URL column; '' when not a URL. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
+  /** Path component ('' when absent); fragment and query excluded. */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  /** Value of query parameter `name` ('' when absent). */
+  def urlParam(url: Column, name: String): Column =
+    regexp_extract(url, s"[?&]${java.util.regex.Pattern.quote(name)}=([^&#]*)", 1)
+
+  /** Canonical form: https://host/path?allowlisted=params — tracking
+    * params (utm_* and anything else not allowlisted) and fragments
+    * vanish; params come back in allowlist order so equal resources
+    * compare equal. Absent params drop out cleanly (concat_ws skips
+    * NULLs — same semantics in DuckDB, keeping the oracle verbatim). */
+  def canonicalizeUrl(url: Column, keepParams: Seq[String] = Seq("id")): Column = {
+    val parts = keepParams.map { p =>
+      val v = urlParam(url, p)
+      when(v =!= "", concat(lit(s"$p="), v)).otherwise(lit(null))
+    }
+    val query = concat_ws("&", parts: _*)
+    concat(lit("https://"), urlHost(url), urlPath(url),
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
   /** Unicode normalization of a string column via the codegen'd
     * [[graft.functions.UnicodeNorm]] expression. Run this BEFORE any
     * hash-based dedup/fingerprinting: composed and decomposed forms of

@@ -623,7 +623,55 @@ object TextQueries {
       length(normalizeUnicode(raw)).as("len_norm"))
   }
 
+  // URL canonicalization — the crawl-pipeline normalize-before-dedup
+  // step. Each doc derives a messy URL (upper-case scheme/host, rotating
+  // tracking params, fragments) from doc_id on BOTH sides; the engine
+  // canonicalizes with the allowlist design (keep id + page — page never
+  // occurs, exercising absent-param dropout) and the oracle replays the
+  // identical regexp_extract/concat_ws pipeline.
+  private val urlCanon = QueryDef("txt_url", Some(
+    """WITH u AS (SELECT doc_id,
+      |  'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.COM/p/' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_medium=x'
+      |    WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&ref=abc'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS pid,
+      |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS ppage
+      |  FROM u),
+      |q AS (SELECT doc_id, host, path,
+      |  concat_ws('&',
+      |    CASE WHEN pid <> '' THEN 'id=' || pid ELSE NULL END,
+      |    CASE WHEN ppage <> '' THEN 'page=' || ppage ELSE NULL END) AS qs
+      |  FROM c)
+      |SELECT doc_id, host, path,
+      |  'https://' || host || path ||
+      |  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon
+      |FROM q""".stripMargin)) { (spark, dir) =>
+    val url = concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 50).cast("string"),
+      lit(".COM/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 97).cast("string"),
+          lit("&utm_medium=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 97).cast("string"), lit("&ref=abc")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#section")).otherwise(lit("")))
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      urlHost(url).as("host"),
+      urlPath(url).as("path"),
+      canonicalizeUrl(url, Seq("id", "page")).as("canon"))
+  }
+
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
-    clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize)
+    clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

@@ -439,6 +439,29 @@ object ScaleProbe {
         graft.ops.TextAnalysis.normalizeUnicode(col("text")).as("norm"))
     }
 
+    // Aggregate navigation at 12M rows: the SAME groupBy/agg over the
+    // fact parquet, answered (a) by scanning the fact, (b) from its
+    // 6-row maintained snapshot via MvRewrite — the measured gap is the
+    // whole point of incremental view maintenance, and it widens
+    // linearly with the base (at 100 TB it is the difference between a
+    // cluster-hour and a point lookup).
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-probe").toString
+    val mvCols = Seq("l_returnflag", "l_linestatus", "l_quantity")
+    l20.select(mvCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$mvDir/base")
+    def mvQuery() = spark.read.parquet(s"$mvDir/base")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    stage("mv_direct_12m") { mvQuery() }
+    graft.ops.Cdc.aggSnapshot(spark.read.parquet(s"$mvDir/base"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$mvDir/snap")
+    graft.plans.MvRewrite.register(spark, s"$mvDir/base",
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$mvDir/snap")
+    stage("mv_rewritten_12m") { mvQuery() }
+    graft.plans.MvRewrite.unregister(s"$mvDir/base")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvDir))
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for
