@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -23,12 +23,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * the fixed-point LONGs, the property that makes navigation sound).
   *
   * Strictly conservative matching: the aggregate's child must be the
-  * registered base relation (through column-pruning Projects only — a
-  * Filter means the snapshot can't answer it), grouping must be a
-  * subset of the snapshot keys, and every aggregate must be
-  * count(*)/count(1)/sum(m)/avg(m) over snapshot measures. Anything
-  * else leaves the plan untouched. Output attribute ids/names are
-  * preserved, so the rewrite is invisible to downstream operators.
+  * registered base relation through column-pruning Projects, plus at
+  * most deterministic Filters that reference ONLY snapshot keys (a
+  * key-only predicate selects whole groups, so it applies to the
+  * snapshot unchanged — `WHERE key = x GROUP BY …` is the bread-and-
+  * butter dashboard shape; any predicate touching a measure or other
+  * column disqualifies). Grouping must be a subset of the snapshot
+  * keys and every aggregate count(*)/count(1)/sum(m)/avg(m) over
+  * snapshot measures. Anything else leaves the plan untouched. Output
+  * attribute ids/names are preserved, so the rewrite is invisible to
+  * downstream operators.
   *
   * Semantics note (documented, deliberate): sums come back as the
   * snapshot's exact fixed-point total — summing the raw doubles in a
@@ -71,10 +75,28 @@ object MvRewrite {
     case _ => None
   }
 
-  private[plans] def lookup(child: LogicalPlan): Option[Entry] =
-    rootPathsOf(child).flatMap { roots =>
+  /** Descend through column-pruning Projects and DETERMINISTIC Filters
+    * to the base relation, collecting the filter conditions — whether
+    * those conditions are answerable (key-only) is decided later, once
+    * the matching registry entry is known. */
+  private def rootPathsAndFilters(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(Set[String], Seq[Expression])] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      rootPathsAndFilters(child, conds)
+    case Filter(cond, child) if cond.deterministic =>
+      rootPathsAndFilters(child, conds :+ cond)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some((fs.location.rootPaths.map(_.toString).toSet, conds))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private[plans] def lookup(child: LogicalPlan): Option[(Entry, Seq[Expression])] =
+    rootPathsAndFilters(child, Nil).flatMap { case (roots, conds) =>
       import scala.jdk.CollectionConverters._
-      entries.values().asScala.find(_.rootPaths == roots)
+      entries.values().asScala.find(_.rootPaths == roots).map((_, conds))
     }
 }
 
@@ -83,7 +105,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, results, child, _) =>
       MvRewrite.lookup(child) match {
-        case Some(e) => rewrite(agg, groupings, results, e).getOrElse(agg)
+        case Some((e, filters)) =>
+          rewrite(agg, groupings, results, e, filters).getOrElse(agg)
         case None => agg
       }
   }
@@ -94,13 +117,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
-                      e: MvRewrite.Entry): Option[LogicalPlan] = try {
+                      e: MvRewrite.Entry,
+                      filters: Seq[Expression]): Option[LogicalPlan] = try {
     // grouping must be plain key columns, a subset of the snapshot keys
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
       case _ => throw Unanswerable
     }
     if (!groupNames.forall(e.keys.contains)) throw Unanswerable
+    // filters are answerable only when they select WHOLE groups — i.e.
+    // reference nothing but snapshot keys
+    filters.foreach(_.references.foreach(a =>
+      if (!e.keys.contains(a.name)) throw Unanswerable))
 
     val spark = SparkSession.active
     val snap = spark.read.parquet(e.snapshotPath).queryExecution.analyzed
@@ -133,8 +161,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => throw Unanswerable
     }
     val snapGroupings = groupNames.map(snapAttr)
+    // replay key-only predicates against the snapshot's key columns
+    val snapChild = filters.foldLeft(snap) { (p, cond) =>
+      Filter(cond.transform { case a: AttributeReference => snapAttr(a.name) }, p)
+    }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +
       s"from snapshot ${e.snapshotPath}")
-    Some(Aggregate(snapGroupings, mapped, snap))
+    Some(Aggregate(snapGroupings, mapped, snapChild))
   } catch { case Unanswerable => None }
 }

@@ -652,7 +652,9 @@ object Streams {
     * base table is never rescanned. */
   def aggSnapshotSink(changes: DataFrame, targetDir: String, checkpoint: String,
                       keyCols: Seq[String], opCol: String,
-                      measures: Seq[String], scale: Int = 2): StreamingQuery =
+                      measures: Seq[String], scale: Int = 2,
+                      retainVersions: Int = 3): StreamingQuery = {
+    require(retainVersions >= 1, "aggSnapshotSink: must retain >= 1 version")
     toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir)
@@ -667,7 +669,19 @@ object Streams {
       graft.ops.Cdc.incrementalAggRefresh(prev, batch, keyCols, opCol,
           measures, scale)
         .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      // retention AFTER the new version commits: keep the newest
+      // `retainVersions` (including the one just written), drop the
+      // rest — a snapshot chain otherwise grows one full copy per
+      // microbatch forever. Replay safety is preserved: a replayed
+      // batch only needs its immediate predecessor, which is always
+      // within the retained window.
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
     }
+  }
 
   /** Path of the latest committed snapshot version under `targetDir`
     * (for [[graft.plans.MvRewrite.register]]). */

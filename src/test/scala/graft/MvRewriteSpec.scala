@@ -85,6 +85,27 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("key-only filters are replayed against the snapshot (filtered navigation)") {
+    withSnapshot { snapPath =>
+      val q = spark.read.parquet(basePath)
+        .filter(col("l_returnflag") === "A" && col("l_linestatus") =!= "Z")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      val plan = scansOf(q)
+      assert(plan.contains(snapPath) && !plan.contains("lineitem.parquet"),
+        s"key-filtered aggregate not navigated:\n$plan")
+      MvRewrite.unregister(basePath)
+      val want = spark.read.parquet(basePath)
+        .filter(col("l_returnflag") === "A" && col("l_linestatus") =!= "Z")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+        .orderBy("l_linestatus").as[(String, Long, Double)].collect().toSeq
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      val got = q.orderBy("l_linestatus").as[(String, Long, Double)].collect().toSeq
+      assert(got == want)
+    }
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer

@@ -887,6 +887,13 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // batch 1: retract one of a's rows, empty b entirely, new key c
       in.addData(("a", 1.5, -1), ("b", 10.0, -1), ("c", 7.25, 1))
       q.processAllAvailable()
+      // retention: push enough batches that old versions get pruned,
+      // while the latest snapshot stays correct
+      in.addData(("c", 1.0, 1)); q.processAllAvailable()
+      in.addData(("c", 1.0, -1)); q.processAllAvailable()
+      val versionDirs = new java.io.File(target).listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).toSeq
+      assert(versionDirs.size <= 3, s"retention did not prune: $versionDirs")
       val snap = Streams.latestSnapshot(spark, target).get
       // the streamed snapshot equals a from-scratch rebuild of the net rows
       val rebuilt = graft.ops.Cdc.aggSnapshot(
