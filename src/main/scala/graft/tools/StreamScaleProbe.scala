@@ -135,6 +135,41 @@ object StreamScaleProbe {
       } finally q.stop()
     }
 
+    // ---- streaming IVM: aggSnapshotSink under a 100k-group snapshot --
+    // Per batch: 50k ±op change rows touching 25k of the 100k groups.
+    // The per-batch cost model is O(|delta| + |snapshot|) — the
+    // versioned write rewrites the (bounded, group-cardinality-sized)
+    // snapshot, NEVER the base table — so per-batch time must stay
+    // FLAT across batches once all groups exist: snapshot size is
+    // |groups|, independent of how many batches have flowed.
+    locally {
+      val perBatch = 50000
+      val groups = 100000
+      val tgt = ckpt("ivm-tgt")
+      val changes = MemoryStream[(Long, Double, Int)]
+      val q = graft.streaming.Streams.aggSnapshotSink(
+        changes.toDF().toDF("k", "v", "op"), tgt, ckpt("ivm-ck"),
+        Seq("k"), "op", Seq("v"))
+      try {
+        var i = 0
+        while (i < batches) {
+          val t0 = System.nanoTime()
+          changes.addData((0 until perBatch).map { j =>
+            // 50k distinct keys per batch; all 100k groups exist from
+            // batch 1 on (odd/even halves alternate)
+            val k = (j * 2 + (i % 2)) % groups
+            val op = if (j % 5 == 4 && i > 1) -1 else 1 // 20% retractions
+            (k.toLong, (k % 100) / 4.0, op)
+          })
+          q.processAllAvailable()
+          val nGroups = graft.streaming.Streams.latestSnapshot(spark, tgt)
+            .map(_.count()).getOrElse(0L)
+          println(f"STAGE stream_ivm_100k       batch=$i%2d ${(System.nanoTime() - t0) / 1e9}%7.2fs snapGroups=$nGroups%8d")
+          i += 1
+        }
+      } finally q.stop()
+    }
+
     // Halt, not stop: same RocksDB native-teardown guard as Bench.
     Console.out.flush()
     Runtime.getRuntime.halt(0)
