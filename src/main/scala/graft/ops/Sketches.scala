@@ -87,4 +87,35 @@ object Sketches {
     grouped.agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
       .withColumn("distinct_est", hll_sketch_estimate(col("hll")))
   }
+
+  /** The quantile companion to [[hllPartials]]: one Datasketches KLL
+    * sketch per group over a DOUBLE column, parquet-storable — each
+    * partition/day materializes its value-distribution sketch once, and
+    * percentile queries over any key range merge the sketches instead
+    * of re-scanning values. `k` trades size for rank accuracy (~1.65%
+    * rank error at the 200 default). Unlike HLL's register-max, KLL
+    * compaction is randomized, so merge-then-query equals
+    * whole-sketch-query only within the rank-error bound — the spec
+    * asserts the bound, not bit-equality. */
+  def kllPartials(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  k: Int = 200): DataFrame =
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(kll_sketch_agg_double(col(valueCol), k).as("kll"))
+
+  /** Merge stored [[kllPartials]] up a hierarchy and evaluate
+    * `quantiles` (0–1 fractions) per merged group: keyCols + one
+    * `q_<pct>` column per requested quantile. Touches only |sketches|
+    * rows. */
+  def kllRollup(partials: DataFrame, keyCols: Seq[String],
+                quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "Sketches.kllRollup: quantiles must be fractions in [0,1]")
+    val grouped =
+      if (keyCols.isEmpty) partials.groupBy()
+      else partials.groupBy(keyCols.map(col).toIndexedSeq: _*)
+    val merged = grouped.agg(kll_merge_agg_double(col("kll")).as("kll"))
+    quantiles.foldLeft(merged)((d, q) =>
+      d.withColumn(f"q_${math.round(q * 100)}%d",
+        kll_sketch_get_quantile_double(col("kll"), lit(q))))
+  }
 }

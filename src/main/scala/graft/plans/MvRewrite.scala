@@ -43,7 +43,8 @@ object MvRewrite {
 
   final case class Entry(rootPaths: Set[String], keys: Seq[String],
                          measures: Seq[String], scale: Int,
-                         snapshotPath: String)
+                         snapshotPath: String,
+                         derived: Seq[(String, Expression)] = Nil)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -55,11 +56,40 @@ object MvRewrite {
     * mapping. */
   def register(spark: SparkSession, basePath: String, keys: Seq[String],
                measures: Seq[String], snapshotPath: String,
-               scale: Int = 2): Unit = {
-    val roots = rootPathsOf(spark.read.parquet(basePath).queryExecution.analyzed)
+               scale: Int = 2): Unit =
+    registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath, scale)
+
+  /** Like [[register]], plus DERIVED measures: name → Column expression
+    * over base columns (e.g. `"disc_price" -> col("l_extendedprice") *
+    * (lit(1) - col("l_discount"))`). The snapshot must carry
+    * `sum_<name>` built from the same expression
+    * (`base.withColumn(name, expr)` before [[graft.ops.Cdc.aggSnapshot]]);
+    * queries summing/averaging a SEMANTICALLY EQUAL expression are then
+    * answered from it — the TPC-H q1 revenue shape. */
+  def registerDerived(spark: SparkSession, basePath: String, keys: Seq[String],
+                      measures: Seq[String],
+                      derived: Map[String, org.apache.spark.sql.Column],
+                      snapshotPath: String, scale: Int = 2): Unit = {
+    val base = spark.read.parquet(basePath)
+    val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.register: $basePath is not a file-backed relation"))
-    entries.put(basePath, Entry(roots, keys, measures, scale, snapshotPath))
+    // resolve each derived expression against the base relation through
+    // the OPTIMIZED plan: the rewrite rule sees query expressions after
+    // analysis AND constant folding (lit(1) - x arrives as (1.0 - x),
+    // not cast(1 as double) - x), so the stored tree must take the same
+    // trip or semantic comparison can never line up
+    val derivedExprs = derived.toSeq.map { case (n, c) =>
+      val optimized = base.select(c.as(n)).queryExecution.optimizedPlan
+      val resolved = optimized match {
+        case Project(Seq(al: Alias), _) => al.child
+        case other => throw new IllegalArgumentException(
+          s"MvRewrite.registerDerived: cannot resolve measure $n: $other")
+      }
+      (n, resolved)
+    }
+    entries.put(basePath,
+      Entry(roots, keys, measures, scale, snapshotPath, derivedExprs))
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)
@@ -115,6 +145,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * leaves the original plan untouched. */
   private object Unanswerable extends scala.util.control.ControlThrowable
 
+  /** Two resolutions of the same formula over the same relation carry
+    * different exprIds; rebasing every attribute's exprId onto a
+    * name-derived constant makes `semanticEquals` compare the SHAPE
+    * (with canonicalization's commutativity/case normalizations) while
+    * still distinguishing different columns. */
+  private def nameNormalized(ex: Expression): Expression = ex.transformUp {
+    case a: AttributeReference =>
+      AttributeReference(a.name.toLowerCase, a.dataType, nullable = true)(
+        exprId = ExprId(a.name.toLowerCase.hashCode.toLong & 0x7fffffffL))
+  }
+
+  private def sameFormula(a: Expression, b: Expression): Boolean =
+    nameNormalized(a).semanticEquals(nameNormalized(b))
+
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
                       e: MvRewrite.Entry,
@@ -142,6 +186,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       AggregateExpression(Sum(a), Complete, isDistinct = false)
     def sumAsDouble(a: Attribute): Expression = Cast(sumOf(a), DoubleType)
 
+    // resolve a summed/averaged expression to a snapshot measure: a
+    // plain registered column, or a derived measure whose registered
+    // formula is semantically equal (both sides went through the same
+    // analysis, so coercions/promotions line up)
+    def measureName(ex: Expression): String = ex match {
+      case ar: AttributeReference if e.measures.contains(ar.name) => ar.name
+      case other => e.derived.collectFirst {
+        case (n, d) if sameFormula(d, other) => n
+      }.getOrElse(throw Unanswerable)
+    }
+
     // map each result expression onto the snapshot; bail on anything
     // the snapshot can't answer exactly
     val mapped: Seq[NamedExpression] = results.map {
@@ -150,13 +205,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
         Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
           name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Sum(ar: AttributeReference, _), _, false, _, _), name)
-          if e.measures.contains(ar.name) =>
-        Alias(Divide(sumAsDouble(snapAttr(s"sum_${ar.name}")), Literal(unit)),
+      case al @ Alias(AggregateExpression(Sum(ex, _), _, false, _, _), name) =>
+        Alias(Divide(sumAsDouble(snapAttr(s"sum_${measureName(ex)}")), Literal(unit)),
           name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Average(ar: AttributeReference, _), _, false, _, _), name)
-          if e.measures.contains(ar.name) =>
-        Alias(Divide(Divide(sumAsDouble(snapAttr(s"sum_${ar.name}")), Literal(unit)),
+      case al @ Alias(AggregateExpression(Average(ex, _), _, false, _, _), name) =>
+        Alias(Divide(Divide(sumAsDouble(snapAttr(s"sum_${measureName(ex)}")), Literal(unit)),
           sumAsDouble(snapAttr("cnt"))), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }

@@ -106,6 +106,53 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("derived-measure navigation: sum(price * (1 - discount)) served from the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-drv").toString
+    try {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val base = spark.read.parquet(basePath)
+      // snapshot carries the derived column, computed ONCE at build time
+      graft.ops.Cdc.aggSnapshot(base.withColumn("revenue", revenue),
+          keys, Seq("revenue"), scale = 4)
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.registerDerived(spark, basePath, keys, Seq.empty,
+        Map("revenue" -> revenue), s"$dir/snap", scale = 4)
+      try {
+        // the query writes the formula out longhand — the tpch_q1 shape
+        val q = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val plan = scansOf(q)
+        assert(plan.contains(s"$dir/snap") && !plan.contains("lineitem.parquet"),
+          s"derived measure not navigated:\n$plan")
+        MvRewrite.unregister(basePath)
+        val want = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy("l_returnflag")
+          .as[(String, Double)].collect().toSeq
+        MvRewrite.registerDerived(spark, basePath, keys, Seq.empty,
+          Map("revenue" -> revenue), s"$dir/snap", scale = 4)
+        val got = q.orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+        // prices carry 2 decimals and discounts 2 more -> scale=4 is
+        // exact, but the double SUM of ~15k products is order-sensitive
+        // in its last ulps; the snapshot's fixed-point total is the
+        // order-independent answer, so compare to 6 significant digits
+        // (the harness's own canonicalization)
+        got.zip(want).foreach { case ((ka, va), (kb, vb)) =>
+          assert(ka == kb && math.abs(va - vb) / math.abs(vb) < 1e-9,
+            s"derived answer diverged: ($ka,$va) vs ($kb,$vb)")
+        }
+        // a DIFFERENT formula must not match the registered one
+        val other = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_extendedprice") * (lit(1) + col("l_discount"))).as("rev"))
+        assert(scansOf(other).contains("lineitem.parquet"),
+          "sign-flipped formula wrongly matched the derived measure")
+      } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
