@@ -419,10 +419,22 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$zdir/plain")
       spark.read.parquet(s"$zdir/plain").limit(1)
     }
+    // Hilbert layout over the same data: range-partition + sort by the
+    // hilbert2 index instead of the Morton z-value — tighter per-file
+    // boxes (unit-step locality), so the same box predicate should
+    // prune at least as well.
+    stage("hilbert_write_12m") {
+      val src = l20.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("__h", graft.ops.Layout.hilbert2(col("l_partkey"), col("l_suppkey"), 16))
+      src.repartitionByRange(64, col("__h")).sortWithinPartitions("__h")
+        .drop("__h").write.mode("overwrite").parquet(s"$zdir/h")
+      spark.read.parquet(s"$zdir/h").limit(1)
+    }
     def boxScan(path: String) = spark.read.parquet(path)
       .filter(col("l_partkey").between(100, 120) && col("l_suppkey").between(10, 20))
       .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
     stage("zorder_box_scan") { boxScan(s"$zdir/z") }
+    stage("hilbert_box_scan") { boxScan(s"$zdir/h") }
     stage("plain_box_scan") { boxScan(s"$zdir/plain") }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir))
 

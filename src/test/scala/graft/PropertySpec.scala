@@ -109,6 +109,70 @@ class PropertySpec extends AnyFunSuite {
       s"approx median $approx outside p45..p55 band [$band] around exact $exact")
   }
 
+  test("canonicalizeUrl is idempotent (canon of a canon is itself)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    // generated messy URLs across case/param/fragment variations
+    val urls = (0 until 60).map { i =>
+      s"HTTPS://WWW.Host$i.COM/Path/$i" +
+        (i % 3 match {
+          case 0 => s"?utm_source=a&id=$i&utm_b=c"
+          case 1 => s"?id=$i&page=${i % 5}&junk=z"
+          case _ => ""
+        }) + (if (i % 4 == 0) "#frag" else "")
+    }
+    val df = urls.toDF("text")
+    val once = df.select(
+      TextAnalysis.canonicalizeUrl(col("text"), Seq("id", "page")).as("text"))
+    val twice = once.select(
+      TextAnalysis.canonicalizeUrl(col("text"), Seq("id", "page")).as("text"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("scd2Build intervals partition each key's timeline") {
+    import org.apache.spark.sql.functions._
+    // random change streams: per key, sorted valid_from/valid_to must
+    // chain exactly (next.valid_from == prev.valid_to) with one open tail
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(seed)
+      val changes = (0 until 200).map { i =>
+        (rnd.nextInt(20).toLong, f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d-$i%03d", i)
+      }.toDF("k", "ts", "payload")
+      val hist = graft.ops.Cdc.scd2Build(changes, Seq("k"), Seq("ts"))
+        .select("k", "ts", "valid_to", "is_current")
+        .as[(Long, String, Option[String], Boolean)].collect()
+        .groupBy(_._1).values
+      hist.foreach { vs =>
+        val sorted = vs.sortBy(_._2)
+        // exactly one current version per key, and it is the last one
+        assert(sorted.count(_._4) == 1 && sorted.last._4)
+        // intervals chain: each valid_to equals the next valid_from
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2),
+            s"gap in key ${a._1}: ${a._3} then ${b._2}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("hilbert2 is a bijection with unit steps at every bits level 2..6") {
+    import org.apache.spark.sql.functions._
+    for (bits <- 2 to 6) {
+      val n = 1 << bits
+      val cells = spark.range(n.toLong * n)
+        .select((col("id") % n).as("a"), (col("id") / n).cast("long").as("b"))
+        .select(col("a"), col("b"),
+          graft.ops.Layout.hilbert2(col("a"), col("b"), bits).as("h"))
+        .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+      assert(cells.map(_._1).toSeq == (0L until n.toLong * n).toSeq, s"bits=$bits not a bijection")
+      cells.sliding(2).foreach { case Array((_, (x1, y1)), (h, (x2, y2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits jump at $h: ($x1,$y1)->($x2,$y2)")
+      }
+    }
+  }
+
   test("seeded sample is reproducible and near the requested fraction") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
     val n = li.count()
