@@ -310,6 +310,58 @@ object Relational {
       .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
   }
 
+  // The DETERMINISTIC approximate-distinct twin (same move as the
+  // integer-quantized IVF): a K-minimum-values sketch over the engine's
+  // own fnv64 — est = (k−1)·M / (kth smallest hash in [0,M)), exact
+  // count when a group has fewer than k distinct values. Every step is
+  // integer (FNV, mod-2^61 fold, kth-order statistic) except one final
+  // IEEE multiply+divide+round mirrored literally in the oracle, so the
+  // whole estimator hash-checks — approximate in STATISTICS, exact in
+  // ARITHMETIC. Scale shape: one narrow hash pass, per-group distinct +
+  // k-smallest (bounded by k per group), nothing driver-side.
+  private val q12kmv = {
+    val k = 64
+    val m = 1L << 61 // hash domain [0, 2^61): signed-safe in both engines
+    QueryDef("q12_kmv_distinct", Some(
+      s"""WITH h0 AS (SELECT DISTINCT l_returnflag,
+         |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |      list_transform(str_split(CAST(l_orderkey AS VARCHAR), ''), c -> ascii(c)::HUGEINT)),
+         |      (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
+         |                  * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+         |  FROM lineitem),
+         |sv AS (SELECT l_returnflag,
+         |    (CASE WHEN h >= 9223372036854775808::HUGEINT
+         |          THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS s
+         |  FROM h0),
+         |hp AS (SELECT DISTINCT l_returnflag, ((s % $m) + $m) % $m AS hp FROM sv),
+         |rk AS (SELECT l_returnflag, hp,
+         |              row_number() OVER (PARTITION BY l_returnflag ORDER BY hp) AS rn
+         |       FROM hp)
+         |SELECT l_returnflag,
+         |       max(hp) AS kth_min_hash,
+         |       CAST(count(*) AS INT) AS k_used,
+         |       CAST(CASE WHEN count(*) < $k THEN count(*)
+         |            ELSE round(${k - 1}.0 * $m.0 / CAST(max(hp) AS DOUBLE)) END AS BIGINT) AS kmv_est
+         |FROM rk WHERE rn <= $k
+         |GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hp = Tables(spark, dir).lineitem
+        .select(col("l_returnflag"),
+          expr("fnv64(CAST(l_orderkey AS string))").as("h"))
+        .select(col("l_returnflag"), (((col("h") % m) + m) % m).as("hp"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy("hp")
+      hp.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("l_returnflag")
+        .agg(max("hp").as("kth_min_hash"), count(lit(1)).cast("int").as("k_used"))
+        .select(col("l_returnflag"), col("kth_min_hash"), col("k_used"),
+          when(col("k_used") < k, col("k_used").cast("long"))
+            .otherwise(round(lit((k - 1).toDouble) * lit(m.toDouble) /
+              col("kth_min_hash").cast("double")).cast("long"))
+            .as("kmv_est"))
+    }
+  }
+
   // Q9c — GROUPING SETS (SQL surface; rollup/cube are the API surface).
   private val q9g = shared("q9_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority,
@@ -794,7 +846,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
-    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, qUdaf,
+    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qHist, qScd2, qZorder, qHilbert)

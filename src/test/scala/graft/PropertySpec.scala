@@ -173,6 +173,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV deterministic approx-distinct lands within its statistical error bound") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Registry.byName("q12_kmv_distinct")
+      .run(spark, TestSession.sf001)
+      .select("l_returnflag", "kmv_est").as[(String, Long)].collect().toMap
+    val exact = graft.sources.Tables(spark, TestSession.sf001).lineitem
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (flag, n) =>
+      val est = got(flag)
+      // k=64 → σ ≈ 1/sqrt(k−2) ≈ 12.7%; allow 3σ
+      assert(math.abs(est - n).toDouble / n < 0.4,
+        s"KMV estimate $est far from exact $n for $flag")
+    }
+  }
+
   test("seeded sample is reproducible and near the requested fraction") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
     val n = li.count()
