@@ -94,6 +94,7 @@ object MvRewrite {
 
   def unregister(basePath: String): Unit = entries.remove(basePath)
   def clear(): Unit = entries.clear()
+  private[plans] def isEmpty: Boolean = entries.isEmpty
 
   private def rootPathsOf(p: LogicalPlan): Option[Set[String]] = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -132,14 +133,18 @@ object MvRewrite {
 
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groupings, results, child, _) =>
-      MvRewrite.lookup(child) match {
-        case Some((e, filters)) =>
-          rewrite(agg, groupings, results, e, filters).getOrElse(agg)
-        case None => agg
-      }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // fast path: with no registered views (the overwhelmingly common
+    // session state) the rule must cost nothing per query
+    if (MvRewrite.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupings, results, child, _) =>
+        MvRewrite.lookup(child) match {
+          case Some((e, filters)) =>
+            rewrite(agg, groupings, results, e, filters).getOrElse(agg)
+          case None => agg
+        }
+    }
 
   /** Control-flow bail: any unanswerable shape aborts the rewrite and
     * leaves the original plan untouched. */

@@ -844,10 +844,45 @@ object Relational {
         graft.ops.Layout.hilbert2(col("a"), col("b"), 8).as("hkey"))
   }
 
+  // IQR-fence outlier detection — the data-quality gate before training
+  // statistics: per-group Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) and
+  // the out-of-fence row count. Two passes: a tiny per-group fence
+  // aggregate BROADCAST back onto the fact (never a second shuffle of
+  // the fact), then one counting pass. Interpolated percentiles and the
+  // fence arithmetic are IEEE-identical in both engines (the
+  // q3_percentiles precedent), so the whole gate hash-checks.
+  private val qOutliers = QueryDef("q_outliers", Some(
+    """WITH f AS (SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.25) AS q1,
+      |         quantile_cont(l_extendedprice, 0.75) AS q3
+      |       FROM lineitem GROUP BY l_returnflag),
+      |b AS (SELECT l_returnflag, q1 - (q3 - q1) * 1.5 AS lo,
+      |             q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      |SELECT l.l_returnflag, min(b.lo) AS lo, min(b.hi) AS hi,
+      |       CAST(sum(CASE WHEN l.l_extendedprice < b.lo
+      |                       OR l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       count(*) AS n_rows
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+      |GROUP BY l.l_returnflag""".stripMargin)) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem.select("l_returnflag", "l_extendedprice")
+    val fences = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .select(col("l_returnflag"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(min("lo").as("lo"), min("hi").as("hi"),
+        sum(when(col("l_extendedprice") < col("lo")
+          || col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qHist, qScd2, qZorder, qHilbert)
+    qIncr, qHist, qScd2, qZorder, qHilbert, qOutliers)
 }
