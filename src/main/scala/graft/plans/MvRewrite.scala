@@ -41,9 +41,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object MvRewrite {
 
+  /** `snapshotPath` is a THUNK so a versioned registration can resolve
+    * the freshest `v=<batchId>` at every rewrite — queries against a
+    * stream-maintained view then trail the change stream by one
+    * microbatch with no re-registration. */
   final case class Entry(rootPaths: Set[String], keys: Seq[String],
                          measures: Seq[String], scale: Int,
-                         snapshotPath: String,
+                         snapshotPath: () => String,
                          derived: Seq[(String, Expression)] = Nil)
 
   private val entries =
@@ -89,7 +93,32 @@ object MvRewrite {
       (n, resolved)
     }
     entries.put(basePath,
-      Entry(roots, keys, measures, scale, snapshotPath, derivedExprs))
+      Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs))
+  }
+
+  /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
+    * TARGET DIRECTORY instead of a fixed snapshot file: the freshest
+    * committed `v=<batchId>` version is resolved at every rewrite, so
+    * a long-lived session's queries track the stream-maintained view
+    * batch over batch without re-registering. If no version has
+    * committed yet the rule leaves the plan untouched (bail path).
+    * Version resolution happens at OPTIMIZATION time: a Dataset handle
+    * kept around while the stream advances pins the version it planned
+    * against, which the sink's retention may eventually delete — build
+    * queries fresh per use (the normal shape), or size
+    * `retainVersions` to the longest handle lifetime. */
+  def registerVersioned(spark: SparkSession, basePath: String, keys: Seq[String],
+                        measures: Seq[String], targetDir: String,
+                        scale: Int = 2): Unit = {
+    val base = spark.read.parquet(basePath)
+    val roots = rootPathsOf(base.queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MvRewrite.registerVersioned: $basePath is not a file-backed relation"))
+    entries.put(basePath, Entry(roots, keys, measures, scale,
+      () => graft.streaming.Streams
+        .latestSnapshotPath(SparkSession.active, targetDir)
+        .getOrElse(throw new IllegalStateException(
+          s"MvRewrite: no committed snapshot version under $targetDir yet"))))
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)
@@ -180,7 +209,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       if (!e.keys.contains(a.name)) throw Unanswerable))
 
     val spark = SparkSession.active
-    val snap = spark.read.parquet(e.snapshotPath).queryExecution.analyzed
+    // versioned registrations resolve their freshest committed version
+    // here; "no version yet" means the view can't answer — bail clean
+    val snapPath =
+      try e.snapshotPath()
+      catch { case _: IllegalStateException => throw Unanswerable }
+    val snap = spark.read.parquet(snapPath).queryExecution.analyzed
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
     val unit = math.pow(10, e.scale)
@@ -224,7 +258,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       Filter(cond.transform { case a: AttributeReference => snapAttr(a.name) }, p)
     }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +
-      s"from snapshot ${e.snapshotPath}")
+      s"from snapshot $snapPath")
     Some(Aggregate(snapGroupings, mapped, snapChild))
   } catch { case Unanswerable => None }
 }

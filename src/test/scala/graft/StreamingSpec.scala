@@ -902,20 +902,31 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         rebuilt.orderBy("k").as[(String, Long, Long)].collect().toSeq)
 
       // ...and MvRewrite serves ad-hoc aggregates from it: write the net
-      // rows as the "base table", register the maintained snapshot
+      // rows as the "base table", register the maintained snapshot DIR —
+      // the versioned registration resolves the freshest v=<batchId> at
+      // every rewrite
       val baseDir = tmp("graft-ivm-base")
       Seq(("a", 2.5), ("c", 7.25)).toDF("k", "v")
         .write.mode("overwrite").parquet(baseDir)
-      val snapPath = Streams.latestSnapshotPath(spark, target).get
-      graft.plans.MvRewrite.register(spark, baseDir, Seq("k"), Seq("v"), snapPath)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"), Seq("v"), target)
       try {
-        val query = spark.read.parquet(baseDir)
+        def query = spark.read.parquet(baseDir)
           .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val snapPath = Streams.latestSnapshotPath(spark, target).get
         val plan = query.queryExecution.executedPlan.toString
         assert(plan.contains(snapPath) && !plan.contains(baseDir),
           s"MV not served from streamed snapshot:\n$plan")
         assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
           Seq(("a", 1L, 2.5), ("c", 1L, 7.25)))
+        // push another batch: the SAME registration now serves the newer
+        // version — no re-register, queries trail the stream by one batch
+        in.addData(("d", 3.5, 1)); q.processAllAvailable()
+        val snapPath2 = Streams.latestSnapshotPath(spark, target).get
+        assert(snapPath2 != snapPath)
+        val plan2 = query.queryExecution.executedPlan.toString
+        assert(plan2.contains(snapPath2), s"versioned MV stuck on old version:\n$plan2")
+        assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+          Seq(("a", 1L, 2.5), ("c", 1L, 7.25), ("d", 1L, 3.5)))
       } finally graft.plans.MvRewrite.unregister(baseDir)
     } finally q.stop()
   }
