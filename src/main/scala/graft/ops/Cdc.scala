@@ -109,6 +109,52 @@ object Cdc {
       d.withColumn(s"sum_$m", col(s"sum_$m") / unit))
   }
 
+  /** [[aggSnapshot]] plus per-measure MIN/MAX columns (`min_<m>`,
+    * `max_<m>`, raw type — min/max are order-insensitive so they need
+    * no fixed-point treatment). Min/max are NOT retractable (a deleted
+    * row's extremum can't be recomputed without the base), so this
+    * snapshot shape is maintained by [[incrementalAggRefreshAppendOnly]]
+    * — the append-only fact regime (logs, events, immutable corpus
+    * shards), where it is exact. */
+  def aggSnapshotMinMax(df: DataFrame, keyCols: Seq[String],
+                        measures: Seq[String], scale: Int = 2): DataFrame = {
+    val unit = math.pow(10, scale)
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"),
+        (measures.map(m =>
+          sum(round(col(m) * unit).cast("long")).as(s"sum_$m", scaleMeta(scale))) ++
+          measures.map(m => min(col(m)).as(s"min_$m")) ++
+          measures.map(m => max(col(m)).as(s"max_$m"))): _*)
+  }
+
+  /** Append-only incremental refresh of an [[aggSnapshotMinMax]]: the
+    * delta is PLAIN NEW ROWS (no op column — insert-only is the
+    * contract that makes min/max maintainable), pre-aggregated per
+    * touched key and merged by one full-outer join: counts and
+    * fixed-point sums add, minima/maxima combine via least/greatest —
+    * all order-insensitive, so refresh == rebuild exactly. Same scale
+    * shape as [[incrementalAggRefresh]]. */
+  def incrementalAggRefreshAppendOnly(baseAgg: DataFrame, delta: DataFrame,
+                                      keyCols: Seq[String], measures: Seq[String],
+                                      scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.incrementalAggRefreshAppendOnly: empty key")
+    requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefreshAppendOnly")
+    val d = aggSnapshotMinMax(delta, keyCols, measures, scale)
+    val dr = (Seq("cnt") ++ measures.flatMap(m =>
+      Seq(s"sum_$m", s"min_$m", s"max_$m")))
+      .foldLeft(d)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    baseAgg.join(dr, keyCols, "full_outer")
+      .select((keyCols.map(col) ++
+        Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L))).as("cnt")) ++
+        measures.map(m =>
+          (coalesce(col(s"sum_$m"), lit(0L)) + coalesce(col(s"__d_sum_$m"), lit(0L)))
+            .as(s"sum_$m", scaleMeta(scale))) ++
+        measures.map(m =>
+          least(col(s"min_$m"), col(s"__d_min_$m")).as(s"min_$m")) ++
+        measures.map(m =>
+          greatest(col(s"max_$m"), col(s"__d_max_$m")).as(s"max_$m"))).toIndexedSeq: _*)
+  }
+
   /** Incremental materialized-aggregate refresh: apply a change batch
     * (rows tagged `opCol` = +1 insert / −1 retract) to an existing
     * [[aggSnapshot]] WITHOUT rescanning the base table — the batch

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -48,7 +48,8 @@ object MvRewrite {
   final case class Entry(rootPaths: Set[String], keys: Seq[String],
                          measures: Seq[String], scale: Int,
                          snapshotPath: () => String,
-                         derived: Seq[(String, Expression)] = Nil)
+                         derived: Seq[(String, Expression)] = Nil,
+                         minMax: Seq[String] = Nil)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -60,8 +61,9 @@ object MvRewrite {
     * mapping. */
   def register(spark: SparkSession, basePath: String, keys: Seq[String],
                measures: Seq[String], snapshotPath: String,
-               scale: Int = 2): Unit =
-    registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath, scale)
+               scale: Int = 2, minMaxMeasures: Seq[String] = Nil): Unit =
+    registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath,
+      scale, minMaxMeasures)
 
   /** Like [[register]], plus DERIVED measures: name → Column expression
     * over base columns (e.g. `"disc_price" -> col("l_extendedprice") *
@@ -73,7 +75,8 @@ object MvRewrite {
   def registerDerived(spark: SparkSession, basePath: String, keys: Seq[String],
                       measures: Seq[String],
                       derived: Map[String, org.apache.spark.sql.Column],
-                      snapshotPath: String, scale: Int = 2): Unit = {
+                      snapshotPath: String, scale: Int = 2,
+                      minMaxMeasures: Seq[String] = Nil): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -93,7 +96,8 @@ object MvRewrite {
       (n, resolved)
     }
     entries.put(basePath,
-      Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs))
+      Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
+        minMaxMeasures))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -250,6 +254,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Average(ex, _), _, false, _, _), name) =>
         Alias(Divide(Divide(sumAsDouble(snapAttr(s"sum_${measureName(ex)}")), Literal(unit)),
           sumAsDouble(snapAttr("cnt"))), name)(exprId = al.exprId)
+      // min/max navigate only for measures registered as append-only
+      // maintained (aggSnapshotMinMax / incrementalAggRefreshAppendOnly)
+      // — they are not retractable, so a plain snapshot can't carry them
+      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, _, _), name)
+          if e.minMax.contains(ar.name) =>
+        Alias(AggregateExpression(Min(snapAttr(s"min_${ar.name}")), Complete,
+          isDistinct = false), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, _, _), name)
+          if e.minMax.contains(ar.name) =>
+        Alias(AggregateExpression(Max(snapAttr(s"max_${ar.name}")), Complete,
+          isDistinct = false), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }
     val snapGroupings = groupNames.map(snapAttr)

@@ -195,6 +195,24 @@ class CdcSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("append-only refresh == rebuild exactly, including min/max") {
+    val base = Seq(("a", 5.0), ("a", 2.0), ("b", 7.5)).toDF("k", "v")
+    val snap = Cdc.aggSnapshotMinMax(base, Seq("k"), Seq("v"))
+    // delta: plain new rows — a new min for a, a new key c
+    val delta = Seq(("a", 1.25), ("a", 9.0), ("c", 3.0)).toDF("k", "v")
+    val refreshed = Cdc.incrementalAggRefreshAppendOnly(snap, delta, Seq("k"), Seq("v"))
+      .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+    val rebuilt = Cdc.aggSnapshotMinMax(base.unionByName(delta), Seq("k"), Seq("v"))
+      .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(refreshed == rebuilt, s"append-only refresh drifted:\n$refreshed\nvs\n$rebuilt")
+    // spot-check the semantics: a's min dropped, b untouched, c appeared
+    assert(refreshed == Seq(
+      ("a", 4L, 1725L, 1.25, 9.0), ("b", 1L, 750L, 7.5, 7.5), ("c", 1L, 300L, 3.0, 3.0)))
+    // and a mismatched scale still fails loudly through the same guard
+    intercept[IllegalArgumentException](
+      Cdc.incrementalAggRefreshAppendOnly(snap, delta, Seq("k"), Seq("v"), scale = 3))
+  }
+
   test("scd2Build: validity intervals chain per key; latest version is current") {
     val changes = Seq(
       (1L, "2024-01-01", "bronze"),

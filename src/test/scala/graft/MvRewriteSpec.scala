@@ -153,6 +153,37 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("min/max navigate for append-only-registered measures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-mm").toString
+    try {
+      Cdc.aggSnapshotMinMax(spark.read.parquet(basePath), keys, Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+        minMaxMeasures = Seq("l_quantity"))
+      try {
+        val q = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(min("l_quantity").as("mn"), max("l_quantity").as("mx"),
+            sum("l_quantity").as("s"), count(lit(1)).as("n"))
+        val plan = scansOf(q)
+        assert(plan.contains(s"$dir/snap") && !plan.contains("lineitem.parquet"),
+          s"min/max aggregate not navigated:\n$plan")
+        MvRewrite.unregister(basePath)
+        val want = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(min("l_quantity").as("mn"), max("l_quantity").as("mx"),
+            sum("l_quantity").as("s"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+          .as[(String, Double, Double, Double, Long)].collect().toSeq
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+          minMaxMeasures = Seq("l_quantity"))
+        val got = q.orderBy("l_returnflag")
+          .as[(String, Double, Double, Double, Long)].collect().toSeq
+        assert(got == want)
+      } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
