@@ -113,7 +113,7 @@ object MvRewrite {
     * `retainVersions` to the longest handle lifetime. */
   def registerVersioned(spark: SparkSession, basePath: String, keys: Seq[String],
                         measures: Seq[String], targetDir: String,
-                        scale: Int = 2): Unit = {
+                        scale: Int = 2, minMaxMeasures: Seq[String] = Nil): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -122,7 +122,8 @@ object MvRewrite {
       () => graft.streaming.Streams
         .latestSnapshotPath(SparkSession.active, targetDir)
         .getOrElse(throw new IllegalStateException(
-          s"MvRewrite: no committed snapshot version under $targetDir yet"))))
+          s"MvRewrite: no committed snapshot version under $targetDir yet")),
+      minMax = minMaxMeasures))
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)

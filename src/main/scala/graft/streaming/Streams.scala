@@ -683,6 +683,41 @@ object Streams {
     }
   }
 
+  /** The APPEND-ONLY variant of [[aggSnapshotSink]] — the regime most
+    * event streams live in (no retractions, rows only arrive): each
+    * microbatch of plain new rows merges into an
+    * [[graft.ops.Cdc.aggSnapshotMinMax]] via
+    * [[graft.ops.Cdc.incrementalAggRefreshAppendOnly]], so the
+    * maintained snapshot additionally carries EXACT per-group min/max
+    * — and a [[graft.plans.MvRewrite.registerVersioned]] view with
+    * `minMaxMeasures` then answers min/max/sum/avg/count ad-hoc
+    * queries one microbatch behind the stream. Same versioned-write
+    * replay idempotence and retention as the ±op sink. */
+  def aggSnapshotSinkAppendOnly(rows: DataFrame, targetDir: String,
+                                checkpoint: String, keyCols: Seq[String],
+                                measures: Seq[String], scale: Int = 2,
+                                retainVersions: Int = 3): StreamingQuery = {
+    require(retainVersions >= 1, "aggSnapshotSinkAppendOnly: must retain >= 1 version")
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
+      val prev = versions.sorted.lastOption match {
+        case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+        case None => graft.ops.Cdc.aggSnapshotMinMax(
+          batch.filter(org.apache.spark.sql.functions.lit(false)),
+          keyCols, measures, scale)
+      }
+      graft.ops.Cdc.incrementalAggRefreshAppendOnly(prev, batch, keyCols,
+          measures, scale)
+        .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+    }
+  }
+
   /** Path of the latest committed snapshot version under `targetDir`
     * (for [[graft.plans.MvRewrite.register]]). */
   def latestSnapshotPath(spark: org.apache.spark.sql.SparkSession,

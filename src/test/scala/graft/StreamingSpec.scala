@@ -931,6 +931,39 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6c append-only IVM: min/max maintained under the stream, MV answers them") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val target = tmp("graft-ivm-ao-tgt")
+    val q = Streams.aggSnapshotSinkAppendOnly(in.toDF().toDF("k", "v"),
+      target, tmp("graft-ivm-ao-ck"), Seq("k"), Seq("v"))
+    try {
+      in.addData(("a", 5.0), ("a", 2.0), ("b", 7.5)); q.processAllAvailable()
+      in.addData(("a", 1.25), ("c", 3.0)); q.processAllAvailable()
+      // streamed snapshot == from-scratch rebuild, min/max included
+      val all = Seq(("a", 5.0), ("a", 2.0), ("b", 7.5), ("a", 1.25), ("c", 3.0))
+      val rebuilt = graft.ops.Cdc.aggSnapshotMinMax(all.toDF("k", "v"), Seq("k"), Seq("v"))
+        .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+      val streamed = Streams.latestSnapshot(spark, target).get
+        .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+      assert(streamed == rebuilt, s"append-only IVM drifted:\n$streamed\nvs\n$rebuilt")
+      // MV loop: base = all rows; versioned registration with min/max
+      val baseDir = tmp("graft-ivm-ao-base")
+      all.toDF("k", "v").write.mode("overwrite").parquet(baseDir)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"), Seq("v"),
+        target, minMaxMeasures = Seq("v"))
+      try {
+        val query = spark.read.parquet(baseDir).groupBy("k")
+          .agg(min("v").as("mn"), max("v").as("mx"), sum("v").as("s"))
+        val plan = query.queryExecution.executedPlan.toString
+        assert(!plan.contains(baseDir), s"append-only MV not navigated:\n$plan")
+        assert(query.orderBy("k").as[(String, Double, Double, Double)].collect().toSeq ==
+          Seq(("a", 1.25, 5.0, 8.25), ("b", 7.5, 7.5, 7.5), ("c", 3.0, 3.0, 3.0)))
+      } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
