@@ -844,6 +844,31 @@ object Relational {
         graft.ops.Layout.hilbert2(col("a"), col("b"), 8).as("hkey"))
   }
 
+  // Append-only incremental refresh with min/max — the insert-only
+  // regime's MV maintenance (q_incr_agg's sibling): base snapshot +
+  // plain new-row delta must equal the rebuilt aggregate EXACTLY,
+  // min/max included (least/greatest are order-insensitive; sums are
+  // fixed-point LONGs). The oracle aggregates the full row set
+  // directly with the same cents arithmetic.
+  private val qIncrAo = QueryDef("q_incr_minmax", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS cnt,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_l_quantity,
+      |       min(l_quantity) AS min_l_quantity,
+      |       max(l_quantity) AS max_l_quantity
+      |FROM lineitem
+      |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+    val refreshed = graft.ops.Cdc.incrementalAggRefreshAppendOnly(
+      graft.ops.Cdc.aggSnapshotMinMax(base, keys, Seq("l_quantity")),
+      delta, keys, Seq("l_quantity"))
+    graft.ops.Cdc.aggView(refreshed, Seq("l_quantity"))
+  }
+
   // IQR-fence outlier detection — the data-quality gate before training
   // statistics: per-group Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) and
   // the out-of-fence row count. Two passes: a tiny per-group fence
@@ -884,5 +909,5 @@ object Relational {
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qHist, qScd2, qZorder, qHilbert, qOutliers)
+    qIncr, qIncrAo, qHist, qScd2, qZorder, qHilbert, qOutliers)
 }
