@@ -47,8 +47,9 @@ object Cdc {
   }
 
   /** The (count, per-measure sum) aggregate snapshot
-    * [[incrementalAggRefresh]] maintains: one row per key with `cnt`
-    * and `sum_<measure>` columns — the algebraic (combinable) shape.
+    * [[incrementalAggRefresh]] maintains: one row per key with `cnt`,
+    * `sum_<measure>` and `cnt_<measure>` columns — the algebraic
+    * (combinable) shape.
     *
     * Sums are stored as LONG fixed-point units (`scale` decimal
     * digits, default cents): floating-point addition is not
@@ -60,14 +61,23 @@ object Cdc {
     * holds ~9.2e16 currency units of sum per group — 1e12 rows of
     * 1e4-unit values — before overflow; raise concerns by keying
     * finer, not by reverting to doubles. Convert to doubles for
-    * presentation with [[aggView]]. */
+    * presentation with [[aggView]].
+    *
+    * `cnt_<m>` is the measure's NON-NULL count — the column SQL's
+    * NULL-skipping avg/sum semantics need: `avg(m)` divides by it (not
+    * by `cnt` = count(*)), and `sum(m)` over a group whose every value
+    * is NULL is NULL, which only `cnt_<m> = 0` can tell apart from a
+    * genuine zero total (the stored `sum_<m>` is canonicalized to 0 in
+    * both cases so refresh == rebuild stays bit-exact). */
   def aggSnapshot(df: DataFrame, keyCols: Seq[String],
                   measures: Seq[String], scale: Int = 2): DataFrame = {
     val unit = math.pow(10, scale)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
-        measures.map(m =>
-          sum(round(col(m) * unit).cast("long")).as(s"sum_$m", scaleMeta(scale))): _*)
+        (measures.map(m =>
+          coalesce(sum(round(col(m) * unit).cast("long")), lit(0L))
+            .as(s"sum_$m", scaleMeta(scale))) ++
+          measures.map(m => count(col(m)).as(s"cnt_$m"))): _*)
   }
 
   /** Column-metadata stamp carrying the snapshot's fixed-point scale, so
@@ -96,17 +106,25 @@ object Cdc {
         require(f.metadata.getLong(ScaleKey) == scale.toLong,
           s"Cdc.$op: snapshot sum_$m was built at scale=${f.metadata.getLong(ScaleKey)} " +
             s"but scale=$scale was passed — combining them would be off by powers of 10")
+      require(snapshot.columns.contains(s"cnt_$m"),
+        s"Cdc.$op: snapshot lacks cnt_$m — the per-measure non-null count that makes " +
+          "NULL-skipping avg/sum exact; rebuild it with the current aggSnapshot")
     }
 
   /** Presentation view of an [[aggSnapshot]]: fixed-point LONG sums
-    * divided back to doubles. The snapshot itself stays exact — only
-    * read through this, never write it back. */
+    * divided back to doubles, with SQL NULL semantics restored — a
+    * group whose measure was all-NULL (cnt_<m> = 0) presents sum NULL,
+    * not 0. The internal cnt_<m> helper columns are dropped from the
+    * view. The snapshot itself stays exact — only read through this,
+    * never write it back. */
   def aggView(snapshot: DataFrame, measures: Seq[String],
               scale: Int = 2): DataFrame = {
     requireSnapshotScale(snapshot, measures, scale, "aggView")
     val unit = math.pow(10, scale)
     measures.foldLeft(snapshot)((d, m) =>
-      d.withColumn(s"sum_$m", col(s"sum_$m") / unit))
+        d.withColumn(s"sum_$m",
+          when(col(s"cnt_$m") === 0, lit(null)).otherwise(col(s"sum_$m") / unit)))
+      .drop(measures.map(m => s"cnt_$m"): _*)
   }
 
   /** [[aggSnapshot]] plus per-measure MIN/MAX columns (`min_<m>`,
@@ -122,7 +140,9 @@ object Cdc {
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
         (measures.map(m =>
-          sum(round(col(m) * unit).cast("long")).as(s"sum_$m", scaleMeta(scale))) ++
+          coalesce(sum(round(col(m) * unit).cast("long")), lit(0L))
+            .as(s"sum_$m", scaleMeta(scale))) ++
+          measures.map(m => count(col(m)).as(s"cnt_$m")) ++
           measures.map(m => min(col(m)).as(s"min_$m")) ++
           measures.map(m => max(col(m)).as(s"max_$m"))): _*)
   }
@@ -141,7 +161,7 @@ object Cdc {
     requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefreshAppendOnly")
     val d = aggSnapshotMinMax(delta, keyCols, measures, scale)
     val dr = (Seq("cnt") ++ measures.flatMap(m =>
-      Seq(s"sum_$m", s"min_$m", s"max_$m")))
+      Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")))
       .foldLeft(d)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
     baseAgg.join(dr, keyCols, "full_outer")
       .select((keyCols.map(col) ++
@@ -149,6 +169,9 @@ object Cdc {
         measures.map(m =>
           (coalesce(col(s"sum_$m"), lit(0L)) + coalesce(col(s"__d_sum_$m"), lit(0L)))
             .as(s"sum_$m", scaleMeta(scale))) ++
+        measures.map(m =>
+          (coalesce(col(s"cnt_$m"), lit(0L)) + coalesce(col(s"__d_cnt_$m"), lit(0L)))
+            .as(s"cnt_$m")) ++
         measures.map(m =>
           least(col(s"min_$m"), col(s"__d_min_$m")).as(s"min_$m")) ++
         measures.map(m =>
@@ -176,16 +199,24 @@ object Cdc {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefresh: empty key")
     requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefresh")
     val unit = math.pow(10, scale)
+    // per-measure non-null count delta: ±op per row where the measure is
+    // non-NULL — a retraction of a NULL-measure row must not decrement it
     val d = delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col(opCol)).as("__dc"),
-        measures.map(m =>
-          sum(col(opCol) * round(col(m) * unit).cast("long")).as(s"__ds_$m")): _*)
+        (measures.map(m =>
+          sum(col(opCol) * round(col(m) * unit).cast("long")).as(s"__ds_$m")) ++
+          measures.map(m =>
+            sum(when(col(m).isNotNull, col(opCol)).otherwise(lit(0)))
+              .as(s"__dn_$m"))): _*)
     baseAgg.join(d, keyCols, "full_outer")
       .select((keyCols.map(col) ++
         Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt")) ++
         measures.map(m =>
           (coalesce(col(s"sum_$m"), lit(0L)) + coalesce(col(s"__ds_$m"), lit(0L)))
-            .as(s"sum_$m", scaleMeta(scale)))).toIndexedSeq: _*)
+            .as(s"sum_$m", scaleMeta(scale))) ++
+        measures.map(m =>
+          (coalesce(col(s"cnt_$m"), lit(0L)) + coalesce(col(s"__dn_$m"), lit(0L)))
+            .as(s"cnt_$m"))).toIndexedSeq: _*)
       .filter(col("cnt") > 0)
   }
 

@@ -480,7 +480,11 @@ object Dedup {
         // re-ingests (the scenario this path serves), so a pair is dropped
         // only when the id match is corroborated by identical shingle
         // sets — a colliding id over DIFFERENT content stays a genuine
-        // candidate instead of a silent false negative.
+        // candidate instead of a silent false negative. Arrays.equals is
+        // order-insensitive SET equality here because both sides come
+        // from buildLshIndex, whose `shset` is canonical (sortedSet:
+        // sorted + distinct); such surviving (a,a) rows with jaccard<1
+        // are the id-collision signal for downstream consumers.
         if (a == b && java.util.Arrays.equals(sa, sb)) None
         else {
           val c = intersectCount(sa, sb)

@@ -54,6 +54,41 @@ object MvRewrite {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Lookup matches on EXACT root-path sets, so two registrations whose
+    * roots intersect but differ (e.g. a parent dir and one partition
+    * subdirectory of it) could never both match one scan — one of them
+    * would be silently dead, and which one depends on registration
+    * order. Fail loudly at register time instead; re-registering the
+    * SAME basePath replaces its entry (the refresh idiom). */
+  /** The rewrite replaces sum/avg outputs with DOUBLE expressions while
+    * reusing the original exprId — sound only when the original was
+    * double-typed, so non-floating measures are rejected up front.
+    * Precision contract (documented, deliberate): snapshot sums are
+    * per-row `round(m · 10^scale)` fixed-point LONGs, so measures whose
+    * values carry more than `scale` decimal digits are answered at
+    * that rounding — pick `scale` to cover the measure's precision. */
+  private def requireFloatingMeasures(schema: org.apache.spark.sql.types.StructType,
+                                      measures: Seq[String], who: String): Unit =
+    measures.foreach { m =>
+      val dt = schema.find(_.name == m).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"$who: measure $m not in base schema"))
+      require(dt == DoubleType || dt == org.apache.spark.sql.types.FloatType,
+        s"$who: measure $m is ${dt.simpleString} — only double/float measures are " +
+          "navigable (the rewrite emits DOUBLE sums/averages; an integral or decimal " +
+          "original would silently change type under downstream operators)")
+    }
+
+  private def requireNoOverlap(basePath: String, roots: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    entries.asScala.foreach { case (otherBase, other) =>
+      if (otherBase != basePath && other.rootPaths.intersect(roots).nonEmpty)
+        throw new IllegalArgumentException(
+          s"MvRewrite.register: $basePath overlaps already-registered $otherBase " +
+            s"(shared roots: ${other.rootPaths.intersect(roots).mkString(", ")}) — " +
+            "unregister it first or register a disjoint path")
+    }
+  }
+
   /** Register a maintained snapshot for `basePath`: queries aggregating
     * the base over `keys` (or a subset) on `measures` will read the
     * snapshot parquet at `snapshotPath` instead. The snapshot must be
@@ -81,6 +116,7 @@ object MvRewrite {
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.register: $basePath is not a file-backed relation"))
+    requireFloatingMeasures(base.schema, measures, "MvRewrite.register")
     // resolve each derived expression against the base relation through
     // the OPTIMIZED plan: the rewrite rule sees query expressions after
     // analysis AND constant folding (lit(1) - x arrives as (1.0 - x),
@@ -93,8 +129,13 @@ object MvRewrite {
         case other => throw new IllegalArgumentException(
           s"MvRewrite.registerDerived: cannot resolve measure $n: $other")
       }
+      require(resolved.dataType == DoubleType ||
+          resolved.dataType == org.apache.spark.sql.types.FloatType,
+        s"MvRewrite.registerDerived: derived measure $n is " +
+          s"${resolved.dataType.simpleString} — only double/float measures are navigable")
       (n, resolved)
     }
+    requireNoOverlap(basePath, roots)
     entries.put(basePath,
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
         minMaxMeasures))
@@ -118,6 +159,8 @@ object MvRewrite {
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.registerVersioned: $basePath is not a file-backed relation"))
+    requireFloatingMeasures(base.schema, measures, "MvRewrite.registerVersioned")
+    requireNoOverlap(basePath, roots)
     entries.put(basePath, Entry(roots, keys, measures, scale,
       () => graft.streaming.Streams
         .latestSnapshotPath(SparkSession.active, targetDir)
@@ -219,7 +262,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val snapPath =
       try e.snapshotPath()
       catch { case _: IllegalStateException => throw Unanswerable }
-    val snap = spark.read.parquet(snapPath).queryExecution.analyzed
+    // a snapshot that fails to READ (deleted by retention between
+    // resolution and planning, torn directory, wrong path) must degrade
+    // to the unrewritten plan — never abort the user's query
+    val snap =
+      try spark.read.parquet(snapPath).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => throw Unanswerable }
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
     val unit = math.pow(10, e.scale)
@@ -241,20 +289,43 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }.getOrElse(throw Unanswerable)
     }
 
+    // total NON-NULL count of a measure across the groups being merged —
+    // the denominator SQL's NULL-skipping avg needs (count(*) would
+    // overweight NULL-bearing groups), and the sentinel that tells an
+    // all-NULL group's sum (NULL) apart from a genuine zero total
+    def nnCnt(m: String): Expression =
+      Coalesce(Seq(sumOf(snapAttr(s"cnt_$m")), Literal(0L, LongType)))
+
     // map each result expression onto the snapshot; bail on anything
-    // the snapshot can't answer exactly
+    // the snapshot can't answer exactly. Sum/avg rewrites emit DOUBLE:
+    // only a double-typed original may be replaced, or the attribute's
+    // type would silently change under downstream operators (register
+    // already rejects non-floating measures; derived expressions can
+    // still surface e.g. a LONG sum, so the guard stays here too).
     val mapped: Seq[NamedExpression] = results.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(snapAttr(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
         Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
           name)(exprId = al.exprId)
+      // count(m) — the measure's non-null count is maintained exactly
+      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, _, _), name)
+          if e.measures.contains(ar.name) =>
+        Alias(nnCnt(ar.name), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Sum(ex, _), _, false, _, _), name) =>
-        Alias(Divide(sumAsDouble(snapAttr(s"sum_${measureName(ex)}")), Literal(unit)),
+        if (al.dataType != DoubleType) throw Unanswerable
+        val m = measureName(ex)
+        Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
+          Literal(null, DoubleType),
+          Divide(sumAsDouble(snapAttr(s"sum_$m")), Literal(unit))),
           name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Average(ex, _), _, false, _, _), name) =>
-        Alias(Divide(Divide(sumAsDouble(snapAttr(s"sum_${measureName(ex)}")), Literal(unit)),
-          sumAsDouble(snapAttr("cnt"))), name)(exprId = al.exprId)
+        if (al.dataType != DoubleType) throw Unanswerable
+        val m = measureName(ex)
+        Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
+          Literal(null, DoubleType),
+          Divide(Divide(sumAsDouble(snapAttr(s"sum_$m")), Literal(unit)),
+            Cast(nnCnt(m), DoubleType))), name)(exprId = al.exprId)
       // min/max navigate only for measures registered as append-only
       // maintained (aggSnapshotMinMax / incrementalAggRefreshAppendOnly)
       // — they are not retractable, so a plain snapshot can't carry them

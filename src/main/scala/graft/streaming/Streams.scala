@@ -654,7 +654,12 @@ object Streams {
                       keyCols: Seq[String], opCol: String,
                       measures: Seq[String], scale: Int = 2,
                       retainVersions: Int = 3): StreamingQuery = {
-    require(retainVersions >= 1, "aggSnapshotSink: must retain >= 1 version")
+    // >= 2, not >= 1: replaying batch N reads its predecessor v=N-1
+    // (filter(_ < batchId)); with only the just-written version retained,
+    // a crash between the v=N write and the checkpoint commit would leave
+    // the replay with no predecessor and silently rebuild from empty.
+    require(retainVersions >= 2,
+      "aggSnapshotSink: must retain >= 2 versions (replay needs the predecessor)")
     toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir)
@@ -672,9 +677,10 @@ object Streams {
       // retention AFTER the new version commits: keep the newest
       // `retainVersions` (including the one just written), drop the
       // rest — a snapshot chain otherwise grows one full copy per
-      // microbatch forever. Replay safety is preserved: a replayed
-      // batch only needs its immediate predecessor, which is always
-      // within the retained window.
+      // microbatch forever. Replay safety holds because retainVersions
+      // >= 2: a replayed batch needs its immediate predecessor, which
+      // stays inside the retained window even while the new version is
+      // being written.
       val path = new org.apache.hadoop.fs.Path(targetDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
@@ -697,7 +703,9 @@ object Streams {
                                 checkpoint: String, keyCols: Seq[String],
                                 measures: Seq[String], scale: Int = 2,
                                 retainVersions: Int = 3): StreamingQuery = {
-    require(retainVersions >= 1, "aggSnapshotSinkAppendOnly: must retain >= 1 version")
+    // >= 2 for the same replay-predecessor reason as aggSnapshotSink
+    require(retainVersions >= 2,
+      "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
@@ -738,14 +746,22 @@ object Streams {
     * listed through the Hadoop filesystem of the path's scheme —
     * java.io.File would silently list nothing on a non-local URI
     * (hdfs://, s3a://) and every batch would then merge against an
-    * empty target, losing the accumulated snapshot chain. */
+    * empty target, losing the accumulated snapshot chain.
+    *
+    * Only versions whose `_SUCCESS` marker exists count as committed:
+    * a version the stream is concurrently writing (or overwrite-
+    * replaying — overwrite deletes the marker first) must be invisible
+    * both to the next batch's predecessor lookup and to
+    * [[latestSnapshotPath]] resolving a read path at query-optimization
+    * time, or a reader could land on a partial parquet directory. */
   private def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
                                targetDir: String): Array[Long] = {
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Array.empty[Long]
     else fs.listStatus(path)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
   }
 

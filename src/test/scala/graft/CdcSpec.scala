@@ -113,8 +113,8 @@ class CdcSpec extends AnyFunSuite {
     val finalRows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 7.0), ("d", 9.0))
       .toDF("k", "v")
     val direct = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
-      .orderBy("k").as[(String, Long, Long)].collect().toSeq
-    assert(refreshed.orderBy("k").as[(String, Long, Long)].collect().toSeq == direct)
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(refreshed.orderBy("k").as[(String, Long, Long, Long)].collect().toSeq == direct)
   }
 
   test("refresh == rebuild EXACTLY under heavy retraction (values that drift as doubles)") {
@@ -133,11 +133,11 @@ class CdcSpec extends AnyFunSuite {
     val churnY = baseRows.filter(_._1 == "y").take(3999).map { case (k, v) => (k, v, -1) }
     val delta = (retractX ++ reinsertX ++ churnY).toDF("k", "v", "op")
     val refreshed = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
-      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
     val finalRows = (baseRows.filter(_._1 == "x") ++
       baseRows.filter(_._1 == "y").drop(3999)).toDF("k", "v")
     val rebuilt = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
-      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
     assert(refreshed == rebuilt,
       s"incremental refresh drifted from rebuild: $refreshed vs $rebuilt")
   }
@@ -152,8 +152,38 @@ class CdcSpec extends AnyFunSuite {
     // a subsequent delta against the emptied snapshot seeds fresh groups
     val reborn = Cdc.incrementalAggRefresh(emptied,
       Seq(("a", 9.75, 1)).toDF("k", "v", "op"), Seq("k"), "op", Seq("v"))
-      .as[(String, Long, Long)].collect().toSeq
-    assert(reborn == Seq(("a", 1L, 975L)))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(reborn == Seq(("a", 1L, 975L, 1L)))
+  }
+
+  test("NULL measures: refresh == rebuild; aggView presents all-NULL groups as NULL sum") {
+    // cnt_<m> tracks the measure's NON-NULL count: retracting a
+    // NULL-measure row must not decrement it, and a group whose every
+    // value is NULL presents sum NULL (not 0) through aggView.
+    val base = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("b", null), ("b", null), ("c", 2.0))
+      .toDF("k", "v")
+    val baseAgg = Cdc.aggSnapshot(base, Seq("k"), Seq("v"))
+    val delta = Seq[(String, java.lang.Double, java.lang.Integer)](
+      ("a", null, -1),  // retract a's NULL row: cnt drops, cnt_v must not
+      ("b", 5.0, 1),    // b gains its first non-null value
+      ("c", 2.0, -1), ("c", null, 1) // c becomes all-NULL
+    ).toDF("k", "v", "op")
+    val refreshed = Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v"))
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    val finalRows = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("b", null), ("b", null), ("b", 5.0), ("c", null))
+      .toDF("k", "v")
+    val rebuilt = Cdc.aggSnapshot(finalRows, Seq("k"), Seq("v"))
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(refreshed == rebuilt, s"NULL refresh drifted:\n$refreshed\nvs\n$rebuilt")
+    val viewed = Cdc.aggView(
+      Cdc.incrementalAggRefresh(baseAgg, delta, Seq("k"), "op", Seq("v")), Seq("v"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(viewed == Seq(
+      ("a", 1L, Some(1.0)), ("b", 3L, Some(5.0)), ("c", 1L, None)),
+      s"aggView NULL presentation wrong: $viewed")
   }
 
   test("refresh/view reject a snapshot whose units don't match") {
@@ -183,7 +213,7 @@ class CdcSpec extends AnyFunSuite {
     val once = Cdc.incrementalAggRefresh(snap, delta, Seq("k"), "op", Seq("v"), scale = 3)
     // chained refresh re-checks the stamp the previous refresh re-stamped
     val twice = Cdc.incrementalAggRefresh(once, delta, Seq("k"), "op", Seq("v"), scale = 3)
-    assert(twice.as[(String, Long, Long)].collect().toSeq == Seq(("a", 3L, 7000L)))
+    assert(twice.as[(String, Long, Long, Long)].collect().toSeq == Seq(("a", 3L, 7000L, 3L)))
     // and a persisted snapshot keeps its units across the parquet boundary
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-snap").toString
     try {
@@ -201,13 +231,14 @@ class CdcSpec extends AnyFunSuite {
     // delta: plain new rows — a new min for a, a new key c
     val delta = Seq(("a", 1.25), ("a", 9.0), ("c", 3.0)).toDF("k", "v")
     val refreshed = Cdc.incrementalAggRefreshAppendOnly(snap, delta, Seq("k"), Seq("v"))
-      .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+      .orderBy("k").as[(String, Long, Long, Long, Double, Double)].collect().toSeq
     val rebuilt = Cdc.aggSnapshotMinMax(base.unionByName(delta), Seq("k"), Seq("v"))
-      .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+      .orderBy("k").as[(String, Long, Long, Long, Double, Double)].collect().toSeq
     assert(refreshed == rebuilt, s"append-only refresh drifted:\n$refreshed\nvs\n$rebuilt")
     // spot-check the semantics: a's min dropped, b untouched, c appeared
     assert(refreshed == Seq(
-      ("a", 4L, 1725L, 1.25, 9.0), ("b", 1L, 750L, 7.5, 7.5), ("c", 1L, 300L, 3.0, 3.0)))
+      ("a", 4L, 1725L, 4L, 1.25, 9.0), ("b", 1L, 750L, 1L, 7.5, 7.5),
+      ("c", 1L, 300L, 1L, 3.0, 3.0)))
     // and a mismatched scale still fails loudly through the same guard
     intercept[IllegalArgumentException](
       Cdc.incrementalAggRefreshAppendOnly(snap, delta, Seq("k"), Seq("v"), scale = 3))

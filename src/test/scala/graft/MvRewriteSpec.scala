@@ -184,6 +184,89 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("NULL-bearing measures: rewritten count(m)/sum(m)/avg(m) match the base exactly") {
+    // avg(m) must divide by the NON-NULL count (Spark's Average skips
+    // NULLs; dividing by count(*) silently underestimates), and sum(m)
+    // over an all-NULL group must come back NULL, not 0 — the round-5
+    // ADVICE high item, now carried by the snapshot's cnt_<m> columns.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
+    try {
+      Seq[(String, java.lang.Double)](
+        ("a", 1.5), ("a", null), ("a", 2.5), ("b", null), ("b", null),
+        ("c", 4.0), ("c", 6.0))
+        .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/base")
+      Cdc.aggSnapshot(spark.read.parquet(s"$dir/base"), Seq("k"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.register(spark, s"$dir/base", Seq("k"), Seq("v"), s"$dir/snap")
+      try {
+        def q() = spark.read.parquet(s"$dir/base")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+            sum("v").as("s"), avg("v").as("a"))
+        val plan = scansOf(q())
+        assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/base"),
+          s"null-measure aggregate not navigated:\n$plan")
+        val got = q().orderBy("k")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)), Option(r.get(4)))).toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val want = q().orderBy("k")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)), Option(r.get(4)))).toSeq
+        assert(got == want, s"null semantics diverged:\n$got\nvs\n$want")
+        // and concretely: b's sum/avg are NULL, a's avg divides by 2 not 3
+        assert(want.find(_._1 == "b").get._4.isEmpty)
+        assert(want.find(_._1 == "a").get._5.contains(2.0))
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("register rejects non-floating measures; overlapping registrations are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-guard").toString
+    try {
+      Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      // LONG measure: the rewrite would silently retype the sum to DOUBLE
+      val e = intercept[IllegalArgumentException](
+        MvRewrite.register(spark, s"$dir/base", Seq("v"), Seq("id"), s"$dir/snap"))
+      assert(e.getMessage.contains("only double/float"))
+      // overlap guard: a second registration sharing roots is refused
+      MvRewrite.register(spark, s"$dir/base", Seq("id"), Seq("v"), s"$dir/snap")
+      try {
+        val e2 = intercept[IllegalArgumentException](
+          MvRewrite.register(spark, s"$dir/base/", Seq("id"), Seq("v"), s"$dir/snap2"))
+        assert(e2.getMessage.contains("overlaps"))
+        // same basePath re-registers fine (the refresh idiom)
+        MvRewrite.register(spark, s"$dir/base", Seq("id"), Seq("v"), s"$dir/snap")
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a partition-subdirectory scan of a registered base does NOT rewrite") {
+    // lookup matches EXACT root-path sets: reading one partition
+    // subdirectory must scan that subdirectory, never the whole-table
+    // snapshot (which would return totals for partitions the user
+    // explicitly excluded).
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-subdir").toString
+    try {
+      Seq(("a", "p1", 1.0), ("a", "p2", 2.0), ("b", "p1", 3.0))
+        .toDF("k", "p", "v")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$dir/base")
+      Cdc.aggSnapshot(spark.read.parquet(s"$dir/base"), Seq("k"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.register(spark, s"$dir/base", Seq("k"), Seq("v"), s"$dir/snap")
+      try {
+        val sub = spark.read.parquet(s"$dir/base/p=p1")
+          .groupBy("k").agg(sum("v").as("s"))
+        val plan = scansOf(sub)
+        assert(!plan.contains(s"$dir/snap"),
+          s"subdirectory scan wrongly rewritten to whole-table snapshot:\n$plan")
+        val got = sub.orderBy("k").as[(String, Double)].collect().toSeq
+        assert(got == Seq(("a", 1.0), ("b", 3.0)))
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer

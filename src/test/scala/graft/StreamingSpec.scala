@@ -898,8 +898,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // the streamed snapshot equals a from-scratch rebuild of the net rows
       val rebuilt = graft.ops.Cdc.aggSnapshot(
         Seq(("a", 2.5), ("c", 7.25)).toDF("k", "v"), Seq("k"), Seq("v"))
-      assert(snap.orderBy("k").as[(String, Long, Long)].collect().toSeq ==
-        rebuilt.orderBy("k").as[(String, Long, Long)].collect().toSeq)
+      assert(snap.orderBy("k").as[(String, Long, Long, Long)].collect().toSeq ==
+        rebuilt.orderBy("k").as[(String, Long, Long, Long)].collect().toSeq)
 
       // ...and MvRewrite serves ad-hoc aggregates from it: write the net
       // rows as the "base table", register the maintained snapshot DIR —
@@ -944,9 +944,9 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // streamed snapshot == from-scratch rebuild, min/max included
       val all = Seq(("a", 5.0), ("a", 2.0), ("b", 7.5), ("a", 1.25), ("c", 3.0))
       val rebuilt = graft.ops.Cdc.aggSnapshotMinMax(all.toDF("k", "v"), Seq("k"), Seq("v"))
-        .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+        .orderBy("k").as[(String, Long, Long, Long, Double, Double)].collect().toSeq
       val streamed = Streams.latestSnapshot(spark, target).get
-        .orderBy("k").as[(String, Long, Long, Double, Double)].collect().toSeq
+        .orderBy("k").as[(String, Long, Long, Long, Double, Double)].collect().toSeq
       assert(streamed == rebuilt, s"append-only IVM drifted:\n$streamed\nvs\n$rebuilt")
       // MV loop: base = all rows; versioned registration with min/max
       val baseDir = tmp("graft-ivm-ao-base")
