@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs inherit sbt's stdio instead of the LoggedOutput pipe, so
+// Bench's single JSON line reaches stdout BARE — without the "[info] "
+// prefix that made every prior round's harness-parsed `parsed` field
+// null (the parser wants a line that IS the JSON object).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

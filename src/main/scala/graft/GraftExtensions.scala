@@ -54,6 +54,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.Hilbert2(children(0), children(1), bits)
       }))
+    // KMV distinct-count family: the deterministic approximate-distinct
+    // aggregates MvRewrite can navigate. k is an optional trailing
+    // integer literal (default Kmv.DefaultK).
+    def kmvK(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+             fn: String): Int = {
+      val k = children.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) if v != null =>
+          v.toString.toInt
+        case None => graft.functions.Kmv.DefaultK
+        case other => throw new IllegalArgumentException(
+          s"$fn: k must be an integer literal, got $other")
+      }
+      require(k >= 2, s"$fn: k must be >= 2, got $k")
+      k
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvDistinct(children.head, kmvK(children, "kmv_distinct"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvSketchAgg(children.head, kmvK(children, "kmv_sketch"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_union"),
+      new ExpressionInfo(classOf[graft.functions.KmvUnionAgg].getName, "kmv_union"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvUnionAgg(children.head, kmvK(children, "kmv_union"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_union_est"),
+      new ExpressionInfo(classOf[graft.functions.KmvUnionEstimate].getName, "kmv_union_est"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvUnionEstimate(children.head, kmvK(children, "kmv_union_est"))))
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)

@@ -129,13 +129,19 @@ object Cdc {
 
   /** [[aggSnapshot]] plus per-measure MIN/MAX columns (`min_<m>`,
     * `max_<m>`, raw type — min/max are order-insensitive so they need
-    * no fixed-point treatment). Min/max are NOT retractable (a deleted
-    * row's extremum can't be recomputed without the base), so this
-    * snapshot shape is maintained by [[incrementalAggRefreshAppendOnly]]
-    * — the append-only fact regime (logs, events, immutable corpus
-    * shards), where it is exact. */
+    * no fixed-point treatment), plus one KMV distinct-count sketch
+    * column `kmv_<c>` per `distinctCols` entry (sorted `array<bigint>`
+    * of the `kmvK` smallest distinct value hashes —
+    * [[graft.functions.KmvSketchAgg]]). Min/max and KMV sketches are
+    * NOT retractable (a deleted row's extremum/hash can't be undone
+    * without the base), so this snapshot shape is maintained by
+    * [[incrementalAggRefreshAppendOnly]] — the append-only fact regime
+    * (logs, events, immutable corpus shards), where it is exact. */
   def aggSnapshotMinMax(df: DataFrame, keyCols: Seq[String],
-                        measures: Seq[String], scale: Int = 2): DataFrame = {
+                        measures: Seq[String], scale: Int = 2,
+                        distinctCols: Seq[String] = Nil,
+                        kmvK: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
     val unit = math.pow(10, scale)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
@@ -144,7 +150,10 @@ object Cdc {
             .as(s"sum_$m", scaleMeta(scale))) ++
           measures.map(m => count(col(m)).as(s"cnt_$m")) ++
           measures.map(m => min(col(m)).as(s"min_$m")) ++
-          measures.map(m => max(col(m)).as(s"max_$m"))): _*)
+          measures.map(m => max(col(m)).as(s"max_$m")) ++
+          distinctCols.map(c => Shim.column(graft.functions.KmvSketchAgg(
+            Shim.expression(Sketches.kmvHash(col(c))), kmvK)
+            .toAggregateExpression()).as(s"kmv_$c"))): _*)
   }
 
   /** Append-only incremental refresh of an [[aggSnapshotMinMax]]: the
@@ -156,13 +165,24 @@ object Cdc {
     * shape as [[incrementalAggRefresh]]. */
   def incrementalAggRefreshAppendOnly(baseAgg: DataFrame, delta: DataFrame,
                                       keyCols: Seq[String], measures: Seq[String],
-                                      scale: Int = 2): DataFrame = {
+                                      scale: Int = 2,
+                                      distinctCols: Seq[String] = Nil,
+                                      kmvK: Int = graft.functions.Kmv.DefaultK): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefreshAppendOnly: empty key")
     requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefreshAppendOnly")
-    val d = aggSnapshotMinMax(delta, keyCols, measures, scale)
+    distinctCols.foreach(c => require(baseAgg.columns.contains(s"kmv_$c"),
+      s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks kmv_$c — was it built " +
+        "with the same distinctCols?"))
+    val d = aggSnapshotMinMax(delta, keyCols, measures, scale, distinctCols, kmvK)
     val dr = (Seq("cnt") ++ measures.flatMap(m =>
-      Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")))
+      Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")) ++
+      distinctCols.map(c => s"kmv_$c"))
       .foldLeft(d)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    // per-row KMV merge: both sides are sorted distinct k-bounded
+    // arrays, so concat → distinct → sort → first k equals the sketch
+    // rebuilt from the union of the original values (exact
+    // mergeability) — all builtin array functions, codegen'd
+    val emptyKmv = typedLit(Array.empty[Long])
     baseAgg.join(dr, keyCols, "full_outer")
       .select((keyCols.map(col) ++
         Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L))).as("cnt")) ++
@@ -175,7 +195,12 @@ object Cdc {
         measures.map(m =>
           least(col(s"min_$m"), col(s"__d_min_$m")).as(s"min_$m")) ++
         measures.map(m =>
-          greatest(col(s"max_$m"), col(s"__d_max_$m")).as(s"max_$m"))).toIndexedSeq: _*)
+          greatest(col(s"max_$m"), col(s"__d_max_$m")).as(s"max_$m")) ++
+        distinctCols.map(c =>
+          slice(array_sort(array_distinct(concat(
+            coalesce(col(s"kmv_$c"), emptyKmv),
+            coalesce(col(s"__d_kmv_$c"), emptyKmv)))), 1, kmvK)
+            .as(s"kmv_$c"))).toIndexedSeq: _*)
   }
 
   /** Incremental materialized-aggregate refresh: apply a change batch

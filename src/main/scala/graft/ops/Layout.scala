@@ -148,6 +148,47 @@ object Layout {
         cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
   }
 
+  /** Incrementally extend a [[statsIndex]] with stats for files that
+    * appeared since it was built — the natural companion of append-only
+    * ingest: a streaming sink litters the directory with per-trigger
+    * files, and re-scanning 100 TB to refresh the manifest would defeat
+    * its purpose. One driver-side listing (|files| entries — the same
+    * cost [[readPruned]] already accepts) diffs the directory against
+    * the index; ONLY the new files are scanned, their stats unioned
+    * onto the existing rows. Deleted/compacted-away files are dropped
+    * from the index (their data is gone; stale entries would make
+    * [[readPruned]] fail on missing paths). Equality with a full
+    * rebuild is pinned by LayoutSpec. */
+  def statsIndexUpdate(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cols: Seq[String], index: DataFrame): DataFrame = {
+    require(cols.nonEmpty, "Layout.statsIndexUpdate: no columns")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scheme-normalized comparison: input_file_name() renders
+    // file:///x/y while Path.toString renders file:/x/y — compare by
+    // URI path, keep input_file_name's rendering in the index
+    def uriPath(s: String): String = new java.net.URI(s).getPath
+    val listed = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val listedPaths = listed.map(_.toUri.getPath).toSet
+    val indexedFiles = index.select("file").collect().map(_.getString(0))
+    val kept = indexedFiles.filter(f => listedPaths.contains(uriPath(f))).toSet
+    val keptIndex =
+      if (kept.size == indexedFiles.length) index
+      else index.filter(col("file").isin(kept.toSeq: _*))
+    val indexedPaths = indexedFiles.map(uriPath).toSet
+    val fresh = listed.filterNot(f => indexedPaths.contains(f.toUri.getPath))
+    if (fresh.isEmpty) keptIndex
+    else {
+      val newStats = spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"),
+          cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+      keptIndex.unionByName(newStats)
+    }
+  }
+
   /** Read only the files whose [[statsIndex]] ranges intersect
     * `[lo, hi]` boxes per column (`bounds`: col → (lo, hi)). The index
     * is consulted driver-side (it is |files| rows — the driver already

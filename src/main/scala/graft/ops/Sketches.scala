@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate statistics for corpus-scale counting.
@@ -88,6 +88,60 @@ object Sketches {
       .withColumn("distinct_est", hll_sketch_estimate(col("hll")))
   }
 
+  // ---- KMV: the DETERMINISTIC mergeable distinct-count sketch -----------
+  //
+  // HLL's register-max merge is exact but its estimate is seeded by
+  // implementation-internal randomization; the KMV sketch (k smallest
+  // distinct fnv64 hashes) is a pure order statistic — merge == rebuild
+  // EXACTLY and the estimate replays bit-for-bit in a DuckDB oracle
+  // (q12_kmv_distinct / q_incr_kmv). This is the sketch
+  // Cdc.aggSnapshotMinMax stores per key and MvRewrite navigates.
+
+  /** Raw fnv64 of the value's string rendering — the input every KMV
+    * sketch aggregate expects (the Fibonacci mix into [0, 2^61) is
+    * applied inside the aggregate; see [[graft.functions.Kmv.mix]]). */
+  def kmvHash(c: Column): Column =
+    call_function("fnv64", c.cast("string"))
+
+  /** One KMV sketch per `keyCols` group over `col`'s values, as a
+    * sorted `array<bigint>` column `kmv` — the parquet-storable unit of
+    * an incremental distinct-count pipeline (the deterministic twin of
+    * [[hllPartials]]). */
+  def kmvPartials(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  k: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(Shim.column(graft.functions.KmvSketchAgg(
+        Shim.expression(kmvHash(col(valueCol))), k).toAggregateExpression()).as("kmv"))
+  }
+
+  /** Merge stored [[kmvPartials]] sketches up a hierarchy per `keyCols`
+    * group, plus the estimate — touches only |sketches| rows, and the
+    * merged sketch EQUALS the one built from the union of the original
+    * values (exact mergeability — the order-statistic property). */
+  def kmvRollup(partials: DataFrame, keyCols: Seq[String],
+                k: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val grouped =
+      if (keyCols.isEmpty) partials.groupBy()
+      else partials.groupBy(keyCols.map(col).toIndexedSeq: _*)
+    grouped
+      .agg(Shim.column(graft.functions.KmvUnionAgg(
+        Shim.expression(col("kmv")), k).toAggregateExpression()).as("kmv"))
+      .withColumn("distinct_est", kmvEstimate(col("kmv"), k))
+  }
+
+  /** Distinct-count estimate of a stored KMV sketch column: exact size
+    * below k, else `round((k−1)·M / kth_min)` — the same arithmetic as
+    * [[graft.functions.Kmv.estimate]] (Spark round == BigDecimal
+    * HALF_UP), so Column-side and aggregate-side estimates agree. */
+  def kmvEstimate(kmv: Column, k: Int = graft.functions.Kmv.DefaultK): Column = {
+    val m = graft.functions.Kmv.M
+    when(size(kmv) < k, size(kmv).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(m.toDouble) /
+        element_at(kmv, k).cast("double")).cast("long"))
+  }
+
   /** The quantile companion to [[hllPartials]]: one Datasketches KLL
     * sketch per group over a DOUBLE column, parquet-storable — each
     * partition/day materializes its value-distribution sketch once, and
@@ -101,6 +155,32 @@ object Sketches {
                   k: Int = 200): DataFrame =
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(kll_sketch_agg_double(col(valueCol), k).as("kll"))
+
+  /** The scale-safe twin of the exact IQR-fence gate (`q_outliers`,
+    * `queries/Relational.scala`): Tukey fences from KLL sketch
+    * quantiles instead of exact `percentile`. The exact aggregate
+    * buffers a value→count map per group — O(distinct values) memory,
+    * the one unbounded-in-data-scale buffer in the suite — while the
+    * KLL sketch is O(k·log n) per group regardless of cardinality, at
+    * ~1.65% rank error (k=200). Same two-pass shape: tiny per-group
+    * fence aggregate BROADCAST back onto the fact (never a second fact
+    * shuffle), then one counting pass. Output matches q_outliers:
+    * keyCols + lo, hi, n_outliers, n_rows. */
+  def iqrOutliersKll(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     k: Int = 200): DataFrame = {
+    require(keyCols.nonEmpty, "Sketches.iqrOutliersKll: empty key")
+    val fences = kllRollup(kllPartials(df, keyCols, valueCol, k), keyCols,
+        Seq(0.25, 0.75))
+      .select((keyCols.map(col) ++ Seq(
+        (col("q_25") - (col("q_75") - col("q_25")) * 1.5).as("lo"),
+        (col("q_75") + (col("q_75") - col("q_25")) * 1.5).as("hi"))): _*)
+    df.join(broadcast(fences), keyCols.toIndexedSeq)
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(min("lo").as("lo"), min("hi").as("hi"),
+        sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
 
   /** Merge stored [[kllPartials]] up a hierarchy and evaluate
     * `quantiles` (0–1 fractions) per merged group: keyCols + one

@@ -49,7 +49,9 @@ object MvRewrite {
                          measures: Seq[String], scale: Int,
                          snapshotPath: () => String,
                          derived: Seq[(String, Expression)] = Nil,
-                         minMax: Seq[String] = Nil)
+                         minMax: Seq[String] = Nil,
+                         distinct: Seq[String] = Nil,
+                         kmvK: Int = graft.functions.Kmv.DefaultK)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -96,9 +98,11 @@ object MvRewrite {
     * mapping. */
   def register(spark: SparkSession, basePath: String, keys: Seq[String],
                measures: Seq[String], snapshotPath: String,
-               scale: Int = 2, minMaxMeasures: Seq[String] = Nil): Unit =
+               scale: Int = 2, minMaxMeasures: Seq[String] = Nil,
+               distinctCols: Seq[String] = Nil,
+               kmvK: Int = graft.functions.Kmv.DefaultK): Unit =
     registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath,
-      scale, minMaxMeasures)
+      scale, minMaxMeasures, distinctCols, kmvK)
 
   /** Like [[register]], plus DERIVED measures: name → Column expression
     * over base columns (e.g. `"disc_price" -> col("l_extendedprice") *
@@ -111,7 +115,9 @@ object MvRewrite {
                       measures: Seq[String],
                       derived: Map[String, org.apache.spark.sql.Column],
                       snapshotPath: String, scale: Int = 2,
-                      minMaxMeasures: Seq[String] = Nil): Unit = {
+                      minMaxMeasures: Seq[String] = Nil,
+                      distinctCols: Seq[String] = Nil,
+                      kmvK: Int = graft.functions.Kmv.DefaultK): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -138,7 +144,7 @@ object MvRewrite {
     requireNoOverlap(basePath, roots)
     entries.put(basePath,
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
-        minMaxMeasures))
+        minMaxMeasures, distinctCols, kmvK))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -154,7 +160,9 @@ object MvRewrite {
     * `retainVersions` to the longest handle lifetime. */
   def registerVersioned(spark: SparkSession, basePath: String, keys: Seq[String],
                         measures: Seq[String], targetDir: String,
-                        scale: Int = 2, minMaxMeasures: Seq[String] = Nil): Unit = {
+                        scale: Int = 2, minMaxMeasures: Seq[String] = Nil,
+                        distinctCols: Seq[String] = Nil,
+                        kmvK: Int = graft.functions.Kmv.DefaultK): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -166,7 +174,7 @@ object MvRewrite {
         .latestSnapshotPath(SparkSession.active, targetDir)
         .getOrElse(throw new IllegalStateException(
           s"MvRewrite: no committed snapshot version under $targetDir yet")),
-      minMax = minMaxMeasures))
+      minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK))
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)
@@ -289,6 +297,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }.getOrElse(throw Unanswerable)
     }
 
+    // a distinct-count target resolves through the implicit string cast
+    // kmv_distinct's analysis inserts (approx_count_distinct takes the
+    // raw attribute); only columns registered as distinctCols carry a
+    // sketch in the snapshot
+    def distinctAttr(ex: Expression): Option[String] = (ex match {
+      case ar: AttributeReference => Some(ar.name)
+      case Cast(ar: AttributeReference, _, _, _) => Some(ar.name)
+      case _ => None
+    }).filter(e.distinct.contains)
+
     // total NON-NULL count of a measure across the groups being merged —
     // the denominator SQL's NULL-skipping avg needs (count(*) would
     // overweight NULL-bearing groups), and the sentinel that tells an
@@ -336,6 +354,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, _, _), name)
           if e.minMax.contains(ar.name) =>
         Alias(AggregateExpression(Max(snapAttr(s"max_${ar.name}")), Complete,
+          isDistinct = false), name)(exprId = al.exprId)
+      // distinct-count navigation from the snapshot's mergeable KMV
+      // sketch columns (append-only maintained). kmv_distinct gets the
+      // IDENTICAL estimator over the merged sketches — KMV merge is
+      // exact, so navigated == direct, bit for bit. approx_count_
+      // distinct is answered by the KMV estimate too: a documented
+      // estimator swap (HLL++ → KMV), legitimate because the
+      // aggregate's contract is approximate — both estimators sit
+      // within ~1/sqrt(k) relative error.
+      case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, _, _), name)
+          if kd.k == e.kmvK && distinctAttr(kd.child).isDefined =>
+        Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
+          snapAttr(s"kmv_${distinctAttr(kd.child).get}"), e.kmvK), Complete,
+          isDistinct = false), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(
+            h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus,
+            _, false, _, _), name)
+          if distinctAttr(h.child).isDefined =>
+        Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
+          snapAttr(s"kmv_${distinctAttr(h.child).get}"), e.kmvK), Complete,
           isDistinct = false), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }

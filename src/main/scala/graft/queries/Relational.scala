@@ -302,63 +302,78 @@ object Relational {
       |       count(DISTINCT l_partkey)  AS n_parts
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 
-  // HLL sketch — no SQL oracle (approximate); rows-only check + unit test
-  // asserting relative error vs exact counts.
-  private val q12a = QueryDef("q12_approx_distinct", None) { (spark, dir) =>
-    Tables(spark, dir).lineitem
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
-  }
+  // Builtin HLL approx_count_distinct is covered SPEC-ONLY
+  // (QueriesSmokeSpec's tolerance contract): its estimate is randomized
+  // by implementation internals, so it can never hash-match an oracle —
+  // the deterministic q12_kmv_distinct below is the registry's
+  // approximate-distinct row, and carrying a permanently-`no_oracle`
+  // entry would only blur the zero-failure gate.
 
   // The DETERMINISTIC approximate-distinct twin (same move as the
   // integer-quantized IVF): a K-minimum-values sketch over the engine's
-  // own fnv64 — est = (k−1)·M / (kth smallest hash in [0,M)), exact
-  // count when a group has fewer than k distinct values. Every step is
-  // integer (FNV, mod-2^61 fold, kth-order statistic) except one final
-  // IEEE multiply+divide+round mirrored literally in the oracle, so the
-  // whole estimator hash-checks — approximate in STATISTICS, exact in
-  // ARITHMETIC. Scale shape: one narrow hash pass, per-group distinct +
-  // k-smallest (bounded by k per group), nothing driver-side.
+  // own fnv64 finished by the Fibonacci mix into [0, 2^61) — est =
+  // (k−1)·M / (kth smallest mixed hash), exact count when a group has
+  // fewer than k distinct values. Every step is integer (FNV, mod-2^64
+  // Fibonacci multiply replayed in HUGEINT split-multiply form, >>3,
+  // kth-order statistic) except one final IEEE multiply+divide+round
+  // mirrored literally in the oracle, so the whole estimator
+  // hash-checks — approximate in STATISTICS, exact in ARITHMETIC. The
+  // oracle SQL below is shared with q_incr_kmv so engine and checker
+  // cannot drift. Scale shape: one narrow hash pass into the k-bounded
+  // KmvSketchAgg buffer (at most k longs per group map-side), nothing
+  // driver-side.
+  /** DuckDB replay of [[graft.functions.Kmv]]: fnv64 per distinct
+    * value, Fibonacci-mixed into [0, 2^61) (the HUGEINT split-multiply
+    * form of `(h · 0x9E3779B97F4A7C15 mod 2^64) >>> 3`), k smallest
+    * per group, shared estimator arithmetic. */
+  private def kmvOracleSql(tbl: String, keyCols: Seq[String], valExpr: String,
+                           k: Int): String = {
+    val m = 1L << 61
+    val keys = keyCols.mkString(", ")
+    s"""WITH h0 AS (SELECT DISTINCT $keys,
+       |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(str_split(CAST($valExpr AS VARCHAR), ''), c -> ascii(c)::HUGEINT)),
+       |      (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
+       |                  * 1099511628211 % 18446744073709551616::HUGEINT) AS h
+       |  FROM $tbl),
+       |mx AS (SELECT $keys,
+       |    (((h // 4294967296) * 2135587861 + (h % 4294967296) * 2654435769) * 4294967296
+       |      + (h % 4294967296) * 2135587861) % 18446744073709551616::HUGEINT AS p
+       |  FROM h0),
+       |hp AS (SELECT DISTINCT $keys, (p // 8)::BIGINT AS hp FROM mx),
+       |rk AS (SELECT $keys, hp,
+       |              row_number() OVER (PARTITION BY $keys ORDER BY hp) AS rn
+       |       FROM hp)
+       |SELECT $keys,
+       |       max(hp) AS kth_min_hash,
+       |       CAST(count(*) AS INT) AS k_used,
+       |       CAST(CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE round(${k - 1}.0 * $m.0 / CAST(max(hp) AS DOUBLE)) END AS BIGINT) AS kmv_est
+       |FROM rk WHERE rn <= $k
+       |GROUP BY $keys""".stripMargin
+  }
+
+  /** Present a stored KMV sketch column as (kth_min_hash, k_used,
+    * kmv_est) — the [[kmvOracleSql]] output shape. */
+  private def kmvPresentation(keyCols: Seq[String], kmvCol: String, k: Int) = {
+    val kmv = col(kmvCol)
+    (df: org.apache.spark.sql.DataFrame) => df.select(
+      (keyCols.map(col) ++ Seq(
+        // guard: element_at(_, 0) is an error; an empty sketch (all-NULL
+        // group) presents NULL like the oracle's absent group would
+        when(size(kmv) > 0, element_at(kmv, size(kmv))).as("kth_min_hash"),
+        size(kmv).as("k_used"),
+        graft.ops.Sketches.kmvEstimate(kmv, k).as("kmv_est"))): _*)
+  }
+
   private val q12kmv = {
     val k = 64
-    val m = 1L << 61 // hash domain [0, 2^61): signed-safe in both engines
     QueryDef("q12_kmv_distinct", Some(
-      s"""WITH h0 AS (SELECT DISTINCT l_returnflag,
-         |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
-         |      list_transform(str_split(CAST(l_orderkey AS VARCHAR), ''), c -> ascii(c)::HUGEINT)),
-         |      (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
-         |                  * 1099511628211 % 18446744073709551616::HUGEINT) AS h
-         |  FROM lineitem),
-         |sv AS (SELECT l_returnflag,
-         |    (CASE WHEN h >= 9223372036854775808::HUGEINT
-         |          THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS s
-         |  FROM h0),
-         |hp AS (SELECT DISTINCT l_returnflag, ((s % $m) + $m) % $m AS hp FROM sv),
-         |rk AS (SELECT l_returnflag, hp,
-         |              row_number() OVER (PARTITION BY l_returnflag ORDER BY hp) AS rn
-         |       FROM hp)
-         |SELECT l_returnflag,
-         |       max(hp) AS kth_min_hash,
-         |       CAST(count(*) AS INT) AS k_used,
-         |       CAST(CASE WHEN count(*) < $k THEN count(*)
-         |            ELSE round(${k - 1}.0 * $m.0 / CAST(max(hp) AS DOUBLE)) END AS BIGINT) AS kmv_est
-         |FROM rk WHERE rn <= $k
-         |GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hp = Tables(spark, dir).lineitem
-        .select(col("l_returnflag"),
-          expr("fnv64(CAST(l_orderkey AS string))").as("h"))
-        .select(col("l_returnflag"), (((col("h") % m) + m) % m).as("hp"))
-        .distinct()
-      val w = Window.partitionBy("l_returnflag").orderBy("hp")
-      hp.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .groupBy("l_returnflag")
-        .agg(max("hp").as("kth_min_hash"), count(lit(1)).cast("int").as("k_used"))
-        .select(col("l_returnflag"), col("kth_min_hash"), col("k_used"),
-          when(col("k_used") < k, col("k_used").cast("long"))
-            .otherwise(round(lit((k - 1).toDouble) * lit(m.toDouble) /
-              col("kth_min_hash").cast("double")).cast("long"))
-            .as("kmv_est"))
+      kmvOracleSql("lineitem", Seq("l_returnflag"), "l_orderkey", k))) { (spark, dir) =>
+      val sketches = graft.ops.Sketches.kmvPartials(
+        Tables(spark, dir).lineitem.select("l_returnflag", "l_orderkey"),
+        Seq("l_returnflag"), "l_orderkey", k)
+      kmvPresentation(Seq("l_returnflag"), "kmv", k)(sketches)
     }
   }
 
@@ -423,6 +438,14 @@ object Relational {
 
   // Q3b — percentile/median aggregates (interpolated, double column —
   // Spark `percentile` and DuckDB `quantile_cont` agree there).
+  // SCALE BOUND (documented, deliberate): Spark's exact `percentile`
+  // buffers a value→count map per group — O(distinct values) memory in
+  // one task, unbounded in data scale (at 100× sf, ~10^7 distinct
+  // prices ≈ hundreds of MB per group). Exactness is what the DuckDB
+  // quantile_cont hash-match requires; the scale-safe path is the KLL
+  // sketch (Sketches.kllPartials/kllRollup, ~1.65% rank error, O(k log
+  // n) memory), probed against this exact version at 20× distinct
+  // values in ScaleProbe's percentile stage.
   private val q3p = QueryDef("q3_percentiles", Some(
     """SELECT l_returnflag,
       |       median(l_quantity)              AS med_qty,
@@ -869,13 +892,43 @@ object Relational {
     graft.ops.Cdc.aggView(refreshed, Seq("l_quantity"))
   }
 
+  // Append-only incremental refresh of a KMV distinct-count sketch —
+  // the round-6 MV pillar: a snapshot carrying kmv_<col> per key is
+  // brought up to date by a plain new-row delta WITHOUT rescanning the
+  // base, and because the KMV merge is an exact order statistic the
+  // refreshed sketch equals the one built over the full row set —
+  // which is precisely what the oracle recomputes from scratch (shared
+  // kmvOracleSql arithmetic). This is the hash-checked gate behind
+  // MvRewrite's kmv_distinct / approx_count_distinct navigation.
+  private val qIncrKmv = {
+    val k = 64
+    QueryDef("q_incr_kmv", Some(
+      kmvOracleSql("lineitem", Seq("l_returnflag", "l_linestatus"), "l_partkey", k))) {
+      (spark, dir) =>
+        val li = Tables(spark, dir).lineitem
+          .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val base = li.filter(col("l_orderkey") % 10 =!= 0)
+        val delta = li.filter(col("l_orderkey") % 10 === 0)
+        val refreshed = graft.ops.Cdc.incrementalAggRefreshAppendOnly(
+          graft.ops.Cdc.aggSnapshotMinMax(base, keys, Seq("l_quantity"),
+            distinctCols = Seq("l_partkey"), kmvK = k),
+          delta, keys, Seq("l_quantity"), distinctCols = Seq("l_partkey"), kmvK = k)
+        kmvPresentation(keys, "kmv_l_partkey", k)(refreshed)
+    }
+  }
+
   // IQR-fence outlier detection — the data-quality gate before training
   // statistics: per-group Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) and
   // the out-of-fence row count. Two passes: a tiny per-group fence
   // aggregate BROADCAST back onto the fact (never a second shuffle of
-  // the fact), then one counting pass. Interpolated percentiles and the
-  // fence arithmetic are IEEE-identical in both engines (the
-  // q3_percentiles precedent), so the whole gate hash-checks.
+  // the fact — PlanInvariantsSpec pins the broadcast), then one
+  // counting pass. Interpolated percentiles and the fence arithmetic
+  // are IEEE-identical in both engines (the q3_percentiles precedent),
+  // so the whole gate hash-checks. Same O(distinct)-per-group exact-
+  // percentile memory bound as q3_percentiles (see there); the
+  // scale-safe KLL-fenced twin is Sketches.iqrOutliersKll, tolerance-
+  // spec'd against this exact version in SketchesSpec.
   private val qOutliers = QueryDef("q_outliers", Some(
     """WITH f AS (SELECT l_returnflag,
       |         quantile_cont(l_extendedprice, 0.25) AS q1,
@@ -906,8 +959,8 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
-    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12a, q12kmv, qUdaf,
+    q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qIncrAo, qHist, qScd2, qZorder, qHilbert, qOutliers)
+    qIncr, qIncrAo, qIncrKmv, qHist, qScd2, qZorder, qHilbert, qOutliers)
 }

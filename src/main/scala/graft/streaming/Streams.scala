@@ -697,12 +697,19 @@ object Streams {
     * maintained snapshot additionally carries EXACT per-group min/max
     * — and a [[graft.plans.MvRewrite.registerVersioned]] view with
     * `minMaxMeasures` then answers min/max/sum/avg/count ad-hoc
-    * queries one microbatch behind the stream. Same versioned-write
-    * replay idempotence and retention as the ±op sink. */
+    * queries one microbatch behind the stream. `distinctCols` adds one
+    * mergeable KMV distinct-count sketch column per listed column
+    * (merge == rebuild exactly; [[graft.ops.Cdc.aggSnapshotMinMax]]),
+    * which the same registration (`distinctCols` there too) serves to
+    * ad-hoc `kmv_distinct` / `approx_count_distinct` queries. Same
+    * versioned-write replay idempotence and retention as the ±op
+    * sink. */
   def aggSnapshotSinkAppendOnly(rows: DataFrame, targetDir: String,
                                 checkpoint: String, keyCols: Seq[String],
                                 measures: Seq[String], scale: Int = 2,
-                                retainVersions: Int = 3): StreamingQuery = {
+                                retainVersions: Int = 3,
+                                distinctCols: Seq[String] = Nil,
+                                kmvK: Int = graft.functions.Kmv.DefaultK): StreamingQuery = {
     // >= 2 for the same replay-predecessor reason as aggSnapshotSink
     require(retainVersions >= 2,
       "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
@@ -713,10 +720,10 @@ object Streams {
         case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
         case None => graft.ops.Cdc.aggSnapshotMinMax(
           batch.filter(org.apache.spark.sql.functions.lit(false)),
-          keyCols, measures, scale)
+          keyCols, measures, scale, distinctCols, kmvK)
       }
       graft.ops.Cdc.incrementalAggRefreshAppendOnly(prev, batch, keyCols,
-          measures, scale)
+          measures, scale, distinctCols, kmvK)
         .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
       val path = new org.apache.hadoop.fs.Path(targetDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.ops.Cdc
 
 class CdcSpec extends AnyFunSuite {
@@ -242,6 +243,40 @@ class CdcSpec extends AnyFunSuite {
     // and a mismatched scale still fails loudly through the same guard
     intercept[IllegalArgumentException](
       Cdc.incrementalAggRefreshAppendOnly(snap, delta, Seq("k"), Seq("v"), scale = 3))
+  }
+
+  test("append-only refresh maintains KMV sketch columns: refresh == rebuild, arrays exact") {
+    val base = (0 until 500).map(i => ("a", 1.0, s"u${i % 120}")) ++
+      (0 until 300).map(i => ("b", 2.0, s"v${i % 40}"))
+    val delta = (0 until 400).map(i => ("a", 3.0, s"u${100 + (i % 150)}")) ++
+      (0 until 50).map(i => ("c", 4.0, s"w$i"))
+    val snap = Cdc.aggSnapshotMinMax(base.toDF("k", "m", "u"), Seq("k"), Seq("m"),
+      distinctCols = Seq("u"))
+    val refreshed = Cdc.incrementalAggRefreshAppendOnly(snap,
+        delta.toDF("k", "m", "u"), Seq("k"), Seq("m"), distinctCols = Seq("u"))
+      .orderBy("k").select("k", "kmv_u")
+      .as[(String, Array[Long])].collect().toSeq
+    val rebuilt = Cdc.aggSnapshotMinMax((base ++ delta).toDF("k", "m", "u"),
+        Seq("k"), Seq("m"), distinctCols = Seq("u"))
+      .orderBy("k").select("k", "kmv_u")
+      .as[(String, Array[Long])].collect().toSeq
+    assert(refreshed.map(_._1) == rebuilt.map(_._1))
+    refreshed.zip(rebuilt).foreach { case ((k1, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq, s"kmv sketch for $k1 diverged from rebuild")
+    }
+    // below-k groups estimate EXACT distinct counts through the sketch
+    val ests = Cdc.incrementalAggRefreshAppendOnly(snap,
+        delta.toDF("k", "m", "u"), Seq("k"), Seq("m"), distinctCols = Seq("u"))
+      .select(col("k"), graft.ops.Sketches.kmvEstimate(col("kmv_u"), 64).as("est"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(ests.find(_._1 == "b").get._2 == 40L)
+    assert(ests.find(_._1 == "c").get._2 == 50L)
+    // a snapshot built WITHOUT the sketch is refused loudly
+    val noKmv = Cdc.aggSnapshotMinMax(base.toDF("k", "m", "u"), Seq("k"), Seq("m"))
+    val e = intercept[IllegalArgumentException](
+      Cdc.incrementalAggRefreshAppendOnly(noKmv, delta.toDF("k", "m", "u"),
+        Seq("k"), Seq("m"), distinctCols = Seq("u")))
+    assert(e.getMessage.contains("kmv_u"))
   }
 
   test("scd2Build: validity intervals chain per key; latest version is current") {

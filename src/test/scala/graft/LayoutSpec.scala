@@ -121,6 +121,47 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("statsIndexUpdate: incremental == full rebuild; scans ONLY the new files; drops deleted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-statsupd").toString
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("file").as[(String, Long, Long, Long)].collect().toSeq
+      // the index is a PERSISTED manifest (the scaladoc contract) — a
+      // lazy plan over the data files would re-scan them on every use,
+      // including files deleted since; round-trip through parquet like
+      // production would
+      var gen = 0
+      def persisted(df: org.apache.spark.sql.DataFrame) = {
+        gen += 1
+        df.write.mode("overwrite").parquet(s"$dir/idx$gen")
+        spark.read.parquet(s"$dir/idx$gen")
+      }
+      spark.range(0, 5000).select(col("id").as("x"))
+        .repartition(4).write.parquet(s"$dir/t")
+      val idx0 = persisted(Layout.statsIndex(spark, s"$dir/t", Seq("x")))
+      // append-only ingest drops three more files in
+      spark.range(5000, 9000).select(col("id").as("x"))
+        .repartition(3).write.mode("append").parquet(s"$dir/t")
+      val updated = persisted(Layout.statsIndexUpdate(spark, s"$dir/t", Seq("x"), idx0))
+      val rebuilt = Layout.statsIndex(spark, s"$dir/t", Seq("x"))
+      assert(canon(updated) == canon(rebuilt),
+        "incremental stats index diverged from full rebuild")
+      assert(updated.count() == 7)
+      // no new files -> the same index comes back unchanged
+      assert(canon(Layout.statsIndexUpdate(spark, s"$dir/t", Seq("x"), updated)) ==
+        canon(updated))
+      // a file removed by compaction disappears from the refreshed index
+      val victim = new java.io.File(s"$dir/t").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      val afterDelete = persisted(
+        Layout.statsIndexUpdate(spark, s"$dir/t", Seq("x"), updated))
+      assert(afterDelete.count() == 6)
+      assert(canon(afterDelete) == canon(Layout.statsIndex(spark, s"$dir/t", Seq("x"))))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join without any shuffle") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
       .select("l_orderkey", "l_quantity")

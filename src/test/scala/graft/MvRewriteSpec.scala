@@ -184,6 +184,66 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("distinct-count navigation: kmv_distinct served from snapshot sketches, IDENTICAL answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-kmv").toString
+    try {
+      Cdc.aggSnapshotMinMax(spark.read.parquet(basePath), keys, Seq("l_quantity"),
+          distinctCols = Seq("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+        minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
+      try {
+        // coarser grouping: per-key sketches MERGE, then estimate — the
+        // KMV order statistic makes navigated == direct, bit for bit
+        def q() = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("kmv_distinct(l_partkey)").as("d"), count(lit(1)).as("n"))
+        val plan = scansOf(q())
+        assert(plan.contains(s"$dir/snap") && !plan.contains("lineitem.parquet"),
+          s"kmv_distinct not navigated:\n$plan")
+        val got = q().orderBy("l_returnflag").as[(String, Long, Long)].collect().toSeq
+        MvRewrite.unregister(basePath)
+        val want = q().orderBy("l_returnflag").as[(String, Long, Long)].collect().toSeq
+        assert(got == want, s"navigated kmv diverged from direct:\n$got\nvs\n$want")
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
+        // approx_count_distinct navigates too (documented estimator
+        // swap: HLL++ -> KMV; both approximate, answer within the
+        // sketches' error band of the exact count)
+        val acd = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct("l_partkey").as("d"))
+        val planA = scansOf(acd)
+        assert(planA.contains(s"$dir/snap") && !planA.contains("lineitem.parquet"),
+          s"approx_count_distinct not navigated:\n$planA")
+        MvRewrite.unregister(basePath)
+        val exact = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").cast("double").as("d"))
+          .orderBy("l_returnflag").as[(String, Double)].collect().toMap
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
+        acd.orderBy("l_returnflag").as[(String, Long)].collect().foreach {
+          case (k, est) =>
+            assert(math.abs(est - exact(k)) / exact(k) < 0.38,
+              s"navigated approx estimate $est too far from exact ${exact(k)} for $k")
+        }
+        // a NON-registered column's distinct count is left untouched
+        val other = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("kmv_distinct(l_suppkey)").as("d"))
+        assert(scansOf(other).contains("lineitem.parquet"),
+          "kmv_distinct over unregistered column wrongly navigated")
+        // and a mismatched k cannot use the stored sketches
+        val otherK = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("kmv_distinct(l_partkey, 128)").as("d"))
+        assert(scansOf(otherK).contains("lineitem.parquet"),
+          "kmv_distinct with mismatched k wrongly navigated")
+      } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("NULL-bearing measures: rewritten count(m)/sum(m)/avg(m) match the base exactly") {
     // avg(m) must divide by the NON-NULL count (Spark's Average skips
     // NULLs; dividing by count(*) silently underestimates), and sum(m)

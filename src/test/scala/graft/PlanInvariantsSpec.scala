@@ -85,6 +85,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_outliers: the fence aggregate is BROADCAST back (no second fact shuffle)") {
+    // The two-pass IQR gate's whole design is that the per-group fence
+    // table (|groups| rows) broadcasts onto the fact table, so the fact
+    // shuffles once (for the percentile) and never again for the
+    // counting pass. A refactor dropping the broadcast() hint would
+    // silently re-shuffle the full fact per query — fine at sf0.1,
+    // dead at 100 TB. Pin the shape like the knn broadcast assertion.
+    val p = plans("q_outliers")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"q_outliers fences are no longer broadcast:\n$p")
+    // the AQE printout repeats the tree under "== Initial Plan ==" —
+    // count exchanges only in the final section
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles <= 2,
+      s"q_outliers shuffles the fact more than its declared passes:\n$p")
+  }
+
   test("e2_knn_brute: the declared linear scan broadcasts its QUERY side") {
     // The one intentionally O(|corpus|·|queries|) operator in the
     // surface. Its contract: the tiny query set is the broadcast build

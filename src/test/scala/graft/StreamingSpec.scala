@@ -964,6 +964,48 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6d streamed KMV sketch snapshot == rebuild; MV answers kmv_distinct from it") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)] // k, measure, distinct-target
+    val target = tmp("graft-ivm-kmv-tgt")
+    val q = Streams.aggSnapshotSinkAppendOnly(in.toDF().toDF("k", "v", "u"),
+      target, tmp("graft-ivm-kmv-ck"), Seq("k"), Seq("v"),
+      distinctCols = Seq("u"))
+    try {
+      in.addData(("a", 1.0, "u1"), ("a", 2.0, "u2"), ("b", 3.0, "x1"))
+      q.processAllAvailable()
+      in.addData(("a", 4.0, "u2"), ("a", 5.0, "u3"), ("b", 6.0, "x1"))
+      q.processAllAvailable()
+      // streamed sketch equals the one rebuilt from all rows in one pass
+      val all = Seq(("a", 1.0, "u1"), ("a", 2.0, "u2"), ("b", 3.0, "x1"),
+        ("a", 4.0, "u2"), ("a", 5.0, "u3"), ("b", 6.0, "x1"))
+      val rebuilt = graft.ops.Cdc.aggSnapshotMinMax(all.toDF("k", "v", "u"),
+          Seq("k"), Seq("v"), distinctCols = Seq("u"))
+        .orderBy("k").select("k", "kmv_u").as[(String, Array[Long])].collect().toSeq
+      val streamed = Streams.latestSnapshot(spark, target).get
+        .orderBy("k").select("k", "kmv_u").as[(String, Array[Long])].collect().toSeq
+      assert(streamed.map(_._1) == rebuilt.map(_._1))
+      streamed.zip(rebuilt).foreach { case ((k1, a), (_, b)) =>
+        assert(a.toSeq == b.toSeq, s"streamed kmv for $k1 diverged from rebuild")
+      }
+      // MV loop: ad-hoc kmv_distinct over the base is served from the
+      // stream-maintained snapshot, answer identical to the direct one
+      val baseDir = tmp("graft-ivm-kmv-base")
+      all.toDF("k", "v", "u").write.mode("overwrite").parquet(baseDir)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"), Seq("v"),
+        target, distinctCols = Seq("u"))
+      try {
+        def query = spark.read.parquet(baseDir).groupBy("k")
+          .agg(org.apache.spark.sql.functions.expr("kmv_distinct(u)").as("d"))
+        val plan = query.queryExecution.executedPlan.toString
+        assert(!plan.contains(baseDir), s"streamed kmv MV not navigated:\n$plan")
+        assert(query.orderBy("k").as[(String, Long)].collect().toSeq ==
+          Seq(("a", 3L), ("b", 1L)))
+      } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
