@@ -142,6 +142,29 @@ object Sketches {
         element_at(kmv, k).cast("double")).cast("long"))
   }
 
+  /** Distinct-count of the INTERSECTION of two value sets from their
+    * stored KMV sketches alone — "users active in BOTH segments"
+    * without re-scanning either: the Bar-Yossef/Beyer KMV set-operation
+    * estimator. Let U = the union sketch (merge, exact); among U's
+    * retained hashes, the fraction ρ present in BOTH input sketches
+    * estimates the Jaccard similarity, and |A∩B| ≈ ρ · est(U). Every
+    * step is integer set algebra over the stored arrays plus the shared
+    * estimator arithmetic — deterministic, so it hash-checks like the
+    * rest of the KMV family. Exact when both sets held < k distinct
+    * values (the sketches then ARE the hashed sets).
+    *
+    * All builtin array functions (codegen'd): no UDF, no re-hash. */
+  def kmvIntersectEstimate(a: Column, b: Column,
+                           k: Int = graft.functions.Kmv.DefaultK): Column = {
+    val u = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val inBoth = size(array_intersect(array_intersect(u, a), b))
+    // round(ρ · est(U)) with ρ = inBoth/|U| — |U| > 0 whenever either
+    // input is non-empty; both empty → 0
+    when(size(u) === 0, lit(0L))
+      .otherwise(round(inBoth.cast("double") / size(u).cast("double") *
+        kmvEstimate(u, k).cast("double")).cast("long"))
+  }
+
   /** The quantile companion to [[hllPartials]]: one Datasketches KLL
     * sketch per group over a DOUBLE column, parquet-storable — each
     * partition/day materializes its value-distribution sketch once, and

@@ -326,11 +326,12 @@ object Relational {
     * value, Fibonacci-mixed into [0, 2^61) (the HUGEINT split-multiply
     * form of `(h · 0x9E3779B97F4A7C15 mod 2^64) >>> 3`), k smallest
     * per group, shared estimator arithmetic. */
-  private def kmvOracleSql(tbl: String, keyCols: Seq[String], valExpr: String,
-                           k: Int): String = {
-    val m = 1L << 61
+  /** The fnv64 + Fibonacci-mix CTE chain (h0 → mx → hp → rk) shared by
+    * every KMV oracle: per-key distinct mixed hashes with their
+    * ascending rank. */
+  private def kmvHashCtes(tbl: String, keyCols: Seq[String], valExpr: String): String = {
     val keys = keyCols.mkString(", ")
-    s"""WITH h0 AS (SELECT DISTINCT $keys,
+    s"""h0 AS (SELECT DISTINCT $keys,
        |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
        |      list_transform(str_split(CAST($valExpr AS VARCHAR), ''), c -> ascii(c)::HUGEINT)),
        |      (acc, x) -> ((acc - acc % 65536) + xor((acc % 65536)::BIGINT, x::BIGINT)::HUGEINT)
@@ -343,7 +344,14 @@ object Relational {
        |hp AS (SELECT DISTINCT $keys, (p // 8)::BIGINT AS hp FROM mx),
        |rk AS (SELECT $keys, hp,
        |              row_number() OVER (PARTITION BY $keys ORDER BY hp) AS rn
-       |       FROM hp)
+       |       FROM hp)""".stripMargin
+  }
+
+  private def kmvOracleSql(tbl: String, keyCols: Seq[String], valExpr: String,
+                           k: Int): String = {
+    val m = 1L << 61
+    val keys = keyCols.mkString(", ")
+    s"""WITH ${kmvHashCtes(tbl, keyCols, valExpr)}
        |SELECT $keys,
        |       max(hp) AS kth_min_hash,
        |       CAST(count(*) AS INT) AS k_used,
@@ -918,6 +926,57 @@ object Relational {
     }
   }
 
+  // KMV set-operation estimate — "distinct l_partkey in BOTH the A and
+  // R segments" answered from the two stored sketches alone (the
+  // Bar-Yossef/Beyer KMV estimator: ρ = |U ∩ A ∩ B|/|U| over the union
+  // sketch's retained hashes, |A∩B| ≈ ρ·est(U)), never re-scanning
+  // either segment. Deterministic like the rest of the KMV family —
+  // integer set algebra + the shared estimator arithmetic, mirrored
+  // literally in the oracle — so the whole overlap pipeline
+  // hash-checks. Scale shape: sketches are k longs per segment; the
+  // overlap math is O(k) regardless of segment sizes.
+  private val qKmvOverlap = {
+    val k = 64
+    val m = 1L << 61
+    QueryDef("q_kmv_overlap", Some(
+      s"""WITH ${kmvHashCtes("lineitem", Seq("l_returnflag"), "l_partkey")},
+         |ka AS (SELECT hp FROM rk WHERE rn <= $k AND l_returnflag = 'A'),
+         |kr AS (SELECT hp FROM rk WHERE rn <= $k AND l_returnflag = 'R'),
+         |u0 AS (SELECT DISTINCT hp FROM (SELECT hp FROM ka UNION ALL SELECT hp FROM kr) t),
+         |uk AS (SELECT hp, row_number() OVER (ORDER BY hp) AS rn FROM u0),
+         |ukk AS (SELECT hp FROM uk WHERE rn <= $k),
+         |st AS (SELECT count(*) AS usize, max(hp) AS ukth,
+         |        sum(CASE WHEN hp IN (SELECT hp FROM ka) AND hp IN (SELECT hp FROM kr)
+         |            THEN 1 ELSE 0 END) AS inboth
+         |       FROM ukk),
+         |est AS (SELECT usize, inboth,
+         |         CAST(CASE WHEN usize < $k THEN usize
+         |              ELSE round(${k - 1}.0 * $m.0 / CAST(ukth AS DOUBLE)) END AS BIGINT) AS union_est
+         |        FROM st)
+         |SELECT 'A' AS flag_a, 'R' AS flag_b,
+         |       CAST(usize AS INT) AS u_size, CAST(inboth AS INT) AS in_both,
+         |       union_est,
+         |       CAST(round(CAST(inboth AS DOUBLE) / CAST(usize AS DOUBLE)
+         |            * CAST(union_est AS DOUBLE)) AS BIGINT) AS intersect_est
+         |FROM est""".stripMargin)) { (spark, dir) =>
+      val sk = graft.ops.Sketches.kmvPartials(
+        Tables(spark, dir).lineitem.select("l_returnflag", "l_partkey"),
+        Seq("l_returnflag"), "l_partkey", k)
+      val pair = sk.agg(
+        first(when(col("l_returnflag") === "A", col("kmv")), ignoreNulls = true).as("ka"),
+        first(when(col("l_returnflag") === "R", col("kmv")), ignoreNulls = true).as("kr"))
+      val u = slice(array_sort(array_distinct(concat(col("ka"), col("kr")))), 1, k)
+      pair.select(
+        lit("A").as("flag_a"), lit("R").as("flag_b"),
+        size(u).cast("int").as("u_size"),
+        size(array_intersect(array_intersect(u, col("ka")), col("kr")))
+          .cast("int").as("in_both"),
+        graft.ops.Sketches.kmvEstimate(u, k).as("union_est"),
+        graft.ops.Sketches.kmvIntersectEstimate(col("ka"), col("kr"), k)
+          .as("intersect_est"))
+    }
+  }
+
   // IQR-fence outlier detection — the data-quality gate before training
   // statistics: per-group Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) and
   // the out-of-fence row count. Two passes: a tiny per-group fence
@@ -962,5 +1021,6 @@ object Relational {
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qIncrAo, qIncrKmv, qHist, qScd2, qZorder, qHilbert, qOutliers)
+    qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
+    qOutliers)
 }

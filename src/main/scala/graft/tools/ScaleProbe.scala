@@ -474,6 +474,77 @@ object ScaleProbe {
     graft.plans.MvRewrite.unregister(s"$mvDir/base")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvDir))
 
+    // Exact percentile vs KLL sketch at 20x DISTINCT values (~12M
+    // after perturbation — replication alone would reuse the same
+    // ~90k distinct prices and miss the point): the exact aggregate's
+    // buffer is a value→count map, O(distinct) per group, the one
+    // data-scale-unbounded memory shape in the suite; the KLL path is
+    // O(k log n). The timing gap is secondary — what this stage pins
+    // is that the exact version still COMPLETES here while its buffer
+    // is ~100x the sf0.1 case, and that the sketch path costs the
+    // same order while bounded.
+    val pct = l20.select(col("l_returnflag"),
+      (col("l_extendedprice") + (col("l_orderkey") % 1000000) / lit(1e9)).as("v"))
+    stage("pctl_exact_20x") {
+      pct.groupBy("l_returnflag")
+        .agg(expr("percentile(v, 0.25)").as("q1"), expr("percentile(v, 0.75)").as("q3"))
+    }
+    stage("pctl_kll_20x") {
+      graft.ops.Sketches.kllRollup(
+        graft.ops.Sketches.kllPartials(pct, Seq("l_returnflag"), "v"),
+        Seq("l_returnflag"), Seq(0.25, 0.75))
+    }
+    stage("outliers_kll_20x") {
+      graft.ops.Sketches.iqrOutliersKll(pct, Seq("l_returnflag"), "v")
+    }
+
+    // Stats-index maintenance at 10^4 files (the manifest regime where
+    // the footer-listing pass is the bottleneck the index removes):
+    // full build scans everything once; the incremental update after an
+    // append-only ingest of 100 files must cost O(new files); readPruned
+    // consults the |files|-row manifest driver-side and opens only
+    // intersecting files. Plus the decision-cost bound at 10^5 manifest
+    // rows — the driver-side filter readPruned's design accepts.
+    // (the 10k-file write is the slow part — skip the whole block when a
+    // stage filter excludes all four stats stages)
+    if (only.forall(o => Seq("stats_index_10kf", "stats_index_upd_100f",
+        "read_pruned_10kf", "prune_decide_100kf").exists(o.contains))) {
+    val sidir = java.nio.file.Files.createTempDirectory("graft-sidx-probe").toString
+    spark.range(1000000L).select(col("id").as("x"))
+      .repartitionByRange(10000, col("x"))
+      .write.parquet(s"$sidir/t")
+    stage("stats_index_10kf") {
+      graft.ops.Layout.statsIndex(spark, s"$sidir/t", Seq("x"))
+    }
+    val sIdx = graft.ops.Layout.statsIndex(spark, s"$sidir/t", Seq("x"))
+    sIdx.write.mode("overwrite").parquet(s"$sidir/idx")
+    spark.range(1000000L, 1010000L).select(col("id").as("x"))
+      .repartitionByRange(100, col("x"))
+      .write.mode("append").parquet(s"$sidir/t")
+    stage("stats_index_upd_100f") {
+      graft.ops.Layout.statsIndexUpdate(spark, s"$sidir/t", Seq("x"),
+        spark.read.parquet(s"$sidir/idx"))
+    }
+    locally {
+      val idx = spark.read.parquet(s"$sidir/idx")
+      val t0 = System.nanoTime()
+      val pruned = graft.ops.Layout.readPruned(spark, idx, Map("x" -> (500000L, 500999L)))
+      val n = pruned.count()
+      val opened = pruned.select(input_file_name()).distinct().count()
+      println(f"STAGE read_pruned_10kf   ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n opened=$opened of 10000")
+      // decision cost alone at 10^5 manifest rows (synthetic index)
+      val big = spark.range(100000L).select(
+        concat(lit("f"), col("id")).as("file"), lit(100L).as("rows"),
+        (col("id") * 1000).as("min_x"), (col("id") * 1000 + 999).as("max_x"))
+        .localCheckpoint()
+      val t1 = System.nanoTime()
+      val hits = big.filter(col("max_x") >= 5000000L && col("min_x") <= 5099999L)
+        .select("file").collect().length
+      println(f"STAGE prune_decide_100kf ${(System.nanoTime() - t1) / 1e9}%8.2fs matched=$hits of 100000")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sidir))
+    }
+
     // The COMPOSED pipeline end-to-end at sf0.1: quality -> LM ->
     // dedup -> near-dup -> decontaminate -> leakage -> caps -> split ->
     // packing, materializing the final pack segments. One number for

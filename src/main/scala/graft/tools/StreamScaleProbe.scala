@@ -136,14 +136,27 @@ object StreamScaleProbe {
     }
 
     // ---- streaming IVM: aggSnapshotSink under a 100k-group snapshot --
-    // Per batch: 50k ±op change rows touching 25k of the 100k groups.
     // The per-batch cost model is O(|delta| + |snapshot|) — the
     // versioned write rewrites the (bounded, group-cardinality-sized)
     // snapshot, NEVER the base table — so per-batch time must stay
-    // FLAT across batches once all groups exist: snapshot size is
-    // |groups|, independent of how many batches have flowed.
+    // FLAT across 100+ batches once all groups exist. Batches
+    // ALTERNATE between wide deltas (50k rows touching ~50k groups)
+    // and narrow ones (5k rows / ~5k groups) so the log shows time vs
+    // |touched groups| directly; version-directory count and on-disk
+    // bytes are reported per sampled batch — retention must hold the
+    // chain at retainVersions (3) forever, not let the target grow one
+    // full snapshot per microbatch.
+    val ivmBatches = args.lift(3).map(_.toInt).getOrElse(100)
+    def dirStats(fsPath: String): (Int, Long) = {
+      val p = new org.apache.hadoop.fs.Path(fsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) (0, 0L)
+      else {
+        val vs = fs.listStatus(p).filter(_.getPath.getName.startsWith("v="))
+        (vs.length, vs.map(st => fs.getContentSummary(st.getPath).getLength).sum)
+      }
+    }
     locally {
-      val perBatch = 50000
       val groups = 100000
       val tgt = ckpt("ivm-tgt")
       val changes = MemoryStream[(Long, Double, Int)]
@@ -152,19 +165,58 @@ object StreamScaleProbe {
         Seq("k"), "op", Seq("v"))
       try {
         var i = 0
-        while (i < batches) {
+        while (i < ivmBatches) {
+          val perBatch = if (i % 2 == 0) 50000 else 5000
           val t0 = System.nanoTime()
           changes.addData((0 until perBatch).map { j =>
-            // 50k distinct keys per batch; all 100k groups exist from
-            // batch 1 on (odd/even halves alternate)
             val k = (j * 2 + (i % 2)) % groups
             val op = if (j % 5 == 4 && i > 1) -1 else 1 // 20% retractions
             (k.toLong, (k % 100) / 4.0, op)
           })
           q.processAllAvailable()
-          val nGroups = graft.streaming.Streams.latestSnapshot(spark, tgt)
-            .map(_.count()).getOrElse(0L)
-          println(f"STAGE stream_ivm_100k       batch=$i%2d ${(System.nanoTime() - t0) / 1e9}%7.2fs snapGroups=$nGroups%8d")
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (i < 6 || i % 10 == 0 || i == ivmBatches - 1) {
+            val nGroups = graft.streaming.Streams.latestSnapshot(spark, tgt)
+              .map(_.count()).getOrElse(0L)
+            val (nVers, bytes) = dirStats(tgt)
+            println(f"STAGE stream_ivm_100k       batch=$i%3d $sec%7.2fs touched=$perBatch%6d snapGroups=$nGroups%8d versions=$nVers%2d dirBytes=$bytes%10d")
+          }
+          i += 1
+        }
+      } finally q.stop()
+    }
+
+    // ---- streaming IVM with KMV distinct sketches (round 6) ----------
+    // aggSnapshotSinkAppendOnly maintaining per-group kmv_<c> sketch
+    // columns: the refresh adds a per-row bounded array merge (k=64
+    // longs) on top of the count/sum/min/max arithmetic — per-batch
+    // time must stay flat and within ~2x of the plain sink's, and the
+    // snapshot stays |groups|-sized (sketches are k-bounded, so the
+    // distinct-value count of the stream never shows up in state).
+    locally {
+      val groups = 100000
+      val perBatch = 50000
+      val tgt = ckpt("ivmk-tgt")
+      val rows = MemoryStream[(Long, Double, String)]
+      val q = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+        rows.toDF().toDF("k", "v", "u"), tgt, ckpt("ivmk-ck"),
+        Seq("k"), Seq("v"), distinctCols = Seq("u"))
+      try {
+        var i = 0
+        val kmvBatches = math.max(10, ivmBatches / 5)
+        while (i < kmvBatches) {
+          val t0 = System.nanoTime()
+          rows.addData((0 until perBatch).map { j =>
+            val k = (j * 2 + (i % 2)) % groups
+            // unbounded distinct-value stream per group
+            (k.toLong, (k % 100) / 4.0, s"u${i.toLong * perBatch + j}")
+          })
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (i < 6 || i % 5 == 0 || i == kmvBatches - 1) {
+            val (nVers, bytes) = dirStats(tgt)
+            println(f"STAGE stream_ivm_kmv        batch=$i%3d $sec%7.2fs touched=$perBatch%6d versions=$nVers%2d dirBytes=$bytes%10d")
+          }
           i += 1
         }
       } finally q.stop()

@@ -61,6 +61,34 @@ class SketchesSpec extends AnyFunSuite {
       s"kmv(256) estimate $est256 too far from $n")
   }
 
+  test("kmvIntersectEstimate: exact below k; within the estimator band at scale") {
+    // below k the sketches ARE the hashed sets, so the overlap is exact
+    val small = Seq(
+      ("a", "x1"), ("a", "x2"), ("a", "x3"), ("a", "shared1"), ("a", "shared2"),
+      ("b", "y1"), ("b", "shared1"), ("b", "shared2")).toDF("seg", "v")
+    val sk = graft.ops.Sketches.kmvPartials(small, Seq("seg"), "v")
+    val pair = sk.agg(
+      first(when(col("seg") === "a", col("kmv")), ignoreNulls = true).as("ka"),
+      first(when(col("seg") === "b", col("kmv")), ignoreNulls = true).as("kb"))
+    val exactSmall = pair.select(
+      graft.ops.Sketches.kmvIntersectEstimate(col("ka"), col("kb")).as("i"))
+      .as[Long].collect().head
+    assert(exactSmall == 2L)
+    // at scale: 12k + 8k distinct with 3k shared; k=256 keeps the
+    // ratio-estimator's 3-sigma band under ~45%
+    val big = ((0 until 12000).map(i => ("a", s"a$i")) ++
+      (0 until 8000).map(i => ("b", s"b$i")) ++
+      (0 until 3000).flatMap(i => Seq(("a", s"s$i"), ("b", s"s$i")))).toDF("seg", "v")
+    val skb = graft.ops.Sketches.kmvPartials(big, Seq("seg"), "v", k = 256)
+    val est = skb.agg(
+      first(when(col("seg") === "a", col("kmv")), ignoreNulls = true).as("ka"),
+      first(when(col("seg") === "b", col("kmv")), ignoreNulls = true).as("kb"))
+      .select(graft.ops.Sketches.kmvIntersectEstimate(col("ka"), col("kb"), 256).as("i"))
+      .as[Long].collect().head
+    assert(math.abs(est - 3000).toDouble / 3000 < 0.45,
+      s"overlap estimate $est too far from 3000")
+  }
+
   test("iqrOutliersKll tracks the exact IQR gate within the KLL rank-error band") {
     // The scale-safe fence path must agree with the exact q_outliers
     // design on real data: fences within the sketch's rank error of the
