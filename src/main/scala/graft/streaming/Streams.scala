@@ -453,6 +453,94 @@ object Streams {
     }
   }
 
+  /** SESSION-window count+sum aggregate on transformWithState — the
+    * final savepoint-import residual (SURVEY §7.4.5), closed the same
+    * way the tumbling/sliding aggregates were in round 4: built-in
+    * `groupBy(session_window(ts, gap), key).agg(count, sum)` has no
+    * initial-state overload, so its exported state could not seed a
+    * fresh query — and unlike those, its state layout was ASSUMED
+    * provider-internal. It is not: the state source reads it as
+    * key = (key, sessionStartTime), value = (session_window struct,
+    * key, count, sum), sessions already merged
+    * ([[importSessionCountSum]] owns the decode). This twin accepts
+    * that state and finalizes sessions identically to the built-in
+    * aggregate in append mode.
+    *
+    * Semantics (built-in parity): a row at t opens a candidate session
+    * [t, t+gap); sessions whose intervals overlap merge (end exclusive
+    * — an event exactly at a session's end starts a NEW session);
+    * per-key state holds the OPEN sessions; an event-time timer at each
+    * session's end emits (key, start, end, cnt, sum) once the
+    * watermark passes it and clears that session; rows older than the
+    * watermark are dropped (the W4 contract — the built-in filters
+    * them before the stateful operator). Stale timers (a session
+    * extended past its old end) no-op: emission is guarded by
+    * `end <= watermark`, and every merge re-registers the new end.
+    *
+    * Scale shape: identical to the built-in operator — state is
+    * hash-partitioned by key, O(open sessions) entries; per-batch each
+    * touched key replays its (small: open-sessions) list once.
+    * RocksDB provider required (transformWithState's own requirement). */
+  def sessionAggTws[K: Encoder](
+      ds: Dataset[(K, java.sql.Timestamp, Double)],
+      watermark: String, gapMs: Long,
+      initial: Option[Dataset[(K, List[(Long, Long, Long, Double)])]] = None)(
+      implicit st: Encoder[List[(Long, Long, Long, Double)]],
+      out: Encoder[(K, Long, Long, Long, Double)]): Dataset[(K, Long, Long, Long, Double)] = {
+    require(gapMs > 0, "sessionAggTws: gapMs must be positive")
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+    type Sess = (Long, Long, Long, Double) // start, end(exclusive), cnt, sum
+    val proc = new StatefulProcessorWithInitialState[
+        K, (K, java.sql.Timestamp, Double), (K, Long, Long, Long, Double), List[Sess]] {
+      @transient private var open: ValueState[List[Sess]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        open = getHandle.getValueState[List[Sess]]("open", st, TTLConfig.NONE)
+      override def handleInitialState(k: K, s: List[Sess], tv: TimerValues): Unit = {
+        open.update(s)
+        s.foreach(sess => getHandle.registerTimer(sess._2))
+      }
+      override def handleInputRows(k: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
+                                   tv: TimerValues): Iterator[(K, Long, Long, Long, Double)] = {
+        val wm = tv.getCurrentWatermarkInMs()
+        val fresh = rows.map(r => (r._2.getTime, r._2.getTime + gapMs, 1L, r._3))
+          .filter(_._1 >= wm) // late rows drop before state, like the built-in
+          .toList
+        if (fresh.nonEmpty) {
+          val existing = if (open.exists()) open.get() else Nil
+          // interval merge over (existing ∪ fresh), end-exclusive:
+          // touching-at-end does NOT merge (next.start < cur.end does)
+          val sorted = (existing ++ fresh).sortBy(s => (s._1, s._2))
+          val merged = sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+            val cur = acc.head
+            if (s._1 < cur._2)
+              (math.min(cur._1, s._1), math.max(cur._2, s._2),
+                cur._3 + s._3, cur._4 + s._4) :: acc.tail
+            else s :: acc
+          }.reverse
+          open.update(merged)
+          merged.foreach(sess => getHandle.registerTimer(sess._2))
+        }
+        Iterator.empty
+      }
+      override def handleExpiredTimer(k: K, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[(K, Long, Long, Long, Double)] = {
+        val wm = tv.getCurrentWatermarkInMs()
+        val sessions = if (open.exists()) open.get() else Nil
+        val (closed, still) = sessions.partition(_._2 <= wm)
+        if (still.isEmpty) open.clear() else open.update(still)
+        closed.iterator.map(s => (k, s._1, s._2, s._3, s._4))
+      }
+    }
+    val keyed = ds.withWatermark("_2", watermark).groupByKey(_._1)
+    initial match {
+      case Some(init) =>
+        keyed.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append(),
+          init.groupByKey(_._1).mapValues(_._2), out, st)
+      case None =>
+        keyed.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append(), out)
+    }
+  }
+
   /** Streaming NEAR-dup candidates (E1 on a stream): each document is
     * MinHash-signed and banded (same family as the batch
     * [[graft.ops.Dedup]] pipeline); the stream is keyed by
@@ -924,6 +1012,35 @@ object Streams {
       ((k.getAs[K](1), k.getStruct(0).getTimestamp(0).getTime),
        (v.getLong(0), v.getDouble(1)))
     }
+
+  /** Decode an [[exportState]] parquet of a BUILT-IN session-window
+    * count+sum aggregation (`groupBy(session_window(ts, gap), key)
+    * .agg(count, sum)`) into the (key, open sessions) Dataset that
+    * seeds [[sessionAggTws]] — the LAST savepoint-import residual
+    * (SURVEY §7.4.5) closed. Layout (verified against the state
+    * source): key = (key col, sessionStartTime); value =
+    * (session_window struct(start, end), key col, count, sum), with
+    * sessions already merged by the built-in operator. Each key's
+    * entries group into the twin's per-key open-session list. The W7f
+    * spec proves the full path: export a built-in session agg
+    * mid-accumulation, seed the twin, and the continuation matches an
+    * uninterrupted run. */
+  def importSessionCountSum[K: Encoder](
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      implicit kv: Encoder[(K, (Long, Long, Long, Double))],
+      e: Encoder[(K, List[(Long, Long, Long, Double)])]): Dataset[(K, List[(Long, Long, Long, Double)])] = {
+    spark.read.parquet(path)
+      .select(col("key"), col("value"))
+      .map { r =>
+        val k = r.getStruct(0).getAs[K](0)
+        val v = r.getStruct(1)
+        val w = v.getStruct(0)
+        (k, (w.getTimestamp(0).getTime, w.getTimestamp(1).getTime,
+          v.getLong(2), v.getDouble(3)))
+      }
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.map(_._2).toList.sortBy(_._1)))
+  }
 
   /** W7: parquet sink with checkpoint — stop + restart with the same
     * checkpointLocation is the savepoint-restore equivalent. */

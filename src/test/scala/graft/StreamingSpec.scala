@@ -600,6 +600,97 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     }
   }
 
+  test("W7f session-window savepoint import: built-in session state seeds the TWS twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the last savepoint-import residual: round 4 closed tumbling +
+    // sliding; session windows were documented checkpoint-restart-only
+    // on the ASSUMPTION their merging state was provider-internal. The
+    // state source disproves that (key = (k, sessionStartTime), value =
+    // (session struct, k, cnt, sum), sessions pre-merged), so the same
+    // export -> decode -> seed-the-TWS-twin path applies.
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Engine.useRocksDBStateStore(spark)
+    try {
+      // gap 2 minutes, watermark 1 minute
+      val b1 = Seq((ts(0), "x", 1.0), (ts(1), "x", 2.0), (ts(0, 30), "y", 10.0))
+      // b2's max ts (12m) pushes the watermark to 11m, so b1's sessions
+      // (x [0,3m), y [0:30,2:30)) finalize+evict before the stop — the
+      // export carries ONLY the open sessions of b2
+      val b2 = Seq((ts(10), "x", 4.0), (ts(10, 30), "y", 20.0), (ts(12), "z", 8.0))
+      // b3: x@11m merges INTO the imported open x session [10,12m) ->
+      // [10,13m); the ts(40) pusher closes every data session (its own
+      // [40,42m) session stays open in BOTH runs, symmetrically)
+      val b3 = Seq((ts(11), "x", 16.0), (ts(20), "y", 40.0), (ts(40), "w", 0.0))
+
+      def runBuiltin(name: String, ckpt: String,
+                     batches: Seq[Seq[(Timestamp, String, Double)]]): Unit = {
+        val in = MemoryStream[(Timestamp, String, Double)]
+        val agg = Streams.sessionAgg(in.toDF().toDF("ts", "k", "v"),
+          "ts", "1 minute", "2 minutes", Seq("k"),
+          Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      def builtinRows(name: String): Set[(String, Long, Long, Long, Double)] =
+        spark.table(name).collect().map { r =>
+          val w = r.getStruct(0)
+          (r.getString(1), w.getTimestamp(0).getTime, w.getTimestamp(1).getTime,
+            r.getLong(2), r.getDouble(3))
+        }.toSet
+
+      // uninterrupted reference over b1..b3
+      runBuiltin(qn("stws_full"), tmp("stws-full-ckpt"), Seq(b1, b2, b3))
+      val full = builtinRows(qn("stws_full"))
+      // interrupted: b1+b2, stop, export the open-session state
+      val ckptA = tmp("stws-a-ckpt")
+      runBuiltin(qn("stws_prefix"), ckptA, Seq(b1, b2))
+      val prefixEmitted = builtinRows(qn("stws_prefix"))
+      val exported = tmp("stws-export")
+      Streams.exportState(spark, ckptA, exported)
+      val initial = Streams.importSessionCountSum[String](spark, exported)
+      // exactly the three open sessions, already merged, nothing evicted
+      val seeded = initial.collect().toMap
+      assert(seeded == Map(
+        "x" -> List((ts(10).getTime, ts(12).getTime, 1L, 4.0)),
+        "y" -> List((ts(10, 30).getTime, ts(12, 30).getTime, 1L, 20.0)),
+        "z" -> List((ts(12).getTime, ts(14).getTime, 1L, 8.0))),
+        s"export does not hold exactly the open sessions: $seeded")
+
+      // continuation: the session TWS twin seeded with the import, fed b3
+      val inB = MemoryStream[(String, Timestamp, Double)]
+      val cont = Streams.sessionAggTws[String](
+        inB.toDS(), "1 minute", 2L * 60 * 1000, initial = Some(initial))
+      val qB = cont.toDF("k", "start", "end", "cnt", "sum_v")
+        .writeStream.format("memory").queryName(qn("stws_cont"))
+        .option("checkpointLocation", tmp("stws-b-ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        inB.addData(b3.map { case (t, k, v) => (k, t, v) })
+        qB.processAllAvailable()
+      } finally qB.stop()
+      val contRows = spark.table(qn("stws_cont")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+
+      assert(prefixEmitted ++ contRows == full,
+        s"session continuation diverged:\n prefix $prefixEmitted\n cont $contRows\n full $full")
+      // the carry is real AND the merge crossed the import boundary:
+      // b3's x@11m extended the imported [10m,12m) session to [10m,13m)
+      // with the imported partial folded in — cnt 2, sum 20
+      assert(contRows.contains(("x", ts(10).getTime, ts(13).getTime, 2L, 20.0)),
+        s"imported open session did not merge with the continuation: $contRows")
+    } finally {
+      saved match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("W5b stream-static join enriches the stream against a batch dim") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
