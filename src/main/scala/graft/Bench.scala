@@ -191,7 +191,8 @@ object Bench {
           "e1_cluster_rep", "e2_knn_brute", "e2_ann_topk", "e2_ivf_topk",
           "e3_nb_classifier", "txt_tfidf", "txt_keywords", "mm_pixels",
           "pk_sequence_pack", "mx_temperature", "gr_pagerank",
-          "q_scd2", "q_zorder", "q_hilbert", "txt_pii", "txt_normalize")
+          "q_scd2", "q_zorder", "q_hilbert", "txt_pii", "txt_normalize",
+          "q_incr_kmv", "q_kmv_overlap")
     val budget = 1500 // chars for the headline `queries` map body
     val headEntries = scala.collection.mutable.ListBuffer[String]()
     var used = 0

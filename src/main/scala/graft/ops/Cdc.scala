@@ -140,7 +140,9 @@ object Cdc {
   def aggSnapshotMinMax(df: DataFrame, keyCols: Seq[String],
                         measures: Seq[String], scale: Int = 2,
                         distinctCols: Seq[String] = Nil,
-                        kmvK: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+                        kmvK: Int = graft.functions.Kmv.DefaultK,
+                        hllCols: Seq[String] = Nil,
+                        hllLgK: Int = 12): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     val unit = math.pow(10, scale)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
@@ -153,7 +155,14 @@ object Cdc {
           measures.map(m => max(col(m)).as(s"max_$m")) ++
           distinctCols.map(c => Shim.column(graft.functions.KmvSketchAgg(
             Shim.expression(Sketches.kmvHash(col(c))), kmvK)
-            .toAggregateExpression()).as(s"kmv_$c"))): _*)
+            .toAggregateExpression()).as(s"kmv_$c")) ++
+          // the Datasketches-standard twin of kmv_<c>: binary HLL per
+          // key, mergeable with Sketches.hllRollup and any external
+          // Datasketches reader — register-max union is exact, so
+          // refresh == rebuild in ESTIMATE (serialized bytes may
+          // differ: sparse/dense mode depends on build order)
+          hllCols.map(c =>
+            hll_sketch_agg(col(c), lit(hllLgK)).as(s"hll_$c"))): _*)
   }
 
   /** Append-only incremental refresh of an [[aggSnapshotMinMax]]: the
@@ -167,16 +176,22 @@ object Cdc {
                                       keyCols: Seq[String], measures: Seq[String],
                                       scale: Int = 2,
                                       distinctCols: Seq[String] = Nil,
-                                      kmvK: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+                                      kmvK: Int = graft.functions.Kmv.DefaultK,
+                                      hllCols: Seq[String] = Nil,
+                                      hllLgK: Int = 12): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefreshAppendOnly: empty key")
     requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefreshAppendOnly")
     distinctCols.foreach(c => require(baseAgg.columns.contains(s"kmv_$c"),
       s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks kmv_$c — was it built " +
         "with the same distinctCols?"))
-    val d = aggSnapshotMinMax(delta, keyCols, measures, scale, distinctCols, kmvK)
+    hllCols.foreach(c => require(baseAgg.columns.contains(s"hll_$c"),
+      s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks hll_$c — was it built " +
+        "with the same hllCols?"))
+    val d = aggSnapshotMinMax(delta, keyCols, measures, scale, distinctCols, kmvK,
+      hllCols, hllLgK)
     val dr = (Seq("cnt") ++ measures.flatMap(m =>
       Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")) ++
-      distinctCols.map(c => s"kmv_$c"))
+      distinctCols.map(c => s"kmv_$c") ++ hllCols.map(c => s"hll_$c"))
       .foldLeft(d)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
     // per-row KMV merge: both sides are sorted distinct k-bounded
     // arrays, so concat → distinct → sort → first k equals the sketch
@@ -200,7 +215,14 @@ object Cdc {
           slice(array_sort(array_distinct(concat(
             coalesce(col(s"kmv_$c"), emptyKmv),
             coalesce(col(s"__d_kmv_$c"), emptyKmv)))), 1, kmvK)
-            .as(s"kmv_$c"))).toIndexedSeq: _*)
+            .as(s"kmv_$c")) ++
+        // per-row HLL union; a key present on only one side keeps that
+        // side's sketch (hll_union(NULL, x) would be NULL)
+        hllCols.map(c =>
+          when(col(s"hll_$c").isNull, col(s"__d_hll_$c"))
+            .when(col(s"__d_hll_$c").isNull, col(s"hll_$c"))
+            .otherwise(hll_union(col(s"hll_$c"), col(s"__d_hll_$c")))
+            .as(s"hll_$c"))).toIndexedSeq: _*)
   }
 
   /** Incremental materialized-aggregate refresh: apply a change batch

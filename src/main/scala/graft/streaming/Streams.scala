@@ -797,7 +797,9 @@ object Streams {
                                 measures: Seq[String], scale: Int = 2,
                                 retainVersions: Int = 3,
                                 distinctCols: Seq[String] = Nil,
-                                kmvK: Int = graft.functions.Kmv.DefaultK): StreamingQuery = {
+                                kmvK: Int = graft.functions.Kmv.DefaultK,
+                                hllCols: Seq[String] = Nil,
+                                hllLgK: Int = 12): StreamingQuery = {
     // >= 2 for the same replay-predecessor reason as aggSnapshotSink
     require(retainVersions >= 2,
       "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
@@ -808,10 +810,10 @@ object Streams {
         case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
         case None => graft.ops.Cdc.aggSnapshotMinMax(
           batch.filter(org.apache.spark.sql.functions.lit(false)),
-          keyCols, measures, scale, distinctCols, kmvK)
+          keyCols, measures, scale, distinctCols, kmvK, hllCols, hllLgK)
       }
       graft.ops.Cdc.incrementalAggRefreshAppendOnly(prev, batch, keyCols,
-          measures, scale, distinctCols, kmvK)
+          measures, scale, distinctCols, kmvK, hllCols, hllLgK)
         .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
       val path = new org.apache.hadoop.fs.Path(targetDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

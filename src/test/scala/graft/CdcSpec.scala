@@ -279,6 +279,37 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("kmv_u"))
   }
 
+  test("append-only refresh maintains HLL sketch columns: estimates == rebuild exactly") {
+    import org.apache.spark.sql.functions.{hll_sketch_estimate, col => c}
+    val base = (0 until 2000).map(i => ("a", 1.0, s"u${i % 800}")) ++
+      (0 until 500).map(i => ("b", 2.0, s"v$i"))
+    val delta = (0 until 1500).map(i => ("a", 3.0, s"u${500 + (i % 900)}")) ++
+      (0 until 100).map(i => ("c", 4.0, s"w$i"))
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      df.select(c("k"), hll_sketch_estimate(c("hll_u")).as("est"))
+        .orderBy("k").as[(String, Long)].collect().toSeq
+    val snap = Cdc.aggSnapshotMinMax(base.toDF("k", "m", "u"), Seq("k"), Seq("m"),
+      hllCols = Seq("u"))
+    val refreshed = Cdc.incrementalAggRefreshAppendOnly(snap,
+      delta.toDF("k", "m", "u"), Seq("k"), Seq("m"), hllCols = Seq("u"))
+    val rebuilt = Cdc.aggSnapshotMinMax((base ++ delta).toDF("k", "m", "u"),
+      Seq("k"), Seq("m"), hllCols = Seq("u"))
+    // register-max union is exact: refresh == rebuild in ESTIMATE (the
+    // r5 hllRollup contract; serialized bytes may differ by build mode)
+    assert(estimates(refreshed) == estimates(rebuilt))
+    // keys present on only one side keep their sketch (b untouched by
+    // the delta, c delta-only); estimates land within the lgK=12 band
+    val m = estimates(refreshed).toMap
+    assert(math.abs(m("b") - 500L) <= 10 && math.abs(m("c") - 100L) <= 3,
+      s"one-sided sketches off: $m")
+    // snapshot built without the sketch is refused loudly
+    val noHll = Cdc.aggSnapshotMinMax(base.toDF("k", "m", "u"), Seq("k"), Seq("m"))
+    val e = intercept[IllegalArgumentException](
+      Cdc.incrementalAggRefreshAppendOnly(noHll, delta.toDF("k", "m", "u"),
+        Seq("k"), Seq("m"), hllCols = Seq("u")))
+    assert(e.getMessage.contains("hll_u"))
+  }
+
   test("scd2Build: validity intervals chain per key; latest version is current") {
     val changes = Seq(
       (1L, "2024-01-01", "bronze"),
