@@ -469,11 +469,19 @@ object Streams {
     * Semantics (built-in parity): a row at t opens a candidate session
     * [t, t+gap); sessions whose intervals overlap merge (end exclusive
     * — an event exactly at a session's end starts a NEW session);
-    * per-key state holds the OPEN sessions; an event-time timer at each
-    * session's end emits (key, start, end, cnt, sum) once the
-    * watermark passes it and clears that session; rows older than the
-    * watermark are dropped (the W4 contract — the built-in filters
-    * them before the stateful operator). Stale timers (a session
+    * per-key state holds the OPEN sessions; an event-time timer emits
+    * (key, start, end, cnt, sum) once the watermark passes the
+    * session's end and clears that session; a row drops as late only
+    * when its WHOLE candidate session ends at or before the watermark
+    * (`t + gap <= wm` — the built-in's session-end filter, pinned
+    * empirically by `tools.SessionLateProbe`; a raw `t < wm` filter
+    * would wrongly drop boundary rows the built-in keeps).
+    * transformWithState pre-filters input by the raw watermarked
+    * column, so the twin widens its INTERNAL watermark delay by `gap`
+    * (internal wm = true wm − gap: Spark's own filter then implements
+    * exactly the session-end rule) and shifts every timer by −gap so
+    * emission timing is unchanged — callers still reason in true-
+    * watermark terms. Stale timers (a session
     * extended past its old end) no-op: emission is guarded by
     * `end <= watermark`, and every merge re-registers the new end.
     *
@@ -495,15 +503,24 @@ object Streams {
       @transient private var open: ValueState[List[Sess]] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         open = getHandle.getValueState[List[Sess]]("open", st, TTLConfig.NONE)
+      // internal wm = true wm − gap (the widened watermark delay), so:
+      //  session closed        ⇔ end <= true wm ⇔ end − gap <= wm
+      //  candidate still open  ⇔ end > true wm  ⇔ end − gap > wm
+      // and every timer registers at (end − gap)
       override def handleInitialState(k: K, s: List[Sess], tv: TimerValues): Unit = {
         open.update(s)
-        s.foreach(sess => getHandle.registerTimer(sess._2))
+        s.foreach(sess => getHandle.registerTimer(sess._2 - gapMs))
       }
       override def handleInputRows(k: K, rows: Iterator[(K, java.sql.Timestamp, Double)],
                                    tv: TimerValues): Iterator[(K, Long, Long, Long, Double)] = {
         val wm = tv.getCurrentWatermarkInMs()
+        // late filter on the CANDIDATE SESSION END, not the raw
+        // timestamp (tools.SessionLateProbe pins the built-in's rule):
+        // Spark's own pre-filter on the widened watermark already
+        // drops t < true wm − gap; this guards the exact-equality
+        // boundary (end == true wm closes the candidate)
         val fresh = rows.map(r => (r._2.getTime, r._2.getTime + gapMs, 1L, r._3))
-          .filter(_._1 >= wm) // late rows drop before state, like the built-in
+          .filter(_._2 - gapMs > wm)
           .toList
         if (fresh.nonEmpty) {
           val existing = if (open.exists()) open.get() else Nil
@@ -518,7 +535,7 @@ object Streams {
             else s :: acc
           }.reverse
           open.update(merged)
-          merged.foreach(sess => getHandle.registerTimer(sess._2))
+          merged.foreach(sess => getHandle.registerTimer(sess._2 - gapMs))
         }
         Iterator.empty
       }
@@ -526,12 +543,22 @@ object Streams {
                                       info: ExpiredTimerInfo): Iterator[(K, Long, Long, Long, Double)] = {
         val wm = tv.getCurrentWatermarkInMs()
         val sessions = if (open.exists()) open.get() else Nil
-        val (closed, still) = sessions.partition(_._2 <= wm)
+        val (closed, still) = sessions.partition(_._2 - gapMs <= wm)
         if (still.isEmpty) open.clear() else open.update(still)
         closed.iterator.map(s => (k, s._1, s._2, s._3, s._4))
       }
     }
-    val keyed = ds.withWatermark("_2", watermark).groupByKey(_._1)
+    // widen the internal watermark delay by gap: transformWithState
+    // drops input rows behind ITS watermark, and with delay+gap that
+    // pre-filter implements exactly the built-in's session-end rule
+    val delayMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+      require(iv.months == 0, "sessionAggTws: watermark delay must not use months")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val keyed = ds.withWatermark("_2", s"${delayMs + gapMs} milliseconds")
+      .groupByKey(_._1)
     initial match {
       case Some(init) =>
         keyed.transformWithState(proc, TimeMode.EventTime(), OutputMode.Append(),

@@ -619,9 +619,15 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // export carries ONLY the open sessions of b2
       val b2 = Seq((ts(10), "x", 4.0), (ts(10, 30), "y", 20.0), (ts(12), "z", 8.0))
       // b3: x@11m merges INTO the imported open x session [10,12m) ->
-      // [10,13m); the ts(40) pusher closes every data session (its own
-      // [40,42m) session stays open in BOTH runs, symmetrically)
+      // [10,13m); the ts(40) pusher drives the watermark to 39m
       val b3 = Seq((ts(11), "x", 16.0), (ts(20), "y", 40.0), (ts(40), "w", 0.0))
+      // b4 pins the LATE-FILTER boundary after the import (wm = 39m):
+      // x@38:30 is behind the watermark but its candidate session ends
+      // at 40:30 > wm — the built-in KEEPS it (session-end filter,
+      // tools.SessionLateProbe) and the twin must too; y@36:30's whole
+      // session closed at 38:30 <= wm — both must DROP it. ts(50)
+      // closes everything (its own [50,52m) stays open symmetrically).
+      val b4 = Seq((ts(38, 30), "x", 5.0), (ts(36, 30), "y", 99.0), (ts(50), "u", 0.0))
 
       def runBuiltin(name: String, ckpt: String,
                      batches: Seq[Seq[(Timestamp, String, Double)]]): Unit = {
@@ -642,9 +648,15 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
             r.getLong(2), r.getDouble(3))
         }.toSet
 
-      // uninterrupted reference over b1..b3
-      runBuiltin(qn("stws_full"), tmp("stws-full-ckpt"), Seq(b1, b2, b3))
+      // uninterrupted reference over b1..b4
+      runBuiltin(qn("stws_full"), tmp("stws-full-ckpt"), Seq(b1, b2, b3, b4))
       val full = builtinRows(qn("stws_full"))
+      // the boundary row made it into the reference output...
+      assert(full.contains(("x", ts(38, 30).getTime, ts(40, 30).getTime, 1L, 5.0)),
+        s"built-in dropped the boundary row — probe assumption broken: $full")
+      // ...and the fully-closed late row did not
+      assert(!full.exists(r => r._1 == "y" && r._5 == 99.0),
+        s"built-in kept a fully-closed late row: $full")
       // interrupted: b1+b2, stop, export the open-session state
       val ckptA = tmp("stws-a-ckpt")
       runBuiltin(qn("stws_prefix"), ckptA, Seq(b1, b2))
@@ -670,6 +682,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         .outputMode(OutputMode.Append()).start()
       try {
         inB.addData(b3.map { case (t, k, v) => (k, t, v) })
+        qB.processAllAvailable()
+        inB.addData(b4.map { case (t, k, v) => (k, t, v) })
         qB.processAllAvailable()
       } finally qB.stop()
       val contRows = spark.table(qn("stws_cont")).collect()
