@@ -368,10 +368,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
           snapAttr(s"kmv_${distinctAttr(kd.child).get}"), e.kmvK), Complete,
           isDistinct = false), name)(exprId = al.exprId)
+      // precision contract: the user's relativeSD is a promise, and the
+      // KMV estimator's standard error is ~1/sqrt(k−2) — only navigate
+      // when the registered sketch is at least that precise (default
+      // rsd 0.05 needs kmvK >= 402; a k=64 registration serves only
+      // explicitly-loose requests). kmv_distinct above has no such
+      // guard because its k IS the request.
       case al @ Alias(AggregateExpression(
             h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus,
             _, false, _, _), name)
-          if distinctAttr(h.child).isDefined =>
+          if distinctAttr(h.child).isDefined &&
+            h.relativeSD >= 1.0 / math.sqrt(e.kmvK - 2.0) =>
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
           snapAttr(s"kmv_${distinctAttr(h.child).get}"), e.kmvK), Complete,
           isDistinct = false), name)(exprId = al.exprId)

@@ -764,7 +764,14 @@ object Streams {
     * [[latestSnapshotPath]] and queries over the petabyte base read a
     * kilobyte snapshot that trails the change stream by one
     * microbatch. Per-batch cost is O(|delta| + |touched groups|); the
-    * base table is never rescanned. */
+    * base table is never rescanned.
+    *
+    * No min/max or distinct-sketch columns here, by design: those
+    * summaries are NOT retractable (a deleted row's extremum or hash
+    * cannot be undone without rescanning the base), so they live only
+    * on the append-only sink ([[aggSnapshotSinkAppendOnly]]); this ±op
+    * sink maintains exactly the retraction-safe algebra (count,
+    * fixed-point sums, non-null counts). */
   def aggSnapshotSink(changes: DataFrame, targetDir: String, checkpoint: String,
                       keyCols: Seq[String], opCol: String,
                       measures: Seq[String], scale: Int = 2,

@@ -498,6 +498,23 @@ object ScaleProbe {
       graft.ops.Sketches.iqrOutliersKll(pct, Seq("l_returnflag"), "v")
     }
 
+    // Distinct-count ladder at 12M rows / ~3M distinct keys: exact
+    // countDistinct (an Expand + two shuffles), the builtin HLL++, and
+    // the KMV sketch aggregate (TypedImperativeAggregate, k-bounded
+    // buffer). KMV buys determinism + mergeable snapshot columns; this
+    // stage pins what that costs relative to the builtin on the same
+    // data.
+    stage("distinct_exact_20x") {
+      l20.groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("d"))
+    }
+    stage("distinct_hll_20x") {
+      l20.groupBy("l_returnflag").agg(approx_count_distinct("l_orderkey").as("d"))
+    }
+    stage("distinct_kmv_20x") {
+      graft.ops.Sketches.kmvPartials(
+        l20.select("l_returnflag", "l_orderkey"), Seq("l_returnflag"), "l_orderkey")
+    }
+
     // Stats-index maintenance at 10^4 files (the manifest regime where
     // the footer-listing pass is the bottleneck the index removes):
     // full build scans everything once; the incremental update after an

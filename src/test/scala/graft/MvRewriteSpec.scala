@@ -207,27 +207,59 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(got == want, s"navigated kmv diverged from direct:\n$got\nvs\n$want")
         MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
           minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
-        // approx_count_distinct navigates too (documented estimator
-        // swap: HLL++ -> KMV; both approximate, answer within the
-        // sketches' error band of the exact count)
-        val acd = spark.read.parquet(basePath)
+        // approx_count_distinct carries a PRECISION contract (its rsd):
+        // a k=64 sketch (~12.7% std err) must NOT serve the default 5%
+        // request...
+        def acd() = spark.read.parquet(basePath)
           .groupBy("l_returnflag")
           .agg(approx_count_distinct("l_partkey").as("d"))
-        val planA = scansOf(acd)
-        assert(planA.contains(s"$dir/snap") && !planA.contains("lineitem.parquet"),
-          s"approx_count_distinct not navigated:\n$planA")
+        assert(scansOf(acd()).contains("lineitem.parquet"),
+          "k=64 sketches wrongly served a 5%-rsd approx_count_distinct")
+        // ...but a k=512 registration (std err ~4.4%) does navigate —
+        // the documented HLL++ -> KMV estimator swap, within band
+        MvRewrite.unregister(basePath)
+        Cdc.aggSnapshotMinMax(spark.read.parquet(basePath), keys, Seq("l_quantity"),
+            distinctCols = Seq("l_partkey"), kmvK = 512)
+          .write.mode("overwrite").parquet(s"$dir/snap512")
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap512",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"),
+          kmvK = 512)
+        val planA = scansOf(acd())
+        assert(planA.contains(s"$dir/snap512") && !planA.contains("lineitem.parquet"),
+          s"approx_count_distinct not navigated at sufficient k:\n$planA")
         MvRewrite.unregister(basePath)
         val exact = spark.read.parquet(basePath)
           .groupBy("l_returnflag")
           .agg(countDistinct("l_partkey").cast("double").as("d"))
           .orderBy("l_returnflag").as[(String, Double)].collect().toMap
-        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
-          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
-        acd.orderBy("l_returnflag").as[(String, Long)].collect().foreach {
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap512",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"),
+          kmvK = 512)
+        acd().orderBy("l_returnflag").as[(String, Long)].collect().foreach {
           case (k, est) =>
-            assert(math.abs(est - exact(k)) / exact(k) < 0.38,
+            assert(math.abs(est - exact(k)) / exact(k) < 0.14,
               s"navigated approx estimate $est too far from exact ${exact(k)} for $k")
         }
+        // restore the k=64 registration for the remaining negatives
+        MvRewrite.unregister(basePath)
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
+        // key-only filters compose with distinct navigation: the
+        // predicate replays against the snapshot's key column and the
+        // surviving groups' sketches merge — answer still identical
+        def qf() = spark.read.parquet(basePath)
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(expr("kmv_distinct(l_partkey)").as("d"))
+        val planF = scansOf(qf())
+        assert(planF.contains(s"$dir/snap") && !planF.contains("lineitem.parquet"),
+          s"key-filtered kmv_distinct not navigated:\n$planF")
+        val gotF = qf().orderBy("l_returnflag").as[(String, Long)].collect().toSeq
+        MvRewrite.unregister(basePath)
+        val wantF = qf().orderBy("l_returnflag").as[(String, Long)].collect().toSeq
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/snap",
+          minMaxMeasures = Seq("l_quantity"), distinctCols = Seq("l_partkey"))
+        assert(gotF == wantF, s"filtered kmv diverged:\n$gotF\nvs\n$wantF")
         // a NON-registered column's distinct count is left untouched
         val other = spark.read.parquet(basePath)
           .groupBy("l_returnflag")
