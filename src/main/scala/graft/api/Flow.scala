@@ -89,6 +89,67 @@ final class Flow[T](val ds: Dataset[T]) extends Serializable {
     }.toMap
   }
 
+  /** W3 windowed keyed aggregation — the reference's
+    * `keyBy(...).window(TumblingEventTimeWindows.of(...)).aggregate(...)`
+    * surface as ONE typed API for batch and streaming (`window()` /
+    * `session_window()` group identically in both; `withWatermark` is a
+    * no-op on batch datasets — the facade's translateForBatch/
+    * translateForStreaming promise). Extractors pick the key, event
+    * time and value; output is (key, window_start_ms, cnt, sum).
+    * Declarative underneath ([[graft.streaming.Streams.tumblingAgg]]
+    * family), so Catalyst plans the partial-aggregate + single keyed
+    * exchange shape. */
+  def windowCountSum[K: Encoder](keyF: T => K, tsF: T => java.sql.Timestamp,
+                                 valF: T => Double, watermark: String,
+                                 width: String)(
+      implicit row: Encoder[(K, java.sql.Timestamp, Double)],
+      out: Encoder[(K, Long, Long, Double)]): Flow[(K, Long, Long, Double)] =
+    windowed(keyF, tsF, valF, df => graft.streaming.Streams.tumblingAgg(
+      df, "ts", watermark, width, Seq("k"), countSumAggs))
+
+  /** W3 sliding variant: each element lands in width/slide windows. */
+  def slidingWindowCountSum[K: Encoder](keyF: T => K, tsF: T => java.sql.Timestamp,
+                                        valF: T => Double, watermark: String,
+                                        width: String, slide: String)(
+      implicit row: Encoder[(K, java.sql.Timestamp, Double)],
+      out: Encoder[(K, Long, Long, Double)]): Flow[(K, Long, Long, Double)] =
+    windowed(keyF, tsF, valF, df => graft.streaming.Streams.slidingAgg(
+      df, "ts", watermark, width, slide, Seq("k"), countSumAggs))
+
+  /** W3 session variant (`EventTimeSessionWindows.withGap`): output
+    * carries (key, start_ms, end_ms, cnt, sum) — session ends are
+    * data-dependent, unlike the fixed-width windows above. */
+  def sessionWindowCountSum[K: Encoder](keyF: T => K, tsF: T => java.sql.Timestamp,
+                                        valF: T => Double, watermark: String,
+                                        gap: String)(
+      implicit row: Encoder[(K, java.sql.Timestamp, Double)],
+      out: Encoder[(K, Long, Long, Long, Double)]): Flow[(K, Long, Long, Long, Double)] = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val rows = ds.map(t => (keyF(t), tsF(t), valF(t))).toDF("k", "ts", "v")
+    val agg = graft.streaming.Streams.sessionAgg(
+      rows, "ts", watermark, gap, Seq("k"), countSumAggs)
+    new Flow(agg.select(col("k"), unix_millis(col("session.start")),
+        unix_millis(col("session.end")), col("cnt"), col("sum_v"))
+      .as[(K, Long, Long, Long, Double)])
+  }
+
+  private def countSumAggs: Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{functions => F}
+    Seq(F.count(F.lit(1)).as("cnt"), F.sum(F.col("v")).as("sum_v"))
+  }
+
+  private def windowed[K: Encoder](keyF: T => K, tsF: T => java.sql.Timestamp,
+                                   valF: T => Double,
+                                   agg: DataFrame => DataFrame)(
+      implicit row: Encoder[(K, java.sql.Timestamp, Double)],
+      out: Encoder[(K, Long, Long, Double)]): Flow[(K, Long, Long, Double)] = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val rows = ds.map(t => (keyF(t), tsF(t), valF(t))).toDF("k", "ts", "v")
+    new Flow(agg(rows).select(col("k"), unix_millis(col("window.start")),
+        col("cnt"), col("sum_v"))
+      .as[(K, Long, Long, Double)])
+  }
+
   /** S6 sinks. Batch parquet sink; `print` ≙ reference's print() sink. */
   def sinkParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
 

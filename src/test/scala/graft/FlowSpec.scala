@@ -264,6 +264,38 @@ class FlowSpec extends AnyFunSuite {
     assert(maxs == Map("a" -> ("a", 2.5), "b" -> ("b", 4.0)))
   }
 
+  test("W3 typed window facade: tumbling/sliding/session identical for batch data") {
+    import spark.implicits._
+    def t(min: Int, sec: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    val base = t(0).getTime
+    val data = Seq(
+      ("a", t(1), 1.0), ("a", t(4), 2.0),   // same 10-min window
+      ("a", t(12), 4.0),                     // next window
+      ("b", t(3), 10.0))
+    val flow = Flow.fromCollection(spark, data)
+    // tumbling 10 minutes — watermark is a no-op on batch, same API
+    val tw = flow.windowCountSum[String](_._1, _._2, _._3, "1 minute", "10 minutes")
+      .collectSeq().toSet
+    assert(tw == Set(
+      ("a", base, 2L, 3.0), ("a", base + 600000L, 1L, 4.0), ("b", base, 1L, 10.0)))
+    // sliding 10/5 minutes: a@1 lands in windows starting -5 and 0
+    // a@1 and a@4 share windows [-5,5) and [0,10); a@12 lands in [5,15)
+    // and [10,20) — 4 distinct windows for key a
+    val sw = flow.slidingWindowCountSum[String](_._1, _._2, _._3,
+      "1 minute", "10 minutes", "5 minutes").collectSeq()
+    assert(sw.count(_._1 == "a") == 4)
+    assert(sw.contains(("a", base, 2L, 3.0))) // [0,10) holds a@1 + a@4
+    // session gap 5 minutes: a@1+a@4 chain into one session [1, 9);
+    // a@12 is its own [12, 17)
+    val sess = flow.sessionWindowCountSum[String](_._1, _._2, _._3,
+      "1 minute", "5 minutes").collectSeq().toSet
+    assert(sess == Set(
+      ("a", t(1).getTime, t(9).getTime, 2L, 3.0),
+      ("a", t(12).getTime, t(17).getTime, 1L, 4.0),
+      ("b", t(3).getTime, t(8).getTime, 1L, 10.0)))
+  }
+
   test("S1 readTextFile + S6 parquet sink round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-flow").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"), "x\ny\nz")
