@@ -157,8 +157,11 @@ object Layout {
     * the index; ONLY the new files are scanned, their stats unioned
     * onto the existing rows. Deleted/compacted-away files are dropped
     * from the index (their data is gone; stale entries would make
-    * [[readPruned]] fail on missing paths). Equality with a full
-    * rebuild is pinned by LayoutSpec. */
+    * [[readPruned]] fail on missing paths). Hive-partitioned layouts
+    * are walked recursively; index DATA columns only — a partition
+    * column's values live in directory names, which the new-files-only
+    * read cannot see (and partition pruning already covers them).
+    * Equality with a full rebuild is pinned by LayoutSpec. */
   def statsIndexUpdate(spark: org.apache.spark.sql.SparkSession, path: String,
                        cols: Seq[String], index: DataFrame): DataFrame = {
     require(cols.nonEmpty, "Layout.statsIndexUpdate: no columns")
@@ -168,9 +171,18 @@ object Layout {
     // file:///x/y while Path.toString renders file:/x/y — compare by
     // URI path, keep input_file_name's rendering in the index
     def uriPath(s: String): String = new java.net.URI(s).getPath
-    val listed = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
+    // RECURSIVE listing: a hive-partitioned table keeps its files in
+    // key=value subdirectories — a top-level listStatus would see none
+    // of them and wrongly classify every indexed file as deleted
+    val listed = {
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+      }
+      out.toArray
+    }
     val listedPaths = listed.map(_.toUri.getPath).toSet
     val indexedFiles = index.select("file").collect().map(_.getString(0))
     val kept = indexedFiles.filter(f => listedPaths.contains(uriPath(f))).toSet

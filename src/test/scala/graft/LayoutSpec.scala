@@ -159,6 +159,17 @@ class LayoutSpec extends AnyFunSuite {
         Layout.statsIndexUpdate(spark, s"$dir/t", Seq("x"), updated))
       assert(afterDelete.count() == 6)
       assert(canon(afterDelete) == canon(Layout.statsIndex(spark, s"$dir/t", Seq("x"))))
+      // hive-partitioned layout: files live in key=value subdirectories —
+      // the recursive walk must see them (a top-level listing would
+      // classify every indexed file as deleted and empty the index)
+      spark.range(0, 1000).select((col("id") % 2).cast("string").as("p"), col("id").as("x"))
+        .repartition(2).write.partitionBy("p").parquet(s"$dir/pt")
+      val pIdx = persisted(Layout.statsIndex(spark, s"$dir/pt", Seq("x")))
+      spark.range(1000, 1500).select(lit("0").as("p"), col("id").as("x"))
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(s"$dir/pt")
+      val pUpd = Layout.statsIndexUpdate(spark, s"$dir/pt", Seq("x"), pIdx)
+      assert(canon(pUpd) == canon(Layout.statsIndex(spark, s"$dir/pt", Seq("x"))),
+        "partitioned incremental stats index diverged from rebuild")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
