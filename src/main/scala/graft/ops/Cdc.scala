@@ -212,9 +212,9 @@ object Cdc {
         measures.map(m =>
           greatest(col(s"max_$m"), col(s"__d_max_$m")).as(s"max_$m")) ++
         distinctCols.map(c =>
-          slice(array_sort(array_distinct(concat(
+          Sketches.kmvUnion(
             coalesce(col(s"kmv_$c"), emptyKmv),
-            coalesce(col(s"__d_kmv_$c"), emptyKmv)))), 1, kmvK)
+            coalesce(col(s"__d_kmv_$c"), emptyKmv), kmvK)
             .as(s"kmv_$c")) ++
         // per-row HLL union; a key present on only one side keeps that
         // side's sketch (hll_union(NULL, x) would be NULL)

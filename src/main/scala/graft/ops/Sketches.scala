@@ -156,7 +156,7 @@ object Sketches {
     * All builtin array functions (codegen'd): no UDF, no re-hash. */
   def kmvIntersectEstimate(a: Column, b: Column,
                            k: Int = graft.functions.Kmv.DefaultK): Column = {
-    val u = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val u = kmvUnion(a, b, k)
     val inBoth = size(array_intersect(array_intersect(u, a), b))
     // round(ρ · est(U)) with ρ = inBoth/|U| — |U| > 0 whenever either
     // input is non-empty; both empty → 0
@@ -164,6 +164,25 @@ object Sketches {
       .otherwise(round(inBoth.cast("double") / size(u).cast("double") *
         kmvEstimate(u, k).cast("double")).cast("long"))
   }
+
+  /** Jaccard similarity estimate of two value sets from their KMV
+    * sketches: ρ = |U ∩ A ∩ B| / |U| over the union sketch's retained
+    * hashes — the similarity component of [[kmvIntersectEstimate]],
+    * exposed directly for segment-similarity analytics ("how alike are
+    * these two audiences"). Exact when both sets held < k values. */
+  def kmvJaccard(a: Column, b: Column,
+                 k: Int = graft.functions.Kmv.DefaultK): Column = {
+    val u = kmvUnion(a, b, k)
+    when(size(u) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double") /
+        size(u).cast("double"))
+  }
+
+  /** Per-row merge of two KMV sketch arrays (both sorted distinct,
+    * k-bounded): the k smallest of their union — exact mergeability. */
+  def kmvUnion(a: Column, b: Column,
+               k: Int = graft.functions.Kmv.DefaultK): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
   /** The quantile companion to [[hllPartials]]: one Datasketches KLL
     * sketch per group over a DOUBLE column, parquet-storable — each

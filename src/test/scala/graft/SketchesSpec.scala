@@ -70,10 +70,13 @@ class SketchesSpec extends AnyFunSuite {
     val pair = sk.agg(
       first(when(col("seg") === "a", col("kmv")), ignoreNulls = true).as("ka"),
       first(when(col("seg") === "b", col("kmv")), ignoreNulls = true).as("kb"))
-    val exactSmall = pair.select(
-      graft.ops.Sketches.kmvIntersectEstimate(col("ka"), col("kb")).as("i"))
-      .as[Long].collect().head
+    val (exactSmall, jac) = pair.select(
+      graft.ops.Sketches.kmvIntersectEstimate(col("ka"), col("kb")).as("i"),
+      graft.ops.Sketches.kmvJaccard(col("ka"), col("kb")).as("j"))
+      .as[(Long, Double)].collect().head
     assert(exactSmall == 2L)
+    // |A∪B| = 6 (x1 x2 x3 y1 shared1 shared2), |A∩B| = 2 → 1/3 exactly
+    assert(jac == 2.0 / 6.0)
     // at scale: 12k + 8k distinct with 3k shared; k=256 keeps the
     // ratio-estimator's 3-sigma band under ~45%
     val big = ((0 until 12000).map(i => ("a", s"a$i")) ++
