@@ -184,6 +184,28 @@ object Sketches {
                k: Int = graft.functions.Kmv.DefaultK): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** All-pairs segment-overlap matrix from stored [[kmvPartials]]:
+    * every (seg_a < seg_b) pair with its distinct-count, union,
+    * intersection and Jaccard estimates — the "how do my N corpus
+    * segments overlap" audience matrix, answered ENTIRELY from the
+    * sketch table. Scale shape: the self-join is |segments|² pairs of
+    * k-long arrays — segments are few (domains, sources, snapshots) so
+    * one broadcast self-join of a kilobyte table; the base corpus is
+    * never touched. Output: seg_a, seg_b, est_a, est_b, union_est,
+    * intersect_est, jaccard. */
+  def kmvOverlapMatrix(partials: DataFrame, keyCol: String,
+                       k: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+    val a = partials.select(col(keyCol).as("seg_a"), col("kmv").as("kmv_a"))
+    val b = partials.select(col(keyCol).as("seg_b"), col("kmv").as("kmv_b"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        kmvEstimate(col("kmv_a"), k).as("est_a"),
+        kmvEstimate(col("kmv_b"), k).as("est_b"),
+        kmvEstimate(kmvUnion(col("kmv_a"), col("kmv_b"), k), k).as("union_est"),
+        kmvIntersectEstimate(col("kmv_a"), col("kmv_b"), k).as("intersect_est"),
+        kmvJaccard(col("kmv_a"), col("kmv_b"), k).as("jaccard"))
+  }
+
   /** The quantile companion to [[hllPartials]]: one Datasketches KLL
     * sketch per group over a DOUBLE column, parquet-storable — each
     * partition/day materializes its value-distribution sketch once, and

@@ -92,6 +92,23 @@ class SketchesSpec extends AnyFunSuite {
       s"overlap estimate $est too far from 3000")
   }
 
+  test("kmvOverlapMatrix: all-pairs estimates exact below k, ordered pairs only") {
+    val rows = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "b"), ("s2", "c"), ("s2", "d"),
+      ("s3", "x")).toDF("seg", "v")
+    val m = graft.ops.Sketches.kmvOverlapMatrix(
+        graft.ops.Sketches.kmvPartials(rows, Seq("seg"), "v"), "seg")
+      .orderBy("seg_a", "seg_b")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(m.map(p => (p._1, p._2)) == Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val m12 = m.find(p => p._1 == "s1" && p._2 == "s2").get
+    assert((m12._3, m12._4, m12._5, m12._6) == (3L, 3L, 4L, 2L)) // |∪|=4, |∩|=2
+    assert(m12._7 == 0.5)
+    val m13 = m.find(p => p._1 == "s1" && p._2 == "s3").get
+    assert(m13._6 == 0L && m13._7 == 0.0) // disjoint
+  }
+
   test("iqrOutliersKll tracks the exact IQR gate within the KLL rank-error band") {
     // The scale-safe fence path must agree with the exact q_outliers
     // design on real data: fences within the sketch's rank error of the
