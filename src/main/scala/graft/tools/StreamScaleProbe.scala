@@ -100,6 +100,33 @@ object StreamScaleProbe {
       } finally q.stop()
     }
 
+    // ---- session-window TWS aggregate (round 6), 20k concurrent keys --
+    // One row per key per batch inside a 10s-gap session; event time
+    // advances 60s per batch, so batch i's sessions close (and leave
+    // state via their timers) once batch i+1's watermark lands. Bounded
+    // state = open sessions only; per-batch time flat.
+    locally {
+      val rows = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val agg = graft.streaming.Streams.sessionAggTws[Long](
+        rows.toDS(), watermark = "30 seconds", gapMs = 10000L)
+      val q = agg.toDF("k", "start", "end", "cnt", "sum_v")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt("sessagg"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        var i = 0
+        while (i < math.max(batches, 5)) {
+          val base = 1700000000000L + i * 60000L
+          val t0 = System.nanoTime()
+          rows.addData((0 until keys).map(k =>
+            (k.toLong, new java.sql.Timestamp(base + (k % 7) * 1000L), 1.0)))
+          q.processAllAvailable()
+          progressLine("stream_session_agg_20k", i, (System.nanoTime() - t0) / 1e9, q)
+          i += 1
+        }
+      } finally q.stop()
+    }
+
     // ---- streaming near-dup candidates with bucket TTL ---------------
     // ~5k docs per batch; every 10th doc reuses an earlier text, so
     // real candidates flow every batch. Texts are word sequences (the
