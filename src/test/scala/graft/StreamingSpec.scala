@@ -705,6 +705,41 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     }
   }
 
+  test("W3+E6 windowed deterministic distinct-count: kmv_distinct per window on a stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the KMV aggregate is a TypedImperativeAggregate, so it composes
+    // with built-in windowed streaming aggregation like any builtin:
+    // per-(window, key) sketch state lives in the state store and the
+    // estimate is EXACT below k — deterministic distinct-users-per-
+    // window on a stream, the dashboard query approx_count_distinct
+    // usually serves, minus the randomized estimator
+    val in = MemoryStream[(Timestamp, String, String)] // ts, key, user
+    val agg = in.toDF().toDF("ts", "k", "u")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(expr("kmv_distinct(u)").as("d"))
+    val q = agg.writeStream.format("memory").queryName(qn("wkmv"))
+      .option("checkpointLocation", tmp("wkmv-ck"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00,10): x sees users a,b,a (2 distinct) across batches
+      in.addData((ts(1), "x", "a"), (ts(2), "x", "b"), (ts(3), "y", "a"))
+      q.processAllAvailable()
+      in.addData((ts(4), "x", "a"), (ts(12), "x", "c"))
+      q.processAllAvailable()
+      // push the watermark past both windows
+      in.addData((ts(30), "z", "zz")); q.processAllAvailable()
+      val rows = spark.table(qn("wkmv")).collect().map { r =>
+        (r.getStruct(0).getTimestamp(0).getTime, r.getString(1), r.getLong(2))
+      }.toSet
+      assert(rows == Set(
+        (ts(0).getTime, "x", 2L), (ts(0).getTime, "y", 1L),
+        (ts(10).getTime, "x", 1L)),
+        s"windowed streaming kmv diverged: $rows")
+    } finally q.stop()
+  }
+
   test("W5b stream-static join enriches the stream against a batch dim") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
