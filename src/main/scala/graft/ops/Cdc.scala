@@ -137,14 +137,24 @@ object Cdc {
     * without the base), so this snapshot shape is maintained by
     * [[incrementalAggRefreshAppendOnly]] — the append-only fact regime
     * (logs, events, immutable corpus shards), where it is exact. */
+  /** Snapshot column name for a composite distinct key — `kmv_a__b`
+    * for the tuple (a, b). */
+  def tupleSketchName(cols: Seq[String]): String = s"kmv_${cols.mkString("__")}"
+
   def aggSnapshotMinMax(df: DataFrame, keyCols: Seq[String],
                         measures: Seq[String], scale: Int = 2,
                         distinctCols: Seq[String] = Nil,
                         kmvK: Int = graft.functions.Kmv.DefaultK,
                         hllCols: Seq[String] = Nil,
-                        hllLgK: Int = 12): DataFrame = {
+                        hllLgK: Int = 12,
+                        distinctTuples: Seq[Seq[String]] = Nil,
+                        kllCols: Seq[String] = Nil,
+                        kllK: Int = 200): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     val unit = math.pow(10, scale)
+    distinctTuples.foreach(t => require(t.size >= 2,
+      s"Cdc.aggSnapshotMinMax: distinctTuples entry ${t.mkString(",")} has fewer " +
+        "than 2 columns — use distinctCols for single columns"))
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"),
         (measures.map(m =>
@@ -156,13 +166,28 @@ object Cdc {
           distinctCols.map(c => Shim.column(graft.functions.KmvSketchAgg(
             Shim.expression(Sketches.kmvHash(col(c))), kmvK)
             .toAggregateExpression()).as(s"kmv_$c")) ++
+          // composite distinct keys — "distinct (user, day) PAIRS": the
+          // tuple is canonicalized to one string (Sketches.kmvTupleHash)
+          // and sketched exactly like a single column, so the same
+          // exact-merge law holds; the DuckDB oracle replays the
+          // concat_ws canonicalization literally
+          distinctTuples.map(t => Shim.column(graft.functions.KmvSketchAgg(
+            Shim.expression(Sketches.kmvTupleHash(t.map(col): _*)), kmvK)
+            .toAggregateExpression()).as(tupleSketchName(t))) ++
           // the Datasketches-standard twin of kmv_<c>: binary HLL per
           // key, mergeable with Sketches.hllRollup and any external
           // Datasketches reader — register-max union is exact, so
           // refresh == rebuild in ESTIMATE (serialized bytes may
           // differ: sparse/dense mode depends on build order)
           hllCols.map(c =>
-            hll_sketch_agg(col(c), lit(hllLgK)).as(s"hll_$c"))): _*)
+            hll_sketch_agg(col(c), lit(hllLgK)).as(s"hll_$c")) ++
+          // per-key KLL quantile sketch (Datasketches, binary): the
+          // value-DISTRIBUTION summary min/max can't give. Unlike the
+          // KMV/min/max algebra, KLL compaction is randomized, so
+          // refresh == rebuild only within the rank-error bound
+          // (~1.65% at k=200) — never hash-gated, tolerance-gated
+          kllCols.map(c =>
+            kll_sketch_agg_double(col(c), lit(kllK)).as(s"kll_$c"))): _*)
   }
 
   /** Append-only incremental refresh of an [[aggSnapshotMinMax]]: the
@@ -178,20 +203,23 @@ object Cdc {
                                       distinctCols: Seq[String] = Nil,
                                       kmvK: Int = graft.functions.Kmv.DefaultK,
                                       hllCols: Seq[String] = Nil,
-                                      hllLgK: Int = 12): DataFrame = {
+                                      hllLgK: Int = 12,
+                                      distinctTuples: Seq[Seq[String]] = Nil,
+                                      kllCols: Seq[String] = Nil,
+                                      kllK: Int = 200): DataFrame = {
     require(keyCols.nonEmpty, "Cdc.incrementalAggRefreshAppendOnly: empty key")
     requireSnapshotScale(baseAgg, measures, scale, "incrementalAggRefreshAppendOnly")
-    distinctCols.foreach(c => require(baseAgg.columns.contains(s"kmv_$c"),
-      s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks kmv_$c — was it built " +
-        "with the same distinctCols?"))
-    hllCols.foreach(c => require(baseAgg.columns.contains(s"hll_$c"),
-      s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks hll_$c — was it built " +
-        "with the same hllCols?"))
+    val sketchNames = distinctCols.map(c => s"kmv_$c") ++
+      distinctTuples.map(tupleSketchName)
+    (sketchNames ++ hllCols.map(c => s"hll_$c") ++ kllCols.map(c => s"kll_$c"))
+      .foreach(c => require(baseAgg.columns.contains(c),
+        s"Cdc.incrementalAggRefreshAppendOnly: snapshot lacks $c — was it built " +
+          "with the same distinctCols/distinctTuples/hllCols/kllCols?"))
     val d = aggSnapshotMinMax(delta, keyCols, measures, scale, distinctCols, kmvK,
-      hllCols, hllLgK)
+      hllCols, hllLgK, distinctTuples, kllCols, kllK)
     val dr = (Seq("cnt") ++ measures.flatMap(m =>
       Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")) ++
-      distinctCols.map(c => s"kmv_$c") ++ hllCols.map(c => s"hll_$c"))
+      sketchNames ++ hllCols.map(c => s"hll_$c") ++ kllCols.map(c => s"kll_$c"))
       .foldLeft(d)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
     // per-row KMV merge: both sides are sorted distinct k-bounded
     // arrays, so concat → distinct → sort → first k equals the sketch
@@ -211,18 +239,25 @@ object Cdc {
           least(col(s"min_$m"), col(s"__d_min_$m")).as(s"min_$m")) ++
         measures.map(m =>
           greatest(col(s"max_$m"), col(s"__d_max_$m")).as(s"max_$m")) ++
-        distinctCols.map(c =>
+        sketchNames.map(c =>
           Sketches.kmvUnion(
-            coalesce(col(s"kmv_$c"), emptyKmv),
-            coalesce(col(s"__d_kmv_$c"), emptyKmv), kmvK)
-            .as(s"kmv_$c")) ++
+            coalesce(col(c), emptyKmv),
+            coalesce(col(s"__d_$c"), emptyKmv), kmvK)
+            .as(c)) ++
         // per-row HLL union; a key present on only one side keeps that
         // side's sketch (hll_union(NULL, x) would be NULL)
         hllCols.map(c =>
           when(col(s"hll_$c").isNull, col(s"__d_hll_$c"))
             .when(col(s"__d_hll_$c").isNull, col(s"hll_$c"))
             .otherwise(hll_union(col(s"hll_$c"), col(s"__d_hll_$c")))
-            .as(s"hll_$c"))).toIndexedSeq: _*)
+            .as(s"hll_$c")) ++
+        // per-row KLL merge, same one-sided NULL handling; randomized
+        // compaction means refresh == rebuild within rank-error only
+        kllCols.map(c =>
+          when(col(s"kll_$c").isNull, col(s"__d_kll_$c"))
+            .when(col(s"__d_kll_$c").isNull, col(s"kll_$c"))
+            .otherwise(kll_sketch_merge_double(col(s"kll_$c"), col(s"__d_kll_$c")))
+            .as(s"kll_$c"))).toIndexedSeq: _*)
   }
 
   /** Incremental materialized-aggregate refresh: apply a change batch

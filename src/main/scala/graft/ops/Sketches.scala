@@ -103,6 +103,31 @@ object Sketches {
   def kmvHash(c: Column): Column =
     call_function("fnv64", c.cast("string"))
 
+  /** Canonical separator for composite distinct keys: U+0001 — outside
+    * the value alphabet of the id/code columns tuples are built from,
+    * and replayable in DuckDB as chr(1). */
+  val TupleSep = "\u0001"
+
+  /** fnv64 of a COMPOSITE key — "distinct (user, day) pairs": the tuple
+    * canonicalizes to one string via `concat_ws(U+0001, casts)` and
+    * hashes like a single column, so every KMV law (exact merge,
+    * deterministic estimate, DuckDB replay via
+    * `concat_ws(chr(1), CAST(a AS VARCHAR), ...)`) carries over
+    * unchanged. NULL components are SKIPPED by concat_ws on both
+    * engines — identical grouping, though ("a", NULL) and ("a") collide;
+    * tuples over nullable columns should coalesce to a sentinel first. */
+  def kmvTupleHash(cols: Column*): Column = {
+    require(cols.size >= 2, "Sketches.kmvTupleHash: need >= 2 columns")
+    call_function("fnv64", tupleKey(cols: _*))
+  }
+
+  /** The canonical composite-key STRING (before hashing) — what a
+    * query-side `kmv_distinct(tupleKey(a, b))` must pass so
+    * [[graft.plans.MvRewrite]] can recognize it against a registered
+    * tuple sketch (the match is semantic equality of this expression). */
+  def tupleKey(cols: Column*): Column =
+    concat_ws(TupleSep, cols.map(_.cast("string")): _*)
+
   /** One KMV sketch per `keyCols` group over `col`'s values, as a
     * sorted `array<bigint>` column `kmv` — the parquet-storable unit of
     * an incremental distinct-count pipeline (the deterministic twin of
@@ -194,7 +219,19 @@ object Sketches {
     * never touched. Output: seg_a, seg_b, est_a, est_b, union_est,
     * intersect_est, jaccard. */
   def kmvOverlapMatrix(partials: DataFrame, keyCol: String,
-                       k: Int = graft.functions.Kmv.DefaultK): DataFrame = {
+                       k: Int = graft.functions.Kmv.DefaultK,
+                       maxSegments: Int = 1000): DataFrame = {
+    // loud-misuse guard: the matrix is |segments|² pairs — sane for the
+    // documented audience (few segments: domains, sources, snapshots),
+    // quadratic blowup for a high-cardinality key column. Counting the
+    // (kilobyte) partials table up front costs one tiny job and turns a
+    // silent quadratic broadcast join into an explicit error; callers
+    // who genuinely want a bigger matrix raise maxSegments consciously.
+    val n = partials.select(col(keyCol)).limit(maxSegments + 1).count()
+    require(n <= maxSegments,
+      s"Sketches.kmvOverlapMatrix: > $maxSegments segments in '$keyCol' — the " +
+        s"overlap matrix is quadratic in segments (>${maxSegments.toLong * maxSegments / 2} " +
+        "pairs); pass a coarser segment key or raise maxSegments explicitly")
     val a = partials.select(col(keyCol).as("seg_a"), col("kmv").as("kmv_a"))
     val b = partials.select(col(keyCol).as("seg_b"), col("kmv").as("kmv_b"))
     a.join(broadcast(b), col("seg_a") < col("seg_b"))

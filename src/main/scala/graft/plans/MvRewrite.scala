@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Complete, Count, KllMergeAggDouble, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -29,10 +29,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * snapshot unchanged — `WHERE key = x GROUP BY …` is the bread-and-
   * butter dashboard shape; any predicate touching a measure or other
   * column disqualifies). Grouping must be a subset of the snapshot
-  * keys and every aggregate count(*)/count(1)/sum(m)/avg(m) over
-  * snapshot measures. Anything else leaves the plan untouched. Output
-  * attribute ids/names are preserved, so the rewrite is invisible to
-  * downstream operators.
+  * keys — either plain key columns or registered DERIVED bucket keys
+  * (`date_trunc('day', ts)`-style expressions materialized as snapshot
+  * key columns; matched semantically like derived measures) — and
+  * every aggregate count(*)/count(1)/sum(m)/avg(m) over snapshot
+  * measures. Anything else leaves the plan untouched. A `HAVING`
+  * (a Filter ABOVE the aggregate, referencing its outputs) composes
+  * for free: output attribute ids/names are preserved, so the filter
+  * keeps referring to the rewritten aggregate's outputs and the
+  * rewrite stays invisible to downstream operators.
   *
   * Semantics note (documented, deliberate): sums come back as the
   * snapshot's exact fixed-point total — summing the raw doubles in a
@@ -44,14 +49,23 @@ object MvRewrite {
   /** `snapshotPath` is a THUNK so a versioned registration can resolve
     * the freshest `v=<batchId>` at every rewrite — queries against a
     * stream-maintained view then trail the change stream by one
-    * microbatch with no re-registration. */
+    * microbatch with no re-registration. `tail` (fresh registrations)
+    * is called with the resolved snapshot version path and returns the
+    * partial-aggregate rows covering base files the snapshot has NOT
+    * ingested yet (None = snapshot covers everything); unioning them
+    * under the navigation aggregate makes the answer EXACTLY current. */
   final case class Entry(rootPaths: Set[String], keys: Seq[String],
                          measures: Seq[String], scale: Int,
                          snapshotPath: () => String,
                          derived: Seq[(String, Expression)] = Nil,
                          minMax: Seq[String] = Nil,
                          distinct: Seq[String] = Nil,
-                         kmvK: Int = graft.functions.Kmv.DefaultK)
+                         kmvK: Int = graft.functions.Kmv.DefaultK,
+                         derivedKeys: Seq[(String, Expression)] = Nil,
+                         tuples: Seq[(String, Expression)] = Nil,
+                         kll: Seq[String] = Nil,
+                         kllK: Int = 200,
+                         tail: Option[String => Option[DataFrame]] = None)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -91,6 +105,29 @@ object MvRewrite {
     }
   }
 
+  /** Resolve a registration-time Column against the base relation
+    * through the OPTIMIZED plan: the rewrite rule sees query
+    * expressions after analysis AND constant folding (lit(1) - x
+    * arrives as (1.0 - x), not cast(1 as double) - x), so the stored
+    * tree must take the same trip or semantic comparison can never
+    * line up. */
+  private def resolveAgainst(base: DataFrame, n: String, c: Column,
+                             who: String): Expression =
+    base.select(c.as(n)).queryExecution.optimizedPlan match {
+      case Project(Seq(al: Alias), _) => al.child
+      case other => throw new IllegalArgumentException(
+        s"$who: cannot resolve $n: $other")
+    }
+
+  /** The canonical string a composite distinct key hashes —
+    * [[graft.ops.Sketches.kmvTupleHash]]'s inner concat, resolved
+    * against the base so a query-side `kmv_distinct(concat_ws(…))`
+    * matches semantically. */
+  private def tupleConcat(cols: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    concat_ws(graft.ops.Sketches.TupleSep, cols.map(col(_).cast("string")): _*)
+  }
+
   /** Register a maintained snapshot for `basePath`: queries aggregating
     * the base over `keys` (or a subset) on `measures` will read the
     * snapshot parquet at `snapshotPath` instead. The snapshot must be
@@ -100,51 +137,61 @@ object MvRewrite {
                measures: Seq[String], snapshotPath: String,
                scale: Int = 2, minMaxMeasures: Seq[String] = Nil,
                distinctCols: Seq[String] = Nil,
-               kmvK: Int = graft.functions.Kmv.DefaultK): Unit =
+               kmvK: Int = graft.functions.Kmv.DefaultK,
+               distinctTuples: Seq[Seq[String]] = Nil,
+               kllCols: Seq[String] = Nil, kllK: Int = 200): Unit =
     registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath,
-      scale, minMaxMeasures, distinctCols, kmvK)
+      scale, minMaxMeasures, distinctCols, kmvK, Map.empty, distinctTuples,
+      kllCols, kllK)
 
-  /** Like [[register]], plus DERIVED measures: name → Column expression
-    * over base columns (e.g. `"disc_price" -> col("l_extendedprice") *
-    * (lit(1) - col("l_discount"))`). The snapshot must carry
-    * `sum_<name>` built from the same expression
+  /** Like [[register]], plus DERIVED measures (name → Column expression
+    * over base columns, e.g. `"disc_price" -> col("l_extendedprice") *
+    * (lit(1) - col("l_discount"))`) and DERIVED KEYS (name → bucket
+    * expression, e.g. `"day" -> date_trunc("day", col("ts"))` — the
+    * dashboard rollup shape). The snapshot must carry `sum_<name>` /
+    * the key column built from the same expression
     * (`base.withColumn(name, expr)` before [[graft.ops.Cdc.aggSnapshot]]);
-    * queries summing/averaging a SEMANTICALLY EQUAL expression are then
-    * answered from it — the TPC-H q1 revenue shape. */
+    * queries summing/averaging/grouping by a SEMANTICALLY EQUAL
+    * expression are then answered from it. Derived key names must be
+    * listed in `keys` (they ARE snapshot keys, just not base columns). */
   def registerDerived(spark: SparkSession, basePath: String, keys: Seq[String],
                       measures: Seq[String],
-                      derived: Map[String, org.apache.spark.sql.Column],
+                      derived: Map[String, Column],
                       snapshotPath: String, scale: Int = 2,
                       minMaxMeasures: Seq[String] = Nil,
                       distinctCols: Seq[String] = Nil,
-                      kmvK: Int = graft.functions.Kmv.DefaultK): Unit = {
+                      kmvK: Int = graft.functions.Kmv.DefaultK,
+                      derivedKeys: Map[String, Column] = Map.empty,
+                      distinctTuples: Seq[Seq[String]] = Nil,
+                      kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.register: $basePath is not a file-backed relation"))
     requireFloatingMeasures(base.schema, measures, "MvRewrite.register")
-    // resolve each derived expression against the base relation through
-    // the OPTIMIZED plan: the rewrite rule sees query expressions after
-    // analysis AND constant folding (lit(1) - x arrives as (1.0 - x),
-    // not cast(1 as double) - x), so the stored tree must take the same
-    // trip or semantic comparison can never line up
+    derivedKeys.keys.foreach(n => require(keys.contains(n),
+      s"MvRewrite.registerDerived: derived key $n must be listed in keys " +
+        "(it is a snapshot key column)"))
     val derivedExprs = derived.toSeq.map { case (n, c) =>
-      val optimized = base.select(c.as(n)).queryExecution.optimizedPlan
-      val resolved = optimized match {
-        case Project(Seq(al: Alias), _) => al.child
-        case other => throw new IllegalArgumentException(
-          s"MvRewrite.registerDerived: cannot resolve measure $n: $other")
-      }
+      val resolved = resolveAgainst(base, n, c, "MvRewrite.registerDerived")
       require(resolved.dataType == DoubleType ||
           resolved.dataType == org.apache.spark.sql.types.FloatType,
         s"MvRewrite.registerDerived: derived measure $n is " +
           s"${resolved.dataType.simpleString} — only double/float measures are navigable")
       (n, resolved)
     }
+    val derivedKeyExprs = derivedKeys.toSeq.map { case (n, c) =>
+      (n, resolveAgainst(base, n, c, "MvRewrite.registerDerived"))
+    }
+    val tupleExprs = distinctTuples.map(t =>
+      (graft.ops.Cdc.tupleSketchName(t),
+        resolveAgainst(base, t.mkString("_"), tupleConcat(t),
+          "MvRewrite.registerDerived")))
     requireNoOverlap(basePath, roots)
     entries.put(basePath,
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
-        minMaxMeasures, distinctCols, kmvK))
+        minMaxMeasures, distinctCols, kmvK, derivedKeyExprs, tupleExprs,
+        kllCols, kllK))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -162,19 +209,88 @@ object MvRewrite {
                         measures: Seq[String], targetDir: String,
                         scale: Int = 2, minMaxMeasures: Seq[String] = Nil,
                         distinctCols: Seq[String] = Nil,
-                        kmvK: Int = graft.functions.Kmv.DefaultK): Unit = {
+                        kmvK: Int = graft.functions.Kmv.DefaultK,
+                        distinctTuples: Seq[Seq[String]] = Nil,
+                        kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
+    val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
+      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK)
+    entries.put(basePath, e)
+  }
+
+  /** [[registerVersioned]] plus EXACTLY-CURRENT answers: the freshest
+    * committed snapshot version is composed with a partial aggregate
+    * over only the base files its `_files` manifest has NOT covered yet
+    * (the post-snapshot tail), merged by the same combinable algebra
+    * the snapshot itself is built from — so navigated answers equal the
+    * direct aggregate over the CURRENT base, not the base as of one
+    * microbatch ago.
+    *
+    * Contract: the maintaining stream must be
+    * [[graft.streaming.Streams.aggSnapshotSinkAppendOnly]] reading
+    * `basePath` as a FILE stream (file granularity is what makes
+    * "covered" well-defined — file sources ingest whole files
+    * atomically), with the same keys/measures/sketch configuration
+    * passed here. If a version carries no manifest the rewrite bails to
+    * the direct scan (correct, just not navigated) — it never serves a
+    * stale answer under a fresh registration.
+    *
+    * Scale shape: resolving the tail costs one base-directory LISTING
+    * per optimization (the same listing the un-navigated scan's
+    * planning would do) and scans ONLY the tail files — steady state is
+    * a kilobyte snapshot plus the seconds-old files the stream hasn't
+    * committed yet. */
+  def registerVersionedFresh(spark: SparkSession, basePath: String,
+                             keys: Seq[String], measures: Seq[String],
+                             targetDir: String, scale: Int = 2,
+                             minMaxMeasures: Seq[String] = Nil,
+                             distinctCols: Seq[String] = Nil,
+                             kmvK: Int = graft.functions.Kmv.DefaultK,
+                             hllCols: Seq[String] = Nil, hllLgK: Int = 12,
+                             distinctTuples: Seq[Seq[String]] = Nil,
+                             kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
+    val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
+      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK)
+    val tailFn: String => Option[DataFrame] = { snapPath =>
+      val s = SparkSession.active
+      val covered = graft.streaming.Streams.snapshotManifest(s, snapPath)
+        .getOrElse(throw new IllegalStateException(
+          s"MvRewrite: $snapPath has no _files manifest — fresh composition " +
+            "needs aggSnapshotSinkAppendOnly's file accounting"))
+      def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+      val baseFiles = s.read.parquet(basePath).inputFiles.map(norm)
+      val tailFiles = baseFiles.filterNot(covered.contains).sorted
+      if (tailFiles.isEmpty) None
+      else Some(graft.ops.Cdc.aggSnapshotMinMax(
+        s.read.parquet(tailFiles.toIndexedSeq: _*), keys, measures, scale,
+        distinctCols, kmvK, hllCols, hllLgK, distinctTuples, kllCols, kllK))
+    }
+    entries.put(basePath, e.copy(tail = Some(tailFn)))
+  }
+
+  private def versionedEntry(spark: SparkSession, basePath: String,
+                             keys: Seq[String], measures: Seq[String],
+                             targetDir: String, scale: Int,
+                             minMaxMeasures: Seq[String],
+                             distinctCols: Seq[String], kmvK: Int,
+                             distinctTuples: Seq[Seq[String]],
+                             kllCols: Seq[String], kllK: Int): Entry = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.registerVersioned: $basePath is not a file-backed relation"))
     requireFloatingMeasures(base.schema, measures, "MvRewrite.registerVersioned")
+    val tupleExprs = distinctTuples.map(t =>
+      (graft.ops.Cdc.tupleSketchName(t),
+        resolveAgainst(base, t.mkString("_"), tupleConcat(t),
+          "MvRewrite.registerVersioned")))
     requireNoOverlap(basePath, roots)
-    entries.put(basePath, Entry(roots, keys, measures, scale,
+    Entry(roots, keys, measures, scale,
       () => graft.streaming.Streams
         .latestSnapshotPath(SparkSession.active, targetDir)
         .getOrElse(throw new IllegalStateException(
           s"MvRewrite: no committed snapshot version under $targetDir yet")),
-      minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK))
+      minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK,
+      tuples = tupleExprs, kll = kllCols, kllK = kllK)
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)
@@ -191,28 +307,42 @@ object MvRewrite {
     case _ => None
   }
 
-  /** Descend through column-pruning Projects and DETERMINISTIC Filters
-    * to the base relation, collecting the filter conditions — whether
-    * those conditions are answerable (key-only) is decided later, once
-    * the matching registry entry is known. */
-  private def rootPathsAndFilters(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Set[String], Seq[Expression])] = p match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      rootPathsAndFilters(child, conds)
+  /** Descend through Projects and DETERMINISTIC Filters to the base
+    * relation, collecting the filter conditions and every Project-level
+    * alias binding (exprId → defining expression). Pass-through
+    * Projects are not just column pruning: the optimizer's
+    * PullOutGroupingExpressions hoists a `groupBy(date_trunc(…))` into
+    * `Project(date_trunc(…) AS _groupingexpression)` below the
+    * Aggregate, so derived-key matching must see THROUGH such aliases —
+    * the rewrite inlines the bindings before comparing formulas.
+    * Whether the collected filters are answerable (key-only) is decided
+    * later, once the matching registry entry is known. */
+  private def rootPathsAndFilters(p: LogicalPlan, conds: Seq[Expression],
+                                  binds: Map[ExprId, Expression])
+      : Option[(Set[String], Seq[Expression], Map[ExprId, Expression])] = p match {
+    case Project(pl, child) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => al.child.deterministic
+          case _ => false
+        } =>
+      val newBinds = pl.collect { case al: Alias => al.exprId -> al.child }
+      rootPathsAndFilters(child, conds, binds ++ newBinds)
     case Filter(cond, child) if cond.deterministic =>
-      rootPathsAndFilters(child, conds :+ cond)
+      rootPathsAndFilters(child, conds :+ cond, binds)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        Some((fs.location.rootPaths.map(_.toString).toSet, conds))
+        Some((fs.location.rootPaths.map(_.toString).toSet, conds, binds))
       case _ => None
     }
     case _ => None
   }
 
-  private[plans] def lookup(child: LogicalPlan): Option[(Entry, Seq[Expression])] =
-    rootPathsAndFilters(child, Nil).flatMap { case (roots, conds) =>
+  private[plans] def lookup(child: LogicalPlan)
+      : Option[(Entry, Seq[Expression], Map[ExprId, Expression])] =
+    rootPathsAndFilters(child, Nil, Map.empty).flatMap { case (roots, conds, binds) =>
       import scala.jdk.CollectionConverters._
-      entries.values().asScala.find(_.rootPaths == roots).map((_, conds))
+      entries.values().asScala.find(_.rootPaths == roots)
+        .map((_, conds, binds))
     }
 }
 
@@ -225,8 +355,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groupings, results, child, _) =>
         MvRewrite.lookup(child) match {
-          case Some((e, filters)) =>
-            rewrite(agg, groupings, results, e, filters).getOrElse(agg)
+          case Some((e, filters, binds)) =>
+            rewrite(agg, groupings, results, e, filters, binds).getOrElse(agg)
           case None => agg
         }
     }
@@ -252,16 +382,38 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
                       e: MvRewrite.Entry,
-                      filters: Seq[Expression]): Option[LogicalPlan] = try {
-    // grouping must be plain key columns, a subset of the snapshot keys
-    val groupNames = groupings.map {
-      case a: AttributeReference => a.name
-      case _ => throw Unanswerable
+                      filters: Seq[Expression],
+                      binds: Map[ExprId, Expression]): Option[LogicalPlan] = try {
+    // substitute Project-level alias bindings (PullOutGroupingExpressions'
+    // _groupingexpression etc.) until expressions are in terms of base
+    // attributes — the form registered formulas were resolved to
+    def inline(ex: Expression): Expression = {
+      var cur = ex
+      var changed = binds.nonEmpty
+      while (changed) {
+        val next = cur.transformUp {
+          case a: Attribute if binds.contains(a.exprId) => binds(a.exprId)
+        }
+        changed = !next.fastEquals(cur)
+        cur = next
+      }
+      cur
     }
-    if (!groupNames.forall(e.keys.contains)) throw Unanswerable
+    // grouping must be snapshot keys: plain key columns, or registered
+    // derived bucket keys matched semantically (the date_trunc rollup)
+    def keyNameOpt(g: Expression): Option[String] = inline(g) match {
+      case a: AttributeReference if e.keys.contains(a.name) => Some(a.name)
+      case Alias(ex, _) => keyNameOpt(ex)
+      case ex => e.derivedKeys.collectFirst {
+        case (n, d) if sameFormula(d, ex) => n
+      }
+    }
+    val groupNames = groupings.map(g => keyNameOpt(g).getOrElse(throw Unanswerable))
     // filters are answerable only when they select WHOLE groups — i.e.
-    // reference nothing but snapshot keys
-    filters.foreach(_.references.foreach(a =>
+    // reference nothing but snapshot keys (inlined: a filter over a
+    // projected rename of a key still selects whole groups)
+    val inlinedFilters = filters.map(inline)
+    inlinedFilters.foreach(_.references.foreach(a =>
       if (!e.keys.contains(a.name)) throw Unanswerable))
 
     val spark = SparkSession.active
@@ -272,10 +424,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       catch { case _: IllegalStateException => throw Unanswerable }
     // a snapshot that fails to READ (deleted by retention between
     // resolution and planning, torn directory, wrong path) must degrade
-    // to the unrewritten plan — never abort the user's query
+    // to the unrewritten plan — never abort the user's query. Same for
+    // a fresh registration whose tail can't be resolved (missing
+    // manifest, mismatched schema): bail — NEVER serve stale under a
+    // fresh contract.
     val snap =
-      try spark.read.parquet(snapPath).queryExecution.analyzed
-      catch { case scala.util.control.NonFatal(_) => throw Unanswerable }
+      try {
+        val snapDf = spark.read.parquet(snapPath)
+        val combined = e.tail.flatMap(f => f(snapPath)) match {
+          case Some(tailPartials) => snapDf.unionByName(tailPartials)
+          case None => snapDf
+        }
+        combined.queryExecution.analyzed
+      } catch { case scala.util.control.NonFatal(_) => throw Unanswerable }
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
     val unit = math.pow(10, e.scale)
@@ -290,7 +451,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // plain registered column, or a derived measure whose registered
     // formula is semantically equal (both sides went through the same
     // analysis, so coercions/promotions line up)
-    def measureName(ex: Expression): String = ex match {
+    def measureName(ex0: Expression): String = inline(ex0) match {
       case ar: AttributeReference if e.measures.contains(ar.name) => ar.name
       case other => e.derived.collectFirst {
         case (n, d) if sameFormula(d, other) => n
@@ -301,11 +462,27 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // kmv_distinct's analysis inserts (approx_count_distinct takes the
     // raw attribute); only columns registered as distinctCols carry a
     // sketch in the snapshot
-    def distinctAttr(ex: Expression): Option[String] = (ex match {
+    def distinctAttr(ex0: Expression): Option[String] = (inline(ex0) match {
       case ar: AttributeReference => Some(ar.name)
       case Cast(ar: AttributeReference, _, _, _) => Some(ar.name)
       case _ => None
     }).filter(e.distinct.contains)
+
+    // a COMPOSITE distinct target: kmv_distinct over the canonical
+    // concat_ws tuple encoding (Sketches.kmvTupleHash's inner string)
+    // resolves to the registered tuple's snapshot sketch column
+    def tupleSketch(ex0: Expression): Option[String] = {
+      val inner = inline(ex0) match {
+        case Cast(c, _, _, _) => c
+        case other => other
+      }
+      e.tuples.collectFirst { case (n, t) if sameFormula(t, inner) => n }
+    }
+
+    def kllAttr(ex0: Expression): Option[String] = (inline(ex0) match {
+      case ar: AttributeReference => Some(ar.name)
+      case _ => None
+    }).filter(e.kll.contains)
 
     // total NON-NULL count of a measure across the groups being merged —
     // the denominator SQL's NULL-skipping avg needs (count(*) would
@@ -323,6 +500,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val mapped: Seq[NamedExpression] = results.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(snapAttr(a.name), a.name)(exprId = a.exprId)
+      // a grouping expression surfaced as an output alias (derived
+      // bucket keys always arrive this way — the grouping itself is a
+      // PullOutGroupingExpressions attribute, the output its alias)
+      case al @ Alias(ex, name)
+          if !ex.exists(_.isInstanceOf[AggregateExpression]) &&
+            keyNameOpt(ex).exists(groupNames.contains) =>
+        Alias(snapAttr(keyNameOpt(ex).get), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
         Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
           name)(exprId = al.exprId)
@@ -362,11 +546,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // distinct is answered by the KMV estimate too: a documented
       // estimator swap (HLL++ → KMV), legitimate because the
       // aggregate's contract is approximate — both estimators sit
-      // within ~1/sqrt(k) relative error.
+      // within ~1/sqrt(k) relative error. Composite (tuple) distinct
+      // keys resolve through their canonical concat_ws encoding.
       case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, _, _), name)
-          if kd.k == e.kmvK && distinctAttr(kd.child).isDefined =>
+          if kd.k == e.kmvK &&
+            (distinctAttr(kd.child).map(c => s"kmv_$c") orElse
+              tupleSketch(kd.child)).isDefined =>
+        val sketchCol = (distinctAttr(kd.child).map(c => s"kmv_$c") orElse
+          tupleSketch(kd.child)).get
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
-          snapAttr(s"kmv_${distinctAttr(kd.child).get}"), e.kmvK), Complete,
+          snapAttr(sketchCol), e.kmvK), Complete,
           isDistinct = false), name)(exprId = al.exprId)
       // precision contract: the user's relativeSD is a promise, and the
       // KMV estimator's standard error is ~1/sqrt(k−2) — only navigate
@@ -382,11 +571,42 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
           snapAttr(s"kmv_${distinctAttr(h.child).get}"), e.kmvK), Complete,
           isDistinct = false), name)(exprId = al.exprId)
+      // quantile navigation from the snapshot's per-key KLL sketches:
+      // merge the surviving groups' sketches (Datasketches KLL merge)
+      // and read the requested quantile. approx_percentile's accuracy
+      // argument is a promise of ~1/accuracy rank error, and the
+      // stored sketch guarantees ~getNormalizedRankError(kllK) — only
+      // navigate when the sketch meets the request (the default
+      // accuracy=10000 ≈ 0.01% NEVER navigates at k=200's ~1.65%;
+      // dashboards opt in with an explicitly loose accuracy). Estimator
+      // swap (GK-quantile → KLL) within the requested band — the
+      // approx_count_distinct precedent.
+      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, _, _), name)
+          if kllAttr(ap.child).isDefined && al.dataType == DoubleType &&
+            (ap.accuracyExpression match {
+              case Literal(acc: Int, _) =>
+                1.0 / acc >= org.apache.datasketches.kll.KllSketch
+                  .getNormalizedRankError(e.kllK, false)
+              case Literal(acc: Long, _) =>
+                1.0 / acc >= org.apache.datasketches.kll.KllSketch
+                  .getNormalizedRankError(e.kllK, false)
+              case _ => false
+            }) &&
+            (ap.percentageExpression match {
+              case Literal(_, DoubleType) => true
+              case _ => false // array percentages change the result type
+            }) =>
+        val m = kllAttr(ap.child).get
+        Alias(KllSketchGetQuantileDouble(
+          AggregateExpression(
+            KllMergeAggDouble(snapAttr(s"kll_$m"), None), Complete,
+            isDistinct = false),
+          ap.percentageExpression), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }
     val snapGroupings = groupNames.map(snapAttr)
     // replay key-only predicates against the snapshot's key columns
-    val snapChild = filters.foldLeft(snap) { (p, cond) =>
+    val snapChild = inlinedFilters.foldLeft(snap) { (p, cond) =>
       Filter(cond.transform { case a: AttributeReference => snapAttr(a.name) }, p)
     }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +

@@ -833,27 +833,116 @@ object Streams {
                                 distinctCols: Seq[String] = Nil,
                                 kmvK: Int = graft.functions.Kmv.DefaultK,
                                 hllCols: Seq[String] = Nil,
-                                hllLgK: Int = 12): StreamingQuery = {
+                                hllLgK: Int = 12,
+                                distinctTuples: Seq[Seq[String]] = Nil,
+                                kllCols: Seq[String] = Nil,
+                                kllK: Int = 200): StreamingQuery = {
     // >= 2 for the same replay-predecessor reason as aggSnapshotSink
     require(retainVersions >= 2,
       "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
-      val prev = versions.sorted.lastOption match {
+      val prevVersion = versions.sorted.lastOption
+      val prev = prevVersion match {
         case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
         case None => graft.ops.Cdc.aggSnapshotMinMax(
           batch.filter(org.apache.spark.sql.functions.lit(false)),
-          keyCols, measures, scale, distinctCols, kmvK, hllCols, hllLgK)
+          keyCols, measures, scale, distinctCols, kmvK, hllCols, hllLgK,
+          distinctTuples, kllCols, kllK)
       }
       graft.ops.Cdc.incrementalAggRefreshAppendOnly(prev, batch, keyCols,
-          measures, scale, distinctCols, kmvK, hllCols, hllLgK)
+          measures, scale, distinctCols, kmvK, hllCols, hllLgK,
+          distinctTuples, kllCols, kllK)
         .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      // cumulative file manifest: the set of base files versions <= this
+      // one have ingested (predecessor's manifest + this batch's files,
+      // read from the file source's own checkpoint log — the batch
+      // DataFrame is an opaque RDD scan by the time foreachBatch sees
+      // it) — what lets MvRewrite.registerVersionedFresh compose the
+      // snapshot with an aggregate over ONLY the not-yet-ingested tail.
+      // Written after the parquet commit: a version whose _SUCCESS
+      // exists but whose manifest is missing (crash in between, or a
+      // non-file source that keeps no file log) makes fresh composition
+      // bail to the direct scan — degraded, never wrong. Predecessor-
+      // without-manifest poisons the chain the same honest way: no
+      // manifest is written, so freshness is never claimed over unknown
+      // coverage.
+      val prevManifest: Option[Seq[String]] = prevVersion match {
+        case Some(v) => snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
+        case None => Some(Nil)
+      }
+      for {
+        pm <- prevManifest
+        bf <- sourceBatchFiles(spark, checkpoint, batchId)
+      } {
+        val all = (pm ++ bf).distinct.sorted
+        val mf = new org.apache.hadoop.fs.Path(s"$targetDir/v=$batchId/$ManifestFile")
+        val mfs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = mfs.create(mf, true)
+        try out.write(all.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       val path = new org.apache.hadoop.fs.Path(targetDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
         .foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+    }
+  }
+
+  /** Underscore-prefixed so parquet readers of the version directory
+    * skip it as metadata. */
+  private val ManifestFile = "_files"
+
+  /** Files the FILE stream source ingested in `batchId`, from its own
+    * checkpoint log (`<checkpoint>/sources/0/<batchId>`, JSON lines) —
+    * the authoritative record of per-batch file coverage. Every
+    * `compactInterval`-th batch the source writes `<id>.compact`
+    * holding ALL entries so far instead; either form serves the
+    * CUMULATIVE manifest (a superset union is still the covered set).
+    * None for non-file sources (no such log) or a multi-source plan's
+    * missing index — fresh composition is then honestly unavailable. */
+  private def sourceBatchFiles(spark: org.apache.spark.sql.SparkSession,
+                               checkpoint: String,
+                               batchId: Long): Option[Seq[String]] = {
+    val dir = s"$checkpoint/sources/0"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates = Seq(s"$dir/$batchId", s"$dir/$batchId.compact")
+      .map(new org.apache.hadoop.fs.Path(_))
+    candidates.find(fs.exists).map { p =>
+      val in = fs.open(p)
+      val text = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      text.split("\n").iterator
+        .map(_.trim).filter(l => l.startsWith("{"))
+        .flatMap(l => Option(mapper.readTree(l).get("path")).map(_.asText()))
+        .map(f => new org.apache.hadoop.fs.Path(f).toString)
+        .toSeq
+    }
+  }
+
+  /** The cumulative ingested-file manifest of one committed snapshot
+    * version directory (None when the version predates manifest
+    * accounting or its write was lost) — the coverage record
+    * [[graft.plans.MvRewrite.registerVersionedFresh]] subtracts from
+    * the base listing to find the not-yet-ingested tail. */
+  def snapshotManifest(spark: org.apache.spark.sql.SparkSession,
+                       versionDir: String): Option[Set[String]] = {
+    val mf = new org.apache.hadoop.fs.Path(s"$versionDir/$ManifestFile")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      } finally in.close()
     }
   }
 

@@ -109,6 +109,85 @@ class SketchesSpec extends AnyFunSuite {
     assert(m13._6 == 0L && m13._7 == 0.0) // disjoint
   }
 
+  test("tuple sketches: merge == rebuild exactly; exact pair counts below k") {
+    // composite distinct keys ("distinct (user, day) pairs"): the tuple
+    // canonicalizes through concat_ws + fnv64, so the same order-
+    // statistic law must hold — an append-only refresh of the tuple
+    // sketch equals the sketch rebuilt over all rows, array-for-array
+    val rows = (0 until 3000).map { i =>
+      (s"seg_${i % 4}", (i % 100).toDouble, s"u${i % 57}", s"d${(i / 57) % 23}")
+    }
+    val df = rows.toDF("k", "v", "user", "day")
+    val base = df.filter(col("user") =!= "u3")
+    val delta = df.filter(col("user") === "u3")
+    val tuples = Seq(Seq("user", "day"))
+    val refreshed = graft.ops.Cdc.incrementalAggRefreshAppendOnly(
+        graft.ops.Cdc.aggSnapshotMinMax(base, Seq("k"), Seq("v"),
+          distinctTuples = tuples),
+        delta, Seq("k"), Seq("v"), distinctTuples = tuples)
+      .orderBy("k").select("k", "kmv_user__day")
+      .as[(String, Array[Long])].collect().toSeq
+    val rebuilt = graft.ops.Cdc.aggSnapshotMinMax(df, Seq("k"), Seq("v"),
+        distinctTuples = tuples)
+      .orderBy("k").select("k", "kmv_user__day")
+      .as[(String, Array[Long])].collect().toSeq
+    assert(refreshed.map(_._1) == rebuilt.map(_._1))
+    refreshed.zip(rebuilt).foreach { case ((k, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq, s"tuple sketch for $k diverged from rebuild")
+    }
+    // below k the sketch is exact: estimate == countDistinct(user, day)
+    val small = rows.take(200).toDF("k", "v", "user", "day")
+    val est = small.groupBy("k")
+      .agg(call_function("kmv_distinct",
+        Sketches.tupleKey(col("user"), col("day"))).as("d"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val exact = small.groupBy("k")
+      .agg(countDistinct(col("user"), col("day")).as("d"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(est == exact, s"tuple kmv below k not exact:\n$est\nvs\n$exact")
+  }
+
+  test("kmvOverlapMatrix refuses a high-cardinality segment key") {
+    val partials = Sketches.kmvPartials(
+      (0 until 40).map(i => (s"seg$i", s"v$i")).toDF("seg", "v"), Seq("seg"), "v")
+    val e = intercept[IllegalArgumentException](
+      Sketches.kmvOverlapMatrix(partials, "seg", maxSegments = 10))
+    assert(e.getMessage.contains("quadratic"))
+    // raising the cap consciously still works
+    assert(Sketches.kmvOverlapMatrix(partials, "seg", maxSegments = 50)
+      .count() == 40L * 39 / 2)
+  }
+
+  test("S6f snapshot KLL: append-only refresh tracks rebuild within the rank-error band") {
+    // the quantile family is maintained in snapshots but its compaction
+    // is randomized, so the law is tolerance, not hash: quantiles read
+    // from the incrementally-merged sketch sit within the combined
+    // rank-error bound of quantiles from a one-pass rebuild
+    val rows = (0 until 20000).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 10007).toDouble)
+    }
+    val df = rows.toDF("k", "v")
+    val base = df.filter(col("v") < 8000) // skewed split: deltas shift the tail
+    val delta = df.filter(col("v") >= 8000)
+    val refreshed = graft.ops.Cdc.incrementalAggRefreshAppendOnly(
+      graft.ops.Cdc.aggSnapshotMinMax(base, Seq("k"), Seq("v"), kllCols = Seq("v")),
+      delta, Seq("k"), Seq("v"), kllCols = Seq("v"))
+    val exact = df.groupBy("k")
+      .agg(expr("percentile(v, array(0.5, 0.9))").as("p"))
+      .orderBy("k").as[(String, Seq[Double])].collect().toMap
+    // value tolerance from the rank bound: 1.65% rank error over a
+    // ~uniform 0..10007 support ≈ ±165 in value; allow 3x
+    refreshed.select(col("k"),
+        kll_sketch_get_quantile_double(col("kll_v"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("kll_v"), lit(0.9)).as("p90"))
+      .orderBy("k").as[(String, Double, Double)].collect().foreach {
+        case (k, p50, p90) =>
+          val Seq(e50, e90) = exact(k)
+          assert(math.abs(p50 - e50) < 500, s"$k p50 $p50 vs exact $e50")
+          assert(math.abs(p90 - e90) < 500, s"$k p90 $p90 vs exact $e90")
+      }
+  }
+
   test("iqrOutliersKll tracks the exact IQR gate within the KLL rank-error band") {
     // The scale-safe fence path must agree with the exact q_outliers
     // design on real data: fences within the sketch's rank error of the

@@ -1146,6 +1146,70 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6e fresh composition: snapshot + not-yet-ingested tail == direct, exactly current") {
+    import spark.implicits._
+    // the round-6 residual: versioned MV answers trail the stream by one
+    // microbatch. Fresh registration closes it — the freshest committed
+    // snapshot is composed with a partial aggregate over ONLY the base
+    // files its _files manifest has not covered, so the navigated answer
+    // equals the direct aggregate over the CURRENT base even while the
+    // maintaining stream is down or behind.
+    val baseDir = tmp("graft-fresh-base")
+    val target = tmp("graft-fresh-tgt")
+    val ckpt = tmp("graft-fresh-ck")
+    Seq(("a", 1.0, "u1"), ("a", 2.0, "u2"), ("b", 3.0, "x1")).toDF("k", "v", "u")
+      .repartition(1).write.mode("append").parquet(baseDir)
+    def startStream() = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double, u string").parquet(baseDir),
+      target, ckpt, Seq("k"), Seq("v"), distinctCols = Seq("u"))
+    val q = startStream()
+    try q.processAllAvailable() finally q.stop()
+    // the stream is now STOPPED with its snapshot covering the first
+    // file; more base files land while it is down — the exact lag
+    // window fresh composition must close
+    Seq(("a", 10.0, "u3"), ("c", 4.0, "y1")).toDF("k", "v", "u")
+      .repartition(1).write.mode("append").parquet(baseDir)
+    graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("k"), Seq("v"),
+      target, minMaxMeasures = Seq("v"), distinctCols = Seq("u"))
+    try {
+      def query = spark.read.parquet(baseDir).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"), expr("kmv_distinct(u)").as("d"))
+      val snapPath = Streams.latestSnapshotPath(spark, target).get
+      val planFresh = query.queryExecution.executedPlan.toString
+      assert(planFresh.contains(snapPath),
+        s"fresh MV did not use the snapshot:\n$planFresh")
+      val got = query.orderBy("k")
+        .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+      graft.plans.MvRewrite.unregister(baseDir)
+      val want = query.orderBy("k")
+        .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+      // the tail carries a NEW key (c) and a's new max (10.0): a stale
+      // snapshot answer could not contain either
+      assert(want.exists(_._1 == "c") && want.find(_._1 == "a").get._5 == 10.0)
+      assert(got == want, s"fresh answer diverged mid-stream:\n$got\nvs\n$want")
+      // catch the stream up: the tail drains, the SAME registration now
+      // serves the pure snapshot — no base scan left in the plan
+      graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("k"),
+        Seq("v"), target, minMaxMeasures = Seq("v"), distinctCols = Seq("u"))
+      val q2 = startStream()
+      try q2.processAllAvailable() finally q2.stop()
+      val plan2 = query.queryExecution.executedPlan.toString
+      assert(!plan2.contains(baseDir),
+        s"caught-up fresh MV still scans the base:\n$plan2")
+      val got2 = query.orderBy("k")
+        .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+      assert(got2 == want, s"caught-up answer diverged:\n$got2\nvs\n$want")
+      // integrity: a snapshot version WITHOUT a manifest cannot prove
+      // coverage — fresh must bail to the direct scan, never serve stale
+      val latest = Streams.latestSnapshotPath(spark, target).get
+      assert(new java.io.File(s"$latest/_files").delete())
+      val plan3 = query.queryExecution.executedPlan.toString
+      assert(plan3.contains(baseDir) && !plan3.contains(target),
+        s"manifest-less fresh registration did not bail to the base:\n$plan3")
+    } finally graft.plans.MvRewrite.unregister(baseDir)
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
