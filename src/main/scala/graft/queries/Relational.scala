@@ -977,6 +977,120 @@ object Relational {
     }
   }
 
+  // Composite-key distinct sketch refresh — "distinct (part, supplier)
+  // PAIRS per group" maintained incrementally: the tuple canonicalizes
+  // to one string (concat_ws over U+0001, mirrored as chr(1) in the
+  // oracle) and then the whole single-column KMV law applies unchanged
+  // — append-only refresh == rebuild exactly, and the estimator
+  // arithmetic replays bit-for-bit in DuckDB. Round-7 item #4.
+  private val qIncrKmv2 = {
+    val k = 64
+    QueryDef("q_incr_kmv2", Some(
+      kmvOracleSql("lineitem", Seq("l_returnflag", "l_linestatus"),
+        "concat_ws(chr(1), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR))",
+        k))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+          "l_partkey", "l_suppkey")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      val tuples = Seq(Seq("l_partkey", "l_suppkey"))
+      val refreshed = graft.ops.Cdc.incrementalAggRefreshAppendOnly(
+        graft.ops.Cdc.aggSnapshotMinMax(base, keys, Seq("l_quantity"),
+          distinctTuples = tuples, kmvK = k),
+        delta, keys, Seq("l_quantity"), distinctTuples = tuples, kmvK = k)
+      kmvPresentation(keys, "kmv_l_partkey__l_suppkey", k)(refreshed)
+    }
+  }
+
+  // Time-bucketed MV navigation with a HAVING on top — the dashboard
+  // rollup shape (GROUP BY date_trunc('month', …) HAVING count(*) > n)
+  // answered from a month-keyed maintained snapshot via MvRewrite's
+  // derived-key matching; the require() makes this row fail LOUDLY if
+  // navigation ever stops engaging (the values alone could not tell —
+  // exactness means navigated == direct). localCheckpoint freezes the
+  // navigated result before the registration is removed, so the row
+  // gates the rewrite path, not the direct one. Rounds-7 items #2/#7.
+  private val qIncrBucket = QueryDef("q_incr_bucket", Some(
+    """SELECT cast(cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS STRING) AS order_month,
+      |       count(*) AS n,
+      |       sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+      |       (CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+      |         / CAST(count(o_totalprice) AS DOUBLE) AS avg_price
+      |FROM orders
+      |GROUP BY 1
+      |HAVING count(*) > 3""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/orders.parquet"
+    val bucket = date_trunc("month", col("o_orderdate"))
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-bucket-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath).withColumn("mon", bucket),
+        Seq("mon"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.registerDerived(spark, basePath, Seq("mon"),
+      Seq("o_totalprice"), Map.empty, s"$work/snap",
+      derivedKeys = Map("mon" -> bucket))
+    try {
+      val out = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"),
+          avg("o_totalprice").as("avg_price"))
+        .filter(col("n") > 3)
+        .select(col("mon").cast("string").as("order_month"),
+          col("n"), col("sum_price"), col("avg_price"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(s"$work/snap") && !plan.contains("orders.parquet"),
+        s"q_incr_bucket: time-bucket navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally graft.plans.MvRewrite.unregister(basePath)
+  }
+
+  // Exactly-current MV answers — the round-7 centerpiece (#1): the REAL
+  // aggSnapshotSinkAppendOnly stream builds a versioned snapshot (with
+  // its _files manifest) over 90% of lineitem, is stopped, the last 10%
+  // lands as new base files, and a FRESH registration answers the
+  // ad-hoc aggregate as snapshot ∪ tail-partials — hash-equal to the
+  // direct aggregate over the FULL table that the oracle computes. The
+  // require() gates that the snapshot actually served the query.
+  private val qIncrFresh = QueryDef("q_incr_fresh", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS cnt,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_l_quantity,
+      |       min(l_quantity) AS min_l_quantity,
+      |       max(l_quantity) AS max_l_quantity
+      |FROM lineitem
+      |GROUP BY 1, 2""".stripMargin), bench = false) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val work = java.nio.file.Files.createTempDirectory("graft-fresh-q").toString
+    val baseDir = s"$work/base"
+    val keys = Seq("l_returnflag", "l_linestatus")
+    li.filter(col("l_orderkey") % 10 =!= 0).drop("l_orderkey")
+      .repartition(2).write.mode("overwrite").parquet(baseDir)
+    val stream = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema(spark.read.parquet(baseDir).schema).parquet(baseDir),
+      s"$work/tgt", s"$work/ck", keys, Seq("l_quantity"))
+    try stream.processAllAvailable() finally stream.stop()
+    li.filter(col("l_orderkey") % 10 === 0).drop("l_orderkey")
+      .repartition(1).write.mode("append").parquet(baseDir)
+    graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, keys,
+      Seq("l_quantity"), s"$work/tgt", minMaxMeasures = Seq("l_quantity"))
+    try {
+      val out = spark.read.parquet(baseDir)
+        .groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_l_quantity"),
+          min("l_quantity").as("min_l_quantity"),
+          max("l_quantity").as("max_l_quantity"))
+      val snapPath =
+        graft.streaming.Streams.latestSnapshotPath(spark, s"$work/tgt").get
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(snapPath),
+        s"q_incr_fresh: fresh navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally graft.plans.MvRewrite.unregister(baseDir)
+  }
+
   // IQR-fence outlier detection — the data-quality gate before training
   // statistics: per-group Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) and
   // the out-of-fence row count. Two passes: a tiny per-group fence
@@ -1022,5 +1136,5 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
-    qOutliers)
+    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh)
 }
