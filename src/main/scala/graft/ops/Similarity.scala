@@ -351,6 +351,83 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rk")
   }
 
+  // ---- Incremental IVF maintenance --------------------------------------
+  //
+  // The embedding twin of the LSH index-never-reshuffles pattern
+  // (Dedup.nearDupsAgainstIndex): a production IVF index does NOT
+  // retrain on every ingest — the trained centroid state is FROZEN,
+  // each arriving batch is assigned to cells in one narrow pass under
+  // the broadcast state (O(|batch| · nCells · dim) integer work; the
+  // existing corpus never reshuffles), and per-cell membership stats
+  // (count + exact integer sum-vector) accumulate ASSOCIATIVELY — so
+  // ingesting in any batch split equals one-shot ingestion exactly,
+  // the law e2_ivf_incremental hash-checks. Per-cell drift
+  // (1 − cos(trained centroid, current member mean)) then tells which
+  // cells have wandered enough to deserve re-centering; the decision is
+  // a pure function of the accumulated stats, so the whole maintenance
+  // pipeline is deterministic and replays in a plain-SQL oracle.
+
+  /** Per-cell membership stats of `df`'s embeddings under a FROZEN
+    * trained state ([[trainCentroidsQuant]]'s (sums, counts)): one row
+    * per non-empty cell — (cell_id, n, sv) with `sv` the exact integer
+    * sum of the members' quantized vectors. One narrow pass (state
+    * broadcast, rows never shuffle beyond the nCells-row fold). */
+  def ivfCellStats(df: DataFrame, sums: Array[Array[Long]],
+                   counts: Array[Long], dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcS = spark.sparkContext.broadcast(sums)
+    val bcN = spark.sparkContext.broadcast(counts)
+    df.select(col("embedding")).as[Array[Float]]
+      .map { v =>
+        val qv = quantizeVec(v, dim)
+        (bestCellQuant(qv, bcS.value, bcN.value).toLong, qv)
+      }
+      .toDF("cell_id", "qv")
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at(col("qv"), i + 1))): _*).as("sv"))
+  }
+
+  /** Merge two [[ivfCellStats]] tables — the incremental-refresh fold:
+    * counts add, sum-vectors add element-wise (exact integers, so
+    * merge order is irrelevant). Full-outer on cell_id: a cell seen by
+    * only one side keeps that side's stats. */
+  def ivfCellStatsMerge(a: DataFrame, b: DataFrame, dim: Int = 64): DataFrame = {
+    val zeros = typedLit(Array.fill(dim)(0L))
+    val bb = b.withColumnRenamed("n", "__n2").withColumnRenamed("sv", "__sv2")
+    a.join(bb, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__n2"), lit(0L))).as("n"),
+        zip_with(coalesce(col("sv"), zeros), coalesce(col("__sv2"), zeros),
+          (x, y) => x + y).as("sv"))
+  }
+
+  /** Drift report per cell: how far the CURRENT member mean has wandered
+    * from the FROZEN trained centroid — `drift = 1 − cos(trained sum
+    * vector, member sum vector)` (cosine of means == cosine of sums;
+    * the double dot stays exact while per-element products < 2^53,
+    * comfortably true for the 2^10-quantized vectors at any realistic
+    * cell size). Cells with `drift > threshold` are flagged `drifted` —
+    * the re-seed set: re-centering ONLY those cells keeps maintenance
+    * O(|drifted| · dim) instead of a full retrain. Output: cell_id,
+    * n_members, drift, drifted. */
+  def ivfDriftReport(stats: DataFrame, sums: Array[Array[Long]],
+                     counts: Array[Long], threshold: Double): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val trained = sums.zipWithIndex
+      .map { case (sv, c) => (c.toLong, sv) }.toSeq
+      .toDF("cell_id", "tsv")
+    val tsv = toDouble(col("tsv"))
+    val sv = toDouble(col("sv"))
+    stats.join(broadcast(trained), "cell_id")
+      .select(col("cell_id"), col("n").as("n_members"),
+        (lit(1.0) - dot(tsv, sv) / (sqrt(dot(tsv, tsv)) * sqrt(dot(sv, sv))))
+          .as("drift"))
+      .withColumn("drifted", col("drift") > threshold)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding corpus, then inside each
     * cluster mark as a semantic duplicate every vector whose cosine to

@@ -71,18 +71,18 @@ object SimilarityQueries {
   // rows-only when training used float means, whose partial-combine
   // order isn't reproducible). The float-Lloyd ivfTopK keeps its
   // recall specs as the statistically-nicer variant.
-  private def ivfAssign(st: String, t: String): String =
+  private def ivfAssign(st: String, t: String, src: String = "q"): String =
     s"""a$t AS (SELECT q.vec_id, s.cell_id,
        |         (list_sum(list_transform(range(1, 65), i -> q.qv[i] * s.sv[i]))::DOUBLE
        |          / s.n::DOUBLE) AS m
-       |       FROM q, $st s),
+       |       FROM $src q, $st s),
        |r$t AS (SELECT vec_id, cell_id,
        |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
        |        FROM a$t),
        |g$t AS (SELECT vec_id, cell_id FROM r$t WHERE rn = 1)""".stripMargin
-  private def ivfUpdate(prev: String, t: String): String =
+  private def ivfUpdate(prev: String, t: String, src: String = "q"): String =
     s"""s${t}e AS (SELECT g$t.cell_id, unnest(q.qv) AS x, generate_subscripts(q.qv, 1) AS i
-       |        FROM g$t JOIN q USING (vec_id)),
+       |        FROM g$t JOIN $src q USING (vec_id)),
        |s${t}g AS (SELECT cell_id, i, sum(x)::BIGINT AS sx FROM s${t}e GROUP BY cell_id, i),
        |s${t}v AS (SELECT cell_id, list(sx ORDER BY i) AS sv FROM s${t}g GROUP BY cell_id),
        |n$t AS (SELECT cell_id, count(*)::BIGINT AS n FROM g$t GROUP BY cell_id),
@@ -204,5 +204,68 @@ object SimilarityQueries {
     Similarity.quantizeInt8Report(Tables(spark, dir).embeddings)
   }
 
-  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize)
+  // Incremental IVF maintenance — the index-never-reshuffles pattern
+  // for embeddings (round-7 item #5): centroids trained ONCE over the
+  // 90% base corpus and frozen; the 10% delta arrives in three batches,
+  // each assigned + folded into per-cell (count, integer sum-vector)
+  // stats associatively — so the incrementally-maintained stats equal
+  // the one-shot stats over all rows, which is exactly what the oracle
+  // recomputes (training CTEs over the base subset, assignment of ALL
+  // rows under the frozen state, per-cell fold, drift vs the trained
+  // centroid). The drift column (1 − cos(trained sum, member sum)) and
+  // its re-seed flag replay in IEEE-identical doubles, so the whole
+  // maintenance decision hash-checks.
+  private val ivfIncr = {
+    val th = 0.03 // re-seed fence: sized so sf0.01 flags a real mix (8/16 cells)
+    QueryDef("e2_ivf_incremental", Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v,
+         |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
+         |qb AS (SELECT * FROM q WHERE vec_id % 10 <> 0),
+         |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM qb),
+         |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
+         |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
+         |sd AS (SELECT mx.h, mx.vec_id, qb.qv FROM mx JOIN qb USING (vec_id)
+         |       ORDER BY mx.h, mx.vec_id LIMIT 16),
+         |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+         |               qv AS sv, 1::BIGINT AS n
+         |        FROM sd),
+         |${ivfAssign("st0", "1", "qb")},
+         |${ivfUpdate("st0", "1", "qb")},
+         |${ivfAssign("st1", "2", "qb")},
+         |${ivfUpdate("st1", "2", "qb")},
+         |${ivfAssign("st2", "f", "q")},
+         |me AS (SELECT gf.cell_id, unnest(q.qv) AS x, generate_subscripts(q.qv, 1) AS i
+         |       FROM gf JOIN q USING (vec_id)),
+         |mg AS (SELECT cell_id, i, sum(x)::BIGINT AS sx FROM me GROUP BY cell_id, i),
+         |mv AS (SELECT cell_id, list(sx ORDER BY i) AS sv FROM mg GROUP BY cell_id),
+         |mn AS (SELECT cell_id, count(*)::BIGINT AS n_members FROM gf GROUP BY cell_id),
+         |dr AS (SELECT s.cell_id, mn.n_members,
+         |         1.0 - list_dot_product(list_transform(s.sv, x -> x::DOUBLE),
+         |                                list_transform(mv.sv, x -> x::DOUBLE))
+         |             / (sqrt(list_dot_product(list_transform(s.sv, x -> x::DOUBLE),
+         |                                      list_transform(s.sv, x -> x::DOUBLE)))
+         |                * sqrt(list_dot_product(list_transform(mv.sv, x -> x::DOUBLE),
+         |                                        list_transform(mv.sv, x -> x::DOUBLE)))) AS drift
+         |       FROM st2 s JOIN mv ON s.cell_id = mv.cell_id
+         |                  JOIN mn ON s.cell_id = mn.cell_id)
+         |SELECT cell_id, n_members, drift, drift > $th AS drifted
+         |FROM dr""".stripMargin)) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val (sums, counts) = Similarity.trainCentroidsQuant(base,
+        nCells = 16, iters = 2, dim = 64)
+      // the delta lands in THREE batches; stats fold associatively, so
+      // this equals (and is checked against) one-shot ingestion
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val batches = Seq(0, 10, 20).map(r => delta.filter(col("vec_id") % 30 === r))
+      val stats = batches.foldLeft(Similarity.ivfCellStats(base, sums, counts))(
+        (acc, b) => Similarity.ivfCellStatsMerge(acc,
+          Similarity.ivfCellStats(b, sums, counts)))
+      Similarity.ivfDriftReport(stats, sums, counts, threshold = th)
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
+    ivfIncr)
 }

@@ -150,6 +150,30 @@ object ScaleProbe {
         nCells = 64, nProbe = 8, iters = 2)
     }
 
+    // Incremental IVF maintenance at 25x, split like lsh_incremental
+    // into the two costs a real ingest pays: (a) ONE-TIME training +
+    // base-stats build over the 80% corpus; (b) PER-INGEST assignment
+    // of the 20% batch + stats merge + drift report. (b) is the
+    // steady-state number — the frozen state broadcasts (64 cells x
+    // 64 longs), the batch is one narrow pass, the merge touches
+    // nCells rows; the 40k-vector corpus must never reshuffle or
+    // re-train per ingest.
+    lazy val ivfIncr25 = {
+      val base25 = emb25.filter(col("vec_id") % 5 =!= 0)
+      val (s, n) = graft.ops.Similarity.trainCentroidsQuant(base25,
+        nCells = 64, iters = 2, dim = 64)
+      (s, n, graft.ops.Similarity.ivfCellStats(base25, s, n).localCheckpoint())
+    }
+    stage("ivf_incr_build_25x") { ivfIncr25._3 }
+    stage("ivf_incr_ingest_25x") {
+      val (s, n, baseStats) = ivfIncr25
+      val batchStats = graft.ops.Similarity.ivfCellStats(
+        emb25.filter(col("vec_id") % 5 === 0), s, n)
+      graft.ops.Similarity.ivfDriftReport(
+        graft.ops.Similarity.ivfCellStatsMerge(baseStats, batchStats), s, n,
+        threshold = 0.03)
+    }
+
     // Incremental LSH at 20x, split into the two costs a real ingest
     // pays: (a) ONE-TIME index build over the 80% "corpus" replicas;
     // (b) PER-INGEST query of the 20% "batch" against the prebuilt

@@ -227,6 +227,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, s"quantized IVF diverged across partitionings: ${(a -- b).take(3)}")
   }
 
+  test("incremental IVF: batched stats merge == one-shot; drift flags the wandered cell") {
+    import spark.implicits._
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+    val (s, n) = Similarity.trainCentroidsQuant(base, nCells = 8, iters = 2, dim = 64)
+    // associativity law: folding the delta in 3 batches equals one-shot
+    // stats over all rows — exact integer sums, array for array
+    val batches = Seq(0, 10, 20).map(r =>
+      delta.filter(org.apache.spark.sql.functions.col("vec_id") % 30 === r))
+    val incr = batches.foldLeft(Similarity.ivfCellStats(base, s, n))(
+        (acc, b) => Similarity.ivfCellStatsMerge(acc, Similarity.ivfCellStats(b, s, n)))
+      .orderBy("cell_id").as[(Long, Long, Array[Long])].collect().toSeq
+    val oneShot = Similarity.ivfCellStats(emb, s, n)
+      .orderBy("cell_id").as[(Long, Long, Array[Long])].collect().toSeq
+    assert(incr.map(t => (t._1, t._2)) == oneShot.map(t => (t._1, t._2)))
+    incr.zip(oneShot).foreach { case ((c, _, a), (_, _, b)) =>
+      assert(a.toSeq == b.toSeq, s"cell $c sum-vector diverged from one-shot")
+    }
+    // drift semantics: stats == the training state itself → drift 0 for
+    // every cell; a cell whose members are replaced by an orthogonal
+    // direction drifts hard
+    val trainedStats = s.zipWithIndex
+      .map { case (sv, c) => (c.toLong, n(c), sv) }.toSeq
+      .toDF("cell_id", "n", "sv")
+    val zeroDrift = Similarity.ivfDriftReport(trainedStats, s, n, threshold = 1e-12)
+      .orderBy("cell_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    zeroDrift.foreach { case (c, _, d, flagged) =>
+      assert(math.abs(d) < 1e-12 && !flagged, s"cell $c drifted ($d) vs itself")
+    }
+    val shifted = trainedStats.withColumn("sv",
+      org.apache.spark.sql.functions.expr(
+        "transform(sequence(1, 64), i -> CASE WHEN cell_id = 0 AND i = 1 THEN 100000L ELSE element_at(sv, i) END)"))
+    val drifted = Similarity.ivfDriftReport(shifted, s, n, threshold = 0.01)
+      .orderBy("cell_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(drifted.head._4 && drifted.tail.forall(!_._4),
+      s"only the shifted cell should flag: $drifted")
+  }
+
   test("semanticDedup: verdicts match an in-cell brute-force check and planted dups prune") {
     import spark.implicits._
     val out = Similarity.semanticDedup(emb, threshold = 0.4, nCells = 16, iters = 2)
