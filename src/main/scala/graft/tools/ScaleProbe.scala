@@ -522,6 +522,26 @@ object ScaleProbe {
       graft.ops.Sketches.iqrOutliersKll(pct, Seq("l_returnflag"), "v")
     }
 
+    // KLL sketches MAINTAINED in an append-only snapshot at the same
+    // 20x-distinct scale (the round-7 quantile-navigation path): the
+    // one-time build pays a full pass; the refresh after a 10% delta
+    // must pay one delta pass plus a per-group BINARY sketch merge —
+    // never re-scanning the base — which is what lets MvRewrite answer
+    // approx_percentile from a snapshot that stays current under
+    // ingest.
+    val pctKeyed = l20.select(col("l_returnflag"),
+      (col("l_extendedprice") + (col("l_orderkey") % 1000000) / lit(1e9)).as("v"),
+      col("l_orderkey"))
+    lazy val kllSnap20 = graft.ops.Cdc.aggSnapshotMinMax(
+      pctKeyed.filter(col("l_orderkey") % 10 =!= 0).drop("l_orderkey"),
+      Seq("l_returnflag"), Seq("v"), kllCols = Seq("v")).localCheckpoint()
+    stage("kll_snapshot_build_20x") { kllSnap20 }
+    stage("kll_snapshot_refresh_20x") {
+      graft.ops.Cdc.incrementalAggRefreshAppendOnly(kllSnap20,
+        pctKeyed.filter(col("l_orderkey") % 10 === 0).drop("l_orderkey"),
+        Seq("l_returnflag"), Seq("v"), kllCols = Seq("v"))
+    }
+
     // Distinct-count ladder at 12M rows / ~3M distinct keys: exact
     // countDistinct (an Expand + two shuffles), the builtin HLL++, and
     // the KMV sketch aggregate (TypedImperativeAggregate, k-bounded
