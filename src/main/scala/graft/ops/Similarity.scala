@@ -428,6 +428,35 @@ object Similarity {
       .withColumn("drifted", col("drift") > threshold)
   }
 
+  /** Apply the [[ivfDriftReport]] decision: cells whose drift exceeds
+    * `threshold` take their CURRENT member stats as the new centroid
+    * state (sum-vector + count — the mean-dot assignment metric's
+    * exact representation); undrifted cells keep the trained state.
+    * O(|cells| · dim) driver work on the kilobyte stats table — re-
+    * seeding never touches corpus rows, which is the point: the
+    * index stays assignment-stable for unchanged cells (vectors
+    * already routed there keep their cell), while wandered cells
+    * re-center so FUTURE assignments track the data. Returns the new
+    * (sums, counts) state in [[trainCentroidsQuant]]'s shape. */
+  def ivfReseed(stats: DataFrame, sums: Array[Array[Long]],
+                counts: Array[Long], threshold: Double,
+                dim: Int = 64): (Array[Array[Long]], Array[Long]) = {
+    import org.apache.spark.sql.Row
+    val drifted = ivfDriftReport(stats, sums, counts, threshold)
+      .filter(col("drifted"))
+      .join(stats, "cell_id")
+      .select("cell_id", "n", "sv")
+      .collect() // bounded: <= nCells rows of dim longs
+      .map { case Row(c: Long, n: Long, sv: scala.collection.Seq[_]) =>
+        (c.toInt, (sv.asInstanceOf[scala.collection.Seq[Long]].toArray, n))
+      }.toMap
+    val newSums = Array.tabulate(sums.length)(c =>
+      drifted.get(c).map(_._1).getOrElse(sums(c)))
+    val newCounts = Array.tabulate(counts.length)(c =>
+      drifted.get(c).map(_._2).getOrElse(counts(c)))
+    (newSums, newCounts)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding corpus, then inside each
     * cluster mark as a semantic duplicate every vector whose cosine to

@@ -43,6 +43,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * snapshot's exact fixed-point total — summing the raw doubles in a
   * different order can differ in final ULPs; the snapshot's answer is
   * the order-independent one.
+  *
+  * A `.cache()`d base never navigates: Spark's cache substitution runs
+  * BEFORE optimizer extensions, so this rule sees an InMemoryRelation,
+  * not the registered file relation — the cache the user explicitly
+  * asked for wins, which is the right precedence.
   */
 object MvRewrite {
 

