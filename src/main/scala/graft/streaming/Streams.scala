@@ -946,6 +946,40 @@ object Streams {
     }
   }
 
+  /** Maintain incremental-IVF per-cell membership stats as a versioned
+    * snapshot under an embedding STREAM — the streaming form of
+    * [[graft.ops.Similarity.ivfCellStats]] + `ivfCellStatsMerge`: each
+    * microbatch of (vec_id, embedding) rows is assigned to cells under
+    * the FROZEN trained state (broadcast; one narrow pass, the corpus
+    * never reshuffles or retrains) and folded into the latest
+    * (cell_id, n, sv) stats version. Same versioned-write replay
+    * idempotence and retention as [[aggSnapshotSink]]; read the
+    * re-seed decision off any committed version with
+    * [[graft.ops.Similarity.ivfDriftReport]] /
+    * [[graft.ops.Similarity.ivfReseed]]. */
+  def ivfStatsSink(rows: DataFrame, targetDir: String, checkpoint: String,
+                   sums: Array[Array[Long]], counts: Array[Long],
+                   dim: Int = 64, retainVersions: Int = 3): StreamingQuery = {
+    require(retainVersions >= 2,
+      "ivfStatsSink: must retain >= 2 versions (replay needs the predecessor)")
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
+      val batchStats = graft.ops.Similarity.ivfCellStats(batch, sums, counts, dim)
+      val merged = versions.sorted.lastOption match {
+        case Some(v) => graft.ops.Similarity.ivfCellStatsMerge(
+          spark.read.parquet(s"$targetDir/v=$v"), batchStats, dim)
+        case None => batchStats
+      }
+      merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+    }
+  }
+
   /** Path of the latest committed snapshot version under `targetDir`
     * (for [[graft.plans.MvRewrite.register]]). */
   def latestSnapshotPath(spark: org.apache.spark.sql.SparkSession,

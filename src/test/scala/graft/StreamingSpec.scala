@@ -1210,6 +1210,50 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6g streaming IVF stats: streamed cell snapshot == one-shot; drift readable off it") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // frozen centroid state trained over the static corpus; the STREAM
+    // then delivers the same vectors in two microbatches — the
+    // maintained per-cell stats must equal the one-shot fold (exact
+    // associative integer sums), and the drift report reads off the
+    // committed version
+    val emb = graft.sources.Tables(spark, TestSession.sf0001).embeddings
+      .select("vec_id", "embedding")
+    val (s, n) = graft.ops.Similarity.trainCentroidsQuant(emb,
+      nCells = 8, iters = 2, dim = 64)
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Array[Float])]
+    val target = tmp("graft-ivfstats-tgt")
+    val q = Streams.ivfStatsSink(in.toDF().toDF("vec_id", "embedding"),
+      target, tmp("graft-ivfstats-ck"), s, n)
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = Streams.latestSnapshot(spark, target).get
+        .orderBy("cell_id").as[(Long, Long, Array[Long])].collect().toSeq
+      val oneShot = graft.ops.Similarity.ivfCellStats(emb, s, n)
+        .orderBy("cell_id").as[(Long, Long, Array[Long])].collect().toSeq
+      assert(streamed.map(t => (t._1, t._2)) == oneShot.map(t => (t._1, t._2)))
+      streamed.zip(oneShot).foreach { case ((c, _, a), (_, _, b)) =>
+        assert(a.toSeq == b.toSeq, s"streamed cell $c stats diverged from one-shot")
+      }
+      // the full corpus matches the training assignment exactly, so
+      // drift off the streamed snapshot is ~0 everywhere... it is NOT
+      // zero (trained sums are the PREVIOUS Lloyd round's fold), but it
+      // must be small and identical to the batch-side report
+      val fromStream = graft.ops.Similarity.ivfDriftReport(
+          Streams.latestSnapshot(spark, target).get, s, n, threshold = 0.5)
+        .orderBy("cell_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+      val fromBatch = graft.ops.Similarity.ivfDriftReport(
+          graft.ops.Similarity.ivfCellStats(emb, s, n), s, n, threshold = 0.5)
+        .orderBy("cell_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+      assert(fromStream == fromBatch,
+        s"drift off the streamed snapshot diverged:\n$fromStream\nvs\n$fromBatch")
+    } finally q.stop()
+  }
+
   test("observe metrics surface per microbatch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
