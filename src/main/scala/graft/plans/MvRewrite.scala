@@ -216,9 +216,11 @@ object MvRewrite {
                         distinctCols: Seq[String] = Nil,
                         kmvK: Int = graft.functions.Kmv.DefaultK,
                         distinctTuples: Seq[Seq[String]] = Nil,
-                        kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
+                        kllCols: Seq[String] = Nil, kllK: Int = 200,
+                        derivedKeys: Map[String, Column] = Map.empty): Unit = {
     val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
-      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK)
+      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK,
+      derivedKeys)
     entries.put(basePath, e)
   }
 
@@ -252,9 +254,11 @@ object MvRewrite {
                              kmvK: Int = graft.functions.Kmv.DefaultK,
                              hllCols: Seq[String] = Nil, hllLgK: Int = 12,
                              distinctTuples: Seq[Seq[String]] = Nil,
-                             kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
+                             kllCols: Seq[String] = Nil, kllK: Int = 200,
+                             derivedKeys: Map[String, Column] = Map.empty): Unit = {
     val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
-      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK)
+      minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK,
+      derivedKeys)
     val tailFn: String => Option[DataFrame] = { snapPath =>
       val s = SparkSession.active
       val covered = graft.streaming.Streams.snapshotManifest(s, snapPath)
@@ -265,9 +269,16 @@ object MvRewrite {
       val baseFiles = s.read.parquet(basePath).inputFiles.map(norm)
       val tailFiles = baseFiles.filterNot(covered.contains).sorted
       if (tailFiles.isEmpty) None
-      else Some(graft.ops.Cdc.aggSnapshotMinMax(
-        s.read.parquet(tailFiles.toIndexedSeq: _*), keys, measures, scale,
-        distinctCols, kmvK, hllCols, hllLgK, distinctTuples, kllCols, kllK))
+      else {
+        // tail rows must carry the same derived bucket key columns the
+        // sink's input stream materialized before snapshotting
+        val tailRows = derivedKeys.foldLeft(
+          s.read.parquet(tailFiles.toIndexedSeq: _*)) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        Some(graft.ops.Cdc.aggSnapshotMinMax(tailRows, keys, measures, scale,
+          distinctCols, kmvK, hllCols, hllLgK, distinctTuples, kllCols, kllK))
+      }
     }
     entries.put(basePath, e.copy(tail = Some(tailFn)))
   }
@@ -278,16 +289,23 @@ object MvRewrite {
                              minMaxMeasures: Seq[String],
                              distinctCols: Seq[String], kmvK: Int,
                              distinctTuples: Seq[Seq[String]],
-                             kllCols: Seq[String], kllK: Int): Entry = {
+                             kllCols: Seq[String], kllK: Int,
+                             derivedKeys: Map[String, Column] = Map.empty): Entry = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"MvRewrite.registerVersioned: $basePath is not a file-backed relation"))
     requireFloatingMeasures(base.schema, measures, "MvRewrite.registerVersioned")
+    derivedKeys.keys.foreach(n => require(keys.contains(n),
+      s"MvRewrite.registerVersioned: derived key $n must be listed in keys " +
+        "(it is a snapshot key column)"))
     val tupleExprs = distinctTuples.map(t =>
       (graft.ops.Cdc.tupleSketchName(t),
         resolveAgainst(base, t.mkString("_"), tupleConcat(t),
           "MvRewrite.registerVersioned")))
+    val derivedKeyExprs = derivedKeys.toSeq.map { case (n, c) =>
+      (n, resolveAgainst(base, n, c, "MvRewrite.registerVersioned"))
+    }
     requireNoOverlap(basePath, roots)
     Entry(roots, keys, measures, scale,
       () => graft.streaming.Streams
@@ -295,7 +313,8 @@ object MvRewrite {
         .getOrElse(throw new IllegalStateException(
           s"MvRewrite: no committed snapshot version under $targetDir yet")),
       minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK,
-      tuples = tupleExprs, kll = kllCols, kllK = kllK)
+      derivedKeys = derivedKeyExprs, tuples = tupleExprs,
+      kll = kllCols, kllK = kllK)
   }
 
   def unregister(basePath: String): Unit = entries.remove(basePath)

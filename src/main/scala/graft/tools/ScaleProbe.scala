@@ -496,6 +496,27 @@ object ScaleProbe {
       Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$mvDir/snap")
     stage("mv_rewritten_12m") { mvQuery() }
     graft.plans.MvRewrite.unregister(s"$mvDir/base")
+
+    // Fresh composition at 12M: a snapshot covering the base files
+    // (manifest exactly as the sink writes it), then a ~1% tail lands —
+    // the EXACTLY-CURRENT navigated answer must cost on the order of
+    // the tail scan plus the kilobyte snapshot, never the 12M base.
+    graft.ops.Cdc.aggSnapshotMinMax(spark.read.parquet(s"$mvDir/base"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$mvDir/tgt/v=0")
+    locally {
+      val covered = spark.read.parquet(s"$mvDir/base").inputFiles
+        .map(p => new org.apache.hadoop.fs.Path(p).toString).sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$mvDir/tgt/v=0/_files"),
+        covered.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    l20.filter(col("l_orderkey") % 100 === 0).select(mvCols.map(col): _*)
+      .repartition(1).write.mode("append").parquet(s"$mvDir/base")
+    graft.plans.MvRewrite.registerVersionedFresh(spark, s"$mvDir/base",
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$mvDir/tgt")
+    stage("mv_fresh_12m") { mvQuery() }
+    graft.plans.MvRewrite.unregister(s"$mvDir/base")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvDir))
 
     // Exact percentile vs KLL sketch at 20x DISTINCT values (~12M
