@@ -70,17 +70,26 @@ object MvRewrite {
                          tuples: Seq[(String, Expression)] = Nil,
                          kll: Seq[String] = Nil,
                          kllK: Int = 200,
-                         tail: Option[String => Option[DataFrame]] = None)
+                         tail: Option[String => Option[DataFrame]] = None,
+                         base: String = "")
 
+  /** Keyed by (basePath, sorted key set): ONE BASE MAY CARRY SEVERAL
+    * VIEWS — a (flag, status) rollup and a (day) rollup over the same
+    * fact register side by side; the rewrite tries the matching views
+    * coarsest-first (fewest keys = smallest snapshot) and takes the
+    * first that can answer. Re-registering the same (base, keys) pair
+    * replaces that view (the refresh idiom). */
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private def entryKey(basePath: String, keys: Seq[String]): String =
+    basePath + "#" + keys.sorted.mkString(",")
 
   /** Lookup matches on EXACT root-path sets, so two registrations whose
     * roots intersect but differ (e.g. a parent dir and one partition
     * subdirectory of it) could never both match one scan — one of them
     * would be silently dead, and which one depends on registration
-    * order. Fail loudly at register time instead; re-registering the
-    * SAME basePath replaces its entry (the refresh idiom). */
+    * order. Fail loudly at register time instead. */
   /** The rewrite replaces sum/avg outputs with DOUBLE expressions while
     * reusing the original exprId — sound only when the original was
     * double-typed, so non-floating measures are rejected up front.
@@ -101,10 +110,10 @@ object MvRewrite {
 
   private def requireNoOverlap(basePath: String, roots: Set[String]): Unit = {
     import scala.jdk.CollectionConverters._
-    entries.asScala.foreach { case (otherBase, other) =>
-      if (otherBase != basePath && other.rootPaths.intersect(roots).nonEmpty)
+    entries.values().asScala.foreach { other =>
+      if (other.base != basePath && other.rootPaths.intersect(roots).nonEmpty)
         throw new IllegalArgumentException(
-          s"MvRewrite.register: $basePath overlaps already-registered $otherBase " +
+          s"MvRewrite.register: $basePath overlaps already-registered ${other.base} " +
             s"(shared roots: ${other.rootPaths.intersect(roots).mkString(", ")}) — " +
             "unregister it first or register a disjoint path")
     }
@@ -193,10 +202,10 @@ object MvRewrite {
         resolveAgainst(base, t.mkString("_"), tupleConcat(t),
           "MvRewrite.registerDerived")))
     requireNoOverlap(basePath, roots)
-    entries.put(basePath,
+    entries.put(entryKey(basePath, keys),
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
         minMaxMeasures, distinctCols, kmvK, derivedKeyExprs, tupleExprs,
-        kllCols, kllK))
+        kllCols, kllK, base = basePath))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -221,7 +230,7 @@ object MvRewrite {
     val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
       minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK,
       derivedKeys)
-    entries.put(basePath, e)
+    entries.put(entryKey(basePath, keys), e)
   }
 
   /** [[registerVersioned]] plus EXACTLY-CURRENT answers: the freshest
@@ -280,7 +289,7 @@ object MvRewrite {
           distinctCols, kmvK, hllCols, hllLgK, distinctTuples, kllCols, kllK))
       }
     }
-    entries.put(basePath, e.copy(tail = Some(tailFn)))
+    entries.put(entryKey(basePath, keys), e.copy(tail = Some(tailFn)))
   }
 
   private def versionedEntry(spark: SparkSession, basePath: String,
@@ -314,10 +323,16 @@ object MvRewrite {
           s"MvRewrite: no committed snapshot version under $targetDir yet")),
       minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK,
       derivedKeys = derivedKeyExprs, tuples = tupleExprs,
-      kll = kllCols, kllK = kllK)
+      kll = kllCols, kllK = kllK, base = basePath)
   }
 
-  def unregister(basePath: String): Unit = entries.remove(basePath)
+  /** Remove EVERY view registered for `basePath` (all key sets). To
+    * replace one view, just re-register the same (base, keys) pair. */
+  def unregister(basePath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    entries.asScala.filter(_._2.base == basePath).keys
+      .foreach(entries.remove)
+  }
   def clear(): Unit = entries.clear()
   private[plans] def isEmpty: Boolean = entries.isEmpty
 
@@ -361,12 +376,16 @@ object MvRewrite {
     case _ => None
   }
 
+  /** All views whose root-path set matches the scan, COARSEST FIRST
+    * (fewest keys = smallest snapshot; ties broken by key names for
+    * determinism) — the rewrite takes the first that can answer. */
   private[plans] def lookup(child: LogicalPlan)
-      : Option[(Entry, Seq[Expression], Map[ExprId, Expression])] =
+      : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression])] =
     rootPathsAndFilters(child, Nil, Map.empty).flatMap { case (roots, conds, binds) =>
       import scala.jdk.CollectionConverters._
-      entries.values().asScala.find(_.rootPaths == roots)
-        .map((_, conds, binds))
+      val matches = entries.values().asScala.filter(_.rootPaths == roots)
+        .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+      if (matches.isEmpty) None else Some((matches, conds, binds))
     }
 }
 
@@ -379,8 +398,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groupings, results, child, _) =>
         MvRewrite.lookup(child) match {
-          case Some((e, filters, binds)) =>
-            rewrite(agg, groupings, results, e, filters, binds).getOrElse(agg)
+          case Some((candidates, filters, binds)) =>
+            // coarsest view that can answer wins (lookup pre-sorts)
+            candidates.view
+              .flatMap(e => rewrite(agg, groupings, results, e, filters, binds))
+              .headOption.getOrElse(agg)
           case None => agg
         }
     }

@@ -534,6 +534,50 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("multiple views per base: each grouping navigates to its own snapshot, coarsest wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-multi").toString
+    try {
+      val base = spark.read.parquet(basePath)
+      // view 1: (flag, status)-keyed; view 2: flag-only (coarser)
+      Cdc.aggSnapshot(base, keys, Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/fs")
+      Cdc.aggSnapshot(base, Seq("l_returnflag"), Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/f")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/fs")
+      MvRewrite.register(spark, basePath, Seq("l_returnflag"), Seq("l_quantity"),
+        s"$dir/f")
+      try {
+        // fine-grained grouping: only the (flag, status) view can answer
+        val fine = spark.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("s"))
+        val pFine = scansOf(fine)
+        assert(pFine.contains(s"$dir/fs") && !pFine.contains("lineitem.parquet"),
+          s"fine grouping not served by the (flag,status) view:\n$pFine")
+        // flag-only grouping: BOTH views can answer; the coarser (and
+        // smaller) flag view must win
+        val coarse = spark.read.parquet(basePath)
+          .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+        val pCoarse = scansOf(coarse)
+        assert(pCoarse.contains(s"$dir/f") && !pCoarse.contains(s"$dir/fs"),
+          s"coarse grouping not served by the smaller view:\n$pCoarse")
+        // answers stay exact through view selection
+        val got = coarse.orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+        MvRewrite.unregister(basePath)
+        val want = spark.read.parquet(basePath)
+          .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+          .orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+        assert(got == want)
+        // re-register only the fine view: the coarse query re-aggregates it
+        MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/fs")
+        val pAfter = scansOf(spark.read.parquet(basePath)
+          .groupBy("l_returnflag").agg(sum("l_quantity").as("s")))
+        assert(pAfter.contains(s"$dir/fs"),
+          s"after dropping the flag view, the (flag,status) view should serve:\n$pAfter")
+      } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
