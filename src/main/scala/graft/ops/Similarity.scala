@@ -503,6 +503,220 @@ object Similarity {
       .select("vec_id", "cell_id", "dup_of")
   }
 
+  // ---- Product quantization (PQ) — memory-bound ANN -------------------
+  //
+  // The missing rung of the E2 ladder between int8 (4x compression,
+  // full-precision search) and IVF (cluster-pruned candidates): encode
+  // every vector as m sub-space code indices (m bytes/vector at k<=256
+  // — 256x smaller than float32 at m=8), search by asymmetric distance
+  // computation (ADC): per query, an m x k lookup table of exact
+  // sub-distances; per corpus row, the sum of m table entries. At
+  // 100 TB this is what fits an embedding index in executor memory.
+  //
+  // Deterministic in the quantized-IVF house style so the WHOLE
+  // pipeline (per-subspace Lloyd, encoding, ADC ranking) replays in a
+  // SQL oracle: sub-centroids are exact (sum-vector, count) pairs;
+  // the distance of quantized x to centroid (S, n) is ranked by
+  // A = Σ_i (n·x_i − S_i)² — an EXACT integer — divided once into
+  // A/n² (one deterministic long→double conversion + one IEEE
+  // division). Exactness bound: |n·x_i − S_i| <= 2·n·2^12, so A stays
+  // inside a signed long while per-cell membership n < ~70k (with the
+  // |v| < 4 input contract) — train with k sized so cells stay under
+  // that, or the require below fails loudly rather than ranking on
+  // silently wrapped integers.
+
+  /** Exact-integer squared distance of a quantized sub-vector to a
+    * sub-centroid (S, n), scaled by n²: Σ (n·x_i − S_i)², then one
+    * double division by n² — deterministic and SQL-replayable. */
+  private def pqDist(x: Array[Long], off: Int, s: Array[Long], n: Long): Double = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) { val t = n * x(off + i) - s(i); a += t * t; i += 1 }
+    a.toDouble / (n * n).toDouble
+  }
+
+  private def pqBestCode(x: Array[Long], off: Int,
+                         sums: Array[Array[Long]], counts: Array[Long]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < sums.length) {
+      val d = pqDist(x, off, sums(j), counts(j))
+      if (d < bestD) { bestD = d; best = j } // strict < keeps lowest code on ties
+      j += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks: `m` subspaces of dim/m dims, `k`
+    * codes each. Seeds are the k corpus rows first in mix32(vec_id+1)
+    * order (their sub-vectors seed every subspace), refined by `iters`
+    * rounds of exact integer Lloyd per subspace — all m subspaces
+    * train in the SAME pass over the corpus (one narrow scan per
+    * round, m·k·(dim/m) longs of broadcast state). Returns
+    * (sums[s][j], counts[s][j]). */
+  private[graft] def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int): (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (mix32(id + 1), id, quantizeVec(v, dim)) }
+      .toDF("h", "vec_id", "qv")
+      .orderBy("h", "vec_id").limit(k)
+      .select(col("qv")).as[Array[Long]].collect()
+    require(seeds.length == k, s"pq: corpus smaller than k=$k")
+    var sums = Array.tabulate(m, k)((s, j) =>
+      java.util.Arrays.copyOfRange(seeds(j), s * sub, (s + 1) * sub))
+    var counts = Array.fill(m, k)(1L)
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    var it = 0
+    while (it < iters) {
+      val bcS = spark.sparkContext.broadcast(sums)
+      val bcN = spark.sparkContext.broadcast(counts)
+      val partials = vecs.mapPartitions { rows =>
+        val (s0, n0) = (bcS.value, bcN.value)
+        val acc = Array.fill(m, k)(new Array[Long](sub))
+        val cnt = Array.fill(m, k)(0L)
+        rows.foreach { v =>
+          val qv = quantizeVec(v, dim)
+          var s = 0
+          while (s < m) {
+            val c = pqBestCode(qv, s * sub, s0(s), n0(s))
+            val a = acc(s)(c)
+            var i = 0
+            while (i < sub) { a(i) += qv(s * sub + i); i += 1 }
+            cnt(s)(c) += 1
+            s += 1
+          }
+        }
+        Iterator.tabulate(m)(s => (s, acc(s), cnt(s)))
+      }.collect()
+      val nextS = Array.fill(m, k)(new Array[Long](sub))
+      val nextN = Array.fill(m, k)(0L)
+      partials.foreach { case (s, accs, cnts) =>
+        var j = 0
+        while (j < k) {
+          var i = 0
+          while (i < sub) { nextS(s)(j)(i) += accs(j)(i); i += 1 }
+          nextN(s)(j) += cnts(j)
+          j += 1
+        }
+      }
+      // empty codes keep their previous state
+      sums = Array.tabulate(m, k)((s, j) =>
+        if (nextN(s)(j) == 0) sums(s)(j) else nextS(s)(j))
+      counts = Array.tabulate(m, k)((s, j) =>
+        if (nextN(s)(j) == 0) counts(s)(j) else nextN(s)(j))
+      bcS.destroy(); bcN.destroy()
+      it += 1
+    }
+    // the exactness bound above: fail loudly before ranking could wrap
+    counts.foreach(_.foreach(n => require(n < 70000,
+      s"pq: a sub-cell holds $n members — beyond the exact-integer " +
+        "distance bound; raise k so cells stay under ~70k rows")))
+    (sums, counts)
+  }
+
+  /** Encode every corpus row as its m nearest sub-codes under a FROZEN
+    * codebook: (vec_id, codes array<int>) — m small ints per vector,
+    * the parquet-storable compressed index. One narrow pass. */
+  def pqEncode(corpus: DataFrame, sums: Array[Array[Array[Long]]],
+               counts: Array[Array[Long]], dim: Int = 64): DataFrame = {
+    val m = sums.length
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcS = spark.sparkContext.broadcast(sums)
+    val bcN = spark.sparkContext.broadcast(counts)
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val qv = quantizeVec(v, dim)
+        (id, Array.tabulate(m)(s => pqBestCode(qv, s * sub, bcS.value(s), bcN.value(s))))
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** PQ approximate top-k with exact rescore: train (m subspaces × k
+    * codes), encode the corpus, SHORTLIST topK·rescore candidates per
+    * query by ADC — per query an m×k table of exact sub-distances, per
+    * corpus row the LEFT-ASSOCIATED sum of its m table entries (fixed
+    * association, so the double ranking replays bit-for-bit in SQL) —
+    * then re-rank the shortlist by the EXACT integer L2 between the
+    * quantized vectors (Σ(x_i − y_i)², a plain long). The rescore is
+    * what PQ deployments do (ADC discriminates BETWEEN cells, not
+    * within one), and making it integer keeps the whole pipeline
+    * deterministic. Output: query_id, neighbor_id, l2 (exact quantized
+    * squared distance), rk.
+    *
+    * Scale shape: the codebook is m·k·(dim/m) longs broadcast; the
+    * corpus is scanned once to encode and once to score (both narrow);
+    * only the |queries|·topK·rescore SHORTLIST fetches full vectors
+    * (hash join back to the corpus, shortlist broadcast) — the ADC pass
+    * touches m ints per vector, which is what still fits in memory
+    * when float vectors no longer do. Top-k through the bounded-heap
+    * GroupedTopK at both stages. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+             m: Int = 4, codes: Int = 16, iters: Int = 1,
+             dim: Int = 64, rescore: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (sums, counts) = pqTrain(corpus, m, codes, iters, dim)
+    val encoded = pqEncode(corpus, sums, counts, dim)
+    val bcS = spark.sparkContext.broadcast(sums)
+    val bcN = spark.sparkContext.broadcast(counts)
+    // per query: the flattened m×k ADC table (exact sub-distances)
+    val qTables = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val qv = quantizeVec(v, dim)
+        (id, Array.tabulate(m * codes) { x =>
+          val s = x / codes
+          pqDist(qv, s * sub, bcS.value(s)(x % codes), bcN.value(s)(x % codes))
+        })
+      }
+      .toDF("query_id", "t")
+    val scored = encoded.join(broadcast(qTables),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("codes"), col("t"))
+      .as[(Long, Long, Array[Int], Array[Double])]
+      .map { case (qid, nid, cs, t) =>
+        // fixed left-to-right association — mirrored in the oracle
+        var d = 0.0
+        var s = 0
+        while (s < m) { d += t(s * codes + cs(s)); s += 1 }
+        (qid, nid, d)
+      }
+      .toDF("query_id", "neighbor_id", "adc")
+    val shortlist = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), topK * rescore,
+      Seq(("adc", false), ("neighbor_id", false)))
+    // exact integer rescore: only the shortlist fetches full vectors
+    def quantized(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, quantizeVec(v, dim)) }
+        .toDF(idAs, vAs)
+    val l2 = aggregate(
+      zip_with(col("nq"), col("qq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val rescored = quantized(corpus, "neighbor_id", "nq")
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(quantized(queries, "query_id", "qq")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
+    val top = graft.plans.GroupedTopK(
+      rescored, Seq("query_id"), topK, Seq(("l2", false), ("neighbor_id", false)))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select("query_id", "neighbor_id", "l2", "rk")
+  }
+
   // ---- Int8 quantization (embedding storage at scale) -------------------
 
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,

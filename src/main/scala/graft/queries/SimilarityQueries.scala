@@ -204,6 +204,90 @@ object SimilarityQueries {
     Similarity.quantizeInt8Report(Tables(spark, dir).embeddings)
   }
 
+  // Product quantization — the memory-bound ANN rung (round 7): m
+  // per-subspace codebooks trained by exact integer Lloyd, the corpus
+  // encoded to m code indices, candidates shortlisted by ADC (per-query
+  // m×k table of exact sub-distances, LEFT-ASSOCIATED double sum), and
+  // the shortlist re-ranked by the EXACT integer L2 of the quantized
+  // vectors. Every stage is the deterministic house arithmetic, so the
+  // FULL pipeline — seeding, per-subspace Lloyd, encoding, ADC ranking,
+  // rescore — replays bit-for-bit in SQL.
+  private def pqOracleSql(m: Int, codes: Int, topK: Int, rescore: Int): String = {
+    val sub = 64 / m
+    // per-subspace distance of row alias `q` to state alias `st`
+    def dist(off: Int) =
+      s"""CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |   i -> (st.n * q.qv[$off + i] - st.sv[i]) * (st.n * q.qv[$off + i] - st.sv[i])))
+         |   AS DOUBLE) / CAST(st.n * st.n AS DOUBLE)""".stripMargin
+    def assign(s: Int, st: String, tag: String, src: String) =
+      s"""pq_a${tag}_$s AS (SELECT q.vec_id, st.code_id, ${dist(s * sub)} AS d
+         |  FROM $src q, $st st),
+         |pq_g${tag}_$s AS (SELECT vec_id, code_id FROM (
+         |  SELECT vec_id, code_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, code_id) AS rn
+         |  FROM pq_a${tag}_$s) WHERE rn = 1)""".stripMargin
+    def update(s: Int) =
+      s"""pq_ue_$s AS (SELECT g.code_id,
+         |    unnest(list_slice(q.qv, ${s * sub + 1}, ${(s + 1) * sub})) AS x,
+         |    generate_subscripts(list_slice(q.qv, ${s * sub + 1}, ${(s + 1) * sub}), 1) AS i
+         |  FROM pq_g1_$s g JOIN q USING (vec_id)),
+         |pq_ug_$s AS (SELECT code_id, i, sum(x)::BIGINT AS sx FROM pq_ue_$s GROUP BY code_id, i),
+         |pq_uv_$s AS (SELECT code_id, list(sx ORDER BY i) AS sv FROM pq_ug_$s GROUP BY code_id),
+         |pq_un_$s AS (SELECT code_id, count(*)::BIGINT AS n FROM pq_g1_$s GROUP BY code_id),
+         |pq_st1_$s AS (SELECT p.code_id, coalesce(v.sv, p.sv) AS sv, coalesce(n.n, p.n) AS n
+         |  FROM pq_st0_$s p LEFT JOIN pq_uv_$s v USING (code_id)
+         |  LEFT JOIN pq_un_$s n USING (code_id))""".stripMargin
+    val subspaces = (0 until m).map { s =>
+      s"""pq_st0_$s AS (SELECT code_id,
+         |    list_slice(qv, ${s * sub + 1}, ${(s + 1) * sub}) AS sv, 1::BIGINT AS n
+         |  FROM sd0),
+         |${assign(s, s"pq_st0_$s", "1", "q")},
+         |${update(s)},
+         |${assign(s, s"pq_st1_$s", "f", "q")},
+         |pq_tt_$s AS (SELECT q.vec_id AS qid, st.code_id, ${dist(s * sub)} AS t
+         |  FROM q, pq_st1_$s st WHERE q.vec_id < $topK)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"g$s.code_id AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN pq_gf_$s g$s ON g$s.vec_id = g0.vec_id").mkString(" ")
+    val adc = (1 until m).foldLeft("t0.t")((acc, s) => s"($acc + t$s.t)")
+    val ttJoins = (1 until m)
+      .map(s => s"JOIN pq_tt_$s t$s ON t$s.code_id = cj.c$s AND t$s.qid = t0.qid")
+      .mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
+       |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM q),
+       |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
+       |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
+       |sd AS (SELECT mx.h, mx.vec_id, q.qv FROM mx JOIN q USING (vec_id)
+       |       ORDER BY mx.h, mx.vec_id LIMIT $codes),
+       |sd0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS code_id,
+       |               qv FROM sd),
+       |$subspaces,
+       |cj AS (SELECT g0.vec_id, $codeCols FROM pq_gf_0 g0 $codeJoins),
+       |sc AS (SELECT t0.qid, cj.vec_id AS nid, $adc AS adc
+       |       FROM cj JOIN pq_tt_0 t0 ON t0.code_id = cj.c0 $ttJoins
+       |       WHERE t0.qid <> cj.vec_id),
+       |sl AS (SELECT qid, nid FROM (
+       |         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+       |         FROM sc) WHERE rn <= ${topK * rescore}),
+       |rr AS (SELECT sl.qid, sl.nid,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))::BIGINT AS l2
+       |       FROM sl JOIN q a ON a.vec_id = sl.qid JOIN q b ON b.vec_id = sl.nid),
+       |rk AS (SELECT qid, nid, l2,
+       |         cast(row_number() OVER (PARTITION BY qid ORDER BY l2, nid) AS INT) AS rk
+       |       FROM rr)
+       |SELECT qid AS query_id, nid AS neighbor_id, l2, rk FROM rk WHERE rk <= $topK""".stripMargin
+  }
+  private val pq = QueryDef("e2_pq_topk", Some(pqOracleSql(4, 16, 5, 4))) {
+    (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, topK = 5,
+        m = 4, codes = 16, iters = 1, rescore = 4)
+  }
+
   // Incremental IVF maintenance — the index-never-reshuffles pattern
   // for embeddings (round-7 item #5): centroids trained ONCE over the
   // 90% base corpus and frozen; the 10% delta arrives in three batches,
@@ -267,5 +351,5 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
-    ivfIncr)
+    ivfIncr, pq)
 }

@@ -25,10 +25,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     *    constant cost;
     *  - e2_knn_brute: the DECLARED design broadcasts the tiny query set
     *    against one corpus scan — a BroadcastNestedLoopJoin whose inner
-    *    side is k queries, linear in the corpus by construction. */
+    *    side is k queries, linear in the corpus by construction;
+    *  - e2_pq_topk: same declared shape — the per-query ADC tables
+    *    (|queries|·m·k doubles) broadcast against one pass over the
+    *    m-ints-per-vector encoded corpus. */
   private val nestedLoopAllowed = Set("q_cross_join", "q_subq_scalar",
     "q_subq_not_exists", "e3_nb_classifier", "txt_tfidf", "e2_knn_brute",
-    "tpch_q11", "tpch_q22")
+    "tpch_q11", "tpch_q22", "e2_pq_topk")
 
   private lazy val plans: Map[String, String] =
     Registry.all.map { q =>

@@ -138,6 +138,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, s"clustered recall $recall") // measured 1.0 at 5 iters
   }
 
+  test("pqTopK: recall vs exact L2 on a clustered corpus; bit-deterministic across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val pts = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat))
+    }
+    val clustered = pts.toDF("vec_id", "embedding").cache()
+    val q = clustered.filter(col("vec_id") < 20)
+    // exact L2 truth (PQ ranks by ADC ~ L2, not cosine) — driver-side
+    // over the 20x800 test matrix
+    val all = pts.toMap
+    val truth = (0L until 20L).flatMap { qid =>
+      val qv = all(qid)
+      all.keys.filter(_ != qid).toSeq
+        .map(n => (n, all(n).zip(qv).map { case (a, b) =>
+          (a - b).toDouble * (a - b) }.sum))
+        .sortBy { case (n, d) => (d, n) }.take(5).map(n => (qid, n._1))
+    }.toSet
+    val approx = Similarity.pqTopK(q, clustered, 5, m = 8, codes = 64, iters = 2, rescore = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"pq recall $recall")
+    // determinism: same answer (exact integer l2 included) across runs
+    // and partitionings — the property that makes the SQL oracle possible
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(q, df, 5, m = 8, codes = 64, iters = 2, rescore = 8)
+        .orderBy("query_id", "rk")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+    val a = run(clustered)
+    val b = run(clustered.repartition(13))
+    assert(a == b, "pqTopK not partition-invariant")
+    // codes are m small ints — the 64x compression story at dim=64
+    val (s, n) = Similarity.pqTrain(clustered, 4, 16, 1, 64)
+    val enc = Similarity.pqEncode(clustered, s, n).collect()
+    assert(enc.length == 800 &&
+      enc.forall(_.getAs[scala.collection.Seq[Int]]("codes").size == 4))
+  }
+
   test("int8 quantization: <=0.5-ulp-of-scale error, high reconstruction cosine, zero-safe") {
     import spark.implicits._
     val qd = Similarity.quantizeInt8(emb).collect()
