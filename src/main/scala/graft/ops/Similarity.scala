@@ -662,12 +662,24 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
              m: Int = 4, codes: Int = 16, iters: Int = 1,
              dim: Int = 64, rescore: Int = 4): DataFrame = {
+    val (sums, counts) = pqTrain(corpus, m, codes, iters, dim)
+    pqSearch(queries, corpus, pqEncode(corpus, sums, counts, dim),
+      sums, counts, topK, dim, rescore)
+  }
+
+  /** The steady-state half of [[pqTopK]]: search a PREBUILT index
+    * (frozen codebooks + encoded corpus) — what a per-ingest query
+    * pays once training is amortized. `corpus` is consulted only for
+    * the shortlist's exact-rescore fetch. */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, encoded: DataFrame,
+               sums: Array[Array[Array[Long]]], counts: Array[Array[Long]],
+               topK: Int, dim: Int = 64, rescore: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val m = sums.length
+    val codes = sums.head.length
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (sums, counts) = pqTrain(corpus, m, codes, iters, dim)
-    val encoded = pqEncode(corpus, sums, counts, dim)
     val bcS = spark.sparkContext.broadcast(sums)
     val bcN = spark.sparkContext.broadcast(counts)
     // per query: the flattened m×k ADC table (exact sub-distances)

@@ -164,6 +164,24 @@ object ScaleProbe {
         nCells = 64, iters = 2, dim = 64)
       (s, n, graft.ops.Similarity.ivfCellStats(base25, s, n).localCheckpoint())
     }
+    // PQ at 25x (50k vectors): one-time train+encode (the index build:
+    // 8 ints per vector instead of 64 floats), then the steady-state
+    // search — ADC shortlist over the encoded table + exact integer-L2
+    // rescore of |queries|*topK*rescore candidates only. Search must
+    // track |corpus| * m table lookups, never |corpus| * dim float math.
+    lazy val pqState25 = {
+      val (s, n) = graft.ops.Similarity.pqTrain(emb25, m = 8, k = 64,
+        iters = 1, dim = 64)
+      (s, n, graft.ops.Similarity.pqEncode(emb25, s, n).localCheckpoint())
+    }
+    stage("pq_encode_25x") { pqState25._3 }
+    stage("pq_search_25x") {
+      val (s, n, enc) = pqState25
+      val q25 = emb25.filter(col("vec_id") % 2001 === 0) // ~25 spread queries
+      graft.ops.Similarity.pqSearch(q25, emb25, enc, s, n, topK = 5,
+        rescore = 8)
+    }
+
     stage("ivf_incr_build_25x") { ivfIncr25._3 }
     stage("ivf_incr_ingest_25x") {
       val (s, n, baseStats) = ivfIncr25
