@@ -1218,43 +1218,48 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     val baseDir = tmp("graft-fb-base")
     val target = tmp("graft-fb-tgt")
     val ckpt = tmp("graft-fb-ck")
-    def row(day: Int, hour: Int, v: Double) =
-      (Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00"), v)
-    Seq(row(1, 1, 1.0), row(1, 2, 2.0), row(2, 5, 3.0)).toDF("ts", "v")
+    def row(day: Int, hour: Int, v: Double, u: String) =
+      (Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00"), v, u)
+    Seq(row(1, 1, 1.0, "u1"), row(1, 2, 2.0, "u2"), row(2, 5, 3.0, "u1"))
+      .toDF("ts", "v", "u")
       .repartition(1).write.mode("append").parquet(baseDir)
     val bucket = date_trunc("day", col("ts"))
     def startStream() = Streams.aggSnapshotSinkAppendOnly(
-      spark.readStream.schema("ts timestamp, v double").parquet(baseDir)
+      spark.readStream.schema("ts timestamp, v double, u string").parquet(baseDir)
         .withColumn("day", bucket),
-      target, ckpt, Seq("day"), Seq("v"))
+      target, ckpt, Seq("day"), Seq("v"), distinctCols = Seq("u"))
     val q = startStream()
     try q.processAllAvailable() finally q.stop()
-    // new files land while the stream is down: more rows in day 2 and a
-    // brand-new day 3 — only the fresh tail can know either
-    Seq(row(2, 9, 10.0), row(3, 4, 4.0)).toDF("ts", "v")
+    // new files land while the stream is down: more rows in day 2 (one
+    // from a NEW distinct user) and a brand-new day 3 — only the fresh
+    // tail can know any of it
+    Seq(row(2, 9, 10.0, "u3"), row(3, 4, 4.0, "u1")).toDF("ts", "v", "u")
       .repartition(1).write.mode("append").parquet(baseDir)
     graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("day"),
-      Seq("v"), target, minMaxMeasures = Seq("v"),
+      Seq("v"), target, minMaxMeasures = Seq("v"), distinctCols = Seq("u"),
       derivedKeys = Map("day" -> bucket))
     try {
+      // the triple composition: derived bucket key × fresh tail × KMV
+      // distinct — "exactly-current distinct users per day"
       def query = spark.read.parquet(baseDir)
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"),
+          expr("kmv_distinct(u)").as("du"))
       val snapPath = Streams.latestSnapshotPath(spark, target).get
       val plan = query.queryExecution.executedPlan.toString
       assert(plan.contains(snapPath),
         s"fresh bucketed MV did not use the snapshot:\n$plan")
       val got = query.orderBy("day")
-        .as[(Timestamp, Long, Double, Double)].collect().toSeq
+        .as[(Timestamp, Long, Double, Double, Long)].collect().toSeq
       graft.plans.MvRewrite.unregister(baseDir)
       val want = query.orderBy("day")
-        .as[(Timestamp, Long, Double, Double)].collect().toSeq
+        .as[(Timestamp, Long, Double, Double, Long)].collect().toSeq
       assert(want.size == 3 && want.last._2 == 1L
-        && want(1) == (Timestamp.valueOf("2024-03-02 00:00:00"), 2L, 13.0, 10.0))
+        && want(1) == (Timestamp.valueOf("2024-03-02 00:00:00"), 2L, 13.0, 10.0, 2L))
       assert(got == want, s"fresh bucketed answer diverged:\n$got\nvs\n$want")
       // caught up -> pure snapshot, no base scan
       graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("day"),
-        Seq("v"), target, minMaxMeasures = Seq("v"),
+        Seq("v"), target, minMaxMeasures = Seq("v"), distinctCols = Seq("u"),
         derivedKeys = Map("day" -> bucket))
       val q2 = startStream()
       try q2.processAllAvailable() finally q2.stop()
@@ -1262,7 +1267,7 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(!plan2.contains(baseDir),
         s"caught-up fresh bucketed MV still scans the base:\n$plan2")
       assert(query.orderBy("day")
-        .as[(Timestamp, Long, Double, Double)].collect().toSeq == want)
+        .as[(Timestamp, Long, Double, Double, Long)].collect().toSeq == want)
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
