@@ -729,6 +729,97 @@ object Similarity {
       .select("query_id", "neighbor_id", "l2", "rk")
   }
 
+  /** IVF × PQ — the production index composition: IVF cells PRUNE the
+    * candidate set (each query probes its nProbe nearest cells; only
+    * same-cell rows are scored — a hash equi-join on cell id, never a
+    * corpus-wide pass), and PQ codes COMPRESS the scoring (ADC over m
+    * ints per candidate, exact integer-L2 rescore of the shortlist
+    * only). Both halves are the deterministic trainers above sharing
+    * one corpus scan each, so the full composed pipeline replays in
+    * SQL (e2_ivfpq_topk).
+    *
+    * Scale shape at 100 TB: the coarse quantizer bounds candidates to
+    * nProbe/nCells of the corpus; the fine quantizer bounds per-
+    * candidate work to m table lookups; full vectors are fetched only
+    * for |queries|·topK·rescore rows. This is the index layout that
+    * serves billion-vector corpora from executor memory. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+                nCells: Int = 16, nProbe: Int = 4, ivfIters: Int = 2,
+                m: Int = 4, codes: Int = 16, pqIters: Int = 1,
+                dim: Int = 64, rescore: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cellS, cellN) = trainCentroidsQuant(corpus, nCells, ivfIters, dim)
+    val (pqS, pqN) = pqTrain(corpus, m, codes, pqIters, dim)
+    val bcCS = spark.sparkContext.broadcast(cellS)
+    val bcCN = spark.sparkContext.broadcast(cellN)
+    val bcS = spark.sparkContext.broadcast(pqS)
+    val bcN = spark.sparkContext.broadcast(pqN)
+    // one corpus pass: cell assignment + PQ codes together
+    val indexed = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val qv = quantizeVec(v, dim)
+        (id, bestCellQuant(qv, bcCS.value, bcCN.value).toLong,
+          Array.tabulate(m)(s => pqBestCode(qv, s * sub, bcS.value(s), bcN.value(s))))
+      }
+      .toDF("neighbor_id", "cell_id", "codes")
+    // queries: nProbe best cells + the flattened ADC table, one row per
+    // (query, probed cell) with the table along for the equi-join
+    val probes = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val qv = quantizeVec(v, dim)
+        val (s0, n0) = (bcCS.value, bcCN.value)
+        val ms = Array.tabulate(nCells) { c =>
+          var d = 0L
+          var i = 0
+          while (i < dim) { d += qv(i) * s0(c)(i); i += 1 }
+          (d.toDouble / n0(c).toDouble, c.toLong)
+        }
+        val t = Array.tabulate(m * codes) { x =>
+          val s = x / codes
+          pqDist(qv, s * sub, bcS.value(s)(x % codes), bcN.value(s)(x % codes))
+        }
+        ms.sortBy { case (d, c) => (-d, c) }.take(nProbe)
+          .map { case (_, c) => (id, c, t) }.toSeq
+      }
+      .toDF("query_id", "cell_id", "t")
+    val scored = indexed.join(broadcast(probes), "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("codes"), col("t"))
+      .as[(Long, Long, Array[Int], Array[Double])]
+      .map { case (qid, nid, cs, t) =>
+        var d = 0.0
+        var s = 0
+        while (s < m) { d += t(s * codes + cs(s)); s += 1 }
+        (qid, nid, d)
+      }
+      .toDF("query_id", "neighbor_id", "adc")
+    val shortlist = graft.plans.GroupedTopK(
+      scored, Seq("query_id"), topK * rescore,
+      Seq(("adc", false), ("neighbor_id", false)))
+    def quantized(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, quantizeVec(v, dim)) }
+        .toDF(idAs, vAs)
+    val l2 = aggregate(
+      zip_with(col("nq"), col("qq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val rescored = quantized(corpus, "neighbor_id", "nq")
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(quantized(queries, "query_id", "qq")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
+    val top = graft.plans.GroupedTopK(
+      rescored, Seq("query_id"), topK, Seq(("l2", false), ("neighbor_id", false)))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select("query_id", "neighbor_id", "l2", "rk")
+  }
+
   // ---- Int8 quantization (embedding storage at scale) -------------------
 
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,

@@ -212,9 +212,26 @@ object SimilarityQueries {
   // vectors. Every stage is the deterministic house arithmetic, so the
   // FULL pipeline — seeding, per-subspace Lloyd, encoding, ADC ranking,
   // rescore — replays bit-for-bit in SQL.
-  private def pqOracleSql(m: Int, codes: Int, topK: Int, rescore: Int): String = {
+  /** Shared prologue: quantized vectors + the mix32-ordered seed rows
+    * (one `sd` serves both the IVF cell seeds and the PQ code seeds
+    * when nCells == codes). */
+  private def pqProloguesCtes(seeds: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
+       |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM q),
+       |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
+       |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
+       |sd AS (SELECT mx.h, mx.vec_id, q.qv FROM mx JOIN q USING (vec_id)
+       |       ORDER BY mx.h, mx.vec_id LIMIT $seeds),
+       |sd0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS code_id,
+       |               qv FROM sd)""".stripMargin
+
+  /** Per-subspace PQ training + encoding + per-query ADC tables
+    * (pq_gf_s, pq_tt_s, cj) — the composable core shared by the plain
+    * PQ oracle and the IVF×PQ composition. */
+  private def pqSubspaceCtes(m: Int, codes: Int, nQueries: Int): String = {
     val sub = 64 / m
-    // per-subspace distance of row alias `q` to state alias `st`
     def dist(off: Int) =
       s"""CAST(list_sum(list_transform(range(1, ${sub + 1}),
          |   i -> (st.n * q.qv[$off + i] - st.sv[i]) * (st.n * q.qv[$off + i] - st.sv[i])))
@@ -245,30 +262,26 @@ object SimilarityQueries {
          |${update(s)},
          |${assign(s, s"pq_st1_$s", "f", "q")},
          |pq_tt_$s AS (SELECT q.vec_id AS qid, st.code_id, ${dist(s * sub)} AS t
-         |  FROM q, pq_st1_$s st WHERE q.vec_id < $topK)""".stripMargin
+         |  FROM q, pq_st1_$s st WHERE q.vec_id < $nQueries)""".stripMargin
     }.mkString(",\n")
     val codeCols = (0 until m).map(s => s"g$s.code_id AS c$s").mkString(", ")
     val codeJoins = (1 until m)
       .map(s => s"JOIN pq_gf_$s g$s ON g$s.vec_id = g0.vec_id").mkString(" ")
+    s"""$subspaces,
+       |cj AS (SELECT g0.vec_id, $codeCols FROM pq_gf_0 g0 $codeJoins)""".stripMargin
+  }
+
+  /** ADC shortlist → exact integer-L2 rescore → top-k, from a
+    * candidate CTE `$cand(qid, nid)`. */
+  private def pqRankCtes(m: Int, codes: Int, topK: Int, rescore: Int,
+                         cand: String): String = {
     val adc = (1 until m).foldLeft("t0.t")((acc, s) => s"($acc + t$s.t)")
     val ttJoins = (1 until m)
-      .map(s => s"JOIN pq_tt_$s t$s ON t$s.code_id = cj.c$s AND t$s.qid = t0.qid")
+      .map(s => s"JOIN pq_tt_$s t$s ON t$s.code_id = cj.c$s AND t$s.qid = c.qid")
       .mkString(" ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id, v,
-       |        list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv FROM e),
-       |mx0 AS (SELECT vec_id, ((vec_id + 1) * 2654435761) % 4294967296 AS h FROM q),
-       |mx1 AS (SELECT vec_id, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM mx0),
-       |mx AS (SELECT vec_id, xor(h, h // 8192) AS h FROM mx1),
-       |sd AS (SELECT mx.h, mx.vec_id, q.qv FROM mx JOIN q USING (vec_id)
-       |       ORDER BY mx.h, mx.vec_id LIMIT $codes),
-       |sd0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS code_id,
-       |               qv FROM sd),
-       |$subspaces,
-       |cj AS (SELECT g0.vec_id, $codeCols FROM pq_gf_0 g0 $codeJoins),
-       |sc AS (SELECT t0.qid, cj.vec_id AS nid, $adc AS adc
-       |       FROM cj JOIN pq_tt_0 t0 ON t0.code_id = cj.c0 $ttJoins
-       |       WHERE t0.qid <> cj.vec_id),
+    s"""sc AS (SELECT c.qid, c.nid, $adc AS adc
+       |       FROM $cand c JOIN cj ON cj.vec_id = c.nid
+       |         JOIN pq_tt_0 t0 ON t0.code_id = cj.c0 AND t0.qid = c.qid $ttJoins),
        |sl AS (SELECT qid, nid FROM (
        |         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
        |         FROM sc) WHERE rn <= ${topK * rescore}),
@@ -276,16 +289,55 @@ object SimilarityQueries {
        |         list_sum(list_transform(range(1, 65),
        |           i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))::BIGINT AS l2
        |       FROM sl JOIN q a ON a.vec_id = sl.qid JOIN q b ON b.vec_id = sl.nid),
-       |rk AS (SELECT qid, nid, l2,
+       |rnk AS (SELECT qid, nid, l2,
        |         cast(row_number() OVER (PARTITION BY qid ORDER BY l2, nid) AS INT) AS rk
        |       FROM rr)
-       |SELECT qid AS query_id, nid AS neighbor_id, l2, rk FROM rk WHERE rk <= $topK""".stripMargin
+       |SELECT qid AS query_id, nid AS neighbor_id, l2, rk FROM rnk WHERE rk <= $topK""".stripMargin
   }
+
+  private def pqOracleSql(m: Int, codes: Int, topK: Int, rescore: Int): String =
+    s"""WITH ${pqProloguesCtes(codes)},
+       |${pqSubspaceCtes(m, codes, topK)},
+       |allcand AS (SELECT t.qid, cj.vec_id AS nid FROM cj,
+       |            (SELECT DISTINCT qid FROM pq_tt_0) t
+       |            WHERE t.qid <> cj.vec_id),
+       |${pqRankCtes(m, codes, topK, rescore, "allcand")}""".stripMargin
   private val pq = QueryDef("e2_pq_topk", Some(pqOracleSql(4, 16, 5, 4))) {
     (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, topK = 5,
         m = 4, codes = 16, iters = 1, rescore = 4)
+  }
+
+  // IVF × PQ — the production composition: coarse cells PRUNE the
+  // candidate set (hash equi-join on cell id), PQ codes COMPRESS the
+  // scoring (ADC over m ints per candidate), exact integer-L2 rescore
+  // of the shortlist. Both trainers and both scorings are the
+  // deterministic house arithmetic, so the composed oracle is pure
+  // glue over the IVF and PQ CTE generators — candidates come from the
+  // probed cells instead of the whole corpus, everything downstream is
+  // shared.
+  private val ivfpq = QueryDef("e2_ivfpq_topk", Some(
+    s"""WITH ${pqProloguesCtes(16)},
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pf AS (SELECT vec_id AS query_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |       FROM af WHERE vec_id < 5),
+       |pr AS (SELECT query_id, cell_id FROM pf WHERE rn <= 4),
+       |${pqSubspaceCtes(4, 16, 5)},
+       |cand AS (SELECT pr.query_id AS qid, gf.vec_id AS nid
+       |         FROM pr JOIN gf USING (cell_id) WHERE pr.query_id <> gf.vec_id),
+       |${pqRankCtes(4, 16, 5, 4, "cand")}""".stripMargin)) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, topK = 5,
+      nCells = 16, nProbe = 4, ivfIters = 2, m = 4, codes = 16, pqIters = 1,
+      rescore = 4)
   }
 
   // Incremental IVF maintenance — the index-never-reshuffles pattern
@@ -351,5 +403,5 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
-    ivfIncr, pq)
+    ivfIncr, pq, ivfpq)
 }

@@ -178,6 +178,38 @@ class SimilaritySpec extends AnyFunSuite {
       enc.forall(_.getAs[scala.collection.Seq[Int]]("codes").size == 4))
   }
 
+  test("ivfPqTopK: cell-pruned + code-compressed search keeps recall on a clustered corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val pts = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat))
+    }
+    val clustered = pts.toDF("vec_id", "embedding").cache()
+    val q = clustered.filter(col("vec_id") < 20)
+    val all = pts.toMap
+    val truth = (0L until 20L).flatMap { qid =>
+      val qv = all(qid)
+      all.keys.filter(_ != qid).toSeq
+        .map(n => (n, all(n).zip(qv).map { case (a, b) =>
+          (a - b).toDouble * (a - b) }.sum))
+        .sortBy { case (n, d) => (d, n) }.take(5).map(n => (qid, n._1))
+    }.toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(q, df, topK = 5, nCells = 16, nProbe = 4,
+        ivfIters = 2, m = 8, codes = 64, pqIters = 2, rescore = 8)
+    val out = run(clustered).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (out & truth).size.toDouble / truth.size
+    assert(recall >= 0.75, s"ivfpq recall $recall")
+    // determinism across partitionings, both trainers included
+    val a = run(clustered).orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val b = run(clustered.repartition(13)).orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(a == b, "ivfPqTopK not partition-invariant")
+  }
+
   test("int8 quantization: <=0.5-ulp-of-scale error, high reconstruction cosine, zero-safe") {
     import spark.implicits._
     val qd = Similarity.quantizeInt8(emb).collect()
