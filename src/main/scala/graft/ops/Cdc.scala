@@ -347,6 +347,29 @@ object Cdc {
       scd2Build(touchedHistory.unionByName(changes), keyCols, orderCols))
   }
 
+  /** Point-in-time join against an SCD-2 dimension ([[scd2Build]]'s
+    * output shape): each fact row joins the dimension VERSION that was
+    * current at the fact's own timestamp — `valid_from <= ts < valid_to`
+    * (NULL valid_to = still current) — the "what did this customer's
+    * record say when the order shipped" lookup that upsert-style
+    * dimensions cannot answer.
+    *
+    * Scale shape: an equi-join on the key plus a version-interval
+    * filter — the fact shuffles once on the key (or not at all when the
+    * dimension broadcasts, the normal regime); the pre-filter fan-out
+    * is |versions per key|, small by the dimension contract, never a
+    * cross product. Facts whose key has no version valid at their ts
+    * (or no version at all) are dropped — inner semantics; left-join
+    * variants are a select away from [[scd2Build]]'s history. */
+  def pointInTimeJoin(fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                      factTsCol: String, validFromCol: String,
+                      validToCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.pointInTimeJoin: empty key")
+    fact.join(dim, keyCols)
+      .filter(col(factTsCol) >= col(validFromCol) &&
+        (col(validToCol).isNull || col(factTsCol) < col(validToCol)))
+  }
+
   /** Snapshot diff: classify every key across two corpus versions as
     * `added` (new only), `removed` (old only), `changed` (present in
     * both, any compare column differs — null-safe), or `unchanged` —

@@ -1053,6 +1053,40 @@ object Relational {
     } finally graft.plans.MvRewrite.unregister(basePath)
   }
 
+  // SCD-2 point-in-time join — "what did the customer's record say when
+  // the line shipped": every lineitem joins the dimension VERSION
+  // (q_scd2's build: each order re-versions its customer's record)
+  // current at its own l_shipdate. Equi-join on the key + the validity
+  // interval filter; fan-out is versions-per-key, never a cross. The
+  // zero-length interval a same-date double-change produces matches
+  // nothing, identically in both engines (same lead() ordering).
+  private val qScd2Pit = QueryDef("q_scd2_pit", Some(
+    """WITH dim AS (SELECT o_custkey, o_orderkey AS d_orderkey,
+      |                    o_totalprice AS d_price, o_orderdate AS valid_from,
+      |                    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |                      ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |             FROM orders),
+      |fact AS (SELECT o.o_custkey, l.l_orderkey, l.l_linenumber, l.l_shipdate
+      |         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT f.o_custkey, f.l_orderkey, f.l_linenumber, d.d_orderkey, d.d_price
+      |FROM fact f JOIN dim d ON f.o_custkey = d.o_custkey
+      |WHERE f.l_shipdate >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)""".stripMargin)) {
+    (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dim = graft.ops.Cdc.scd2Build(
+        t.orders.select(col("o_custkey"), col("o_orderkey").as("d_orderkey"),
+          col("o_totalprice").as("d_price"), col("o_orderdate").as("valid_from")),
+        Seq("o_custkey"), Seq("valid_from", "d_orderkey")).drop("is_current")
+      val fact = t.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("o_custkey", "l_orderkey", "l_linenumber", "l_shipdate")
+      graft.ops.Cdc.pointInTimeJoin(fact, dim, Seq("o_custkey"),
+          "l_shipdate", "valid_from")
+        .select("o_custkey", "l_orderkey", "l_linenumber", "d_orderkey", "d_price")
+  }
+
   // Exactly-current MV answers — the round-7 centerpiece (#1): the REAL
   // aggSnapshotSinkAppendOnly stream builds a versioned snapshot (with
   // its _files manifest) over 90% of lineitem, is stopped, the last 10%
@@ -1143,5 +1177,5 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
-    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh)
+    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit)
 }

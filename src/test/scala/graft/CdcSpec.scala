@@ -362,4 +362,27 @@ class CdcSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti-join, got:\n$plan")
   }
+
+  test("pointInTimeJoin: each fact row sees the version current at its own ts") {
+    // customer 1 has versions at day 10 (v1) and day 20 (v2); customer 2
+    // one version at day 15
+    val dim = Cdc.scd2Build(
+      Seq((1L, "v1", 10), (1L, "v2", 20), (2L, "w1", 15))
+        .toDF("k", "ver", "valid_from"),
+      Seq("k"), Seq("valid_from")).drop("is_current")
+    val fact = Seq(
+      (1L, 100L, 5),   // before the first version: dropped
+      (1L, 101L, 10),  // exactly at v1's start: v1
+      (1L, 102L, 19),  // inside [10, 20): v1
+      (1L, 103L, 20),  // v2's start: v2 (valid_to NULL)
+      (1L, 104L, 99),  // far future: v2
+      (2L, 105L, 16),  // w1
+      (3L, 106L, 16))  // no dimension key: dropped
+      .toDF("k", "fact_id", "ts")
+    val got = Cdc.pointInTimeJoin(fact, dim, Seq("k"), "ts", "valid_from")
+      .select("fact_id", "ver").orderBy("fact_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((101L, "v1"), (102L, "v1"), (103L, "v2"),
+      (104L, "v2"), (105L, "w1")), s"PIT semantics wrong: $got")
+  }
 }
