@@ -35,6 +35,32 @@ object Layout {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** N-dimensional Morton interleave — [[zvalue2]] generalized to the
+    * (lat, lon, time)-style layouts that need 3+ clustering dimensions:
+    * bit i of column d lands at position i·N + d. Same masking contract
+    * (values into [0, 2^bits); pre-bucket wide domains) and the same
+    * pure shift/mask arithmetic, so an oracle replays it with unrolled
+    * SQL. N·bits must fit a signed long (≤ 63). */
+  def zvalueN(cols: Seq[Column], bits: Int = 8): Column = {
+    require(cols.size >= 2, "zvalueN: need >= 2 columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zvalueN: ${cols.size} cols x $bits bits exceeds a signed long")
+    val n = cols.size
+    val masked = cols.map(_.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    (for { i <- 0 until bits; d <- masked.indices } yield
+      shiftleft(shiftright(masked(d), i).bitwiseAND(lit(1L)), i * n + d))
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** The SQL mirror of [[zvalueN]] for oracle replay: emits the same
+    * unrolled shift/mask expression over column names. */
+  def zvalueNSql(colNames: Seq[String], bits: Int): String = {
+    val n = colNames.size
+    (for { i <- 0 until bits; d <- colNames.indices } yield
+      s"((((${colNames(d)} >> $i) & 1)) << ${i * n + d})")
+      .mkString(" | ")
+  }
+
   /** Hilbert-curve index of (a, b) over a 2^bits × 2^bits grid — the
     * stronger locality alternative to [[zvalue2]]: consecutive Hilbert
     * indices are ALWAYS grid-adjacent (Manhattan distance 1), where the

@@ -729,6 +729,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "l2", "rk")
   }
 
+  /** Persist trained PQ codebooks as a parquet table (s, code_id, sv,
+    * n) — train once, search for the life of the index. The loader
+    * restores [[pqTrain]]'s exact (sums, counts) arrays, so a
+    * round-tripped codebook encodes and searches bit-identically. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      sums: Array[Array[Array[Long]]],
+                      counts: Array[Array[Long]], path: String): Unit = {
+    import spark.implicits._
+    (for { s <- sums.indices; j <- sums(s).indices }
+      yield (s, j, sums(s)(j), counts(s)(j)))
+      .toDF("s", "code_id", "sv", "n")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("s", "code_id", "sv", "n")
+      .as[(Int, Int, Array[Long], Long)].collect() // bounded: m·k codebook rows
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val sums = Array.ofDim[Array[Long]](m, k)
+    val counts = Array.ofDim[Long](m, k)
+    rows.foreach { case (s, j, sv, n) => sums(s)(j) = sv; counts(s)(j) = n }
+    require(sums.forall(_.forall(_ != null)),
+      s"loadPqCodebooks: $path is missing (s, code) entries")
+    (sums, counts)
+  }
+
   /** IVF × PQ — the production index composition: IVF cells PRUNE the
     * candidate set (each query probes its nProbe nearest cells; only
     * same-cell rows are scored — a hash equi-join on cell id, never a

@@ -854,6 +854,33 @@ object Relational {
     }
   }
 
+  // 3-dimensional Z-order (Layout.zvalueN) — the (lat, lon, time)-style
+  // layout that needs more than two clustering dimensions: bit i of
+  // column d lands at i·3 + d. The oracle replays the interleave with
+  // the SAME generator-emitted unrolled shift/mask SQL (one algorithm
+  // description, two backends — the q_hilbert precedent).
+  private val qZorder3 = {
+    val zBits = 6
+    QueryDef("q_zorder3", Some(
+      s"""WITH t AS (SELECT o_orderkey,
+         |                  o_orderkey % 64 AS a,
+         |                  CAST(floor(o_totalprice / 4000) AS BIGINT) % 64 AS b,
+         |                  CAST(month(o_orderdate) AS BIGINT) % 64 AS c
+         |           FROM orders)
+         |SELECT o_orderkey, a, b, c,
+         |       CAST(${graft.ops.Layout.zvalueNSql(Seq("a", "b", "c"), zBits)} AS BIGINT) AS zval
+         |FROM t""".stripMargin)) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 64).as("a"),
+          (floor(col("o_totalprice") / 4000).cast("long") % 64).as("b"),
+          (month(col("o_orderdate")).cast("long") % 64).as("c"))
+        .select(col("o_orderkey"), col("a"), col("b"), col("c"),
+          graft.ops.Layout.zvalueN(Seq(col("a"), col("b"), col("c")), zBits)
+            .as("zval"))
+    }
+  }
+
   // Hilbert-curve clustering key (Layout.hilbert2): the tighter-locality
   // alternative to q_zorder. The oracle SQL is EMITTED BY THE SAME
   // generator as the Column expression (Layout.hilbert2Sql — one
@@ -1177,5 +1204,5 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
-    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit)
+    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3)
 }

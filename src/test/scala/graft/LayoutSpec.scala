@@ -21,6 +21,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(r == Seq(0L, 1L, 2L, 39L))
   }
 
+  test("zvalueN: 2-col form == zvalue2; 3-col interleave is a bijection") {
+    import spark.implicits._
+    // consistency with the 2-D primitive on random-ish values
+    val two = (0L until 200L).map(i => (i * 7 % 256, i * 13 % 256)).toDF("a", "b")
+      .select(Layout.zvalue2(col("a"), col("b"), 8).as("z2"),
+        Layout.zvalueN(Seq(col("a"), col("b")), 8).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(two == 0, "zvalueN(2 cols) diverged from zvalue2")
+    // 3-D bijectivity over the full 8x8x8 grid (bits=3): every cell maps
+    // to a distinct index in [0, 512)
+    val grid = (for { a <- 0 until 8; b <- 0 until 8; c <- 0 until 8 }
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+      .select(Layout.zvalueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect().map(_.getLong(0))
+    assert(grid.distinct.length == 512 && grid.min == 0L && grid.max == 511L)
+  }
+
   test("hilbert2 walks every cell exactly once with unit steps (adjacency invariant)") {
     import spark.implicits._
     // full 16x16 grid through the Column expression; the curve must be a

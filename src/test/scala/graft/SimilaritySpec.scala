@@ -176,6 +176,21 @@ class SimilaritySpec extends AnyFunSuite {
     val enc = Similarity.pqEncode(clustered, s, n).collect()
     assert(enc.length == 800 &&
       enc.forall(_.getAs[scala.collection.Seq[Int]]("codes").size == 4))
+    // codebooks persist: a parquet round-trip restores the exact arrays,
+    // so a reloaded index encodes identically (train once, search forever)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-cb").toString
+    try {
+      Similarity.savePqCodebooks(spark, s, n, s"$dir/cb")
+      val (s2, n2) = Similarity.loadPqCodebooks(spark, s"$dir/cb")
+      assert(n2.map(_.toSeq).toSeq == n.map(_.toSeq).toSeq)
+      s.indices.foreach(i => s(i).indices.foreach(j =>
+        assert(s2(i)(j).toSeq == s(i)(j).toSeq)))
+      val enc2 = Similarity.pqEncode(clustered, s2, n2)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val enc1 = Similarity.pqEncode(clustered, s, n)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(enc2 == enc1, "round-tripped codebook encoded differently")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("ivfPqTopK: cell-pruned + code-compressed search keeps recall on a clustered corpus") {
