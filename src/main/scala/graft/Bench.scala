@@ -212,7 +212,9 @@ object Bench {
           "e3_nb_classifier", "txt_tfidf", "txt_keywords", "mm_pixels",
           "pk_sequence_pack", "mx_temperature", "gr_pagerank",
           "q_scd2", "q_zorder", "q_hilbert", "txt_pii", "txt_normalize",
-          "q_incr_kmv", "q_kmv_overlap")
+          "q_incr_kmv", "q_kmv_overlap",
+          "e2_pq_topk", "e2_ivfpq_topk", "e2_ivf_incremental",
+          "q_incr_kmv2", "q_scd2_pit", "q_zorder3")
     val budget = 1500 // chars for the headline `queries` map body
     val headEntries = scala.collection.mutable.ListBuffer[String]()
     var used = 0

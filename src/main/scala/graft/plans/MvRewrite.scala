@@ -560,6 +560,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, _, _), name)
           if e.measures.contains(ar.name) =>
         Alias(nnCnt(ar.name), name)(exprId = al.exprId)
+      // count(DISTINCT key[, key…]) over SNAPSHOT KEYS is exact: the
+      // snapshot holds one row per live group, so distinct key
+      // combinations are identical by construction (refresh drops
+      // cnt=0 groups; NULL keys form their own group and count
+      // semantics skip them identically on both sides)
+      case al @ Alias(AggregateExpression(Count(args), _, true, None, _), name)
+          if args.nonEmpty && args.forall {
+            case ar: AttributeReference => e.keys.contains(ar.name)
+            case _ => false
+          } =>
+        Alias(AggregateExpression(
+          Count(args.map { case ar: AttributeReference => snapAttr(ar.name) }),
+          Complete, isDistinct = true), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Sum(ex, _), _, false, _, _), name) =>
         if (al.dataType != DoubleType) throw Unanswerable
         val m = measureName(ex)

@@ -534,6 +534,38 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("count(DISTINCT key) navigates exactly: the snapshot's groups ARE the key combinations") {
+    withSnapshot { snapPath =>
+      def q() = spark.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_linestatus").as("d"), count(lit(1)).as("n"))
+      val plan = scansOf(q())
+      assert(plan.contains(snapPath) && !plan.contains("lineitem.parquet"),
+        s"count distinct over a key not navigated:\n$plan")
+      val got = q().orderBy("l_returnflag").as[(String, Long, Long)].collect().toSeq
+      MvRewrite.unregister(basePath)
+      val want = q().orderBy("l_returnflag").as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"navigated count distinct diverged:\n$got\nvs\n$want")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      // the global shape too: distinct (flag, status) pairs = live groups
+      val tot = spark.read.parquet(basePath)
+        .agg(countDistinct(col("l_returnflag"), col("l_linestatus")).as("d"))
+      assert(scansOf(tot).contains(snapPath))
+      val gotT = tot.as[Long].collect().head
+      MvRewrite.unregister(basePath)
+      val wantT = spark.read.parquet(basePath)
+        .agg(countDistinct(col("l_returnflag"), col("l_linestatus")).as("d"))
+        .as[Long].collect().head
+      assert(gotT == wantT)
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      // a NON-key distinct count stays on the base (not answerable)
+      val bad = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      assert(scansOf(bad).contains("lineitem.parquet"),
+        "non-key count distinct wrongly navigated")
+    }
+  }
+
   test("multiple views per base: each grouping navigates to its own snapshot, coarsest wins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-multi").toString
     try {
