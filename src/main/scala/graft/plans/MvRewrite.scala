@@ -564,14 +564,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // snapshot holds one row per live group, so distinct key
       // combinations are identical by construction (refresh drops
       // cnt=0 groups; NULL keys form their own group and count
-      // semantics skip them identically on both sides)
+      // semantics skip them identically on both sides). Derived bucket
+      // keys match by formula like everywhere else — count(DISTINCT
+      // date_trunc('day', ts)) = "days present", a snapshot lookup.
       case al @ Alias(AggregateExpression(Count(args), _, true, None, _), name)
-          if args.nonEmpty && args.forall {
-            case ar: AttributeReference => e.keys.contains(ar.name)
-            case _ => false
-          } =>
+          if args.nonEmpty && args.forall(a => keyNameOpt(a).isDefined) =>
         Alias(AggregateExpression(
-          Count(args.map { case ar: AttributeReference => snapAttr(ar.name) }),
+          Count(args.map(a => snapAttr(keyNameOpt(a).get))),
           Complete, isDistinct = true), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Sum(ex, _), _, false, _, _), name) =>
         if (al.dataType != DoubleType) throw Unanswerable

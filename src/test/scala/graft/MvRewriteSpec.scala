@@ -408,6 +408,19 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(sum("v").as("s"))
         assert(scansOf(monthly).contains(s"$dir/base"),
           "month bucket wrongly matched the day-keyed registration")
+        // count(DISTINCT bucket) — "days present per region" — matches
+        // the derived key by formula and reads the snapshot exactly
+        def days() = spark.read.parquet(s"$dir/base")
+          .groupBy("r")
+          .agg(countDistinct(date_trunc("day", col("ts"))).as("days"))
+        assert(scansOf(days()).contains(s"$dir/snap"),
+          s"count(DISTINCT bucket) not navigated:\n${scansOf(days())}")
+        val gotD = days().orderBy("r").as[(String, Long)].collect().toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val wantD = days().orderBy("r").as[(String, Long)].collect().toSeq
+        assert(gotD == wantD, s"days-present diverged:\n$gotD\nvs\n$wantD")
+        MvRewrite.registerDerived(spark, s"$dir/base", Seq("day", "r"), Seq("v"),
+          Map.empty, s"$dir/snap", derivedKeys = Map("day" -> bucket))
       } finally MvRewrite.unregister(s"$dir/base")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
