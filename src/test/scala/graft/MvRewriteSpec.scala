@@ -623,6 +623,68 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("exhaustive combination sweep: every navigable grouping x aggregate x filter is value-exact") {
+    // the matrix the individual tests sample from, swept whole: for an
+    // append-only registration (min/max + distinct sketches available),
+    // every combination of grouping subset, aggregate menu, and key
+    // filter must either navigate with EXACTLY the direct values or
+    // leave the plan alone — never navigate wrong.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-sweep").toString
+    try {
+      Cdc.aggSnapshotMinMax(spark.read.parquet(basePath), keys, Seq("l_quantity"),
+          distinctCols = Seq("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.register(spark, basePath, keys, Seq("l_quantity"),
+        s"$dir/snap", minMaxMeasures = Seq("l_quantity"),
+        distinctCols = Seq("l_partkey"))
+      reg()
+      try {
+        val groupings: Seq[Seq[String]] =
+          Seq(Nil, Seq("l_returnflag"), Seq("l_linestatus"), keys)
+        val aggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "cnt" -> count(lit(1)),
+          "s" -> sum("l_quantity"),
+          "a" -> avg("l_quantity"),
+          "mn" -> min("l_quantity"),
+          "mx" -> max("l_quantity"),
+          "cm" -> count(col("l_quantity")),
+          "cd" -> countDistinct("l_linestatus"),
+          "kd" -> expr("kmv_distinct(l_partkey)"))
+        val filters: Seq[Option[org.apache.spark.sql.Column]] =
+          Seq(None, Some(col("l_returnflag") === "A"),
+            Some(col("l_linestatus") =!= "F"))
+        var navigated = 0
+        for {
+          g <- groupings
+          f <- filters
+          (an, ac) <- aggs
+        } {
+          def q() = {
+            val base0 = spark.read.parquet(basePath)
+            val base = f.map(base0.filter).getOrElse(base0)
+            val grouped = if (g.isEmpty) base.groupBy()
+              else base.groupBy(g.map(col): _*)
+            val sortCols = g :+ "x"
+            grouped.agg(ac.as("x")).orderBy(sortCols.map(col): _*)
+          }
+          val plan = scansOf(q())
+          val hit = plan.contains(s"$dir/snap")
+          if (hit) navigated += 1
+          val got = q().collect().map(_.toString).toSeq
+          MvRewrite.unregister(basePath)
+          val want = q().collect().map(_.toString).toSeq
+          reg()
+          assert(got == want,
+            s"combo group=$g filter=${f.isDefined} agg=$an (navigated=$hit) diverged:\n$got\nvs\n$want")
+        }
+        // every one of these combos is navigable by design — the sweep
+        // must not silently degrade to direct scans
+        assert(navigated == groupings.size * filters.size * aggs.size,
+          s"only $navigated combos navigated")
+      } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
