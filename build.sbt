@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the 480+-spec suite shares ONE forked JVM; accumulated session state
+// (plan strings, codegen caches, block-manager remnants across 30
+// suites) outgrew 8g once the MV sweep and PQ suites landed — the last
+// -Xmx wins, so tests get a larger ceiling without touching run mains
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "14g")}"
