@@ -326,6 +326,14 @@ object MvRewrite {
       kll = kllCols, kllK = kllK, base = basePath)
   }
 
+  /** Operability: the live registry as (basePath, keys) pairs —
+    * what a session would print to answer "why did/didn't this query
+    * navigate". */
+  def registered: Seq[(String, Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.map(e => (e.base, e.keys)).toSeq.sortBy(_.toString)
+  }
+
   /** Remove EVERY view registered for `basePath` (all key sets). To
     * replace one view, just re-register the same (base, keys) pair. */
   def unregister(basePath: String): Unit = {

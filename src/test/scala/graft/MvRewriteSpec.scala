@@ -619,6 +619,9 @@ class MvRewriteSpec extends AnyFunSuite {
           .groupBy("l_returnflag").agg(sum("l_quantity").as("s")))
         assert(pAfter.contains(s"$dir/fs"),
           s"after dropping the flag view, the (flag,status) view should serve:\n$pAfter")
+        // introspection reflects the registry
+        assert(MvRewrite.registered == Seq((basePath, keys)),
+          s"registered() wrong: ${MvRewrite.registered}")
       } finally MvRewrite.unregister(basePath)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
