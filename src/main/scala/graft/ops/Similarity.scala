@@ -554,7 +554,13 @@ object Similarity {
     * rounds of exact integer Lloyd per subspace — all m subspaces
     * train in the SAME pass over the corpus (one narrow scan per
     * round, m·k·(dim/m) longs of broadcast state). Returns
-    * (sums[s][j], counts[s][j]). */
+    * (sums[s][j], counts[s][j]).
+    *
+    * At billion-vector scale, train on a deterministic SAMPLE (e.g.
+    * `corpus.filter(pmod(xxhash64($"vec_id"), N) === 0)`) — standard PQ
+    * practice, and what keeps per-cell membership inside the
+    * exact-integer distance bound below; encoding/search then run over
+    * the full corpus under the frozen sampled codebooks. */
   private[graft] def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
       dim: Int): (Array[Array[Array[Long]]], Array[Array[Long]]) = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")

@@ -254,7 +254,13 @@ object MvRewrite {
     * per optimization (the same listing the un-navigated scan's
     * planning would do) and scans ONLY the tail files — steady state is
     * a kilobyte snapshot plus the seconds-old files the stream hasn't
-    * committed yet. */
+    * committed yet.
+    *
+    * Mixing registrations: freshness is a PER-VIEW property. If the
+    * same base also carries a plain versioned view, the coarsest view
+    * that can answer wins regardless of freshness — register ALL views
+    * of a base fresh (or none) when cross-grouping consistency under
+    * lag matters. */
   def registerVersionedFresh(spark: SparkSession, basePath: String,
                              keys: Seq[String], measures: Seq[String],
                              targetDir: String, scale: Int = 2,
