@@ -619,10 +619,16 @@ object Similarity {
       bcS.destroy(); bcN.destroy()
       it += 1
     }
-    // the exactness bound above: fail loudly before ranking could wrap
-    counts.foreach(_.foreach(n => require(n < 70000,
+    // the exactness bound above: fail loudly before ranking could wrap.
+    // pqDist sums `sub` terms each bounded by n^2 * 2^26 (13-bit
+    // quantized elements), so exactness needs n^2 * 2^26 * sub < 2^63 —
+    // the admissible n SHRINKS as the subspace widens (m=2/dim=64 ⇒
+    // sub=32 ⇒ n < 65536, tighter than the old flat 70000)
+    val cellBound = math.sqrt(Long.MaxValue / (sub.toDouble * (1L << 26))).toLong
+    counts.foreach(_.foreach(n => require(n < cellBound,
       s"pq: a sub-cell holds $n members — beyond the exact-integer " +
-        "distance bound; raise k so cells stay under ~70k rows")))
+        s"distance bound $cellBound for sub-dim $sub; raise k (or sample " +
+        "the training corpus) so cells stay under the bound")))
     (sums, counts)
   }
 

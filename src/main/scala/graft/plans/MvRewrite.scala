@@ -496,7 +496,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case None => snapDf
         }
         combined.queryExecution.analyzed
-      } catch { case scala.util.control.NonFatal(_) => throw Unanswerable }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          // loud degradation: "why is my query suddenly slow / not
+          // navigated" must be answerable from the log, not archaeology
+          logWarning(s"MvRewrite: view over ${e.base} cannot answer from " +
+            s"$snapPath (${ex.getMessage}) — falling back to the direct scan")
+          throw Unanswerable
+      }
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
     val unit = math.pow(10, e.scale)
@@ -567,11 +574,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           if !ex.exists(_.isInstanceOf[AggregateExpression]) &&
             keyNameOpt(ex).exists(groupNames.contains) =>
         Alias(snapAttr(keyNameOpt(ex).get), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
+      // every navigated pattern requires an EMPTY filter slot: an
+      // `agg(...) FILTER (WHERE p)` selects a row subset the snapshot
+      // cannot see, so navigating it would silently drop the clause
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), name) =>
         Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
           name)(exprId = al.exprId)
       // count(m) — the measure's non-null count is maintained exactly
-      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, _, _), name)
+      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, None, _), name)
           if e.measures.contains(ar.name) =>
         Alias(nnCnt(ar.name), name)(exprId = al.exprId)
       // count(DISTINCT key[, key…]) over SNAPSHOT KEYS is exact: the
@@ -586,14 +596,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(AggregateExpression(
           Count(args.map(a => snapAttr(keyNameOpt(a).get))),
           Complete, isDistinct = true), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Sum(ex, _), _, false, _, _), name) =>
+      case al @ Alias(AggregateExpression(Sum(ex, _), _, false, None, _), name) =>
         if (al.dataType != DoubleType) throw Unanswerable
         val m = measureName(ex)
         Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
           Literal(null, DoubleType),
           Divide(sumAsDouble(snapAttr(s"sum_$m")), Literal(unit))),
           name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Average(ex, _), _, false, _, _), name) =>
+      case al @ Alias(AggregateExpression(Average(ex, _), _, false, None, _), name) =>
         if (al.dataType != DoubleType) throw Unanswerable
         val m = measureName(ex)
         Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
@@ -603,11 +613,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // min/max navigate only for measures registered as append-only
       // maintained (aggSnapshotMinMax / incrementalAggRefreshAppendOnly)
       // — they are not retractable, so a plain snapshot can't carry them
-      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, _, _), name)
+      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, None, _), name)
           if e.minMax.contains(ar.name) =>
         Alias(AggregateExpression(Min(snapAttr(s"min_${ar.name}")), Complete,
           isDistinct = false), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, _, _), name)
+      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, None, _), name)
           if e.minMax.contains(ar.name) =>
         Alias(AggregateExpression(Max(snapAttr(s"max_${ar.name}")), Complete,
           isDistinct = false), name)(exprId = al.exprId)
@@ -620,7 +630,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // aggregate's contract is approximate — both estimators sit
       // within ~1/sqrt(k) relative error. Composite (tuple) distinct
       // keys resolve through their canonical concat_ws encoding.
-      case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, _, _), name)
+      case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, None, _), name)
           if kd.k == e.kmvK &&
             (distinctAttr(kd.child).map(c => s"kmv_$c") orElse
               tupleSketch(kd.child)).isDefined =>
@@ -637,7 +647,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // guard because its k IS the request.
       case al @ Alias(AggregateExpression(
             h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus,
-            _, false, _, _), name)
+            _, false, None, _), name)
           if distinctAttr(h.child).isDefined &&
             h.relativeSD >= 1.0 / math.sqrt(e.kmvK - 2.0) =>
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
@@ -653,7 +663,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // dashboards opt in with an explicitly loose accuracy). Estimator
       // swap (GK-quantile → KLL) within the requested band — the
       // approx_count_distinct precedent.
-      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, _, _), name)
+      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, None, _), name)
           if kllAttr(ap.child).isDefined && al.dataType == DoubleType &&
             (ap.accuracyExpression match {
               case Literal(acc: Int, _) =>

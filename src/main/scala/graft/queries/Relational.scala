@@ -1077,7 +1077,12 @@ object Relational {
           || plan.contains("InMemoryRelation"),
         s"q_incr_bucket: time-bucket navigation did not engage:\n$plan")
       out.localCheckpoint(true)
-    } finally graft.plans.MvRewrite.unregister(basePath)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      // localCheckpoint materialized the result — the work dir (snapshot
+      // parquet) is dead weight; repeated verify runs must not accrete it
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
   }
 
   // SCD-2 point-in-time join — "what did the customer's record say when
@@ -1156,7 +1161,12 @@ object Relational {
       require(plan.contains(snapPath),
         s"q_incr_fresh: fresh navigation did not engage:\n$plan")
       out.localCheckpoint(true)
-    } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally {
+      graft.plans.MvRewrite.unregister(baseDir)
+      // base + snapshot versions + checkpoint all live under work; the
+      // localCheckpoint'd result no longer references any of them
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
   }
 
   // IQR-fence outlier detection — the data-quality gate before training

@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * SURVEY §7.4 (per-trigger emission, watermark drops, append-only
   * directories, checkpoint-not-savepoint).
   */
-object Streams {
+object Streams extends org.apache.spark.internal.Logging {
 
   /** W3 tumbling event-time window + W4 watermark. Late rows beyond
     * `watermark` are dropped (the declared contract; Flink would allow a
@@ -840,6 +840,19 @@ object Streams {
     // >= 2 for the same replay-predecessor reason as aggSnapshotSink
     require(retainVersions >= 2,
       "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
+    // LOUD degradation at construction: the file-coverage manifest (and
+    // so registerVersionedFresh) is defined only for a single-source
+    // plan whose one source is a file stream — a union of sources would
+    // otherwise get a manifest understating coverage. sourceBatchFiles
+    // re-checks authoritatively per batch; this warn answers "why does
+    // my fresh registration never navigate" at the obvious place.
+    val streamingLeaves = rows.queryExecution.logical.collectLeaves()
+      .count(_.isStreaming)
+    if (streamingLeaves != 1)
+      logWarning(s"aggSnapshotSinkAppendOnly: plan has $streamingLeaves " +
+        "streaming sources — no _files manifest will be written, so " +
+        "registerVersionedFresh over this target will always bail to the " +
+        "direct scan (registerVersioned still works)")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
@@ -901,14 +914,24 @@ object Streams {
     * `compactInterval`-th batch the source writes `<id>.compact`
     * holding ALL entries so far instead; either form serves the
     * CUMULATIVE manifest (a superset union is still the covered set).
-    * None for non-file sources (no such log) or a multi-source plan's
-    * missing index — fresh composition is then honestly unavailable. */
+    * None for non-file sources (no such log) — fresh composition is
+    * then honestly unavailable. None ALSO for any multi-source plan:
+    * `sources/0` exists whenever the FIRST source is a file source, so
+    * a stream unioning a second source would otherwise write a manifest
+    * understating coverage (fresh answers double-counting the covered
+    * rows in the tail) — the `sources/1` existence check makes
+    * off-contract streams degrade instead. */
   private def sourceBatchFiles(spark: org.apache.spark.sql.SparkSession,
                                checkpoint: String,
                                batchId: Long): Option[Seq[String]] = {
     val dir = s"$checkpoint/sources/0"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$checkpoint/sources/1"))) {
+      logWarning(s"sourceBatchFiles: $checkpoint has more than one source — " +
+        "file coverage is undefined for a multi-source plan; no manifest")
+      return None
+    }
     val candidates = Seq(s"$dir/$batchId", s"$dir/$batchId.compact")
       .map(new org.apache.hadoop.fs.Path(_))
     candidates.find(fs.exists).map { p =>

@@ -709,4 +709,39 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scansOf(otherKey).contains("lineitem.parquet"))
     }
   }
+
+  test("an aggregate FILTER clause disqualifies navigation (clause would be dropped)") {
+    withSnapshot { snapPath =>
+      // FILTER (WHERE p) selects a row subset the snapshot cannot see;
+      // navigating would silently drop the clause. Every navigated
+      // pattern requires an empty filter slot — verify for each
+      // aggregate kind, and that the un-navigated answer is correct.
+      val q = spark.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("s"),
+          expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("a"),
+          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
+      val plan = scansOf(q)
+      assert(plan.contains("lineitem.parquet") && !plan.contains(snapPath),
+        s"FILTER-clause aggregate must not navigate:\n$plan")
+      MvRewrite.unregister(basePath)
+      val want = spark.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("s"),
+          expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("a"),
+          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
+        .orderBy("l_returnflag").collect().toSeq
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      assert(q.orderBy("l_returnflag").collect().toSeq == want)
+      // a plain aggregate alongside a FILTER'd one: still no navigation
+      // (all-or-nothing — a partial rewrite would split the scan)
+      val mixed = spark.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"),
+          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
+      assert(scansOf(mixed).contains("lineitem.parquet"))
+    }
+  }
 }
