@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Complete, Count, KllMergeAggDouble, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -71,7 +72,8 @@ object MvRewrite {
                          kll: Seq[String] = Nil,
                          kllK: Int = 200,
                          tail: Option[String => Option[DataFrame]] = None,
-                         base: String = "")
+                         base: String = "",
+                         nullFiltered: Set[String] = Set.empty)
 
   /** Keyed by (basePath, sorted key set): ONE BASE MAY CARRY SEVERAL
     * VIEWS — a (flag, status) rollup and a (day) rollup over the same
@@ -127,8 +129,27 @@ object MvRewrite {
     * line up. */
   private def resolveAgainst(base: DataFrame, n: String, c: Column,
                              who: String): Expression =
+    resolveKeyAgainst(base, n, c, who)._1
+
+  /** Derived-KEY resolution additionally captures the isnotnull
+    * filters the expression's own analysis inserted below the Project —
+    * `window($"ts", …)` (TimeWindowing) is the canonical case: BOTH the
+    * snapshot build (`base.withColumn(n, c)`) and every query grouping
+    * by the same formula carry `Filter isnotnull(ts)`, so at rewrite
+    * time that conjunct is implied-by-construction and droppable when
+    * replaying over the snapshot (whose groups already exclude those
+    * rows). */
+  private def resolveKeyAgainst(base: DataFrame, n: String, c: Column,
+                                who: String): (Expression, Set[String]) =
     base.select(c.as(n)).queryExecution.optimizedPlan match {
-      case Project(Seq(al: Alias), _) => al.child
+      case Project(Seq(al: Alias), child) =>
+        val implied = child match {
+          case Filter(cond, _) => cond.collect {
+            case IsNotNull(a: AttributeReference) => a.name
+          }.toSet
+          case _ => Set.empty[String]
+        }
+        (al.child, implied)
       case other => throw new IllegalArgumentException(
         s"$who: cannot resolve $n: $other")
     }
@@ -194,9 +215,11 @@ object MvRewrite {
           s"${resolved.dataType.simpleString} — only double/float measures are navigable")
       (n, resolved)
     }
-    val derivedKeyExprs = derivedKeys.toSeq.map { case (n, c) =>
-      (n, resolveAgainst(base, n, c, "MvRewrite.registerDerived"))
+    val derivedKeyResolved = derivedKeys.toSeq.map { case (n, c) =>
+      (n, resolveKeyAgainst(base, n, c, "MvRewrite.registerDerived"))
     }
+    val derivedKeyExprs = derivedKeyResolved.map { case (n, (ex, _)) => (n, ex) }
+    val nullFiltered = derivedKeyResolved.flatMap(_._2._2).toSet
     val tupleExprs = distinctTuples.map(t =>
       (graft.ops.Cdc.tupleSketchName(t),
         resolveAgainst(base, t.mkString("_"), tupleConcat(t),
@@ -205,7 +228,7 @@ object MvRewrite {
     entries.put(entryKey(basePath, keys),
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
         minMaxMeasures, distinctCols, kmvK, derivedKeyExprs, tupleExprs,
-        kllCols, kllK, base = basePath))
+        kllCols, kllK, base = basePath, nullFiltered = nullFiltered))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -318,8 +341,8 @@ object MvRewrite {
       (graft.ops.Cdc.tupleSketchName(t),
         resolveAgainst(base, t.mkString("_"), tupleConcat(t),
           "MvRewrite.registerVersioned")))
-    val derivedKeyExprs = derivedKeys.toSeq.map { case (n, c) =>
-      (n, resolveAgainst(base, n, c, "MvRewrite.registerVersioned"))
+    val derivedKeyResolved = derivedKeys.toSeq.map { case (n, c) =>
+      (n, resolveKeyAgainst(base, n, c, "MvRewrite.registerVersioned"))
     }
     requireNoOverlap(basePath, roots)
     Entry(roots, keys, measures, scale,
@@ -328,8 +351,10 @@ object MvRewrite {
         .getOrElse(throw new IllegalStateException(
           s"MvRewrite: no committed snapshot version under $targetDir yet")),
       minMax = minMaxMeasures, distinct = distinctCols, kmvK = kmvK,
-      derivedKeys = derivedKeyExprs, tuples = tupleExprs,
-      kll = kllCols, kllK = kllK, base = basePath)
+      derivedKeys = derivedKeyResolved.map { case (n, (ex, _)) => (n, ex) },
+      tuples = tupleExprs,
+      kll = kllCols, kllK = kllK, base = basePath,
+      nullFiltered = derivedKeyResolved.flatMap(_._2._2).toSet)
   }
 
   /** Operability: the live registry as (basePath, keys) pairs —
@@ -401,6 +426,56 @@ object MvRewrite {
         .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
       if (matches.isEmpty) None else Some((matches, conds, binds))
     }
+
+  /** Every file-relation root anywhere under `p` — the dim-side overlap
+    * check for star navigation (a dim subtree that scans the registered
+    * base itself is out of the narrow sound case). */
+  private def allFileRoots(p: LogicalPlan): Set[String] = p.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+      case _ => Set.empty[String]
+    }
+  }.flatten.toSet
+
+  /** Star-rollup lookup: descend Projects/deterministic Filters to an
+    * INNER Join one side of which is a registered base (through its own
+    * Projects/Filters) while the other side — the dim — does not touch
+    * the base. Returns the matching views plus everything `rewrite`
+    * needs to rebuild the plan as `snapshot ⋈ dim`: collected filter
+    * conditions (above-join and fact-side together — filters over an
+    * inner join commute to above it), merged alias bindings, the
+    * untouched dim subtree, and the join condition. */
+  private[plans] def lookupStar(child: LogicalPlan)
+      : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
+                LogicalPlan, Expression)] = {
+    def descend(p: LogicalPlan, conds: Seq[Expression],
+                binds: Map[ExprId, Expression])
+        : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
+                  LogicalPlan, Expression)] = p match {
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.child.deterministic
+            case _ => false
+          } =>
+        descend(c, conds, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
+      case Filter(cond, c) if cond.deterministic => descend(c, conds :+ cond, binds)
+      case Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
+        import scala.jdk.CollectionConverters._
+        def trySide(fact: LogicalPlan, dim: LogicalPlan) =
+          rootPathsAndFilters(fact, Nil, Map.empty).flatMap {
+            case (roots, fConds, fBinds) =>
+              val matches = entries.values().asScala.filter(_.rootPaths == roots)
+                .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+              val dimRoots = allFileRoots(dim)
+              if (matches.isEmpty ||
+                  matches.exists(_.rootPaths.intersect(dimRoots).nonEmpty)) None
+              else Some((matches, conds ++ fConds, binds ++ fBinds, dim, cond))
+          }
+        trySide(l, r) orElse trySide(r, l)
+      case _ => None
+    }
+    descend(child, Nil, Map.empty)
+  }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {
@@ -415,9 +490,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case Some((candidates, filters, binds)) =>
             // coarsest view that can answer wins (lookup pre-sorts)
             candidates.view
-              .flatMap(e => rewrite(agg, groupings, results, e, filters, binds))
+              .flatMap(e => rewrite(agg, groupings, results, e, filters, binds, None))
               .headOption.getOrElse(agg)
-          case None => agg
+          case None =>
+            // star rollup: fact ⋈ dim GROUP BY dim.attr — the fact side
+            // navigates to its snapshot, the join and dim are untouched
+            MvRewrite.lookupStar(child) match {
+              case Some((candidates, filters, binds, dim, cond)) =>
+                candidates.view
+                  .flatMap(e => rewrite(agg, groupings, results, e, filters,
+                    binds, Some((dim, cond))))
+                  .headOption.getOrElse(agg)
+              case None => agg
+            }
         }
     }
 
@@ -439,11 +524,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def sameFormula(a: Expression, b: Expression): Boolean =
     nameNormalized(a).semanticEquals(nameNormalized(b))
 
+  /** `star` carries the untouched dim side and the join condition when
+    * the aggregate sits over `fact ⋈ dim` (fact = the registered base):
+    * the snapshot replaces ONLY the fact subtree, so every fact group's
+    * join multiplicity — and with it the exactness of every mapped
+    * aggregate — is preserved (a group's rows all share the join key,
+    * so they match the same dim rows the group-row does). Aggregates
+    * referencing DIM columns bail: a group-row carries the group once,
+    * not cnt times. All name-based matching (keys, derived formulas,
+    * measures) is guarded by exprId against dim attributes, so a dim
+    * column that happens to share a key's name can never cross-match. */
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
                       e: MvRewrite.Entry,
                       filters: Seq[Expression],
-                      binds: Map[ExprId, Expression]): Option[LogicalPlan] = try {
+                      binds: Map[ExprId, Expression],
+                      star: Option[(LogicalPlan, Expression)]): Option[LogicalPlan] = try {
+    val dimOut: AttributeSet =
+      star.map(s => s._1.outputSet).getOrElse(AttributeSet.empty)
     // substitute Project-level alias bindings (PullOutGroupingExpressions'
     // _groupingexpression etc.) until expressions are in terms of base
     // attributes — the form registered formulas were resolved to
@@ -459,22 +557,66 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }
       cur
     }
+    def isDimOnly(ex: Expression): Boolean =
+      star.isDefined && ex.references.nonEmpty && ex.references.subsetOf(dimOut)
     // grouping must be snapshot keys: plain key columns, or registered
-    // derived bucket keys matched semantically (the date_trunc rollup)
-    def keyNameOpt(g: Expression): Option[String] = inline(g) match {
-      case a: AttributeReference if e.keys.contains(a.name) => Some(a.name)
-      case Alias(ex, _) => keyNameOpt(ex)
-      case ex => e.derivedKeys.collectFirst {
-        case (n, d) if sameFormula(d, ex) => n
+    // derived bucket keys matched semantically (the date_trunc rollup).
+    // Anything touching a dim attribute can never be a key of THIS view
+    // (names don't transfer across relations — exprIds decide).
+    def keyNameOpt(g: Expression): Option[String] = {
+      val in = inline(g)
+      if (in.references.exists(dimOut.contains)) None
+      else in match {
+        case a: AttributeReference if e.keys.contains(a.name) => Some(a.name)
+        case Alias(ex, _) => keyNameOpt(ex)
+        case ex => e.derivedKeys.collectFirst {
+          case (n, d) if sameFormula(d, ex) => n
+        }
       }
     }
-    val groupNames = groupings.map(g => keyNameOpt(g).getOrElse(throw Unanswerable))
+    val groupNames = groupings.flatMap { g =>
+      if (isDimOnly(inline(g))) None // dim grouping: passes through untouched
+      else Some(keyNameOpt(g).getOrElse(throw Unanswerable))
+    }
     // filters are answerable only when they select WHOLE groups — i.e.
     // reference nothing but snapshot keys (inlined: a filter over a
-    // projected rename of a key still selects whole groups)
-    val inlinedFilters = filters.map(inline)
+    // projected rename of a key still selects whole groups). A
+    // registered derived bucket key is a key too, just spelled as a
+    // formula: `WHERE date_trunc('month', ts) BETWEEN a AND b` is
+    // constant within each month-group, so substituting the matched
+    // formula with the snapshot's bucket column keeps whole-group
+    // selection — the dashboard time-range shape navigates. A predicate
+    // mixing bucket and RAW timestamp terms still bails: the leftover
+    // raw reference fails the key-only check below.
+    def bucketize(cond: Expression): Expression =
+      if (e.derivedKeys.isEmpty) cond
+      else cond.transformUp {
+        case ex =>
+          (if (ex.references.exists(dimOut.contains)) None
+           else e.derivedKeys.collectFirst {
+             case (n, d) if sameFormula(d, ex) =>
+               AttributeReference(n, ex.dataType, nullable = true)(): Expression
+           }).getOrElse(ex)
+      }
+    def conjunctsOf(ex: Expression): Seq[Expression] = ex match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    // an `isnotnull(c)` conjunct the derived-key registration implied
+    // (window()'s TimeWindowing filter) is already baked into the
+    // snapshot's groups — drop it rather than reject the query
+    val inlinedFilters = filters.flatMap(f => conjunctsOf(inline(f)))
+      .filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          !dimOut.contains(a) && e.nullFiltered.contains(a.name)
+        case _ => false
+      }
+      .map(bucketize)
+    // answerable filters select WHOLE fact groups: every reference is a
+    // dim attribute (evaluated per joined pair, untouched) or a snapshot
+    // key (constant within a group)
     inlinedFilters.foreach(_.references.foreach(a =>
-      if (!e.keys.contains(a.name)) throw Unanswerable))
+      if (!dimOut.contains(a) && !e.keys.contains(a.name)) throw Unanswerable))
 
     val spark = SparkSession.active
     // versioned registrations resolve their freshest committed version
@@ -558,6 +700,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def nnCnt(m: String): Expression =
       Coalesce(Seq(sumOf(snapAttr(s"cnt_$m")), Literal(0L, LongType)))
 
+    // star guard: an aggregate over a DIM column cannot be answered —
+    // the snapshot's group-row carries each group once, not per-fact-row
+    // (sum(dim.x) over the join weights x by the group SIZE). Checked by
+    // exprId up front so no name-based case below can cross-match.
+    if (star.isDefined) results.foreach(_.foreach {
+      case ae: AggregateExpression
+          if ae.references.exists(dimOut.contains) => throw Unanswerable
+      case _ =>
+    })
     // map each result expression onto the snapshot; bail on anything
     // the snapshot can't answer exactly. Sum/avg rewrites emit DOUBLE:
     // only a double-typed original may be replaced, or the attribute's
@@ -565,15 +716,37 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // already rejects non-floating measures; derived expressions can
     // still surface e.g. a LONG sum, so the guard stays here too).
     val mapped: Seq[NamedExpression] = results.map {
-      case a: AttributeReference if groupNames.contains(a.name) =>
-        Alias(snapAttr(a.name), a.name)(exprId = a.exprId)
-      // a grouping expression surfaced as an output alias (derived
-      // bucket keys always arrive this way — the grouping itself is a
-      // PullOutGroupingExpressions attribute, the output its alias)
+      // a dim attribute passes through — the dim subtree is untouched,
+      // so its exprIds stay valid under the rewritten join
+      case a: AttributeReference if dimOut.contains(a) => a
+      // a bare grouping attribute: a plain key column, or an attribute
+      // whose Project-level binding IS a derived bucket key (window()'s
+      // TimeWindowing aliases the struct below the Aggregate, so the
+      // output arrives un-aliased) — or, under star, a dropped-Project
+      // alias of a dim-only expression, re-emitted inline
+      case a: AttributeReference if isDimOnly(inline(a)) =>
+        Alias(inline(a), a.name)(exprId = a.exprId)
+      case a: AttributeReference if keyNameOpt(a).exists(groupNames.contains) =>
+        Alias(snapAttr(keyNameOpt(a).get), a.name)(exprId = a.exprId)
+      // an aggregate-free output is a function of grouping keys (Spark
+      // enforces that) — a grouping expression surfaced as an alias
+      // (PullOutGroupingExpressions' shape), or an expression DERIVED
+      // from one, e.g. `window.start` after the optimizer collapses a
+      // post-aggregate Project into the Aggregate. Substitute every
+      // key-valued subexpression with its snapshot column; leftover
+      // base references mean the snapshot can't reproduce it — bail.
+      // (Inlined first: a dropped Project's alias must not leak into
+      // the rebuilt plan; dim references survive untouched.)
       case al @ Alias(ex, name)
-          if !ex.exists(_.isInstanceOf[AggregateExpression]) &&
-            keyNameOpt(ex).exists(groupNames.contains) =>
-        Alias(snapAttr(keyNameOpt(ex).get), name)(exprId = al.exprId)
+          if !ex.exists(_.isInstanceOf[AggregateExpression]) =>
+        val sub = inline(ex).transformDown {
+          case a: AttributeReference if dimOut.contains(a) => a
+          case ex2 if keyNameOpt(ex2).exists(groupNames.contains) =>
+            snapAttr(keyNameOpt(ex2).get)
+        }
+        if (!sub.references.subsetOf(AttributeSet(snap.output) ++ dimOut))
+          throw Unanswerable
+        Alias(sub, name)(exprId = al.exprId)
       // every navigated pattern requires an EMPTY filter slot: an
       // `agg(...) FILTER (WHERE p)` selects a row subset the snapshot
       // cannot see, so navigating it would silently drop the clause
@@ -664,7 +837,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // swap (GK-quantile → KLL) within the requested band — the
       // approx_count_distinct precedent.
       case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, None, _), name)
-          if kllAttr(ap.child).isDefined && al.dataType == DoubleType &&
+          if kllAttr(ap.child).isDefined &&
             (ap.accuracyExpression match {
               case Literal(acc: Int, _) =>
                 1.0 / acc >= org.apache.datasketches.kll.KllSketch
@@ -675,8 +848,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               case _ => false
             }) &&
             (ap.percentageExpression match {
-              case Literal(_, DoubleType) => true
-              case _ => false // array percentages change the result type
+              // the KLL read mirrors both shapes: a scalar percentage
+              // returns DOUBLE, an array of percentages ARRAY<DOUBLE> —
+              // the guard pins the replacement to the original's type
+              case Literal(_, DoubleType) => al.dataType == DoubleType
+              case Literal(_, org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+                al.dataType ==
+                  org.apache.spark.sql.types.ArrayType(DoubleType, false)
+              case _ => false
             }) =>
         val m = kllAttr(ap.child).get
         Alias(KllSketchGetQuantileDouble(
@@ -686,13 +865,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           ap.percentageExpression), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }
-    val snapGroupings = groupNames.map(snapAttr)
-    // replay key-only predicates against the snapshot's key columns
-    val snapChild = inlinedFilters.foldLeft(snap) { (p, cond) =>
-      Filter(cond.transform { case a: AttributeReference => snapAttr(a.name) }, p)
+    val snapGroupings = groupings.map { g =>
+      val in = inline(g)
+      if (isDimOnly(in)) in
+      else snapAttr(keyNameOpt(g).getOrElse(throw Unanswerable))
+    }
+    // star: rebuild the join with the snapshot standing in for the fact
+    // subtree — the condition's fact-side references must be snapshot
+    // keys (constant within a group, so group-level matching is exact)
+    val joined: LogicalPlan = star match {
+      case Some((dim, cond)) =>
+        val newCond = cond.transformUp {
+          case a: AttributeReference if !dimOut.contains(a) =>
+            snapAttr(keyNameOpt(a).getOrElse(throw Unanswerable))
+        }
+        Join(snap, dim, Inner, Some(newCond), JoinHint.NONE)
+      case None => snap
+    }
+    // replay the collected predicates: dim references untouched, fact
+    // references (all keys, the gate above) onto the snapshot's columns
+    val snapChild = inlinedFilters.foldLeft(joined) { (p, cond) =>
+      Filter(cond.transform {
+        case a: AttributeReference if !dimOut.contains(a) => snapAttr(a.name)
+      }, p)
     }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +
-      s"from snapshot $snapPath")
+      s"from snapshot $snapPath" +
+      star.map(_ => " (star: snapshot ⋈ dim)").getOrElse(""))
     Some(Aggregate(snapGroupings, mapped, snapChild))
   } catch { case Unanswerable => None }
 }

@@ -1046,6 +1046,8 @@ object Relational {
       |       (CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
       |         / CAST(count(o_totalprice) AS DOUBLE) AS avg_price
       |FROM orders
+      |WHERE date_trunc('month', o_orderdate)
+      |        BETWEEN TIMESTAMP '1994-06-01' AND TIMESTAMP '1997-03-01'
       |GROUP BY 1
       |HAVING count(*) > 3""".stripMargin), bench = false) { (spark, dir) =>
     val basePath = s"$dir/orders.parquet"
@@ -1059,7 +1061,13 @@ object Relational {
       Seq("o_totalprice"), Map.empty, s"$work/snap",
       derivedKeys = Map("mon" -> bucket))
     try {
+      // the month-range WHERE references the BUCKET FORMULA, not a base
+      // column — navigable because the predicate is constant within
+      // each month-group (round-7 next-round #1); the gate replays it
+      // on the snapshot's bucket key column
       val out = spark.read.parquet(basePath)
+        .filter(date_trunc("month", col("o_orderdate"))
+          .between("1994-06-01", "1997-03-01"))
         .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
         .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"),
           avg("o_totalprice").as("avg_price"))
@@ -1081,6 +1089,50 @@ object Relational {
       graft.plans.MvRewrite.unregister(basePath)
       // localCheckpoint materialized the result — the work dir (snapshot
       // parquet) is dead weight; repeated verify runs must not accrete it
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // Star-rollup MV navigation — fact ⋈ dim GROUP BY dim.attr (TPC-H
+  // Q5's shape, the commonest BI rollup): the lineitem side navigates
+  // to its (l_orderkey)-keyed maintained snapshot while the orders dim
+  // and the join stay untouched. Exact because a fact group's rows all
+  // share the join key — the group-row matches exactly the dim rows
+  // each member matched, so count→sum(cnt), sum→the fixed-point total.
+  // The require() makes the row fail LOUDLY if star navigation stops
+  // engaging (exactness means values alone could not tell).
+  private val qStarRollup = QueryDef("q_star_rollup", Some(
+    """SELECT o_orderpriority,
+      |       count(*) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       (CAST(sum(cast(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+      |         / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+      |       min(l_quantity) AS min_qty,
+      |       max(l_quantity) AS max_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/lineitem.parquet"
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-star-q").toString
+    graft.ops.Cdc.aggSnapshotMinMax(
+        spark.read.parquet(basePath), Seq("l_orderkey"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.register(spark, basePath, Seq("l_orderkey"),
+      Seq("l_quantity"), s"$work/snap", minMaxMeasures = Seq("l_quantity"))
+    try {
+      val out = spark.read.parquet(basePath)
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          avg("l_quantity").as("avg_qty"), min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("lineitem.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_star_rollup: star navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
@@ -1214,5 +1266,6 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
-    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3)
+    qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
+    qStarRollup)
 }

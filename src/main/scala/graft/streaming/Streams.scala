@@ -796,6 +796,12 @@ object Streams extends org.apache.spark.internal.Logging {
       graft.ops.Cdc.incrementalAggRefresh(prev, batch, keyCols, opCol,
           measures, scale)
         .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      // freshness record: batchId + the source offsets this version
+      // corresponds to. A retraction stream has no file-coverage
+      // manifest (tail composition is unsound under ±ops), but the
+      // STALENESS is knowable — freshnessOf() reads this back so
+      // callers gate on lag instead of guessing.
+      writeFreshness(spark, targetDir, checkpoint, batchId)
       // retention AFTER the new version commits: keep the newest
       // `retainVersions` (including the one just written), drop the
       // rest — a snapshot chain otherwise grows one full copy per
@@ -896,6 +902,7 @@ object Streams extends org.apache.spark.internal.Logging {
         try out.write(all.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
+      writeFreshness(spark, targetDir, checkpoint, batchId)
       val path = new org.apache.hadoop.fs.Path(targetDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
@@ -907,6 +914,61 @@ object Streams extends org.apache.spark.internal.Logging {
   /** Underscore-prefixed so parquet readers of the version directory
     * skip it as metadata. */
   private val ManifestFile = "_files"
+  private val FreshnessFile = "_freshness"
+
+  /** What a committed snapshot version corresponds to on the source
+    * stream: its batch id and the checkpoint's offsets-log entry for
+    * that batch (the authoritative "read up to here" record). */
+  final case class SnapshotFreshness(version: Long, offsetsJson: String)
+
+  /** Copy the checkpoint's offsets-log entry for `batchId` next to the
+    * just-committed version so staleness is readable off the target
+    * directory alone. Best-effort: a missing offsets file (foreign
+    * checkpoint layout) writes nothing — freshnessOf then returns
+    * None for the version, never a wrong answer. */
+  private def writeFreshness(spark: org.apache.spark.sql.SparkSession,
+                             targetDir: String, checkpoint: String,
+                             batchId: Long): Unit = {
+    val off = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets/$batchId")
+    val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(off)) {
+      val in = fs.open(off)
+      val text = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$targetDir/v=$batchId/$FreshnessFile")
+      val out = fs.create(dst, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The freshness record of the LATEST committed snapshot version
+    * under `targetDir` — how far behind the stream a
+    * [[graft.plans.MvRewrite.registerVersioned]] view's answers are.
+    * The append-only sink offers exactly-current composition instead
+    * ([[graft.plans.MvRewrite.registerVersionedFresh]]); the ±op
+    * retraction sink cannot (file-tail composition is unsound under
+    * retractions), so lag-gating on this record is its contract.
+    * None when no version has committed or the version predates
+    * freshness accounting. */
+  def freshnessOf(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String): Option[SnapshotFreshness] =
+    snapshotVersions(spark, targetDir).sorted.lastOption.flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$targetDir/v=$v/$FreshnessFile")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Some(SnapshotFreshness(v, text))
+      }
+    }
 
   /** Files the FILE stream source ingested in `batchId`, from its own
     * checkpoint log (`<checkpoint>/sources/0/<batchId>`, JSON lines) —

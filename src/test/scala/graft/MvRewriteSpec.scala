@@ -425,6 +425,152 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("time-range filters over derived bucket keys navigate (sweep) and mixed terms bail") {
+    // WHERE date_trunc('day', ts) BETWEEN a AND b GROUP BY the same
+    // bucket — every dashboard's shape. The bucket formula is constant
+    // within each day-group, so a predicate over it selects WHOLE
+    // groups and replays on the snapshot's bucket column. Swept:
+    // filter kind x grouping x aggregate, every combo value-exact.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-bfilter").toString
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:10:00")
+      val rows = (0 until 500).map { i =>
+        (new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000),
+          if (i % 3 == 0) "eu" else "us", (i % 17).toDouble)
+      }
+      rows.toDF("ts", "r", "v").write.mode("overwrite").parquet(s"$dir/base")
+      val bucket = date_trunc("day", col("ts"))
+      Cdc.aggSnapshot(
+          spark.read.parquet(s"$dir/base").withColumn("day", bucket),
+          Seq("day", "r"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.registerDerived(spark, s"$dir/base", Seq("day", "r"),
+        Seq("v"), Map.empty, s"$dir/snap", derivedKeys = Map("day" -> bucket))
+      reg()
+      try {
+        val lo = "2024-03-05"; val hi = "2024-03-12"
+        val filters: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "range" -> date_trunc("day", col("ts")).between(lo, hi),
+          "eq" -> (date_trunc("day", col("ts")) === s"$lo 00:00:00"),
+          "range+plain" ->
+            (date_trunc("day", col("ts")) >= lo && col("r") === "us"),
+          "ineq" -> (date_trunc("day", col("ts")) < hi))
+        val groupings: Seq[(String, Seq[org.apache.spark.sql.Column])] = Seq(
+          "bucket" -> Seq(date_trunc("day", col("ts")).as("day")),
+          "bucket+key" -> Seq(date_trunc("day", col("ts")).as("day"), col("r")),
+          "key" -> Seq(col("r")),
+          "none" -> Nil)
+        val aggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "cnt" -> count(lit(1)), "s" -> sum("v"), "a" -> avg("v"))
+        var navigated = 0
+        for { (fn, f) <- filters; (gn, g) <- groupings; (an, ac) <- aggs } {
+          def q() = {
+            val base = spark.read.parquet(s"$dir/base").filter(f)
+            val grouped = if (g.isEmpty) base.groupBy() else base.groupBy(g: _*)
+            grouped.agg(ac.as("x"))
+          }
+          val plan = scansOf(q())
+          val hit = plan.contains(s"$dir/snap") && !plan.contains(s"$dir/base")
+          if (hit) navigated += 1
+          val got = q().collect().map(_.toString).sorted.toSeq
+          MvRewrite.unregister(s"$dir/base")
+          val want = q().collect().map(_.toString).sorted.toSeq
+          reg()
+          assert(got == want,
+            s"combo filter=$fn group=$gn agg=$an (navigated=$hit) diverged:\n$got\nvs\n$want")
+        }
+        assert(navigated == filters.size * groupings.size * aggs.size,
+          s"only $navigated bucket-filtered combos navigated")
+        // NEGATIVE: a predicate mixing the bucket formula and the RAW
+        // timestamp selects partial groups — must stay on the base
+        val mixed = spark.read.parquet(s"$dir/base")
+          .filter(date_trunc("day", col("ts")) >= lo &&
+            col("ts") < s"$hi 06:00:00")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(mixed).contains(s"$dir/base"),
+          "mixed bucket+raw-timestamp filter wrongly navigated")
+        // NEGATIVE: a raw-timestamp-only filter
+        val raw = spark.read.parquet(s"$dir/base")
+          .filter(col("ts") >= lo)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(raw).contains(s"$dir/base"),
+          "raw-timestamp filter wrongly navigated")
+        // NEGATIVE: a MISMATCHED bucket width in the filter (month over
+        // a day-keyed registration) — coarser would even be sound, but
+        // the formula doesn't match the registered day key, so the
+        // conservative gate must bail rather than guess
+        val wrongWidth = spark.read.parquet(s"$dir/base")
+          .filter(date_trunc("month", col("ts")) === "2024-03-01 00:00:00")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(wrongWidth).contains(s"$dir/base"),
+          "month-width filter wrongly matched the day-keyed registration")
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("window() bucket keys: a tumbling-window grouping navigates; mismatched width bails") {
+    // the W3 shape as an MV key: GROUP BY window($"ts", "10 minutes").
+    // TimeWindowing rewrites the grouping to a Project-aliased struct
+    // AND inserts `Filter isnotnull(ts)` below it — on BOTH the
+    // snapshot build and the query — so registration records the
+    // implied null filter and the rewrite drops that conjunct instead
+    // of bailing on the raw-column reference.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-window").toString
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:10:00")
+      val rows = (0 until 400).map { i =>
+        (new java.sql.Timestamp(ts0.getTime + i * 97000L),
+          if (i % 3 == 0) "eu" else "us", (i % 13).toDouble)
+      }
+      rows.toDF("ts", "r", "v").write.mode("overwrite").parquet(s"$dir/base")
+      val w = window(col("ts"), "10 minutes")
+      Cdc.aggSnapshot(
+          spark.read.parquet(s"$dir/base").withColumn("w", w),
+          Seq("w", "r"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.registerDerived(spark, s"$dir/base", Seq("w", "r"), Seq("v"),
+        Map.empty, s"$dir/snap", derivedKeys = Map("w" -> w))
+      try {
+        def q() = spark.read.parquet(s"$dir/base")
+          .groupBy(window(col("ts"), "10 minutes"), col("r"))
+          .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+          .select(col("window.start").as("ws"), col("r"),
+            col("n"), col("s"), col("a"))
+        val plan = scansOf(q())
+        assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/base"),
+          s"window() grouping not navigated:\n$plan")
+        val got = q().orderBy("ws", "r").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val want = q().orderBy("ws", "r").collect().map(_.toString).toSeq
+        assert(got == want && want.nonEmpty,
+          s"window-bucketed answer diverged:\n$got\nvs\n$want")
+        MvRewrite.registerDerived(spark, s"$dir/base", Seq("w", "r"), Seq("v"),
+          Map.empty, s"$dir/snap", derivedKeys = Map("w" -> w))
+        // coarser navigation over the window groups (drop r) works too
+        val coarse = spark.read.parquet(s"$dir/base")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(coarse).contains(s"$dir/snap"),
+          s"coarser window grouping not navigated:\n${scansOf(coarse)}")
+        // NEGATIVE: a mismatched window width must not be served
+        val fiveMin = spark.read.parquet(s"$dir/base")
+          .groupBy(window(col("ts"), "5 minutes"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(fiveMin).contains(s"$dir/base"),
+          "5-minute window wrongly matched the 10-minute registration")
+        // NEGATIVE: a SLIDING window (Expand below the aggregate) bails
+        val sliding = spark.read.parquet(s"$dir/base")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(sliding).contains(s"$dir/base"),
+          "sliding window wrongly navigated")
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("HAVING composes: a filter above the aggregate keeps referencing the navigated outputs") {
     withSnapshot { snapPath =>
       // DataFrame form: filter on an aggregate output
@@ -530,6 +676,29 @@ class MvRewriteSpec extends AnyFunSuite {
             assert(p50 >= lo && p50 <= hi,
               s"navigated p50 $p50 for $k outside exact [p40,p60]=[$lo,$hi]")
         }
+        // the ARRAY-percentage form (the common dashboard spelling)
+        // navigates under the same rank-error guard, returning
+        // ARRAY<DOUBLE> like the original
+        def qArr() = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 50)")
+            .as("ps"))
+        val arrPlan = scansOf(qArr())
+        assert(arrPlan.contains(s"$dir/snap") && !arrPlan.contains("lineitem.parquet"),
+          s"array-percentage approx_percentile not navigated:\n$arrPlan")
+        val exactArr = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.15, 0.35, 0.40, 0.60, 0.65, 0.85))")
+            .as("band")).orderBy("l_returnflag")
+          .as[(String, Seq[Double])].collect().toMap
+        qArr().orderBy("l_returnflag").as[(String, Seq[Double])].collect().foreach {
+          case (k, ps) =>
+            assert(ps.length == 3, s"array form returned ${ps.length} values")
+            val b = exactArr(k)
+            assert(ps(0) >= b(0) && ps(0) <= b(1), s"p25 ${ps(0)} outside [${b(0)},${b(1)}]")
+            assert(ps(1) >= b(2) && ps(1) <= b(3), s"p50 ${ps(1)} outside [${b(2)},${b(3)}]")
+            assert(ps(2) >= b(4) && ps(2) <= b(5), s"p75 ${ps(2)} outside [${b(4)},${b(5)}]")
+        }
         // the DEFAULT accuracy (10000 ≈ 0.01% rank error) is a promise
         // the k=200 sketch cannot keep — must NOT navigate
         val strict = spark.read.parquet(basePath)
@@ -537,6 +706,12 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(expr("approx_percentile(l_quantity, 0.5)").as("p50"))
         assert(scansOf(strict).contains("lineitem.parquet"),
           "default-accuracy approx_percentile wrongly served by a k=200 sketch")
+        // array form at strict default accuracy must not navigate either
+        val strictArr = spark.read.parquet(basePath)
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_quantity, array(0.5D, 0.9D))").as("ps"))
+        assert(scansOf(strictArr).contains("lineitem.parquet"),
+          "default-accuracy array approx_percentile wrongly navigated")
         // an unregistered column bails
         val other = spark.read.parquet(basePath)
           .groupBy("l_returnflag")
@@ -685,6 +860,101 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(navigated == groupings.size * filters.size * aggs.size,
           s"only $navigated combos navigated")
       } finally MvRewrite.unregister(basePath)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("star rollup: fact ⋈ dim GROUP BY dim.attr navigates the fact side to its snapshot") {
+    // TPC-H Q5's shape, the commonest BI rollup. The snapshot (keyed on
+    // the join key) replaces the fact scan; the join and dim subtree
+    // are untouched. Exact because a fact group's rows all share the
+    // join key: the group-row matches exactly the dim rows each member
+    // row matched, so count→sum(cnt), sum→sum(sum_m) etc. carry over.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-star").toString
+    try {
+      // fact with NULL join keys (inner join drops them identically on
+      // both sides) and multiple rows per key
+      val fact = (0 until 400).map { i =>
+        (if (i % 19 == 0) null else java.lang.Long.valueOf(i % 37L),
+          if (i % 2 == 0) "x" else "y", (i % 23).toDouble)
+      }.toDF("fk", "flag", "v")
+      fact.write.mode("overwrite").parquet(s"$dir/fact")
+      // dim with DUPLICATE join keys (fan-out > 1) and unmatched keys
+      val dim = ((0 until 30).map(i => (i.toLong, s"g${i % 5}")) ++
+        Seq((3L, "g0"), (7L, "g2"), (100L, "g9"))).toDF("dk", "grp")
+      dim.write.mode("overwrite").parquet(s"$dir/dim")
+      Cdc.aggSnapshotMinMax(spark.read.parquet(s"$dir/fact"),
+          Seq("fk", "flag"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.register(spark, s"$dir/fact", Seq("fk", "flag"),
+        Seq("v"), s"$dir/snap", minMaxMeasures = Seq("v"))
+      reg()
+      try {
+        def q() = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"),
+            min("v").as("mn"), max("v").as("mx"))
+        val plan = scansOf(q())
+        assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/fact"),
+          s"star rollup not navigated:\n$plan")
+        assert(plan.contains(s"$dir/dim"), s"dim side disappeared:\n$plan")
+        val got = q().orderBy("grp").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/fact")
+        val want = q().orderBy("grp").collect().map(_.toString).toSeq
+        assert(got == want && want.nonEmpty,
+          s"star answer diverged:\n$got\nvs\n$want")
+        reg()
+        // grouping by dim attr AND fact key together navigates
+        val mixed = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+          .groupBy("grp", "flag").agg(sum("v").as("s"))
+        assert(scansOf(mixed).contains(s"$dir/snap"),
+          s"dim+key grouping not navigated:\n${scansOf(mixed)}")
+        // dim-side filter composes (replayed above the rebuilt join)
+        val filtered = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+          .filter(col("grp") =!= "g9" && col("flag") === "x")
+          .groupBy("grp").agg(sum("v").as("s"))
+        val fPlan = scansOf(filtered)
+        assert(fPlan.contains(s"$dir/snap") && !fPlan.contains(s"$dir/fact"),
+          s"filtered star not navigated:\n$fPlan")
+        val gotF = filtered.orderBy("grp").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/fact")
+        val wantF = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+          .filter(col("grp") =!= "g9" && col("flag") === "x")
+          .groupBy("grp").agg(sum("v").as("s"))
+          .orderBy("grp").collect().map(_.toString).toSeq
+        assert(gotF == wantF && wantF.nonEmpty)
+        reg()
+        // NEGATIVE: an aggregate over a DIM column must bail (the
+        // group-row carries the group once, not per-fact-row)
+        val dimAgg = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+          .groupBy("grp").agg(countDistinct("dk").as("nd"))
+        assert(scansOf(dimAgg).contains(s"$dir/fact"),
+          "aggregate over dim column wrongly navigated")
+        // NEGATIVE: joining on a NON-KEY fact column must bail (rows of
+        // a group don't share it, so group-level matching is undefined)
+        val badJoin = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("v") === col("dk"))
+          .groupBy("grp").agg(count(lit(1)).as("n"))
+        assert(scansOf(badJoin).contains(s"$dir/fact"),
+          "non-key join wrongly navigated")
+        // NEGATIVE: outer joins must bail (unmatched-side semantics)
+        val outer = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"), "left")
+          .groupBy("grp").agg(count(lit(1)).as("n"))
+        assert(scansOf(outer).contains(s"$dir/fact"),
+          "outer join wrongly navigated")
+        // NEGATIVE: a self-join (dim side scans the registered base)
+        val self = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/fact").select(col("fk").as("fk2"),
+            col("flag").as("flag2")), col("fk") === col("fk2"))
+          .groupBy("flag2").agg(count(lit(1)).as("n"))
+        assert(scansOf(self).contains(s"$dir/fact"),
+          "self-join wrongly navigated")
+      } finally MvRewrite.unregister(s"$dir/fact")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

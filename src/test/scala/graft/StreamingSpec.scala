@@ -1271,6 +1271,31 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the ±op (retraction) sink has NO file-coverage manifest — fresh
+    // composition is unsound under retractions — but its staleness is
+    // knowable: every committed version records the batch id and the
+    // checkpoint's offsets entry, readable off the target dir alone
+    val in = MemoryStream[(String, Double, Int)]
+    val target = tmp("graft-freshness-tgt")
+    val q = Streams.aggSnapshotSink(in.toDF().toDF("k", "v", "op"), target,
+      tmp("graft-freshness-ck"), Seq("k"), "op", Seq("v"))
+    try {
+      assert(Streams.freshnessOf(spark, target).isEmpty,
+        "no committed version must mean no freshness record")
+      in.addData(("a", 1.0, 1)); q.processAllAvailable()
+      val f0 = Streams.freshnessOf(spark, target).get
+      assert(f0.version == 0L && f0.offsetsJson.nonEmpty)
+      in.addData(("a", 2.0, 1)); q.processAllAvailable()
+      val f1 = Streams.freshnessOf(spark, target).get
+      assert(f1.version > f0.version, s"freshness did not advance: $f0 -> $f1")
+      assert(f1.offsetsJson != f0.offsetsJson,
+        "offsets record must advance with the stream")
+    } finally q.stop()
+  }
+
   test("S6g streaming IVF stats: streamed cell snapshot == one-shot; drift readable off it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
