@@ -771,6 +771,34 @@ object Similarity {
     (sums, counts)
   }
 
+  /** Persist trained IVF coarse centroids as a parquet table (cell_id,
+    * sv, n) — the [[savePqCodebooks]] twin for the cell quantizer, so a
+    * full IVF×PQ index (centroids + codebooks + encoded corpus) round-
+    * trips through storage and serves bit-identically. */
+  def saveIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       sums: Array[Array[Long]], counts: Array[Long],
+                       path: String): Unit = {
+    import spark.implicits._
+    sums.indices.map(c => (c.toLong, sums(c), counts(c)))
+      .toDF("cell_id", "sv", "n")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[Array[Long]], Array[Long]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("cell_id", "sv", "n")
+      .as[(Long, Array[Long], Long)].collect() // bounded: nCells rows
+    val n = rows.map(_._1).max.toInt + 1
+    val sums = Array.ofDim[Array[Long]](n)
+    val counts = Array.ofDim[Long](n)
+    rows.foreach { case (c, sv, cn) => sums(c.toInt) = sv; counts(c.toInt) = cn }
+    require(sums.forall(_ != null),
+      s"loadIvfCentroids: $path is missing cell entries")
+    (sums, counts)
+  }
+
   /** IVF × PQ — the production index composition: IVF cells PRUNE the
     * candidate set (each query probes its nProbe nearest cells; only
     * same-cell rows are scored — a hash equi-join on cell id, never a
@@ -789,7 +817,32 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 4, ivfIters: Int = 2,
                 m: Int = 4, codes: Int = 16, pqIters: Int = 1,
                 dim: Int = 64, rescore: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val idx = ivfPqBuild(corpus, nCells, ivfIters, m, codes, pqIters, dim)
+    ivfPqSearch(queries, corpus, idx.index, idx.cellSums, idx.cellCounts,
+      idx.pqSums, idx.pqCounts, topK, nProbe, dim, rescore)
+  }
+
+  /** A built IVF×PQ index: trained coarse centroids, trained PQ
+    * codebooks, and the encoded corpus index (neighbor_id, cell_id,
+    * codes) — m ints + one cell id per vector, the parquet-persistable
+    * form ([[saveIvfCentroids]] / [[savePqCodebooks]] for the trained
+    * state; `index.write.parquet` for the assignments). */
+  final case class IvfPqIndex(cellSums: Array[Array[Long]],
+                              cellCounts: Array[Long],
+                              pqSums: Array[Array[Array[Long]]],
+                              pqCounts: Array[Array[Long]],
+                              index: DataFrame)
+
+  /** Train both quantizers and encode the corpus — the ONE-TIME build
+    * half of [[ivfPqTopK]]. One corpus scan per Lloyd round for each
+    * trainer, then a single narrow pass assigning cell + codes
+    * together. Persist the three pieces and serve queries forever with
+    * [[ivfPqSearch]] — the production story where training is
+    * amortized across the index's lifetime rather than paid per
+    * query. */
+  def ivfPqBuild(corpus: DataFrame, nCells: Int = 16, ivfIters: Int = 2,
+                 m: Int = 4, codes: Int = 16, pqIters: Int = 1,
+                 dim: Int = 64): IvfPqIndex = {
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -808,6 +861,35 @@ object Similarity {
           Array.tabulate(m)(s => pqBestCode(qv, s * sub, bcS.value(s), bcN.value(s))))
       }
       .toDF("neighbor_id", "cell_id", "codes")
+    IvfPqIndex(cellS, cellN, pqS, pqN, indexed)
+  }
+
+  /** The STEADY-STATE half of [[ivfPqTopK]]: search a PREBUILT index —
+    * frozen centroids + codebooks (broadcast; kilobytes) and the
+    * persisted (neighbor_id, cell_id, codes) table. Cells prune (hash
+    * equi-join on cell_id bounds candidates to ~nProbe/nCells of the
+    * corpus), codes compress scoring (ADC = m table lookups per
+    * candidate); `corpus` is consulted only for the
+    * |queries|·topK·rescore shortlist's exact integer rescore. A
+    * reloaded index searches bit-identically to the in-process one
+    * (SimilaritySpec). */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+                  cellS: Array[Array[Long]], cellN: Array[Long],
+                  pqS: Array[Array[Array[Long]]], pqN: Array[Array[Long]],
+                  topK: Int, nProbe: Int = 4, dim: Int = 64,
+                  rescore: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = pqS.length
+    val codes = pqS.head.length
+    val sub = dim / m
+    val nCells = cellS.length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCS = spark.sparkContext.broadcast(cellS)
+    val bcCN = spark.sparkContext.broadcast(cellN)
+    val bcS = spark.sparkContext.broadcast(pqS)
+    val bcN = spark.sparkContext.broadcast(pqN)
+    val indexed = index.select(col("neighbor_id"), col("cell_id"), col("codes"))
     // queries: nProbe best cells + the flattened ADC table, one row per
     // (query, probed cell) with the table along for the equi-join
     val probes = queries.select(col("vec_id").cast("long"), col("embedding"))

@@ -340,6 +340,55 @@ object SimilarityQueries {
       rescore = 4)
   }
 
+  // Steady-state IVF×PQ search over a PREBUILT, PERSISTED index (round-7
+  // item #2): the composed index is built once (ivfPqBuild), its three
+  // pieces — coarse centroids, PQ codebooks, the (neighbor_id, cell_id,
+  // codes) assignments — round-trip through parquet, and the query-time
+  // path (ivfPqSearch) serves from the RELOADED state alone; the corpus
+  // is touched only for the shortlist's exact rescore. Training is
+  // deterministic, and persist+reload is bit-exact (SimilaritySpec), so
+  // the oracle recomputes the same pipeline in SQL — distinct topK=4 /
+  // nProbe=3 parameters keep this row from being a copy of
+  // e2_ivfpq_topk's glue.
+  private val ivfpqSearch = QueryDef("e2_ivfpq_search", Some(
+    s"""WITH ${pqProloguesCtes(16)},
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pf AS (SELECT vec_id AS query_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |       FROM af WHERE vec_id < 5),
+       |pr AS (SELECT query_id, cell_id FROM pf WHERE rn <= 3),
+       |${pqSubspaceCtes(4, 16, 5)},
+       |cand AS (SELECT pr.query_id AS qid, gf.vec_id AS nid
+       |         FROM pr JOIN gf USING (cell_id) WHERE pr.query_id <> gf.vec_id),
+       |${pqRankCtes(4, 16, 4, 4, "cand")}""".stripMargin), bench = false) {
+    (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val work = java.nio.file.Files.createTempDirectory("graft-ivfpq-q").toString
+      try {
+        val idx = Similarity.ivfPqBuild(e, nCells = 16, ivfIters = 2,
+          m = 4, codes = 16, pqIters = 1)
+        Similarity.saveIvfCentroids(spark, idx.cellSums, idx.cellCounts,
+          s"$work/cells")
+        Similarity.savePqCodebooks(spark, idx.pqSums, idx.pqCounts,
+          s"$work/codebooks")
+        idx.index.write.mode("overwrite").parquet(s"$work/index")
+        // everything below runs off RELOADED state — the steady path
+        val (cs, cn) = Similarity.loadIvfCentroids(spark, s"$work/cells")
+        val (ps, pn) = Similarity.loadPqCodebooks(spark, s"$work/codebooks")
+        Similarity.ivfPqSearch(e.filter(col("vec_id") < 5), e,
+            spark.read.parquet(s"$work/index"), cs, cn, ps, pn,
+            topK = 4, nProbe = 3, rescore = 4)
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(work))
+  }
+
   // Incremental IVF maintenance — the index-never-reshuffles pattern
   // for embeddings (round-7 item #5): centroids trained ONCE over the
   // 90% base corpus and frozen; the 10% delta arrives in three batches,
@@ -403,5 +452,5 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
-    ivfIncr, pq, ivfpq)
+    ivfIncr, pq, ivfpq, ivfpqSearch)
 }

@@ -182,6 +182,25 @@ object ScaleProbe {
         rescore = 8)
     }
 
+    // IVF×PQ steady state at 25x: one-time composed build (both
+    // trainers + the single assignment pass), then per-query search
+    // over the FROZEN index — cells prune candidates to ~nProbe/nCells
+    // of the corpus before ADC even runs, so search must beat plain
+    // pq_search_25x's full-corpus ADC scan, and neither retrains.
+    lazy val ivfPq25 = {
+      val idx = graft.ops.Similarity.ivfPqBuild(emb25, nCells = 64,
+        ivfIters = 2, m = 8, codes = 64, pqIters = 1)
+      idx.copy(index = idx.index.localCheckpoint())
+    }
+    stage("ivfpq_build_25x") { ivfPq25.index }
+    stage("ivfpq_search_25x") {
+      val idx = ivfPq25
+      val q25 = emb25.filter(col("vec_id") % 2001 === 0) // ~25 spread queries
+      graft.ops.Similarity.ivfPqSearch(q25, emb25, idx.index,
+        idx.cellSums, idx.cellCounts, idx.pqSums, idx.pqCounts,
+        topK = 5, nProbe = 8, rescore = 8)
+    }
+
     stage("ivf_incr_build_25x") { ivfIncr25._3 }
     stage("ivf_incr_ingest_25x") {
       val (s, n, baseStats) = ivfIncr25

@@ -225,6 +225,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "ivfPqTopK not partition-invariant")
   }
 
+  test("ivfPqSearch over a persisted index == in-process search, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val pts = (0 until 600).map { i =>
+      (i.toLong, centers(i % 16).map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = pts.toDF("vec_id", "embedding").cache()
+    val q = corpus.filter(col("vec_id") < 15)
+    val idx = Similarity.ivfPqBuild(corpus, nCells = 16, ivfIters = 2,
+      m = 8, codes = 32, pqIters = 1)
+    def search(index: org.apache.spark.sql.DataFrame,
+               cs: Array[Array[Long]], cn: Array[Long],
+               ps: Array[Array[Array[Long]]], pn: Array[Array[Long]]) =
+      Similarity.ivfPqSearch(q, corpus, index, cs, cn, ps, pn,
+          topK = 5, nProbe = 4, rescore = 6)
+        .orderBy("query_id", "rk")
+        .as[(Long, Long, Long, Int)].collect().toSeq
+    val inProcess = search(idx.index,
+      idx.cellSums, idx.cellCounts, idx.pqSums, idx.pqCounts)
+    assert(inProcess.nonEmpty)
+    // the composed path equals ivfPqTopK (build+search is a pure split)
+    val composed = Similarity.ivfPqTopK(q, corpus, topK = 5, nCells = 16,
+        nProbe = 4, ivfIters = 2, m = 8, codes = 32, pqIters = 1, rescore = 6)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(composed == inProcess, "build+search diverged from ivfPqTopK")
+    // persist all three pieces, reload, search — bit-identical results
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    try {
+      Similarity.saveIvfCentroids(spark, idx.cellSums, idx.cellCounts, s"$dir/cells")
+      Similarity.savePqCodebooks(spark, idx.pqSums, idx.pqCounts, s"$dir/cb")
+      idx.index.write.mode("overwrite").parquet(s"$dir/index")
+      val (cs, cn) = Similarity.loadIvfCentroids(spark, s"$dir/cells")
+      val (ps, pn) = Similarity.loadPqCodebooks(spark, s"$dir/cb")
+      val reloaded = search(spark.read.parquet(s"$dir/index"), cs, cn, ps, pn)
+      assert(reloaded == inProcess,
+        "search over the reloaded index diverged from in-process")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("int8 quantization: <=0.5-ulp-of-scale error, high reconstruction cosine, zero-safe") {
     import spark.implicits._
     val qd = Similarity.quantizeInt8(emb).collect()
