@@ -437,44 +437,64 @@ object MvRewrite {
     }
   }.flatten.toSet
 
-  /** Star-rollup lookup: descend Projects/deterministic Filters to an
-    * INNER Join one side of which is a registered base (through its own
-    * Projects/Filters) while the other side — the dim — does not touch
-    * the base. Returns the matching views plus everything `rewrite`
-    * needs to rebuild the plan as `snapshot ⋈ dim`: collected filter
-    * conditions (above-join and fact-side together — filters over an
-    * inner join commute to above it), merged alias bindings, the
-    * untouched dim subtree, and the join condition. */
+  /** Star-rollup lookup: FLATTEN a tree of INNER joins (descending
+    * through Projects — alias binds collected — and deterministic
+    * Filters anywhere on the spine, both of which commute over inner
+    * joins) into leaf branches + the pooled condition set. Exactly one
+    * branch must descend to a registered base (through its own
+    * Projects/Filters); every other branch — the dims, an arbitrary
+    * snowflake — must not touch the base. Returns the matching views,
+    * ALL collected conditions (join conditions and filters together:
+    * the rewrite replays them above a rebuilt
+    * `snap ⋈ dim₁ ⋈ … ⋈ dimₙ` chain and the optimizer's own pushdown,
+    * running in the same fixed-point batch, re-forms the equi-joins),
+    * merged alias bindings, and the untouched dim subtrees. */
   private[plans] def lookupStar(child: LogicalPlan)
       : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
-                LogicalPlan, Expression)] = {
-    def descend(p: LogicalPlan, conds: Seq[Expression],
+                Seq[LogicalPlan])] = {
+    def flatten(p: LogicalPlan, conds: Seq[Expression],
                 binds: Map[ExprId, Expression])
-        : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
-                  LogicalPlan, Expression)] = p match {
-      case Project(pl, c) if pl.forall {
-            case _: AttributeReference => true
-            case al: Alias => al.child.deterministic
-            case _ => false
-          } =>
-        descend(c, conds, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
-      case Filter(cond, c) if cond.deterministic => descend(c, conds :+ cond, binds)
-      case Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
+        : Option[(Seq[LogicalPlan], Seq[Expression], Map[ExprId, Expression])] =
+      p match {
+        case Project(pl, c) if pl.forall {
+              case _: AttributeReference => true
+              case al: Alias => al.child.deterministic
+              case _ => false
+            } =>
+          flatten(c, conds, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
+        case Filter(cond, c) if cond.deterministic => flatten(c, conds :+ cond, binds)
+        case Join(l, r, Inner, condOpt, _) if condOpt.forall(_.deterministic) =>
+          for {
+            (lb, lc, lbinds) <- flatten(l, Nil, Map.empty)
+            (rb, rc, rbinds) <- flatten(r, Nil, Map.empty)
+          } yield (lb ++ rb, conds ++ condOpt.toSeq ++ lc ++ rc,
+            binds ++ lbinds ++ rbinds)
+        case other => Some((Seq(other), conds, binds))
+      }
+    flatten(child, Nil, Map.empty).flatMap { case (branches, conds, binds) =>
+      if (branches.size < 2) None
+      else {
         import scala.jdk.CollectionConverters._
-        def trySide(fact: LogicalPlan, dim: LogicalPlan) =
-          rootPathsAndFilters(fact, Nil, Map.empty).flatMap {
-            case (roots, fConds, fBinds) =>
-              val matches = entries.values().asScala.filter(_.rootPaths == roots)
-                .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
-              val dimRoots = allFileRoots(dim)
-              if (matches.isEmpty ||
-                  matches.exists(_.rootPaths.intersect(dimRoots).nonEmpty)) None
-              else Some((matches, conds ++ fConds, binds ++ fBinds, dim, cond))
+        // exactly ONE branch is the registered fact; a second base-
+        // touching branch (self-join) is out of the sound narrow case
+        val resolved = branches.map(b => (b, rootPathsAndFilters(b, Nil, Map.empty)))
+        val factMatches = resolved.flatMap { case (b, r) =>
+          r.flatMap { case (roots, fConds, fBinds) =>
+            val matches = entries.values().asScala.filter(_.rootPaths == roots)
+              .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+            if (matches.isEmpty) None else Some((b, matches, fConds, fBinds))
           }
-        trySide(l, r) orElse trySide(r, l)
-      case _ => None
+        }
+        factMatches match {
+          case Seq((fact, matches, fConds, fBinds)) =>
+            val dims = branches.filterNot(_ eq fact)
+            val dimRoots = dims.map(allFileRoots).fold(Set.empty)(_ ++ _)
+            if (matches.exists(_.rootPaths.intersect(dimRoots).nonEmpty)) None
+            else Some((matches, conds ++ fConds, binds ++ fBinds, dims))
+          case _ => None
+        }
+      }
     }
-    descend(child, Nil, Map.empty)
   }
 }
 
@@ -493,13 +513,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               .flatMap(e => rewrite(agg, groupings, results, e, filters, binds, None))
               .headOption.getOrElse(agg)
           case None =>
-            // star rollup: fact ⋈ dim GROUP BY dim.attr — the fact side
-            // navigates to its snapshot, the join and dim are untouched
+            // star rollup: fact ⋈ dim(s) GROUP BY dim attrs — the fact
+            // side navigates to its snapshot, the dims stay untouched
             MvRewrite.lookupStar(child) match {
-              case Some((candidates, filters, binds, dim, cond)) =>
+              case Some((candidates, filters, binds, dims)) =>
                 candidates.view
                   .flatMap(e => rewrite(agg, groupings, results, e, filters,
-                    binds, Some((dim, cond))))
+                    binds, Some(dims)))
                   .headOption.getOrElse(agg)
               case None => agg
             }
@@ -524,24 +544,47 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def sameFormula(a: Expression, b: Expression): Boolean =
     nameNormalized(a).semanticEquals(nameNormalized(b))
 
-  /** `star` carries the untouched dim side and the join condition when
-    * the aggregate sits over `fact ⋈ dim` (fact = the registered base):
-    * the snapshot replaces ONLY the fact subtree, so every fact group's
+  /** Does truncating to `coarse` commute with FIRST truncating to
+    * `fine` — i.e. is every coarse boundary a fine boundary? True along
+    * the ascending second→minute→hour→day→month→quarter→year chain,
+    * plus week over day-or-finer (week boundaries are midnights).
+    * month/quarter/year over week are NOT aligned (months start
+    * mid-week), and a finer request can never be served by a coarser
+    * key. This is what lets `GROUP BY date_trunc('month', ts)` navigate
+    * a DAY-keyed snapshot: month(ts) == month(day(ts)). */
+  private val truncLevel = Map(
+    "microsecond" -> 0, "millisecond" -> 1, "second" -> 2, "minute" -> 3,
+    "hour" -> 4, "day" -> 5, "dd" -> 5, "month" -> 6, "mon" -> 6, "mm" -> 6,
+    "quarter" -> 7, "year" -> 8, "yyyy" -> 8, "yy" -> 8)
+  private def truncNests(fine: String, coarse: String): Boolean = {
+    val f = fine.toLowerCase(java.util.Locale.ROOT)
+    val c = coarse.toLowerCase(java.util.Locale.ROOT)
+    if (c == "week") truncLevel.get(f).exists(_ <= 5)
+    else if (f == "week") false
+    else (for { lf <- truncLevel.get(f); lc <- truncLevel.get(c) } yield lf <= lc)
+      .getOrElse(false)
+  }
+
+  /** `star` carries the untouched dim subtrees when the aggregate sits
+    * over an inner-join tree containing the registered base: the
+    * snapshot replaces ONLY the fact branch, so every fact group's
     * join multiplicity — and with it the exactness of every mapped
-    * aggregate — is preserved (a group's rows all share the join key,
-    * so they match the same dim rows the group-row does). Aggregates
-    * referencing DIM columns bail: a group-row carries the group once,
-    * not cnt times. All name-based matching (keys, derived formulas,
-    * measures) is guarded by exprId against dim attributes, so a dim
-    * column that happens to share a key's name can never cross-match. */
+    * aggregate — is preserved (a group's rows all share the join-key
+    * columns the conditions reference, so they match the same dim rows
+    * the group-row does). Aggregates referencing DIM columns bail: a
+    * group-row carries the group once, not cnt times. All name-based
+    * matching (keys, derived formulas, measures) is guarded by exprId
+    * against dim attributes, so a dim column that happens to share a
+    * key's name can never cross-match. */
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
                       e: MvRewrite.Entry,
                       filters: Seq[Expression],
                       binds: Map[ExprId, Expression],
-                      star: Option[(LogicalPlan, Expression)]): Option[LogicalPlan] = try {
+                      star: Option[Seq[LogicalPlan]]): Option[LogicalPlan] = try {
     val dimOut: AttributeSet =
-      star.map(s => s._1.outputSet).getOrElse(AttributeSet.empty)
+      star.map(_.map(_.outputSet).fold(AttributeSet.empty)(_ ++ _))
+        .getOrElse(AttributeSet.empty)
     // substitute Project-level alias bindings (PullOutGroupingExpressions'
     // _groupingexpression etc.) until expressions are in terms of base
     // attributes — the form registered formulas were resolved to
@@ -559,21 +602,37 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     def isDimOnly(ex: Expression): Boolean =
       star.isDefined && ex.references.nonEmpty && ex.references.subsetOf(dimOut)
-    // grouping must be snapshot keys: plain key columns, or registered
-    // derived bucket keys matched semantically (the date_trunc rollup).
-    // Anything touching a dim attribute can never be a key of THIS view
-    // (names don't transfer across relations — exprIds decide).
-    def keyNameOpt(g: Expression): Option[String] = {
+    // grouping must be snapshot keys: plain key columns, registered
+    // derived bucket keys matched semantically (the date_trunc rollup),
+    // or a COARSER date_trunc over a registered trunc key (the rollup
+    // hierarchy — month(ts) == month(day(ts)) when boundaries nest,
+    // truncNests). keyMatch returns the key name plus, for the coarser
+    // case, the (format, timeZoneId) to re-apply over the snapshot's
+    // bucket column. Anything touching a dim attribute can never be a
+    // key of THIS view (names don't transfer across relations —
+    // exprIds decide).
+    def keyMatch(g: Expression): Option[(String, Option[(String, Option[String])])] = {
       val in = inline(g)
       if (in.references.exists(dimOut.contains)) None
       else in match {
-        case a: AttributeReference if e.keys.contains(a.name) => Some(a.name)
-        case Alias(ex, _) => keyNameOpt(ex)
-        case ex => e.derivedKeys.collectFirst {
-          case (n, d) if sameFormula(d, ex) => n
-        }
+        case a: AttributeReference if e.keys.contains(a.name) => Some((a.name, None))
+        case Alias(ex, _) => keyMatch(ex)
+        case ex =>
+          e.derivedKeys.collectFirst {
+            case (n, d) if sameFormula(d, ex) => (n, None)
+          }.orElse(ex match {
+            case TruncTimestamp(Literal(fmtQ, org.apache.spark.sql.types.StringType), inner, tz) =>
+              e.derivedKeys.collectFirst {
+                case (n, TruncTimestamp(Literal(fmtK, org.apache.spark.sql.types.StringType), innerK, _))
+                    if truncNests(fmtK.toString, fmtQ.toString) &&
+                      sameFormula(inner, innerK) =>
+                  (n, Some((fmtQ.toString, tz)))
+              }
+            case _ => None
+          })
       }
     }
+    def keyNameOpt(g: Expression): Option[String] = keyMatch(g).map(_._1)
     val groupNames = groupings.flatMap { g =>
       if (isDimOnly(inline(g))) None // dim grouping: passes through untouched
       else Some(keyNameOpt(g).getOrElse(throw Unanswerable))
@@ -591,12 +650,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def bucketize(cond: Expression): Expression =
       if (e.derivedKeys.isEmpty) cond
       else cond.transformUp {
-        case ex =>
-          (if (ex.references.exists(dimOut.contains)) None
-           else e.derivedKeys.collectFirst {
-             case (n, d) if sameFormula(d, ex) =>
-               AttributeReference(n, ex.dataType, nullable = true)(): Expression
-           }).getOrElse(ex)
+        case ex if !ex.isInstanceOf[AttributeReference] =>
+          keyMatch(ex).map {
+            case (n, None) =>
+              AttributeReference(n, ex.dataType, nullable = true)(): Expression
+            case (n, Some((fmt, tz))) =>
+              // coarser trunc: re-apply over the bucket key column —
+              // a year-range predicate navigates a day-keyed snapshot
+              TruncTimestamp(Literal(fmt),
+                AttributeReference(n, org.apache.spark.sql.types.TimestampType,
+                  nullable = true)(), tz): Expression
+          }.getOrElse(ex)
       }
     def conjunctsOf(ex: Expression): Seq[Expression] = ex match {
       case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
@@ -648,13 +712,36 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
+    // the snapshot-side expression for a key-valued query expression:
+    // the key column itself, or a coarser trunc re-applied over it
+    def keySubst(ex: Expression): Option[Expression] = keyMatch(ex).map {
+      case (n, None) => snapAttr(n)
+      case (n, Some((fmt, tz))) => TruncTimestamp(Literal(fmt), snapAttr(n), tz)
+    }
     val unit = math.pow(10, e.scale)
+
+    // an aggregate's FILTER clause navigates when it selects WHOLE
+    // groups — same gate as the outer filters: every reference a
+    // snapshot key (constant within a group) or a dim attribute
+    // (evaluated per joined pair, untouched), derived-key formulas
+    // substituted. The navigated clause replays INSIDE the rewritten
+    // aggregate over the snapshot's columns; any other FILTER bails
+    // (a per-row subset is invisible to group rows).
+    def navFilter(filt: Option[Expression]): Option[Expression] = filt.map { f =>
+      val fx = bucketize(inline(f))
+      fx.references.foreach(a =>
+        if (!dimOut.contains(a) && !e.keys.contains(a.name)) throw Unanswerable)
+      fx.transform {
+        case a: AttributeReference if !dimOut.contains(a) => snapAttr(a.name)
+      }
+    }
 
     // the optimizer runs AFTER analysis: no implicit coercions happen
     // anymore, so every type adjustment must be an explicit Cast
-    def sumOf(a: Attribute): Expression =
-      AggregateExpression(Sum(a), Complete, isDistinct = false)
-    def sumAsDouble(a: Attribute): Expression = Cast(sumOf(a), DoubleType)
+    def sumOf(a: Attribute, filt: Option[Expression] = None): Expression =
+      AggregateExpression(Sum(a), Complete, isDistinct = false, filter = filt)
+    def sumAsDouble(a: Attribute, filt: Option[Expression] = None): Expression =
+      Cast(sumOf(a, filt), DoubleType)
 
     // resolve a summed/averaged expression to a snapshot measure: a
     // plain registered column, or a derived measure whose registered
@@ -697,8 +784,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // the denominator SQL's NULL-skipping avg needs (count(*) would
     // overweight NULL-bearing groups), and the sentinel that tells an
     // all-NULL group's sum (NULL) apart from a genuine zero total
-    def nnCnt(m: String): Expression =
-      Coalesce(Seq(sumOf(snapAttr(s"cnt_$m")), Literal(0L, LongType)))
+    def nnCnt(m: String, filt: Option[Expression] = None): Expression =
+      Coalesce(Seq(sumOf(snapAttr(s"cnt_$m"), filt), Literal(0L, LongType)))
 
     // star guard: an aggregate over a DIM column cannot be answered —
     // the snapshot's group-row carries each group once, not per-fact-row
@@ -727,7 +814,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if isDimOnly(inline(a)) =>
         Alias(inline(a), a.name)(exprId = a.exprId)
       case a: AttributeReference if keyNameOpt(a).exists(groupNames.contains) =>
-        Alias(snapAttr(keyNameOpt(a).get), a.name)(exprId = a.exprId)
+        Alias(keySubst(a).get, a.name)(exprId = a.exprId)
       // an aggregate-free output is a function of grouping keys (Spark
       // enforces that) — a grouping expression surfaced as an alias
       // (PullOutGroupingExpressions' shape), or an expression DERIVED
@@ -742,21 +829,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         val sub = inline(ex).transformDown {
           case a: AttributeReference if dimOut.contains(a) => a
           case ex2 if keyNameOpt(ex2).exists(groupNames.contains) =>
-            snapAttr(keyNameOpt(ex2).get)
+            keySubst(ex2).get
         }
         if (!sub.references.subsetOf(AttributeSet(snap.output) ++ dimOut))
           throw Unanswerable
         Alias(sub, name)(exprId = al.exprId)
-      // every navigated pattern requires an EMPTY filter slot: an
-      // `agg(...) FILTER (WHERE p)` selects a row subset the snapshot
-      // cannot see, so navigating it would silently drop the clause
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), name) =>
-        Alias(Coalesce(Seq(sumOf(snapAttr("cnt")), Literal(0L, LongType))),
-          name)(exprId = al.exprId)
+      // a FILTER clause in any pattern below navigates ONLY through
+      // navFilter's whole-group gate (keys/dims); anything else throws
+      // Unanswerable there — a per-row FILTER can never silently drop
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, filt, _), name) =>
+        Alias(Coalesce(Seq(sumOf(snapAttr("cnt"), navFilter(filt)),
+          Literal(0L, LongType))), name)(exprId = al.exprId)
       // count(m) — the measure's non-null count is maintained exactly
-      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, None, _), name)
+      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, filt, _), name)
           if e.measures.contains(ar.name) =>
-        Alias(nnCnt(ar.name), name)(exprId = al.exprId)
+        Alias(nnCnt(ar.name, navFilter(filt)), name)(exprId = al.exprId)
       // count(DISTINCT key[, key…]) over SNAPSHOT KEYS is exact: the
       // snapshot holds one row per live group, so distinct key
       // combinations are identical by construction (refresh drops
@@ -764,36 +851,39 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // semantics skip them identically on both sides). Derived bucket
       // keys match by formula like everywhere else — count(DISTINCT
       // date_trunc('day', ts)) = "days present", a snapshot lookup.
-      case al @ Alias(AggregateExpression(Count(args), _, true, None, _), name)
+      case al @ Alias(AggregateExpression(Count(args), _, true, filt, _), name)
           if args.nonEmpty && args.forall(a => keyNameOpt(a).isDefined) =>
         Alias(AggregateExpression(
-          Count(args.map(a => snapAttr(keyNameOpt(a).get))),
-          Complete, isDistinct = true), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Sum(ex, _), _, false, None, _), name) =>
-        if (al.dataType != DoubleType) throw Unanswerable
-        val m = measureName(ex)
-        Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
-          Literal(null, DoubleType),
-          Divide(sumAsDouble(snapAttr(s"sum_$m")), Literal(unit))),
+          Count(args.map(a => keySubst(a).getOrElse(throw Unanswerable))),
+          Complete, isDistinct = true, filter = navFilter(filt)),
           name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Average(ex, _), _, false, None, _), name) =>
+      case al @ Alias(AggregateExpression(Sum(ex, _), _, false, filt, _), name) =>
         if (al.dataType != DoubleType) throw Unanswerable
         val m = measureName(ex)
-        Alias(If(EqualTo(nnCnt(m), Literal(0L, LongType)),
+        val nf = navFilter(filt)
+        Alias(If(EqualTo(nnCnt(m, nf), Literal(0L, LongType)),
           Literal(null, DoubleType),
-          Divide(Divide(sumAsDouble(snapAttr(s"sum_$m")), Literal(unit)),
-            Cast(nnCnt(m), DoubleType))), name)(exprId = al.exprId)
+          Divide(sumAsDouble(snapAttr(s"sum_$m"), nf), Literal(unit))),
+          name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Average(ex, _), _, false, filt, _), name) =>
+        if (al.dataType != DoubleType) throw Unanswerable
+        val m = measureName(ex)
+        val nf = navFilter(filt)
+        Alias(If(EqualTo(nnCnt(m, nf), Literal(0L, LongType)),
+          Literal(null, DoubleType),
+          Divide(Divide(sumAsDouble(snapAttr(s"sum_$m"), nf), Literal(unit)),
+            Cast(nnCnt(m, nf), DoubleType))), name)(exprId = al.exprId)
       // min/max navigate only for measures registered as append-only
       // maintained (aggSnapshotMinMax / incrementalAggRefreshAppendOnly)
       // — they are not retractable, so a plain snapshot can't carry them
-      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, None, _), name)
+      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, filt, _), name)
           if e.minMax.contains(ar.name) =>
         Alias(AggregateExpression(Min(snapAttr(s"min_${ar.name}")), Complete,
-          isDistinct = false), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, None, _), name)
+          isDistinct = false, filter = navFilter(filt)), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, filt, _), name)
           if e.minMax.contains(ar.name) =>
         Alias(AggregateExpression(Max(snapAttr(s"max_${ar.name}")), Complete,
-          isDistinct = false), name)(exprId = al.exprId)
+          isDistinct = false, filter = navFilter(filt)), name)(exprId = al.exprId)
       // distinct-count navigation from the snapshot's mergeable KMV
       // sketch columns (append-only maintained). kmv_distinct gets the
       // IDENTICAL estimator over the merged sketches — KMV merge is
@@ -803,7 +893,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // aggregate's contract is approximate — both estimators sit
       // within ~1/sqrt(k) relative error. Composite (tuple) distinct
       // keys resolve through their canonical concat_ws encoding.
-      case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, None, _), name)
+      case al @ Alias(AggregateExpression(kd: graft.functions.KmvDistinct, _, false, filt, _), name)
           if kd.k == e.kmvK &&
             (distinctAttr(kd.child).map(c => s"kmv_$c") orElse
               tupleSketch(kd.child)).isDefined =>
@@ -811,7 +901,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           tupleSketch(kd.child)).get
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
           snapAttr(sketchCol), e.kmvK), Complete,
-          isDistinct = false), name)(exprId = al.exprId)
+          isDistinct = false, filter = navFilter(filt)), name)(exprId = al.exprId)
       // precision contract: the user's relativeSD is a promise, and the
       // KMV estimator's standard error is ~1/sqrt(k−2) — only navigate
       // when the registered sketch is at least that precise (default
@@ -820,12 +910,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // guard because its k IS the request.
       case al @ Alias(AggregateExpression(
             h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus,
-            _, false, None, _), name)
+            _, false, filt, _), name)
           if distinctAttr(h.child).isDefined &&
             h.relativeSD >= 1.0 / math.sqrt(e.kmvK - 2.0) =>
         Alias(AggregateExpression(graft.functions.KmvUnionEstimate(
           snapAttr(s"kmv_${distinctAttr(h.child).get}"), e.kmvK), Complete,
-          isDistinct = false), name)(exprId = al.exprId)
+          isDistinct = false, filter = navFilter(filt)), name)(exprId = al.exprId)
       // quantile navigation from the snapshot's per-key KLL sketches:
       // merge the surviving groups' sketches (Datasketches KLL merge)
       // and read the requested quantile. approx_percentile's accuracy
@@ -836,7 +926,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // dashboards opt in with an explicitly loose accuracy). Estimator
       // swap (GK-quantile → KLL) within the requested band — the
       // approx_count_distinct precedent.
-      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, None, _), name)
+      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, _, false, filt, _), name)
           if kllAttr(ap.child).isDefined &&
             (ap.accuracyExpression match {
               case Literal(acc: Int, _) =>
@@ -861,25 +951,27 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(KllSketchGetQuantileDouble(
           AggregateExpression(
             KllMergeAggDouble(snapAttr(s"kll_$m"), None), Complete,
-            isDistinct = false),
+            isDistinct = false, filter = navFilter(filt)),
           ap.percentageExpression), name)(exprId = al.exprId)
       case _ => throw Unanswerable
     }
     val snapGroupings = groupings.map { g =>
       val in = inline(g)
       if (isDimOnly(in)) in
-      else snapAttr(keyNameOpt(g).getOrElse(throw Unanswerable))
+      else keySubst(g).getOrElse(throw Unanswerable)
     }
-    // star: rebuild the join with the snapshot standing in for the fact
-    // subtree — the condition's fact-side references must be snapshot
-    // keys (constant within a group, so group-level matching is exact)
+    // star: rebuild the join chain with the snapshot standing in for
+    // the fact branch. ALL conditions (join conditions included) were
+    // pooled into `inlinedFilters` and replay as Filters on top — their
+    // fact-side references are snapshot keys (the gate above), constant
+    // within a group, so group-level matching is exact. The optimizer's
+    // own predicate pushdown runs in the same fixed-point batch and
+    // re-forms the equi-joins; the snapshot side is kilobytes, so AQE
+    // broadcasts it.
     val joined: LogicalPlan = star match {
-      case Some((dim, cond)) =>
-        val newCond = cond.transformUp {
-          case a: AttributeReference if !dimOut.contains(a) =>
-            snapAttr(keyNameOpt(a).getOrElse(throw Unanswerable))
-        }
-        Join(snap, dim, Inner, Some(newCond), JoinHint.NONE)
+      case Some(dims) =>
+        dims.foldLeft(snap: LogicalPlan)((acc, d) =>
+          Join(acc, d, Inner, None, JoinHint.NONE))
       case None => snap
     }
     // replay the collected predicates: dim references untouched, fact

@@ -1137,6 +1137,90 @@ object Relational {
     }
   }
 
+  // Rollup hierarchy + FILTER-clause navigation in one row: a DAY-keyed
+  // maintained snapshot answers a MONTH dashboard (month boundaries are
+  // day boundaries, so re-truncating the bucket column is exact) with
+  // pivot-style conditional aggregates (`count(*)/sum(x) FILTER (WHERE
+  // keyPred)` — a key predicate selects whole groups and replays inside
+  // the rewritten aggregate). require()-gated like its siblings.
+  private val qMvRollup = QueryDef("q_mv_rollup", Some(
+    """SELECT cast(cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS STRING) AS order_month,
+      |       count(*) AS n,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+      |       sum(cast(round(o_totalprice * 100) AS BIGINT))
+      |         FILTER (WHERE o_orderstatus = 'F') / 100.0 AS sum_f
+      |FROM orders
+      |GROUP BY 1""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/orders.parquet"
+    val day = date_trunc("day", col("o_orderdate"))
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-rollup-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath).withColumn("day", day),
+        Seq("day", "o_orderstatus"), Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.registerDerived(spark, basePath,
+      Seq("day", "o_orderstatus"), Seq("o_totalprice"), Map.empty,
+      s"$work/snap", derivedKeys = Map("day" -> day))
+    try {
+      val out = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+          sum("o_totalprice").as("sum_price"),
+          expr("sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')").as("sum_f"))
+        .select(col("mon").cast("string").as("order_month"),
+          col("n"), col("n_f"), col("sum_price"), col("sum_f"))
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("orders.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_mv_rollup: hierarchy/FILTER navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // Multi-dim star (the TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer
+  // GROUP BY c_mktsegment — the fact branch navigates to its
+  // (l_orderkey)-keyed snapshot inside the rebuilt join chain; the
+  // orders→customer hop is a pure dim-dim condition the rewrite replays
+  // untouched. Same loud require() gate as q_star_rollup.
+  private val qStarRollup2 = QueryDef("q_star_rollup2", Some(
+    """SELECT c_mktsegment,
+      |       count(*) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/lineitem.parquet"
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-star2-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath), Seq("l_orderkey"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.register(spark, basePath, Seq("l_orderkey"),
+      Seq("l_quantity"), s"$work/snap")
+    try {
+      val out = spark.read.parquet(basePath)
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(spark.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("lineitem.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_star_rollup2: multi-dim star navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 point-in-time join — "what did the customer's record say when
   // the line shipped": every lineitem joins the dimension VERSION
   // (q_scd2's build: each order re-versions its customer's record)
@@ -1267,5 +1351,5 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
-    qStarRollup)
+    qStarRollup, qStarRollup2, qMvRollup)
 }

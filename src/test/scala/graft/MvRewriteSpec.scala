@@ -401,13 +401,20 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(sum("v").as("s"))
         assert(scansOf(mixed).contains(s"$dir/snap"),
           s"bucket+plain-key grouping not navigated:\n${scansOf(mixed)}")
-        // a MISMATCHED bucket width must not be served: month totals are
-        // not sums of the registered day groups' keys under this formula
+        // a COARSER bucket width is served through the rollup hierarchy
+        // (month boundaries are day boundaries — round 8); value
+        // exactness is swept in the dedicated hierarchy test. A FINER
+        // width must still bail.
         val monthly = spark.read.parquet(s"$dir/base")
           .groupBy(date_trunc("month", col("ts")).as("mon"))
           .agg(sum("v").as("s"))
-        assert(scansOf(monthly).contains(s"$dir/base"),
-          "month bucket wrongly matched the day-keyed registration")
+        assert(scansOf(monthly).contains(s"$dir/snap"),
+          "month bucket should roll up from the day-keyed registration")
+        val hourly = spark.read.parquet(s"$dir/base")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(hourly).contains(s"$dir/base"),
+          "hour bucket wrongly matched the day-keyed registration")
         // count(DISTINCT bucket) — "days present per region" — matches
         // the derived key by formula and reads the snapshot exactly
         def days() = spark.read.parquet(s"$dir/base")
@@ -497,16 +504,26 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(sum("v").as("s"))
         assert(scansOf(raw).contains(s"$dir/base"),
           "raw-timestamp filter wrongly navigated")
-        // NEGATIVE: a MISMATCHED bucket width in the filter (month over
-        // a day-keyed registration) — coarser would even be sound, but
-        // the formula doesn't match the registered day key, so the
-        // conservative gate must bail rather than guess
-        val wrongWidth = spark.read.parquet(s"$dir/base")
+        // a COARSER bucket width in the filter navigates through the
+        // rollup hierarchy (round 8) — value-exact
+        def coarserF() = spark.read.parquet(s"$dir/base")
           .filter(date_trunc("month", col("ts")) === "2024-03-01 00:00:00")
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(sum("v").as("s"))
-        assert(scansOf(wrongWidth).contains(s"$dir/base"),
-          "month-width filter wrongly matched the day-keyed registration")
+        assert(scansOf(coarserF()).contains(s"$dir/snap"),
+          s"month-width filter should roll up:\n${scansOf(coarserF())}")
+        val gotC = coarserF().orderBy("day").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val wantC = coarserF().orderBy("day").collect().map(_.toString).toSeq
+        reg()
+        assert(gotC == wantC && wantC.nonEmpty, "coarser-filter rollup diverged")
+        // NEGATIVE: a FINER bucket width in the filter must still bail
+        val finerF = spark.read.parquet(s"$dir/base")
+          .filter(date_trunc("hour", col("ts")) === "2024-03-05 03:00:00")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(finerF).contains(s"$dir/base"),
+          "hour-width filter wrongly matched the day-keyed registration")
       } finally MvRewrite.unregister(s"$dir/base")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
@@ -567,6 +584,110 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(sum("v").as("s"))
         assert(scansOf(sliding).contains(s"$dir/base"),
           "sliding window wrongly navigated")
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("bucket hierarchy: coarser date_trunc groupings/filters navigate a finer-keyed snapshot") {
+    // month(ts) == month(day(ts)) — month/quarter/year boundaries are
+    // day boundaries, so a day-keyed snapshot answers every coarser
+    // rollup by re-truncating its bucket column. The dashboard drill-
+    // up shape: one maintained daily MV serves day, week, month,
+    // quarter AND year dashboards.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-hier").toString
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-05 00:10:00")
+      val rows = (0 until 900).map { i =>
+        (new java.sql.Timestamp(ts0.getTime + i * 7L * 3600 * 1000),
+          if (i % 3 == 0) "eu" else "us", (i % 17).toDouble)
+      }
+      rows.toDF("ts", "r", "v").write.mode("overwrite").parquet(s"$dir/base")
+      val bucket = date_trunc("day", col("ts"))
+      Cdc.aggSnapshot(
+          spark.read.parquet(s"$dir/base").withColumn("day", bucket),
+          Seq("day", "r"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.registerDerived(spark, s"$dir/base", Seq("day", "r"),
+        Seq("v"), Map.empty, s"$dir/snap", derivedKeys = Map("day" -> bucket))
+      reg()
+      try {
+        for (coarse <- Seq("week", "month", "quarter", "year")) {
+          def q() = spark.read.parquet(s"$dir/base")
+            .groupBy(date_trunc(coarse, col("ts")).as("b"), col("r"))
+            .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+          val plan = scansOf(q())
+          assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/base"),
+            s"$coarse rollup over day-keyed snapshot not navigated:\n$plan")
+          val got = q().orderBy("b", "r").collect().map(_.toString).toSeq
+          MvRewrite.unregister(s"$dir/base")
+          val want = q().orderBy("b", "r").collect().map(_.toString).toSeq
+          reg()
+          assert(got == want && want.nonEmpty, s"$coarse rollup diverged")
+        }
+        // a coarser-bucket FILTER navigates too (year range over day key)
+        def filtered() = spark.read.parquet(s"$dir/base")
+          .filter(date_trunc("month", col("ts")) >= "2024-03-01")
+          .groupBy(date_trunc("quarter", col("ts")).as("b"))
+          .agg(sum("v").as("s"))
+        val fPlan = scansOf(filtered())
+        assert(fPlan.contains(s"$dir/snap") && !fPlan.contains(s"$dir/base"),
+          s"coarser-bucket filter not navigated:\n$fPlan")
+        val gotF = filtered().orderBy("b").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val wantF = filtered().orderBy("b").collect().map(_.toString).toSeq
+        reg()
+        assert(gotF == wantF && wantF.nonEmpty)
+        // count(DISTINCT coarser bucket) — "months present" from days
+        def months() = spark.read.parquet(s"$dir/base")
+          .groupBy("r")
+          .agg(countDistinct(date_trunc("month", col("ts"))).as("months"))
+        assert(scansOf(months()).contains(s"$dir/snap"),
+          s"count(DISTINCT month) not navigated:\n${scansOf(months())}")
+        val gotM = months().orderBy("r").as[(String, Long)].collect().toSeq
+        MvRewrite.unregister(s"$dir/base")
+        val wantM = months().orderBy("r").as[(String, Long)].collect().toSeq
+        reg()
+        assert(gotM == wantM)
+        // NEGATIVE: a FINER request can never come from a coarser key
+        val finer = spark.read.parquet(s"$dir/base")
+          .groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(finer).contains(s"$dir/base"),
+          "hour grouping wrongly served by a day-keyed snapshot")
+      } finally MvRewrite.unregister(s"$dir/base")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("bucket hierarchy negatives: week/month misalignment never navigates") {
+    // month-keyed snapshot: week boundaries are NOT month boundaries,
+    // so GROUP BY date_trunc('week') must bail even though week is
+    // "coarser than day" — nesting is about boundary alignment, not
+    // granularity order
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-hier-neg").toString
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-05 00:10:00")
+      (0 until 400).map { i =>
+        (new java.sql.Timestamp(ts0.getTime + i * 31L * 3600 * 1000), (i % 9).toDouble)
+      }.toDF("ts", "v").write.mode("overwrite").parquet(s"$dir/base")
+      val bucket = date_trunc("month", col("ts"))
+      Cdc.aggSnapshot(
+          spark.read.parquet(s"$dir/base").withColumn("mon", bucket),
+          Seq("mon"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.registerDerived(spark, s"$dir/base", Seq("mon"), Seq("v"),
+        Map.empty, s"$dir/snap", derivedKeys = Map("mon" -> bucket))
+      try {
+        val weekly = spark.read.parquet(s"$dir/base")
+          .groupBy(date_trunc("week", col("ts")).as("b"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(weekly).contains(s"$dir/base"),
+          "week grouping wrongly served by a month-keyed snapshot")
+        // but year over month IS aligned and navigates
+        val yearly = spark.read.parquet(s"$dir/base")
+          .groupBy(date_trunc("year", col("ts")).as("b"))
+          .agg(sum("v").as("s"))
+        assert(scansOf(yearly).contains(s"$dir/snap"),
+          s"year over month-keyed snapshot not navigated:\n${scansOf(yearly)}")
       } finally MvRewrite.unregister(s"$dir/base")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
@@ -958,6 +1079,64 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("multi-dim star: fact ⋈ dim1 ⋈ dim2 (the TPC-H Q5 shape) navigates the fact branch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-star2").toString
+    try {
+      val fact = (0 until 600).map { i =>
+        (i % 41L, (i % 7).toLong, (i % 23).toDouble)
+      }.toDF("fk1", "fk2", "v")
+      fact.write.mode("overwrite").parquet(s"$dir/fact")
+      (0 until 41).map(i => (i.toLong, s"g${i % 4}")).toDF("dk1", "grp1")
+        .write.mode("overwrite").parquet(s"$dir/dim1")
+      (0 until 7).map(i => (i.toLong, s"r${i % 3}")).toDF("dk2", "grp2")
+        .write.mode("overwrite").parquet(s"$dir/dim2")
+      Cdc.aggSnapshot(spark.read.parquet(s"$dir/fact"),
+          Seq("fk1", "fk2"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.register(spark, s"$dir/fact", Seq("fk1", "fk2"),
+        Seq("v"), s"$dir/snap")
+      reg()
+      try {
+        def q() = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim1"), col("fk1") === col("dk1"))
+          .join(spark.read.parquet(s"$dir/dim2"), col("fk2") === col("dk2"))
+          .filter(col("grp2") =!= "r9")
+          .groupBy("grp1", "grp2")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+        val plan = scansOf(q())
+        assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/fact"),
+          s"multi-dim star not navigated:\n$plan")
+        assert(plan.contains(s"$dir/dim1") && plan.contains(s"$dir/dim2"),
+          s"a dim side disappeared:\n$plan")
+        // the rebuilt chain must re-form EQUI-joins, not cartesians —
+        // pushdown runs in the same fixed-point batch as the rewrite
+        assert(!plan.contains("CartesianProduct"),
+          s"rebuilt join degenerated to a cartesian:\n$plan")
+        val got = q().orderBy("grp1", "grp2").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/fact")
+        val want = q().orderBy("grp1", "grp2").collect().map(_.toString).toSeq
+        assert(got == want && want.nonEmpty,
+          s"multi-dim star diverged:\n$got\nvs\n$want")
+        reg()
+        // three levels deep with a dim-side filter mid-spine
+        val deep = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim1").filter(col("grp1") =!= "g3"),
+            col("fk1") === col("dk1"))
+          .join(spark.read.parquet(s"$dir/dim2"), col("fk2") === col("dk2"))
+          .groupBy("grp2").agg(sum("v").as("s"))
+        assert(scansOf(deep).contains(s"$dir/snap"),
+          s"snowflake with dim filter not navigated:\n${scansOf(deep)}")
+        // NEGATIVE: one of the dims aggregated over — bail whole query
+        val dimAgg = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim1"), col("fk1") === col("dk1"))
+          .join(spark.read.parquet(s"$dir/dim2"), col("fk2") === col("dk2"))
+          .groupBy("grp1").agg(sum(length(col("grp2"))).as("s"))
+        assert(scansOf(dimAgg).contains(s"$dir/fact"),
+          "aggregate over a dim column wrongly navigated in multi-dim star")
+      } finally MvRewrite.unregister(s"$dir/fact")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
@@ -980,38 +1159,45 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("an aggregate FILTER clause disqualifies navigation (clause would be dropped)") {
+  test("aggregate FILTER clauses: key predicates navigate exactly, anything else bails") {
     withSnapshot { snapPath =>
-      // FILTER (WHERE p) selects a row subset the snapshot cannot see;
-      // navigating would silently drop the clause. Every navigated
-      // pattern requires an empty filter slot — verify for each
-      // aggregate kind, and that the un-navigated answer is correct.
-      val q = spark.read.parquet(basePath)
+      // FILTER (WHERE keyPred) selects WHOLE groups — it replays inside
+      // the rewritten aggregate over the snapshot's key columns, so the
+      // pivot-style dashboard shape (conditional counts per segment)
+      // navigates with EXACT values, including the all-filtered-out
+      // NULL-sum case.
+      def q() = spark.read.parquet(basePath)
         .groupBy("l_returnflag")
         .agg(
           expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("s"),
           expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("a"),
-          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
-      val plan = scansOf(q)
-      assert(plan.contains("lineitem.parquet") && !plan.contains(snapPath),
-        s"FILTER-clause aggregate must not navigate:\n$plan")
+          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"),
+          expr("count(*) FILTER (WHERE l_linestatus = 'NOPE')").as("zero"),
+          expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'NOPE')").as("nul"),
+          sum("l_quantity").as("plain"))
+      val plan = scansOf(q())
+      assert(plan.contains(snapPath) && !plan.contains("lineitem.parquet"),
+        s"key-predicate FILTER aggregate must navigate:\n$plan")
+      val got = q().orderBy("l_returnflag").collect().map(_.toString).toSeq
       MvRewrite.unregister(basePath)
-      val want = spark.read.parquet(basePath)
-        .groupBy("l_returnflag")
-        .agg(
-          expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("s"),
-          expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("a"),
-          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
-        .orderBy("l_returnflag").collect().toSeq
+      val want = q().orderBy("l_returnflag").collect().map(_.toString).toSeq
+      assert(got == want && want.nonEmpty,
+        s"FILTER-navigated answer diverged:\n$got\nvs\n$want")
       MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
-      assert(q.orderBy("l_returnflag").collect().toSeq == want)
-      // a plain aggregate alongside a FILTER'd one: still no navigation
-      // (all-or-nothing — a partial rewrite would split the scan)
+      // a FILTER referencing a MEASURE selects a per-row subset the
+      // snapshot cannot see — the whole query must stay on the base
+      val rowLevel = spark.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(expr("count(*) FILTER (WHERE l_quantity > 10)").as("n"))
+      assert(scansOf(rowLevel).contains("lineitem.parquet"),
+        "measure-predicate FILTER wrongly navigated")
+      // ...including when mixed with navigable aggregates
       val mixed = spark.read.parquet(basePath)
         .groupBy("l_returnflag")
         .agg(sum("l_quantity").as("s"),
-          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n"))
-      assert(scansOf(mixed).contains("lineitem.parquet"))
+          expr("count(*) FILTER (WHERE l_shipdate > DATE'1995-01-01')").as("n"))
+      assert(scansOf(mixed).contains("lineitem.parquet"),
+        "non-key FILTER in a mixed aggregate list wrongly navigated")
     }
   }
 }
