@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Complete, Count, KllMergeAggDouble, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -452,8 +452,8 @@ object MvRewrite {
   private[plans] def lookupStar(child: LogicalPlan)
       : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
                 Seq[LogicalPlan])] = {
-    def flatten(p: LogicalPlan, conds: Seq[Expression],
-                binds: Map[ExprId, Expression])
+    def flattenJoins(p: LogicalPlan, conds: Seq[Expression],
+                     binds: Map[ExprId, Expression])
         : Option[(Seq[LogicalPlan], Seq[Expression], Map[ExprId, Expression])] =
       p match {
         case Project(pl, c) if pl.forall {
@@ -461,17 +461,17 @@ object MvRewrite {
               case al: Alias => al.child.deterministic
               case _ => false
             } =>
-          flatten(c, conds, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
-        case Filter(cond, c) if cond.deterministic => flatten(c, conds :+ cond, binds)
+          flattenJoins(c, conds, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
+        case Filter(cond, c) if cond.deterministic => flattenJoins(c, conds :+ cond, binds)
         case Join(l, r, Inner, condOpt, _) if condOpt.forall(_.deterministic) =>
           for {
-            (lb, lc, lbinds) <- flatten(l, Nil, Map.empty)
-            (rb, rc, rbinds) <- flatten(r, Nil, Map.empty)
+            (lb, lc, lbinds) <- flattenJoins(l, Nil, Map.empty)
+            (rb, rc, rbinds) <- flattenJoins(r, Nil, Map.empty)
           } yield (lb ++ rb, conds ++ condOpt.toSeq ++ lc ++ rc,
             binds ++ lbinds ++ rbinds)
         case other => Some((Seq(other), conds, binds))
       }
-    flatten(child, Nil, Map.empty).flatMap { case (branches, conds, binds) =>
+    flattenJoins(child, Nil, Map.empty).flatMap { case (branches, conds, binds) =>
       if (branches.size < 2) None
       else {
         import scala.jdk.CollectionConverters._
@@ -496,6 +496,79 @@ object MvRewrite {
       }
     }
   }
+
+  /** What the grouping-sets rewrite needs to rebuild an Expand over the
+    * snapshot: the original node, the positions KEPT in the rebuilt
+    * Expand (masked grouping keys + the grouping-id literals — their
+    * output attrs survive with their exprIds so the Aggregate above is
+    * untouched), and per kept masked position the unmasked expression
+    * (key-matched against the registered view in the rewrite). Pass-
+    * through positions (identical in every projection row — the
+    * measures and unmasked keys) become alias BINDS instead: the
+    * aggregate's references inline straight to base expressions and the
+    * ordinary measure/key machinery takes over. */
+  final case class ExpandInfo(ex: Expand, kept: Seq[Int],
+                              masked: Map[Int, Expression])
+
+  /** Rollup/cube/grouping-sets lookup: descend Projects to an Expand
+    * whose child reaches a registered base. Classifies every Expand
+    * output position as pass-through (all projection rows identical →
+    * bind), masked key (one distinct non-null expression + nulls →
+    * kept), or literal (the grouping id → kept); any other shape is
+    * not a grouping-sets Expand and bails. */
+  private[plans] def lookupExpand(child: LogicalPlan)
+      : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
+                ExpandInfo)] = {
+    def descend(p: LogicalPlan, binds: Map[ExprId, Expression])
+        : Option[(Expand, Map[ExprId, Expression])] = p match {
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.child.deterministic
+            case _ => false
+          } =>
+        descend(c, binds ++ pl.collect { case al: Alias => al.exprId -> al.child })
+      case ex: Expand => Some((ex, binds))
+      case _ => None
+    }
+    descend(child, Map.empty).flatMap { case (ex, aboveBinds) =>
+      rootPathsAndFilters(ex.child, Nil, Map.empty).flatMap {
+        case (roots, conds, cBinds) =>
+          import scala.jdk.CollectionConverters._
+          val matches = entries.values().asScala.filter(_.rootPaths == roots)
+            .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+          if (matches.isEmpty) None
+          else {
+            def isNullLit(e: Expression): Boolean = e match {
+              case Literal(null, _) => true
+              case _ => false
+            }
+            val kept = Seq.newBuilder[Int]
+            val masked = Map.newBuilder[Int, Expression]
+            var passBinds = Map.empty[ExprId, Expression]
+            var ok = true
+            ex.output.indices.foreach { i =>
+              val elems = ex.projections.map(_(i))
+              val head = elems.head
+              if (elems.forall(_.fastEquals(head)) && !isNullLit(head))
+                passBinds += ex.output(i).exprId -> head
+              else if (elems.forall(_.isInstanceOf[Literal]))
+                kept += i // the grouping-id column
+              else {
+                val nonNull = elems.filterNot(isNullLit).distinct
+                if (nonNull.size == 1 &&
+                    elems.forall(e => isNullLit(e) || e.fastEquals(nonNull.head))) {
+                  kept += i
+                  masked += i -> nonNull.head
+                } else ok = false
+              }
+            }
+            if (!ok) None
+            else Some((matches, conds, aboveBinds ++ cBinds ++ passBinds,
+              ExpandInfo(ex, kept.result(), masked.result())))
+          }
+      }
+    }
+  }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {
@@ -510,7 +583,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case Some((candidates, filters, binds)) =>
             // coarsest view that can answer wins (lookup pre-sorts)
             candidates.view
-              .flatMap(e => rewrite(agg, groupings, results, e, filters, binds, None))
+              .flatMap(e => rewrite(agg, groupings, results, e, filters, binds,
+                None, None))
               .headOption.getOrElse(agg)
           case None =>
             // star rollup: fact ⋈ dim(s) GROUP BY dim attrs — the fact
@@ -519,9 +593,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               case Some((candidates, filters, binds, dims)) =>
                 candidates.view
                   .flatMap(e => rewrite(agg, groupings, results, e, filters,
-                    binds, Some(dims)))
+                    binds, Some(dims), None))
                   .headOption.getOrElse(agg)
-              case None => agg
+              case None =>
+                // rollup/cube/grouping sets: the Expand rebuilds over
+                // the snapshot, masked-key/gid columns untouched
+                MvRewrite.lookupExpand(child) match {
+                  case Some((candidates, filters, binds, info)) =>
+                    candidates.view
+                      .flatMap(e => rewrite(agg, groupings, results, e, filters,
+                        binds, None, Some(info)))
+                      .headOption.getOrElse(agg)
+                  case None => agg
+                }
             }
         }
     }
@@ -581,10 +665,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                       e: MvRewrite.Entry,
                       filters: Seq[Expression],
                       binds: Map[ExprId, Expression],
-                      star: Option[Seq[LogicalPlan]]): Option[LogicalPlan] = try {
+                      star: Option[Seq[LogicalPlan]],
+                      expand: Option[MvRewrite.ExpandInfo]): Option[LogicalPlan] = try {
+    // "untouched" attributes — dim-side columns under a star, plus the
+    // masked-key/grouping-id columns a grouping-sets Expand keeps: they
+    // survive the rewrite with their exprIds, pass through groupings
+    // and results unchanged, and may never cross-match a key or
+    // measure by name
+    val keptAttrs: Seq[Attribute] =
+      expand.map(i => i.kept.map(i.ex.output)).getOrElse(Nil)
     val dimOut: AttributeSet =
       star.map(_.map(_.outputSet).fold(AttributeSet.empty)(_ ++ _))
-        .getOrElse(AttributeSet.empty)
+        .getOrElse(AttributeSet.empty) ++ AttributeSet(keptAttrs)
     // substitute Project-level alias bindings (PullOutGroupingExpressions'
     // _groupingexpression etc.) until expressions are in terms of base
     // attributes — the form registered formulas were resolved to
@@ -601,7 +693,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       cur
     }
     def isDimOnly(ex: Expression): Boolean =
-      star.isDefined && ex.references.nonEmpty && ex.references.subsetOf(dimOut)
+      ex.references.nonEmpty && ex.references.subsetOf(dimOut)
     // grouping must be snapshot keys: plain key columns, registered
     // derived bucket keys matched semantically (the date_trunc rollup),
     // or a COARSER date_trunc over a registered trunc key (the rollup
@@ -787,11 +879,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def nnCnt(m: String, filt: Option[Expression] = None): Expression =
       Coalesce(Seq(sumOf(snapAttr(s"cnt_$m"), filt), Literal(0L, LongType)))
 
-    // star guard: an aggregate over a DIM column cannot be answered —
-    // the snapshot's group-row carries each group once, not per-fact-row
-    // (sum(dim.x) over the join weights x by the group SIZE). Checked by
-    // exprId up front so no name-based case below can cross-match.
-    if (star.isDefined) results.foreach(_.foreach {
+    // untouched-attr guard: an aggregate over a DIM column cannot be
+    // answered — the snapshot's group-row carries each group once, not
+    // per-fact-row (sum(dim.x) over the join weights x by the group
+    // SIZE) — and an aggregate over a MASKED grouping-sets key sees
+    // nulls the snapshot key column doesn't. Checked by exprId up front
+    // so no name-based case below can cross-match.
+    if (star.isDefined || expand.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression
           if ae.references.exists(dimOut.contains) => throw Unanswerable
       case _ =>
@@ -976,10 +1070,34 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     // replay the collected predicates: dim references untouched, fact
     // references (all keys, the gate above) onto the snapshot's columns
-    val snapChild = inlinedFilters.foldLeft(joined) { (p, cond) =>
+    val filteredSnap = inlinedFilters.foldLeft(joined) { (p, cond) =>
       Filter(cond.transform {
         case a: AttributeReference if !dimOut.contains(a) => snapAttr(a.name)
       }, p)
+    }
+    // grouping sets: rebuild the Expand over the (filtered) snapshot —
+    // every snapshot column passes through every projection row, the
+    // masked-key positions re-emit null / the snapshot's key column
+    // (coarser truncs included via keySubst), the grouping-id literals
+    // survive verbatim. Output reuses the ORIGINAL masked/gid attrs, so
+    // the Aggregate above references them unchanged; each snapshot
+    // group-row reaches every grouping set exactly once — the same
+    // replication the raw rows had, so the mapped partial aggregates
+    // stay exact per (masked keys, gid) cell.
+    val snapChild = expand match {
+      case Some(info) =>
+        val snapAttrs: Seq[Attribute] = snap.output
+        val newProjections = info.ex.projections.map { row =>
+          snapAttrs.map(a => a: Expression) ++ info.kept.map { i =>
+            row(i) match {
+              case l: Literal => l // a null mask or the grouping id
+              case _ =>
+                keySubst(info.masked(i)).getOrElse(throw Unanswerable)
+            }
+          }
+        }
+        Expand(newProjections, snapAttrs ++ keptAttrs, filteredSnap)
+      case None => filteredSnap
     }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +
       s"from snapshot $snapPath" +

@@ -1182,6 +1182,42 @@ object Relational {
     }
   }
 
+  // Rollup (grouping sets) navigation — the BI subtotal report answered
+  // from the kilobyte snapshot: the Expand node rebuilds over the
+  // snapshot (masked-key/grouping-id columns untouched, measures mapped
+  // to the partial columns), so every subtotal level re-aggregates
+  // group-rows instead of base rows. require()-gated like its siblings.
+  private val qMvGroupingSets = QueryDef("q_mv_grouping_sets", Some(
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n,
+      |       sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val basePath = s"$dir/orders.parquet"
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-gs-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath), Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.register(spark, basePath,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"),
+      s"$work/snap")
+    try {
+      val out = spark.read.parquet(basePath)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("orders.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_mv_grouping_sets: rollup navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Multi-dim star (the TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer
   // GROUP BY c_mktsegment — the fact branch navigates to its
   // (l_orderkey)-keyed snapshot inside the rebuilt join chain; the
@@ -1351,5 +1387,5 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
-    qStarRollup, qStarRollup2, qMvRollup)
+    qStarRollup, qStarRollup2, qMvRollup, qMvGroupingSets)
 }

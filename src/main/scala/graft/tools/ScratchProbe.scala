@@ -7,11 +7,10 @@ object ScratchProbe {
     val spark = graft.Engine.session("scratch")
     val sf = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val ord = spark.read.parquet(s"$sf/orders.parquet")
-    val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
+    val q = li.rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
-    println(q.queryExecution.optimizedPlan)
+    println("=== rollup optimized ===")
+    println(q.queryExecution.optimizedPlan.treeString)
     spark.stop()
   }
 }

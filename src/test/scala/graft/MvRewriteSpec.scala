@@ -948,7 +948,13 @@ class MvRewriteSpec extends AnyFunSuite {
           "mx" -> max("l_quantity"),
           "cm" -> count(col("l_quantity")),
           "cd" -> countDistinct("l_linestatus"),
-          "kd" -> expr("kmv_distinct(l_partkey)"))
+          "kd" -> expr("kmv_distinct(l_partkey)"),
+          // key-predicate FILTER clauses (round 8): replay inside the
+          // rewritten aggregate — swept against every grouping x filter
+          "cntf" -> expr("count(*) FILTER (WHERE l_linestatus = 'O')"),
+          "sf" -> expr("sum(l_quantity) FILTER (WHERE l_returnflag <> 'A')"),
+          "mnf" -> expr("min(l_quantity) FILTER (WHERE l_linestatus = 'F')"),
+          "kdf" -> expr("kmv_distinct(l_partkey) FILTER (WHERE l_returnflag = 'N')"))
         val filters: Seq[Option[org.apache.spark.sql.Column]] =
           Seq(None, Some(col("l_returnflag") === "A"),
             Some(col("l_linestatus") =!= "F"))
@@ -1135,6 +1141,73 @@ class MvRewriteSpec extends AnyFunSuite {
           "aggregate over a dim column wrongly navigated in multi-dim star")
       } finally MvRewrite.unregister(s"$dir/fact")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("rollup/cube/grouping-sets navigate: the Expand rebuilds over the snapshot") {
+    withSnapshot { snapPath =>
+      // rollup: subtotal + grand-total rows from the kilobyte snapshot —
+      // the Expand's masked-key/gid columns survive with their exprIds,
+      // the measure positions map to the snapshot's partial columns
+      def roll() = spark.read.parquet(basePath)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"),
+          avg("l_quantity").as("a"))
+      val plan = scansOf(roll())
+      assert(plan.contains(snapPath) && !plan.contains("lineitem.parquet"),
+        s"rollup not navigated:\n$plan")
+      val got = roll().orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      MvRewrite.unregister(basePath)
+      val want = roll().orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      assert(got == want && want.nonEmpty, s"rollup diverged:\n$got\nvs\n$want")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      // cube + grouping()/grouping_id() outputs (expressions over the
+      // gid column) compose; a key filter below still replays
+      spark.read.parquet(basePath).createOrReplaceTempView("li_mv_gs")
+      def cube() = spark.sql(
+        """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS gr,
+          |       grouping_id() AS gid, count(*) AS n, sum(l_quantity) AS s
+          |FROM li_mv_gs WHERE l_returnflag <> 'Z'
+          |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+      val cPlan = scansOf(cube())
+      assert(cPlan.contains(snapPath) && !cPlan.contains("lineitem.parquet"),
+        s"cube not navigated:\n$cPlan")
+      val gotC = cube().orderBy("gid", "l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      MvRewrite.unregister(basePath)
+      val wantC = cube().orderBy("gid", "l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      assert(gotC == wantC && wantC.nonEmpty, s"cube diverged")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      // explicit GROUPING SETS with an unmasked (every-set) key
+      def gs() = spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS s
+          |FROM li_mv_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""".stripMargin)
+      assert(scansOf(gs()).contains(snapPath),
+        s"grouping sets not navigated:\n${scansOf(gs())}")
+      val gotG = gs().orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      MvRewrite.unregister(basePath)
+      val wantG = gs().orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      assert(gotG == wantG && wantG.nonEmpty)
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), snapPath)
+      // NEGATIVE: an aggregate over a masked grouping column (sees the
+      // Expand's nulls) must bail
+      val maskedAgg = spark.sql(
+        """SELECT count(l_linestatus) AS n FROM li_mv_gs
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+      assert(scansOf(maskedAgg).contains("lineitem.parquet"),
+        "aggregate over a masked grouping column wrongly navigated")
+      // NEGATIVE: rollup including a NON-key column must bail
+      val nonKey = spark.read.parquet(basePath)
+        .rollup("l_returnflag", "l_shipdate")
+        .agg(sum("l_quantity").as("s"))
+      assert(scansOf(nonKey).contains("lineitem.parquet"),
+        "rollup over a non-key column wrongly navigated")
+    }
   }
 
   test("unanswerable shapes are left untouched") {

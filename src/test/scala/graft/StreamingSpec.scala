@@ -1271,6 +1271,46 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6j fresh composition inside a star rollup: exactly-current fact ⋈ dim dashboards") {
+    import spark.implicits._
+    // composition of two round-8 pieces: the star rewrite joins `snap`
+    // — which for a FRESH registration is snapshot ∪ tail-partials — so
+    // a fact ⋈ dim GROUP BY dim.attr dashboard is exactly current even
+    // while the maintaining stream is down, without any special casing
+    val baseDir = tmp("graft-freshstar-base")
+    val target = tmp("graft-freshstar-tgt")
+    val ckpt = tmp("graft-freshstar-ck")
+    val dimDir = tmp("graft-freshstar-dim")
+    Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(baseDir)
+    Seq(("a", "g1"), ("b", "g2"), ("c", "g1")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, ckpt, Seq("k"), Seq("v"))
+    try q.processAllAvailable() finally q.stop()
+    // tail lands while the stream is down: a NEW key c joins dim g1
+    Seq(("a", 10.0), ("c", 4.0)).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(baseDir)
+    graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("k"),
+      Seq("v"), target)
+    try {
+      def query = spark.read.parquet(baseDir)
+        .join(spark.read.parquet(dimDir), col("k") === col("dk"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      val snapPath = Streams.latestSnapshotPath(spark, target).get
+      val plan = query.queryExecution.executedPlan.toString
+      assert(plan.contains(snapPath) && plan.contains(dimDir),
+        s"fresh star did not navigate:\n$plan")
+      val got = query.orderBy("grp").as[(String, Long, Double)].collect().toSeq
+      graft.plans.MvRewrite.unregister(baseDir)
+      val want = query.orderBy("grp").as[(String, Long, Double)].collect().toSeq
+      // only the tail knows key c (g1's second member) and a's 10.0
+      assert(want == Seq(("g1", 4L, 17.0), ("g2", 1L, 3.0)))
+      assert(got == want, s"fresh star diverged:\n$got\nvs\n$want")
+    } finally graft.plans.MvRewrite.unregister(baseDir)
+  }
+
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
