@@ -365,6 +365,57 @@ object MvRewrite {
     entries.values().asScala.map(e => (e.base, e.keys)).toSeq.sortBy(_.toString)
   }
 
+  /** Operability: one line per registered view saying whether `df`'s
+    * OPTIMIZED plan navigated it — the session's direct answer to "why
+    * is this dashboard suddenly scanning the base". A view is NAVIGATED
+    * when its resolved snapshot is scanned and its base is not, NOT
+    * NAVIGATED when the base is still scanned (the query shape is
+    * unanswerable: non-key filters/groupings, unregistered measures, a
+    * FILTER clause over row-level predicates, …), and NOT REFERENCED
+    * when the plan touches neither. A cached base is called out
+    * explicitly (cache substitution precedes optimizer extensions, so
+    * a .cache()d base can never navigate — expected Spark precedence). */
+  def explainNavigation(df: DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    val es = entries.values().asScala.toSeq.sortBy(e => (e.base, e.keys.mkString(",")))
+    if (es.isEmpty) return "MvRewrite: no views registered"
+    val optimized = df.queryExecution.optimizedPlan
+    // scheme-insensitive (a registration path "/x" must match the
+    // relation's "file:/x")
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val scannedRoots: Set[String] = optimized.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(p => norm(p.toString)).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet
+    val cached = optimized.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    val lines = es.map { e =>
+      val head = s"view(base=${e.base}, keys=${e.keys.mkString(",")})"
+      val snapPath = try Some(e.snapshotPath())
+        catch { case _: IllegalStateException => None }
+      val baseScanned = e.rootPaths.map(norm).exists(scannedRoots.contains)
+      val snapScanned = snapPath.exists(p =>
+        scannedRoots.exists(r => r.startsWith(norm(p))))
+      (baseScanned, snapScanned, snapPath) match {
+        case (false, true, Some(p)) => s"$head: NAVIGATED — answering from $p"
+        case (true, true, Some(p)) => s"$head: PARTIALLY NAVIGATED — $p scanned " +
+          "but the base is scanned too (another aggregate in the plan bailed)"
+        case (true, _, Some(_)) => s"$head: NOT NAVIGATED — base still scanned " +
+          "(query shape unanswerable: non-key filter/grouping, unregistered " +
+          "measure, row-level FILTER clause, or a non-inner join)"
+        case (true, _, None) => s"$head: NOT NAVIGATED — no committed snapshot version yet"
+        case (false, _, _) => s"$head: NOT REFERENCED — the plan does not scan this base"
+      }
+    }
+    val cacheNote = if (cached)
+      Seq("note: plan contains an InMemoryRelation — a .cache()d base never " +
+        "navigates (cache substitution precedes optimizer extensions)")
+    else Nil
+    (lines ++ cacheNote).mkString("\n")
+  }
+
   /** Remove EVERY view registered for `basePath` (all key sets). To
     * replace one view, just re-register the same (base, keys) pair. */
   def unregister(basePath: String): Unit = {

@@ -532,6 +532,25 @@ object ScaleProbe {
     graft.plans.MvRewrite.register(spark, s"$mvDir/base",
       Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), s"$mvDir/snap")
     stage("mv_rewritten_12m") { mvQuery() }
+    // star rollup at 12M: the fact branch navigates inside the join,
+    // the dim is untouched — must cost like the snapshot ⋈ dim, never
+    // a 12M fact scan (round 8)
+    val mvDim = Seq(("A", "grpA"), ("N", "grpN"), ("R", "grpR"))
+      .toDF("dflag", "grp")
+    mvDim.write.mode("overwrite").parquet(s"$mvDir/dim")
+    stage("mv_star_12m") {
+      spark.read.parquet(s"$mvDir/base")
+        .join(spark.read.parquet(s"$mvDir/dim"), col("l_returnflag") === col("dflag"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    }
+    // grouping-sets at 12M: every subtotal level re-aggregates the
+    // kilobyte snapshot through the rebuilt Expand (round 8)
+    stage("mv_rollup_12m") {
+      spark.read.parquet(s"$mvDir/base")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    }
     graft.plans.MvRewrite.unregister(s"$mvDir/base")
 
     // Fresh composition at 12M: a snapshot covering the base files

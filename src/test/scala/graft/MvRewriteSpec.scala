@@ -1210,6 +1210,27 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("explainNavigation answers why a query did or didn't navigate") {
+    assert(MvRewrite.explainNavigation(
+      spark.read.parquet(basePath).groupBy("l_returnflag").agg(sum("l_quantity")))
+      .contains("no views registered"))
+    withSnapshot { snapPath =>
+      val navigated = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      val r1 = MvRewrite.explainNavigation(navigated)
+      assert(r1.contains("NAVIGATED") && r1.contains(snapPath), r1)
+      val bailed = spark.read.parquet(basePath)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      val r2 = MvRewrite.explainNavigation(bailed)
+      assert(r2.contains("NOT NAVIGATED") && r2.contains("unanswerable"), r2)
+      val unrelated = spark.read.parquet(s"${TestSession.sf0001}/orders.parquet")
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+      val r3 = MvRewrite.explainNavigation(unrelated)
+      assert(r3.contains("NOT REFERENCED"), r3)
+    }
+  }
+
   test("unanswerable shapes are left untouched") {
     withSnapshot { _ =>
       // a filter means the snapshot can't answer
