@@ -209,7 +209,7 @@ object Bench {
           "q11_array", "q12_count_distinct", "q_histogram", "ev_sessionize",
           "ev_grouped_topk", "ev_asof", "e1_minhash_lsh", "e1_dup_spans",
           "e1_cluster_rep", "e2_knn_brute", "e2_ann_topk", "e2_ivf_topk",
-          "e3_nb_classifier", "txt_tfidf", "txt_keywords", "mm_pixels",
+          "e3_nb_classifier", "txt_tfidf", "txt_bm25", "txt_keywords", "mm_pixels",
           "pk_sequence_pack", "mx_temperature", "gr_pagerank",
           "q_scd2", "q_zorder", "q_hilbert", "txt_pii", "txt_normalize",
           "q_incr_kmv", "q_kmv_overlap",

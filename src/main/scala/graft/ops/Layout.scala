@@ -168,10 +168,87 @@ object Layout {
   def statsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "Layout.statsIndex: no columns")
-    val df = spark.read.parquet(path)
-    df.groupBy(input_file_name().as("file"))
+    indexOf(spark.read.parquet(path), cols, Nil, 0, 0)
+  }
+
+  /** Fibonacci-hash position of a value's canonical string rendering —
+    * the fingerprint's bit index. High-bits extraction (`(h·φ) >>> (64−
+    * lg)`, the [[graft.functions.KmvSketch]] house arithmetic) because
+    * a power-of-two modulus of a product would depend only on the LOW
+    * operand bits. Identical on both sides: the build uses the
+    * codegen'd [[graft.functions.Fnv64]], the probe recomputes with
+    * its Scala twin [[graft.ops.Dedup.strHash64]]. */
+  private val FpFib = 0x9E3779B97F4A7C15L
+  private def fpSalt(j: Int): Long = FpFib * (2L * j + 1L)
+  private def fpLg(bits: Int): Int = {
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"fingerprint bits must be a power of two >= 64, got $bits")
+    63 - java.lang.Long.numberOfLeadingZeros(bits.toLong)
+  }
+  private[graft] def fpPos(v: String, j: Int, bits: Int): Int = {
+    val h = graft.ops.Dedup.strHash64(v)
+    (((h ^ fpSalt(j)) * FpFib) >>> (64 - fpLg(bits))).toInt
+  }
+  private def fpPosCol(c: Column, j: Int, bits: Int): Column = {
+    // native expressions end to end: the multiply must WRAP (ANSI-mode
+    // SQL `*` throws on Long overflow), and the build stays codegen'd
+    val shim = org.apache.spark.sql.graftshim.Shim
+    shim.column(graft.functions.FibonacciPos(
+      graft.functions.Fnv64(shim.expression(c.cast("string"))),
+      fpSalt(j), 64 - fpLg(bits)))
+  }
+
+  /** One pass over `df`: per-file row count, min/max per stats column,
+    * and (when `fpCols` is set) per-file membership fingerprints —
+    * the SET of hash positions its values light up, `fpHashes`
+    * positions per value in a `fpBits`-slot space, stored sorted for
+    * deterministic rebuild equality. `fp_bits`/`fp_k` ride along as
+    * constant columns so the probe can never disagree with the build. */
+  private def indexOf(df: DataFrame, cols: Seq[String], fpCols: Seq[String],
+                      fpBits: Int, fpHashes: Int): DataFrame = {
+    val base = df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+    if (fpCols.isEmpty) base
+    else {
+      val withFp = fpCols.foldLeft(base) { (acc, c) =>
+        val fp = df
+          .select(input_file_name().as("file"), col(c).cast("string").as("v"))
+          .where(col("v").isNotNull)
+          .select(col("file"), explode(array((0 until fpHashes).map(j =>
+            fpPosCol(col("v"), j, fpBits)): _*)).as("pos"))
+          .groupBy("file")
+          .agg(sort_array(collect_set(col("pos"))).as(s"fp_$c"))
+        acc.join(fp, Seq("file"), "left")
+      }
+      withFp.withColumn("fp_bits", lit(fpBits)).withColumn("fp_k", lit(fpHashes))
+    }
+  }
+
+  /** [[statsIndex]] plus per-file MEMBERSHIP fingerprints for
+    * `fpCols` — the file-skipping min/max can't give. On an
+    * unclustered high-cardinality column every file spans the whole
+    * value range, so box pruning keeps everything; a point lookup
+    * (`WHERE user_id = …`, the commonest 100 TB needle query) then
+    * scans the full table. The fingerprint is a Bloom-style position
+    * set (k Fibonacci-hash positions per value in a power-of-two
+    * space): [[readPrunedEquals]] keeps only files whose set contains
+    * ALL the probe's positions — no false negatives ever (every value
+    * present lit its positions), false positives at the classic
+    * `(1−e^(−kn/m))^k` rate just cost a redundant file read. Size the
+    * space generously: the index stores the set sparse (sorted ints),
+    * so an oversized `fpBits` costs nothing until files actually hold
+    * that many distinct values. Build cost is one extra shuffle of
+    * (file, position) pairs — map-side combined, bounded by
+    * `fpBits`/file — next to the stats pass. */
+  def statsIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
+                            path: String, cols: Seq[String],
+                            fpCols: Seq[String],
+                            fpBits: Int = 1 << 17,
+                            fpHashes: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "Layout.statsIndexFingerprint: no columns")
+    require(fpCols.nonEmpty, "Layout.statsIndexFingerprint: no fingerprint columns")
+    indexOf(spark.read.parquet(path), cols, fpCols, fpBits, fpHashes)
   }
 
   /** Incrementally extend a [[statsIndex]] with stats for files that
@@ -219,10 +296,24 @@ object Layout {
     val fresh = listed.filterNot(f => indexedPaths.contains(f.toUri.getPath))
     if (fresh.isEmpty) keptIndex
     else {
-      val newStats = spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("rows"),
-          cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+      // a fingerprinted index ([[statsIndexFingerprint]]) declares its
+      // own build parameters in fp_bits/fp_k — fresh files get the
+      // SAME fingerprints, so the refreshed index stays probe-compatible
+      val fields = index.schema.fieldNames.toSet
+      val fpCols =
+        if (fields.contains("fp_bits"))
+          index.schema.fieldNames.collect { case n if n.startsWith("fp_") &&
+            n != "fp_bits" && n != "fp_k" => n.stripPrefix("fp_") }.toSeq
+        else Nil
+      val (fpBits, fpK) =
+        if (fpCols.isEmpty) (0, 0)
+        else {
+          val r = index.select("fp_bits", "fp_k").head()
+          (r.getInt(0), r.getInt(1))
+        }
+      val newStats = indexOf(
+        spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*),
+        cols, fpCols, fpBits, fpK)
       keptIndex.unionByName(newStats)
     }
   }
@@ -243,6 +334,50 @@ object Layout {
       .collect().map(_.getString(0))
     if (files.isEmpty) {
       // preserve schema on the empty result
+      val any = index.select("file").limit(1).collect().map(_.getString(0))
+      spark.read.parquet(any.toIndexedSeq: _*).limit(0)
+    } else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Read only the files whose fingerprints can contain ALL the probe
+    * equalities (`eqs`: col → value, rendered with the same
+    * cast-to-string the build used — pass strings/integers as their
+    * canonical text). A file is kept iff, for every probed column, its
+    * position set holds every one of the value's `fp_k` hash positions
+    * AND the value sits inside the file's min/max when that column is
+    * also range-indexed. Files with a NULL fingerprint (no non-null
+    * values) can never match a non-null equality — pruned. No false
+    * negatives (every ingested value lit its positions at build time);
+    * a false positive just reads one redundant file. The membership
+    * test runs as a Spark filter over the index — only the surviving
+    * file NAMES cross to the driver, so a fat million-file fingerprint
+    * index never materializes driver-side. */
+  def readPrunedEquals(spark: org.apache.spark.sql.SparkSession,
+                       index: DataFrame, eqs: Map[String, Any]): DataFrame = {
+    require(eqs.nonEmpty, "Layout.readPrunedEquals: no equality probes")
+    val fields = index.schema.fieldNames.toSet
+    require(fields.contains("fp_bits"),
+      "Layout.readPrunedEquals: index has no fingerprints — build it with " +
+        "statsIndexFingerprint")
+    val (bits, k) = {
+      val r = index.select("fp_bits", "fp_k").head()
+      (r.getInt(0), r.getInt(1))
+    }
+    val keep = eqs.foldLeft(lit(true)) { case (acc, (c, v)) =>
+      require(fields.contains(s"fp_$c"),
+        s"Layout.readPrunedEquals: column $c is not fingerprinted")
+      val s = String.valueOf(v)
+      val member = (0 until k)
+        .map(j => array_contains(col(s"fp_$c"), lit(fpPos(s, j, bits))))
+        .reduce(_ && _)
+      val boxed =
+        if (fields.contains(s"min_$c"))
+          col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+        else lit(true)
+      acc && col(s"fp_$c").isNotNull && member && boxed
+    }
+    val files = index.filter(keep).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) {
       val any = index.select("file").limit(1).collect().map(_.getString(0))
       spark.read.parquet(any.toIndexedSeq: _*).limit(0)
     } else spark.read.parquet(files.toIndexedSeq: _*)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for LLM-data pipelines (SURVEY §2.6 E3):
@@ -33,6 +33,53 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Okapi BM25 ranked retrieval — "which documents answer this query"
+    * at corpus scale (contamination checks and eval-set retrieval both
+    * need it; the tf-idf scorer's production-grade sibling). One
+    * tokenize pass; the query's terms filter the postings BEFORE any
+    * shuffle, so only matching (doc, term) pairs aggregate; df and the
+    * corpus stats are kilobyte frames broadcast back; top-k by
+    * (score desc, doc_id) is TakeOrderedAndProject, never a global
+    * sort. Scoring uses the always-positive idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` with standard k1/b defaults.
+    * Determinism contract (the oracle hash-checks this end-to-end):
+    * each (doc, term) score is ONE fixed-association double expression
+    * — mirrored literally in the DuckDB oracle, the txt_tfidf
+    * precedent — and is rounded to 1e-9 fixed point BEFORE the per-doc
+    * sum, so aggregation order cannot smear last-ulp differences into
+    * the ranking. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "TextAnalysis.bm25TopK: no query terms")
+    require(k > 0, "TextAnalysis.bm25TopK: k must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val qtok = tok.where(col("term").isin(queryTerms: _*))
+    val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = qtok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("s_fp", round(col("s") * lit(1e9)).cast("long"))
+    scored.groupBy("doc_id")
+      .agg((sum("s_fp") / lit(1e9)).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** Word n-gram shingles (n=3) — the dedup unit for MinHash/Jaccard.
     * Guarded so short docs yield an empty array (Spark `sequence` would

@@ -706,11 +706,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * join multiplicity — and with it the exactness of every mapped
     * aggregate — is preserved (a group's rows all share the join-key
     * columns the conditions reference, so they match the same dim rows
-    * the group-row does). Aggregates referencing DIM columns bail: a
-    * group-row carries the group once, not cnt times. All name-based
-    * matching (keys, derived formulas, measures) is guarded by exprId
-    * against dim attributes, so a dim column that happens to share a
-    * key's name can never cross-match. */
+    * the group-row does). Aggregates over DIM columns navigate by
+    * count-weighting (a group-row carries the group once, not cnt
+    * times, so sum(dim.x) → sum(dim.x · cnt), integral types only;
+    * min/max/count(DISTINCT) are multiplicity-free); aggregates mixing
+    * fact and dim references bail. All name-based matching (keys,
+    * derived formulas, measures) is guarded by exprId against dim
+    * attributes, so a dim column that happens to share a key's name
+    * can never cross-match. */
   private def rewrite(orig: Aggregate, groupings: Seq[Expression],
                       results: Seq[NamedExpression],
                       e: MvRewrite.Entry,
@@ -930,15 +933,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def nnCnt(m: String, filt: Option[Expression] = None): Expression =
       Coalesce(Seq(sumOf(snapAttr(s"cnt_$m"), filt), Literal(0L, LongType)))
 
-    // untouched-attr guard: an aggregate over a DIM column cannot be
-    // answered — the snapshot's group-row carries each group once, not
-    // per-fact-row (sum(dim.x) over the join weights x by the group
-    // SIZE) — and an aggregate over a MASKED grouping-sets key sees
-    // nulls the snapshot key column doesn't. Checked by exprId up front
-    // so no name-based case below can cross-match.
-    if (star.isDefined || expand.isDefined) results.foreach(_.foreach {
+    // untouched-attr guard, checked by exprId up front so no name-based
+    // case below can ever cross-match a dim/kept attribute. Under a
+    // grouping-sets EXPAND an aggregate over a masked key sees nulls
+    // the snapshot key column doesn't — bail. Under a STAR an aggregate
+    // FUNCTION over dim columns IS answerable by count-weighting (the
+    // dedicated case below), but only when the function references dims
+    // EXCLUSIVELY — a mixed fact+dim function bails here, before any
+    // name-matched fact case could see it. The FILTER clause is gated
+    // separately (navFilter accepts keys and dims), so
+    // `sum(m) FILTER (WHERE dim.x = …)` stays navigable.
+    if (expand.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression
           if ae.references.exists(dimOut.contains) => throw Unanswerable
+      case _ =>
+    })
+    if (star.isDefined) results.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        val fnRefs = inline(ae.aggregateFunction).references
+        if (fnRefs.exists(dimOut.contains) && !fnRefs.subsetOf(dimOut))
+          throw Unanswerable
       case _ =>
     })
     // map each result expression onto the snapshot; bail on anything
@@ -979,6 +993,62 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         if (!sub.references.subsetOf(AttributeSet(snap.output) ++ dimOut))
           throw Unanswerable
         Alias(sub, name)(exprId = al.exprId)
+      // STAR dim-attribute aggregates — the other half of the BI rollup
+      // (`fact ⋈ dim GROUP BY dim.a` aggregating dim columns). The
+      // rewritten plan carries each (fact-group, dim-row) pair ONCE
+      // where the original join carried it cnt(group) times, so
+      // row-weighted aggregates over dim columns re-weight by the
+      // snapshot's cnt. Exactness: integral inputs only — Σ x·cnt is
+      // identical to adding x cnt-times in the integers (mod 2⁶⁴, so
+      // even wraparound agrees), and avg divides the same exact integer
+      // operands on both sides below 2⁵³. min/max/count(DISTINCT) are
+      // multiplicity-free and pass through for ANY type. A fractional
+      // dim attribute bails: x+x+x ≠ 3·x in IEEE in general, which
+      // would break exact-answer navigation.
+      case al @ Alias(AggregateExpression(fn, _, isDistinct, filt, _), name)
+          if star.isDefined && {
+            val refs = inline(fn).references
+            refs.nonEmpty && refs.subsetOf(dimOut)
+          } =>
+        def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => true
+          case _ => false
+        }
+        val cntA = snapAttr("cnt")
+        val nf = navFilter(filt)
+        def weighted(ex: Expression): Expression =
+          Multiply(Cast(inline(ex), LongType), cntA)
+        def nnWeight(ex: Expression): Expression =
+          Coalesce(Seq(AggregateExpression(
+            Sum(If(IsNotNull(inline(ex)), cntA, Literal(0L, LongType))),
+            Complete, isDistinct = false, filter = nf), Literal(0L, LongType)))
+        (fn, isDistinct) match {
+          case (Count(args), true) =>
+            Alias(AggregateExpression(Count(args.map(inline)), Complete,
+              isDistinct = true, filter = nf), name)(exprId = al.exprId)
+          case (Count(Seq(ex)), false) if !ex.isInstanceOf[Literal] =>
+            Alias(nnWeight(ex), name)(exprId = al.exprId)
+          case (Sum(ex, _), false) if integral(ex.dataType) =>
+            if (al.dataType != LongType) throw Unanswerable
+            Alias(AggregateExpression(Sum(weighted(ex)), Complete,
+              isDistinct = false, filter = nf), name)(exprId = al.exprId)
+          case (Average(ex, _), false) if integral(ex.dataType) =>
+            if (al.dataType != DoubleType) throw Unanswerable
+            Alias(If(EqualTo(nnWeight(ex), Literal(0L, LongType)),
+              Literal(null, DoubleType),
+              Divide(Cast(AggregateExpression(Sum(weighted(ex)), Complete,
+                isDistinct = false, filter = nf), DoubleType),
+                Cast(nnWeight(ex), DoubleType))), name)(exprId = al.exprId)
+          case (Min(ex), false) =>
+            Alias(AggregateExpression(Min(inline(ex)), Complete,
+              isDistinct = false, filter = nf), name)(exprId = al.exprId)
+          case (Max(ex), false) =>
+            Alias(AggregateExpression(Max(inline(ex)), Complete,
+              isDistinct = false, filter = nf), name)(exprId = al.exprId)
+          case _ => throw Unanswerable
+        }
       // a FILTER clause in any pattern below navigates ONLY through
       // navFilter's whole-group gate (keys/dims); anything else throws
       // Unanswerable there — a per-row FILTER can never silently drop

@@ -1257,6 +1257,92 @@ object Relational {
     }
   }
 
+  // Star rollup aggregating DIM columns — the other half of the BI
+  // shape: fact ⋈ dim GROUP BY dim.attr with sums/avgs OVER the dim's
+  // own columns. The fact branch navigates to its snapshot and the dim
+  // aggregates re-weight by the snapshot's cnt (sum(dim.x) →
+  // sum(dim.x · cnt); exact for integral x — integer arithmetic is
+  // order-free), min/max/count(DISTINCT) pass through multiplicity-
+  // free, and a fact-measure aggregate takes a dim-predicate FILTER
+  // clause (whole joined pairs pass or not). require()-gated.
+  private val qStarDim = QueryDef("q_star_dim", Some(
+    """SELECT o_orderpriority,
+      |       CAST(sum(o_custkey) AS BIGINT) AS sum_ck,
+      |       count(o_custkey) AS cnt_ck,
+      |       CAST(sum(o_custkey) AS DOUBLE) / CAST(count(o_custkey) AS DOUBLE) AS avg_ck,
+      |       min(o_orderdate) AS min_dt,
+      |       max(o_orderdate) AS max_dt,
+      |       count(DISTINCT o_custkey) AS nd_ck,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT))
+      |         FILTER (WHERE o_orderstatus = 'F') / 100.0 AS sum_f
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/lineitem.parquet"
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-stardim-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath), Seq("l_orderkey"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.register(spark, basePath, Seq("l_orderkey"),
+      Seq("l_quantity"), s"$work/snap")
+    try {
+      val out = spark.read.parquet(basePath)
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("o_custkey").as("sum_ck"),
+          count("o_custkey").as("cnt_ck"),
+          avg("o_custkey").as("avg_ck"),
+          min("o_orderdate").as("min_dt"),
+          max("o_orderdate").as("max_dt"),
+          countDistinct("o_custkey").as("nd_ck"),
+          expr("sum(l_quantity) FILTER (WHERE o_orderstatus = 'F')").as("sum_f"))
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("lineitem.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_star_dim: dim-aggregate star navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // File-skipping point lookup — the needle query over a 100 TB table:
+  // the fact is HASH-clustered on the key (each key's rows in one
+  // file) so every file spans the full key range and min/max pruning
+  // keeps everything; the per-file membership FINGERPRINT
+  // (Layout.statsIndexFingerprint) is what lets the read open ~1 of
+  // the files. No false negatives by construction (every ingested
+  // value lit its hash positions), so the pruned answer hash-matches
+  // the full-scan oracle; the require() proves pruning engaged.
+  private val qSkipping = QueryDef("q_skipping", Some(
+    """SELECT l_orderkey, count(*) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem WHERE l_orderkey = 1 GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skip-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndexFingerprint(spark, s"$work/t",
+          Seq("l_orderkey"), Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      val pruned = graft.ops.Layout.readPrunedEquals(spark,
+        spark.read.parquet(s"$work/idx"), Map("l_orderkey" -> 1L))
+      val opened = pruned.inputFiles.length
+      require(opened <= 3,
+        s"q_skipping: fingerprint pruned nothing ($opened of 8 files opened)")
+      pruned.filter(col("l_orderkey") === 1L)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 point-in-time join — "what did the customer's record say when
   // the line shipped": every lineitem joins the dimension VERSION
   // (q_scd2's build: each order re-versions its customer's record)
@@ -1387,5 +1473,5 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
-    qStarRollup, qStarRollup2, qMvRollup, qMvGroupingSets)
+    qStarRollup, qStarRollup2, qStarDim, qMvRollup, qMvGroupingSets, qSkipping)
 }

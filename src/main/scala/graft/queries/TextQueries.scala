@@ -178,6 +178,42 @@ object TextQueries {
       .select("doc_id", "term", "score", "rk")
   }
 
+  // BM25 ranked retrieval over the corpus for a fixed query — the
+  // tf-idf scorer's production sibling (doc-length normalization +
+  // saturating tf). Every arithmetic step mirrors TextAnalysis.bm25TopK
+  // exactly: computed constants are spelled as the SAME source
+  // expressions ((1.2 + 1.0), never 2.2 — the parsed-literal double
+  // could differ in the last ulp from the Scala sum), each (doc, term)
+  // score is one fixed-association double expression, and scores are
+  // 1e-9 fixed-point BEFORE the per-doc sum so aggregation order can't
+  // smear the ranking. Top-10 tiebreak by doc_id on both sides.
+  private val bm25 = QueryDef("txt_bm25", Some(
+    """WITH tok AS (SELECT doc_id,
+      |                    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |             FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |qt AS (SELECT * FROM tok WHERE term IN ('join', 'hash', 'window')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+      |s AS (SELECT tf.doc_id,
+      |             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                      / (CAST(df AS DOUBLE) + 0.5))
+      |               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |                    + 0.75 * CAST(dl AS DOUBLE)
+      |                      / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id,
+      |       CAST(sum(CAST(round(sc * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |         / 1000000000.0 AS score,
+      |       count(*) AS n_terms
+      |FROM s GROUP BY 1
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)) { (spark, dir) =>
+    graft.ops.TextAnalysis.bm25TopK(Tables(spark, dir).documents,
+      "doc_id", "text", Seq("join", "hash", "window"), 10)
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -672,6 +708,6 @@ object TextQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    tokenCountQ, tfidf, bm25, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

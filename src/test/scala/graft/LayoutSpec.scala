@@ -190,6 +190,61 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("fingerprint index: point lookups skip files min/max can't prune; refresh stays compatible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+    try {
+      // high-cardinality key HASH-scattered across files: every file
+      // spans the whole value range, so min/max pruning keeps all of
+      // them — the membership fingerprint is what makes the point
+      // lookup skip. Hash-clustering puts each key's rows in ONE file.
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(8, col("uid")).write.parquet(s"$dir/t")
+      Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      val idx = spark.read.parquet(s"$dir/idx")
+      assert(idx.count() == 8)
+      // NO FALSE NEGATIVES: every present probe's rows survive pruning
+      val probes = spark.read.parquet(s"$dir/t")
+        .limit(20).select("uid").as[Long].collect()
+      probes.foreach { v =>
+        val pruned = Layout.readPrunedEquals(spark, idx, Map("uid" -> v))
+        assert(pruned.filter(col("uid") === v).count() == 1,
+          s"false negative for $v")
+        // each key lives in one file; false positives may add a couple
+        assert(pruned.inputFiles.length <= 3,
+          s"pruned read opened ${pruned.inputFiles.length} of 8 files for $v")
+      }
+      // an ABSENT value prunes everything (deterministic hash, no flake)
+      assert(Layout.readPrunedEquals(spark, idx,
+        Map("uid" -> 0x0123456789ABCDEFL)).count() == 0)
+      // incremental refresh rebuilds the SAME fingerprints for fresh
+      // files (parameters read from the index itself)
+      spark.range(40000, 50000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(2, col("uid")).write.mode("append").parquet(s"$dir/t")
+      val upd = Layout.statsIndexUpdate(spark, s"$dir/t", Seq("uid"), idx)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("file").collect().map(_.toString).toSeq
+      assert(canon(upd) ==
+        canon(Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))),
+        "incremental fingerprint refresh diverged from full rebuild")
+      // a value born after the first build is findable through the
+      // refreshed index
+      val young = spark.read.parquet(s"$dir/t")
+        .filter(col("g") === 7).limit(1).select("uid").as[Long].collect().head
+      upd.write.mode("overwrite").parquet(s"$dir/idx2")
+      val pruned2 = Layout.readPrunedEquals(spark,
+        spark.read.parquet(s"$dir/idx2"), Map("uid" -> young))
+      assert(pruned2.filter(col("uid") === young).count() >= 1)
+      // probing a non-fingerprinted column fails loudly
+      intercept[IllegalArgumentException] {
+        Layout.readPrunedEquals(spark, idx, Map("g" -> 5L))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join without any shuffle") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
       .select("l_orderkey", "l_quantity")

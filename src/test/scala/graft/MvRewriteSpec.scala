@@ -1054,13 +1054,19 @@ class MvRewriteSpec extends AnyFunSuite {
           .orderBy("grp").collect().map(_.toString).toSeq
         assert(gotF == wantF && wantF.nonEmpty)
         reg()
-        // NEGATIVE: an aggregate over a DIM column must bail (the
-        // group-row carries the group once, not per-fact-row)
-        val dimAgg = spark.read.parquet(s"$dir/fact")
+        // an aggregate over a DIM column navigates too: countDistinct
+        // is multiplicity-free, so it passes through over the rebuilt
+        // snap ⋈ dim (the full count-weighted family has its own test)
+        def dimAgg() = spark.read.parquet(s"$dir/fact")
           .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
           .groupBy("grp").agg(countDistinct("dk").as("nd"))
-        assert(scansOf(dimAgg).contains(s"$dir/fact"),
-          "aggregate over dim column wrongly navigated")
+        assert(scansOf(dimAgg()).contains(s"$dir/snap") &&
+            !scansOf(dimAgg()).contains(s"$dir/fact"),
+          s"dim countDistinct not navigated:\n${scansOf(dimAgg())}")
+        val gotDd = dimAgg().orderBy("grp").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/fact")
+        assert(gotDd == dimAgg().orderBy("grp").collect().map(_.toString).toSeq)
+        reg()
         // NEGATIVE: joining on a NON-KEY fact column must bail (rows of
         // a group don't share it, so group-level matching is undefined)
         val badJoin = spark.read.parquet(s"$dir/fact")
@@ -1132,13 +1138,88 @@ class MvRewriteSpec extends AnyFunSuite {
           .groupBy("grp2").agg(sum("v").as("s"))
         assert(scansOf(deep).contains(s"$dir/snap"),
           s"snowflake with dim filter not navigated:\n${scansOf(deep)}")
-        // NEGATIVE: one of the dims aggregated over — bail whole query
-        val dimAgg = spark.read.parquet(s"$dir/fact")
+        // sum over a dim EXPRESSION (integral) navigates count-weighted
+        // even with two dims in the chain
+        def dimAgg() = spark.read.parquet(s"$dir/fact")
           .join(spark.read.parquet(s"$dir/dim1"), col("fk1") === col("dk1"))
           .join(spark.read.parquet(s"$dir/dim2"), col("fk2") === col("dk2"))
           .groupBy("grp1").agg(sum(length(col("grp2"))).as("s"))
-        assert(scansOf(dimAgg).contains(s"$dir/fact"),
-          "aggregate over a dim column wrongly navigated in multi-dim star")
+        assert(scansOf(dimAgg()).contains(s"$dir/snap") &&
+            !scansOf(dimAgg()).contains(s"$dir/fact"),
+          s"dim-expression sum not navigated in multi-dim star:\n${scansOf(dimAgg())}")
+        val gotDim = dimAgg().orderBy("grp1").collect().map(_.toString).toSeq
+        MvRewrite.unregister(s"$dir/fact")
+        assert(gotDim == dimAgg().orderBy("grp1").collect().map(_.toString).toSeq)
+        reg()
+      } finally MvRewrite.unregister(s"$dir/fact")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("star dim-attribute aggregates navigate by count-weighting") {
+    // sum(dim.x) over fact ⋈ dim weights x by each fact group's SIZE —
+    // the snapshot's cnt re-weights exactly for integral x (integer
+    // arithmetic is order-free, even mod 2⁶⁴), and min/max/
+    // count(DISTINCT) are multiplicity-free. Fractional dim attrs and
+    // mixed fact+dim functions bail.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-stardim").toString
+    try {
+      val fact = (0 until 500).map { i =>
+        (i % 31L, if (i % 2 == 0) "x" else "y", (i % 17).toDouble)
+      }.toDF("fk", "flag", "v")
+      fact.write.mode("overwrite").parquet(s"$dir/fact")
+      // dim carries an integral metric WITH NULLS, a fractional metric,
+      // duplicate join keys (fan-out > 1) and unmatched keys
+      val dim = ((0 until 25).map(i => (i.toLong, s"g${i % 4}",
+          if (i % 6 == 0) null else java.lang.Long.valueOf((i % 9).toLong),
+          i * 0.31)) ++
+        Seq((4L, "g1", java.lang.Long.valueOf(5L), 1.7),
+            (99L, "g9", java.lang.Long.valueOf(1L), 0.1)))
+        .toDF("dk", "grp", "w", "d")
+      dim.write.mode("overwrite").parquet(s"$dir/dim")
+      Cdc.aggSnapshot(spark.read.parquet(s"$dir/fact"), Seq("fk", "flag"),
+          Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      def reg() = MvRewrite.register(spark, s"$dir/fact", Seq("fk", "flag"),
+        Seq("v"), s"$dir/snap")
+      reg()
+      try {
+        def check(mk: => org.apache.spark.sql.DataFrame, label: String): Unit = {
+          val plan = scansOf(mk)
+          assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/fact"),
+            s"$label not navigated:\n$plan")
+          val got = mk.orderBy("grp").collect().map(_.toString).toSeq
+          MvRewrite.unregister(s"$dir/fact")
+          val want = mk.orderBy("grp").collect().map(_.toString).toSeq
+          reg()
+          assert(got == want && want.nonEmpty,
+            s"$label diverged:\n$got\nvs\n$want")
+        }
+        def base() = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("fk") === col("dk"))
+        check(base().groupBy("grp").agg(sum("w").as("s")), "sum(dim int)")
+        check(base().groupBy("grp").agg(count("w").as("c")),
+          "count(dim int, null-skipping)")
+        check(base().groupBy("grp").agg(avg("w").as("a")), "avg(dim int)")
+        check(base().groupBy("grp").agg(min("d").as("mn"), max("d").as("mx")),
+          "min/max(dim double)")
+        check(base().groupBy("grp").agg(countDistinct("w").as("nd")),
+          "count(distinct dim)")
+        check(base().groupBy("grp").agg(
+          expr("sum(w) FILTER (WHERE flag = 'x')").as("sf"),
+          expr("count(*) FILTER (WHERE w > 3)").as("cf"),
+          expr("sum(v) FILTER (WHERE w > 3)").as("vf")),
+          "FILTER clauses over keys and dims")
+        // NEGATIVE: fractional dim attr must bail (x+x+x ≠ 3·x in IEEE)
+        assert(scansOf(base().groupBy("grp").agg(sum("d").as("s")))
+          .contains(s"$dir/fact"), "fractional dim sum wrongly navigated")
+        // NEGATIVE: a function mixing fact and dim references must bail
+        assert(scansOf(base().groupBy("grp")
+            .agg(sum(col("v") + col("w")).as("s")))
+          .contains(s"$dir/fact"), "mixed fact+dim sum wrongly navigated")
+        // NEGATIVE: sum(DISTINCT dim) has no weighted form — bail
+        assert(scansOf(base().groupBy("grp")
+            .agg(sum_distinct(col("w")).as("s")))
+          .contains(s"$dir/fact"), "sum(DISTINCT dim) wrongly navigated")
       } finally MvRewrite.unregister(s"$dir/fact")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
