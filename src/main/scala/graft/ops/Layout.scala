@@ -189,6 +189,13 @@ object Layout {
     val h = graft.ops.Dedup.strHash64(v)
     (((h ^ fpSalt(j)) * FpFib) >>> (64 - fpLg(bits))).toInt
   }
+  /** One-bit membership probe against a stored bitmap fingerprint. */
+  private def bitTest(fp: Column, pos: Int): Column = {
+    val shim = org.apache.spark.sql.graftshim.Shim
+    shim.column(graft.functions.BitmapContains(
+      shim.expression(fp), shim.expression(lit(pos))))
+  }
+
   private def fpPosCol(c: Column, j: Int, bits: Int): Column = {
     // native expressions end to end: the multiply must WRAP (ANSI-mode
     // SQL `*` throws on Long overflow), and the build stays codegen'd
@@ -199,11 +206,16 @@ object Layout {
   }
 
   /** One pass over `df`: per-file row count, min/max per stats column,
-    * and (when `fpCols` is set) per-file membership fingerprints —
-    * the SET of hash positions its values light up, `fpHashes`
-    * positions per value in a `fpBits`-slot space, stored sorted for
-    * deterministic rebuild equality. `fp_bits`/`fp_k` ride along as
-    * constant columns so the probe can never disagree with the build. */
+    * and (when `fpCols` is set) per-file membership fingerprints — a
+    * FIXED `fpBits/8`-byte Bloom bitmap ([[graft.functions
+    * .BloomBitmapAgg]]; bits at `fpHashes` Fibonacci-hash positions
+    * per value). Bitmap, not a position set: at high per-file
+    * cardinality a sparse set is as large as the column itself and
+    * membership is a linear scan, while the bitmap is flat-sized
+    * (parquet RLE squeezes the zeros when sparse) with one-bit-test
+    * probes, and OR-merge makes the bytes identical under any row
+    * order. `fp_bits`/`fp_k` ride along as constant columns so the
+    * probe can never disagree with the build. */
   private def indexOf(df: DataFrame, cols: Seq[String], fpCols: Seq[String],
                       fpBits: Int, fpHashes: Int): DataFrame = {
     val base = df.groupBy(input_file_name().as("file"))
@@ -211,6 +223,7 @@ object Layout {
         cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
     if (fpCols.isEmpty) base
     else {
+      val shim = org.apache.spark.sql.graftshim.Shim
       val withFp = fpCols.foldLeft(base) { (acc, c) =>
         val fp = df
           .select(input_file_name().as("file"), col(c).cast("string").as("v"))
@@ -218,7 +231,9 @@ object Layout {
           .select(col("file"), explode(array((0 until fpHashes).map(j =>
             fpPosCol(col("v"), j, fpBits)): _*)).as("pos"))
           .groupBy("file")
-          .agg(sort_array(collect_set(col("pos"))).as(s"fp_$c"))
+          .agg(shim.column(graft.functions.BloomBitmapAgg(
+            shim.expression(col("pos")), fpBits / 8)
+            .toAggregateExpression()).as(s"fp_$c"))
         acc.join(fp, Seq("file"), "left")
       }
       withFp.withColumn("fp_bits", lit(fpBits)).withColumn("fp_k", lit(fpHashes))
@@ -235,12 +250,14 @@ object Layout {
     * space): [[readPrunedEquals]] keeps only files whose set contains
     * ALL the probe's positions — no false negatives ever (every value
     * present lit its positions), false positives at the classic
-    * `(1−e^(−kn/m))^k` rate just cost a redundant file read. Size the
-    * space generously: the index stores the set sparse (sorted ints),
-    * so an oversized `fpBits` costs nothing until files actually hold
-    * that many distinct values. Build cost is one extra shuffle of
-    * (file, position) pairs — map-side combined, bounded by
-    * `fpBits`/file — next to the stats pass. */
+    * `(1−e^(−kn/m))^k` rate just cost a redundant file read. The
+    * fingerprint is a FLAT `fpBits/8`-byte bitmap per (file, column) —
+    * 16 KB at the default 2¹⁷ — and parquet RLE squeezes the zeros
+    * when a file holds few values, so size the space for the expected
+    * per-file distinct count (`fpBits ≈ 20·n` keeps FP ≈ 10⁻⁴ at
+    * k=4). Build cost is one extra shuffle of (file, position) pairs
+    * — map-side combined into per-file bitmaps — next to the stats
+    * pass. */
   def statsIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
                             path: String, cols: Seq[String],
                             fpCols: Seq[String],
@@ -332,11 +349,7 @@ object Layout {
     }
     val files = index.filter(keep).select("file")
       .collect().map(_.getString(0))
-    if (files.isEmpty) {
-      // preserve schema on the empty result
-      val any = index.select("file").limit(1).collect().map(_.getString(0))
-      spark.read.parquet(any.toIndexedSeq: _*).limit(0)
-    } else spark.read.parquet(files.toIndexedSeq: _*)
+    readFileSet(spark, index, files)
   }
 
   /** Read only the files whose fingerprints can contain ALL the probe
@@ -368,7 +381,7 @@ object Layout {
         s"Layout.readPrunedEquals: column $c is not fingerprinted")
       val s = String.valueOf(v)
       val member = (0 until k)
-        .map(j => array_contains(col(s"fp_$c"), lit(fpPos(s, j, bits))))
+        .map(j => bitTest(col(s"fp_$c"), fpPos(s, j, bits)))
         .reduce(_ && _)
       val boxed =
         if (fields.contains(s"min_$c"))
@@ -377,11 +390,52 @@ object Layout {
       acc && col(s"fp_$c").isNotNull && member && boxed
     }
     val files = index.filter(keep).select("file").collect().map(_.getString(0))
+    readFileSet(spark, index, files)
+  }
+
+  /** `WHERE key IN (…)` file pruning: keep files that may contain ANY
+    * of `values` (union of [[readPrunedEquals]] point probes in one
+    * index pass). The membership expression grows O(|values| · fp_k)
+    * `array_contains` terms — fine for the multi-tenant / multi-needle
+    * lookups this serves (tens to hundreds of keys); a probe list the
+    * size of the table is a join, not an index lookup. */
+  def readPrunedIn(spark: org.apache.spark.sql.SparkSession,
+                   index: DataFrame, column: String,
+                   values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "Layout.readPrunedIn: no probe values")
+    val fields = index.schema.fieldNames.toSet
+    require(fields.contains("fp_bits"),
+      "Layout.readPrunedIn: index has no fingerprints — build it with " +
+        "statsIndexFingerprint")
+    require(fields.contains(s"fp_$column"),
+      s"Layout.readPrunedIn: column $column is not fingerprinted")
+    val (bits, k) = {
+      val r = index.select("fp_bits", "fp_k").head()
+      (r.getInt(0), r.getInt(1))
+    }
+    val anyMatch = values.map { v =>
+      val s = String.valueOf(v)
+      val member = (0 until k)
+        .map(j => bitTest(col(s"fp_$column"), fpPos(s, j, bits)))
+        .reduce(_ && _)
+      val boxed =
+        if (fields.contains(s"min_$column"))
+          col(s"min_$column") <= lit(v) && col(s"max_$column") >= lit(v)
+        else lit(true)
+      member && boxed
+    }.reduce(_ || _)
+    val files = index.filter(col(s"fp_$column").isNotNull && anyMatch)
+      .select("file").collect().map(_.getString(0))
+    readFileSet(spark, index, files)
+  }
+
+  private def readFileSet(spark: org.apache.spark.sql.SparkSession,
+                          index: DataFrame, files: Array[String]): DataFrame =
     if (files.isEmpty) {
+      // preserve schema on the empty result
       val any = index.select("file").limit(1).collect().map(_.getString(0))
       spark.read.parquet(any.toIndexedSeq: _*).limit(0)
     } else spark.read.parquet(files.toIndexedSeq: _*)
-  }
 
   /** Save `df` as a bucketed+sorted catalog table: rows are
     * hash-clustered into `nBuckets` files by `bucketCol` at WRITE time,

@@ -499,6 +499,51 @@ object ScaleProbe {
     stage("plain_box_scan") { boxScan(s"$zdir/plain") }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir))
 
+    // Fingerprint file skipping at 12M rows / 64 files: the key is
+    // HASH-clustered (each key's rows in one file) so every file spans
+    // the whole key range — min/max prunes nothing, and the point
+    // lookup otherwise scans all 64 files. The bitmap fingerprint
+    // (256 KB/file at 2²¹ bits; FP rate ~5e-5 at ~190k distinct
+    // keys/file) lets the probe open ONE file. Read the timings as
+    // asymptotics, not a local win: the resident-manifest lookup is
+    // O(|files|) bit-tests + one file + ~3 job launches — a CONSTANT
+    // wrt table volume — while the plain path is a table-linear scan
+    // that happens to still be cheap at this toy scale (12M × 2 cols
+    // in page cache). At 100 TB the scan is cluster-minutes; the
+    // lookup stays what it measures here.
+    val fpdir = java.nio.file.Files.createTempDirectory("graft-fp-probe").toString
+    l20.select("l_orderkey", "l_extendedprice")
+      .repartition(64, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$fpdir/t")
+    stage("fp_index_build_12m") {
+      graft.ops.Layout.statsIndexFingerprint(spark, s"$fpdir/t",
+          Seq("l_orderkey"), Seq("l_orderkey"), fpBits = 1 << 21)
+        .write.mode("overwrite").parquet(s"$fpdir/idx")
+      spark.read.parquet(s"$fpdir/idx").limit(1)
+    }
+    def pointAgg(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("l_orderkey") === 20L)
+        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+    // cold: re-reads the 16 MB manifest per query — the floor when
+    // nothing is resident
+    stage("fp_point_lookup_12m") {
+      pointAgg(graft.ops.Layout.readPrunedEquals(spark,
+        spark.read.parquet(s"$fpdir/idx"), Map("l_orderkey" -> 20L)))
+    }
+    // steady state: the manifest is RESIDENT (how every table format
+    // serves its snapshot) — the lookup is 64 bit-tests + one file
+    val fpIdx = spark.read.parquet(s"$fpdir/idx").persist()
+    fpIdx.count()
+    stage("fp_point_lookup_resident") {
+      pointAgg(graft.ops.Layout.readPrunedEquals(spark, fpIdx,
+        Map("l_orderkey" -> 20L)))
+    }
+    fpIdx.unpersist()
+    stage("plain_point_lookup_12m") {
+      pointAgg(spark.read.parquet(s"$fpdir/t"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpdir))
+
     // PII scrub + unicode normalization at 20x docs: both are narrow
     // codegen'd passes (staged regexp chain; unicode_norm with the
     // isNormalized fast path over the mostly-ASCII corpus) — cost must
@@ -510,6 +555,14 @@ object ScaleProbe {
     stage("unicode_norm_20x") {
       docs20.select(col("doc_id"),
         graft.ops.TextAnalysis.normalizeUnicode(col("text")).as("norm"))
+    }
+    // BM25 at 20x docs: one tokenize pass, query terms filter the
+    // postings BEFORE the (doc, term) shuffle, df/corpus stats
+    // broadcast back — cost tracks the corpus linearly, top-k is a
+    // bounded TakeOrderedAndProject.
+    stage("bm25_20x") {
+      graft.ops.TextAnalysis.bm25TopK(docs20, "doc_id", "text",
+        Seq("join", "hash", "window"), 10)
     }
 
     // Aggregate navigation at 12M rows: the SAME groupBy/agg over the

@@ -225,8 +225,12 @@ class LayoutSpec extends AnyFunSuite {
         .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
         .repartition(2, col("uid")).write.mode("append").parquet(s"$dir/t")
       val upd = Layout.statsIndexUpdate(spark, s"$dir/t", Seq("uid"), idx)
+      // Row.toString prints byte arrays by identity — render content
       def canon(df: org.apache.spark.sql.DataFrame) =
-        df.orderBy("file").collect().map(_.toString).toSeq
+        df.orderBy("file").collect().map(_.toSeq.map {
+          case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
+          case x => String.valueOf(x)
+        }.mkString("|")).toSeq
       assert(canon(upd) ==
         canon(Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))),
         "incremental fingerprint refresh diverged from full rebuild")
@@ -238,9 +242,22 @@ class LayoutSpec extends AnyFunSuite {
       val pruned2 = Layout.readPrunedEquals(spark,
         spark.read.parquet(s"$dir/idx2"), Map("uid" -> young))
       assert(pruned2.filter(col("uid") === young).count() >= 1)
+      // IN-list pruning: union of point probes, one index pass — every
+      // probed key's rows survive, absent keys add nothing
+      val inPruned = Layout.readPrunedIn(spark, idx, "uid",
+        probes.take(5).toSeq :+ 0x0123456789ABCDEFL)
+      probes.take(5).foreach { v =>
+        assert(inPruned.filter(col("uid") === v).count() == 1,
+          s"IN-probe false negative for $v")
+      }
+      assert(inPruned.inputFiles.length <= 6,
+        s"IN-probe opened ${inPruned.inputFiles.length} of 8 files")
       // probing a non-fingerprinted column fails loudly
       intercept[IllegalArgumentException] {
         Layout.readPrunedEquals(spark, idx, Map("g" -> 5L))
+      }
+      intercept[IllegalArgumentException] {
+        Layout.readPrunedIn(spark, idx, "g", Seq(5L))
       }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
