@@ -562,14 +562,18 @@ object MvRewrite {
                               masked: Map[Int, Expression])
 
   /** Rollup/cube/grouping-sets lookup: descend Projects to an Expand
-    * whose child reaches a registered base. Classifies every Expand
-    * output position as pass-through (all projection rows identical →
-    * bind), masked key (one distinct non-null expression + nulls →
-    * kept), or literal (the grouping id → kept); any other shape is
-    * not a grouping-sets Expand and bails. */
+    * whose child reaches a registered base — directly, or through an
+    * inner-join STAR ([[lookupStar]]: rollup dashboards over fact ⋈
+    * dims, the full BI cube shape; the returned dim subtrees are
+    * untouched and the rebuilt Expand passes their attributes
+    * through). Classifies every Expand output position as pass-through
+    * (all projection rows identical → bind), masked key (one distinct
+    * non-null expression + nulls → kept), or literal (the grouping id
+    * → kept); any other shape is not a grouping-sets Expand and
+    * bails. */
   private[plans] def lookupExpand(child: LogicalPlan)
       : Option[(Seq[Entry], Seq[Expression], Map[ExprId, Expression],
-                ExpandInfo)] = {
+                ExpandInfo, Seq[LogicalPlan])] = {
     def descend(p: LogicalPlan, binds: Map[ExprId, Expression])
         : Option[(Expand, Map[ExprId, Expression])] = p match {
       case Project(pl, c) if pl.forall {
@@ -582,11 +586,17 @@ object MvRewrite {
       case _ => None
     }
     descend(child, Map.empty).flatMap { case (ex, aboveBinds) =>
-      rootPathsAndFilters(ex.child, Nil, Map.empty).flatMap {
-        case (roots, conds, cBinds) =>
+      rootPathsAndFilters(ex.child, Nil, Map.empty)
+        .map { case (roots, conds, cBinds) =>
           import scala.jdk.CollectionConverters._
           val matches = entries.values().asScala.filter(_.rootPaths == roots)
             .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+          (matches, conds, cBinds, Seq.empty[LogicalPlan])
+        }
+        .orElse(lookupStar(ex.child).map { case (ms, conds, sBinds, dims) =>
+          (ms, conds, sBinds, dims)
+        })
+        .flatMap { case (matches, conds, cBinds, dims) =>
           if (matches.isEmpty) None
           else {
             def isNullLit(e: Expression): Boolean = e match {
@@ -615,7 +625,7 @@ object MvRewrite {
             }
             if (!ok) None
             else Some((matches, conds, aboveBinds ++ cBinds ++ passBinds,
-              ExpandInfo(ex, kept.result(), masked.result())))
+              ExpandInfo(ex, kept.result(), masked.result()), dims))
           }
       }
     }
@@ -648,12 +658,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                   .headOption.getOrElse(agg)
               case None =>
                 // rollup/cube/grouping sets: the Expand rebuilds over
-                // the snapshot, masked-key/gid columns untouched
+                // the snapshot (or over snapshot ⋈ dims for a rollup
+                // of a star), masked-key/gid columns untouched
                 MvRewrite.lookupExpand(child) match {
-                  case Some((candidates, filters, binds, info)) =>
+                  case Some((candidates, filters, binds, info, dims)) =>
                     candidates.view
                       .flatMap(e => rewrite(agg, groupings, results, e, filters,
-                        binds, None, Some(info)))
+                        binds, if (dims.isEmpty) None else Some(dims), Some(info)))
                       .headOption.getOrElse(agg)
                   case None => agg
                 }
@@ -725,12 +736,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // masked-key/grouping-id columns a grouping-sets Expand keeps: they
     // survive the rewrite with their exprIds, pass through groupings
     // and results unchanged, and may never cross-match a key or
-    // measure by name
+    // measure by name. Kept separate because they behave differently
+    // under aggregates: a dim column navigates by count-weighting, a
+    // masked/gid column can never (it sees nulls the rebuilt source
+    // lacks). Both may be present at once — a rollup OVER a star.
     val keptAttrs: Seq[Attribute] =
       expand.map(i => i.kept.map(i.ex.output)).getOrElse(Nil)
-    val dimOut: AttributeSet =
+    val keptSet: AttributeSet = AttributeSet(keptAttrs)
+    val starDims: AttributeSet =
       star.map(_.map(_.outputSet).fold(AttributeSet.empty)(_ ++ _))
-        .getOrElse(AttributeSet.empty) ++ AttributeSet(keptAttrs)
+        .getOrElse(AttributeSet.empty)
+    val dimOut: AttributeSet = starDims ++ keptSet
     // substitute Project-level alias bindings (PullOutGroupingExpressions'
     // _groupingexpression etc.) until expressions are in terms of base
     // attributes — the form registered formulas were resolved to
@@ -945,13 +961,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // `sum(m) FILTER (WHERE dim.x = …)` stays navigable.
     if (expand.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression
-          if ae.references.exists(dimOut.contains) => throw Unanswerable
+          if ae.references.exists(keptSet.contains) => throw Unanswerable
       case _ =>
     })
     if (star.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression =>
         val fnRefs = inline(ae.aggregateFunction).references
-        if (fnRefs.exists(dimOut.contains) && !fnRefs.subsetOf(dimOut))
+        if (fnRefs.exists(starDims.contains) && !fnRefs.subsetOf(starDims))
           throw Unanswerable
       case _ =>
     })
@@ -1008,7 +1024,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(fn, _, isDistinct, filt, _), name)
           if star.isDefined && {
             val refs = inline(fn).references
-            refs.nonEmpty && refs.subsetOf(dimOut)
+            refs.nonEmpty && refs.subsetOf(starDims)
           } =>
         def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
           case org.apache.spark.sql.types.ByteType |
@@ -1207,17 +1223,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // stay exact per (masked keys, gid) cell.
     val snapChild = expand match {
       case Some(info) =>
-        val snapAttrs: Seq[Attribute] = snap.output
+        // under a rollup-over-star the Expand sits above the rebuilt
+        // join, so the dim attributes pass through every projection
+        // row alongside the snapshot's columns; a masked key may be a
+        // DIM expression (rollup over dim.attr) — re-emitted inline,
+        // the dim subtree keeps its exprIds
+        val passAttrs: Seq[Attribute] =
+          snap.output ++ star.map(_.flatMap(_.output)).getOrElse(Nil)
         val newProjections = info.ex.projections.map { row =>
-          snapAttrs.map(a => a: Expression) ++ info.kept.map { i =>
+          passAttrs.map(a => a: Expression) ++ info.kept.map { i =>
             row(i) match {
               case l: Literal => l // a null mask or the grouping id
               case _ =>
-                keySubst(info.masked(i)).getOrElse(throw Unanswerable)
+                val im = inline(info.masked(i))
+                if (im.references.nonEmpty && im.references.subsetOf(starDims)) im
+                else keySubst(info.masked(i)).getOrElse(throw Unanswerable)
             }
           }
         }
-        Expand(newProjections, snapAttrs ++ keptAttrs, filteredSnap)
+        Expand(newProjections, passAttrs ++ keptAttrs, filteredSnap)
       case None => filteredSnap
     }
     logInfo(s"MvRewrite: answering aggregate over ${e.rootPaths} " +

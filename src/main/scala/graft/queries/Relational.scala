@@ -1307,6 +1307,48 @@ object Relational {
     }
   }
 
+  // Rollup OVER a star — the full BI cube shape: fact ⋈ dim with
+  // subtotal levels over the dim attribute, answered from the fact's
+  // maintained snapshot (the Expand rebuilds ABOVE snapshot ⋈ dim;
+  // fact measures map to the partial columns, dim aggregates
+  // count-weight by cnt, per (masked keys, gid) cell). SQL because
+  // GROUP BY ROLLUP over a join is the shape BI tools emit (and the
+  // Dataset API's rollup-over-join trips Spark's self-join check
+  // before any optimizer extension runs). require()-gated.
+  private val qStarCube = QueryDef("q_star_cube", Some(
+    """SELECT o_orderpriority, count(*) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY ROLLUP(o_orderpriority)""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/lineitem.parquet"
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-starcube-q").toString
+    graft.ops.Cdc.aggSnapshot(
+        spark.read.parquet(basePath), Seq("l_orderkey"), Seq("l_quantity"))
+      .write.mode("overwrite").parquet(s"$work/snap")
+    graft.plans.MvRewrite.register(spark, basePath, Seq("l_orderkey"),
+      Seq("l_quantity"), s"$work/snap")
+    try {
+      spark.read.parquet(basePath).createOrReplaceTempView("sc_li")
+      spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("sc_ord")
+      val out = spark.sql(
+        """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty,
+          |       sum(o_custkey) AS sum_ck
+          |FROM sc_li JOIN sc_ord ON l_orderkey = o_orderkey
+          |GROUP BY ROLLUP(o_orderpriority)""".stripMargin)
+      val plan = out.queryExecution.executedPlan.toString
+      require((plan.contains(s"$work/snap") && !plan.contains("lineitem.parquet"))
+          || plan.contains("InMemoryRelation"),
+        s"q_star_cube: rollup-over-star navigation did not engage:\n$plan")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.MvRewrite.unregister(basePath)
+      spark.catalog.dropTempView("sc_li")
+      spark.catalog.dropTempView("sc_ord")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // File-skipping point lookup — the needle query over a 100 TB table:
   // the fact is HASH-clustered on the key (each key's rows in one
   // file) so every file spans the full key range and min/max pruning
@@ -1473,5 +1515,6 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
-    qStarRollup, qStarRollup2, qStarDim, qMvRollup, qMvGroupingSets, qSkipping)
+    qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
+    qSkipping)
 }

@@ -1224,6 +1224,77 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("rollup over a star: the Expand rebuilds above snapshot ⋈ dim") {
+    // the full BI cube shape — fact ⋈ dim, subtotals over (dim.attr,
+    // fact.key). The Expand passes the dim's columns through every
+    // projection row; a masked key that IS a dim attribute re-emits
+    // inline (the dim subtree keeps its exprIds); fact measures map to
+    // the snapshot's partials and dim aggregates count-weight, per
+    // (masked keys, gid) cell. SQL throughout: the Dataset API's
+    // rollup-over-join trips Spark's DetectAmbiguousSelfJoin at
+    // ANALYSIS time, before any optimizer extension runs — a
+    // pre-existing quirk independent of MvRewrite (and GROUP BY
+    // ROLLUP is the shape BI tools emit anyway).
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-starroll").toString
+    try {
+      val fact = (0 until 400).map { i =>
+        (i % 29L, if (i % 2 == 0) "x" else "y", (i % 19).toDouble)
+      }.toDF("fk", "flag", "v")
+      fact.write.mode("overwrite").parquet(s"$dir/fact")
+      val dim = (0 until 35).map(i => (i.toLong, s"g${i % 4}", (i % 7).toLong))
+        .toDF("dk", "grp", "w")
+      dim.write.mode("overwrite").parquet(s"$dir/dim")
+      Cdc.aggSnapshot(spark.read.parquet(s"$dir/fact"), Seq("fk", "flag"),
+          Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      spark.read.parquet(s"$dir/fact").createOrReplaceTempView("sr_f")
+      spark.read.parquet(s"$dir/dim").createOrReplaceTempView("sr_d")
+      def reg() = MvRewrite.register(spark, s"$dir/fact", Seq("fk", "flag"),
+        Seq("v"), s"$dir/snap")
+      reg()
+      try {
+        def check(sql: String, label: String): Unit = {
+          val plan = scansOf(spark.sql(sql))
+          assert(plan.contains(s"$dir/snap") && !plan.contains(s"$dir/fact"),
+            s"$label not navigated:\n$plan")
+          val got = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+          MvRewrite.unregister(s"$dir/fact")
+          val want = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+          reg()
+          assert(got == want && want.nonEmpty,
+            s"$label diverged:\n$got\nvs\n$want")
+        }
+        check("""SELECT grp, flag, count(*) AS n, sum(v) AS s
+                 FROM sr_f JOIN sr_d ON fk = dk GROUP BY ROLLUP(grp, flag)""",
+          "rollup(dim.attr, fact.key)")
+        check("""SELECT grp, flag, sum(v) AS s, avg(v) AS a, sum(w) AS sw
+                 FROM sr_f JOIN sr_d ON fk = dk GROUP BY CUBE(grp, flag)""",
+          "cube with a dim-attribute aggregate")
+        check("""SELECT flag, count(*) AS n, count(DISTINCT w) AS nd
+                 FROM sr_f JOIN sr_d ON fk = dk WHERE grp <> 'g3'
+                 GROUP BY ROLLUP(flag)""",
+          "filtered rollup over the join")
+        // SQL aggregate args reference the UNMASKED base column (it
+        // passes through the Expand — standard semantics), so even an
+        // aggregate over the rolled-up dim attr count-weights exactly.
+        // (The masked-OUTPUT-attr bail is pinned by the plain
+        // grouping-sets suite's negative.)
+        check("""SELECT grp, flag, sum(length(grp)) AS s
+                 FROM sr_f JOIN sr_d ON fk = dk GROUP BY ROLLUP(grp, flag)""",
+          "aggregate over the unmasked rolled-up dim attr")
+        // NEGATIVE: rolling up a non-key fact column bails
+        assert(scansOf(spark.sql(
+            """SELECT grp, v, count(*) AS n
+               FROM sr_f JOIN sr_d ON fk = dk GROUP BY ROLLUP(grp, v)"""))
+          .contains(s"$dir/fact"), "non-key rollup wrongly navigated")
+      } finally {
+        MvRewrite.unregister(s"$dir/fact")
+        spark.catalog.dropTempView("sr_f")
+        spark.catalog.dropTempView("sr_d")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("rollup/cube/grouping-sets navigate: the Expand rebuilds over the snapshot") {
     withSnapshot { snapPath =>
       // rollup: subtotal + grand-total rows from the kilobyte snapshot —
