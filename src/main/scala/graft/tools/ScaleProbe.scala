@@ -521,6 +521,11 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$fpdir/idx")
       spark.read.parquet(s"$fpdir/idx").limit(1)
     }
+    // stage filters may skip the timed build; the lookups still need it
+    if (!new java.io.File(s"$fpdir/idx").exists)
+      graft.ops.Layout.statsIndexFingerprint(spark, s"$fpdir/t",
+          Seq("l_orderkey"), Seq("l_orderkey"), fpBits = 1 << 21)
+        .write.mode("overwrite").parquet(s"$fpdir/idx")
     def pointAgg(d: org.apache.spark.sql.DataFrame) =
       d.filter(col("l_orderkey") === 20L)
         .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
@@ -603,6 +608,18 @@ object ScaleProbe {
       spark.read.parquet(s"$mvDir/base")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    }
+    // rollup OVER the star at 12M: the Expand rebuilds above
+    // snapshot ⋈ dim — subtotal dashboards over the join never touch
+    // the 12M fact (SQL: the Dataset rollup-over-join trips Spark's
+    // self-join check pre-optimizer)
+    stage("mv_star_rollup_12m") {
+      spark.read.parquet(s"$mvDir/base").createOrReplaceTempView("sp_f")
+      spark.read.parquet(s"$mvDir/dim").createOrReplaceTempView("sp_d")
+      spark.sql(
+        """SELECT grp, l_linestatus, count(*) AS n, sum(l_quantity) AS s
+          |FROM sp_f JOIN sp_d ON l_returnflag = dflag
+          |GROUP BY ROLLUP(grp, l_linestatus)""".stripMargin)
     }
     graft.plans.MvRewrite.unregister(s"$mvDir/base")
 

@@ -1308,6 +1308,24 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       // only the tail knows key c (g1's second member) and a's 10.0
       assert(want == Seq(("g1", 4L, 17.0), ("g2", 1L, 3.0)))
       assert(got == want, s"fresh star diverged:\n$got\nvs\n$want")
+      // ROLLUP over the fresh star composes too: the Expand rebuilds
+      // above (snapshot ∪ tail) ⋈ dim with no special casing
+      graft.plans.MvRewrite.registerVersionedFresh(spark, baseDir, Seq("k"),
+        Seq("v"), target)
+      spark.read.parquet(baseDir).createOrReplaceTempView("fs_f")
+      spark.read.parquet(dimDir).createOrReplaceTempView("fs_d")
+      def roll = spark.sql(
+        """SELECT grp, count(*) AS n, sum(v) AS s
+          |FROM fs_f JOIN fs_d ON k = dk GROUP BY ROLLUP(grp)""".stripMargin)
+      val rPlan = roll.queryExecution.executedPlan.toString
+      assert(rPlan.contains(snapPath), s"fresh star rollup did not navigate:\n$rPlan")
+      val gotR = roll.collect().map(_.toString).sorted.toSeq
+      graft.plans.MvRewrite.unregister(baseDir)
+      val wantR = roll.collect().map(_.toString).sorted.toSeq
+      assert(gotR == wantR && wantR.size == 3,
+        s"fresh star rollup diverged:\n$gotR\nvs\n$wantR")
+      spark.catalog.dropTempView("fs_f")
+      spark.catalog.dropTempView("fs_d")
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
