@@ -74,6 +74,29 @@ object Mix {
     h2.bitwiseXOR(floor(h2 / 8192).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): draw
+    * `n` rows with inclusion odds proportional to `weightCol`,
+    * deterministically. Each row gets the priority key `ln(u)/w` with
+    * `u = (mix32(id)+1)/2³² ∈ (0, 1]` — the classic `u^(1/w)` order
+    * statistic in log space (identical ranking since ln is monotone,
+    * but `ln` mirrors exactly in the DuckDB oracle where `pow` may
+    * differ in the last ulp) — and the sample is the top-n keys.
+    * Scale shape: one narrow pass + TakeOrderedAndProject (bounded
+    * top-n per partition, no corpus shuffle, no global sort), and the
+    * same seed always draws the same sample — reruns, A/B diffs and
+    * incremental audits see stable membership. Non-positive weights
+    * are excluded (zero odds). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, seed: Long = 0L): DataFrame = {
+    require(n > 0, s"Mix.weightedSample: n must be positive, got $n")
+    val u = (mix32Col(col(idCol), seed) + lit(1L)) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(n)
+      .drop("__es_key")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.last._2 == 10000,

@@ -1044,6 +1044,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case (Count(args), true) =>
             Alias(AggregateExpression(Count(args.map(inline)), Complete,
               isDistinct = true, filter = nf), name)(exprId = al.exprId)
+          // distinct SKETCHES over dim values are multiplicity-free
+          // too (KMV and HLL insertion are idempotent per value), so
+          // they pass through over the rebuilt join — same estimator,
+          // same result. ApproximatePercentile is NOT (quantiles
+          // weight by row count) and falls to the bail below.
+          case (kd: graft.functions.KmvDistinct, false) =>
+            Alias(AggregateExpression(kd.copy(child = inline(kd.child)),
+              Complete, isDistinct = false, filter = nf), name)(exprId = al.exprId)
+          case (h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus, false) =>
+            Alias(AggregateExpression(h.copy(child = inline(h.child)),
+              Complete, isDistinct = false, filter = nf), name)(exprId = al.exprId)
           case (Count(Seq(ex)), false) if !ex.isInstanceOf[Literal] =>
             Alias(nnWeight(ex), name)(exprId = al.exprId)
           case (Sum(ex, _), false) if integral(ex.dataType) =>

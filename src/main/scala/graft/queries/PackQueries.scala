@@ -163,6 +163,28 @@ object PackQueries {
         "doc_id", "lang")
   }
 
+  // Weighted sampling without replacement (Efraimidis–Spirakis):
+  // longer documents proportionally likelier, membership a pure
+  // function of (doc_id, seed). The priority key ln(u)/w replays in
+  // SQL exactly: u from the mix32 avalanche chain (division by 2³² is
+  // exact), ln the txt_tfidf-proven cross-engine op, and only the
+  // top-n SELECTION must agree — ties broken by doc_id.
+  private val weighted = QueryDef("mx_weighted", Some(
+    """WITH m0 AS (SELECT doc_id, n_chars,
+      |              ((doc_id + 1) * 2654435761) % 4294967296 AS h
+      |            FROM documents),
+      |m1 AS (SELECT doc_id, n_chars, (xor(h, h // 65536) * 40503) % 4294967296 AS h FROM m0),
+      |m AS (SELECT doc_id, n_chars, xor(h, h // 8192) AS h FROM m1),
+      |k AS (SELECT doc_id, n_chars,
+      |        ln((h + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+      |      FROM m WHERE n_chars > 0)
+      |SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin)) {
+    (spark, dir) =>
+      Mix.weightedSample(
+        Tables(spark, dir).documents.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 100)
+  }
+
   val defs: Seq[QueryDef] = Seq(pack, split, budget, cap, dense, chunk, shuffle,
-    temperature)
+    temperature, weighted)
 }

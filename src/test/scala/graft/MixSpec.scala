@@ -67,4 +67,32 @@ class MixSpec extends AnyFunSuite {
     // casts to string internally, output keeps the original type
     assert(byStratum == Map(1 -> 714, 2 -> 90, 3 -> 10), s"targets off: $byStratum")
   }
+
+  test("weightedSample: inclusion tracks weight, deterministic, partition-invariant") {
+    import spark.implicits._
+    // 1000 heavy rows (w=100) vs 9000 light (w=1): heavy carries ~92%
+    // of total weight, so a 500-draw sample is dominated by heavy
+    val rows = (0 until 10000)
+      .map(i => (i.toLong, if (i < 1000) 100L else 1L)).toDF("id", "w")
+    val got = Mix.weightedSample(rows, "id", "w", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 500)
+    val heavy = got.count(_._2 == 100L)
+    assert(heavy > 300, s"weighting ineffective: $heavy/500 heavy")
+    // deterministic: same seed → same sample, bit for bit
+    assert(Mix.weightedSample(rows, "id", "w", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
+    // partition-invariant: membership is a pure function of (id, seed)
+    assert(Mix.weightedSample(rows.repartition(13), "id", "w", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == got.sorted)
+    // another seed draws a genuinely different sample
+    val reseeded = Mix.weightedSample(rows, "id", "w", 500, seed = 7L).collect()
+      .map(_.getLong(0)).toSet
+    assert(reseeded != got.map(_._1).toSet)
+    // zero/negative weights are excluded outright
+    val withZero = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) 0L else 1L))
+      .toDF("id", "w")
+    assert(Mix.weightedSample(withZero, "id", "w", 100).collect()
+      .forall(_.getLong(1) > 0))
+  }
 }

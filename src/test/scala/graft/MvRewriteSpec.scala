@@ -1204,6 +1204,13 @@ class MvRewriteSpec extends AnyFunSuite {
           "min/max(dim double)")
         check(base().groupBy("grp").agg(countDistinct("w").as("nd")),
           "count(distinct dim)")
+        // distinct SKETCHES over dim values pass through too (KMV/HLL
+        // insertion is idempotent per value — multiplicity-free), with
+        // the estimator unchanged, so navigated == direct exactly
+        check(base().groupBy("grp").agg(
+          expr("kmv_distinct(w, 64)").as("kd"),
+          approx_count_distinct("w").as("ad")),
+          "distinct sketches over dim values")
         check(base().groupBy("grp").agg(
           expr("sum(w) FILTER (WHERE flag = 'x')").as("sf"),
           expr("count(*) FILTER (WHERE w > 3)").as("cf"),
