@@ -240,6 +240,16 @@ object Layout {
     }
   }
 
+  /** Index rows for an EXPLICIT file list — what the streaming sink
+    * ([[graft.streaming.Streams.skippingIndexSink]]) uses: the file
+    * source's checkpoint log names each batch's files, so the refresh
+    * never diffs the directory at all. */
+  private[graft] def indexForFiles(spark: org.apache.spark.sql.SparkSession,
+                                   files: Seq[String], cols: Seq[String],
+                                   fpCols: Seq[String], fpBits: Int,
+                                   fpHashes: Int): DataFrame =
+    indexOf(spark.read.parquet(files: _*), cols, fpCols, fpBits, fpHashes)
+
   /** [[statsIndex]] plus per-file MEMBERSHIP fingerprints for
     * `fpCols` — the file-skipping min/max can't give. On an
     * unclustered high-cardinality column every file spans the whole

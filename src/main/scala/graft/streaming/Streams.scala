@@ -911,6 +911,68 @@ object Streams extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Maintain a file-skipping stats/fingerprint index
+    * ([[graft.ops.Layout.statsIndexFingerprint]]'s shape) over a
+    * GROWING directory, from the stream that watches it: per
+    * microbatch, index rows are computed for ONLY the batch's files —
+    * the file source's checkpoint log names them, so the refresh never
+    * lists or diffs the directory — and unioned onto the predecessor
+    * version. [[graft.ops.Layout.readPrunedEquals]]/`readPrunedIn`
+    * serve point lookups off the latest committed version while the
+    * table keeps growing; at 100 TB this is the difference between a
+    * manifest that trails ingestion by one microbatch and a nightly
+    * full-scan rebuild. Versioned/`_SUCCESS`-gated/replay-idempotent
+    * like the snapshot sinks (a replayed batch re-derives the same
+    * rows and unions with the predecessor `< batchId`). Append-only
+    * contract: files removed by compaction need an offline
+    * [[graft.ops.Layout.statsIndexUpdate]] (which also drops deleted
+    * files); the stream itself only ever sees appends. The batch's
+    * ROWS are never touched — only the file names — so the per-batch
+    * cost is one narrow scan of just the new files. */
+  def skippingIndexSink(rows: DataFrame, targetDir: String,
+                        checkpoint: String, cols: Seq[String],
+                        fpCols: Seq[String] = Nil,
+                        fpBits: Int = 1 << 17, fpHashes: Int = 4,
+                        retainVersions: Int = 3): StreamingQuery = {
+    require(cols.nonEmpty, "skippingIndexSink: no columns")
+    require(retainVersions >= 2,
+      "skippingIndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      sourceBatchFiles(spark, checkpoint, batchId) match {
+        case None =>
+          // non-file or multi-source plan: file identity is unknown —
+          // degrade loudly, write nothing (a wrong index prunes wrong)
+          logWarning(s"skippingIndexSink: batch $batchId has no file log " +
+            "under the checkpoint — no index version written")
+        case Some(batchFiles) =>
+          val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
+          val prevVersion = versions.sorted.lastOption
+          val fresh =
+            if (batchFiles.isEmpty) None
+            else Some(graft.ops.Layout.indexForFiles(spark, batchFiles, cols,
+              fpCols, fpBits, fpHashes))
+          val next = (prevVersion, fresh) match {
+            case (Some(v), Some(f)) =>
+              Some(spark.read.parquet(s"$targetDir/v=$v").unionByName(f))
+            case (Some(v), None) => Some(spark.read.parquet(s"$targetDir/v=$v"))
+            case (None, Some(f)) => Some(f)
+            // nothing indexed yet and an empty batch: no version — the
+            // schema isn't even known without a file to read
+            case (None, None) => None
+          }
+          next.foreach { idx =>
+            idx.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+            val path = new org.apache.hadoop.fs.Path(targetDir)
+            val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+              .foreach(v => fs.delete(
+                new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+          }
+      }
+    }
+  }
+
   /** Underscore-prefixed so parquet readers of the version directory
     * skip it as metadata. */
   private val ManifestFile = "_files"

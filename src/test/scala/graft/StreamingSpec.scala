@@ -1329,6 +1329,47 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6k skipping-index sink: streamed index == full rebuild; prunes off the latest version") {
+    import spark.implicits._
+    // the index trails ingestion by one microbatch instead of a nightly
+    // full-scan rebuild: each batch's rows come from the file source's
+    // own checkpoint log (no directory listing), and only the NEW files
+    // are scanned
+    val baseDir = tmp("graft-skipidx-base")
+    val target = tmp("graft-skipidx-tgt")
+    val ckpt = tmp("graft-skipidx-ck")
+    def land(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong * 7919L, s"p$i")).toDF("uid", "payload")
+        .repartition(2).write.mode("append").parquet(baseDir)
+    land(0, 400)
+    val q = Streams.skippingIndexSink(
+      spark.readStream.schema("uid long, payload string").parquet(baseDir),
+      target, ckpt, Seq("uid"), fpCols = Seq("uid"))
+    try {
+      q.processAllAvailable()
+      land(400, 800)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.latestSnapshot(spark, target).get
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq.map {
+        case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
+        case x => String.valueOf(x)
+      }.mkString("|")).toSeq
+    val rebuilt = graft.ops.Layout.statsIndexFingerprint(spark, baseDir,
+      Seq("uid"), Seq("uid"))
+    assert(canon(streamed) == canon(rebuilt),
+      "streamed skipping index diverged from the full rebuild")
+    assert(streamed.count() == 4) // 2 files per landing
+    // point lookups prune off the maintained index mid-stream
+    val probe = 399L * 7919L
+    val pruned = graft.ops.Layout.readPrunedEquals(spark, streamed,
+      Map("uid" -> probe))
+    assert(pruned.filter(col("uid") === probe).count() == 1)
+    assert(pruned.inputFiles.length < 4,
+      s"maintained index pruned nothing: ${pruned.inputFiles.length} of 4 files")
+  }
+
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
