@@ -411,14 +411,23 @@ object Layout {
     * size of the table is a join, not an index lookup. */
   def readPrunedIn(spark: org.apache.spark.sql.SparkSession,
                    index: DataFrame, column: String,
-                   values: Seq[Any]): DataFrame = {
-    require(values.nonEmpty, "Layout.readPrunedIn: no probe values")
+                   values: Seq[Any]): DataFrame =
+    readFileSet(spark, index, filesMaybeContaining(index, column, values,
+      "Layout.readPrunedIn"))
+
+  /** Files whose fingerprints may contain ANY of `values` on `column` —
+    * the shared probe behind [[readPrunedIn]], [[readPrunedBy]] and
+    * [[targetedDelete]]. The membership expression grows
+    * O(|values| · fp_k) terms; callers bound |values|. */
+  private def filesMaybeContaining(index: DataFrame, column: String,
+                                   values: Seq[Any],
+                                   who: String): Array[String] = {
+    require(values.nonEmpty, s"$who: no probe values")
     val fields = index.schema.fieldNames.toSet
     require(fields.contains("fp_bits"),
-      "Layout.readPrunedIn: index has no fingerprints — build it with " +
-        "statsIndexFingerprint")
+      s"$who: index has no fingerprints — build it with statsIndexFingerprint")
     require(fields.contains(s"fp_$column"),
-      s"Layout.readPrunedIn: column $column is not fingerprinted")
+      s"$who: column $column is not fingerprinted")
     val (bits, k) = {
       val r = index.select("fp_bits", "fp_k").head()
       (r.getInt(0), r.getInt(1))
@@ -434,9 +443,78 @@ object Layout {
         else lit(true)
       member && boxed
     }.reduce(_ || _)
-    val files = index.filter(col(s"fp_$column").isNotNull && anyMatch)
+    index.filter(col(s"fp_$column").isNotNull && anyMatch)
       .select("file").collect().map(_.getString(0))
-    readFileSet(spark, index, files)
+  }
+
+  /** Semi-join file skipping: read only the fact files that may contain
+    * a join key the (already-filtered) dimension side actually has —
+    * the unpartitioned-table analogue of dynamic partition pruning. At
+    * 100 TB the selective-dim star join (`fact ⋈ dim WHERE dim.pred`)
+    * spends its time scanning fact files that contain none of the
+    * surviving keys; with a membership-fingerprinted index the dim's
+    * key set (bounded — a key set the size of the fact table is a join,
+    * not an index lookup; `maxKeys` guards the O(|keys| · fp_k) probe
+    * expression and the driver collect) prunes the scan to the files
+    * that can participate. Row-level filtering and the join itself are
+    * still the caller's job; no false negatives, so the joined result
+    * is identical to the full scan (oracle-checked by `q_skip_join`). */
+  def readPrunedBy(spark: org.apache.spark.sql.SparkSession,
+                   index: DataFrame, column: String, dimKeys: DataFrame,
+                   maxKeys: Int = 1024): DataFrame = {
+    require(dimKeys.schema.length == 1,
+      "Layout.readPrunedBy: dimKeys must be a single key column")
+    // NULL keys never match an equi-join — they can't select files
+    val keys = dimKeys.na.drop().distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0))
+    require(keys.nonEmpty, "Layout.readPrunedBy: dim side has no keys")
+    require(keys.length <= maxKeys,
+      s"Layout.readPrunedBy: dim side exceeds $maxKeys distinct keys — " +
+        "at that cardinality scan-and-join beats an index probe")
+    readFileSet(spark, index,
+      filesMaybeContaining(index, column, keys.toSeq, "Layout.readPrunedBy"))
+  }
+
+  /** Targeted row deletion (the right-to-be-forgotten shape): remove
+    * every row with `column IN (values)` from the parquet directory,
+    * REWRITING ONLY the files whose fingerprints say they may hold one
+    * of the values — at 100 TB the deletion set touches a handful of
+    * files and the other million stay byte-identical (no checksum
+    * churn, no cache invalidation, no re-replication). One distributed
+    * job regardless of how many files match: the affected files are
+    * read as one DataFrame, survivors appended as fresh part files,
+    * then the old files dropped and the index refreshed incrementally
+    * ([[statsIndexUpdate]] — only the fresh files are scanned; deleted
+    * entries fall out). Returns the refreshed index (caller persists
+    * it). NOT transactional: between the append and the deletes a
+    * concurrent reader can see deleted-rows-still-present (stale, never
+    * corrupt); run it as the offline maintenance pass it is. Re-running
+    * after success is a no-op — the rewritten files no longer
+    * fingerprint-match. `maxValues` bounds the probe expression; a
+    * deletion set beyond it is an anti-join rewrite, not an index
+    * operation. */
+  def targetedDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                     index: DataFrame, column: String, values: Seq[Any],
+                     statCols: Seq[String], maxValues: Int = 1024): DataFrame = {
+    require(values.length <= maxValues,
+      s"Layout.targetedDelete: ${values.length} values exceeds $maxValues — " +
+        "a deletion set that large is an anti-join rewrite, not an index op")
+    val affected = filesMaybeContaining(index, column, values,
+      "Layout.targetedDelete")
+    if (affected.isEmpty) index
+    else {
+      spark.read.parquet(affected.toIndexedSeq: _*)
+        // NULL keys are not in the deletion set — `!isin` alone would
+        // evaluate to NULL on them and silently drop the rows
+        .filter(col(column).isNull || !col(column).isin(values: _*))
+        .write.mode("append").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      }
+      statsIndexUpdate(spark, path, statCols, index)
+    }
   }
 
   private def readFileSet(spark: org.apache.spark.sql.SparkSession,

@@ -1385,6 +1385,84 @@ object Relational {
     }
   }
 
+  // Semi-join file skipping (Layout.readPrunedBy) — the unpartitioned
+  // analogue of dynamic partition pruning: a selective dim filter
+  // (one week of orders) yields a bounded key set; the fact table's
+  // membership fingerprints prune the scan to the files that can hold
+  // those keys BEFORE the join runs. No false negatives, so the joined
+  // aggregate hash-matches the full-scan oracle; the require() proves
+  // the scan actually shrank.
+  private val qSkipJoin = QueryDef("q_skip_join", Some(
+    """SELECT cast(count(*) AS BIGINT) AS n,
+      |       sum(cast(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       count(DISTINCT l.l_orderkey) AS n_orders
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1995-06-08 00:00:00'""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skipjoin-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      val idx = graft.ops.Layout.statsIndexFingerprint(spark, s"$work/t",
+        Seq("l_orderkey"), Seq("l_orderkey"))
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1995-06-01 00:00:00'")
+          && col("o_orderdate") < expr("TIMESTAMP '1995-06-08 00:00:00'"))
+        .select("o_orderkey")
+      val pruned = graft.ops.Layout.readPrunedBy(spark, idx, "l_orderkey", dim)
+      require(pruned.inputFiles.length < 16,
+        s"q_skip_join: index pruned nothing " +
+          s"(${pruned.inputFiles.length} of 16 files opened)")
+      pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // Targeted deletion (Layout.targetedDelete) — right-to-be-forgotten
+  // over an immutable-file corpus: the fingerprint index names the few
+  // files that can hold the doomed keys, ONLY those are rewritten (one
+  // distributed job), and the index refreshes incrementally. The
+  // require()s prove most files survived untouched; the surviving
+  // table hash-matches DuckDB's anti-filtered oracle.
+  private val qDelete = QueryDef("q_delete", Some(
+    """SELECT cast(count(*) AS BIGINT) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem WHERE l_orderkey NOT IN (1, 3, 32)""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-delete-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      val idx = graft.ops.Layout.statsIndexFingerprint(spark, s"$work/t",
+        Seq("l_orderkey"), Seq("l_orderkey"))
+      val before = spark.read.parquet(s"$work/t").inputFiles.toSet
+      val idx2 = graft.ops.Layout.targetedDelete(spark, s"$work/t", idx,
+        "l_orderkey", Seq(1L, 3L, 32L), Seq("l_orderkey"))
+      val after = spark.read.parquet(s"$work/t").inputFiles.toSet
+      val untouched = (before intersect after).size
+      require(untouched >= 8,
+        s"q_delete: rewrite was not targeted ($untouched of 16 files untouched)")
+      require(idx2.count() == after.size,
+        "q_delete: refreshed index out of sync with the directory")
+      spark.read.parquet(s"$work/t")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 point-in-time join — "what did the customer's record say when
   // the line shipped": every lineitem joins the dimension VERSION
   // (q_scd2's build: each order re-versions its customer's record)
@@ -1516,5 +1594,5 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping)
+    qSkipping, qSkipJoin, qDelete)
 }
