@@ -334,10 +334,7 @@ object Layout {
         else Nil
       val (fpBits, fpK) =
         if (fpCols.isEmpty) (0, 0)
-        else {
-          val r = index.select("fp_bits", "fp_k").head()
-          (r.getInt(0), r.getInt(1))
-        }
+        else fpParams(index, "Layout.statsIndexUpdate")
       val newStats = indexOf(
         spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*),
         cols, fpCols, fpBits, fpK)
@@ -382,10 +379,7 @@ object Layout {
     require(fields.contains("fp_bits"),
       "Layout.readPrunedEquals: index has no fingerprints — build it with " +
         "statsIndexFingerprint")
-    val (bits, k) = {
-      val r = index.select("fp_bits", "fp_k").head()
-      (r.getInt(0), r.getInt(1))
-    }
+    val (bits, k) = fpParams(index, "Layout.readPrunedEquals")
     val keep = eqs.foldLeft(lit(true)) { case (acc, (c, v)) =>
       require(fields.contains(s"fp_$c"),
         s"Layout.readPrunedEquals: column $c is not fingerprinted")
@@ -428,10 +422,7 @@ object Layout {
       s"$who: index has no fingerprints — build it with statsIndexFingerprint")
     require(fields.contains(s"fp_$column"),
       s"$who: column $column is not fingerprinted")
-    val (bits, k) = {
-      val r = index.select("fp_bits", "fp_k").head()
-      (r.getInt(0), r.getInt(1))
-    }
+    val (bits, k) = fpParams(index, who)
     val anyMatch = values.map { v =>
       val s = String.valueOf(v)
       val member = (0 until k)
@@ -499,9 +490,16 @@ object Layout {
     require(values.length <= maxValues,
       s"Layout.targetedDelete: ${values.length} values exceeds $maxValues — " +
         "a deletion set that large is an anti-join rewrite, not an index op")
-    val affected = filesMaybeContaining(index, column, values,
+    // materialize the index BEFORE touching any files: a caller's
+    // just-built index is a LAZY plan over the data directory itself,
+    // and re-evaluating it after the deletes below would re-scan the
+    // pre-delete file listing — FAILED_READ_FILE.FILE_NOT_EXIST (the
+    // round-8 bug). One evaluation, pinned to executor blocks; the
+    // index is |files| rows, so this is cheap at any corpus size.
+    val pinned = index.localCheckpoint(true)
+    val affected = filesMaybeContaining(pinned, column, values,
       "Layout.targetedDelete")
-    if (affected.isEmpty) index
+    if (affected.isEmpty) pinned
     else {
       spark.read.parquet(affected.toIndexedSeq: _*)
         // NULL keys are not in the deletion set — `!isin` alone would
@@ -513,15 +511,43 @@ object Layout {
       affected.foreach { f =>
         fs.delete(new org.apache.hadoop.fs.Path(f), false)
       }
-      statsIndexUpdate(spark, path, statCols, index)
+      // the session FileStatusCache (warmed by any earlier read of this
+      // directory — the index build itself did one) still lists the
+      // files just deleted; without an explicit invalidation the next
+      // spark.read.parquet(path) plans against the stale listing and
+      // dies at execution with FAILED_READ_FILE.FILE_NOT_EXIST
+      spark.catalog.refreshByPath(path)
+      val refreshed = statsIndexUpdate(spark, path, statCols, pinned)
+      // refresh once more: statsIndexUpdate read the fresh files
+      // directly, and the returned state must leave ANY same-session
+      // reader of the directory with a clean listing
+      spark.catalog.refreshByPath(path)
+      refreshed
     }
   }
+
+  /** Fingerprint build parameters declared in the index's own rows —
+    * an index with fp columns but ZERO rows can't tell us its hash
+    * space, so fail with the remedy instead of a bare
+    * NoSuchElementException. */
+  private def fpParams(index: DataFrame, who: String): (Int, Int) =
+    index.select("fp_bits", "fp_k").take(1).headOption match {
+      case Some(r) => (r.getInt(0), r.getInt(1))
+      case None => throw new IllegalArgumentException(
+        s"$who: index has fingerprint columns but no rows — its build " +
+          "parameters (fp_bits, fp_k) are unrecoverable; rebuild it with " +
+          "statsIndexFingerprint")
+    }
 
   private def readFileSet(spark: org.apache.spark.sql.SparkSession,
                           index: DataFrame, files: Array[String]): DataFrame =
     if (files.isEmpty) {
       // preserve schema on the empty result
       val any = index.select("file").limit(1).collect().map(_.getString(0))
+      require(any.nonEmpty,
+        "Layout.readFileSet: nothing to read — the index itself is empty, " +
+          "so the data schema is unknowable; build the index over a " +
+          "non-empty directory first")
       spark.read.parquet(any.toIndexedSeq: _*).limit(0)
     } else spark.read.parquet(files.toIndexedSeq: _*)
 

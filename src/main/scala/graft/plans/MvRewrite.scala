@@ -396,8 +396,12 @@ object MvRewrite {
       val snapPath = try Some(e.snapshotPath())
         catch { case _: IllegalStateException => None }
       val baseScanned = e.rootPaths.map(norm).exists(scannedRoots.contains)
-      val snapScanned = snapPath.exists(p =>
-        scannedRoots.exists(r => r.startsWith(norm(p))))
+      // path-COMPONENT prefix, not raw string prefix: /x/snap must not
+      // claim an unrelated sibling /x/snap2's scan as its own
+      val snapScanned = snapPath.exists { p =>
+        val np = norm(p)
+        scannedRoots.exists(r => r == np || r.startsWith(np + "/"))
+      }
       (baseScanned, snapScanned, snapPath) match {
         case (false, true, Some(p)) => s"$head: NAVIGATED — answering from $p"
         case (true, true, Some(p)) => s"$head: PARTIALLY NAVIGATED — $p scanned " +
@@ -711,6 +715,22 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       .getOrElse(false)
   }
 
+  /** Same RESOLVED time zone on both trunc keys — "Etc/UTC" vs "UTC"
+    * spellings compare equal, an unresolved (None) side never matches:
+    * truncNests only holds when registration and query bucket in the
+    * same zone. */
+  private def sameZone(a: Option[String], b: Option[String]): Boolean =
+    (a, b) match {
+      case (Some(za), Some(zb)) =>
+        try {
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(za)
+            .normalized() ==
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(zb)
+              .normalized()
+        } catch { case scala.util.control.NonFatal(_) => false }
+      case _ => false
+    }
+
   /** `star` carries the untouched dim subtrees when the aggregate sits
     * over an inner-join tree containing the registered base: the
     * snapshot replaces ONLY the fact branch, so every fact group's
@@ -785,9 +805,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           }.orElse(ex match {
             case TruncTimestamp(Literal(fmtQ, org.apache.spark.sql.types.StringType), inner, tz) =>
               e.derivedKeys.collectFirst {
-                case (n, TruncTimestamp(Literal(fmtK, org.apache.spark.sql.types.StringType), innerK, _))
+                // the registered key's zone must MATCH the query's:
+                // month/quarter/week boundaries in the query tz only
+                // align with stored day buckets computed in the SAME
+                // zone — a wildcard here would navigate a
+                // registered-in-UTC snapshot from a +05:30 session and
+                // silently mis-bucket every boundary-straddling row
+                case (n, TruncTimestamp(Literal(fmtK, org.apache.spark.sql.types.StringType), innerK, tzK))
                     if truncNests(fmtK.toString, fmtQ.toString) &&
-                      sameFormula(inner, innerK) =>
+                      sameFormula(inner, innerK) && sameZone(tzK, tz) =>
                   (n, Some((fmtQ.toString, tz)))
               }
             case _ => None

@@ -990,22 +990,35 @@ object Streams extends org.apache.spark.internal.Logging {
     * None for the version, never a wrong answer. */
   private def writeFreshness(spark: org.apache.spark.sql.SparkSession,
                              targetDir: String, checkpoint: String,
-                             batchId: Long): Unit = {
-    val off = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets/$batchId")
-    val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(off)) {
-      val in = fs.open(off)
-      val text = try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val dst = new org.apache.hadoop.fs.Path(
-        s"$targetDir/v=$batchId/$FreshnessFile")
-      val out = fs.create(dst, true)
-      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+                             batchId: Long): Unit =
+    // best-effort MEANS best-effort: freshness recording runs inside
+    // foreachBatch, and an exception here would fail the streaming
+    // batch itself — swallow-and-warn, never propagate
+    try {
+      val off = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets/$batchId")
+      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(off)) {
+        val in = fs.open(off)
+        val text = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$targetDir/v=$batchId/$FreshnessFile")
+        // checkpoint and target may live on DIFFERENT filesystems
+        // (local checkpoint, object-store target) — resolve the writer
+        // from the destination, not the source
+        val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = dstFs.create(dst, true)
+        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        logWarning(s"writeFreshness: could not record freshness for " +
+          s"batch $batchId under $targetDir (${ex.getMessage}) — " +
+          "freshnessOf will return None for this version")
     }
-  }
 
   /** The freshness record of the LATEST committed snapshot version
     * under `targetDir` — how far behind the stream a

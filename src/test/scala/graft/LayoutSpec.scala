@@ -262,6 +262,47 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("targetedDelete: same-session read works, rewrite is targeted, re-run is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdel").toString
+    try {
+      // hash-clustered high-cardinality key, 8 files — the fingerprint
+      // names the few files holding the doomed keys
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(8, col("uid")).write.parquet(s"$dir/t")
+      val idx = Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))
+      val doomed = spark.read.parquet(s"$dir/t")
+        .limit(3).select("uid").as[Long].collect().toSeq
+      val before = spark.read.parquet(s"$dir/t").inputFiles.toSet
+      val expectSurvivors = spark.read.parquet(s"$dir/t")
+        .filter(!col("uid").isin(doomed: _*)).count()
+      val idx2 = Layout.targetedDelete(spark, s"$dir/t", idx, "uid", doomed,
+        Seq("uid"))
+      // THE round-8 failure shape: a plain read of the directory in the
+      // SAME session, immediately after the delete, with no caller-side
+      // refresh — the stale FileStatusCache used to kill this with
+      // FAILED_READ_FILE.FILE_NOT_EXIST
+      val after = spark.read.parquet(s"$dir/t")
+      assert(after.count() == expectSurvivors)
+      assert(after.filter(col("uid").isin(doomed: _*)).count() == 0,
+        "deleted keys still present")
+      // targeted: most files byte-identical
+      val afterFiles = after.inputFiles.toSet
+      assert((before intersect afterFiles).size >= 4,
+        s"rewrite not targeted: ${(before intersect afterFiles).size} of 8 untouched")
+      // refreshed index covers exactly the directory's current files
+      assert(idx2.count() == afterFiles.size)
+      // re-running the same delete on the refreshed index is the
+      // documented no-op: rewritten files no longer fingerprint-match
+      val idx3 = Layout.targetedDelete(spark, s"$dir/t", idx2, "uid", doomed,
+        Seq("uid"))
+      assert(spark.read.parquet(s"$dir/t").inputFiles.toSet == afterFiles,
+        "re-run touched files")
+      assert(idx3.count() == idx2.count())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join without any shuffle") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
       .select("l_orderkey", "l_quantity")
