@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => VectorizeCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.SkipRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

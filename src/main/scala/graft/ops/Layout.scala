@@ -438,6 +438,46 @@ object Layout {
       .select("file").collect().map(_.getString(0))
   }
 
+  /** The conjunction-of-disjunctions probe [[graft.plans.SkipRewrite]]
+    * compiles a `WHERE`'s equality conjuncts into: a file survives iff
+    * for EVERY probed column its fingerprint may contain SOME of that
+    * column's values (`col = v` is the one-value case, `col IN (…)`
+    * the many). One index pass returns BOTH the full indexed-file list
+    * (the rewrite diffs it against the scan's listing to find the
+    * un-indexed tail) and the surviving files — the index is |files|
+    * rows, and the driver already holds the file listing itself. */
+  private[graft] def filesForEqualities(index: DataFrame,
+                                        probes: Seq[(String, Seq[Any])],
+                                        who: String)
+      : (Array[String], Array[String]) = {
+    require(probes.nonEmpty, s"$who: no equality probes")
+    val fields = index.schema.fieldNames.toSet
+    require(fields.contains("fp_bits"),
+      s"$who: index has no fingerprints — build it with statsIndexFingerprint")
+    val (bits, k) = fpParams(index, who)
+    val keep = probes.map { case (c, values) =>
+      require(values.nonEmpty, s"$who: no values for column $c")
+      require(fields.contains(s"fp_$c"), s"$who: column $c is not fingerprinted")
+      val anyValue = values.map { v =>
+        val s = String.valueOf(v)
+        val member = (0 until k)
+          .map(j => bitTest(col(s"fp_$c"), fpPos(s, j, bits)))
+          .reduce(_ && _)
+        val boxed =
+          if (fields.contains(s"min_$c"))
+            col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+          else lit(true)
+        member && boxed
+      }.reduce(_ || _)
+      col(s"fp_$c").isNotNull && anyValue
+    }.reduce(_ && _)
+    // a NULL verdict (all-null stats column) means "cannot contain it"
+    val rows = index.select(col("file"), coalesce(keep, lit(false)).as("keep"))
+      .collect()
+    (rows.map(_.getString(0)),
+      rows.filter(_.getBoolean(1)).map(_.getString(0)))
+  }
+
   /** Semi-join file skipping: read only the fact files that may contain
     * a join key the (already-filtered) dimension side actually has —
     * the unpartitioned-table analogue of dynamic partition pruning. At

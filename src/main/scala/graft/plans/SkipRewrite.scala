@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+/** Automatic file skipping for point/IN lookups — the optimizer-rule
+  * twin of [[graft.ops.Layout.readPrunedEquals]], following the
+  * [[MvRewrite]] precedent: register a membership-fingerprint index for
+  * a directory once, and every plain `WHERE key = x` / `WHERE key IN
+  * (…)` over that directory is rewritten to scan only the files whose
+  * fingerprints may hold the probed values — no explicit API call in
+  * the query. At 100 TB this turns the commonest needle query (a
+  * hash-scattered high-cardinality lookup min/max can never prune)
+  * from a full-table scan into O(|files|) driver-side bit tests plus a
+  * handful of file reads.
+  *
+  * STALENESS SAFETY (the fresh-composition rule): the index trails
+  * ingestion — a [[graft.streaming.Streams.skippingIndexSink]] version
+  * lags by one microbatch, an offline index by however long since the
+  * last [[graft.ops.Layout.statsIndexUpdate]]. Files in the scan's
+  * listing that the index does NOT cover (the un-indexed tail) are
+  * ALWAYS read unpruned, so a key that only exists in a seconds-old
+  * file is still found; a stale index can only cost pruning
+  * opportunity, never rows. No false negatives end to end: indexed
+  * files are pruned by Bloom fingerprints (every ingested value lit
+  * its positions), tail files are never pruned at all. The row-level
+  * Filter stays in the plan untouched — false-positive files just add
+  * a redundant read.
+  *
+  * Strictly conservative matching: only `Filter` directly over the
+  * registered file relation (through a column-pruning Project), only
+  * equality/IN conjuncts over fingerprinted columns with integral or
+  * string literals (the canonical-string rendering the build used is
+  * unambiguous for those), only unpartitioned layouts (a
+  * hive-partitioned scan prunes by partition values the leaf-file
+  * listing cannot see). Any failure to resolve the index bails to the
+  * original plan with a log line — degraded, never wrong.
+  */
+object SkipRewrite {
+
+  /** `indexPath` is a THUNK so a versioned registration resolves the
+    * freshest committed `v=<batchId>` at every rewrite; None means "no
+    * index available yet" and the rule bails. */
+  final case class Entry(base: String, rootPaths: Set[String],
+                         indexPath: () => Option[String])
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private def rootsOf(spark: SparkSession, basePath: String,
+                      who: String): Set[String] = {
+    val analyzed = spark.read.parquet(basePath).queryExecution.analyzed
+    analyzed match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          require(fs.partitionSchema.isEmpty,
+            s"$who: $basePath is hive-partitioned — partition pruning " +
+              "already covers it, and a leaf-file rewrite would lose the " +
+              "directory-encoded partition values")
+          fs.location.rootPaths.map(_.toString).toSet
+        case _ => throw new IllegalArgumentException(
+          s"$who: $basePath is not a file-backed relation")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$who: $basePath is not a file-backed relation")
+    }
+  }
+
+  /** Register a PERSISTED fingerprint index
+    * ([[graft.ops.Layout.statsIndexFingerprint]] written to parquet)
+    * for `basePath`. The index is re-read per rewrite, so refreshing it
+    * in place ([[graft.ops.Layout.statsIndexUpdate]] + overwrite) takes
+    * effect on the next query with no re-registration. */
+  def register(spark: SparkSession, basePath: String, indexPath: String): Unit =
+    entries.put(basePath,
+      Entry(basePath, rootsOf(spark, basePath, "SkipRewrite.register"),
+        () => Some(indexPath)))
+
+  /** Register against a [[graft.streaming.Streams.skippingIndexSink]]
+    * TARGET DIRECTORY: the freshest committed `v=<batchId>` index
+    * version is resolved at every rewrite, so lookups track the
+    * maintained index batch over batch. Before the first committed
+    * version the rule bails (full scan — correct, just not pruned). */
+  def registerVersioned(spark: SparkSession, basePath: String,
+                        targetDir: String): Unit =
+    entries.put(basePath,
+      Entry(basePath, rootsOf(spark, basePath, "SkipRewrite.registerVersioned"),
+        () => graft.streaming.Streams
+          .latestSnapshotPath(SparkSession.active, targetDir)))
+
+  def unregister(basePath: String): Unit = entries.remove(basePath)
+  def clear(): Unit = entries.clear()
+  private[plans] def isEmpty: Boolean = entries.isEmpty
+
+  private[plans] def lookup(roots: Set[String]): Option[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.find(_.rootPaths == roots)
+  }
+}
+
+object SkipRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // fast path: no registered indexes (the common session state) must
+    // cost nothing per query
+    if (SkipRewrite.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, child) if cond.deterministic =>
+        try rewrite(f, cond, child).getOrElse(f)
+        catch {
+          case scala.util.control.NonFatal(ex) =>
+            // an unreadable/mis-shaped index must degrade to the full
+            // scan, never abort the user's query
+            logWarning(s"SkipRewrite: bailing to the full scan " +
+              s"(${ex.getMessage})")
+            f
+        }
+    }
+
+  /** The scan under the Filter: the relation itself, or through one
+    * column-pruning Project (attributes only — an alias Project is
+    * already some other rewrite's output, not a bare scan). */
+  private def scanOf(child: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, Option[Seq[NamedExpression]])] =
+    child match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
+          Some((lr, fs, None))
+        case _ => None
+      }
+      case Project(pl, lr: LogicalRelation)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        lr.relation match {
+          case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
+            Some((lr, fs, Some(pl)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** A literal the fingerprint build's `cast(col as string)` rendering
+    * is unambiguous for — integral and string types. Doubles/decimals/
+    * timestamps have format-dependent renderings; equality lookups on
+    * those don't auto-navigate (the explicit readPrunedEquals API still
+    * serves them with caller-controlled rendering). */
+  private def probeValue(l: Literal): Option[Any] = l.dataType match {
+    case StringType => Option(l.value).map(_.toString)
+    case ByteType | ShortType | IntegerType | LongType => Option(l.value)
+    case _ => None
+  }
+
+  private def conjunctsOf(ex: Expression): Seq[Expression] = ex match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Equality probes the condition implies, per column: `c = v`,
+    * `c <=> v` (non-null v), and `c IN (v…)` conjuncts. OR within a
+    * column's IN-list, AND across conjuncts — exactly the semantics
+    * [[graft.ops.Layout.filesForEqualities]] compiles. */
+  private def probesOf(cond: Expression): Seq[(String, Seq[Any])] =
+    conjunctsOf(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        probeValue(l).map(v => (a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        probeValue(l).map(v => (a.name, Seq(v)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        probeValue(l).map(v => (a.name, Seq(v)))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        probeValue(l).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val rendered = vs.map(v => probeValue(v.asInstanceOf[Literal]))
+        if (rendered.forall(_.isDefined)) Some((a.name, rendered.map(_.get)))
+        else None
+      case _ => None
+    }
+
+  private def uriPath(s: String): String = new java.net.URI(s).getPath
+
+  private def rewrite(f: Filter, cond: Expression,
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val (lr, fsRel, projList) = scanOf(child) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val roots = fsRel.location.rootPaths.map(_.toString).toSet
+    val entry = SkipRewrite.lookup(roots) match {
+      case Some(e) => e
+      case None => return None
+    }
+    val probes = probesOf(cond)
+    if (probes.isEmpty) return None
+    val idxPath = entry.indexPath() match {
+      case Some(p) => p
+      case None =>
+        logDebug(s"SkipRewrite: ${entry.base} has no committed index " +
+          "version yet — full scan")
+        return None
+    }
+    val spark = SparkSession.active
+    val idx = spark.read.parquet(idxPath)
+    val fields = idx.schema.fieldNames.toSet
+    // only probe columns the index fingerprints; others just don't prune
+    val usable = probes.filter(p => fields.contains(s"fp_${p._1}"))
+    if (usable.isEmpty || !fields.contains("fp_bits")) return None
+    val (indexed, survivors) =
+      graft.ops.Layout.filesForEqualities(idx, usable, "SkipRewrite")
+    // the scan's OWN listing decides coverage: the rewritten plan must
+    // answer over exactly the files the unrewritten scan would read —
+    // files the index has not covered yet (the un-indexed tail) are
+    // read unpruned, so a seconds-old key is still found
+    val baseFiles = fsRel.location.inputFiles
+    val indexedSet = indexed.map(uriPath).toSet
+    val survivorSet = survivors.map(uriPath).toSet
+    val keep = baseFiles.filter { bf =>
+      val p = uriPath(bf)
+      !indexedSet.contains(p) || survivorSet.contains(p)
+    }
+    if (keep.length >= baseFiles.length) {
+      logDebug(s"SkipRewrite: index pruned nothing for ${entry.base} — " +
+        "plan left untouched")
+      return None
+    }
+    val pruned: LogicalPlan =
+      if (keep.isEmpty) LocalRelation(lr.output)
+      else {
+        val scan = spark.read.parquet(keep.toIndexedSeq: _*)
+          .queryExecution.analyzed
+        // re-establish the original output attributes (exprIds) so the
+        // Filter above — and everything above it — is untouched
+        val aliases = lr.output.map { o =>
+          val src = scan.output.find(a =>
+            a.name == o.name && a.dataType == o.dataType) match {
+            case Some(a) => a
+            case None => return None // schema drift: bail, never guess
+          }
+          Alias(src, o.name)(exprId = o.exprId)
+        }
+        Project(aliases, scan)
+      }
+    logInfo(s"SkipRewrite: ${entry.base} lookup pruned to ${keep.length} " +
+      s"of ${baseFiles.length} files " +
+      s"(${survivors.length} fingerprint survivors, " +
+      s"${keep.length - survivors.length} un-indexed tail)")
+    val inner = projList.map(pl => Project(pl, pruned)).getOrElse(pruned)
+    Some(Filter(cond, inner))
+  }
+}

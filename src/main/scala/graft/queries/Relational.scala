@@ -1385,6 +1385,56 @@ object Relational {
     }
   }
 
+  // AUTO-consulted file skipping (plans.SkipRewrite) — same physics as
+  // q_skipping but with NO explicit API in the query: the directory is
+  // registered once, and a plain `WHERE l_orderkey IN (1, 32)` is
+  // rewritten by the optimizer rule to open only the files the
+  // fingerprints can't rule out. Key 32's rows land in a file APPENDED
+  // AFTER the index was built — the un-indexed tail is always read
+  // unpruned, so the stale index still answers exactly (never a wrong
+  // prune under lag). The require() proves the plan actually navigated.
+  private val qSkipAuto = QueryDef("q_skip_auto", Some(
+    """SELECT l_orderkey, count(*) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (1, 32) GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skipauto-q").toString
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      li.filter(col("l_orderkey") =!= 32L)
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndexFingerprint(spark, s"$work/t",
+          Seq("l_orderkey"), Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      // ingestion races ahead: key 32's rows land AFTER the index build
+      li.filter(col("l_orderkey") === 32L)
+        .coalesce(1).write.mode("append").parquet(s"$work/t")
+      graft.plans.SkipRewrite.register(spark, s"$work/t", s"$work/idx")
+      val out = spark.read.parquet(s"$work/t")
+        .filter(col("l_orderkey").isin(1L, 32L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+      // navigation gate: the OPTIMIZED plan opens a fraction of the 9
+      // files (fingerprint survivors + the one un-indexed tail file)
+      val opened = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+      require(opened <= 4,
+        s"q_skip_auto: auto-prune did not engage ($opened of 9 files opened)")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.SkipRewrite.unregister(s"$work/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Semi-join file skipping (Layout.readPrunedBy) — the unpartitioned
   // analogue of dynamic partition pruning: a selective dim filter
   // (one week of orders) yields a bounded key set; the fact table's
@@ -1594,5 +1644,5 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipJoin, qDelete)
+    qSkipping, qSkipAuto, qSkipJoin, qDelete)
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+import graft.plans.SkipRewrite
+
+/** Auto-consulted file skipping: a plain `WHERE key = x` over a
+  * registered directory scans only the files the fingerprint index
+  * can't rule out, with the un-indexed tail always read — no false
+  * negatives under index lag, full scan (never a wrong prune) when the
+  * index can't help. */
+class SkipRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  /** Files the OPTIMIZED plan will open — the rewrite happens at
+    * optimization time, so Dataset.inputFiles (analyzed plan) can't see
+    * it. */
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
+  test("registered point/IN lookups navigate; unregistered and non-equality shapes don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw").toString
+    try {
+      // hash-clustered high-cardinality key across 8 files: min/max
+      // can't prune (every file spans the range), the fingerprint can
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(8, col("uid")).write.parquet(s"$dir/t")
+      Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      val probes = spark.read.parquet(s"$dir/t")
+        .limit(5).select("uid").as[Long].collect().toSeq
+
+      // before registration: the same lookup scans everything
+      def lookup(v: Long) = spark.read.parquet(s"$dir/t").filter(col("uid") === v)
+      assert(scannedFiles(lookup(probes.head)) == 8)
+
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      // every present key is FOUND (no false negatives) while the plan
+      // opens a fraction of the files
+      probes.foreach { v =>
+        val q = lookup(v)
+        assert(scannedFiles(q) <= 3, s"auto-prune opened ${scannedFiles(q)} of 8")
+        assert(q.count() == 1, s"false negative for $v")
+      }
+      // IN-list: union of probes, still pruned, all rows found
+      val inQ = spark.read.parquet(s"$dir/t")
+        .filter(col("uid").isin(probes.take(3): _*))
+      assert(scannedFiles(inQ) <= 5 && inQ.count() == 3)
+      // an absent key prunes every indexed file -> empty, zero scans
+      val absent = lookup(0x0123456789ABCDEFL)
+      assert(scannedFiles(absent) == 0 && absent.count() == 0)
+      // a non-equality filter is left alone (full scan, correct rows)
+      val range = spark.read.parquet(s"$dir/t").filter(col("uid") > 0L)
+      assert(scannedFiles(range) == 8)
+      // a non-fingerprinted column doesn't navigate
+      val other = spark.read.parquet(s"$dir/t").filter(col("g") === 7L)
+      assert(scannedFiles(other) == 8 && other.count() == 400)
+      // equality AND extra row-level predicate: prunes on the equality,
+      // keeps the whole filter row-level
+      val mixed = spark.read.parquet(s"$dir/t")
+        .filter(col("uid") === probes.head && col("g") >= 0L)
+      assert(scannedFiles(mixed) <= 3 && mixed.count() == 1)
+      SkipRewrite.unregister(s"$dir/t")
+      assert(scannedFiles(lookup(probes.head)) == 8,
+        "unregister must restore the full scan")
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("index lag: a key only in a not-yet-indexed file is still found (tail read unpruned)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-tail").toString
+    try {
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(8, col("uid")).write.parquet(s"$dir/t")
+      Layout.statsIndexFingerprint(spark, s"$dir/t", Seq("uid"), Seq("uid"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      // ingestion races ahead of the index: one fresh file lands with a
+      // key that exists NOWHERE else
+      val planted = 0x7EA11FEEDL
+      Seq((planted, 999L)).toDF("uid", "g")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+      val q = spark.read.parquet(s"$dir/t").filter(col("uid") === planted)
+      // found — the un-indexed tail is always read
+      assert(q.count() == 1, "stale index lost a tail row")
+      // and still pruned: the 8 indexed files are fingerprint-skipped,
+      // only the tail (plus fingerprint false positives) is opened
+      assert(scannedFiles(q) <= 3,
+        s"tail lookup opened ${scannedFiles(q)} of 9 files")
+      // refreshing the index in place absorbs the tail on the NEXT query
+      Layout.statsIndexUpdate(spark, s"$dir/t", Seq("uid"),
+          spark.read.parquet(s"$dir/idx"))
+        .write.mode("overwrite").parquet(s"$dir/idx2")
+      spark.read.parquet(s"$dir/idx2").write.mode("overwrite").parquet(s"$dir/idx")
+      val q2 = spark.read.parquet(s"$dir/t").filter(col("uid") === planted)
+      assert(q2.count() == 1 && scannedFiles(q2) <= 3)
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("versioned registration tracks skippingIndexSink; trails safely under lag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-v").toString
+    val base = s"$dir/base"; val target = s"$dir/idx"; val ckpt = s"$dir/ck"
+    try {
+      def land(lo: Int, hi: Int): Unit =
+        (lo until hi).map(i => (i.toLong * 7919L, s"p$i")).toDF("uid", "payload")
+          .repartition(2).write.mode("append").parquet(base)
+      land(0, 400)
+      // registration BEFORE any committed version: full scan, no error
+      SkipRewrite.registerVersioned(spark, base, target)
+      val early = spark.read.parquet(base).filter(col("uid") === 7919L)
+      assert(scannedFiles(early) == 2 && early.count() == 1)
+      val q = graft.streaming.Streams.skippingIndexSink(
+        spark.readStream.schema("uid long, payload string").parquet(base),
+        target, ckpt, Seq("uid"), fpCols = Seq("uid"))
+      try {
+        q.processAllAvailable()
+        land(400, 800)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the maintained index serves auto-pruned lookups
+      val v = 399L * 7919L
+      val look = spark.read.parquet(base).filter(col("uid") === v)
+      assert(look.count() == 1)
+      assert(scannedFiles(look) < 4,
+        s"versioned lookup opened ${scannedFiles(look)} of 4 files")
+      // the stream is stopped; new files land that NO index version
+      // covers — a planted key there must still be found
+      Seq((31337L, "tail")).toDF("uid", "payload")
+        .coalesce(1).write.mode("append").parquet(base)
+      val tailQ = spark.read.parquet(base).filter(col("uid") === 31337L)
+      assert(tailQ.count() == 1, "versioned index lag lost a tail row")
+      assert(scannedFiles(tailQ) < 5,
+        s"tail lookup opened ${scannedFiles(tailQ)} of 5 files")
+    } finally {
+      SkipRewrite.unregister(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}
