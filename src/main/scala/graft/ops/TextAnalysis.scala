@@ -56,13 +56,28 @@ object TextAnalysis {
     require(k > 0, "TextAnalysis.bm25TopK: k must be positive")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    val qtok = tok.where(col("term").isin(queryTerms: _*))
+    bm25ScorePairs(tok, qtok, k1, b)
+      .groupBy("doc_id")
+      .agg((sum("s_fp") / lit(1e9)).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-(doc, term) fixed-point BM25 scores — the shared core of
+    * [[bm25TopK]] and [[bm25BatchTopK]]: tf over the PRE-FILTERED
+    * postings, df and corpus stats as broadcast kilobyte frames, one
+    * fixed-association double expression per pair, 1e-9 fixed point
+    * before any sum. `tok` is the full (doc_id, term) stream (doc
+    * lengths are BM25's normalization term — inherently a full pass),
+    * `qtok` its rows matching any query term. */
+  private def bm25ScorePairs(tok: DataFrame, qtok: DataFrame,
+                             k1: Double, b: Double): DataFrame = {
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-    val qtok = tok.where(col("term").isin(queryTerms: _*))
     val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = qtok.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val scored = tf
-      .join(broadcast(dft), "term")
+    tf.join(broadcast(dft), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
@@ -75,10 +90,42 @@ object TextAnalysis {
           (col("tf").cast("double") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .withColumn("s_fp", round(col("s") * lit(1e9)).cast("long"))
-    scored.groupBy("doc_id")
+  }
+
+  /** Batch BM25 — thousands of queries in ONE corpus pass, the shape
+    * contamination sweeps and eval-set mining actually run (per-query
+    * [[bm25TopK]] would re-tokenize 100 TB per query). `queries` is a
+    * two-column (query_id, term) frame; the UNION of all terms filters
+    * the postings BEFORE any shuffle, so the fat path costs
+    * |matching postings| — never |queries| · |corpus|. Per-(doc, term)
+    * scores are computed ONCE (they don't depend on the query), then
+    * fanned out to queries by a broadcast equi-join on term and summed
+    * per (query_id, doc_id); top-k per query is one
+    * [[graft.plans.GroupedTopK]] pass (bounded heaps, no global sort).
+    * Same determinism contract as [[bm25TopK]]: identical score
+    * arithmetic (shared code), 1e-9 fixed point before the sum,
+    * (score desc, doc_id) tiebreak. Queries whose terms match nothing
+    * simply return no rows. */
+  def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.schema.length == 2,
+      "TextAnalysis.bm25BatchTopK: queries must be a (query_id, term) frame")
+    require(k > 0, "TextAnalysis.bm25BatchTopK: k must be positive")
+    val q = queries.toDF("query_id", "term").na.drop().distinct()
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    // pre-shuffle postings filter on the union of every query's terms —
+    // a broadcast semi-join (the query frame is the small side by
+    // contract: thousands of queries, not a corpus)
+    val qtok = tok.join(broadcast(q.select("term").distinct()), Seq("term"))
+      .select("doc_id", "term")
+    bm25ScorePairs(tok, qtok, k1, b)
+      .join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id")
       .agg((sum("s_fp") / lit(1e9)).as("score"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+      .transform(graft.plans.GroupedTopK(_, Seq("query_id"), k,
+        Seq(("score", true), ("doc_id", false))))
   }
 
   /** Word n-gram shingles (n=3) — the dedup unit for MinHash/Jaccard.

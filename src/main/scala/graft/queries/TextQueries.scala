@@ -214,6 +214,52 @@ object TextQueries {
       "doc_id", "text", Seq("join", "hash", "window"), 10)
   }
 
+  // Batch BM25 — three queries ranked in ONE corpus pass (the
+  // contamination-sweep shape): the union of all query terms filters
+  // the postings pre-shuffle, per-(doc, term) scores are computed once
+  // and fanned out to queries by a broadcast term join, top-5 per
+  // query via GroupedTopK. Same mirrored arithmetic and 1e-9
+  // fixed-point contract as txt_bm25; rankings for ALL queries
+  // hash-check against the oracle's windowed top-5.
+  private val bm25Batch = QueryDef("txt_bm25_batch", Some(
+    """WITH q(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+      |                                  (2, 'window'), (2, 'stream'),
+      |                                  (3, 'state'), (3, 'join')),
+      |tok AS (SELECT doc_id,
+      |               unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |        FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |terms AS (SELECT DISTINCT term FROM q),
+      |qt AS (SELECT tok.doc_id, tok.term FROM tok JOIN terms USING (term)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                      / (CAST(df AS DOUBLE) + 0.5))
+      |               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |                    + 0.75 * CAST(dl AS DOUBLE)
+      |                      / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |ps AS (SELECT q.query_id, s.doc_id,
+      |              CAST(sum(CAST(round(sc * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |                / 1000000000.0 AS score,
+      |              count(*) AS n_terms
+      |       FROM s JOIN q USING (term) GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, n_terms,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY score DESC, doc_id) AS rk
+      |      FROM ps)
+      |SELECT query_id, doc_id, score, n_terms FROM r WHERE rk <= 5""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val q = Seq((1, "join"), (1, "hash"), (2, "window"), (2, "stream"),
+        (3, "state"), (3, "join")).toDF("query_id", "term")
+      graft.ops.TextAnalysis.bm25BatchTopK(Tables(spark, dir).documents,
+        "doc_id", "text", q, 5)
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -708,6 +754,6 @@ object TextQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, bm25, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    tokenCountQ, tfidf, bm25, bm25Batch, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

@@ -120,6 +120,28 @@ object ScaleProbe {
         "doc_id", "text", minHits = 3L)
     }
 
+    // Batch BM25 at 20x docs: per-(doc, term) scores are computed once
+    // off the union of all query terms and fanned out to queries by a
+    // broadcast join — 32x more queries over the same term pool must
+    // cost roughly the same (|matching postings| dominates, never
+    // |queries| x |corpus|).
+    val bm25Pool = Seq("join", "hash", "window", "stream", "state", "the",
+      "a", "of", "and", "to", "in", "for")
+    def bm25Queries(n: Int) = {
+      import spark.implicits._
+      (0 until n).flatMap(j => Seq(
+        (j, bm25Pool(j % 12)), (j, bm25Pool((j * 5 + 1) % 12)),
+        (j, bm25Pool((j * 7 + 2) % 12)))).toDF("query_id", "term")
+    }
+    stage("bm25_batch_20x_2q") {
+      graft.ops.TextAnalysis.bm25BatchTopK(docs20, "doc_id", "text",
+        bm25Queries(2), 10)
+    }
+    stage("bm25_batch_20x_64q") {
+      graft.ops.TextAnalysis.bm25BatchTopK(docs20, "doc_id", "text",
+        bm25Queries(64), 10)
+    }
+
     // Bigram-LM train + score at 20x docs: typed bigram explosion is
     // one narrow pass; counts and the per-doc score agg are map-side
     // combinable, so runtime tracks token volume, not |docs|².
