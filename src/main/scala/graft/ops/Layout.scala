@@ -449,13 +449,24 @@ object Layout {
   private[graft] def filesForEqualities(index: DataFrame,
                                         probes: Seq[(String, Seq[Any])],
                                         who: String)
+      : (Array[String], Array[String]) =
+    filesForPredicates(index, probes, Nil, who)
+
+  /** [[filesForEqualities]] plus RANGE conjuncts over the min/max
+    * stats: `(col, lo, hi)` keeps files whose `[min, max]` box
+    * intersects `[lo, hi]` (an open side passes None). Exclusive query
+    * bounds are probed inclusively — conservative, never a false
+    * negative. Ranges need only the stats columns, not fingerprints,
+    * so a plain [[statsIndex]] serves them too. */
+  private[graft] def filesForPredicates(index: DataFrame,
+                                        eqs: Seq[(String, Seq[Any])],
+                                        ranges: Seq[(String, Option[Any], Option[Any])],
+                                        who: String)
       : (Array[String], Array[String]) = {
-    require(probes.nonEmpty, s"$who: no equality probes")
+    require(eqs.nonEmpty || ranges.nonEmpty, s"$who: no probes")
     val fields = index.schema.fieldNames.toSet
-    require(fields.contains("fp_bits"),
-      s"$who: index has no fingerprints — build it with statsIndexFingerprint")
-    val (bits, k) = fpParams(index, who)
-    val keep = probes.map { case (c, values) =>
+    lazy val (bits, k) = fpParams(index, who)
+    val eqKeep = eqs.map { case (c, values) =>
       require(values.nonEmpty, s"$who: no values for column $c")
       require(fields.contains(s"fp_$c"), s"$who: column $c is not fingerprinted")
       val anyValue = values.map { v =>
@@ -470,7 +481,15 @@ object Layout {
         member && boxed
       }.reduce(_ || _)
       col(s"fp_$c").isNotNull && anyValue
-    }.reduce(_ && _)
+    }
+    val rangeKeep = ranges.map { case (c, lo, hi) =>
+      require(fields.contains(s"min_$c"),
+        s"$who: column $c carries no min/max stats")
+      Seq(lo.map(v => col(s"max_$c") >= lit(v)),
+          hi.map(v => col(s"min_$c") <= lit(v)))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    }
+    val keep = (eqKeep ++ rangeKeep).reduce(_ && _)
     // a NULL verdict (all-null stats column) means "cannot contain it"
     val rows = index.select(col("file"), coalesce(keep, lit(false)).as("keep"))
       .collect()

@@ -420,6 +420,27 @@ object MvRewrite {
     (lines ++ cacheNote).mkString("\n")
   }
 
+  /** Operability: the last few rewrite BAILS (view + shape reason),
+    * newest last — "why is the dashboard suddenly scanning the base"
+    * answered without re-running anything. Populated whenever a view
+    * MATCHED the scanned base but could not answer the query shape
+    * (the same events the rule logs at debug level); lookup misses
+    * (plan never touched a registered base) don't record. Bounded
+    * ring, best-effort under concurrency. */
+  private val bailRing =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def recentBails: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    bailRing.asScala.toSeq
+  }
+  private[plans] def noteBail(e: Entry, reason: String): String = {
+    val line = s"MvRewrite: view(base=${e.base}, keys=${e.keys.mkString(",")}) " +
+      s"did not navigate — $reason"
+    bailRing.add(line)
+    while (bailRing.size > 32) bailRing.poll()
+    line
+  }
+
   /** Remove EVERY view registered for `basePath` (all key sets). To
     * replace one view, just re-register the same (base, keys) pair. */
   def unregister(basePath: String): Unit = {
@@ -677,8 +698,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Control-flow bail: any unanswerable shape aborts the rewrite and
-    * leaves the original plan untouched. */
+    * leaves the original plan untouched. The reason-carrying form
+    * feeds the per-view debug log line and [[MvRewrite.recentBails]];
+    * the bare singleton remains for sites whose reason is the generic
+    * shape message. */
   private object Unanswerable extends scala.util.control.ControlThrowable
+  private final class UnanswerableEx(val reason: String)
+      extends scala.util.control.ControlThrowable
+  private def bail(reason: String): Nothing = throw new UnanswerableEx(reason)
 
   /** Two resolutions of the same formula over the same relation carry
     * different exprIds; rebasing every attribute's exprId onto a
@@ -823,7 +850,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def keyNameOpt(g: Expression): Option[String] = keyMatch(g).map(_._1)
     val groupNames = groupings.flatMap { g =>
       if (isDimOnly(inline(g))) None // dim grouping: passes through untouched
-      else Some(keyNameOpt(g).getOrElse(throw Unanswerable))
+      else Some(keyNameOpt(g).getOrElse(bail(
+        s"grouping expression ${g.sql} is not a snapshot key " +
+          "(plain key column, registered derived bucket key, or a " +
+          "coarser date_trunc over one)")))
     }
     // filters are answerable only when they select WHOLE groups — i.e.
     // reference nothing but snapshot keys (inlined: a filter over a
@@ -868,14 +898,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // dim attribute (evaluated per joined pair, untouched) or a snapshot
     // key (constant within a group)
     inlinedFilters.foreach(_.references.foreach(a =>
-      if (!dimOut.contains(a) && !e.keys.contains(a.name)) throw Unanswerable))
+      if (!dimOut.contains(a) && !e.keys.contains(a.name)) bail(
+        s"filter references ${a.name}, which is neither a snapshot key " +
+          "nor a dim attribute — a non-key predicate selects partial " +
+          "groups the snapshot cannot see")))
 
     val spark = SparkSession.active
     // versioned registrations resolve their freshest committed version
     // here; "no version yet" means the view can't answer — bail clean
     val snapPath =
       try e.snapshotPath()
-      catch { case _: IllegalStateException => throw Unanswerable }
+      catch { case ex: IllegalStateException => bail(ex.getMessage) }
     // a snapshot that fails to READ (deleted by retention between
     // resolution and planning, torn directory, wrong path) must degrade
     // to the unrewritten plan — never abort the user's query. Same for
@@ -896,7 +929,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           // navigated" must be answerable from the log, not archaeology
           logWarning(s"MvRewrite: view over ${e.base} cannot answer from " +
             s"$snapPath (${ex.getMessage}) — falling back to the direct scan")
-          throw Unanswerable
+          bail(s"snapshot $snapPath unreadable: ${ex.getMessage}")
       }
     def snapAttr(name: String): Attribute =
       snap.output.find(_.name == name).getOrElse(throw Unanswerable)
@@ -918,7 +951,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def navFilter(filt: Option[Expression]): Option[Expression] = filt.map { f =>
       val fx = bucketize(inline(f))
       fx.references.foreach(a =>
-        if (!dimOut.contains(a) && !e.keys.contains(a.name)) throw Unanswerable)
+        if (!dimOut.contains(a) && !e.keys.contains(a.name)) bail(
+          s"aggregate FILTER clause references ${a.name} — a row-level " +
+            "subset is invisible to the snapshot's group rows"))
       fx.transform {
         case a: AttributeReference if !dimOut.contains(a) => snapAttr(a.name)
       }
@@ -939,7 +974,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case ar: AttributeReference if e.measures.contains(ar.name) => ar.name
       case other => e.derived.collectFirst {
         case (n, d) if sameFormula(d, other) => n
-      }.getOrElse(throw Unanswerable)
+      }.getOrElse(bail(s"aggregate argument ${other.sql} is not a " +
+        "registered measure or derived-measure formula"))
     }
 
     // a distinct-count target resolves through the implicit string cast
@@ -987,14 +1023,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // `sum(m) FILTER (WHERE dim.x = …)` stays navigable.
     if (expand.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression
-          if ae.references.exists(keptSet.contains) => throw Unanswerable
+          if ae.references.exists(keptSet.contains) => bail(
+        s"aggregate ${ae.sql} reads a masked grouping-sets key — it sees " +
+          "nulls the rebuilt source lacks")
       case _ =>
     })
     if (star.isDefined) results.foreach(_.foreach {
       case ae: AggregateExpression =>
         val fnRefs = inline(ae.aggregateFunction).references
         if (fnRefs.exists(starDims.contains) && !fnRefs.subsetOf(starDims))
-          throw Unanswerable
+          bail(s"aggregate ${ae.sql} mixes fact and dim references — " +
+            "count-weighting is only sound for dim-exclusive functions")
       case _ =>
     })
     // map each result expression onto the snapshot; bail on anything
@@ -1285,5 +1324,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       s"from snapshot $snapPath" +
       star.map(_ => " (star: snapshot ⋈ dim)").getOrElse(""))
     Some(Aggregate(snapGroupings, mapped, snapChild))
-  } catch { case Unanswerable => None }
+  } catch {
+    // one debug line per bailed view AT REWRITE TIME — shape bails are
+    // otherwise silent and "why is this dashboard slow" becomes
+    // archaeology; the same line lands in MvRewrite.recentBails.
+    // noteBail runs EAGERLY (logDebug's by-name arg would skip the
+    // recording whenever debug logging is off)
+    case u: UnanswerableEx =>
+      val line = MvRewrite.noteBail(e, u.reason)
+      logDebug(line); None
+    case Unanswerable =>
+      val line = MvRewrite.noteBail(e, "query shape unanswerable " +
+        "(non-key filter/grouping, unregistered measure, row-level " +
+        "FILTER clause, or an unsupported aggregate kind)")
+      logDebug(line); None
+  }
 }

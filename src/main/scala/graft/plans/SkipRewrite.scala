@@ -32,13 +32,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * a redundant read.
   *
   * Strictly conservative matching: only `Filter` directly over the
-  * registered file relation (through a column-pruning Project), only
+  * registered file relation (through a column-pruning Project);
   * equality/IN conjuncts over fingerprinted columns with integral or
   * string literals (the canonical-string rendering the build used is
-  * unambiguous for those), only unpartitioned layouts (a
-  * hive-partitioned scan prunes by partition values the leaf-file
-  * listing cannot see). Any failure to resolve the index bails to the
-  * original plan with a log line — degraded, never wrong.
+  * unambiguous for those); range conjuncts (`>`, `>=`, `<`, `<=`,
+  * BETWEEN's two halves) over min/max-indexed columns with integral
+  * literals — the time-range shape over a range- or z-order-clustered
+  * layout; only unpartitioned layouts (a hive-partitioned scan prunes
+  * by partition values the leaf-file listing cannot see). Any failure
+  * to resolve the index bails to the original plan with a log line —
+  * degraded, never wrong.
   */
 object SkipRewrite {
 
@@ -95,6 +98,18 @@ object SkipRewrite {
   def unregister(basePath: String): Unit = entries.remove(basePath)
   def clear(): Unit = entries.clear()
   private[plans] def isEmpty: Boolean = entries.isEmpty
+
+  /** Operability: each registered base with its CURRENTLY-resolved
+    * index path (None = versioned registration with no committed
+    * version yet) — the session's answer to "why didn't this lookup
+    * prune". */
+  def registered: Seq[(String, Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.toSeq.sortBy(_.base)
+      .map(e => (e.base, try e.indexPath() catch {
+        case scala.util.control.NonFatal(_) => None
+      }))
+  }
 
   private[plans] def lookup(roots: Set[String]): Option[Entry] = {
     import scala.jdk.CollectionConverters._
@@ -153,6 +168,14 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A literal whose min/max box comparison is exact through `lit()` —
+    * integral only (a timestamp's internal Long would lift as a plain
+    * number and compare against the wrong type). */
+  private def boundValue(l: Literal): Option[Any] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => Option(l.value)
+    case _ => None
+  }
+
   private def conjunctsOf(ex: Expression): Seq[Expression] = ex match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
     case other => Seq(other)
@@ -179,6 +202,34 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Range bounds the condition implies, per conjunct: `c > v` /
+    * `c >= v` contribute a lower bound, `c < v` / `c <= v` an upper —
+    * pruned against the min/max stats ([[graft.ops.Layout.statsIndex]]
+    * alone serves these; no fingerprints needed). Exclusive bounds are
+    * probed inclusively: conservative, never a false negative. This is
+    * the time-range dashboard shape over a range- or z-order-clustered
+    * layout. */
+  private def rangesOf(cond: Expression): Seq[(String, Option[Any], Option[Any])] =
+    conjunctsOf(cond).flatMap {
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        boundValue(l).map(v => (a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        boundValue(l).map(v => (a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        boundValue(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        boundValue(l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        boundValue(l).map(v => (a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        boundValue(l).map(v => (a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        boundValue(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        boundValue(l).map(v => (a.name, Some(v), None))
+      case _ => None
+    }
+
   private def uriPath(s: String): String = new java.net.URI(s).getPath
 
   private def rewrite(f: Filter, cond: Expression,
@@ -193,7 +244,8 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
       case None => return None
     }
     val probes = probesOf(cond)
-    if (probes.isEmpty) return None
+    val ranges = rangesOf(cond)
+    if (probes.isEmpty && ranges.isEmpty) return None
     val idxPath = entry.indexPath() match {
       case Some(p) => p
       case None =>
@@ -204,11 +256,21 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val idx = spark.read.parquet(idxPath)
     val fields = idx.schema.fieldNames.toSet
-    // only probe columns the index fingerprints; others just don't prune
-    val usable = probes.filter(p => fields.contains(s"fp_${p._1}"))
-    if (usable.isEmpty || !fields.contains("fp_bits")) return None
+    // only probe what the index can answer: equalities need the
+    // column's fingerprint, ranges only its min/max stats. A single
+    // equality on a stats-only column still box-prunes as the
+    // degenerate range [v, v] — what a range-clustered layout gives a
+    // point lookup even without fingerprints.
+    val usableEq = probes.filter(p =>
+      fields.contains(s"fp_${p._1}") && fields.contains("fp_bits"))
+    val eqAsRange = probes.filter(p =>
+      !(fields.contains(s"fp_${p._1}") && fields.contains("fp_bits")) &&
+        fields.contains(s"min_${p._1}") && p._2.size == 1)
+      .map(p => (p._1, Some(p._2.head): Option[Any], Some(p._2.head): Option[Any]))
+    val usableRg = ranges.filter(r => fields.contains(s"min_${r._1}")) ++ eqAsRange
+    if (usableEq.isEmpty && usableRg.isEmpty) return None
     val (indexed, survivors) =
-      graft.ops.Layout.filesForEqualities(idx, usable, "SkipRewrite")
+      graft.ops.Layout.filesForPredicates(idx, usableEq, usableRg, "SkipRewrite")
     // the scan's OWN listing decides coverage: the rewritten plan must
     // answer over exactly the files the unrewritten scan would read —
     // files the index has not covered yet (the un-indexed tail) are

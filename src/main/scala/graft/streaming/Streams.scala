@@ -1045,6 +1045,49 @@ object Streams extends org.apache.spark.internal.Logging {
       }
     }
 
+  /** [[freshnessOf]] parsed into the fields a lag GATE compares —
+    * "answers may trail by at most N files / the stream must be past
+    * offset X" becomes one comparison instead of caller-side JSON
+    * archaeology. `sourceLogOffsets` is one entry per source in plan
+    * order: the file/rate source's `logOffset` when the offset is the
+    * standard JSON object, None for opaque offset encodings (a
+    * MemoryStream serializes a bare ordinal — surfaced as the number
+    * itself). `pendingFiles` is the count of base files the version's
+    * `_files` manifest has NOT covered (the exact tail
+    * [[graft.plans.MvRewrite.registerVersionedFresh]] would read);
+    * None when the version has no manifest or no `basePath` was
+    * given. */
+  final case class SnapshotLag(version: Long,
+                               sourceLogOffsets: Seq[Option[Long]],
+                               pendingFiles: Option[Long])
+
+  def freshnessLagOf(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String,
+                     basePath: Option[String] = None): Option[SnapshotLag] =
+    freshnessOf(spark, targetDir).map { f =>
+      // OffsetSeqLog layout: "v1" header, one metadata line
+      // (batchWatermarkMs/batchTimestampMs/conf), then ONE line per
+      // source with its offset json
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = f.offsetsJson.split("\n").map(_.trim).filter(_.nonEmpty)
+      val sourceLines = lines.drop(2)
+      val offsets = sourceLines.toSeq.map { l =>
+        try {
+          val node = mapper.readTree(l)
+          if (node.isNumber) Some(node.asLong())
+          else Option(node.get("logOffset")).map(_.asLong())
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val pending = basePath.flatMap { bp =>
+        snapshotManifest(spark, s"$targetDir/v=${f.version}").map { covered =>
+          def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+          spark.read.parquet(bp).inputFiles.map(norm)
+            .count(!covered.contains(_)).toLong
+        }
+      }
+      SnapshotLag(f.version, offsets, pending)
+    }
+
   /** Files the FILE stream source ingested in `batchId`, from its own
     * checkpoint log (`<checkpoint>/sources/0/<batchId>`, JSON lines) —
     * the authoritative record of per-batch file coverage. Every

@@ -569,6 +569,15 @@ object ScaleProbe {
     stage("plain_point_lookup_12m") {
       pointAgg(spark.read.parquet(s"$fpdir/t"))
     }
+    // the same lookup AUTO-navigated by the SkipRewrite optimizer rule
+    // — a plain WHERE over the registered directory, no API call in
+    // the query; the extra cost over the explicit readPrunedEquals is
+    // the per-optimization index read (the cold floor above)
+    graft.plans.SkipRewrite.register(spark, s"$fpdir/t", s"$fpdir/idx")
+    stage("fp_auto_lookup_12m") {
+      pointAgg(spark.read.parquet(s"$fpdir/t"))
+    }
+    graft.plans.SkipRewrite.unregister(s"$fpdir/t")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpdir))
 
     // PII scrub + unicode normalization at 20x docs: both are narrow

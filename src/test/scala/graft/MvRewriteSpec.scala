@@ -313,6 +313,40 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("shape bails are observable: recentBails names the view and the reason") {
+    withSnapshot { snapPath =>
+      // a known-bail shape: a filter over a NON-key column — the view
+      // matches the scanned base but cannot answer, and that decision
+      // must be greppable without re-running anything
+      val before = MvRewrite.recentBails.size
+      val q = spark.read.parquet(basePath)
+        .filter(col("l_discount") > 0.05)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      val plan = scansOf(q)
+      assert(!plan.contains(snapPath), s"non-key filter must not navigate:\n$plan")
+      val bails = MvRewrite.recentBails.drop(before)
+      assert(bails.exists(l => l.contains(basePath) &&
+          l.contains("l_discount")),
+        s"expected a bail line naming the view and l_discount, got:\n" +
+          bails.mkString("\n"))
+      // an unregistered-measure bail carries its own reason
+      val before2 = MvRewrite.recentBails.size
+      val q2 = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(sum("l_extendedprice").as("s"))
+      assert(!scansOf(q2).contains(snapPath))
+      assert(MvRewrite.recentBails.drop(before2)
+          .exists(_.contains("not a registered measure")),
+        "expected an unregistered-measure bail line")
+      // navigated queries add nothing
+      val before3 = MvRewrite.recentBails.size
+      val ok = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scansOf(ok).contains(snapPath))
+      assert(MvRewrite.recentBails.size == before3,
+        "a navigated query must not record a bail")
+    }
+  }
+
   test("register rejects non-floating measures; overlapping registrations are refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-guard").toString
     try {
@@ -430,6 +464,61 @@ class MvRewriteSpec extends AnyFunSuite {
           Map.empty, s"$dir/snap", derivedKeys = Map("day" -> bucket))
       } finally MvRewrite.unregister(s"$dir/base")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("trunc hierarchy requires matching time zones: a tz-switched session bails, never mis-buckets") {
+    // month boundaries in one zone are NOT day boundaries in another —
+    // a coarser-trunc match across a session-tz change would silently
+    // mis-bucket every boundary-straddling row (round-8 ADVICE). The
+    // zone guard must bail BOTH the coarser rollup and (via
+    // semanticEquals) the exact-format match.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-tz").toString
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val ts0 = java.sql.Timestamp.valueOf("2024-03-30 20:00:00")
+      (0 until 200).map { i =>
+        (new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000), (i % 5).toDouble)
+      }.toDF("ts", "v").write.mode("overwrite").parquet(s"$dir/base")
+      val bucket = date_trunc("day", col("ts"))
+      Cdc.aggSnapshot(
+          spark.read.parquet(s"$dir/base").withColumn("day", bucket),
+          Seq("day"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      MvRewrite.registerDerived(spark, s"$dir/base", Seq("day"), Seq("v"),
+        Map.empty, s"$dir/snap", derivedKeys = Map("day" -> bucket))
+      def monthly() = spark.read.parquet(s"$dir/base")
+        .groupBy(date_trunc("month", col("ts")).as("mon"))
+        .agg(sum("v").as("s"))
+      assert(scansOf(monthly()).contains(s"$dir/snap"),
+        "same-zone month rollup must navigate the day-keyed registration")
+      // the session moves to a +05:30 zone: its month boundaries don't
+      // align with the UTC day buckets — navigation must bail to the
+      // base (correct answers, just not navigated)
+      spark.conf.set(tzKey, "Asia/Kolkata")
+      val crossPlan = scansOf(monthly())
+      assert(crossPlan.contains(s"$dir/base") && !crossPlan.contains(s"$dir/snap"),
+        s"tz-mismatched month rollup wrongly navigated:\n$crossPlan")
+      // the exact day-format query bails the same way (different tz =
+      // different formula under semanticEquals)
+      val daily = spark.read.parquet(s"$dir/base")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum("v").as("s"))
+      assert(scansOf(daily).contains(s"$dir/base"),
+        "tz-mismatched day grouping wrongly navigated")
+      // and the bail is observable with the zone mismatch's shape reason
+      assert(MvRewrite.recentBails.exists(l => l.contains(s"$dir/base")),
+        "expected a recorded bail for the tz-switched query")
+      // back in the registration zone, navigation resumes
+      spark.conf.set(tzKey, "UTC")
+      assert(scansOf(monthly()).contains(s"$dir/snap"),
+        "restoring the session tz must restore navigation")
+    } finally {
+      spark.conf.set(tzKey, saved)
+      MvRewrite.unregister(s"$dir/base")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("time-range filters over derived bucket keys navigate (sweep) and mixed terms bail") {

@@ -19,10 +19,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
   /** Queries DECLARED to plan a nested-loop/cartesian join:
     *  - q_cross_join: the capability probe itself, bounded at 100 rows;
     *  - q_subq_scalar / q_subq_not_exists / e3_nb_classifier / txt_tfidf
-    *    / txt_bm25 / tpch_q11 / tpch_q22: scalar subqueries (corpus
-    *    totals, vocab size, the Q11 value threshold, the Q22 average
-    *    balance, BM25's (N, avgdl) pair) — Spark plans the 1-row
-    *    aggregate as a broadcast NLJ build side, constant cost;
+    *    / txt_bm25 / txt_bm25_batch / tpch_q11 / tpch_q22: scalar
+    *    subqueries (corpus totals, vocab size, the Q11 value threshold,
+    *    the Q22 average balance, BM25's (N, avgdl) pair — identical in
+    *    the batch form, computed once for all queries) — Spark plans
+    *    the 1-row aggregate as a broadcast NLJ build side, constant
+    *    cost;
     *  - e2_knn_brute: the DECLARED design broadcasts the tiny query set
     *    against one corpus scan — a BroadcastNestedLoopJoin whose inner
     *    side is k queries, linear in the corpus by construction;
@@ -31,7 +33,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     *    m-ints-per-vector encoded corpus. */
   private val nestedLoopAllowed = Set("q_cross_join", "q_subq_scalar",
     "q_subq_not_exists", "e3_nb_classifier", "txt_tfidf", "txt_bm25",
-    "e2_knn_brute", "tpch_q11", "tpch_q22", "e2_pq_topk")
+    "txt_bm25_batch", "e2_knn_brute", "tpch_q11", "tpch_q22", "e2_pq_topk")
 
   private lazy val plans: Map[String, String] =
     Registry.all.map { q =>

@@ -80,6 +80,44 @@ class SkipRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("range predicates auto-prune off the min/max stats (no fingerprints needed)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-rg").toString
+    try {
+      // RANGE-clustered layout: each file holds a narrow id band, so a
+      // box query intersects few files — the time-range dashboard shape
+      spark.range(80000).select(col("id").as("ts"), (col("id") % 7).as("g"))
+        .repartitionByRange(8, col("ts")).write.parquet(s"$dir/t")
+      // a plain stats index — no fingerprints — serves range pruning
+      Layout.statsIndex(spark, s"$dir/t", Seq("ts"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      val between = spark.read.parquet(s"$dir/t")
+        .filter(col("ts").between(20000L, 21000L))
+      assert(scannedFiles(between) <= 2,
+        s"range auto-prune opened ${scannedFiles(between)} of 8")
+      assert(between.count() == 1001)
+      // one-sided bound prunes too
+      val tail = spark.read.parquet(s"$dir/t").filter(col("ts") >= 75000L)
+      assert(scannedFiles(tail) <= 2 && tail.count() == 5000)
+      // exclusive bounds stay exact (probed inclusively — conservative)
+      val excl = spark.read.parquet(s"$dir/t")
+        .filter(col("ts") > 19999L && col("ts") < 21001L)
+      assert(scannedFiles(excl) <= 2 && excl.count() == 1001)
+      // an out-of-domain box prunes everything
+      val none = spark.read.parquet(s"$dir/t").filter(col("ts") > 1000000L)
+      assert(scannedFiles(none) == 0 && none.count() == 0)
+      // a point lookup on the stats-only column box-prunes as the
+      // degenerate range [v, v] — no fingerprints needed on a
+      // range-clustered layout
+      val eq = spark.read.parquet(s"$dir/t").filter(col("ts") === 20500L)
+      assert(scannedFiles(eq) <= 2 && eq.count() == 1)
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("index lag: a key only in a not-yet-indexed file is still found (tail read unpruned)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-tail").toString

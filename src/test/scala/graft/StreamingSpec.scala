@@ -1392,7 +1392,43 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(f1.version > f0.version, s"freshness did not advance: $f0 -> $f1")
       assert(f1.offsetsJson != f0.offsetsJson,
         "offsets record must advance with the stream")
+      // parsed form: a MemoryStream offset is a bare ordinal — surfaced
+      // as the number itself, one entry per source
+      val lag = Streams.freshnessLagOf(spark, target).get
+      assert(lag.version == f1.version && lag.sourceLogOffsets.size == 1 &&
+        lag.sourceLogOffsets.head.exists(_ >= 1L), s"unexpected parsed lag: $lag")
+      assert(lag.pendingFiles.isEmpty, "no basePath given => no pending count")
     } finally q.stop()
+  }
+
+  test("S6i-lag freshnessLagOf: logOffset + pending-file count against a known backlog") {
+    import spark.implicits._
+    // the append-only sink's _files manifest makes "how far behind" a
+    // COUNT: land files while the stream is stopped and the parsed lag
+    // must name exactly how many the latest version has not covered
+    val baseDir = tmp("graft-lag-base")
+    val target = tmp("graft-lag-tgt")
+    val ckpt = tmp("graft-lag-ck")
+    def land(lo: Int, hi: Int, parts: Int): Unit =
+      (lo until hi).map(i => (s"k${i % 4}", i.toDouble)).toDF("k", "v")
+        .repartition(parts).write.mode("append").parquet(baseDir)
+    land(0, 100, 2)
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, ckpt, Seq("k"), Seq("v"))
+    try q.processAllAvailable() finally q.stop()
+    val caughtUp = Streams.freshnessLagOf(spark, target, Some(baseDir)).get
+    assert(caughtUp.pendingFiles.contains(0L),
+      s"caught-up stream must report zero pending files: $caughtUp")
+    assert(caughtUp.sourceLogOffsets == Seq(Some(0L)),
+      s"file source logOffset expected 0 after one batch: $caughtUp")
+    // backlog: three files land with the stream down — the version
+    // stands still, so the gate sees exactly 3 un-ingested files
+    land(100, 130, 3)
+    val behind = Streams.freshnessLagOf(spark, target, Some(baseDir)).get
+    assert(behind.version == caughtUp.version &&
+      behind.pendingFiles.contains(3L),
+      s"expected 3 pending files at the stale version: $behind")
   }
 
   test("S6g streaming IVF stats: streamed cell snapshot == one-shot; drift readable off it") {
