@@ -199,6 +199,18 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
         val rendered = vs.map(v => probeValue(v.asInstanceOf[Literal]))
         if (rendered.forall(_.isDefined)) Some((a.name, rendered.map(_.get)))
         else None
+      // the optimizer converts IN-lists past inSetConversionThreshold
+      // (default 10) to InSet — the realistic multi-tenant lookup shape;
+      // its values are raw internal Catalyst values, typed by the
+      // attribute
+      case InSet(a: AttributeReference, hset) if hset.size <= 1024 =>
+        val rendered = hset.toSeq.map(v =>
+          probeValue(Literal(v, a.dataType)))
+        if (rendered.forall(_.isDefined))
+          // deterministic probe order: the pruning expression and the
+          // surviving file set must not depend on hash-set iteration
+          Some((a.name, rendered.map(_.get).sortBy(String.valueOf)))
+        else None
       case _ => None
     }
 

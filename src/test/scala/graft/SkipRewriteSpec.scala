@@ -57,6 +57,14 @@ class SkipRewriteSpec extends AnyFunSuite {
       val inQ = spark.read.parquet(s"$dir/t")
         .filter(col("uid").isin(probes.take(3): _*))
       assert(scannedFiles(inQ) <= 5 && inQ.count() == 3)
+      // a 15-value IN-list is optimized to InSet (threshold 10) — the
+      // realistic multi-tenant lookup must still prune and find all 5
+      // present keys among 10 absent ones
+      val bigIn = spark.read.parquet(s"$dir/t")
+        .filter(col("uid").isin(probes ++ (1L to 10L).map(_ + (1L << 60)): _*))
+      assert(scannedFiles(bigIn) <= 7,
+        s"InSet probe opened ${scannedFiles(bigIn)} of 8")
+      assert(bigIn.count() == 5)
       // an absent key prunes every indexed file -> empty, zero scans
       val absent = lookup(0x0123456789ABCDEFL)
       assert(scannedFiles(absent) == 0 && absent.count() == 0)
