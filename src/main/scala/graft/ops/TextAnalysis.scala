@@ -64,23 +64,14 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Per-(doc, term) fixed-point BM25 scores — the shared core of
-    * [[bm25TopK]] and [[bm25BatchTopK]]: tf over the PRE-FILTERED
-    * postings, df and corpus stats as broadcast kilobyte frames, one
-    * fixed-association double expression per pair, 1e-9 fixed point
-    * before any sum. `tok` is the full (doc_id, term) stream (doc
-    * lengths are BM25's normalization term — inherently a full pass),
-    * `qtok` its rows matching any query term. */
-  private def bm25ScorePairs(tok: DataFrame, qtok: DataFrame,
-                             k1: Double, b: Double): DataFrame = {
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-    val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = qtok.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    tf.join(broadcast(dft), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl",
+  /** The one BM25 arithmetic, applied to a frame carrying
+    * (tf, df, dl, n_docs, tot_dl): every caller — fresh corpus pass or
+    * persisted index — goes through THIS function, so the score of a
+    * (doc, term) pair is bit-identical however its integer inputs were
+    * obtained. One fixed-association double expression, 1e-9 fixed
+    * point before any sum. */
+  private def bm25Score(df: DataFrame, k1: Double, b: Double): DataFrame =
+    df.withColumn("avgdl",
         col("tot_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -90,6 +81,135 @@ object TextAnalysis {
           (col("tf").cast("double") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .withColumn("s_fp", round(col("s") * lit(1e9)).cast("long"))
+
+  /** Per-(doc, term) fixed-point BM25 scores — the shared core of
+    * [[bm25TopK]] and [[bm25BatchTopK]]: tf over the PRE-FILTERED
+    * postings, df and corpus stats as broadcast kilobyte frames.
+    * `tok` is the full (doc_id, term) stream (doc lengths are BM25's
+    * normalization term — inherently a full pass), `qtok` its rows
+    * matching any query term. */
+  private def bm25ScorePairs(tok: DataFrame, qtok: DataFrame,
+                             k1: Double, b: Double): DataFrame = {
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = qtok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    bm25Score(
+      tf.join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats)),
+      k1, b)
+  }
+
+  /** Fan per-(doc, term) `s_fp` scores out to queries and take top-k
+    * per query — the shared tail of [[bm25BatchTopK]] and
+    * [[bm25SearchIndexed]]. */
+  private def bm25TopKPerQuery(scored: DataFrame, q: DataFrame,
+                               k: Int): DataFrame =
+    scored.join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg((sum("s_fp") / lit(1e9)).as("score"), count(lit(1)).as("n_terms"))
+      .transform(graft.plans.GroupedTopK(_, Seq("query_id"), k,
+        Seq(("score", true), ("doc_id", false))))
+
+  /** Build a PERSISTED BM25 inverted index — tokenize the corpus ONCE,
+    * serve retrieval forever (the train-once/serve-forever symmetry
+    * [[Similarity.ivfPqBuild]] gives ANN). Layout under `dir`:
+    * `postings` (term, doc_id, tf, dl) — dl DENORMALIZED into the
+    * posting row, so a search never joins the corpus-sized doc-length
+    * table; `df` (term, df); `stats` (n_docs, tot_dl — one row).
+    * `nFiles > 0` range-clusters postings by term and sorts within
+    * files, so a term lookup's parquet min/max prunes to ~1 file — the
+    * layout is the index. All stored fields are integers, which is
+    * what makes [[bm25SearchIndexed]] bit-identical to the fresh
+    * corpus pass (spec-pinned). Append-only corpora refresh
+    * incrementally with [[bm25IndexUpdate]]. */
+  def bm25IndexBuild(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, nFiles: Int = 0): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    val clustered =
+      if (nFiles > 0) postings.repartitionByRange(nFiles, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+      else postings
+    clustered.write.mode("overwrite").parquet(s"$dir/postings")
+    // tf is one row per (doc, term), so its per-term row count IS df —
+    // derived from the same aggregate the postings were, never diverges
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Batch retrieval off a RELOADED [[bm25IndexBuild]] index — no
+    * tokenize pass, no corpus scan: the term IN-list is pushed into
+    * the postings parquet (term-clustered files prune by min/max), df
+    * and stats load as broadcast kilobyte frames, and the score
+    * arithmetic is the same [[bm25Score]] every other form runs — so
+    * the ranking is bit-identical to [[bm25BatchTopK]] over the
+    * original corpus (spec-pinned). `maxTerms` bounds the pushed
+    * IN-list (past it, probing degrades to a scan-shaped filter that
+    * is still correct). */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queries: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxTerms: Int = 4096): DataFrame = {
+    require(queries.schema.length == 2,
+      "TextAnalysis.bm25SearchIndexed: queries must be a (query_id, term) frame")
+    require(k > 0, "TextAnalysis.bm25SearchIndexed: k must be positive")
+    val q = queries.toDF("query_id", "term").na.drop().distinct()
+    // the query frame is small by contract (thousands of terms, not a
+    // corpus) — collect the term set so the filter PUSHES DOWN to the
+    // postings scan and term-clustered files are skipped outright
+    val terms = q.select("term").distinct().limit(maxTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "TextAnalysis.bm25SearchIndexed: no query terms")
+    require(terms.length <= maxTerms,
+      s"TextAnalysis.bm25SearchIndexed: over $maxTerms distinct terms — " +
+        "at that width run bm25BatchTopK's scan-shaped path instead")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("term").isin(terms: _*))
+    val dft = spark.read.parquet(s"$dir/df")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    bm25TopKPerQuery(
+      bm25Score(
+        postings.join(broadcast(dft), "term").crossJoin(broadcast(stats)),
+        k1, b),
+      q, k)
+  }
+
+  /** Incrementally extend a [[bm25IndexBuild]] index with NEW documents
+    * (append-only corpora: doc_ids not already indexed — the caller's
+    * contract, same as every other incremental refresh here). All
+    * three tables merge by integer addition, so the refreshed index is
+    * EXACTLY the full rebuild: new postings append (their rows carry
+    * their own dl), per-term df adds (doc sets are disjoint), n_docs /
+    * tot_dl add. One pass over only the new documents. */
+  def bm25IndexUpdate(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, newDocs: DataFrame, idCol: String,
+                      textCol: String): Unit = {
+    val tok = newDocs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+      .write.mode("append").parquet(s"$dir/postings")
+    val mergedDf = spark.read.parquet(s"$dir/df")
+      .unionByName(tf.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+    val mergedStats = spark.read.parquet(s"$dir/stats")
+      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("tot_dl").cast("long").as("tot_dl"))
+    // small tables: materialize BEFORE overwriting what they read from
+    val dfRows = mergedDf.localCheckpoint(true)
+    val statRows = mergedStats.localCheckpoint(true)
+    dfRows.write.mode("overwrite").parquet(s"$dir/df")
+    statRows.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Batch BM25 — thousands of queries in ONE corpus pass, the shape
@@ -120,12 +240,7 @@ object TextAnalysis {
     // contract: thousands of queries, not a corpus)
     val qtok = tok.join(broadcast(q.select("term").distinct()), Seq("term"))
       .select("doc_id", "term")
-    bm25ScorePairs(tok, qtok, k1, b)
-      .join(broadcast(q), Seq("term"))
-      .groupBy("query_id", "doc_id")
-      .agg((sum("s_fp") / lit(1e9)).as("score"), count(lit(1)).as("n_terms"))
-      .transform(graft.plans.GroupedTopK(_, Seq("query_id"), k,
-        Seq(("score", true), ("doc_id", false))))
+    bm25TopKPerQuery(bm25ScorePairs(tok, qtok, k1, b), q, k)
   }
 
   /** Word n-gram shingles (n=3) — the dedup unit for MinHash/Jaccard.

@@ -260,6 +260,66 @@ object TextQueries {
         "doc_id", "text", q, 5)
   }
 
+  // BM25 off a PERSISTED inverted index — tokenize once, serve
+  // forever: postings (term, doc_id, tf, dl — dl denormalized so no
+  // corpus-sized join), per-term df, one stats row, all integers, so
+  // the reloaded-index ranking is bit-identical to the fresh corpus
+  // pass and hash-checks against the SAME oracle SQL as
+  // txt_bm25_batch. Postings are term-range-clustered; the require()
+  // proves the query's term IN-list reached the parquet scan
+  // (PushedFilters), where the clustered layout prunes files.
+  private val bm25Indexed = QueryDef("txt_bm25_indexed", Some(
+    """WITH q(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+      |                                  (2, 'window'), (2, 'stream'),
+      |                                  (3, 'state'), (3, 'join')),
+      |tok AS (SELECT doc_id,
+      |               unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |        FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |terms AS (SELECT DISTINCT term FROM q),
+      |qt AS (SELECT tok.doc_id, tok.term FROM tok JOIN terms USING (term)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                      / (CAST(df AS DOUBLE) + 0.5))
+      |               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |                    + 0.75 * CAST(dl AS DOUBLE)
+      |                      / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |ps AS (SELECT q.query_id, s.doc_id,
+      |              CAST(sum(CAST(round(sc * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |                / 1000000000.0 AS score,
+      |              count(*) AS n_terms
+      |       FROM s JOIN q USING (term) GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, n_terms,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY score DESC, doc_id) AS rk
+      |      FROM ps)
+      |SELECT query_id, doc_id, score, n_terms FROM r WHERE rk <= 5""".stripMargin),
+    bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25idx-q").toString
+    try {
+      graft.ops.TextAnalysis.bm25IndexBuild(Tables(spark, dir).documents,
+        "doc_id", "text", s"$work/idx", nFiles = 8)
+      val q = Seq((1, "join"), (1, "hash"), (2, "window"), (2, "stream"),
+        (3, "state"), (3, "join")).toDF("query_id", "term")
+      val out = graft.ops.TextAnalysis.bm25SearchIndexed(spark, s"$work/idx", q, 5)
+      val plan = out.queryExecution.executedPlan.toString
+      // `In(term, …)` is the data-source filter rendering — it appears
+      // only inside a scan's PushedFilters list
+      require(plan.contains("In(term"),
+        s"txt_bm25_indexed: term IN-list did not push into the postings scan:\n" +
+          plan.take(1500))
+      out.localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -754,6 +814,6 @@ object TextQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, bm25, bm25Batch, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

@@ -141,6 +141,24 @@ object ScaleProbe {
       graft.ops.TextAnalysis.bm25BatchTopK(docs20, "doc_id", "text",
         bm25Queries(64), 10)
     }
+    // …and the persisted-index steady state: tokenize the 20x corpus
+    // ONCE (the build), then the same 64 queries run off the reloaded
+    // postings with the term IN-list pushed into the term-clustered
+    // parquet — no tokenize pass, no corpus scan.
+    val bm25IdxDir = java.nio.file.Files.createTempDirectory("graft-bm25idx-probe").toString
+    stage("bm25_index_build_20x") {
+      graft.ops.TextAnalysis.bm25IndexBuild(docs20, "doc_id", "text",
+        s"$bm25IdxDir/idx", nFiles = 32)
+      spark.read.parquet(s"$bm25IdxDir/idx/postings").limit(1)
+    }
+    if (!new java.io.File(s"$bm25IdxDir/idx/postings").exists)
+      graft.ops.TextAnalysis.bm25IndexBuild(docs20, "doc_id", "text",
+        s"$bm25IdxDir/idx", nFiles = 32)
+    stage("bm25_indexed_64q") {
+      graft.ops.TextAnalysis.bm25SearchIndexed(spark, s"$bm25IdxDir/idx",
+        bm25Queries(64), 10)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25IdxDir))
 
     // Bigram-LM train + score at 20x docs: typed bigram explosion is
     // one narrow pass; counts and the per-doc score agg are map-side
