@@ -157,29 +157,52 @@ object TextAnalysis {
                         dir: String, queries: DataFrame, k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
                         maxTerms: Int = 4096): DataFrame = {
-    require(queries.schema.length == 2,
-      "TextAnalysis.bm25SearchIndexed: queries must be a (query_id, term) frame")
     require(k > 0, "TextAnalysis.bm25SearchIndexed: k must be positive")
-    val q = queries.toDF("query_id", "term").na.drop().distinct()
     // the query frame is small by contract (thousands of terms, not a
     // corpus) — collect the term set so the filter PUSHES DOWN to the
     // postings scan and term-clustered files are skipped outright
-    val terms = q.select("term").distinct().limit(maxTerms + 1)
-      .collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty, "TextAnalysis.bm25SearchIndexed: no query terms")
-    require(terms.length <= maxTerms,
-      s"TextAnalysis.bm25SearchIndexed: over $maxTerms distinct terms — " +
-        "at that width run bm25BatchTopK's scan-shaped path instead")
+    val (q, terms) = bm25QueryTerms(queries, maxTerms,
+      "TextAnalysis.bm25SearchIndexed")
     val postings = spark.read.parquet(s"$dir/postings")
       .where(col("term").isin(terms: _*))
     val dft = spark.read.parquet(s"$dir/df")
       .where(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$dir/stats")
+    bm25SearchTables(postings, dft, stats, q, k, k1, b)
+  }
+
+  /** The table-shaped search core shared by [[bm25SearchIndexed]] and
+    * the stream-maintained index ([[graft.streaming.Streams
+    * .bm25SearchMaintained]]): postings (term, doc_id, tf, dl) already
+    * filtered to the query's terms, per-term df, the one-row stats
+    * frame, and the (query_id, term) frame. */
+  private[graft] def bm25SearchTables(postings: DataFrame, dft: DataFrame,
+                                      stats: DataFrame, q: DataFrame,
+                                      k: Int, k1: Double,
+                                      b: Double): DataFrame =
     bm25TopKPerQuery(
       bm25Score(
-        postings.join(broadcast(dft), "term").crossJoin(broadcast(stats)),
+        postings.select("term", "doc_id", "tf", "dl")
+          .join(broadcast(dft), "term").crossJoin(broadcast(stats)),
         k1, b),
       q, k)
+
+  /** The (query_id, term) frame canonicalization + bounded term-set
+    * collect shared by the indexed search paths: distinct non-null
+    * rows, and the term UNION as a driver-side list so the filter
+    * pushes into the postings scan. */
+  private[graft] def bm25QueryTerms(queries: DataFrame, maxTerms: Int,
+                                    who: String): (DataFrame, Seq[String]) = {
+    require(queries.schema.length == 2,
+      s"$who: queries must be a (query_id, term) frame")
+    val q = queries.toDF("query_id", "term").na.drop().distinct()
+    val terms = q.select("term").distinct().limit(maxTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, s"$who: no query terms")
+    require(terms.length <= maxTerms,
+      s"$who: over $maxTerms distinct terms — at that width run " +
+        "bm25BatchTopK's scan-shaped path instead")
+    (q, terms)
   }
 
   /** Incrementally extend a [[bm25IndexBuild]] index with NEW documents

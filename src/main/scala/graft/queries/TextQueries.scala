@@ -320,6 +320,68 @@ object TextQueries {
     }
   }
 
+  // BM25 index MAINTAINED FROM THE STREAM (Streams.bm25IndexSink) —
+  // the ingestion stream tokenizes each batch once, postings land
+  // under postings/batch=<id>, df/stats merge by integer addition, and
+  // retrieval off the committed version hash-matches the same DuckDB
+  // ranking the one-shot forms do: streamed maintenance loses nothing.
+  private val bm25Stream = QueryDef("txt_bm25_stream", Some(
+    """WITH q(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+      |                                  (2, 'window'), (2, 'stream'),
+      |                                  (3, 'state'), (3, 'join')),
+      |tok AS (SELECT doc_id,
+      |               unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |        FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |terms AS (SELECT DISTINCT term FROM q),
+      |qt AS (SELECT tok.doc_id, tok.term FROM tok JOIN terms USING (term)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                      / (CAST(df AS DOUBLE) + 0.5))
+      |               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |                    + 0.75 * CAST(dl AS DOUBLE)
+      |                      / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |ps AS (SELECT q.query_id, s.doc_id,
+      |              CAST(sum(CAST(round(sc * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |                / 1000000000.0 AS score,
+      |              count(*) AS n_terms
+      |       FROM s JOIN q USING (term) GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, n_terms,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY score DESC, doc_id) AS rk
+      |      FROM ps)
+      |SELECT query_id, doc_id, score, n_terms FROM r WHERE rk <= 5""".stripMargin),
+    bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25stream-q").toString
+    try {
+      // the testdata table is a single file; the stream wants a
+      // directory — land it as two files so the maintained index
+      // exercises the cross-batch df/stats merge (one file per trigger)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/base")
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val sink = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "text")
+      try sink.processAllAvailable() finally sink.stop()
+      val q = Seq((1, "join"), (1, "hash"), (2, "window"), (2, "stream"),
+        (3, "state"), (3, "join")).toDF("query_id", "term")
+      graft.streaming.Streams.bm25SearchMaintained(spark, s"$work/idx", q, 5)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -814,6 +876,6 @@ object TextQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, bm25Stream, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

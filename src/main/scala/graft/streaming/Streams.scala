@@ -973,6 +973,101 @@ object Streams extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Maintain a [[graft.ops.TextAnalysis.bm25IndexBuild]]-shaped
+    * retrieval index from the ingestion stream — ranked retrieval that
+    * trails the corpus by one microbatch instead of a nightly
+    * re-tokenize. Layout under `targetDir`:
+    *
+    *  - `postings/batch=<id>/` — each batch's (term, doc_id, tf, dl)
+    *    rows, written ONCE per batch (a replayed batch overwrites its
+    *    own subdirectory — idempotent) and never rewritten after: the
+    *    postings of a 100 TB corpus only ever grow by the batch's own
+    *    tokens, there is no cumulative rewrite anywhere.
+    *  - `v=<id>/df`, `v=<id>/stats` — the per-term document
+    *    frequencies and corpus stats AS OF batch `id`, derived from
+    *    the predecessor version + only this batch's rows (integer
+    *    addition — exact, the [[graft.ops.TextAnalysis
+    *    .bm25IndexUpdate]] algebra), committed by a `v=<id>/_SUCCESS`
+    *    marker written after BOTH tables so a torn version is never
+    *    resolved.
+    *
+    * [[bm25SearchMaintained]] resolves the freshest committed version
+    * and scores ONLY postings with `batch <= version` (partition-
+    * pruned), so a crash between the postings write and the version
+    * commit can never serve postings against mismatched stats.
+    * Append-only contract like every incremental refresh here: a
+    * doc_id arrives in exactly one batch. */
+  def bm25IndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
+                    idCol: String, textCol: String,
+                    retainVersions: Int = 3): StreamingQuery = {
+    require(retainVersions >= 2,
+      "bm25IndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions._
+      val tok = batch.select(col(idCol).as("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+        .write.mode("overwrite").parquet(s"$targetDir/postings/batch=$batchId")
+      val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
+        .sorted.lastOption
+      val dfNew = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val statsNew = dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+      val (dfAll, statsAll) = prev match {
+        case Some(v) =>
+          (spark.read.parquet(s"$targetDir/v=$v/df").unionByName(dfNew)
+             .groupBy("term").agg(sum("df").cast("long").as("df")),
+           spark.read.parquet(s"$targetDir/v=$v/stats").unionByName(statsNew)
+             .agg(sum("n_docs").cast("long").as("n_docs"),
+               sum("tot_dl").cast("long").as("tot_dl")))
+        case None => (dfNew, statsNew)
+      }
+      dfAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/df")
+      statsAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/stats")
+      val fs = new org.apache.hadoop.fs.Path(targetDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // version marker LAST: both tables are durable before the version
+      // becomes resolvable. The marker is the snapshot sinks' own
+      // v=<id>/_SUCCESS convention (each TABLE's parquet _SUCCESS sits
+      // one level deeper), so snapshotVersions / freshnessOf apply to
+      // this target unchanged.
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$targetDir/v=$batchId/_SUCCESS"), true).close()
+      writeFreshness(spark, targetDir, checkpoint, batchId)
+      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+    }
+  }
+
+  /** Batch retrieval off the freshest committed [[bm25IndexSink]]
+    * version: postings partition-pruned to `batch <= version` AND the
+    * query's term IN-list (pushed into the scan), df/stats from the
+    * version's own tables — rankings equal
+    * [[graft.ops.TextAnalysis.bm25BatchTopK]] over exactly the
+    * documents the version covers, bit-for-bit (spec-pinned). */
+  def bm25SearchMaintained(spark: org.apache.spark.sql.SparkSession,
+                           targetDir: String, queries: DataFrame, k: Int,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           maxTerms: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, "Streams.bm25SearchMaintained: k must be positive")
+    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.bm25SearchMaintained: no committed index version under $targetDir"))
+    val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
+      "Streams.bm25SearchMaintained")
+    val postings = spark.read.parquet(s"$targetDir/postings")
+      .where(col("batch") <= version && col("term").isin(terms: _*))
+    val dft = spark.read.parquet(s"$targetDir/v=$version/df")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$targetDir/v=$version/stats")
+    graft.ops.TextAnalysis.bm25SearchTables(postings, dft, stats, q, k, k1, b)
+  }
+
   /** Underscore-prefixed so parquet readers of the version directory
     * skip it as metadata. */
   private val ManifestFile = "_files"

@@ -1370,6 +1370,52 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       s"maintained index pruned nothing: ${pruned.inputFiles.length} of 4 files")
   }
 
+  test("S6l bm25 index sink: maintained retrieval == one-shot; uncommitted postings never scored") {
+    import spark.implicits._
+    // ranked retrieval maintained from the ingestion stream: per batch,
+    // postings land once under postings/batch=<id> and df/stats merge
+    // by integer addition — so the served ranking must equal the
+    // one-shot batch pass over the same corpus BIT-FOR-BIT
+    val baseDir = tmp("graft-bm25sink-base")
+    val target = tmp("graft-bm25sink-tgt")
+    val ckpt = tmp("graft-bm25sink-ck")
+    def land(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong,
+        s"join hash w$i " + Seq.fill(i % 5)("filler").mkString(" ")))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land(0, 50)
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string").parquet(baseDir),
+      target, ckpt, "doc_id", "text")
+    val queries = Seq((1, "join"), (1, "hash"), (2, "w7"), (2, "w63"))
+      .toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    try {
+      q.processAllAvailable()
+      land(50, 100)
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+    val oneShot = canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      spark.read.parquet(baseDir), "doc_id", "text", queries, 5))
+    assert(served == oneShot,
+      s"maintained retrieval diverged:\n$served\nvs\n$oneShot")
+    assert(served.nonEmpty)
+    // a crash between the postings write and the version commit leaves
+    // an orphan batch directory — it must NEVER be scored (postings are
+    // pruned to batch <= the resolved version)
+    (900L until 905L).map(i => (s"w7", i, 5L, 3L))
+      .toDF("term", "doc_id", "tf", "dl")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$target/postings/batch=99")
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == served, "orphan uncommitted postings leaked into the ranking")
+    // freshness is knowable off the same target (batchId + offsets)
+    assert(Streams.freshnessOf(spark, target).exists(_.version == 1L))
+  }
+
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
