@@ -1435,6 +1435,49 @@ object Relational {
     }
   }
 
+  // AUTO-consulted RANGE skipping — the time-range dashboard shape: the
+  // fact is range-clustered on the key, a plain stats index (no
+  // fingerprints) is registered, and a bare `WHERE l_orderkey BETWEEN
+  // a AND b` is rewritten to open only the files whose [min, max] box
+  // intersects the range. No false negatives (boxes are conservative),
+  // so the aggregate hash-matches the full-scan oracle; the require()
+  // proves the plan opened a fraction of the files.
+  private val qSkipRange = QueryDef("q_skip_range", Some(
+    """SELECT cast(count(*) AS BIGINT) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skiprange-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndex(spark, s"$work/t", Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      graft.plans.SkipRewrite.register(spark, s"$work/t", s"$work/idx")
+      val out = spark.read.parquet(s"$work/t")
+        .filter(col("l_orderkey").between(1000L, 2000L))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val opened = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+      require(opened <= 3,
+        s"q_skip_range: range auto-prune did not engage ($opened of 16 files)")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.SkipRewrite.unregister(s"$work/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Semi-join file skipping (Layout.readPrunedBy) — the unpartitioned
   // analogue of dynamic partition pruning: a selective dim filter
   // (one week of orders) yields a bounded key set; the fact table's
@@ -1644,5 +1687,5 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipAuto, qSkipJoin, qDelete)
+    qSkipping, qSkipAuto, qSkipRange, qSkipJoin, qDelete)
 }
