@@ -266,6 +266,63 @@ object TextAnalysis {
     bm25TopKPerQuery(bm25ScorePairs(tok, qtok, k1, b), q, k)
   }
 
+  /** Targeted DOCUMENT deletion from a [[bm25IndexBuild]] index — the
+    * right-to-be-forgotten completion for the retrieval path (the
+    * corpus-side twin is [[Layout.targetedDelete]]): every posting of
+    * `docIds` is removed and df / n_docs / tot_dl are decremented by
+    * EXACT integer subtraction (the append algebra run backwards), so
+    * the refreshed index equals a rebuild without those documents
+    * (spec-pinned). One scan + one rewrite of the postings table —
+    * inherent, since postings are term-clustered and a document's rows
+    * are spread across files. The doomed-side aggregates are
+    * O(|deleted docs' postings|). Survivors land in a fresh directory
+    * swapped in atomically-enough (write, delete old, rename), so a
+    * crash leaves either the old or the new postings, never a mix.
+    * For the STREAM-maintained layout
+    * ([[graft.streaming.Streams.bm25IndexSink]]) run deletions as this
+    * offline pass after stopping the stream — the sink's append-only
+    * contract doesn't model retractions. */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      docIds: Seq[Any], maxValues: Int = 1024): Unit = {
+    require(docIds.nonEmpty, "TextAnalysis.bm25IndexDelete: no doc ids")
+    require(docIds.length <= maxValues,
+      s"TextAnalysis.bm25IndexDelete: ${docIds.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val doomed = postings.filter(col("doc_id").isin(docIds: _*))
+    // small by contract: materialize the decrements BEFORE any rewrite
+    val dfDel = doomed.groupBy("term").agg(count(lit(1)).as("ddf"))
+      .localCheckpoint(true)
+    val statsDel = doomed.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("dn"), coalesce(sum("dl"), lit(0L)).as("ddl"))
+      .localCheckpoint(true)
+    // survivors to a fresh directory, then swap — never read and
+    // overwrite the same path
+    postings
+      // NULL ids are not in the deletion set — `!isin` alone would
+      // evaluate to NULL on them and silently drop the rows
+      .filter(col("doc_id").isNull || !col("doc_id").isin(docIds: _*))
+      .write.mode("overwrite").parquet(s"$dir/postings_new")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings_new"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    spark.catalog.refreshByPath(s"$dir/postings")
+    val newDf = spark.read.parquet(s"$dir/df")
+      .join(dfDel, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).cast("long").as("df"))
+      .filter(col("df") > 0)
+      .localCheckpoint(true)
+    val newStats = spark.read.parquet(s"$dir/stats").crossJoin(statsDel)
+      .select((col("n_docs") - col("dn")).cast("long").as("n_docs"),
+        (col("tot_dl") - col("ddl")).cast("long").as("tot_dl"))
+      .localCheckpoint(true)
+    newDf.write.mode("overwrite").parquet(s"$dir/df")
+    newStats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** Word n-gram shingles (n=3) — the dedup unit for MinHash/Jaccard.
     * Guarded so short docs yield an empty array (Spark `sequence` would
     * otherwise produce a *descending* range for size < 3). */

@@ -199,6 +199,25 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
         val rendered = vs.map(v => probeValue(v.asInstanceOf[Literal]))
         if (rendered.forall(_.isDefined)) Some((a.name, rendered.map(_.get)))
         else None
+      // `k = a OR k = b` is semantically an IN but Spark leaves the Or
+      // tree alone — prune it like one when every disjunct is an
+      // equality on the SAME column
+      case or @ Or(_, _) =>
+        def disjuncts(ex: Expression): Seq[Expression] = ex match {
+          case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+          case other => Seq(other)
+        }
+        val eqs = disjuncts(or).map {
+          case EqualTo(a: AttributeReference, l: Literal) =>
+            probeValue(l).map(v => (a.name, v))
+          case EqualTo(l: Literal, a: AttributeReference) =>
+            probeValue(l).map(v => (a.name, v))
+          case _ => None
+        }
+        if (eqs.forall(_.isDefined) &&
+            eqs.flatMap(_.map(_._1)).distinct.size == 1)
+          Some((eqs.head.get._1, eqs.flatten.map(_._2)))
+        else None
       // the optimizer converts IN-lists past inSetConversionThreshold
       // (default 10) to InSet — the realistic multi-tenant lookup shape;
       // its values are raw internal Catalyst values, typed by the

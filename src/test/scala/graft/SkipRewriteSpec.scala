@@ -65,6 +65,18 @@ class SkipRewriteSpec extends AnyFunSuite {
       assert(scannedFiles(bigIn) <= 7,
         s"InSet probe opened ${scannedFiles(bigIn)} of 8")
       assert(bigIn.count() == 5)
+      // `k = a OR k = b` is an IN spelled as a disjunction — prunes too
+      val orQ = spark.read.parquet(s"$dir/t")
+        .filter(col("uid") === probes.head || col("uid") === probes(1))
+      assert(scannedFiles(orQ) <= 4,
+        s"OR-equality probe opened ${scannedFiles(orQ)} of 8")
+      assert(orQ.count() == 2)
+      // a disjunction over DIFFERENT columns can select rows any file
+      // holds — must NOT prune (and must stay correct)
+      val orMixed = spark.read.parquet(s"$dir/t")
+        .filter(col("uid") === probes.head || col("g") === 7L)
+      // (400 or 401 rows: the probed uid's own row may have g == 7)
+      assert(scannedFiles(orMixed) == 8 && orMixed.count() >= 400)
       // an absent key prunes every indexed file -> empty, zero scans
       val absent = lookup(0x0123456789ABCDEFL)
       assert(scannedFiles(absent) == 0 && absent.count() == 0)
