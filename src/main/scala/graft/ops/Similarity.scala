@@ -864,6 +864,39 @@ object Similarity {
     IvfPqIndex(cellS, cellN, pqS, pqN, indexed)
   }
 
+  /** Targeted VECTOR deletion from a persisted [[ivfPqBuild]] index —
+    * the right-to-be-forgotten completion for the ANN path (corpus-side
+    * twin: [[Layout.targetedDelete]]; retrieval-side:
+    * [[TextAnalysis.bm25IndexDelete]]). Only the (neighbor_id, cell_id,
+    * codes) assignments table rewrites — centroids and codebooks are
+    * TRAINED PARAMETERS, and deletion does not retrain them (the
+    * standard IVF contract; re-seed on drift is
+    * [[ivfIncrementalIngest]]'s separate concern). Deleted ids can
+    * never reach a shortlist afterwards, so they never appear in
+    * results regardless of what the rescore corpus still holds — but
+    * run the corpus-side delete too, or the raw vectors survive.
+    * Survivors land in a fresh directory then swap, never
+    * read-and-overwrite one path. */
+  def ivfPqIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, ids: Seq[Long],
+                       maxValues: Int = 1024): Unit = {
+    require(ids.nonEmpty, "Similarity.ivfPqIndexDelete: no ids")
+    require(ids.length <= maxValues,
+      s"Similarity.ivfPqIndexDelete: ${ids.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    spark.read.parquet(indexDir)
+      // NULL ids are not in the deletion set — `!isin` alone would
+      // evaluate to NULL on them and silently drop the rows
+      .filter(col("neighbor_id").isNull || !col("neighbor_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$indexDir.__new")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir.__new"),
+      new org.apache.hadoop.fs.Path(indexDir))
+    spark.catalog.refreshByPath(indexDir)
+  }
+
   /** The STEADY-STATE half of [[ivfPqTopK]]: search a PREBUILT index —
     * frozen centroids + codebooks (broadcast; kilobytes) and the
     * persisted (neighbor_id, cell_id, codes) table. Cells prune (hash

@@ -262,6 +262,21 @@ class SimilaritySpec extends AnyFunSuite {
       val reloaded = search(spark.read.parquet(s"$dir/index"), cs, cn, ps, pn)
       assert(reloaded == inProcess,
         "search over the reloaded index diverged from in-process")
+      // right-to-be-forgotten: deleting vectors from the persisted
+      // index equals anti-filtering it in memory (centroids/codebooks
+      // are trained parameters — untouched), and deleted ids can never
+      // be returned as neighbors
+      val victims = inProcess.map(_._2).distinct.take(3)
+      Similarity.ivfPqIndexDelete(spark, s"$dir/index", victims)
+      val afterDelete = search(spark.read.parquet(s"$dir/index"),
+        cs, cn, ps, pn)
+      val expected = search(
+        idx.index.filter(!col("neighbor_id").isin(victims: _*)),
+        cs, cn, ps, pn)
+      assert(afterDelete == expected,
+        "post-delete search diverged from the anti-filtered index")
+      victims.foreach(v => assert(!afterDelete.exists(_._2 == v),
+        s"deleted vector $v still returned as a neighbor"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
