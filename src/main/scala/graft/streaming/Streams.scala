@@ -999,9 +999,11 @@ object Streams extends org.apache.spark.internal.Logging {
     * doc_id arrives in exactly one batch. */
   def bm25IndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
                     idCol: String, textCol: String,
-                    retainVersions: Int = 3): StreamingQuery = {
+                    retainVersions: Int = 3,
+                    filesPerBatch: Int = 4): StreamingQuery = {
     require(retainVersions >= 2,
       "bm25IndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    require(filesPerBatch > 0, "bm25IndexSink: filesPerBatch must be positive")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -1009,7 +1011,13 @@ object Streams extends org.apache.spark.internal.Logging {
         explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("term"))
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // term-cluster EACH batch's files (the bm25IndexBuild layout in
+      // miniature): after thousands of batches a search's term IN-list
+      // still prunes by per-file min/max instead of opening every
+      // batch's every file
       tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+        .repartitionByRange(filesPerBatch, col("term"))
+        .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$targetDir/postings/batch=$batchId")
       val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
         .sorted.lastOption
