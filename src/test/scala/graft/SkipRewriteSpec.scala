@@ -173,6 +173,54 @@ class SkipRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SkipRewrite and MvRewrite coexist on one base: aggregates navigate, lookups prune") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-mv").toString
+    val base = s"$dir/t"
+    try {
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"),
+          concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+          (col("id") % 17).cast("double").as("v"))
+        .repartition(8, col("uid")).write.parquet(base)
+      graft.ops.Cdc.aggSnapshot(spark.read.parquet(base), Seq("g"), Seq("v"))
+        .write.mode("overwrite").parquet(s"$dir/snap")
+      graft.plans.MvRewrite.register(spark, base, Seq("g"), Seq("v"), s"$dir/snap")
+      Layout.statsIndexFingerprint(spark, base, Seq("uid"), Seq("uid"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, base, s"$dir/idx")
+      // the dashboard aggregate navigates to the snapshot — MvRewrite
+      // wins before SkipRewrite ever sees a filter
+      val agg = spark.read.parquet(base).groupBy("g").agg(sum("v").as("s"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains(s"$dir/snap") && !aggPlan.contains(base),
+        s"aggregate did not navigate to the snapshot:\n$aggPlan")
+      // the point lookup prunes files — SkipRewrite's territory
+      val probe = spark.read.parquet(base).limit(1).select("uid").as[Long]
+        .collect().head
+      val look = spark.read.parquet(base).filter(col("uid") === probe)
+      assert(scannedFiles(look) <= 3 && look.count() == 1)
+      // an aggregate MvRewrite must bail on (non-key filter) still gets
+      // SkipRewrite's file pruning on the equality
+      val mixed = spark.read.parquet(base)
+        .filter(col("uid") === probe)
+        .groupBy("g").agg(sum("v").as("s"))
+      val mixedPlan = mixed.queryExecution.optimizedPlan
+      assert(!mixedPlan.toString.contains(s"$dir/snap"),
+        "non-key filter must not navigate the snapshot")
+      assert(scannedFiles(mixed) <= 3,
+        s"pruning lost under the aggregate: ${scannedFiles(mixed)} of 8")
+      val got = mixed.collect().map(_.getDouble(1)).sum
+      val want = spark.read.parquet(base).filter(col("uid") === probe)
+        .agg(sum("v")).collect().head.getDouble(0)
+      assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+    } finally {
+      graft.plans.MvRewrite.unregister(base)
+      SkipRewrite.unregister(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("versioned registration tracks skippingIndexSink; trails safely under lag") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-v").toString
