@@ -1035,8 +1035,29 @@ object Streams extends org.apache.spark.internal.Logging {
       }
       dfAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/df")
       statsAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/stats")
+      // cumulative file-coverage manifest, same contract as
+      // aggSnapshotSinkAppendOnly: freshnessLagOf(…, Some(base)) then
+      // answers "how many corpus files does this retrieval index not
+      // cover yet" as a count; missing file log (non-file or
+      // multi-source plan) just writes nothing — lag stays knowable by
+      // offsets, never wrong
+      val prevManifest: Option[Seq[String]] = prev match {
+        case Some(v) => snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
+        case None => Some(Nil)
+      }
       val fs = new org.apache.hadoop.fs.Path(targetDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for {
+        pm <- prevManifest
+        bf <- sourceBatchFiles(spark, checkpoint, batchId)
+      } {
+        val all = (pm ++ bf).distinct.sorted
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$targetDir/v=$batchId/$ManifestFile"), true)
+        try out.write(all.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       // version marker LAST: both tables are durable before the version
       // becomes resolvable. The marker is the snapshot sinks' own
       // v=<id>/_SUCCESS convention (each TABLE's parquet _SUCCESS sits

@@ -1412,8 +1412,16 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       .parquet(s"$target/postings/batch=99")
     assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
       == served, "orphan uncommitted postings leaked into the ranking")
-    // freshness is knowable off the same target (batchId + offsets)
+    // freshness is knowable off the same target (batchId + offsets),
+    // and the coverage manifest makes the retrieval index's lag a
+    // pending-file COUNT
     assert(Streams.freshnessOf(spark, target).exists(_.version == 1L))
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(0L)), "caught-up index must report 0 pending")
+    land(100, 120)
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(1L)),
+      "one un-indexed corpus file must count as 1 pending")
   }
 
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
