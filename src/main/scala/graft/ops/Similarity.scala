@@ -199,7 +199,7 @@ object Similarity {
     * double image exact (see [[trainCentroidsQuant]]). */
   private[graft] val IvfQuantScale = 1024L
 
-  private def quantizeVec(v: Array[Float], dim: Int): Array[Long] = {
+  private[graft] def quantizeVec(v: Array[Float], dim: Int): Array[Long] = {
     require(v != null && v.length == dim,
       s"ivfQuant: embedding length ${if (v == null) "null" else v.length} != dim=$dim")
     val q = new Array[Long](dim)
@@ -843,17 +843,33 @@ object Similarity {
   def ivfPqBuild(corpus: DataFrame, nCells: Int = 16, ivfIters: Int = 2,
                  m: Int = 4, codes: Int = 16, pqIters: Int = 1,
                  dim: Int = 64): IvfPqIndex = {
+    val (cellS, cellN) = trainCentroidsQuant(corpus, nCells, ivfIters, dim)
+    val (pqS, pqN) = pqTrain(corpus, m, codes, pqIters, dim)
+    IvfPqIndex(cellS, cellN, pqS, pqN,
+      ivfPqEncode(corpus, cellS, cellN, pqS, pqN, dim))
+  }
+
+  /** Assign cell + PQ codes for every `(vec_id, embedding)` row under
+    * FROZEN trained state — the encode half of [[ivfPqBuild]] factored
+    * out so the ingestion stream ([[graft.streaming.Streams
+    * .ivfPqIndexSink]]) can encode each microbatch with the exact
+    * arithmetic the one-shot build uses: streamed assignments union to
+    * the one-shot index row-for-row. One narrow pass, trained state
+    * broadcast (kilobytes), the corpus never reshuffles. */
+  def ivfPqEncode(corpus: DataFrame,
+                  cellS: Array[Array[Long]], cellN: Array[Long],
+                  pqS: Array[Array[Array[Long]]], pqN: Array[Array[Long]],
+                  dim: Int = 64): DataFrame = {
+    val m = pqS.length
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (cellS, cellN) = trainCentroidsQuant(corpus, nCells, ivfIters, dim)
-    val (pqS, pqN) = pqTrain(corpus, m, codes, pqIters, dim)
     val bcCS = spark.sparkContext.broadcast(cellS)
     val bcCN = spark.sparkContext.broadcast(cellN)
     val bcS = spark.sparkContext.broadcast(pqS)
     val bcN = spark.sparkContext.broadcast(pqN)
     // one corpus pass: cell assignment + PQ codes together
-    val indexed = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val qv = quantizeVec(v, dim)
@@ -861,7 +877,26 @@ object Similarity {
           Array.tabulate(m)(s => pqBestCode(qv, s * sub, bcS.value(s), bcN.value(s))))
       }
       .toDF("neighbor_id", "cell_id", "codes")
-    IvfPqIndex(cellS, cellN, pqS, pqN, indexed)
+  }
+
+  /** The `nProbe` best cells for one quantized query vector, by the
+    * deferred-division mean-dot metric with the [[ivfPqSearch]] tie
+    * order (higher dot first, then lower cell id) — factored out so a
+    * driver-side probed-cell IN-list (the maintained index's
+    * file-pruning predicate, [[graft.streaming.Streams
+    * .ivfPqSearchMaintained]]) is computed by the EXACT ordering the
+    * distributed probe pass uses. */
+  private[graft] def probeCellsOf(qv: Array[Long], cellS: Array[Array[Long]],
+                                  cellN: Array[Long],
+                                  nProbe: Int): Array[Long] = {
+    val ms = Array.tabulate(cellS.length) { c =>
+      var d = 0L
+      var i = 0
+      val s = cellS(c)
+      while (i < qv.length) { d += qv(i) * s(i); i += 1 }
+      (d.toDouble / cellN(c).toDouble, c.toLong)
+    }
+    ms.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2)
   }
 
   /** Targeted VECTOR deletion from a persisted [[ivfPqBuild]] index —
@@ -915,7 +950,6 @@ object Similarity {
     val m = pqS.length
     val codes = pqS.head.length
     val sub = dim / m
-    val nCells = cellS.length
     val spark = corpus.sparkSession
     import spark.implicits._
     val bcCS = spark.sparkContext.broadcast(cellS)
@@ -929,19 +963,12 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val qv = quantizeVec(v, dim)
-        val (s0, n0) = (bcCS.value, bcCN.value)
-        val ms = Array.tabulate(nCells) { c =>
-          var d = 0L
-          var i = 0
-          while (i < dim) { d += qv(i) * s0(c)(i); i += 1 }
-          (d.toDouble / n0(c).toDouble, c.toLong)
-        }
         val t = Array.tabulate(m * codes) { x =>
           val s = x / codes
           pqDist(qv, s * sub, bcS.value(s)(x % codes), bcN.value(s)(x % codes))
         }
-        ms.sortBy { case (d, c) => (-d, c) }.take(nProbe)
-          .map { case (_, c) => (id, c, t) }.toSeq
+        probeCellsOf(qv, bcCS.value, bcCN.value, nProbe)
+          .map(c => (id, c, t)).toSeq
       }
       .toDF("query_id", "cell_id", "t")
     val scored = indexed.join(broadcast(probes), "cell_id")

@@ -45,11 +45,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   */
 object SkipRewrite {
 
-  /** `indexPath` is a THUNK so a versioned registration resolves the
-    * freshest committed `v=<batchId>` at every rewrite; None means "no
-    * index available yet" and the rule bails. */
+  /** `index` is a THUNK so a versioned registration resolves the
+    * freshest committed version at every rewrite; None means "no index
+    * available yet" and the rule bails. `location` is the
+    * human-readable resolved source for [[registered]] operability. */
   final case class Entry(base: String, rootPaths: Set[String],
-                         indexPath: () => Option[String])
+                         index: () => Option[org.apache.spark.sql.DataFrame],
+                         location: () => Option[String])
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -81,17 +83,21 @@ object SkipRewrite {
   def register(spark: SparkSession, basePath: String, indexPath: String): Unit =
     entries.put(basePath,
       Entry(basePath, rootsOf(spark, basePath, "SkipRewrite.register"),
+        () => Some(SparkSession.active.read.parquet(indexPath)),
         () => Some(indexPath)))
 
   /** Register against a [[graft.streaming.Streams.skippingIndexSink]]
-    * TARGET DIRECTORY: the freshest committed `v=<batchId>` index
-    * version is resolved at every rewrite, so lookups track the
-    * maintained index batch over batch. Before the first committed
-    * version the rule bails (full scan — correct, just not pruned). */
+    * TARGET DIRECTORY: the freshest committed index version is
+    * resolved at every rewrite (per-batch stats rows unioned,
+    * compaction-aware), so lookups track the maintained index batch
+    * over batch. Before the first committed version the rule bails
+    * (full scan — correct, just not pruned). */
   def registerVersioned(spark: SparkSession, basePath: String,
                         targetDir: String): Unit =
     entries.put(basePath,
       Entry(basePath, rootsOf(spark, basePath, "SkipRewrite.registerVersioned"),
+        () => graft.streaming.Streams
+          .latestSkippingIndex(SparkSession.active, targetDir),
         () => graft.streaming.Streams
           .latestSnapshotPath(SparkSession.active, targetDir)))
 
@@ -106,7 +112,7 @@ object SkipRewrite {
   def registered: Seq[(String, Option[String])] = {
     import scala.jdk.CollectionConverters._
     entries.values().asScala.toSeq.sortBy(_.base)
-      .map(e => (e.base, try e.indexPath() catch {
+      .map(e => (e.base, try e.location() catch {
         case scala.util.control.NonFatal(_) => None
       }))
   }
@@ -277,15 +283,14 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     val probes = probesOf(cond)
     val ranges = rangesOf(cond)
     if (probes.isEmpty && ranges.isEmpty) return None
-    val idxPath = entry.indexPath() match {
-      case Some(p) => p
+    val idx = entry.index() match {
+      case Some(frame) => frame
       case None =>
         logDebug(s"SkipRewrite: ${entry.base} has no committed index " +
           "version yet — full scan")
         return None
     }
     val spark = SparkSession.active
-    val idx = spark.read.parquet(idxPath)
     val fields = idx.schema.fieldNames.toSet
     // only probe what the index can answer: equalities need the
     // column's fingerprint, ranges only its min/max stats. A single

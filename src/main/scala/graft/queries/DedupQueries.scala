@@ -349,7 +349,7 @@ object DedupQueries {
   // index — the corpus never shuffles, so per-ingest cost is one
   // corpus scan + |candidates| at any corpus size. The oracle replays
   // the identical minhash machinery restricted to cross-split pairs.
-  private val lshIncremental = QueryDef("e1_lsh_incremental", Some(
+  private def lshIncrSql(mod: Int): String =
     s"""WITH d AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
        |           FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN []
@@ -380,7 +380,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS batch_id
        |         FROM band x JOIN band y
        |           ON x.band = y.band AND x.s0v = y.s0v AND x.s1v = y.s1v
-       |         WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0),
+       |         WHERE x.doc_id % $mod <> 0 AND y.doc_id % $mod = 0),
        |sets AS (SELECT doc_id, count(*) AS n FROM hm GROUP BY doc_id),
        |inter AS (SELECT cand.corpus_id, cand.batch_id, count(*) AS c
        |          FROM cand
@@ -392,17 +392,54 @@ object DedupQueries {
        |FROM inter i
        |JOIN sets sa ON sa.doc_id = i.corpus_id
        |JOIN sets sb ON sb.doc_id = i.batch_id
-       |WHERE cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5""".stripMargin)) {
-    (spark, dir) =>
-      import spark.implicits._
+       |WHERE cast(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5""".stripMargin
+
+  private val lshIncremental = QueryDef("e1_lsh_incremental",
+      Some(lshIncrSql(5))) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, shingleHashes3Typed(text)) }
+      .toDF("doc_id", "sh")
+    val index = Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "sh")
+    Dedup.nearDupsAgainstIndex(index,
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "sh", threshold = 0.5)
+  }
+
+  // LSH index MAINTAINED FROM THE STREAM (Streams.lshIndexSink): the
+  // corpus (doc_id % 4 != 0) arrives as a two-file stream, each batch
+  // signed ONCE (signatures are a pure per-row function, so the
+  // streamed index equals the one-shot buildLshIndex row-for-row) and
+  // committed under a version; the ingest batch (doc_id % 4 = 0)
+  // probes the freshest committed version with its banded slices
+  // broadcast. The SAME minhash oracle replay (split % 4) hash-checks
+  // the maintained answer: streamed maintenance loses nothing.
+  private val lshStream = QueryDef("e1_lsh_stream", Some(lshIncrSql(4)),
+      bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lshstream-q").toString
+    try {
       val docs = Tables(spark, dir).documents
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) => (id, shingleHashes3Typed(text)) }
         .toDF("doc_id", "sh")
-      val index = Dedup.buildLshIndex(
-        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "sh")
-      Dedup.nearDupsAgainstIndex(index,
-        docs.filter(col("doc_id") % 5 === 0), "doc_id", "sh", threshold = 0.5)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      corpus.filter(col("doc_id") % 8 < 4).coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/base")
+      corpus.filter(col("doc_id") % 8 >= 4).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val sink = graft.streaming.Streams.lshIndexSink(
+        spark.readStream.schema("doc_id long, sh array<bigint>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "sh")
+      try sink.processAllAvailable() finally sink.stop()
+      graft.streaming.Streams.nearDupsMaintained(spark, s"$work/idx",
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "sh",
+          threshold = 0.5)
+        .localCheckpoint(true)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(work))
   }
 
   // Arbitrary-offset duplicated spans (Lee et al. 2022 substring-dedup
@@ -525,6 +562,6 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
-    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental, dupSpans,
-    spanRemoved, clusterRep)
+    winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental,
+    lshStream, dupSpans, spanRemoved, clusterRep)
 }

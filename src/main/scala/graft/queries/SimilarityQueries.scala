@@ -389,6 +389,63 @@ object SimilarityQueries {
         new java.io.File(work))
   }
 
+  // ANN index MAINTAINED FROM THE STREAM (Streams.ivfPqIndexSink) —
+  // trained state frozen offline, each ingestion microbatch encoded to
+  // (neighbor_id, cell_id, codes) under it, search served off the
+  // committed version with a driver-side probed-cell IN-list. Because
+  // per-row encoding is a pure function of the frozen state, the
+  // streamed assignments equal a one-shot encode row-for-row — so the
+  // served ranking hash-checks against the SAME full-pipeline SQL
+  // replay the one-shot forms use (distinct topK=3/nProbe=2 params
+  // keep this row from being a copy of e2_ivfpq_search's glue).
+  private val ivfpqStream = QueryDef("e2_ivfpq_stream", Some(
+    s"""WITH ${pqProloguesCtes(16)},
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pf AS (SELECT vec_id AS query_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |       FROM af WHERE vec_id < 5),
+       |pr AS (SELECT query_id, cell_id FROM pf WHERE rn <= 2),
+       |${pqSubspaceCtes(4, 16, 5)},
+       |cand AS (SELECT pr.query_id AS qid, gf.vec_id AS nid
+       |         FROM pr JOIN gf USING (cell_id) WHERE pr.query_id <> gf.vec_id),
+       |${pqRankCtes(4, 16, 3, 4, "cand")}""".stripMargin), bench = false) {
+    (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val work = java.nio.file.Files.createTempDirectory("graft-ivfpqstream-q").toString
+      try {
+        // train ONCE offline over the corpus, freeze + persist — the
+        // sink never retrains
+        val idx = Similarity.ivfPqBuild(e, nCells = 16, ivfIters = 2,
+          m = 4, codes = 16, pqIters = 1)
+        Similarity.saveIvfCentroids(spark, idx.cellSums, idx.cellCounts,
+          s"$work/cells")
+        Similarity.savePqCodebooks(spark, idx.pqSums, idx.pqCounts,
+          s"$work/codebooks")
+        // the corpus arrives as a two-file STREAM (one per trigger) so
+        // the maintained index exercises the cross-batch union
+        e.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$work/base")
+        e.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(s"$work/base")
+        val sink = graft.streaming.Streams.ivfPqIndexSink(
+          spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+          s"$work/idx", s"$work/ck", s"$work/cells", s"$work/codebooks")
+        try sink.processAllAvailable() finally sink.stop()
+        graft.streaming.Streams.ivfPqSearchMaintained(spark, s"$work/idx",
+            s"$work/cells", s"$work/codebooks",
+            e.filter(col("vec_id") < 5), e, topK = 3, nProbe = 2)
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(work))
+  }
+
   // Incremental IVF maintenance — the index-never-reshuffles pattern
   // for embeddings (round-7 item #5): centroids trained ONCE over the
   // 90% base corpus and frozen; the 10% delta arrives in three batches,
@@ -452,5 +509,5 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
-    ivfIncr, pq, ivfpq, ivfpqSearch)
+    ivfIncr, pq, ivfpq, ivfpqSearch, ivfpqStream)
 }

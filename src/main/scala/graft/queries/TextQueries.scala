@@ -325,10 +325,12 @@ object TextQueries {
   // under postings/batch=<id>, df/stats merge by integer addition, and
   // retrieval off the committed version hash-matches the same DuckDB
   // ranking the one-shot forms do: streamed maintenance loses nothing.
-  private val bm25Stream = QueryDef("txt_bm25_stream", Some(
-    """WITH q(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
-      |                                  (2, 'window'), (2, 'stream'),
-      |                                  (3, 'state'), (3, 'join')),
+  /** The full-pipeline BM25 replay the streamed-index rows hash-check
+    * against, parameterized by query set and cutoff — the maintained
+    * index must lose nothing vs. re-deriving everything from the raw
+    * corpus in SQL. */
+  private def bm25ReplaySql(values: String, k: Int): String =
+    s"""WITH q(query_id, term) AS (VALUES $values),
       |tok AS (SELECT doc_id,
       |               unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
       |        FROM documents),
@@ -355,7 +357,11 @@ object TextQueries {
       |             row_number() OVER (PARTITION BY query_id
       |                                ORDER BY score DESC, doc_id) AS rk
       |      FROM ps)
-      |SELECT query_id, doc_id, score, n_terms FROM r WHERE rk <= 5""".stripMargin),
+      |SELECT query_id, doc_id, score, n_terms FROM r WHERE rk <= $k""".stripMargin
+
+  private val bm25Stream = QueryDef("txt_bm25_stream", Some(bm25ReplaySql(
+    "(1, 'join'), (1, 'hash'), (2, 'window'), (2, 'stream'), " +
+      "(3, 'state'), (3, 'join')", 5)),
     bench = false) { (spark, dir) =>
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-bm25stream-q").toString
@@ -376,6 +382,44 @@ object TextQueries {
       val q = Seq((1, "join"), (1, "hash"), (2, "window"), (2, "stream"),
         (3, "state"), (3, "join")).toDF("query_id", "term")
       graft.streaming.Streams.bm25SearchMaintained(spark, s"$work/idx", q, 5)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // The maintained index's COMPACTED steady state: the stream lands
+  // three postings batches, compactIndex collapses them into one
+  // term-clustered generation and vacuumIndex deletes the covered
+  // batch dirs — so the search below provably runs off the compacted
+  // generation alone (the require()s gate on the lifecycle actually
+  // happening), and still hash-checks against the same full-pipeline
+  // SQL replay. Compaction may change which files are opened, never
+  // the answer.
+  private val bm25Compact = QueryDef("txt_bm25_compact", Some(bm25ReplaySql(
+    "(1, 'window'), (1, 'state'), (2, 'join'), (2, 'stream'), " +
+      "(3, 'hash'), (3, 'window')", 4)),
+    bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25compact-q").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (0 until 3).foreach(i => docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "text")
+      try sink.processAllAvailable() finally sink.stop()
+      require(graft.streaming.Streams.compactIndex(spark, s"$work/idx",
+        "postings", Seq("term"), targetFiles = 2).contains(2L),
+        "txt_bm25_compact: compaction did not cover the three batches")
+      require(graft.streaming.Streams.vacuumIndex(spark, s"$work/idx",
+        "postings") == Seq(0L, 1L, 2L),
+        "txt_bm25_compact: vacuum did not free the covered batch dirs")
+      val q = Seq((1, "window"), (1, "state"), (2, "join"), (2, "stream"),
+        (3, "hash"), (3, "window")).toDF("query_id", "term")
+      graft.streaming.Streams.bm25SearchMaintained(spark, s"$work/idx", q, 4)
         .localCheckpoint(true)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
@@ -876,6 +920,7 @@ object TextQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
-    tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, bm25Stream, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, bm25Stream, bm25Compact,
+    repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

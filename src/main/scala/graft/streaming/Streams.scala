@@ -916,19 +916,24 @@ object Streams extends org.apache.spark.internal.Logging {
     * GROWING directory, from the stream that watches it: per
     * microbatch, index rows are computed for ONLY the batch's files —
     * the file source's checkpoint log names them, so the refresh never
-    * lists or diffs the directory — and unioned onto the predecessor
-    * version. [[graft.ops.Layout.readPrunedEquals]]/`readPrunedIn`
-    * serve point lookups off the latest committed version while the
-    * table keeps growing; at 100 TB this is the difference between a
-    * manifest that trails ingestion by one microbatch and a nightly
-    * full-scan rebuild. Versioned/`_SUCCESS`-gated/replay-idempotent
-    * like the snapshot sinks (a replayed batch re-derives the same
-    * rows and unions with the predecessor `< batchId`). Append-only
-    * contract: files removed by compaction need an offline
-    * [[graft.ops.Layout.statsIndexUpdate]] (which also drops deleted
-    * files); the stream itself only ever sees appends. The batch's
-    * ROWS are never touched — only the file names — so the per-batch
-    * cost is one narrow scan of just the new files. */
+    * lists or diffs the directory — and land ONCE under
+    * `stats/batch=<id>/` (the other maintained-index sinks' batch-dir
+    * layout): nothing cumulative is ever rewritten — per-batch write
+    * cost is the batch's OWN rows whatever the index has grown to,
+    * where the pre-round-10 layout rewrote the whole unioned index
+    * every microbatch (per-file bitmap rows x millions of files = a
+    * rewrite that grows without bound). [[latestSkippingIndex]] (and
+    * [[graft.plans.SkipRewrite]]'s versioned registration through it)
+    * serves point lookups off the freshest committed version while
+    * the table keeps growing; [[compactIndex]]`(…, "stats",
+    * Seq("file"))` + [[vacuumIndex]] bound the batch-dir count.
+    * Versioned/`_SUCCESS`-gated/replay-idempotent like the snapshot
+    * sinks (a replayed batch overwrites its own subdirectory), with
+    * the cumulative `_files` manifest + `_freshness` record so
+    * [[freshnessLagOf]] counts the index's pending files. Append-only
+    * contract: files removed by compaction of the BASE table need an
+    * offline [[graft.ops.Layout.statsIndexUpdate]] rebuild (which also
+    * drops deleted files); the stream itself only ever sees appends. */
   def skippingIndexSink(rows: DataFrame, targetDir: String,
                         checkpoint: String, cols: Seq[String],
                         fpCols: Seq[String] = Nil,
@@ -946,32 +951,35 @@ object Streams extends org.apache.spark.internal.Logging {
           logWarning(s"skippingIndexSink: batch $batchId has no file log " +
             "under the checkpoint — no index version written")
         case Some(batchFiles) =>
-          val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
-          val prevVersion = versions.sorted.lastOption
-          val fresh =
-            if (batchFiles.isEmpty) None
-            else Some(graft.ops.Layout.indexForFiles(spark, batchFiles, cols,
-              fpCols, fpBits, fpHashes))
-          val next = (prevVersion, fresh) match {
-            case (Some(v), Some(f)) =>
-              Some(spark.read.parquet(s"$targetDir/v=$v").unionByName(f))
-            case (Some(v), None) => Some(spark.read.parquet(s"$targetDir/v=$v"))
-            case (None, Some(f)) => Some(f)
-            // nothing indexed yet and an empty batch: no version — the
-            // schema isn't even known without a file to read
-            case (None, None) => None
-          }
-          next.foreach { idx =>
-            idx.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-            val path = new org.apache.hadoop.fs.Path(targetDir)
-            val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
-              .foreach(v => fs.delete(
-                new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
-          }
+          if (batchFiles.nonEmpty)
+            graft.ops.Layout.indexForFiles(spark, batchFiles, cols,
+                fpCols, fpBits, fpHashes)
+              .coalesce(1) // one row per file — a batch's index is tiny
+              .write.mode("overwrite").parquet(s"$targetDir/stats/batch=$batchId")
+          // an empty FIRST batch commits nothing: there is no index yet
+          if (batchFiles.nonEmpty ||
+              listBatchDirs(spark, targetDir, "stats").nonEmpty)
+            commitIndexVersion(spark, targetDir, checkpoint, batchId,
+              retainVersions)
       }
     }
   }
+
+  /** The maintained skipping index as of the freshest committed
+    * [[skippingIndexSink]] version: per-batch stats rows `<= version`,
+    * compaction-aware ([[maintainedBatchRows]]), `batch` provenance
+    * dropped so the frame is shaped exactly like
+    * [[graft.ops.Layout.statsIndexFingerprint]]'s output and feeds
+    * `readPrunedEquals`/`filesForPredicates` unchanged. None before
+    * the first committed version that indexed any file. */
+  def latestSkippingIndex(spark: org.apache.spark.sql.SparkSession,
+                          targetDir: String): Option[DataFrame] =
+    snapshotVersions(spark, targetDir).sorted.lastOption.flatMap { v =>
+      val hasBatches = listBatchDirs(spark, targetDir, "stats").exists(_ <= v)
+      val hasGen = committedCompactions(spark, targetDir).exists(_ <= v)
+      if (!hasBatches && !hasGen) None
+      else Some(maintainedBatchRows(spark, targetDir, "stats", v).drop("batch"))
+    }
 
   /** Maintain a [[graft.ops.TextAnalysis.bm25IndexBuild]]-shaped
     * retrieval index from the ingestion stream — ranked retrieval that
@@ -1089,12 +1097,427 @@ object Streams extends org.apache.spark.internal.Logging {
         s"Streams.bm25SearchMaintained: no committed index version under $targetDir"))
     val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
       "Streams.bm25SearchMaintained")
-    val postings = spark.read.parquet(s"$targetDir/postings")
-      .where(col("batch") <= version && col("term").isin(terms: _*))
+    val postings = maintainedBatchRows(spark, targetDir, "postings", version)
+      .where(col("term").isin(terms: _*))
     val dft = spark.read.parquet(s"$targetDir/v=$version/df")
       .where(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$targetDir/v=$version/stats")
     graft.ops.TextAnalysis.bm25SearchTables(postings, dft, stats, q, k, k1, b)
+  }
+
+  /** Maintain the assignments half of a persisted IVF×PQ ANN index
+    * ([[graft.ops.Similarity.ivfPqBuild]]'s (neighbor_id, cell_id,
+    * codes) table) from the ingestion stream — the third leg of the
+    * derived-artifact trilogy (file-skipping: [[skippingIndexSink]];
+    * ranked retrieval: [[bm25IndexSink]]): a vector becomes searchable
+    * one microbatch after it lands instead of on a nightly re-encode.
+    * Trained state (coarse centroids + PQ codebooks) is FROZEN and
+    * loaded once from its persisted form at sink construction — the
+    * standard IVF serving contract; drift-triggered re-centering is
+    * [[ivfStatsSink]] / `ivfReseed`'s separate concern. Layout under
+    * `targetDir`:
+    *
+    *  - `assign/batch=<id>/` — the batch's encoded rows,
+    *    cell-range-clustered so a search's probed-cell IN-list prunes
+    *    files by min/max stats; written ONCE per batch (a replayed
+    *    batch overwrites its own subdirectory — idempotent) and never
+    *    rewritten after: a 100 TB corpus's index only ever grows by
+    *    the batch's own m-int codes, there is no cumulative rewrite
+    *    anywhere.
+    *  - `v=<id>/_SUCCESS` (+ `_files` coverage manifest, `_freshness`)
+    *    — commits "batches `<= id` fully written";
+    *    [[ivfPqSearchMaintained]] scores only `batch <= version`, so a
+    *    crash between the assignment write and the version commit can
+    *    never serve a torn index.
+    *
+    * Append-only contract like every incremental refresh here: a
+    * vec_id arrives in exactly one batch; targeted deletion is
+    * [[graft.ops.Similarity.ivfPqIndexDelete]] offline. */
+  def ivfPqIndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
+                     centroidsDir: String, codebooksDir: String,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     dim: Int = 64, retainVersions: Int = 3,
+                     filesPerBatch: Int = 2): StreamingQuery = {
+    require(retainVersions >= 2,
+      "ivfPqIndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    require(filesPerBatch > 0, "ivfPqIndexSink: filesPerBatch must be positive")
+    val session = rows.sparkSession
+    val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(session, centroidsDir)
+    val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(session, codebooksDir)
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions.col
+      graft.ops.Similarity.ivfPqEncode(
+          batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+          cellS, cellN, pqS, pqN, dim)
+        .repartitionByRange(filesPerBatch, col("cell_id"))
+        .sortWithinPartitions("cell_id", "neighbor_id")
+        .write.mode("overwrite").parquet(s"$targetDir/assign/batch=$batchId")
+      commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+    }
+  }
+
+  /** ANN search off the freshest committed [[ivfPqIndexSink]] version:
+    * assignments partition-pruned to `batch <= version` AND the
+    * queries' probed-cell IN-list (computed driver-side by the exact
+    * probe ordering, pushed into the scan where the cell-clustered
+    * layout prunes files), frozen state reloaded from its persisted
+    * form — results equal [[graft.ops.Similarity.ivfPqSearch]] over a
+    * one-shot encode of exactly the documents the version covers,
+    * bit-for-bit (spec-pinned). `corpus` is consulted only for the
+    * shortlist's exact integer rescore. Queries are collected to
+    * compute the IN-list — they are a top-k request set, bounded by
+    * construction (the search broadcasts them regardless);
+    * `maxQueries` makes the bound loud. */
+  def ivfPqSearchMaintained(spark: org.apache.spark.sql.SparkSession,
+                            targetDir: String, centroidsDir: String,
+                            codebooksDir: String, queries: DataFrame,
+                            corpus: DataFrame, topK: Int, nProbe: Int = 4,
+                            dim: Int = 64, rescore: Int = 4,
+                            maxQueries: Int = 4096): DataFrame = {
+    val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
+      spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
+      maxQueries)
+    graft.ops.Similarity.ivfPqSearch(queries, corpus, indexed,
+      cellS, cellN, pqS, pqN, topK, nProbe, dim, rescore)
+  }
+
+  /** [[ivfPqSearchMaintained]] composed with the NOT-yet-encoded tail:
+    * base files the latest version's coverage manifest does not name
+    * are encoded on the fly under the same frozen state and unioned
+    * into the candidate set — a seconds-old vector is still found,
+    * index lag can only cost the tail's encode (one microbatch's
+    * files), never a missing neighbor. The [[graft.plans.MvRewrite
+    * .registerVersionedFresh]] contract transplanted to ANN serving.
+    * Fails loudly when the version carries no manifest (non-file or
+    * multi-source ingestion) — fresh composition would be a guess. */
+  def ivfPqSearchFresh(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String, centroidsDir: String,
+                       codebooksDir: String, baseDir: String,
+                       queries: DataFrame, topK: Int, nProbe: Int = 4,
+                       dim: Int = 64, rescore: Int = 4,
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       maxQueries: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
+      spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
+      maxQueries)
+    val version = snapshotVersions(spark, targetDir).sorted.last
+    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
+      throw new IllegalStateException(
+        s"Streams.ivfPqSearchFresh: version $version under $targetDir has " +
+          "no file-coverage manifest — fresh composition is unavailable " +
+          "(non-file or multi-source ingestion); use ivfPqSearchMaintained " +
+          "and gate on freshnessLagOf instead"))
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val base = spark.read.parquet(baseDir)
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+      .filterNot(covered).toSeq
+    val withTail =
+      if (tailFiles.isEmpty) indexed
+      else indexed.unionByName(graft.ops.Similarity.ivfPqEncode(
+        spark.read.parquet(tailFiles: _*)
+          .select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+        cellS, cellN, pqS, pqN, dim))
+    // the base holds every vector (indexed + tail), so it IS the
+    // rescore corpus — full vectors are still touched only for the
+    // shortlist
+    graft.ops.Similarity.ivfPqSearch(queries, base, withTail,
+      cellS, cellN, pqS, pqN, topK, nProbe, dim, rescore)
+  }
+
+  /** Shared resolution for the maintained-ANN search paths: freshest
+    * committed version, reloaded frozen state, and the assignments
+    * scan pruned to `batch <= version` plus the queries' probed-cell
+    * IN-list. */
+  private def ivfPqMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
+                                   targetDir: String, centroidsDir: String,
+                                   codebooksDir: String, queries: DataFrame,
+                                   nProbe: Int, dim: Int, maxQueries: Int):
+      (DataFrame, Array[Array[Long]], Array[Long],
+       Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.ivfPqSearchMaintained: no committed index version under $targetDir"))
+    val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(spark, centroidsDir)
+    val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(spark, codebooksDir)
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect() // bounded: the top-k request set
+    require(qRows.length <= maxQueries,
+      s"Streams.ivfPqSearchMaintained: ${qRows.length} queries exceeds " +
+        s"$maxQueries — raise maxQueries explicitly for a batch this large")
+    val cells = qRows.toSeq.flatMap { case (_, v) =>
+      graft.ops.Similarity.probeCellsOf(
+        graft.ops.Similarity.quantizeVec(v, dim), cellS, cellN, nProbe)
+    }.distinct.sorted
+    val indexed = maintainedBatchRows(spark, targetDir, "assign", version)
+      .where(col("cell_id").isin(cells: _*))
+      .select("neighbor_id", "cell_id", "codes")
+    (indexed, cellS, cellN, pqS, pqN)
+  }
+
+  /** Maintain a persistable LSH dedup index ([[graft.ops.Dedup
+    * .buildLshIndex]]'s (id, sig, shset) shape) from the ingestion
+    * stream — the fourth maintained derived artifact (file-skipping,
+    * BM25 retrieval, IVF×PQ ANN, and now near-dup): "which docs in
+    * today's crawl near-duplicate the corpus" stays answerable while
+    * the corpus grows, without ever re-shingling it. Per microbatch,
+    * ONLY the batch's rows are signed (one narrow pass — signatures
+    * are a pure per-row function, so the streamed index equals a
+    * one-shot [[graft.ops.Dedup.buildLshIndex]] row-for-row) and land
+    * under `index/batch=<id>/`; `v=<id>/_SUCCESS` (+ `_files`
+    * manifest, `_freshness`) commits coverage exactly like the other
+    * index sinks, and [[nearDupsMaintained]] probes only
+    * `batch <= version` so torn writes are never served. Append-only
+    * contract: a doc id arrives in exactly one batch. */
+  def lshIndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
+                   idCol: String, shingleCol: String,
+                   retainVersions: Int = 3,
+                   filesPerBatch: Int = 1): StreamingQuery = {
+    require(retainVersions >= 2,
+      "lshIndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    require(filesPerBatch > 0, "lshIndexSink: filesPerBatch must be positive")
+    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.ops.Dedup.buildLshIndex(batch, idCol, shingleCol)
+        .coalesce(filesPerBatch)
+        .write.mode("overwrite").parquet(s"$targetDir/index/batch=$batchId")
+      commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+    }
+  }
+
+  /** Near-duplicates of an incremental `batch` against the freshest
+    * committed [[lshIndexSink]] version — [[graft.ops.Dedup
+    * .nearDupsAgainstIndex]]'s steady-state ingest shape served off
+    * the maintained index: the batch's banded slices broadcast, the
+    * corpus index scans in place (pruned to `batch <= version`) and
+    * never shuffles. Results equal the one-shot form over exactly the
+    * documents the version covers, bit-for-bit (spec-pinned); gate on
+    * [[freshnessLagOf]] when index lag matters. */
+  def nearDupsMaintained(spark: org.apache.spark.sql.SparkSession,
+                         targetDir: String, batch: DataFrame, idCol: String,
+                         shingleCol: String, threshold: Double,
+                         broadcastBatch: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.nearDupsMaintained: no committed index version under $targetDir"))
+    val index = maintainedBatchRows(spark, targetDir, "index", version)
+      .select(idCol, "sig", "shset")
+    graft.ops.Dedup.nearDupsAgainstIndex(index, batch, idCol, shingleCol,
+      threshold, broadcastBatch)
+  }
+
+  /** The shared commit tail of the maintained-index sinks
+    * ([[ivfPqIndexSink]], [[lshIndexSink]]): cumulative file-coverage
+    * manifest (predecessor's + this batch's files — what
+    * [[freshnessLagOf]]'s pending count and fresh composition subtract
+    * from the base listing; a missing file log writes no manifest),
+    * then the `v=<id>/_SUCCESS` marker LAST so a torn write is never
+    * resolvable, then freshness + retention. */
+  private def commitIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                                 targetDir: String, checkpoint: String,
+                                 batchId: Long, retainVersions: Int): Unit = {
+    val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
+      .sorted.lastOption
+    val prevManifest: Option[Seq[String]] = prev match {
+      case Some(v) => snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
+      case None => Some(Nil)
+    }
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for {
+      pm <- prevManifest
+      bf <- sourceBatchFiles(spark, checkpoint, batchId)
+    } {
+      val all = (pm ++ bf).distinct.sorted
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$targetDir/v=$batchId/$ManifestFile"), true)
+      try out.write(all.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$targetDir/v=$batchId/_SUCCESS"), true).close()
+    writeFreshness(spark, targetDir, checkpoint, batchId)
+    snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+  }
+
+  /** Compact a maintained index's per-batch subdirectories into one
+    * globally-clustered generation. The batch-dir sinks
+    * ([[bm25IndexSink]] `postings/`, [[ivfPqIndexSink]] `assign/`,
+    * [[lshIndexSink]] `index/`) append `batch=<id>/` once per
+    * microbatch and never rewrite — the right WRITE amplification (a
+    * 100 TB corpus's index only ever grows by each batch's own rows),
+    * but after tens of thousands of microbatches the READ side decays:
+    * a search's term/cell IN-list must consult every batch's files
+    * because clustering is only per-batch, and the sheer file count
+    * dominates open/footer cost. Compaction is the missing half of
+    * that lifecycle: all committed batches `<= version` (plus the
+    * predecessor compacted generation — re-compaction never re-reads
+    * vacuumed batch dirs) rewrite ONCE into `compact/c=<version>/`,
+    * range-clustered on `clusterCols` across the WHOLE corpus so an
+    * IN-list probe opens ~1 of `targetFiles` files instead of
+    * |batches| x filesPerBatch.
+    *
+    * Commit protocol mirrors the version markers: the generation is
+    * resolvable only once its `_SUCCESS` exists (written after the
+    * parquet job), so a crashed compaction is invisible and a re-run
+    * overwrites the torn directory. Readers resolve the freshest
+    * committed generation `c <= version` and union only batch dirs in
+    * `(c, version]` — a compaction can never change an answer, only
+    * the files opened to produce it (spec-pinned bit-for-bit). The
+    * predecessor generation is retained (`retainCompactions >= 2`) for
+    * in-flight readers, exactly the snapshot sinks' retention
+    * contract. Batch dirs covered by a committed generation stay on
+    * disk until [[vacuumIndex]].
+    *
+    * Returns the compacted-through version, or None when nothing is
+    * committed yet or fewer than `minBatches` uncompacted batch dirs
+    * exist (steady-state no-op: schedule it like any maintenance job). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String, subdir: String,
+                   clusterCols: Seq[String], targetFiles: Int = 4,
+                   minBatches: Int = 2,
+                   retainCompactions: Int = 2): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(targetFiles > 0, "Streams.compactIndex: targetFiles must be positive")
+    require(minBatches >= 1, "Streams.compactIndex: minBatches must be >= 1")
+    require(retainCompactions >= 2,
+      "Streams.compactIndex: must retain >= 2 generations (in-flight readers " +
+        "may hold the predecessor)")
+    val versionOpt = snapshotVersions(spark, targetDir).sorted.lastOption
+    versionOpt.flatMap { version =>
+      val prevC = committedCompactions(spark, targetDir)
+        .filter(_ <= version).sorted.lastOption
+      val batchIds = listBatchDirs(spark, targetDir, subdir)
+        .filter(id => id <= version && prevC.forall(id > _)).sorted
+      if (batchIds.length < minBatches) None
+      else {
+        val basePath = s"$targetDir/$subdir"
+        val tail = spark.read.option("basePath", basePath)
+          .parquet(batchIds.map(id => s"$basePath/batch=$id").toIndexedSeq: _*)
+          .withColumn("batch", col("batch").cast("long"))
+        val all = prevC match {
+          case Some(c) =>
+            spark.read.parquet(s"$targetDir/compact/c=$c").unionByName(tail)
+          case None => tail
+        }
+        val out = s"$targetDir/compact/c=$version"
+        val clustered =
+          if (clusterCols.isEmpty) all.repartition(targetFiles)
+          else all.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+            .sortWithinPartitions(clusterCols.map(col): _*)
+        clustered.write.mode("overwrite").parquet(out)
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit marker — idempotent with the parquet committer's
+        // own _SUCCESS, and the commit even when markers are disabled
+        fs.create(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS"), true).close()
+        committedCompactions(spark, targetDir).sorted
+          .dropRight(retainCompactions)
+          .foreach(c => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$targetDir/compact/c=$c"), true))
+        // raw FS deletes: same-session listings must not serve the
+        // removed generation (the targetedDelete lesson)
+        spark.catalog.refreshByPath(s"$targetDir/compact")
+        Some(version)
+      }
+    }
+  }
+
+  /** Delete the batch directories a committed [[compactIndex]]
+    * generation has made redundant — the space/file-count half of the
+    * lifecycle, separated from compaction so operators control the
+    * grace window. Only batches `<= the OLDEST retained generation`
+    * go: an in-flight reader pinned to that predecessor still resolves
+    * every batch dir it needs. One window remains the operator's:
+    * readers that resolved BEFORE the first compaction committed read
+    * batch dirs directly, so schedule the first vacuum after those
+    * drain — the same grace-window contract as version retention
+    * everywhere else here. Returns the deleted batch ids. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String, subdir: String): Seq[Long] = {
+    val cs = committedCompactions(spark, targetDir).sorted
+    cs.headOption match {
+      case None => Nil
+      case Some(safe) =>
+        val doomed = listBatchDirs(spark, targetDir, subdir)
+          .filter(_ <= safe).sorted.toIndexedSeq
+        if (doomed.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(targetDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          doomed.foreach(id => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$targetDir/$subdir/batch=$id"), true))
+          // the session's file-listing cache still names the deleted
+          // parts (the targetedDelete lesson)
+          spark.catalog.refreshByPath(s"$targetDir/$subdir")
+        }
+        doomed
+    }
+  }
+
+  /** Committed compaction generations under `targetDir/compact` —
+    * `c=<id>` dirs gated by their `_SUCCESS`, the [[snapshotVersions]]
+    * convention. */
+  private def committedCompactions(spark: org.apache.spark.sql.SparkSession,
+                                   targetDir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(s"$targetDir/compact")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty[Long]
+    else fs.listStatus(path)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("c=").toLong)
+  }
+
+  /** `batch=<id>` partition directories currently on disk under a
+    * batch-dir sink's data subdirectory. */
+  private def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                            targetDir: String, subdir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(s"$targetDir/$subdir")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty[Long]
+    else fs.listStatus(path)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+  }
+
+  /** Compaction-aware resolution of a batch-dir index's rows as of
+    * `version`: the freshest committed generation `c <= version`
+    * (whole-corpus-clustered — IN-list probes prune to ~1 file) plus
+    * only the batch dirs in `(c, version]`. With no committed
+    * generation this is exactly the plain partitioned read the sinks
+    * originally served — compaction is invisible to answers by
+    * construction. */
+  private def maintainedBatchRows(spark: org.apache.spark.sql.SparkSession,
+                                  targetDir: String, subdir: String,
+                                  version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cOpt = committedCompactions(spark, targetDir)
+      .filter(_ <= version).sorted.lastOption
+    cOpt match {
+      case None =>
+        spark.read.parquet(s"$targetDir/$subdir")
+          .where(col("batch") <= version)
+      case Some(c) =>
+        val compacted = spark.read.parquet(s"$targetDir/compact/c=$c")
+        val tailIds = listBatchDirs(spark, targetDir, subdir)
+          .filter(id => id > c && id <= version).sorted
+        if (tailIds.isEmpty) compacted
+        else {
+          val basePath = s"$targetDir/$subdir"
+          compacted.unionByName(
+            spark.read.option("basePath", basePath)
+              .parquet(tailIds.map(id => s"$basePath/batch=$id").toIndexedSeq: _*)
+              .withColumn("batch", col("batch").cast("long")))
+        }
+    }
   }
 
   /** Underscore-prefixed so parquet readers of the version directory

@@ -1350,7 +1350,7 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       land(400, 800)
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = Streams.latestSnapshot(spark, target).get
+    val streamed = Streams.latestSkippingIndex(spark, target).get
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("file").collect().map(_.toSeq.map {
         case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
@@ -1368,6 +1368,18 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(pruned.filter(col("uid") === probe).count() == 1)
     assert(pruned.inputFiles.length < 4,
       s"maintained index pruned nothing: ${pruned.inputFiles.length} of 4 files")
+    // the batch-dir layout means the sink never rewrites the
+    // cumulative index — and the shared compaction lifecycle applies:
+    // compact + vacuum, the resolved index is unchanged row-for-row
+    assert(Streams.compactIndex(spark, target, "stats", Seq("file"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, target, "stats").nonEmpty)
+    val compacted = Streams.latestSkippingIndex(spark, target).get
+    assert(canon(compacted) == canon(rebuilt),
+      "compaction changed the resolved skipping index")
+    val prunedC = graft.ops.Layout.readPrunedEquals(spark, compacted,
+      Map("uid" -> probe))
+    assert(prunedC.filter(col("uid") === probe).count() == 1)
   }
 
   test("S6l bm25 index sink: maintained retrieval == one-shot; uncommitted postings never scored") {
@@ -1422,6 +1434,309 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
       .exists(_.pendingFiles.contains(1L)),
       "one un-indexed corpus file must count as 1 pending")
+  }
+
+  test("S6m ivfpq index sink: maintained ANN == one-shot; torn batches never served; fresh tail found") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // the ANN assignments index maintained from the ingestion stream
+    // under FROZEN trained state: per-row encoding is a pure function
+    // of that state, so the streamed index must equal a one-shot
+    // encode row-for-row and the served ranking must match
+    // ivfPqSearch over it bit-for-bit
+    val baseDir = tmp("graft-ivfpqsink-base")
+    val target = tmp("graft-ivfpqsink-tgt")
+    val ckpt = tmp("graft-ivfpqsink-ck")
+    val cells = tmp("graft-ivfpqsink-cells") + "/c"
+    val books = tmp("graft-ivfpqsink-books") + "/b"
+    // injective over the id range (period 101 > 90), so the planted
+    // l2=0 twin below is the ONLY exact match for its query
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 101) - 50).toFloat / 16f)
+    def land(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land((0 until 60).map(i => (i.toLong, vec(i))))
+    // train ONCE over the first landing, freeze + persist
+    val idx0 = Similarity.ivfPqBuild(spark.read.parquet(baseDir),
+      nCells = 4, ivfIters = 2, m = 2, codes = 4, pqIters = 1, dim = 8)
+    Similarity.saveIvfCentroids(spark, idx0.cellSums, idx0.cellCounts, cells)
+    Similarity.savePqCodebooks(spark, idx0.pqSums, idx0.pqCounts, books)
+    val q = Streams.ivfPqIndexSink(
+      spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, cells, books, dim = 8)
+    try {
+      q.processAllAvailable()
+      land((60 until 90).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val base = spark.read.parquet(baseDir)
+    val queries = base.filter($"vec_id" < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    // streamed assignments == one-shot encode under the same frozen
+    // state, as a row set
+    val streamed = spark.read.parquet(s"$target/assign")
+      .select("neighbor_id", "cell_id", "codes")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShotIdx = Similarity.ivfPqEncode(base, idx0.cellSums,
+      idx0.cellCounts, idx0.pqSums, idx0.pqCounts, dim = 8)
+    assert(streamed == oneShotIdx.collect().map(_.toString).sorted.toSeq,
+      "streamed assignments diverged from the one-shot encode")
+    val served = canon(Streams.ivfPqSearchMaintained(spark, target, cells,
+      books, queries, base, topK = 3, nProbe = 2, dim = 8))
+    val oneShot = canon(Similarity.ivfPqSearch(queries, base, oneShotIdx,
+      idx0.cellSums, idx0.cellCounts, idx0.pqSums, idx0.pqCounts,
+      topK = 3, nProbe = 2, dim = 8))
+    assert(served == oneShot, s"maintained ANN diverged:\n$served\nvs\n$oneShot")
+    assert(served.nonEmpty)
+    // a crash between the assignment write and the version commit
+    // leaves an orphan batch directory — it must NEVER be served
+    // (assignments are pruned to batch <= the resolved version)
+    Seq((999L, 0L, Array(0, 0))).toDF("neighbor_id", "cell_id", "codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/assign/batch=99")
+    assert(canon(Streams.ivfPqSearchMaintained(spark, target, cells, books,
+      queries, base, topK = 3, nProbe = 2, dim = 8)) == served,
+      "orphan uncommitted assignments leaked into the ranking")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$target/assign/batch=99"))
+    // raw FS delete, so same-session readers need the listing refreshed
+    // (the targetedDelete lesson)
+    spark.catalog.refreshByPath(s"$target/assign")
+    // freshness: caught-up index reports 0 pending base files
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(0L)))
+    // fresh composition: a vector landing AFTER the stream stopped —
+    // identical to query 1, so it must rank first for it — is found by
+    // the fresh path (tail encoded on the fly) and invisible to the
+    // version-only path
+    land(Seq((999L, vec(1))))
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(1L)))
+    val maintained = Streams.ivfPqSearchMaintained(spark, target, cells,
+      books, queries, spark.read.parquet(baseDir), topK = 3, nProbe = 2,
+      dim = 8)
+    assert(maintained.filter($"neighbor_id" === 999L).isEmpty,
+      "version-only search must not see the un-indexed tail")
+    // rescore=32 covers every candidate: with this toy codebook (m=2,
+    // k=4 => 16 combos) the twin's ADC ties its whole code cell and the
+    // id-ascending tie-break would otherwise drop the NEWEST id from a
+    // narrow shortlist — the exact-l2 stage is what must see it
+    val fresh = Streams.ivfPqSearchFresh(spark, target, cells, books,
+      baseDir, queries, topK = 3, nProbe = 2, dim = 8, rescore = 32)
+    val hit = fresh.filter($"query_id" === 1L && $"neighbor_id" === 999L)
+      .select("l2", "rk").collect()
+    assert(hit.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((0L, 1)),
+      s"tail twin of query 1 must rank first with l2=0: ${hit.mkString(",")}")
+    // and the fresh ranking equals a one-shot over the WHOLE base
+    val full = spark.read.parquet(baseDir)
+    val freshOracle = canon(Similarity.ivfPqSearch(queries, full,
+      Similarity.ivfPqEncode(full, idx0.cellSums, idx0.cellCounts,
+        idx0.pqSums, idx0.pqCounts, dim = 8),
+      idx0.cellSums, idx0.cellCounts, idx0.pqSums, idx0.pqCounts,
+      topK = 3, nProbe = 2, dim = 8, rescore = 32))
+    assert(canon(fresh) == freshOracle,
+      "fresh composition diverged from the one-shot over the full base")
+  }
+
+  test("S6n lsh index sink: maintained near-dup == one-shot; torn batches never probed") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // the near-dup index maintained from the ingestion stream:
+    // signatures are a pure per-row function, so the streamed index
+    // must equal the one-shot buildLshIndex and the maintained probe
+    // must match nearDupsAgainstIndex bit-for-bit
+    val baseDir = tmp("graft-lshsink-base")
+    val target = tmp("graft-lshsink-tgt")
+    val ckpt = tmp("graft-lshsink-ck")
+    def doc(id: Long, shingles: Seq[Long]) = (id, shingles.toArray)
+    def land(rows: Seq[(Long, Array[Long])]): Unit =
+      rows.toDF("doc_id", "sh")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    // corpus docs 0..19, each with 10 distinct shingles
+    land((0 until 10).map(i => doc(i.toLong, (0 until 10).map(j => (i * 10 + j).toLong))))
+    val q = Streams.lshIndexSink(
+      spark.readStream.schema("doc_id long, sh array<bigint>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "sh")
+    try {
+      q.processAllAvailable()
+      land((10 until 20).map(i => doc(i.toLong, (0 until 10).map(j => (i * 10 + j).toLong))))
+      q.processAllAvailable()
+    } finally q.stop()
+    // probe batch: 100 duplicates doc 7 exactly; 101 is disjoint
+    val probe = Seq(doc(100L, (70 until 80).map(_.toLong)),
+      doc(101L, (9000 until 9010).map(_.toLong))).toDF("doc_id", "sh")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("corpus_id", "batch_id").collect().map(_.toString).toSeq
+    val served = canon(Streams.nearDupsMaintained(spark, target, probe,
+      "doc_id", "sh", threshold = 0.5))
+    val oneShot = canon(Dedup.nearDupsAgainstIndex(
+      Dedup.buildLshIndex(spark.read.parquet(baseDir), "doc_id", "sh"),
+      probe, "doc_id", "sh", threshold = 0.5))
+    assert(served == oneShot, s"maintained near-dup diverged:\n$served\nvs\n$oneShot")
+    // the exact duplicate is guaranteed found (identical sets =>
+    // identical signatures => every band matches)
+    assert(served.exists(_.contains("[7,100,1.0]")),
+      s"exact duplicate of doc 7 not found: $served")
+    assert(!served.exists(_.contains("101")), "disjoint doc must not pair")
+    // a crash between the index write and the version commit leaves an
+    // orphan batch directory — it must NEVER be probed
+    Dedup.buildLshIndex(Seq(doc(999L, (70 until 80).map(_.toLong)))
+        .toDF("doc_id", "sh"), "doc_id", "sh")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$target/index/batch=99")
+    assert(canon(Streams.nearDupsMaintained(spark, target, probe,
+      "doc_id", "sh", threshold = 0.5)) == served,
+      "orphan uncommitted index rows leaked into the probe")
+    // caught-up index reports 0 pending; one more landing counts as 1
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(0L)))
+    land(Seq(doc(200L, (0 until 10).map(j => (2000 + j).toLong))))
+    assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
+      .exists(_.pendingFiles.contains(1L)))
+  }
+
+  test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
+    // FS-level lifecycle, state-store independent — run once
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-compact-base")
+    val target = tmp("graft-compact-tgt")
+    val ckpt = tmp("graft-compact-ck")
+    def land(lo: Int, hi: Int, extra: String = ""): Unit =
+      (lo until hi).map(i => (i.toLong,
+        s"join hash w$i $extra " + Seq.fill(i % 5)("filler").mkString(" ")))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land(0, 30); land(30, 60); land(60, 90)
+    def mkSink() = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "text")
+    val q0 = mkSink()
+    try q0.processAllAvailable() finally q0.stop()
+    val queries = Seq((1, "join"), (1, "hash"), (2, "w7"), (2, "w63"))
+      .toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    val before = canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+    assert(before.nonEmpty)
+    // an orphan batch dir beyond the committed version (the torn-write
+    // shape) must be invisible to compaction too
+    Seq(("w7", 999L, 5L, 3L)).toDF("term", "doc_id", "tf", "dl")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$target/postings/batch=99")
+    // three per-batch dirs collapse into ONE term-clustered generation
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 2) == Some(2L))
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == before, "compaction changed the served ranking")
+    val gen = new java.io.File(s"$target/compact/c=2")
+    assert(gen.listFiles().count(_.getName.endsWith(".parquet")) <= 2,
+      "compacted generation must hold at most targetFiles files")
+    assert(spark.read.parquet(gen.toString)
+      .filter($"doc_id" === 999L).isEmpty,
+      "uncommitted orphan batch leaked into the compacted generation")
+    // steady-state no-op: nothing uncompacted
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 2).isEmpty)
+    // the stream keeps going: a new batch lands AFTER the compaction —
+    // served off generation + tail union
+    land(90, 95, "zebra")
+    val q1 = mkSink()
+    try q1.processAllAvailable() finally q1.stop()
+    val queries2 = queries.union(Seq((3, "zebra")).toDF("query_id", "term"))
+    val mid = canon(Streams.bm25SearchMaintained(spark, target, queries2, 5))
+    assert(mid.exists(_.contains("3,9")),
+      s"post-compaction batch invisible to the maintained search: $mid")
+    // re-compaction folds the tail into a new generation WITHOUT
+    // re-reading anything a prior vacuum could have freed
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 2, minBatches = 1) == Some(3L))
+    // vacuum frees only batches covered by the OLDEST retained
+    // generation (c=2): batch dirs 0..2 go, the tail dir and the
+    // orphan stay
+    assert(Streams.vacuumIndex(spark, target, "postings") == Seq(0L, 1L, 2L))
+    assert(!new java.io.File(s"$target/postings/batch=0").exists())
+    assert(!new java.io.File(s"$target/postings/batch=2").exists())
+    assert(new java.io.File(s"$target/postings/batch=3").exists())
+    assert(Streams.vacuumIndex(spark, target, "postings").isEmpty)
+    // post-vacuum answers equal the one-shot batch pass over the whole
+    // corpus — the lifecycle never touches semantics
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries2, 5))
+      == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+        spark.read.parquet(baseDir), "doc_id", "text", queries2, 5)),
+      "post-vacuum ranking diverged from the one-shot pass")
+  }
+
+  test("S6p compactIndex on the ANN and LSH maintained indexes: served results survive compact + vacuum") {
+    assume(!rocksdb)
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    // --- IVF×PQ assignments ---
+    val vBase = tmp("graft-compann-base")
+    val vTgt = tmp("graft-compann-tgt")
+    val vCk = tmp("graft-compann-ck")
+    val cells = tmp("graft-compann-cells") + "/c"
+    val books = tmp("graft-compann-books") + "/b"
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 101) - 50).toFloat / 16f)
+    (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(vBase)
+    (30 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(vBase)
+    val idx0 = Similarity.ivfPqBuild(spark.read.parquet(vBase),
+      nCells = 4, ivfIters = 2, m = 2, codes = 4, pqIters = 1, dim = 8)
+    Similarity.saveIvfCentroids(spark, idx0.cellSums, idx0.cellCounts, cells)
+    Similarity.savePqCodebooks(spark, idx0.pqSums, idx0.pqCounts, books)
+    val qa = Streams.ivfPqIndexSink(
+      spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(vBase),
+      vTgt, vCk, cells, books, dim = 8)
+    try qa.processAllAvailable() finally qa.stop()
+    val base = spark.read.parquet(vBase)
+    val annQ = base.filter($"vec_id" < 3)
+    def canonA(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    val annBefore = canonA(Streams.ivfPqSearchMaintained(spark, vTgt, cells,
+      books, annQ, base, topK = 3, nProbe = 2, dim = 8))
+    assert(Streams.compactIndex(spark, vTgt, "assign", Seq("cell_id"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, vTgt, "assign").nonEmpty)
+    assert(new java.io.File(s"$vTgt/assign").listFiles()
+      .forall(!_.getName.startsWith("batch=")),
+      "vacuum left batch dirs the generation covers")
+    assert(canonA(Streams.ivfPqSearchMaintained(spark, vTgt, cells, books,
+      annQ, base, topK = 3, nProbe = 2, dim = 8)) == annBefore,
+      "ANN ranking changed across compact + vacuum")
+    // --- LSH near-dup index ---
+    val lBase = tmp("graft-complsh-base")
+    val lTgt = tmp("graft-complsh-tgt")
+    val lCk = tmp("graft-complsh-ck")
+    def doc(id: Long, lo: Int) = (id, (lo until lo + 10).map(_.toLong).toArray)
+    Seq(doc(0L, 0), doc(1L, 100)).toDF("doc_id", "sh")
+      .coalesce(1).write.mode("append").parquet(lBase)
+    Seq(doc(2L, 200), doc(3L, 300)).toDF("doc_id", "sh")
+      .coalesce(1).write.mode("append").parquet(lBase)
+    val ql = Streams.lshIndexSink(
+      spark.readStream.schema("doc_id long, sh array<bigint>")
+        .option("maxFilesPerTrigger", 1).parquet(lBase),
+      lTgt, lCk, "doc_id", "sh")
+    try ql.processAllAvailable() finally ql.stop()
+    val probe = Seq(doc(100L, 200)).toDF("doc_id", "sh") // duplicates doc 2
+    def canonL(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("corpus_id", "batch_id").collect().map(_.toString).toSeq
+    val lshBefore = canonL(Streams.nearDupsMaintained(spark, lTgt, probe,
+      "doc_id", "sh", threshold = 0.5))
+    assert(lshBefore.exists(_.contains("[2,100,1.0]")), s"dup not found: $lshBefore")
+    assert(Streams.compactIndex(spark, lTgt, "index", Seq("doc_id"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, lTgt, "index").nonEmpty)
+    assert(canonL(Streams.nearDupsMaintained(spark, lTgt, probe,
+      "doc_id", "sh", threshold = 0.5)) == lshBefore,
+      "near-dup answer changed across compact + vacuum")
   }
 
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
