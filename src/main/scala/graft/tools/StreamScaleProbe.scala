@@ -249,6 +249,69 @@ object StreamScaleProbe {
       } finally q.stop()
     }
 
+    // Maintained-index COMPACTION lifecycle at many-microbatch scale:
+    // the batch-dir sinks are write-optimal (each batch appends only
+    // its own rows) but a search must consult every batch's files
+    // until compactIndex collapses them into one whole-corpus
+    // term-clustered generation. Measured here: the same 4-term BM25
+    // search before compaction (per-batch clustering only), after
+    // compaction, and after vacuum — plus the file counts that drive
+    // the difference. At production microbatch cadence this is
+    // thousands of dirs per day, not forty.
+    {
+      graft.Engine.useDefaultStateStore(spark)
+      val nBatches = args.lift(4).map(_.toInt).getOrElse(40)
+      val docsPer = 2500
+      val base = ckpt("compact-base")
+      val tgt = ckpt("compact-tgt")
+      val ck = ckpt("compact-ck")
+      (0 until nBatches).foreach { b =>
+        (0 until docsPer).map { j =>
+          val id = b.toLong * docsPer + j
+          (id, s"join hash w${id % 997} shuffle p${id % 89} " +
+            Seq.fill((j % 7) + 1)(s"f${(id * 31) % 4001}").mkString(" "))
+        }.toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(base)
+      }
+      val q = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", 1).parquet(base),
+        tgt, ck, "doc_id", "text")
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val ingestS = (System.nanoTime() - t0) / 1e9
+      val queries = Seq((1, "join"), (1, "w13"), (2, "shuffle"), (2, "p7"))
+        .toDF("query_id", "term")
+      def parquetsUnder(dir: String): Int = {
+        val d = new java.io.File(dir)
+        if (!d.isDirectory) 0
+        else d.listFiles.map(f => if (f.isDirectory) parquetsUnder(f.toString)
+          else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      }
+      def timeSearch(): Double = {
+        val runs = (0 until 3).map { _ =>
+          val t = System.nanoTime()
+          graft.streaming.Streams
+            .bm25SearchMaintained(spark, tgt, queries, 10).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        runs.sorted.apply(1)
+      }
+      val preS = timeSearch()
+      val preFiles = parquetsUnder(s"$tgt/postings")
+      println(f"STAGE compact_pre           batches=$nBatches%3d ingest=$ingestS%7.2fs search=$preS%6.2fs postingsFiles=$preFiles%5d")
+      val t1 = System.nanoTime()
+      val cv = graft.streaming.Streams.compactIndex(spark, tgt, "postings",
+        Seq("term"), targetFiles = 8)
+      val compactS = (System.nanoTime() - t1) / 1e9
+      val midS = timeSearch()
+      val genFiles = parquetsUnder(s"$tgt/compact")
+      println(f"STAGE compact_run           upto=${cv.getOrElse(-1L)}%3d $compactS%7.2fs search=$midS%6.2fs genFiles=$genFiles%5d")
+      val freed = graft.streaming.Streams.vacuumIndex(spark, tgt, "postings")
+      val postS = timeSearch()
+      println(f"STAGE compact_post          vacuumed=${freed.length}%3d dirs search=$postS%6.2fs postingsFiles=${parquetsUnder(s"$tgt/postings")}%5d")
+    }
+
     // Halt, not stop: same RocksDB native-teardown guard as Bench.
     Console.out.flush()
     Runtime.getRuntime.halt(0)
