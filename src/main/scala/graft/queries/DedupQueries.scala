@@ -442,6 +442,44 @@ object DedupQueries {
       new java.io.File(work))
   }
 
+  // EXACTLY-CURRENT near-dup: half the corpus (doc_id % 3 = 2) lands
+  // AFTER the index stream stopped and is never signed into a
+  // committed version — nearDupsFresh signs that tail on the fly
+  // (signatures are a pure per-row function) and unions it into the
+  // probe's index, so the answer hash-matches the SAME full-corpus
+  // minhash replay. The require() gates on the tail genuinely being
+  // un-indexed.
+  private val lshFresh = QueryDef("e1_lsh_fresh", Some(lshIncrSql(3)),
+      bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lshfresh-q").toString
+    try {
+      val docs = Tables(spark, dir).documents
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) => (id, shingleHashes3Typed(text)) }
+        .toDF("doc_id", "sh")
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/base")
+      val sink = graft.streaming.Streams.lshIndexSink(
+        spark.readStream.schema("doc_id long, sh array<bigint>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "sh")
+      try sink.processAllAvailable() finally sink.stop()
+      // the tail lands after the stream stopped: never signed
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      require(graft.streaming.Streams
+          .freshnessLagOf(spark, s"$work/idx", Some(s"$work/base"))
+          .exists(_.pendingFiles.contains(1L)),
+        "e1_lsh_fresh: the tail file must be pending, not indexed")
+      graft.streaming.Streams.nearDupsFresh(spark, s"$work/idx",
+          s"$work/base", docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "sh", threshold = 0.5)
+        .localCheckpoint(true)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(work))
+  }
+
   // Arbitrary-offset duplicated spans (Lee et al. 2022 substring-dedup
   // shape): 5-gram inverted-index self-join + diagonal gaps-and-islands
   // run detection, runs >= 10 grams (14+ shared tokens). The oracle
@@ -563,5 +601,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
     winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental,
-    lshStream, dupSpans, spanRemoved, clusterRep)
+    lshStream, lshFresh, dupSpans, spanRemoved, clusterRep)
 }

@@ -426,6 +426,45 @@ object TextQueries {
     }
   }
 
+  // EXACTLY-CURRENT retrieval: a third of the corpus lands AFTER the
+  // index stream stopped and is never indexed — bm25SearchFresh
+  // tokenizes that tail on the fly and merges df/doc-count by the
+  // commit's own integer algebra, so the ranking hash-matches the SAME
+  // full-corpus replay (idf/avgdl exactly as they will be once the
+  // tail is indexed). The require() gates on the tail genuinely being
+  // un-indexed — a caught-up index would make this row txt_bm25_stream
+  // in disguise.
+  private val bm25Fresh = QueryDef("txt_bm25_fresh", Some(bm25ReplaySql(
+    "(1, 'stream'), (1, 'window'), (2, 'state'), (2, 'hash')", 3)),
+    bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25fresh-q").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (0 until 2).foreach(i => docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "text")
+      try sink.processAllAvailable() finally sink.stop()
+      // the tail lands after the stream stopped: never indexed
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      require(graft.streaming.Streams
+          .freshnessLagOf(spark, s"$work/idx", Some(s"$work/base"))
+          .exists(_.pendingFiles.contains(1L)),
+        "txt_bm25_fresh: the tail file must be pending, not indexed")
+      val q = Seq((1, "stream"), (1, "window"), (2, "state"), (2, "hash"))
+        .toDF("query_id", "term")
+      graft.streaming.Streams.bm25SearchFresh(spark, s"$work/idx",
+          s"$work/base", q, 3)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -921,6 +960,6 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, bm25Stream, bm25Compact,
-    repetition, sourceStats, contamination, lmScore, heavyHitters,
+    bm25Fresh, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

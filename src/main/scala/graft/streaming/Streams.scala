@@ -938,7 +938,8 @@ object Streams extends org.apache.spark.internal.Logging {
                         checkpoint: String, cols: Seq[String],
                         fpCols: Seq[String] = Nil,
                         fpBits: Int = 1 << 17, fpHashes: Int = 4,
-                        retainVersions: Int = 3): StreamingQuery = {
+                        retainVersions: Int = 3, compactEvery: Int = 0,
+                        compactFiles: Int = 8): StreamingQuery = {
     require(cols.nonEmpty, "skippingIndexSink: no columns")
     require(retainVersions >= 2,
       "skippingIndexSink: must retain >= 2 versions (replay needs the predecessor)")
@@ -958,9 +959,12 @@ object Streams extends org.apache.spark.internal.Logging {
               .write.mode("overwrite").parquet(s"$targetDir/stats/batch=$batchId")
           // an empty FIRST batch commits nothing: there is no index yet
           if (batchFiles.nonEmpty ||
-              listBatchDirs(spark, targetDir, "stats").nonEmpty)
+              listBatchDirs(spark, targetDir, "stats").nonEmpty) {
             commitIndexVersion(spark, targetDir, checkpoint, batchId,
               retainVersions)
+            maybeAutoCompact(spark, targetDir, "stats", Seq("file"),
+              compactFiles, compactEvery, batchId)
+          }
       }
     }
   }
@@ -1008,30 +1012,26 @@ object Streams extends org.apache.spark.internal.Logging {
   def bm25IndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
                     idCol: String, textCol: String,
                     retainVersions: Int = 3,
-                    filesPerBatch: Int = 4): StreamingQuery = {
+                    filesPerBatch: Int = 4,
+                    compactEvery: Int = 0,
+                    compactFiles: Int = 8): StreamingQuery = {
     require(retainVersions >= 2,
       "bm25IndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "bm25IndexSink: filesPerBatch must be positive")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
-      val tok = batch.select(col(idCol).as("doc_id"),
-        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("term"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val (postingsNew, dfNew, statsNew) = bm25Tables(batch, idCol, textCol)
       // term-cluster EACH batch's files (the bm25IndexBuild layout in
       // miniature): after thousands of batches a search's term IN-list
       // still prunes by per-file min/max instead of opening every
       // batch's every file
-      tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+      postingsNew
         .repartitionByRange(filesPerBatch, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$targetDir/postings/batch=$batchId")
       val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
         .sorted.lastOption
-      val dfNew = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val statsNew = dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("tot_dl"))
       val (dfAll, statsAll) = prev match {
         case Some(v) =>
           (spark.read.parquet(s"$targetDir/v=$v/df").unionByName(dfNew)
@@ -1077,6 +1077,8 @@ object Streams extends org.apache.spark.internal.Logging {
       snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
         .foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+      maybeAutoCompact(spark, targetDir, "postings", Seq("term"),
+        compactFiles, compactEvery, batchId)
     }
   }
 
@@ -1103,6 +1105,84 @@ object Streams extends org.apache.spark.internal.Logging {
       .where(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$targetDir/v=$version/stats")
     graft.ops.TextAnalysis.bm25SearchTables(postings, dft, stats, q, k, k1, b)
+  }
+
+  /** The (postings, df, stats) tables of one document frame — the
+    * tokenize pass shared by [[bm25IndexSink]]'s per-batch write and
+    * [[bm25SearchFresh]]'s on-the-fly tail, so the fresh composition
+    * uses the EXACT arithmetic a later ingest of the same files will. */
+  private def bm25Tables(docs: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    (tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl"),
+      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot_dl")))
+  }
+
+  /** [[bm25SearchMaintained]] composed with the NOT-yet-indexed tail:
+    * base files the latest version's coverage manifest does not name
+    * are tokenized on the fly (the sink's own arithmetic) and their
+    * postings/df/doc-count merged in by the same integer addition the
+    * next version commit would apply — a seconds-old document is
+    * ranked EXACTLY as it will be once indexed, and the whole result
+    * equals the one-shot batch pass over the full corpus bit-for-bit
+    * (spec-pinned). Index lag can only cost the tail's tokenize (one
+    * microbatch's files), never a missing document or a stale idf.
+    * The [[graft.plans.MvRewrite.registerVersionedFresh]] /
+    * [[ivfPqSearchFresh]] contract transplanted to ranked retrieval —
+    * all four maintained derived artifacts now serve exactly-current
+    * answers. Fails loudly when the version carries no manifest
+    * (non-file or multi-source ingestion): fresh composition would be
+    * a guess — gate on [[freshnessLagOf]] instead. */
+  def bm25SearchFresh(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String, baseDir: String,
+                      queries: DataFrame, k: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxTerms: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, "Streams.bm25SearchFresh: k must be positive")
+    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.bm25SearchFresh: no committed index version under $targetDir"))
+    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
+      throw new IllegalStateException(
+        s"Streams.bm25SearchFresh: version $version under $targetDir has " +
+          "no file-coverage manifest — fresh composition is unavailable " +
+          "(non-file or multi-source ingestion); use bm25SearchMaintained " +
+          "and gate on freshnessLagOf instead"))
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+      .filterNot(covered).toIndexedSeq
+    val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
+      "Streams.bm25SearchFresh")
+    val basePostings = maintainedBatchRows(spark, targetDir, "postings", version)
+      .select("term", "doc_id", "tf", "dl")
+      .where(col("term").isin(terms: _*))
+    val dftV = spark.read.parquet(s"$targetDir/v=$version/df")
+    val statsV = spark.read.parquet(s"$targetDir/v=$version/stats")
+    if (tailFiles.isEmpty)
+      graft.ops.TextAnalysis.bm25SearchTables(basePostings,
+        dftV.where(col("term").isin(terms: _*)), statsV, q, k, k1, b)
+    else {
+      val (tailPostings, dfNew, statsNew) = bm25Tables(
+        spark.read.parquet(tailFiles: _*), idCol, textCol)
+      val postings = basePostings.unionByName(
+        tailPostings.where(col("term").isin(terms: _*)))
+      // merge df/doc-stats by the version commit's own integer algebra
+      val dft = dftV.unionByName(dfNew)
+        .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .where(col("term").isin(terms: _*))
+      val stats = statsV.unionByName(statsNew)
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+          sum("tot_dl").cast("long").as("tot_dl"))
+      graft.ops.TextAnalysis.bm25SearchTables(postings, dft, stats, q, k, k1, b)
+    }
   }
 
   /** Maintain the assignments half of a persisted IVF×PQ ANN index
@@ -1137,7 +1217,8 @@ object Streams extends org.apache.spark.internal.Logging {
                      centroidsDir: String, codebooksDir: String,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      dim: Int = 64, retainVersions: Int = 3,
-                     filesPerBatch: Int = 2): StreamingQuery = {
+                     filesPerBatch: Int = 2, compactEvery: Int = 0,
+                     compactFiles: Int = 8): StreamingQuery = {
     require(retainVersions >= 2,
       "ivfPqIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "ivfPqIndexSink: filesPerBatch must be positive")
@@ -1154,6 +1235,8 @@ object Streams extends org.apache.spark.internal.Logging {
         .sortWithinPartitions("cell_id", "neighbor_id")
         .write.mode("overwrite").parquet(s"$targetDir/assign/batch=$batchId")
       commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+      maybeAutoCompact(spark, targetDir, "assign", Seq("cell_id"),
+        compactFiles, compactEvery, batchId)
     }
   }
 
@@ -1276,7 +1359,8 @@ object Streams extends org.apache.spark.internal.Logging {
   def lshIndexSink(rows: DataFrame, targetDir: String, checkpoint: String,
                    idCol: String, shingleCol: String,
                    retainVersions: Int = 3,
-                   filesPerBatch: Int = 1): StreamingQuery = {
+                   filesPerBatch: Int = 1, compactEvery: Int = 0,
+                   compactFiles: Int = 8): StreamingQuery = {
     require(retainVersions >= 2,
       "lshIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "lshIndexSink: filesPerBatch must be positive")
@@ -1286,6 +1370,8 @@ object Streams extends org.apache.spark.internal.Logging {
         .coalesce(filesPerBatch)
         .write.mode("overwrite").parquet(s"$targetDir/index/batch=$batchId")
       commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+      maybeAutoCompact(spark, targetDir, "index", Seq(idCol),
+        compactFiles, compactEvery, batchId)
     }
   }
 
@@ -1307,6 +1393,42 @@ object Streams extends org.apache.spark.internal.Logging {
         s"Streams.nearDupsMaintained: no committed index version under $targetDir"))
     val index = maintainedBatchRows(spark, targetDir, "index", version)
       .select(idCol, "sig", "shset")
+    graft.ops.Dedup.nearDupsAgainstIndex(index, batch, idCol, shingleCol,
+      threshold, broadcastBatch)
+  }
+
+  /** [[nearDupsMaintained]] composed with the NOT-yet-signed tail:
+    * base files the latest version's coverage manifest does not name
+    * are signed on the fly ([[graft.ops.Dedup.buildLshIndex]] — a pure
+    * per-row function, so the composition equals a one-shot index over
+    * the full base bit-for-bit) and unioned into the probe's index. A
+    * document that landed seconds ago still blocks its duplicates —
+    * the exactly-current contract the other maintained artifacts give,
+    * closed for near-dup too. Fails loudly when the version carries no
+    * manifest (non-file or multi-source ingestion). */
+  def nearDupsFresh(spark: org.apache.spark.sql.SparkSession,
+                    targetDir: String, baseDir: String, batch: DataFrame,
+                    idCol: String, shingleCol: String, threshold: Double,
+                    broadcastBatch: Boolean = true): DataFrame = {
+    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.nearDupsFresh: no committed index version under $targetDir"))
+    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
+      throw new IllegalStateException(
+        s"Streams.nearDupsFresh: version $version under $targetDir has " +
+          "no file-coverage manifest — fresh composition is unavailable " +
+          "(non-file or multi-source ingestion); use nearDupsMaintained " +
+          "and gate on freshnessLagOf instead"))
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+      .filterNot(covered).toIndexedSeq
+    val indexed = maintainedBatchRows(spark, targetDir, "index", version)
+      .select(idCol, "sig", "shset")
+    val index =
+      if (tailFiles.isEmpty) indexed
+      else indexed.unionByName(graft.ops.Dedup.buildLshIndex(
+        spark.read.parquet(tailFiles: _*).select(idCol, shingleCol),
+        idCol, shingleCol))
     graft.ops.Dedup.nearDupsAgainstIndex(index, batch, idCol, shingleCol,
       threshold, broadcastBatch)
   }
@@ -1461,6 +1583,27 @@ object Streams extends org.apache.spark.internal.Logging {
         doomed
     }
   }
+
+  /** The sinks' in-line auto-compaction hook: every `compactEvery`-th
+    * batch (0 = never — compaction stays an out-of-band job) runs
+    * [[compactIndex]] + [[vacuumIndex]] right after the version
+    * commit. In-line is race-free by construction (the sink is the
+    * only writer, and both ops pin the committed version first); the
+    * cost is that ingestion pauses for the compaction's duration on
+    * those batches — the standard auto-optimize trade. Vacuum's grace
+    * window falls out of retention: it only frees batches covered by
+    * the OLDEST retained generation, so pre-compaction readers have
+    * `compactEvery` batches to drain before anything they resolved
+    * disappears. */
+  private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
+                               targetDir: String, subdir: String,
+                               clusterCols: Seq[String], compactFiles: Int,
+                               compactEvery: Int, batchId: Long): Unit =
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+      compactIndex(spark, targetDir, subdir, clusterCols, compactFiles,
+        minBatches = 1)
+      vacuumIndex(spark, targetDir, subdir)
+    }
 
   /** Committed compaction generations under `targetDir/compact` —
     * `c=<id>` dirs gated by their `_SUCCESS`, the [[snapshotVersions]]

@@ -1434,6 +1434,20 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
       .exists(_.pendingFiles.contains(1L)),
       "one un-indexed corpus file must count as 1 pending")
+    // fresh composition: docs 100..119 are invisible to the version —
+    // their unique terms rank via the on-the-fly tail tokenize, with
+    // df/doc-count merged by the commit's own integer algebra, so the
+    // WHOLE fresh result equals the one-shot pass over the full corpus
+    // bit-for-bit (idf/avgdl exactly as they will be once indexed)
+    val fq = queries.union(Seq((3, "w105")).toDF("query_id", "term"))
+    val fresh = canon(Streams.bm25SearchFresh(spark, target, baseDir, fq, 5))
+    assert(fresh == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      spark.read.parquet(baseDir), "doc_id", "text", fq, 5)),
+      "fresh retrieval diverged from the one-shot pass")
+    assert(fresh.exists(_.startsWith("[3,105")), s"tail doc not ranked: $fresh")
+    assert(!canon(Streams.bm25SearchMaintained(spark, target, fq, 5))
+      .exists(_.startsWith("[3,")),
+      "version-only search must not see the un-indexed tail")
   }
 
   test("S6m ivfpq index sink: maintained ANN == one-shot; torn batches never served; fresh tail found") {
@@ -1596,6 +1610,22 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     land(Seq(doc(200L, (0 until 10).map(j => (2000 + j).toLong))))
     assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
       .exists(_.pendingFiles.contains(1L)))
+    // fresh composition: doc 200 landed after the stream stopped — a
+    // probe duplicating it is blocked by the fresh path (tail signed
+    // on the fly) and invisible to the version-only path
+    val probe2 = Seq(doc(300L, (2000 until 2010).map(_.toLong)))
+      .toDF("doc_id", "sh")
+    val fresh = canon(Streams.nearDupsFresh(spark, target, baseDir, probe2,
+      "doc_id", "sh", threshold = 0.5))
+    assert(fresh.exists(_.contains("[200,300,1.0]")),
+      s"tail dup not found by the fresh path: $fresh")
+    assert(canon(Streams.nearDupsMaintained(spark, target, probe2,
+      "doc_id", "sh", threshold = 0.5)).isEmpty,
+      "version-only probe must not see the un-signed tail")
+    assert(fresh == canon(Dedup.nearDupsAgainstIndex(
+      Dedup.buildLshIndex(spark.read.parquet(baseDir), "doc_id", "sh"),
+      probe2, "doc_id", "sh", threshold = 0.5)),
+      "fresh near-dup diverged from the one-shot index over the full base")
   }
 
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
@@ -1737,6 +1767,40 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(canonL(Streams.nearDupsMaintained(spark, lTgt, probe,
       "doc_id", "sh", threshold = 0.5)) == lshBefore,
       "near-dup answer changed across compact + vacuum")
+  }
+
+  test("S6q auto-compaction: compactEvery runs the lifecycle in-line; answers still == one-shot") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-autoc-base")
+    val target = tmp("graft-autoc-tgt")
+    val ckpt = tmp("graft-autoc-ck")
+    (0 until 5).foreach(b =>
+      (0 until 20).map(i => ((b * 20 + i).toLong,
+        s"join hash w${b * 20 + i}")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir))
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "text", compactEvery = 2, compactFiles = 2)
+    try q.processAllAvailable() finally q.stop()
+    // batches 0..4: the hook fired at batch 1 (gen c=1, vacuumed 0..1)
+    // and batch 3 (gen c=3 — folded c=1 + batches 2..3; retention keeps
+    // both gens, so vacuum frees only <= the older one)
+    assert(new java.io.File(s"$target/compact/c=3/_SUCCESS").exists(),
+      "auto-compaction did not commit the c=3 generation")
+    assert(!new java.io.File(s"$target/postings/batch=0").exists() &&
+      !new java.io.File(s"$target/postings/batch=1").exists(),
+      "auto-vacuum left the batch dirs the first generation covers")
+    assert(new java.io.File(s"$target/postings/batch=4").exists(),
+      "the post-compaction tail batch dir must remain")
+    val queries = Seq((1, "join"), (1, "w85"), (2, "w3")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+        spark.read.parquet(baseDir), "doc_id", "text", queries, 5)),
+      "auto-compacted retrieval diverged from the one-shot pass")
   }
 
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
