@@ -980,7 +980,7 @@ object Streams extends org.apache.spark.internal.Logging {
                           targetDir: String): Option[DataFrame] =
     snapshotVersions(spark, targetDir).sorted.lastOption.flatMap { v =>
       val hasBatches = listBatchDirs(spark, targetDir, "stats").exists(_ <= v)
-      val hasGen = committedCompactions(spark, targetDir).exists(_ <= v)
+      val hasGen = committedCompactions(spark, targetDir, "stats").exists(_ <= v)
       if (!hasBatches && !hasGen) None
       else Some(maintainedBatchRows(spark, targetDir, "stats", v).drop("batch"))
     }
@@ -990,18 +990,20 @@ object Streams extends org.apache.spark.internal.Logging {
     * trails the corpus by one microbatch instead of a nightly
     * re-tokenize. Layout under `targetDir`:
     *
-    *  - `postings/batch=<id>/` — each batch's (term, doc_id, tf, dl)
-    *    rows, written ONCE per batch (a replayed batch overwrites its
-    *    own subdirectory — idempotent) and never rewritten after: the
-    *    postings of a 100 TB corpus only ever grow by the batch's own
-    *    tokens, there is no cumulative rewrite anywhere.
-    *  - `v=<id>/df`, `v=<id>/stats` — the per-term document
-    *    frequencies and corpus stats AS OF batch `id`, derived from
-    *    the predecessor version + only this batch's rows (integer
-    *    addition — exact, the [[graft.ops.TextAnalysis
-    *    .bm25IndexUpdate]] algebra), committed by a `v=<id>/_SUCCESS`
-    *    marker written after BOTH tables so a torn version is never
-    *    resolved.
+    *  - `postings/batch=<id>/`, `df/batch=<id>/` — each batch's
+    *    (term, doc_id, tf, dl) rows and per-term df PARTIALS, written
+    *    ONCE per batch (a replayed batch overwrites its own
+    *    subdirectories — idempotent) and never rewritten after: the
+    *    index of a 100 TB corpus only ever grows by the batch's own
+    *    tokens, there is no cumulative rewrite anywhere (df is summed
+    *    at read AFTER the query's term IN-list prunes, so the
+    *    read-side cost is a few partial rows per queried term —
+    *    bounded by generations + tail after compaction).
+    *  - `v=<id>/stats` — the one-row corpus stats AS OF batch `id`
+    *    (predecessor + this batch by integer addition — exact, the
+    *    [[graft.ops.TextAnalysis.bm25IndexUpdate]] algebra), committed
+    *    by a `v=<id>/_SUCCESS` marker written after every table so a
+    *    torn version is never resolved.
     *
     * [[bm25SearchMaintained]] resolves the freshest committed version
     * and scores ONLY postings with `batch <= version` (partition-
@@ -1032,16 +1034,21 @@ object Streams extends org.apache.spark.internal.Logging {
         .write.mode("overwrite").parquet(s"$targetDir/postings/batch=$batchId")
       val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
         .sorted.lastOption
-      val (dfAll, statsAll) = prev match {
+      // df PARTIALS land per batch like the postings (summed at read,
+      // where the query's term IN-list prunes first): rewriting the
+      // merged per-term table every microbatch would be the cumulative
+      // rewrite this layout exists to avoid — vocabulary is Heaps'-law
+      // smaller than the corpus but still millions of rows. The one
+      // stats row stays cumulative: merging one row is free.
+      dfNew.coalesce(1).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$targetDir/df/batch=$batchId")
+      val statsAll = prev match {
         case Some(v) =>
-          (spark.read.parquet(s"$targetDir/v=$v/df").unionByName(dfNew)
-             .groupBy("term").agg(sum("df").cast("long").as("df")),
-           spark.read.parquet(s"$targetDir/v=$v/stats").unionByName(statsNew)
-             .agg(sum("n_docs").cast("long").as("n_docs"),
-               sum("tot_dl").cast("long").as("tot_dl")))
-        case None => (dfNew, statsNew)
+          spark.read.parquet(s"$targetDir/v=$v/stats").unionByName(statsNew)
+            .agg(sum("n_docs").cast("long").as("n_docs"),
+              sum("tot_dl").cast("long").as("tot_dl"))
+        case None => statsNew
       }
-      dfAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/df")
       statsAll.write.mode("overwrite").parquet(s"$targetDir/v=$batchId/stats")
       // cumulative file-coverage manifest, same contract as
       // aggSnapshotSinkAppendOnly: freshnessLagOf(…, Some(base)) then
@@ -1079,6 +1086,8 @@ object Streams extends org.apache.spark.internal.Logging {
           new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
       maybeAutoCompact(spark, targetDir, "postings", Seq("term"),
         compactFiles, compactEvery, batchId)
+      maybeAutoCompact(spark, targetDir, "df", Seq("term"),
+        math.max(1, compactFiles / 4), compactEvery, batchId)
     }
   }
 
@@ -1101,8 +1110,11 @@ object Streams extends org.apache.spark.internal.Logging {
       "Streams.bm25SearchMaintained")
     val postings = maintainedBatchRows(spark, targetDir, "postings", version)
       .where(col("term").isin(terms: _*))
-    val dft = spark.read.parquet(s"$targetDir/v=$version/df")
+    // df partials: IN-list prune first, THEN sum — a queried term
+    // touches a handful of partial rows, never the vocabulary
+    val dft = maintainedBatchRows(spark, targetDir, "df", version)
       .where(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
     val stats = spark.read.parquet(s"$targetDir/v=$version/stats")
     graft.ops.TextAnalysis.bm25SearchTables(postings, dft, stats, q, k, k1, b)
   }
@@ -1164,20 +1176,21 @@ object Streams extends org.apache.spark.internal.Logging {
     val basePostings = maintainedBatchRows(spark, targetDir, "postings", version)
       .select("term", "doc_id", "tf", "dl")
       .where(col("term").isin(terms: _*))
-    val dftV = spark.read.parquet(s"$targetDir/v=$version/df")
+    val dftV = maintainedBatchRows(spark, targetDir, "df", version)
+      .select("term", "df").where(col("term").isin(terms: _*))
     val statsV = spark.read.parquet(s"$targetDir/v=$version/stats")
     if (tailFiles.isEmpty)
       graft.ops.TextAnalysis.bm25SearchTables(basePostings,
-        dftV.where(col("term").isin(terms: _*)), statsV, q, k, k1, b)
+        dftV.groupBy("term").agg(sum("df").cast("long").as("df")),
+        statsV, q, k, k1, b)
     else {
       val (tailPostings, dfNew, statsNew) = bm25Tables(
         spark.read.parquet(tailFiles: _*), idCol, textCol)
       val postings = basePostings.unionByName(
         tailPostings.where(col("term").isin(terms: _*)))
       // merge df/doc-stats by the version commit's own integer algebra
-      val dft = dftV.unionByName(dfNew)
+      val dft = dftV.unionByName(dfNew.where(col("term").isin(terms: _*)))
         .groupBy("term").agg(sum("df").cast("long").as("df"))
-        .where(col("term").isin(terms: _*))
       val stats = statsV.unionByName(statsNew)
         .agg(sum("n_docs").cast("long").as("n_docs"),
           sum("tot_dl").cast("long").as("tot_dl"))
@@ -1515,7 +1528,7 @@ object Streams extends org.apache.spark.internal.Logging {
         "may hold the predecessor)")
     val versionOpt = snapshotVersions(spark, targetDir).sorted.lastOption
     versionOpt.flatMap { version =>
-      val prevC = committedCompactions(spark, targetDir)
+      val prevC = committedCompactions(spark, targetDir, subdir)
         .filter(_ <= version).sorted.lastOption
       val batchIds = listBatchDirs(spark, targetDir, subdir)
         .filter(id => id <= version && prevC.forall(id > _)).sorted
@@ -1527,10 +1540,11 @@ object Streams extends org.apache.spark.internal.Logging {
           .withColumn("batch", col("batch").cast("long"))
         val all = prevC match {
           case Some(c) =>
-            spark.read.parquet(s"$targetDir/compact/c=$c").unionByName(tail)
+            spark.read.parquet(s"$targetDir/compact/$subdir/c=$c")
+              .unionByName(tail)
           case None => tail
         }
-        val out = s"$targetDir/compact/c=$version"
+        val out = s"$targetDir/compact/$subdir/c=$version"
         val clustered =
           if (clusterCols.isEmpty) all.repartition(targetFiles)
           else all.repartitionByRange(targetFiles, clusterCols.map(col): _*)
@@ -1541,13 +1555,13 @@ object Streams extends org.apache.spark.internal.Logging {
         // explicit marker — idempotent with the parquet committer's
         // own _SUCCESS, and the commit even when markers are disabled
         fs.create(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS"), true).close()
-        committedCompactions(spark, targetDir).sorted
+        committedCompactions(spark, targetDir, subdir).sorted
           .dropRight(retainCompactions)
-          .foreach(c => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$targetDir/compact/c=$c"), true))
+          .foreach(c => fs.delete(new org.apache.hadoop.fs.Path(
+            s"$targetDir/compact/$subdir/c=$c"), true))
         // raw FS deletes: same-session listings must not serve the
         // removed generation (the targetedDelete lesson)
-        spark.catalog.refreshByPath(s"$targetDir/compact")
+        spark.catalog.refreshByPath(s"$targetDir/compact/$subdir")
         Some(version)
       }
     }
@@ -1565,7 +1579,7 @@ object Streams extends org.apache.spark.internal.Logging {
     * everywhere else here. Returns the deleted batch ids. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
                   targetDir: String, subdir: String): Seq[Long] = {
-    val cs = committedCompactions(spark, targetDir).sorted
+    val cs = committedCompactions(spark, targetDir, subdir).sorted
     cs.headOption match {
       case None => Nil
       case Some(safe) =>
@@ -1584,33 +1598,54 @@ object Streams extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** The sinks' in-line auto-compaction hook: every `compactEvery`-th
-    * batch (0 = never — compaction stays an out-of-band job) runs
+  /** The sinks' in-line auto-compaction hook (`compactEvery` = 0 never
+    * fires — compaction stays an out-of-band job): runs
     * [[compactIndex]] + [[vacuumIndex]] right after the version
     * commit. In-line is race-free by construction (the sink is the
     * only writer, and both ops pin the committed version first); the
     * cost is that ingestion pauses for the compaction's duration on
-    * those batches — the standard auto-optimize trade. Vacuum's grace
-    * window falls out of retention: it only frees batches covered by
-    * the OLDEST retained generation, so pre-compaction readers have
-    * `compactEvery` batches to drain before anything they resolved
+    * those batches — the standard auto-optimize trade.
+    *
+    * The trigger is GEOMETRIC, with `compactEvery` as its floor: fire
+    * when the uncompacted tail has grown to `max(compactEvery,
+    * batches-already-covered)`. Each compaction rewrites the whole
+    * index, so a fixed every-k cadence would rewrite O(B/k) times over
+    * B batches — O(N·B/k) lifetime write amplification, quadratic-ish
+    * at 100 TB. Doubling caps it at O(log B) generations ever written,
+    * O(N·log B) total bytes — the LSM amortization argument — while
+    * the floor still bounds how many uncompacted batch dirs a probe
+    * must consult between generations. Vacuum's grace window falls out
+    * of retention: it only frees batches covered by the OLDEST
+    * retained generation, so pre-compaction readers get a full
+    * trigger interval to drain before anything they resolved
     * disappears. */
   private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
                                targetDir: String, subdir: String,
                                clusterCols: Seq[String], compactFiles: Int,
                                compactEvery: Int, batchId: Long): Unit =
-    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-      compactIndex(spark, targetDir, subdir, clusterCols, compactFiles,
-        minBatches = 1)
-      vacuumIndex(spark, targetDir, subdir)
+    if (compactEvery > 0) {
+      val prevC = committedCompactions(spark, targetDir, subdir)
+        .filter(_ <= batchId).sorted.lastOption
+      // streaming batch ids are sequential from 0, so ids stand in for
+      // counts: covered = batches <= prevC, tail = batches since
+      val covered = prevC.map(_ + 1).getOrElse(0L)
+      val tail = batchId - prevC.getOrElse(-1L)
+      if (tail >= math.max(compactEvery.toLong, covered)) {
+        compactIndex(spark, targetDir, subdir, clusterCols, compactFiles,
+          minBatches = 1)
+        vacuumIndex(spark, targetDir, subdir)
+      }
     }
 
-  /** Committed compaction generations under `targetDir/compact` —
-    * `c=<id>` dirs gated by their `_SUCCESS`, the [[snapshotVersions]]
-    * convention. */
+  /** Committed compaction generations under
+    * `targetDir/compact/<subdir>` (nested per data subdirectory — a
+    * sink with several compactable tables, e.g. bm25's postings + df,
+    * keeps their generations apart) — `c=<id>` dirs gated by their
+    * `_SUCCESS`, the [[snapshotVersions]] convention. */
   private def committedCompactions(spark: org.apache.spark.sql.SparkSession,
-                                   targetDir: String): Array[Long] = {
-    val path = new org.apache.hadoop.fs.Path(s"$targetDir/compact")
+                                   targetDir: String,
+                                   subdir: String): Array[Long] = {
+    val path = new org.apache.hadoop.fs.Path(s"$targetDir/compact/$subdir")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Array.empty[Long]
     else fs.listStatus(path)
@@ -1642,14 +1677,14 @@ object Streams extends org.apache.spark.internal.Logging {
                                   targetDir: String, subdir: String,
                                   version: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cOpt = committedCompactions(spark, targetDir)
+    val cOpt = committedCompactions(spark, targetDir, subdir)
       .filter(_ <= version).sorted.lastOption
     cOpt match {
       case None =>
         spark.read.parquet(s"$targetDir/$subdir")
           .where(col("batch") <= version)
       case Some(c) =>
-        val compacted = spark.read.parquet(s"$targetDir/compact/c=$c")
+        val compacted = spark.read.parquet(s"$targetDir/compact/$subdir/c=$c")
         val tailIds = listBatchDirs(spark, targetDir, subdir)
           .filter(id => id > c && id <= version).sorted
         if (tailIds.isEmpty) compacted

@@ -1663,7 +1663,7 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       targetFiles = 2) == Some(2L))
     assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
       == before, "compaction changed the served ranking")
-    val gen = new java.io.File(s"$target/compact/c=2")
+    val gen = new java.io.File(s"$target/compact/postings/c=2")
     assert(gen.listFiles().count(_.getName.endsWith(".parquet")) <= 2,
       "compacted generation must hold at most targetFiles files")
     assert(spark.read.parquet(gen.toString)
@@ -1787,7 +1787,7 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     // batches 0..4: the hook fired at batch 1 (gen c=1, vacuumed 0..1)
     // and batch 3 (gen c=3 — folded c=1 + batches 2..3; retention keeps
     // both gens, so vacuum frees only <= the older one)
-    assert(new java.io.File(s"$target/compact/c=3/_SUCCESS").exists(),
+    assert(new java.io.File(s"$target/compact/postings/c=3/_SUCCESS").exists(),
       "auto-compaction did not commit the c=3 generation")
     assert(!new java.io.File(s"$target/postings/batch=0").exists() &&
       !new java.io.File(s"$target/postings/batch=1").exists(),
@@ -1801,6 +1801,45 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       == canon(graft.ops.TextAnalysis.bm25BatchTopK(
         spark.read.parquet(baseDir), "doc_id", "text", queries, 5)),
       "auto-compacted retrieval diverged from the one-shot pass")
+  }
+
+  test("S6r auto-compaction doubles: generations land at batches 0,1,3,7 — O(log B) lifetime rewrites") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-geo-base")
+    val target = tmp("graft-geo-tgt")
+    val ckpt = tmp("graft-geo-ck")
+    (0 until 9).foreach(b =>
+      Seq((b.toLong * 7919L, s"p$b")).toDF("uid", "payload")
+        .coalesce(1).write.mode("append").parquet(baseDir))
+    val q = Streams.skippingIndexSink(
+      spark.readStream.schema("uid long, payload string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, Seq("uid"), fpCols = Seq("uid"), compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    // trigger: tail >= max(1, covered) fires at batches 0, 1, 3, 7 —
+    // the doubling schedule; retention (2) keeps the last two gens
+    val gens = new java.io.File(s"$target/compact/stats").listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("c=").toLong).sorted.toSeq
+    assert(gens == Seq(3L, 7L),
+      s"geometric trigger produced generations $gens, expected 3, 7")
+    // vacuum at c=7 freed batches covered by the OLDEST retained gen
+    // (c=3): dirs 0..3 gone, 4..8 still present
+    (0 to 3).foreach(b => assert(
+      !new java.io.File(s"$target/stats/batch=$b").exists(), s"batch $b not vacuumed"))
+    (4 to 8).foreach(b => assert(
+      new java.io.File(s"$target/stats/batch=$b").exists(), s"batch $b missing"))
+    // and the resolved index still equals the full rebuild
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq.map {
+        case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
+        case x => String.valueOf(x)
+      }.mkString("|")).toSeq
+    assert(canon(Streams.latestSkippingIndex(spark, target).get)
+      == canon(graft.ops.Layout.statsIndexFingerprint(spark, baseDir,
+        Seq("uid"), Seq("uid"))),
+      "auto-compacted skipping index diverged from the full rebuild")
   }
 
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
