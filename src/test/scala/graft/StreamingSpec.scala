@@ -1699,6 +1699,16 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       == canon(graft.ops.TextAnalysis.bm25BatchTopK(
         spark.read.parquet(baseDir), "doc_id", "text", queries2, 5)),
       "post-vacuum ranking diverged from the one-shot pass")
+    // and fresh composition stacks on the compacted+vacuumed state:
+    // generation ∪ tail batch dir ∪ un-indexed landing, one answer
+    land(95, 99, "quokka")
+    val queries3 = queries2.union(Seq((4, "quokka")).toDF("query_id", "term"))
+    val fresh = canon(Streams.bm25SearchFresh(spark, target, baseDir, queries3, 5))
+    assert(fresh == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      spark.read.parquet(baseDir), "doc_id", "text", queries3, 5)),
+      "fresh search over the compacted index diverged from the one-shot pass")
+    assert(fresh.exists(_.startsWith("[4,9")),
+      s"fresh search missed the un-indexed landing: $fresh")
   }
 
   test("S6p compactIndex on the ANN and LSH maintained indexes: served results survive compact + vacuum") {
