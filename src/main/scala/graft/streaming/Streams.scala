@@ -1637,6 +1637,18 @@ object Streams extends org.apache.spark.internal.Logging {
       }
     }
 
+  /** Operability: the committed compaction generations and the batch
+    * directories still on disk for one maintained-index data
+    * subdirectory — "is this index keeping up with its lifecycle"
+    * (how many batch dirs has the latest generation not folded, what
+    * would the next [[vacuumIndex]] free) answered without running
+    * anything. */
+  def compactionsOf(spark: org.apache.spark.sql.SparkSession,
+                    targetDir: String, subdir: String):
+      (Seq[Long], Seq[Long]) =
+    (committedCompactions(spark, targetDir, subdir).sorted.toSeq,
+      listBatchDirs(spark, targetDir, subdir).sorted.toSeq)
+
   /** Committed compaction generations under
     * `targetDir/compact/<subdir>` (nested per data subdirectory — a
     * sink with several compactable tables, e.g. bm25's postings + df,

@@ -256,6 +256,18 @@ class SkipRewriteSpec extends AnyFunSuite {
       assert(tailQ.count() == 1, "versioned index lag lost a tail row")
       assert(scannedFiles(tailQ) < 5,
         s"tail lookup opened ${scannedFiles(tailQ)} of 5 files")
+      // compact + vacuum the maintained index: the SAME registration
+      // keeps auto-pruning off the generation (resolution is
+      // compaction-aware), tail row included
+      assert(graft.streaming.Streams.compactIndex(spark, target, "stats",
+        Seq("file"), targetFiles = 1).isDefined)
+      assert(graft.streaming.Streams.vacuumIndex(spark, target, "stats").nonEmpty)
+      val lookC = spark.read.parquet(base).filter(col("uid") === v)
+      assert(lookC.count() == 1)
+      assert(scannedFiles(lookC) < 5,
+        s"post-compaction lookup opened ${scannedFiles(lookC)} of 5 files")
+      assert(spark.read.parquet(base).filter(col("uid") === 31337L).count() == 1,
+        "post-compaction lookup lost the un-indexed tail row")
     } finally {
       SkipRewrite.unregister(base)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -1829,11 +1829,11 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     try q.processAllAvailable() finally q.stop()
     // trigger: tail >= max(1, covered) fires at batches 0, 1, 3, 7 —
     // the doubling schedule; retention (2) keeps the last two gens
-    val gens = new java.io.File(s"$target/compact/stats").listFiles()
-      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("c=").toLong).sorted.toSeq
+    val (gens, dirs) = Streams.compactionsOf(spark, target, "stats")
     assert(gens == Seq(3L, 7L),
       s"geometric trigger produced generations $gens, expected 3, 7")
+    assert(dirs == (4L to 8L),
+      s"lifecycle status reports batch dirs $dirs, expected 4..8")
     // vacuum at c=7 freed batches covered by the OLDEST retained gen
     // (c=3): dirs 0..3 gone, 4..8 still present
     (0 to 3).foreach(b => assert(
