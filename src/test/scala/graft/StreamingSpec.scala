@@ -1852,6 +1852,47 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       "auto-compacted skipping index diverged from the full rebuild")
   }
 
+  test("S6s torn compaction generation: invisible to readers, repaired by re-run") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-torn-base")
+    val target = tmp("graft-torn-tgt")
+    val ckpt = tmp("graft-torn-ck")
+    (0 until 2).foreach(b =>
+      (0 until 20).map(i => ((b * 20 + i).toLong,
+        s"join hash w${b * 20 + i}")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir))
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "text")
+    try q.processAllAvailable() finally q.stop()
+    val queries = Seq((1, "join"), (2, "w25")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    val before = canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 1) == Some(1L))
+    // simulate a crash between the generation's parquet job and its
+    // commit: the marker is gone, so the generation must be INVISIBLE
+    // (readers fall back to the still-present batch dirs) ...
+    assert(new java.io.File(s"$target/compact/postings/c=1/_SUCCESS").delete())
+    spark.catalog.refreshByPath(s"$target/compact/postings")
+    assert(Streams.compactionsOf(spark, target, "postings")._1.isEmpty,
+      "a torn generation must not be a committed one")
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == before, "a torn generation leaked into the served ranking")
+    // ... vacuum must be a no-op (nothing committed covers the dirs) ...
+    assert(Streams.vacuumIndex(spark, target, "postings").isEmpty,
+      "vacuum freed batch dirs on the authority of a torn generation")
+    // ... and re-running compaction overwrites the torn dir cleanly
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 1) == Some(1L))
+    assert(Streams.vacuumIndex(spark, target, "postings") == Seq(0L, 1L))
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == before, "the repaired generation changed the served ranking")
+  }
+
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
