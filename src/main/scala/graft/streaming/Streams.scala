@@ -945,6 +945,7 @@ object Streams extends org.apache.spark.internal.Logging {
       "skippingIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
+      unresolveReplayedVersion(spark, targetDir, batchId)
       sourceBatchFiles(spark, checkpoint, batchId) match {
         case None =>
           // non-file or multi-source plan: file identity is unknown —
@@ -957,9 +958,14 @@ object Streams extends org.apache.spark.internal.Logging {
                 fpCols, fpBits, fpHashes)
               .coalesce(1) // one row per file — a batch's index is tiny
               .write.mode("overwrite").parquet(s"$targetDir/stats/batch=$batchId")
-          // an empty FIRST batch commits nothing: there is no index yet
+          // an empty FIRST batch commits nothing: there is no index yet.
+          // After compaction + vacuum have folded every batch dir into a
+          // generation, the index still EXISTS — an empty batch must
+          // keep committing versions or the _freshness record stalls
+          // and freshnessLagOf under-reports currency.
           if (batchFiles.nonEmpty ||
-              listBatchDirs(spark, targetDir, "stats").nonEmpty) {
+              listBatchDirs(spark, targetDir, "stats").nonEmpty ||
+              committedCompactions(spark, targetDir, "stats").nonEmpty) {
             commitIndexVersion(spark, targetDir, checkpoint, batchId,
               retainVersions)
             maybeAutoCompact(spark, targetDir, "stats", Seq("file"),
@@ -1023,6 +1029,7 @@ object Streams extends org.apache.spark.internal.Logging {
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
+      unresolveReplayedVersion(spark, targetDir, batchId)
       val (postingsNew, dfNew, statsNew) = bm25Tables(batch, idCol, textCol)
       // term-cluster EACH batch's files (the bm25IndexBuild layout in
       // miniature): after thousands of batches a search's term IN-list
@@ -1241,6 +1248,7 @@ object Streams extends org.apache.spark.internal.Logging {
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions.col
+      unresolveReplayedVersion(spark, targetDir, batchId)
       graft.ops.Similarity.ivfPqEncode(
           batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
           cellS, cellN, pqS, pqN, dim)
@@ -1273,7 +1281,7 @@ object Streams extends org.apache.spark.internal.Logging {
                             maxQueries: Int = 4096): DataFrame = {
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
-      maxQueries)
+      maxQueries, "Streams.ivfPqSearchMaintained")
     graft.ops.Similarity.ivfPqSearch(queries, corpus, indexed,
       cellS, cellN, pqS, pqN, topK, nProbe, dim, rescore)
   }
@@ -1297,7 +1305,7 @@ object Streams extends org.apache.spark.internal.Logging {
     import org.apache.spark.sql.functions.col
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
-      maxQueries)
+      maxQueries, "Streams.ivfPqSearchFresh")
     val version = snapshotVersions(spark, targetDir).sorted.last
     val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
       throw new IllegalStateException(
@@ -1330,21 +1338,25 @@ object Streams extends org.apache.spark.internal.Logging {
   private def ivfPqMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
                                    targetDir: String, centroidsDir: String,
                                    codebooksDir: String, queries: DataFrame,
-                                   nProbe: Int, dim: Int, maxQueries: Int):
+                                   nProbe: Int, dim: Int, maxQueries: Int,
+                                   caller: String):
       (DataFrame, Array[Array[Long]], Array[Long],
        Array[Array[Array[Long]]], Array[Array[Long]]) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
       throw new IllegalStateException(
-        s"Streams.ivfPqSearchMaintained: no committed index version under $targetDir"))
+        s"$caller: no committed index version under $targetDir"))
     val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(spark, centroidsDir)
     val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(spark, codebooksDir)
+    // bounded BEFORE collecting: limit(maxQueries+1) caps what can ever
+    // reach the driver, and one extra row is enough to tell "too many"
     val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(maxQueries + 1)
       .as[(Long, Array[Float])].collect() // bounded: the top-k request set
     require(qRows.length <= maxQueries,
-      s"Streams.ivfPqSearchMaintained: ${qRows.length} queries exceeds " +
-        s"$maxQueries — raise maxQueries explicitly for a batch this large")
+      s"$caller: more than $maxQueries queries — " +
+        "raise maxQueries explicitly for a batch this large")
     val cells = qRows.toSeq.flatMap { case (_, v) =>
       graft.ops.Similarity.probeCellsOf(
         graft.ops.Similarity.quantizeVec(v, dim), cellS, cellN, nProbe)
@@ -1379,6 +1391,7 @@ object Streams extends org.apache.spark.internal.Logging {
     require(filesPerBatch > 0, "lshIndexSink: filesPerBatch must be positive")
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
+      unresolveReplayedVersion(spark, targetDir, batchId)
       graft.ops.Dedup.buildLshIndex(batch, idCol, shingleCol)
         .coalesce(filesPerBatch)
         .write.mode("overwrite").parquet(s"$targetDir/index/batch=$batchId")
@@ -1453,6 +1466,27 @@ object Streams extends org.apache.spark.internal.Logging {
     * from the base listing; a missing file log writes no manifest),
     * then the `v=<id>/_SUCCESS` marker LAST so a torn write is never
     * resolvable, then freshness + retention. */
+  /** Replay hygiene for the batch-dir sinks, run FIRST in every
+    * trigger: a prior attempt at this batch may have committed
+    * `v=<batchId>/_SUCCESS` and then died before the streaming
+    * checkpoint commit, so the replay's delete-and-rewrite of
+    * `<subdir>/batch=<batchId>` would otherwise run UNDER a
+    * still-resolvable version — a concurrent reader of that
+    * "committed" version could see a partially rewritten batch dir.
+    * Deleting the marker before touching any data dir restores the
+    * torn-version-is-never-resolved contract (the old
+    * overwrite-the-v=dir layout got this for free because the parquet
+    * overwrite removed the marker first); the replay recommits the
+    * version after its rewrite completes. */
+  private def unresolveReplayedVersion(spark: org.apache.spark.sql.SparkSession,
+                                       targetDir: String,
+                                       batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$targetDir/v=$batchId/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
+  }
+
   private def commitIndexVersion(spark: org.apache.spark.sql.SparkSession,
                                  targetDir: String, checkpoint: String,
                                  batchId: Long, retainVersions: Int): Unit = {
@@ -1633,7 +1667,17 @@ object Streams extends org.apache.spark.internal.Logging {
       if (tail >= math.max(compactEvery.toLong, covered)) {
         compactIndex(spark, targetDir, subdir, clusterCols, compactFiles,
           minBatches = 1)
-        vacuumIndex(spark, targetDir, subdir)
+        // vacuum only once a SECOND generation exists: on the very first
+        // compaction the just-committed generation IS the oldest one, so
+        // vacuuming now would free every covered batch dir with zero
+        // grace — a reader that resolved its version BEFORE any
+        // generation existed (the no-generation path reads batch dirs
+        // directly) would lose files mid-query. From the second
+        // generation on, the safe point is the OLDEST retained one, so
+        // pre-compaction readers get at least one full geometric
+        // interval to drain before anything they resolved disappears.
+        if (committedCompactions(spark, targetDir, subdir).length >= 2)
+          vacuumIndex(spark, targetDir, subdir)
       }
     }
 
