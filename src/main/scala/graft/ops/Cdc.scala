@@ -260,6 +260,82 @@ object Cdc {
             .as(s"kll_$c"))).toIndexedSeq: _*)
   }
 
+  /** The ±op PARTIAL of one change batch in [[aggSnapshot]]'s shape:
+    * one row per touched key whose `cnt` / `sum_<m>` / `cnt_<m>` are
+    * the batch's SIGNED contributions (op = +1 insert / −1 retract), so
+    * a key's true snapshot row is the plain integer SUM of its partials
+    * across batches — order-free and exact, the same fixed-point LONG
+    * algebra [[incrementalAggRefresh]] applies, just left unapplied.
+    * This is what lets a streaming maintainer write O(|touched keys|)
+    * per batch instead of rewriting the whole snapshot: partials only
+    * ever append, and readers (or compaction) fold them with
+    * [[mergeSnapshotPartials]]. A partial's `cnt` can be negative
+    * (a batch that only retracts) and a fully-retracted key sums to
+    * cnt = 0 — merge drops those, exactly like the eager refresh. */
+  def aggSnapshotDelta(delta: DataFrame, keyCols: Seq[String], opCol: String,
+                       measures: Seq[String], scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.aggSnapshotDelta: empty key")
+    val unit = math.pow(10, scale)
+    delta.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(coalesce(sum(col(opCol).cast("long")), lit(0L)).as("cnt"),
+        (measures.map(m =>
+          coalesce(sum(col(opCol) * round(col(m) * unit).cast("long")), lit(0L))
+            .cast("long").as(s"sum_$m", scaleMeta(scale))) ++
+          measures.map(m =>
+            coalesce(sum(when(col(m).isNotNull, col(opCol).cast("long"))
+              .otherwise(lit(0L))), lit(0L)).as(s"cnt_$m"))): _*)
+  }
+
+  /** Fold per-batch snapshot PARTIALS (either [[aggSnapshotDelta]]'s
+    * ±op shape or whole [[aggSnapshotMinMax]] rows computed per batch)
+    * back into one row per key — the merge-on-read half of the
+    * append-only maintained-snapshot layout. Column roles are inferred
+    * from the snapshot naming convention ([[aggSnapshot]] /
+    * [[aggSnapshotMinMax]] own every non-key name): `cnt`, `sum_<m>`,
+    * `cnt_<m>` sum; `min_<m>` / `max_<m>` combine via min/max;
+    * `kmv_<c>` merges by exact k-bounded union
+    * ([[graft.functions.KmvUnionAgg]] — merge == rebuild bit-for-bit);
+    * `hll_<c>` by register-max union (estimate-exact); `kll_<c>` by
+    * Datasketches KLL merge (rank-error-exact). All operations are
+    * associative and commutative, so folding partials in ANY grouping
+    * or order equals the one-shot build — which is also why a reader
+    * that re-aggregates partials to a COARSER key (MvRewrite's
+    * rewritten plans) needs no pre-merge at all. `dropEmpty` removes
+    * keys whose summed `cnt` is 0 (fully retracted — the eager
+    * refresh's vanishing rule); `extraMax` names provenance columns
+    * (e.g. a `batch` id) merged by max. */
+  def mergeSnapshotPartials(partials: DataFrame, keyCols: Seq[String],
+                            scale: Int = 2,
+                            kmvK: Int = graft.functions.Kmv.DefaultK,
+                            dropEmpty: Boolean = true,
+                            extraMax: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    require(keyCols.nonEmpty, "Cdc.mergeSnapshotPartials: empty key")
+    val aggCols = partials.columns.filterNot(keyCols.contains)
+    require(aggCols.contains("cnt"),
+      "Cdc.mergeSnapshotPartials: no cnt column — not a snapshot-partials frame")
+    val exprs = aggCols.toIndexedSeq.map {
+      case c if extraMax.contains(c) => max(col(c)).as(c)
+      case "cnt" => coalesce(sum(col("cnt")), lit(0L)).as("cnt")
+      case c if c.startsWith("sum_") =>
+        coalesce(sum(col(c)), lit(0L)).as(c, scaleMeta(scale))
+      case c if c.startsWith("cnt_") => coalesce(sum(col(c)), lit(0L)).as(c)
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c if c.startsWith("max_") => max(col(c)).as(c)
+      case c if c.startsWith("kmv_") =>
+        Shim.column(graft.functions.KmvUnionAgg(
+          Shim.expression(col(c)), kmvK).toAggregateExpression()).as(c)
+      case c if c.startsWith("hll_") => hll_union_agg(col(c), lit(true)).as(c)
+      case c if c.startsWith("kll_") => kll_merge_agg_double(col(c)).as(c)
+      case c => throw new IllegalArgumentException(
+        s"Cdc.mergeSnapshotPartials: unrecognized snapshot column $c — " +
+          "is keyCols missing a key?")
+    }
+    val merged = partials.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(exprs.head, exprs.tail: _*)
+    if (dropEmpty) merged.filter(col("cnt") > 0) else merged
+  }
+
   /** Incremental materialized-aggregate refresh: apply a change batch
     * (rows tagged `opCol` = +1 insert / −1 retract) to an existing
     * [[aggSnapshot]] WITHOUT rescanning the base table — the batch

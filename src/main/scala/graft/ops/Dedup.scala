@@ -430,6 +430,36 @@ object Dedup {
       .toDF(idCol, "sig", "shset")
   }
 
+  /** Targeted deletion from a PERSISTED flat [[buildLshIndex]] parquet
+    * directory — the right-to-be-forgotten leg for the LSH signature
+    * artifact, mirroring [[graft.ops.Similarity.ivfPqIndexDelete]]: a
+    * forgotten document's MinHash signature and shingle set must stop
+    * producing candidate pairs, not just its corpus rows (deleting the
+    * corpus row alone leaves the signature matching future batches).
+    * Survivors are written to a fresh directory and swapped in — an
+    * offline maintenance op, single-writer, like its three siblings.
+    * The maintained (batch-dir) index has its own compaction-aware
+    * [[graft.streaming.Streams.lshIndexDelete]]. */
+  def lshIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, idCol: String, ids: Seq[Long],
+                     maxValues: Int = 1024): Unit = {
+    require(ids.nonEmpty, "Dedup.lshIndexDelete: no ids")
+    require(ids.length <= maxValues,
+      s"Dedup.lshIndexDelete: ${ids.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    spark.read.parquet(indexDir)
+      // NULL ids are not in the deletion set — `!isin` alone would
+      // evaluate to NULL on them and silently drop the rows
+      .filter(col(idCol).isNull || !col(idCol).isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$indexDir.__new")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir.__new"),
+      new org.apache.hadoop.fs.Path(indexDir))
+    spark.catalog.refreshByPath(indexDir)
+  }
+
   /** Signature table → one row per (id, band, slice) for the banded
     * equi-join. Kept as raw slices (not slice hashes) for the same
     * oracle-reproducibility reason as [[lshCandidates]]. */
@@ -653,12 +683,13 @@ object Dedup {
     * ((node, comp) labels, rounds used). */
   private[graft] def connectedComponentsStarWithRounds(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): (DataFrame, Int) = {
-    var cur = edges
+      maxIter: Int = 50, reliable: Boolean = false): (DataFrame, Int) = {
+    def ckpt(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    var cur = ckpt(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var rounds = 0
     var converged = cur.limit(1).count() == 0
     while (!converged && rounds < maxIter) {
@@ -675,16 +706,16 @@ object Dedup {
       // neighbors under u's minimum neighbor
       val mSmall = ls.groupBy("u").agg(min("v").as("m"))
       val withM = ls.join(mSmall, "u")
-      val ss = withM.select(col("v").as("u"), col("m").as("v"))
+      val ss = ckpt(withM.select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct())
       converged = ss.count() == cur.count() &&
         ss.exceptAll(cur).limit(1).count() == 0
       // the superseded round's edge blocks are dead now (ss is eagerly
       // materialized and the convergence probe above was the last read)
       // — release them instead of pinning O(rounds) block sets
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(cur)
+      Checkpoints.release(cur, reliable)
       cur = ss
       rounds += 1
     }
@@ -701,8 +732,10 @@ object Dedup {
 
   /** [[connectedComponentsStarWithRounds]] without the round count. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-                              maxIter: Int = 50): DataFrame =
-    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxIter)._1
+                              maxIter: Int = 50,
+                              reliable: Boolean = false): DataFrame =
+    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxIter,
+      reliable)._1
 
   /** Connected components over an undirected edge list: (node, comp)
     * where comp is the minimum node id reachable from `node`. Only
@@ -718,22 +751,25 @@ object Dedup {
     * exceeds the budget (a long-chain graph) and the implementation
     * switches to [[connectedComponentsStar]] — O(log n) rounds at the
     * same per-round shuffle cost — instead of crawling one hop per
-    * round. Each round is localCheckpoint'ed to truncate lineage (at
-    * cluster scale use `spark.sparkContext.setCheckpointDir` +
-    * `checkpoint()`); the driver loop carries only a 0/1 convergence
-    * probe, never data. */
+    * round. Each round's state is materialized to truncate lineage —
+    * executor-local blocks by default, durable checkpoints with
+    * `reliable = true` ([[Checkpoints]] states the trade; set
+    * `spark.sparkContext.setCheckpointDir` first) so executor loss
+    * costs a re-read instead of the job; the driver loop carries only
+    * a 0/1 convergence probe, never data. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50, switchAfter: Int = 8): DataFrame = {
+                          maxIter: Int = 50, switchAfter: Int = 8,
+                          reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    def release(df: DataFrame): Unit = Checkpoints.release(df, reliable)
     // materialize once: every round joins against sym — without this the
     // whole upstream edge pipeline (e.g. the LSH join) re-executes per
     // iteration
-    val sym = edges
+    val sym = ckpt(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .localCheckpoint()
-    var labels = sym.groupBy("a").agg(min("b").as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
-      .localCheckpoint()
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
+    var labels = ckpt(sym.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp")))
     var iter = 0
     var converged = false
     while (iter < math.min(switchAfter, maxIter) && !converged) {
@@ -741,18 +777,17 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("comp").as("nb_comp")), "b")
         .groupBy(col("a").as("node"))
         .agg(min("nb_comp").as("min_nb"))
-      val next = labels
+      val next = ckpt(labels
         .join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("min_nb"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("min_nb"), col("comp"))).as("comp")))
       converged = next
         .join(labels.select(col("node"), col("comp").as("old")), "node")
         .filter(col("comp") =!= col("old"))
         .limit(1).count() == 0
       // superseded label vector: next is materialized, convergence probe
       // was its last read — release rather than pin O(rounds) block sets
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
+      release(labels)
       labels = next
       iter += 1
     }
@@ -763,17 +798,17 @@ object Dedup {
       // with the already-materialized symmetric edge set — re-deriving
       // from `edges` would re-execute the whole upstream pipeline (LSH
       // candidate join etc.) that `sym`'s localCheckpoint cut off.
-      val out = connectedComponentsStar(sym, "a", "b", maxIter)
+      val out = connectedComponentsStar(sym, "a", "b", maxIter, reliable)
       // star ran to completion (driver-side loop): its result is its own
       // checkpointed fixed point, so the seed edges and the abandoned
       // propagation labels are both dead
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(sym)
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
+      release(sym)
+      release(labels)
       out
     } else {
       // the returned labels are checkpointed (self-contained); the edge
       // materialization served its last join
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(sym)
+      release(sym)
       labels
     }
   }

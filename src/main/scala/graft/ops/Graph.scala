@@ -40,41 +40,51 @@ object Graph {
     * (multi-tenant clusters re-planning per round) or when |E|/|V| is
     * large enough that even one rank-vector shuffle per round dominates
     * — hence a flag, defaulting to the measured-faster shape.
+    *
+    * `reliable` switches the per-round materialization from
+    * executor-local blocks to durable checkpoints
+    * ([[Checkpoints]] — set `spark.sparkContext.setCheckpointDir`
+    * first): identical ranks, but iteration state survives executor
+    * loss — the right call for hours-long cluster runs where the
+    * local default would abort the whole job on one lost executor.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
-               broadcastRanks: Boolean = false): DataFrame = {
+               broadcastRanks: Boolean = false,
+               reliable: Boolean = false): DataFrame = {
     require(iters >= 0, "Graph.pageRank: negative iteration count")
+    def ckpt(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    def release(df: DataFrame): Unit = Checkpoints.release(df, reliable)
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val es = sym.join(deg, "src").localCheckpoint() // one materialization
+    val es = ckpt(sym.join(deg, "src")) // one materialization
     val n = deg.count()
     require(n > 0, "Graph.pageRank: empty graph")
     val base = (1.0 - damping) / n
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
+    var ranks = ckpt(
+      deg.select(col("src").as("node"), lit(1.0 / n).as("rank")))
     var it = 0
     while (it < iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
-      val next = es.join(r, es("src") === r("node"))
+      val next = ckpt(es.join(r, es("src") === r("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node")
         .agg((lit(base) + lit(damping) * sum("c")).as("rank"))
-        .localCheckpoint() // eager: `next` is fully materialized here
+        ) // eager: `next` is fully materialized here
       // release the superseded round's blocks NOW instead of waiting for
       // the ContextCleaner: otherwise every round pins another |V|-row
       // block set and a multi-sample bench accumulates iters× that —
       // measured as the 11s→58s dispersion escalation in BENCH_r04.
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(ranks)
+      release(ranks)
       ranks = next
       it += 1
     }
     // the edge materialization served its iters joins; the returned rank
     // vector is self-contained (lineage-truncated, own blocks)
-    org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(es)
+    release(es)
     ranks
   }
 }

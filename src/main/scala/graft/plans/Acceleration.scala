@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** One-call operability for "why is this query slow": every registered
+  * acceleration artifact — [[MvRewrite]] views and [[SkipRewrite]]
+  * file-skipping indexes — reported against one plan, each with what
+  * the plan actually did with it (navigated / pruned / bailed /
+  * untouched) AND, for stream-maintained artifacts, how far the
+  * artifact trails its source (version, source offsets, pending base
+  * files). The two rules log well individually; this is the single
+  * entry point a session pastes when a dashboard degrades — navigation,
+  * skipping, and staleness in one report, no re-running anything.
+  */
+object Acceleration {
+
+  def explainAcceleration(df: DataFrame): String = {
+    val spark = df.sparkSession
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    def rootsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => norm(p.toString)).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet
+    val analyzedRoots = rootsOf(df.queryExecution.analyzed)
+    val optimizedRoots = rootsOf(df.queryExecution.optimizedPlan)
+
+    // freshness of a versioned target, rendered for humans; the v= path
+    // comes from the entry's own resolution, its parent is the target
+    def freshLineOf(versionPath: String, base: String): String =
+      try {
+        val p = new org.apache.hadoop.fs.Path(versionPath)
+        if (!p.getName.startsWith("v=") || p.getParent == null)
+          s"static artifact at $versionPath (no freshness record)"
+        else graft.streaming.Streams
+          .freshnessLagOf(spark, p.getParent.toString, Some(base)) match {
+          case Some(l) =>
+            val offs = l.sourceLogOffsets
+              .map(_.map(String.valueOf).getOrElse("?")).mkString(",")
+            val pend = l.pendingFiles
+              .map(n => s", pendingBaseFiles=$n").getOrElse("")
+            s"version=${l.version}, sourceOffsets=[$offs]$pend"
+          case None => "versioned target, but no freshness record " +
+            "(foreign checkpoint layout?)"
+        }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          s"freshness unavailable (${ex.getMessage})"
+      }
+
+    // ---- MvRewrite views: navigation verdict + freshness -------------
+    // explainNavigation's per-entry lines come first and in allEntries'
+    // exact order (both sort by (base, keys)); trailing lines (the
+    // cache note) are kept verbatim
+    val mvEntries = MvRewrite.allEntries
+    val navReport = MvRewrite.explainNavigation(df).split("\n").toSeq
+    val mvLines =
+      if (mvEntries.isEmpty) Seq("MvRewrite: no views registered")
+      else {
+        val (perEntry, rest) = navReport.splitAt(mvEntries.length)
+        perEntry.zip(mvEntries).flatMap { case (line, e) =>
+          val fresh =
+            try freshLineOf(e.snapshotPath(), e.base)
+            catch {
+              case ex: IllegalStateException =>
+                s"no committed snapshot version yet (${ex.getMessage})"
+            }
+          Seq(line, s"  freshness: $fresh")
+        } ++ rest
+      }
+
+    // ---- SkipRewrite indexes: prune verdict + freshness ---------------
+    val skipLines = SkipRewrite.allEntries match {
+      case Seq() => Seq("SkipRewrite: no indexes registered")
+      case es => es.map { e =>
+        val head = s"skip(base=${e.base})"
+        val baseRoots = e.rootPaths.map(norm)
+        val referenced = analyzedRoots.exists(baseRoots.contains)
+        val stillFull = optimizedRoots.exists(baseRoots.contains)
+        val prunedFiles = optimizedRoots
+          .count(r => baseRoots.exists(b => r.startsWith(b + "/")))
+        val status =
+          if (!referenced) "NOT REFERENCED — the plan does not scan this base"
+          else if (stillFull) "NOT PRUNED — full scan (no eligible " +
+            "equality/range conjunct, index pruned nothing, or no " +
+            "committed version)"
+          else s"PRUNED — scan rewritten to $prunedFiles file(s)"
+        val fresh = (try e.location() catch {
+          case scala.util.control.NonFatal(_) => None
+        }) match {
+          case Some(loc) => s"\n  freshness: ${freshLineOf(loc, e.base)}"
+          case None => "\n  freshness: no committed index version yet"
+        }
+        s"$head: $status$fresh"
+      }
+    }
+    (mvLines ++ skipLines).mkString("\n")
+  }
+}

@@ -365,6 +365,13 @@ object MvRewrite {
     entries.values().asScala.map(e => (e.base, e.keys)).toSeq.sortBy(_.toString)
   }
 
+  /** The live entries in [[explainNavigation]]'s display order — for
+    * [[Acceleration.explainAcceleration]]'s freshness column. */
+  private[plans] def allEntries: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.toSeq.sortBy(e => (e.base, e.keys.mkString(",")))
+  }
+
   /** Operability: one line per registered view saying whether `df`'s
     * OPTIMIZED plan navigated it — the session's direct answer to "why
     * is this dashboard suddenly scanning the base". A view is NAVIGATED
@@ -397,10 +404,19 @@ object MvRewrite {
         catch { case _: IllegalStateException => None }
       val baseScanned = e.rootPaths.map(norm).exists(scannedRoots.contains)
       // path-COMPONENT prefix, not raw string prefix: /x/snap must not
-      // claim an unrelated sibling /x/snap2's scan as its own
+      // claim an unrelated sibling /x/snap2's scan as its own. A
+      // partials-layout versioned snapshot (v= marker dirs) is scanned
+      // through its target's delta/ batch dirs and compact/delta/
+      // generations, so those prefixes count as "the snapshot" too.
       val snapScanned = snapPath.exists { p =>
-        val np = norm(p)
-        scannedRoots.exists(r => r == np || r.startsWith(np + "/"))
+        val pp = new org.apache.hadoop.fs.Path(p)
+        val prefixes =
+          if (pp.getName.startsWith("v=") && pp.getParent != null) {
+            val t = norm(pp.getParent.toString)
+            Seq(norm(p), s"$t/delta", s"$t/compact/delta")
+          } else Seq(norm(p))
+        scannedRoots.exists(r =>
+          prefixes.exists(np => r == np || r.startsWith(np + "/")))
       }
       (baseScanned, snapScanned, snapPath) match {
         case (false, true, Some(p)) => s"$head: NAVIGATED — answering from $p"
@@ -917,7 +933,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // fresh contract.
     val snap =
       try {
-        val snapDf = spark.read.parquet(snapPath)
+        // layout-aware: a partials-layout versioned snapshot resolves to
+        // its delta/compact layers — for an append-only target as RAW
+        // per-batch partials (several rows per key whose columns are all
+        // mergeable), which is sound everywhere below because every
+        // rewritten aggregate merges snapshot rows anyway: sums/counts
+        // add, min/max combine, sketches union, count(DISTINCT key)
+        // dedups, and the star count-weighting is linear in cnt. A
+        // retraction target comes back pre-folded (fully-retracted keys
+        // must vanish, which only the fold can decide).
+        val snapDf = graft.streaming.Streams.readSnapshotVersion(spark, snapPath)
         val combined = e.tail.flatMap(f => f(snapPath)) match {
           case Some(tailPartials) => snapDf.unionByName(tailPartials)
           case None => snapDf

@@ -121,6 +121,13 @@ object SkipRewrite {
     import scala.jdk.CollectionConverters._
     entries.values().asScala.find(_.rootPaths == roots)
   }
+
+  /** The live entries, base-sorted — for
+    * [[Acceleration.explainAcceleration]]. */
+  private[plans] def allEntries: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.toSeq.sortBy(_.base)
+  }
 }
 
 object SkipRewriteRule extends Rule[LogicalPlan] {
@@ -175,10 +182,32 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** A literal whose min/max box comparison is exact through `lit()` —
-    * integral only (a timestamp's internal Long would lift as a plain
-    * number and compare against the wrong type). */
+    * integral types, plus dates and timestamps: those are exact
+    * integers internally (days / microseconds since epoch), and
+    * converting the internal value to its external java type makes
+    * `lit()` rebuild a literal of the SAME Catalyst type, so the
+    * min/max comparison in `filesForPredicates` is the identical
+    * integer compare the row-level Filter performs. No session-tz
+    * guard is needed — a TimestampType literal was already resolved to
+    * an absolute instant (µs) at analysis time and the index's parquet
+    * min/max are instants too, so the comparison never re-interprets
+    * wall-clock text (unlike [[MvRewrite]]'s `date_trunc` hierarchy,
+    * which re-applies a zone-dependent function and therefore carries
+    * its `sameZone` guard). Doubles/decimals stay out: their box
+    * compare would be exact too, but equality-style probes on them are
+    * rendering-dependent and the stats columns may hold -0.0/NaN
+    * subtleties — the explicit readPruned API serves those. */
   private def boundValue(l: Literal): Option[Any] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType => Option(l.value)
+    case org.apache.spark.sql.types.DateType => Option(l.value).map(v =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(v.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.TimestampType => Option(l.value).map(v =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(v.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.TimestampNTZType => Option(l.value).map(v =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(v.asInstanceOf[Long]))
     case _ => None
   }
 

@@ -1481,6 +1481,56 @@ object Relational {
     }
   }
 
+  // AUTO-consulted range skipping over a TIMESTAMP column — THE
+  // dashboard predicate (`WHERE ts BETWEEN …`): the fact is
+  // range-clustered on event time, a plain stats index is registered,
+  // and a bare time-range filter auto-prunes to the files whose
+  // [min, max] time boxes intersect. Timestamp literals are exact
+  // integers (µs since epoch) by analysis time, so the box compare is
+  // the same integer compare the row filter performs — no text
+  // rendering or zone reinterpretation anywhere. No false negatives,
+  // so the aggregate hash-matches the full-scan oracle; the require()
+  // proves the plan opened a fraction of the files.
+  private val qSkipDate = QueryDef("q_skip_date", Some(
+    """SELECT cast(count(*) AS BIGINT) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1994-07-01'""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skipdate-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndex(spark, s"$work/t", Seq("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      graft.plans.SkipRewrite.register(spark, s"$work/t", s"$work/idx")
+      val out = spark.read.parquet(s"$work/t")
+        .filter(col("l_shipdate") >= "1994-01-01" &&
+          col("l_shipdate") < "1994-07-01")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val opened = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+      // ~7 years of shipdates; half a year survives — most of the 16
+      // time-clustered files must be skipped at every SF
+      require(opened <= 8,
+        s"q_skip_date: timestamp range auto-prune did not engage ($opened of 16 files)")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.SkipRewrite.unregister(s"$work/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Semi-join file skipping (Layout.readPrunedBy) — the unpartitioned
   // analogue of dynamic partition pruning: a selective dim filter
   // (one week of orders) yields a bounded key set; the fact table's
@@ -1629,10 +1679,10 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_l_quantity"),
           min("l_quantity").as("min_l_quantity"),
           max("l_quantity").as("max_l_quantity"))
-      val snapPath =
-        graft.streaming.Streams.latestSnapshotPath(spark, s"$work/tgt").get
+      // partials layout: the navigated plan scans the target's delta
+      // layers (the snapshot), not the base files the snapshot covers
       val plan = out.queryExecution.executedPlan.toString
-      require(plan.contains(snapPath),
+      require(plan.contains(s"$work/tgt/delta"),
         s"q_incr_fresh: fresh navigation did not engage:\n$plan")
       out.localCheckpoint(true)
     } finally {
@@ -1690,5 +1740,5 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipAuto, qSkipRange, qSkipJoin, qDelete)
+    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipJoin, qDelete)
 }

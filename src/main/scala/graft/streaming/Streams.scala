@@ -752,19 +752,31 @@ object Streams extends org.apache.spark.internal.Logging {
   /** Streaming incremental view maintenance: keep a
     * [[graft.ops.Cdc.aggSnapshot]] current under a change STREAM (rows
     * tagged `opCol` = +1 insert / −1 retract). Each microbatch is
-    * pre-aggregated to one row per touched key and merged into the
-    * latest snapshot via [[graft.ops.Cdc.incrementalAggRefresh]] —
-    * exact under retraction (fixed-point LONG sums) — and written as
-    * an immutable `targetDir/v=<batchId>` version, idempotent on
-    * replay exactly like [[upsertSink]].
+    * pre-aggregated to ONE SIGNED PARTIAL row per touched key
+    * ([[graft.ops.Cdc.aggSnapshotDelta]] — the retraction-safe integer
+    * algebra, left unapplied) and appended under
+    * `delta/batch=<batchId>/`, committed by a `v=<batchId>/_SUCCESS`
+    * marker — the same batch-dir layout as every other maintained
+    * index here. Nothing cumulative is ever rewritten: per-batch write
+    * cost is O(|touched keys|) whatever the snapshot has grown to,
+    * where the pre-round-11 layout rewrote the ENTIRE snapshot every
+    * microbatch (a per-user MV over a 100 TB base = billions of groups
+    * rewritten per trigger — the write-amplification shape the
+    * batch-dir migration exists to kill). Readers fold the partials
+    * per key at read ([[latestSnapshot]] /
+    * [[graft.plans.MvRewrite]]'s version resolution — fully-retracted
+    * keys vanish exactly like the eager refresh, and the fold is the
+    * same order-free LONG arithmetic, so resolved == rebuilt
+    * bit-for-bit); [[compactSnapshot]] + [[vacuumIndex]]`(…, "delta")`
+    * bound the layer count, with `compactEvery` enabling the in-line
+    * geometric trigger.
     *
-    * This is the streaming half of the MV story: the maintained
-    * snapshot is what [[graft.plans.MvRewrite]] serves ad-hoc
-    * aggregates from — register the base table against
-    * [[latestSnapshotPath]] and queries over the petabyte base read a
-    * kilobyte snapshot that trails the change stream by one
-    * microbatch. Per-batch cost is O(|delta| + |touched groups|); the
-    * base table is never rescanned.
+    * This is the streaming half of the MV story: register the base
+    * table against the target and queries over the petabyte base read
+    * a |groups|-bounded snapshot that trails the change stream by one
+    * microbatch. Replay is idempotent by construction — a batch's
+    * partial is a pure function of the batch, and a replayed batch
+    * overwrites only its own subdirectory.
     *
     * No min/max or distinct-sketch columns here, by design: those
     * summaries are NOT retractable (a deleted row's extremum or hash
@@ -775,63 +787,62 @@ object Streams extends org.apache.spark.internal.Logging {
   def aggSnapshotSink(changes: DataFrame, targetDir: String, checkpoint: String,
                       keyCols: Seq[String], opCol: String,
                       measures: Seq[String], scale: Int = 2,
-                      retainVersions: Int = 3): StreamingQuery = {
-    // >= 2, not >= 1: replaying batch N reads its predecessor v=N-1
-    // (filter(_ < batchId)); with only the just-written version retained,
-    // a crash between the v=N write and the checkpoint commit would leave
-    // the replay with no predecessor and silently rebuild from empty.
+                      retainVersions: Int = 3,
+                      filesPerBatch: Int = 1,
+                      compactEvery: Int = 0,
+                      compactFiles: Int = 4): StreamingQuery = {
+    // >= 2 so a reader that resolved the previous version keeps its
+    // marker for one more trigger — the grace contract shared by every
+    // versioned sink here
     require(retainVersions >= 2,
-      "aggSnapshotSink: must retain >= 2 versions (replay needs the predecessor)")
+      "aggSnapshotSink: must retain >= 2 versions (in-flight readers may " +
+        "hold the predecessor)")
+    require(filesPerBatch > 0, "aggSnapshotSink: filesPerBatch must be positive")
+    val layout = AggLayout(retract = true, keyCols, scale,
+      graft.functions.Kmv.DefaultK)
     toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
-      val versions = snapshotVersions(spark, targetDir)
-        .filter(_ < batchId) // replay must ignore its own failed attempt
-      val prev = versions.sorted.lastOption match {
-        case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
-        case None => // empty snapshot with the right schema + scale stamp
-          graft.ops.Cdc.aggSnapshot(
-            batch.filter(org.apache.spark.sql.functions.lit(false)),
-            keyCols, measures, scale)
-      }
-      graft.ops.Cdc.incrementalAggRefresh(prev, batch, keyCols, opCol,
-          measures, scale)
-        .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-      // freshness record: batchId + the source offsets this version
-      // corresponds to. A retraction stream has no file-coverage
-      // manifest (tail composition is unsound under ±ops), but the
-      // STALENESS is knowable — freshnessOf() reads this back so
-      // callers gate on lag instead of guessing.
-      writeFreshness(spark, targetDir, checkpoint, batchId)
-      // retention AFTER the new version commits: keep the newest
-      // `retainVersions` (including the one just written), drop the
-      // rest — a snapshot chain otherwise grows one full copy per
-      // microbatch forever. Replay safety holds because retainVersions
-      // >= 2: a replayed batch needs its immediate predecessor, which
-      // stays inside the retained window even while the new version is
-      // being written.
-      val path = new org.apache.hadoop.fs.Path(targetDir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
-        .foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+      unresolveReplayedVersion(spark, targetDir, batchId)
+      writeAggLayout(spark, targetDir, layout)
+      if (!batch.isEmpty)
+        graft.ops.Cdc.aggSnapshotDelta(batch, keyCols, opCol, measures, scale)
+          .coalesce(filesPerBatch)
+          .write.mode("overwrite").parquet(s"$targetDir/delta/batch=$batchId")
+      // an empty FIRST batch commits nothing (there is no snapshot
+      // yet); after that even empty batches commit so the _freshness
+      // record keeps advancing. No _files manifest: file-coverage is
+      // meaningless under retractions (fresh-tail composition is
+      // unsound), but STALENESS stays knowable via freshnessOf.
+      if (listBatchDirs(spark, targetDir, "delta").nonEmpty ||
+          committedCompactions(spark, targetDir, "delta").nonEmpty)
+        commitIndexVersion(spark, targetDir, checkpoint, batchId,
+          retainVersions, withManifest = false)
+      maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
+        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true))
     }
   }
 
   /** The APPEND-ONLY variant of [[aggSnapshotSink]] — the regime most
     * event streams live in (no retractions, rows only arrive): each
-    * microbatch of plain new rows merges into an
-    * [[graft.ops.Cdc.aggSnapshotMinMax]] via
-    * [[graft.ops.Cdc.incrementalAggRefreshAppendOnly]], so the
+    * microbatch lands as ONE [[graft.ops.Cdc.aggSnapshotMinMax]]
+    * partial per touched key under `delta/batch=<batchId>/` — so the
     * maintained snapshot additionally carries EXACT per-group min/max
     * — and a [[graft.plans.MvRewrite.registerVersioned]] view with
     * `minMaxMeasures` then answers min/max/sum/avg/count ad-hoc
-    * queries one microbatch behind the stream. `distinctCols` adds one
-    * mergeable KMV distinct-count sketch column per listed column
-    * (merge == rebuild exactly; [[graft.ops.Cdc.aggSnapshotMinMax]]),
-    * which the same registration (`distinctCols` there too) serves to
-    * ad-hoc `kmv_distinct` / `approx_count_distinct` queries. Same
-    * versioned-write replay idempotence and retention as the ±op
-    * sink. */
+    * queries one microbatch behind the stream (the rewrite's own
+    * re-aggregation folds the partials for free — every snapshot
+    * column is mergeable). `distinctCols` adds one mergeable KMV
+    * distinct-count sketch column per listed column (merge == rebuild
+    * exactly; [[graft.ops.Cdc.aggSnapshotMinMax]]), which the same
+    * registration (`distinctCols` there too) serves to ad-hoc
+    * `kmv_distinct` / `approx_count_distinct` queries. Same batch-dir
+    * write-amplification contract as the ±op sink — per-batch bytes ∝
+    * |touched keys|, never |all groups| — plus the cumulative `_files`
+    * coverage manifest that [[graft.plans.MvRewrite
+    * .registerVersionedFresh]]'s exactly-current tail composition
+    * subtracts from. [[compactSnapshot]] folds layers into
+    * |groups|-sized generations; `compactEvery` enables the in-line
+    * geometric trigger. */
   def aggSnapshotSinkAppendOnly(rows: DataFrame, targetDir: String,
                                 checkpoint: String, keyCols: Seq[String],
                                 measures: Seq[String], scale: Int = 2,
@@ -842,10 +853,16 @@ object Streams extends org.apache.spark.internal.Logging {
                                 hllLgK: Int = 12,
                                 distinctTuples: Seq[Seq[String]] = Nil,
                                 kllCols: Seq[String] = Nil,
-                                kllK: Int = 200): StreamingQuery = {
-    // >= 2 for the same replay-predecessor reason as aggSnapshotSink
+                                kllK: Int = 200,
+                                filesPerBatch: Int = 1,
+                                compactEvery: Int = 0,
+                                compactFiles: Int = 4): StreamingQuery = {
+    // >= 2 for the same reader-grace reason as aggSnapshotSink
     require(retainVersions >= 2,
-      "aggSnapshotSinkAppendOnly: must retain >= 2 versions (replay needs the predecessor)")
+      "aggSnapshotSinkAppendOnly: must retain >= 2 versions (in-flight " +
+        "readers may hold the predecessor)")
+    require(filesPerBatch > 0,
+      "aggSnapshotSinkAppendOnly: filesPerBatch must be positive")
     // LOUD degradation at construction: the file-coverage manifest (and
     // so registerVersionedFresh) is defined only for a single-source
     // plan whose one source is a file stream — a union of sources would
@@ -859,55 +876,28 @@ object Streams extends org.apache.spark.internal.Logging {
         "streaming sources — no _files manifest will be written, so " +
         "registerVersionedFresh over this target will always bail to the " +
         "direct scan (registerVersioned still works)")
+    val layout = AggLayout(retract = false, keyCols, scale, kmvK)
     toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
-      val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
-      val prevVersion = versions.sorted.lastOption
-      val prev = prevVersion match {
-        case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
-        case None => graft.ops.Cdc.aggSnapshotMinMax(
-          batch.filter(org.apache.spark.sql.functions.lit(false)),
-          keyCols, measures, scale, distinctCols, kmvK, hllCols, hllLgK,
-          distinctTuples, kllCols, kllK)
-      }
-      graft.ops.Cdc.incrementalAggRefreshAppendOnly(prev, batch, keyCols,
-          measures, scale, distinctCols, kmvK, hllCols, hllLgK,
-          distinctTuples, kllCols, kllK)
-        .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-      // cumulative file manifest: the set of base files versions <= this
-      // one have ingested (predecessor's manifest + this batch's files,
-      // read from the file source's own checkpoint log — the batch
-      // DataFrame is an opaque RDD scan by the time foreachBatch sees
-      // it) — what lets MvRewrite.registerVersionedFresh compose the
-      // snapshot with an aggregate over ONLY the not-yet-ingested tail.
-      // Written after the parquet commit: a version whose _SUCCESS
-      // exists but whose manifest is missing (crash in between, or a
-      // non-file source that keeps no file log) makes fresh composition
-      // bail to the direct scan — degraded, never wrong. Predecessor-
-      // without-manifest poisons the chain the same honest way: no
-      // manifest is written, so freshness is never claimed over unknown
-      // coverage.
-      val prevManifest: Option[Seq[String]] = prevVersion match {
-        case Some(v) => snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
-        case None => Some(Nil)
-      }
-      for {
-        pm <- prevManifest
-        bf <- sourceBatchFiles(spark, checkpoint, batchId)
-      } {
-        val all = (pm ++ bf).distinct.sorted
-        val mf = new org.apache.hadoop.fs.Path(s"$targetDir/v=$batchId/$ManifestFile")
-        val mfs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = mfs.create(mf, true)
-        try out.write(all.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      }
-      writeFreshness(spark, targetDir, checkpoint, batchId)
-      val path = new org.apache.hadoop.fs.Path(targetDir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
-        .foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
+      unresolveReplayedVersion(spark, targetDir, batchId)
+      writeAggLayout(spark, targetDir, layout)
+      // the batch's own partial, nothing else read or rewritten: a
+      // replayed batch overwrites only its own subdirectory (the
+      // partial is a pure function of the batch — idempotent)
+      if (!batch.isEmpty)
+        graft.ops.Cdc.aggSnapshotMinMax(batch, keyCols, measures, scale,
+            distinctCols, kmvK, hllCols, hllLgK, distinctTuples, kllCols, kllK)
+          .coalesce(filesPerBatch)
+          .write.mode("overwrite").parquet(s"$targetDir/delta/batch=$batchId")
+      // commitIndexVersion writes the cumulative _files manifest (what
+      // MvRewrite.registerVersionedFresh's exactly-current tail
+      // composition subtracts from; a missing file log writes none and
+      // fresh bails — degraded, never wrong), then the v=<id>/_SUCCESS
+      // marker LAST, then freshness + retention. Committed even for an
+      // empty batch: coverage and freshness keep advancing.
+      commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+      maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
+        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true))
     }
   }
 
@@ -1459,6 +1449,69 @@ object Streams extends org.apache.spark.internal.Logging {
       threshold, broadcastBatch)
   }
 
+  /** Targeted deletion from a MAINTAINED [[lshIndexSink]] target — the
+    * fourth right-to-be-forgotten leg (corpus:
+    * [[graft.ops.Layout.targetedDelete]]; BM25 postings:
+    * [[graft.ops.TextAnalysis.bm25IndexDelete]]; ANN assignments:
+    * [[graft.ops.Similarity.ivfPqIndexDelete]]): a forgotten document's
+    * MinHash signatures persist in the index's batch dirs AND in
+    * compacted generations, and either copy keeps producing candidate
+    * pairs. Compaction-aware by construction: every on-disk LAYER —
+    * each `index/batch=<id>` dir and each committed
+    * `compact/index/c=<id>` generation — is probed for the doomed ids
+    * (one column-pruned scan per layer) and ONLY the layers that
+    * contain one are rewritten without those rows; untouched layers
+    * stay byte-identical, commit markers are untouched, so versions
+    * keep resolving and searches probe the same layers minus the
+    * forgotten signatures. Returns the number of layers rewritten.
+    * Offline-maintenance contract like its three siblings (the swap is
+    * write-new/delete/rename): run it without a concurrent reader of
+    * the same target. Order with the corpus delete: corpus first, then
+    * this — [[nearDupsFresh]] would otherwise re-sign the doc from the
+    * un-indexed base tail. */
+  def lshIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String, idCol: String, ids: Seq[Long],
+                     maxValues: Int = 1024): Int = {
+    import org.apache.spark.sql.functions.col
+    require(ids.nonEmpty, "Streams.lshIndexDelete: no ids")
+    require(ids.length <= maxValues,
+      s"Streams.lshIndexDelete: ${ids.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layers =
+      listBatchDirs(spark, targetDir, "index").sorted
+        .map(id => s"$targetDir/index/batch=$id") ++
+      committedCompactions(spark, targetDir, "index").sorted
+        .map(c => s"$targetDir/compact/index/c=$c")
+    var rewritten = 0
+    layers.foreach { dir =>
+      val layer = spark.read.parquet(dir)
+      if (!layer.filter(col(idCol).isin(ids: _*)).isEmpty) {
+        // survivors staged OUTSIDE the layer listings (dot-prefixed, so
+        // batch=/c= parsers and Spark's own file listing never see it —
+        // a "batch=5.__new" sibling would poison listBatchDirs forever
+        // after a crash)
+        val tmp = s"$targetDir/.delete_staging/${new org.apache.hadoop.fs.Path(dir).getName}"
+        layer.filter(col(idCol).isNull || !col(idCol).isin(ids: _*))
+          .write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(dir))
+        rewritten += 1
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/.delete_staging"), true)
+    if (rewritten > 0) {
+      // raw FS swaps: same-session listings must not serve the removed
+      // files (the targetedDelete lesson)
+      spark.catalog.refreshByPath(s"$targetDir/index")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/compact/index")))
+        spark.catalog.refreshByPath(s"$targetDir/compact/index")
+    }
+    rewritten
+  }
+
   /** The shared commit tail of the maintained-index sinks
     * ([[ivfPqIndexSink]], [[lshIndexSink]]): cumulative file-coverage
     * manifest (predecessor's + this batch's files — what
@@ -1489,7 +1542,8 @@ object Streams extends org.apache.spark.internal.Logging {
 
   private def commitIndexVersion(spark: org.apache.spark.sql.SparkSession,
                                  targetDir: String, checkpoint: String,
-                                 batchId: Long, retainVersions: Int): Unit = {
+                                 batchId: Long, retainVersions: Int,
+                                 withManifest: Boolean = true): Unit = {
     val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
       .sorted.lastOption
     val prevManifest: Option[Seq[String]] = prev match {
@@ -1498,7 +1552,10 @@ object Streams extends org.apache.spark.internal.Logging {
     }
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for {
+    // withManifest = false for ±op (retraction) sinks: file-coverage is
+    // meaningless under retractions (tail composition is unsound), so
+    // recording one would only invite a wrong fresh registration
+    if (withManifest) for {
       pm <- prevManifest
       bf <- sourceBatchFiles(spark, checkpoint, batchId)
     } {
@@ -1553,7 +1610,38 @@ object Streams extends org.apache.spark.internal.Logging {
                    targetDir: String, subdir: String,
                    clusterCols: Seq[String], targetFiles: Int = 4,
                    minBatches: Int = 2,
-                   retainCompactions: Int = 2): Option[Long] = {
+                   retainCompactions: Int = 2): Option[Long] =
+    compactCore(spark, targetDir, subdir, clusterCols, targetFiles,
+      minBatches, retainCompactions, identity)
+
+  /** [[compactIndex]] for a partials-layout agg-snapshot target: the
+    * generation is not a concatenation but the per-key FOLD of the
+    * covered layers ([[graft.ops.Cdc.mergeSnapshotPartials]] — exact
+    * for counts/sums/min/max/KMV, estimate-exact for HLL, rank-exact
+    * for KLL; a retraction target's fully-retracted keys vanish), so
+    * generations stay |live groups|-sized however many batches they
+    * fold — without the merge, a hot key would accumulate one partial
+    * row per generation forever. Range-clustered on the snapshot keys
+    * so key-range reads prune files. Configuration comes from the
+    * target's own `_layout` marker. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String, targetFiles: Int = 4,
+                      minBatches: Int = 2,
+                      retainCompactions: Int = 2): Option[Long] = {
+    val layout = aggLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.compactSnapshot: $targetDir has no _layout marker — not " +
+          "a partials-layout agg-snapshot target (compactIndex handles the " +
+          "batch-dir index sinks)"))
+    compactCore(spark, targetDir, "delta", layout.keys, targetFiles,
+      minBatches, retainCompactions, mergePartialsFor(layout, keepBatch = true))
+  }
+
+  private def compactCore(spark: org.apache.spark.sql.SparkSession,
+                          targetDir: String, subdir: String,
+                          clusterCols: Seq[String], targetFiles: Int,
+                          minBatches: Int, retainCompactions: Int,
+                          transform: DataFrame => DataFrame): Option[Long] = {
     import org.apache.spark.sql.functions.col
     require(targetFiles > 0, "Streams.compactIndex: targetFiles must be positive")
     require(minBatches >= 1, "Streams.compactIndex: minBatches must be >= 1")
@@ -1579,9 +1667,10 @@ object Streams extends org.apache.spark.internal.Logging {
           case None => tail
         }
         val out = s"$targetDir/compact/$subdir/c=$version"
+        val folded = transform(all)
         val clustered =
-          if (clusterCols.isEmpty) all.repartition(targetFiles)
-          else all.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+          if (clusterCols.isEmpty) folded.repartition(targetFiles)
+          else folded.repartitionByRange(targetFiles, clusterCols.map(col): _*)
             .sortWithinPartitions(clusterCols.map(col): _*)
         clustered.write.mode("overwrite").parquet(out)
         val fs = new org.apache.hadoop.fs.Path(targetDir)
@@ -1656,7 +1745,9 @@ object Streams extends org.apache.spark.internal.Logging {
   private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
                                targetDir: String, subdir: String,
                                clusterCols: Seq[String], compactFiles: Int,
-                               compactEvery: Int, batchId: Long): Unit =
+                               compactEvery: Int, batchId: Long,
+                               transform: DataFrame => DataFrame = identity)
+      : Unit =
     if (compactEvery > 0) {
       val prevC = committedCompactions(spark, targetDir, subdir)
         .filter(_ <= batchId).sorted.lastOption
@@ -1665,8 +1756,8 @@ object Streams extends org.apache.spark.internal.Logging {
       val covered = prevC.map(_ + 1).getOrElse(0L)
       val tail = batchId - prevC.getOrElse(-1L)
       if (tail >= math.max(compactEvery.toLong, covered)) {
-        compactIndex(spark, targetDir, subdir, clusterCols, compactFiles,
-          minBatches = 1)
+        compactCore(spark, targetDir, subdir, clusterCols, compactFiles,
+          minBatches = 1, retainCompactions = 2, transform)
         // vacuum only once a SECOND generation exists: on the very first
         // compaction the just-committed generation IS the oldest one, so
         // vacuuming now would free every covered batch dir with zero
@@ -1758,6 +1849,103 @@ object Streams extends org.apache.spark.internal.Logging {
     * skip it as metadata. */
   private val ManifestFile = "_files"
   private val FreshnessFile = "_freshness"
+  private val LayoutFile = "_layout"
+
+  /** The on-disk self-description of a partials-layout agg-snapshot
+    * target ([[aggSnapshotSink]] / [[aggSnapshotSinkAppendOnly]]):
+    * everything a reader needs to fold `delta/batch=<id>/` partials
+    * back into snapshot rows without being told the sink's
+    * configuration — the key columns (column roles then follow from
+    * the [[graft.ops.Cdc.aggSnapshot]] naming convention), the
+    * fixed-point scale, the KMV sketch bound, and whether the stream
+    * carries retractions (`retract` ⇒ fully-retracted keys sum to
+    * cnt = 0 and must be dropped at merge). Written once, first
+    * trigger; key names must not contain commas (the one encoding
+    * restriction of the plain-text marker). */
+  final case class AggLayout(retract: Boolean, keys: Seq[String],
+                             scale: Int, kmvK: Int)
+
+  private def writeAggLayout(spark: org.apache.spark.sql.SparkSession,
+                             targetDir: String, layout: AggLayout): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetDir/$LayoutFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      layout.keys.foreach(k => require(!k.contains(","),
+        s"agg snapshot sink: key column '$k' contains a comma — the " +
+          "_layout marker cannot encode it"))
+      val out = fs.create(p, true)
+      try out.write((s"layout=agg-partials\nretract=${layout.retract}\n" +
+        s"scale=${layout.scale}\nkmvK=${layout.kmvK}\n" +
+        s"keys=${layout.keys.mkString(",")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The [[AggLayout]] marker of a partials-layout snapshot target, or
+    * None for targets on other layouts (fixed snapshots, [[upsertSink]],
+    * [[ivfStatsSink]] — whose `v=<id>` dirs hold the data directly). */
+  def aggLayoutOf(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String): Option[AggLayout] = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetDir/$LayoutFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val kv = text.split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l =>
+          val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+      if (!kv.get("layout").contains("agg-partials")) None
+      else Some(AggLayout(kv("retract").toBoolean,
+        kv("keys").split(",").toIndexedSeq.filter(_.nonEmpty),
+        kv("scale").toInt, kv("kmvK").toInt))
+    }
+  }
+
+  /** The merge that folds a partials-layout snapshot's layers —
+    * compaction's transform and the one-row-per-key read both use it,
+    * so a compacted generation is bit-identical to folding the batch
+    * dirs it covers. */
+  private def mergePartialsFor(layout: AggLayout, keepBatch: Boolean)
+      : DataFrame => DataFrame = df =>
+    graft.ops.Cdc.mergeSnapshotPartials(df, layout.keys, layout.scale,
+      layout.kmvK, dropEmpty = layout.retract,
+      extraMax = if (keepBatch) Seq("batch") else Nil)
+
+  /** The rows a committed snapshot version resolves to, across layouts.
+    * For a partials-layout target (the agg-snapshot sinks) the version's
+    * `delta/batch=<id>` dirs `<= id` plus the freshest covering
+    * compaction generation are read ([[maintainedBatchRows]]); a
+    * retraction stream's layers are pre-folded per key (fully-retracted
+    * keys vanish, exactly like the eager refresh), while an append-only
+    * stream's rows come back as RAW partials — possibly several rows
+    * per key whose combinable columns (cnt/sums add, min/max combine,
+    * sketches union) any mergeable re-aggregation folds for free; a
+    * consumer that needs one row per key uses [[latestSnapshot]].
+    * Other layouts ([[upsertSink]], [[ivfStatsSink]], hand-written
+    * snapshots) read the version directory's parquet directly. */
+  def readSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+                          versionPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(versionPath)
+    val name = p.getName
+    val parent = Option(p.getParent).map(_.toString)
+    val layoutOpt =
+      if (name.startsWith("v=")) parent.flatMap(aggLayoutOf(spark, _))
+      else None
+    layoutOpt match {
+      case Some(l) =>
+        val v = name.stripPrefix("v=").toLong
+        val rows = maintainedBatchRows(spark, parent.get, "delta", v)
+          .drop("batch")
+        if (l.retract) mergePartialsFor(l, keepBatch = false)(rows) else rows
+      case None => spark.read.parquet(versionPath)
+    }
+  }
 
   /** What a committed snapshot version corresponds to on the source
     * stream: its batch id and the checkpoint's offsets-log entry for
@@ -1971,13 +2159,25 @@ object Streams extends org.apache.spark.internal.Logging {
     snapshotVersions(spark, targetDir).sorted.lastOption
       .map(v => s"$targetDir/v=$v")
 
-  /** Latest [[upsertSink]] snapshot version in `targetDir` (none before
-    * the first committed batch). */
+  /** Latest committed snapshot in `targetDir`, resolved to ONE row per
+    * key whatever the layout: a partials-layout agg-snapshot target
+    * folds its `delta/` layers per key
+    * ([[graft.ops.Cdc.mergeSnapshotPartials]] — exact, so the result
+    * equals the one-shot rebuild bit-for-bit except the documented
+    * HLL-bytes/KLL-rank caveats); an [[upsertSink]] / [[ivfStatsSink]]
+    * target reads its latest version directory directly. None before
+    * the first committed batch. */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
                      targetDir: String): Option[DataFrame] = {
     snapshotVersions(spark, targetDir)
       .sorted.lastOption
-      .map(v => spark.read.parquet(s"$targetDir/v=$v"))
+      .map { v =>
+        aggLayoutOf(spark, targetDir) match {
+          case Some(l) => mergePartialsFor(l, keepBatch = false)(
+            maintainedBatchRows(spark, targetDir, "delta", v).drop("batch"))
+          case None => spark.read.parquet(s"$targetDir/v=$v")
+        }
+      }
   }
 
   /** Committed `v=<batchId>` snapshot versions under `targetDir`,

@@ -163,25 +163,29 @@ object StreamScaleProbe {
     }
 
     // ---- streaming IVM: aggSnapshotSink under a 100k-group snapshot --
-    // The per-batch cost model is O(|delta| + |snapshot|) — the
-    // versioned write rewrites the (bounded, group-cardinality-sized)
-    // snapshot, NEVER the base table — so per-batch time must stay
-    // FLAT across 100+ batches once all groups exist. Batches
-    // ALTERNATE between wide deltas (50k rows touching ~50k groups)
-    // and narrow ones (5k rows / ~5k groups) so the log shows time vs
-    // |touched groups| directly; version-directory count and on-disk
-    // bytes are reported per sampled batch — retention must hold the
-    // chain at retainVersions (3) forever, not let the target grow one
-    // full snapshot per microbatch.
+    // The per-batch cost model is O(|touched keys|): each trigger
+    // appends ONE signed partial per touched key under delta/batch=<id>
+    // and never reads or rewrites the accumulated snapshot — so the
+    // bytes written per batch must track the batch's own key count, not
+    // the group cardinality. Batches ALTERNATE between wide deltas
+    // (50k rows touching ~50k groups) and narrow ones (5k rows / ~5k
+    // groups) so the log shows batchBytes vs |touched| directly: the
+    // narrow batches must write ~10x less than the wide ones, forever.
+    // The in-line geometric compaction (compactEvery=8) folds layers
+    // into |live groups|-sized generations so the read side
+    // (latestSnapshot's per-key fold) stays bounded too; deltaDirs
+    // reports how many uncompacted layers a read currently folds.
     val ivmBatches = args.lift(3).map(_.toInt).getOrElse(100)
-    def dirStats(fsPath: String): (Int, Long) = {
+    def dirBytes(fsPath: String): Long = {
       val p = new org.apache.hadoop.fs.Path(fsPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) (0, 0L)
-      else {
-        val vs = fs.listStatus(p).filter(_.getPath.getName.startsWith("v="))
-        (vs.length, vs.map(st => fs.getContentSummary(st.getPath).getLength).sum)
-      }
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+    def deltaDirs(tgt: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$tgt/delta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
     }
     locally {
       val groups = 100000
@@ -189,7 +193,7 @@ object StreamScaleProbe {
       val changes = MemoryStream[(Long, Double, Int)]
       val q = graft.streaming.Streams.aggSnapshotSink(
         changes.toDF().toDF("k", "v", "op"), tgt, ckpt("ivm-ck"),
-        Seq("k"), "op", Seq("v"))
+        Seq("k"), "op", Seq("v"), compactEvery = 8)
       try {
         var i = 0
         while (i < ivmBatches) {
@@ -205,8 +209,8 @@ object StreamScaleProbe {
           if (i < 6 || i % 10 == 0 || i == ivmBatches - 1) {
             val nGroups = graft.streaming.Streams.latestSnapshot(spark, tgt)
               .map(_.count()).getOrElse(0L)
-            val (nVers, bytes) = dirStats(tgt)
-            println(f"STAGE stream_ivm_100k       batch=$i%3d $sec%7.2fs touched=$perBatch%6d snapGroups=$nGroups%8d versions=$nVers%2d dirBytes=$bytes%10d")
+            val batchBytes = dirBytes(s"$tgt/delta/batch=$i")
+            println(f"STAGE stream_ivm_100k       batch=$i%3d $sec%7.2fs touched=$perBatch%6d snapGroups=$nGroups%8d deltaDirs=${deltaDirs(tgt)}%3d batchBytes=$batchBytes%9d dirBytes=${dirBytes(tgt)}%10d")
           }
           i += 1
         }
@@ -215,11 +219,12 @@ object StreamScaleProbe {
 
     // ---- streaming IVM with KMV distinct sketches (round 6) ----------
     // aggSnapshotSinkAppendOnly maintaining per-group kmv_<c> sketch
-    // columns: the refresh adds a per-row bounded array merge (k=64
-    // longs) on top of the count/sum/min/max arithmetic — per-batch
-    // time must stay flat and within ~2x of the plain sink's, and the
-    // snapshot stays |groups|-sized (sketches are k-bounded, so the
-    // distinct-value count of the stream never shows up in state).
+    // columns: each batch's partial adds a k-bounded sketch array per
+    // touched key on top of the count/sum/min/max columns — per-batch
+    // time and batchBytes must stay flat (∝ touched keys), and the
+    // compacted generation stays |groups|-sized (sketches are
+    // k-bounded, so the distinct-value count of the stream never shows
+    // up in state).
     locally {
       val groups = 100000
       val perBatch = 50000
@@ -227,7 +232,7 @@ object StreamScaleProbe {
       val rows = MemoryStream[(Long, Double, String)]
       val q = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
         rows.toDF().toDF("k", "v", "u"), tgt, ckpt("ivmk-ck"),
-        Seq("k"), Seq("v"), distinctCols = Seq("u"))
+        Seq("k"), Seq("v"), distinctCols = Seq("u"), compactEvery = 8)
       try {
         var i = 0
         val kmvBatches = math.max(10, ivmBatches / 5)
@@ -241,8 +246,8 @@ object StreamScaleProbe {
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
           if (i < 6 || i % 5 == 0 || i == kmvBatches - 1) {
-            val (nVers, bytes) = dirStats(tgt)
-            println(f"STAGE stream_ivm_kmv        batch=$i%3d $sec%7.2fs touched=$perBatch%6d versions=$nVers%2d dirBytes=$bytes%10d")
+            val batchBytes = dirBytes(s"$tgt/delta/batch=$i")
+            println(f"STAGE stream_ivm_kmv        batch=$i%3d $sec%7.2fs touched=$perBatch%6d deltaDirs=${deltaDirs(tgt)}%3d batchBytes=$batchBytes%9d dirBytes=${dirBytes(tgt)}%10d")
           }
           i += 1
         }
@@ -310,6 +315,74 @@ object StreamScaleProbe {
       val freed = graft.streaming.Streams.vacuumIndex(spark, tgt, "postings")
       val postS = timeSearch()
       println(f"STAGE compact_post          vacuumed=${freed.length}%3d dirs search=$postS%6.2fs postingsFiles=${parquetsUnder(s"$tgt/postings")}%5d")
+    }
+
+    // Geometric auto-compaction at MANY-batch scale (round 11): the
+    // skipping-index sink self-maintains with compactEvery=1 across
+    // ~10³ microbatches — the regime where a production stream lives
+    // within a day. What must hold: generations ever written is
+    // O(log B) (the doubling schedule: 0,1,3,7,…), retention keeps
+    // only the last 2 on disk, vacuum holds the batch-dir count to the
+    // post-generation tail, and an auto-pruned SkipRewrite point
+    // lookup opens O(targetFiles) files with FLAT latency however many
+    // batches have flowed — the read side must not decay with stream
+    // lifetime. The final out-of-band compact+vacuum folds the tail
+    // and the lookup gets cheaper still.
+    {
+      val gBatches = args.lift(5).map(_.toInt).getOrElse(1000)
+      val base = ckpt("geo-base")
+      val tgt = ckpt("geo-tgt")
+      val ck = ckpt("geo-ck")
+      // one tiny file per microbatch, landed up front; the sink drains
+      // them one per trigger
+      val t0 = System.nanoTime()
+      (0 until gBatches).foreach { b =>
+        Seq((b.toLong * 7919L, s"p$b")).toDF("uid", "payload")
+          .coalesce(1).write.mode("append").parquet(base)
+      }
+      val landS = (System.nanoTime() - t0) / 1e9
+      val q = graft.streaming.Streams.skippingIndexSink(
+        spark.readStream.schema("uid long, payload string")
+          .option("maxFilesPerTrigger", 1).parquet(base),
+        tgt, ck, Seq("uid"), fpCols = Seq("uid"),
+        compactEvery = 1, compactFiles = 4)
+      val t1 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val ingestS = (System.nanoTime() - t1) / 1e9
+      val (gens, dirs) = graft.streaming.Streams.compactionsOf(spark, tgt, "stats")
+      graft.plans.SkipRewrite.registerVersioned(spark, base, tgt)
+      def lookup(i: Int) = spark.read.parquet(base)
+        .filter(col("uid") === i.toLong * 7919L)
+      def openedFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+      def probe(label: String): Unit = {
+        val times = Seq(1, gBatches / 2, gBatches - 1).map { i =>
+          val t = System.nanoTime()
+          val n = lookup(i).count()
+          require(n == 1, s"geometric probe lost uid $i")
+          (System.nanoTime() - t) / 1e9
+        }
+        val opened = Seq(1, gBatches / 2, gBatches - 1).map(i => openedFiles(lookup(i)))
+        println(f"STAGE geometric_lookup      $label%-10s opened=${opened.mkString("/")}%-12s sec=${times.map(t => f"$t%.2f").mkString("/")}")
+      }
+      println(f"STAGE geometric_ingest      batches=$gBatches%5d land=$landS%7.2fs ingest=$ingestS%8.2fs gensRetained=${gens.mkString(",")} tailDirs=${dirs.length}%4d")
+      probe("auto")
+      // fold the post-generation tail and free it — the scheduled
+      // maintenance pass
+      graft.streaming.Streams.compactIndex(spark, tgt, "stats", Seq("file"),
+        targetFiles = 4, minBatches = 1)
+      graft.streaming.Streams.vacuumIndex(spark, tgt, "stats")
+      val (gens2, dirs2) = graft.streaming.Streams.compactionsOf(spark, tgt, "stats")
+      println(f"STAGE geometric_folded      gensRetained=${gens2.mkString(",")} tailDirs=${dirs2.length}%4d")
+      probe("folded")
+      graft.plans.SkipRewrite.unregister(base)
     }
 
     // Halt, not stop: same RocksDB native-teardown guard as Bench.

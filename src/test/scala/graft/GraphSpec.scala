@@ -43,4 +43,44 @@ class GraphSpec extends AnyFunSuite {
     assert(r(100L) > r(200L) * 3, s"hub ${r(100L)} vs minor ${r(200L)}")
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
+
+  test("pageRank: reliable checkpoints give bit-identical ranks (durability-only switch)") {
+    // the reliable=true path writes each round's state to the reliable
+    // checkpoint dir (survives executor loss) instead of pinning
+    // executor-local blocks; the arithmetic is untouched, so ranks are
+    // bit-identical — the flag trades per-round IO for fault tolerance
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ck").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val rnd = new scala.util.Random(7)
+      val edges = (0 until 400)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1).toSeq
+      val local = canon(Graph.pageRank(edges, "src", "dst", iters = 8).collect())
+      val durable = canon(Graph.pageRank(edges, "src", "dst", iters = 8,
+        reliable = true).collect())
+      assert(local == durable,
+        "reliable checkpointing changed pageRank results")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("connectedComponents: reliable checkpoints give identical labels, star path included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      // a 40-node chain forces the propagation → star-contraction
+      // switch (diameter ≫ switchAfter), covering both loops
+      val chain = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(canon(graft.ops.Dedup.connectedComponents(chain, "src", "dst")) ==
+        canon(graft.ops.Dedup.connectedComponents(chain, "src", "dst",
+          reliable = true)),
+        "reliable checkpointing changed connected-components labels")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

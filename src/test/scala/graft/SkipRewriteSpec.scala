@@ -138,6 +138,61 @@ class SkipRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp/date range predicates auto-prune; exact across session-tz changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-ts").toString
+    try {
+      // one year of hourly events, time-clustered — the dashboard layout
+      val rows = spark.range(24L * 365)
+        .select(timestamp_seconds(lit(1704067200L) + col("id") * 3600).as("ts"),
+          (col("id") % 7).as("g"),
+          to_date(timestamp_seconds(lit(1704067200L) + col("id") * 3600)).as("d"))
+      rows.repartitionByRange(12, col("ts")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("ts", "d"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      // string literals coerce to TimestampType at analysis — the house
+      // predicate shape — and the folded literal is an absolute instant
+      def feb = spark.read.parquet(s"$dir/t")
+        .filter(col("ts") >= "2024-02-01" && col("ts") < "2024-03-01")
+      assert(scannedFiles(feb) <= 3,
+        s"timestamp range auto-prune opened ${scannedFiles(feb)} of 12")
+      assert(feb.count() == 29L * 24)
+      // DATE column ranges prune off the same stats
+      val weekD = spark.read.parquet(s"$dir/t")
+        .filter(col("d").between(lit("2024-06-01").cast("date"),
+          lit("2024-06-07").cast("date")))
+      assert(scannedFiles(weekD) <= 3,
+        s"date range auto-prune opened ${scannedFiles(weekD)} of 12")
+      assert(weekD.count() == 7L * 24)
+      // tz robustness: the SAME query text under a different session tz
+      // resolves its literal to a different instant, but pruning stays
+      // a pure instant-vs-instant compare — answer == full scan, and no
+      // false negative appears (prune still engaged)
+      val tz0 = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        val febTokyo = spark.read.parquet(s"$dir/t")
+          .filter(col("ts") >= "2024-02-01" && col("ts") < "2024-03-01")
+        SkipRewrite.unregister(s"$dir/t")
+        val direct = spark.read.parquet(s"$dir/t")
+          .filter(col("ts") >= "2024-02-01" && col("ts") < "2024-03-01")
+          .count()
+        SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+        assert(scannedFiles(febTokyo) <= 3, "tz change disabled pruning")
+        assert(febTokyo.count() == direct,
+          "timestamp pruning diverged from the full scan under a tz change")
+      } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      // doubles stay out: a fractional range must NOT navigate
+      val dbl = spark.read.parquet(s"$dir/t")
+        .filter(col("g").cast("double") >= 1.5 && col("g").cast("double") <= 3.5)
+      assert(scannedFiles(dbl) == 12, "a double range should bail to the full scan")
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("index lag: a key only in a not-yet-indexed file is still found (tail read unpruned)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-tail").toString
@@ -270,6 +325,57 @@ class SkipRewriteSpec extends AnyFunSuite {
         "post-compaction lookup lost the un-indexed tail row")
     } finally {
       SkipRewrite.unregister(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("explainAcceleration: one report — MV navigated, base pruned, index staleness visible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-accel").toString
+    val mvBase = s"$dir/mvbase"; val mvTgt = s"$dir/mvtgt"
+    val skBase = s"$dir/skbase"; val skTgt = s"$dir/sktgt"
+    try {
+      // an MV-registered base maintained by the append-only sink
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(mvBase)
+      val q1 = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+        spark.readStream.schema("k string, v double").parquet(mvBase),
+        mvTgt, s"$dir/mvck", Seq("k"), Seq("v"))
+      try q1.processAllAvailable() finally q1.stop()
+      graft.plans.MvRewrite.registerVersioned(spark, mvBase, Seq("k"),
+        Seq("v"), mvTgt)
+      // a skip-registered base whose maintained index TRAILS by one file
+      (0 until 400).map(i => (i.toLong * 7919L, s"p$i")).toDF("uid", "payload")
+        .repartition(2).write.mode("append").parquet(skBase)
+      val q2 = graft.streaming.Streams.skippingIndexSink(
+        spark.readStream.schema("uid long, payload string").parquet(skBase),
+        skTgt, s"$dir/skck", Seq("uid"), fpCols = Seq("uid"))
+      try q2.processAllAvailable() finally q2.stop()
+      SkipRewrite.registerVersioned(spark, skBase, skTgt)
+      Seq((31337L, "tail")).toDF("uid", "payload")
+        .coalesce(1).write.mode("append").parquet(skBase) // un-indexed tail
+      // ONE plan touching both artifacts: a navigated aggregate unioned
+      // with a pruned lookup
+      val mvSide = spark.read.parquet(mvBase).groupBy("k")
+        .agg(count(lit(1)).cast("double").as("m"))
+      val skSide = spark.read.parquet(skBase)
+        .filter(col("uid") === 7919L)
+        .groupBy(col("payload").as("k")).agg(sum(col("uid")).cast("double").as("m"))
+      val df = mvSide.unionByName(skSide)
+      val report = graft.plans.Acceleration.explainAcceleration(df)
+      assert(report.contains("NAVIGATED"), s"MV navigation missing:\n$report")
+      assert(report.contains("PRUNED — scan rewritten"),
+        s"skip pruning missing:\n$report")
+      // staleness: the MV is caught up (0 pending), the skip index
+      // trails by exactly the one tail file
+      assert(report.contains("pendingBaseFiles=0"),
+        s"caught-up MV freshness missing:\n$report")
+      assert(report.contains("pendingBaseFiles=1"),
+        s"trailing index staleness missing:\n$report")
+      assert(report.contains("version="), s"version column missing:\n$report")
+    } finally {
+      graft.plans.MvRewrite.unregister(mvBase)
+      SkipRewrite.unregister(skBase)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }

@@ -1054,7 +1054,9 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
           .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
         val snapPath = Streams.latestSnapshotPath(spark, target).get
         val plan = query.queryExecution.executedPlan.toString
-        assert(plan.contains(snapPath) && !plan.contains(baseDir),
+        // partials layout: the navigated plan scans the target's delta
+        // layers (never the base), resolved as of the committed version
+        assert(plan.contains(s"$target/delta") && !plan.contains(baseDir),
           s"MV not served from streamed snapshot:\n$plan")
         assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
           Seq(("a", 1L, 2.5), ("c", 1L, 7.25)))
@@ -1064,7 +1066,10 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         val snapPath2 = Streams.latestSnapshotPath(spark, target).get
         assert(snapPath2 != snapPath)
         val plan2 = query.queryExecution.executedPlan.toString
-        assert(plan2.contains(snapPath2), s"versioned MV stuck on old version:\n$plan2")
+        assert(plan2.contains(s"$target/delta") && !plan2.contains(baseDir),
+          s"versioned MV stuck on old version:\n$plan2")
+        // the answer is the proof the new version is served: only the
+        // newest batch's delta layer knows key d
         assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
           Seq(("a", 1L, 2.5), ("c", 1L, 7.25), ("d", 1L, 3.5)))
       } finally graft.plans.MvRewrite.unregister(baseDir)
@@ -1175,9 +1180,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       def query = spark.read.parquet(baseDir).groupBy("k")
         .agg(count(lit(1)).as("n"), sum("v").as("s"),
           min("v").as("mn"), max("v").as("mx"), expr("kmv_distinct(u)").as("d"))
-      val snapPath = Streams.latestSnapshotPath(spark, target).get
       val planFresh = query.queryExecution.executedPlan.toString
-      assert(planFresh.contains(snapPath),
+      assert(planFresh.contains(s"$target/delta"),
         s"fresh MV did not use the snapshot:\n$planFresh")
       val got = query.orderBy("k")
         .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
@@ -1245,9 +1249,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"),
           expr("kmv_distinct(u)").as("du"))
-      val snapPath = Streams.latestSnapshotPath(spark, target).get
       val plan = query.queryExecution.executedPlan.toString
-      assert(plan.contains(snapPath),
+      assert(plan.contains(s"$target/delta"),
         s"fresh bucketed MV did not use the snapshot:\n$plan")
       val got = query.orderBy("day")
         .as[(Timestamp, Long, Double, Double, Long)].collect().toSeq
@@ -1298,9 +1301,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       def query = spark.read.parquet(baseDir)
         .join(spark.read.parquet(dimDir), col("k") === col("dk"))
         .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
-      val snapPath = Streams.latestSnapshotPath(spark, target).get
       val plan = query.queryExecution.executedPlan.toString
-      assert(plan.contains(snapPath) && plan.contains(dimDir),
+      assert(plan.contains(s"$target/delta") && plan.contains(dimDir),
         s"fresh star did not navigate:\n$plan")
       val got = query.orderBy("grp").as[(String, Long, Double)].collect().toSeq
       graft.plans.MvRewrite.unregister(baseDir)
@@ -1318,7 +1320,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         """SELECT grp, count(*) AS n, sum(v) AS s
           |FROM fs_f JOIN fs_d ON k = dk GROUP BY ROLLUP(grp)""".stripMargin)
       val rPlan = roll.queryExecution.executedPlan.toString
-      assert(rPlan.contains(snapPath), s"fresh star rollup did not navigate:\n$rPlan")
+      assert(rPlan.contains(s"$target/delta"),
+        s"fresh star rollup did not navigate:\n$rPlan")
       val gotR = roll.collect().map(_.toString).sorted.toSeq
       graft.plans.MvRewrite.unregister(baseDir)
       val wantR = roll.collect().map(_.toString).sorted.toSeq
@@ -1628,6 +1631,126 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       "fresh near-dup diverged from the one-shot index over the full base")
   }
 
+  test("S6v lshIndexDelete: a forgotten doc pairs with nothing — batch dirs AND generations scrubbed") {
+    assume(!rocksdb)
+    import spark.implicits._
+    import graft.ops.Dedup
+    val baseDir = tmp("graft-lshdel-base")
+    val target = tmp("graft-lshdel-tgt")
+    val ckpt = tmp("graft-lshdel-ck")
+    def doc(id: Long, shingles: Seq[Long]) = (id, shingles.toArray)
+    def land(rows: Seq[(Long, Array[Long])]): Unit =
+      rows.toDF("doc_id", "sh")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land((0 until 10).map(i => doc(i.toLong, (0 until 10).map(j => (i * 10 + j).toLong))))
+    val q = Streams.lshIndexSink(
+      spark.readStream.schema("doc_id long, sh array<bigint>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "sh")
+    try {
+      q.processAllAvailable()
+      land((10 until 20).map(i => doc(i.toLong, (0 until 10).map(j => (i * 10 + j).toLong))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("corpus_id", "batch_id").collect().map(_.toString).toSeq
+    // probe duplicates docs 7 (batch-dir layer) and 15 (second layer)
+    val probe = Seq(doc(100L, (70 until 80).map(_.toLong)),
+      doc(101L, (150 until 160).map(_.toLong))).toDF("doc_id", "sh")
+    val before = canon(Streams.nearDupsMaintained(spark, target, probe,
+      "doc_id", "sh", threshold = 0.5))
+    assert(before.exists(_.contains("[7,100,1.0]")) &&
+      before.exists(_.contains("[15,101,1.0]")), s"setup probe failed: $before")
+    // forget doc 7 out of the batch-dir layers: only the layer holding
+    // it is rewritten, doc 15's pair survives untouched
+    assert(Streams.lshIndexDelete(spark, target, "doc_id", Seq(7L)) == 1)
+    val afterBatchDel = canon(Streams.nearDupsMaintained(spark, target, probe,
+      "doc_id", "sh", threshold = 0.5))
+    assert(!afterBatchDel.exists(_.contains("[7,")),
+      s"forgotten doc 7 still pairs: $afterBatchDel")
+    assert(afterBatchDel.exists(_.contains("[15,101,1.0]")),
+      "deletion damaged an unrelated signature")
+    // now fold everything into a generation and forget doc 15 FROM the
+    // generation — the compaction-aware half
+    assert(Streams.compactIndex(spark, target, "index", Seq("doc_id"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, target, "index").nonEmpty)
+    assert(Streams.lshIndexDelete(spark, target, "doc_id", Seq(15L)) == 1)
+    val afterGenDel = canon(Streams.nearDupsMaintained(spark, target, probe,
+      "doc_id", "sh", threshold = 0.5))
+    assert(!afterGenDel.exists(_.contains("[15,")),
+      s"doc 15 still pairs after the generation scrub: $afterGenDel")
+    // the scrubbed index equals a one-shot index built WITHOUT the
+    // forgotten docs — nothing else moved
+    assert(afterGenDel == canon(Dedup.nearDupsAgainstIndex(
+      Dedup.buildLshIndex(spark.read.parquet(baseDir)
+        .filter(!col("doc_id").isin(7L, 15L)), "doc_id", "sh"),
+      probe, "doc_id", "sh", threshold = 0.5)),
+      "scrubbed index diverged from the rebuilt-without-them index")
+    // ids absent everywhere rewrite nothing
+    assert(Streams.lshIndexDelete(spark, target, "doc_id", Seq(424242L)) == 0)
+  }
+
+  test("S6w out-of-band compact+vacuum between LIVE sink triggers: answers identical; double-compaction is a no-op") {
+    assume(!rocksdb)
+    import spark.implicits._
+    // compactIndex/vacuumIndex are documented as schedulable maintenance
+    // jobs — this pins the interleaving: a SECOND session compacts and
+    // vacuums while the sink is still running (between triggers), and
+    // both the external maintenance and the sink's subsequent commits
+    // stay correct because each pins committed versions/generations
+    // before touching anything.
+    val baseDir = tmp("graft-oob-base")
+    val target = tmp("graft-oob-tgt")
+    val ckpt = tmp("graft-oob-ck")
+    def land(b: Int): Unit =
+      (0 until 20).map(i => ((b * 20 + i).toLong,
+        s"join hash w${b * 20 + i}")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    val queries = Seq((1, "join"), (2, "w25"), (3, "w47")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    def oneShot() = canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      spark.read.parquet(baseDir), "doc_id", "text", queries, 5))
+    land(0); land(1)
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "text")
+    try {
+      q.processAllAvailable()
+      assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+        == oneShot(), "pre-maintenance search diverged")
+      // EXTERNAL maintenance while the sink query is live (idle between
+      // triggers): compact, then prove re-compacting with no new batches
+      // is a no-op, then vacuum twice (second must find nothing)
+      assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+        targetFiles = 1) == Some(1L))
+      assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+        targetFiles = 1, minBatches = 1).isEmpty,
+        "double-compaction of an unchanged subdir must be a no-op")
+      assert(Streams.vacuumIndex(spark, target, "postings") == Seq(0L, 1L))
+      assert(Streams.vacuumIndex(spark, target, "postings").isEmpty,
+        "second vacuum must find nothing left to free")
+      assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+        == oneShot(), "external compact+vacuum changed the served ranking")
+      // the LIVE sink keeps committing OVER the external generation: the
+      // next trigger's batch dir becomes the tail of c=1
+      land(2)
+      q.processAllAvailable()
+      assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+        == oneShot(), "post-maintenance trigger diverged")
+      val (gens, dirs) = Streams.compactionsOf(spark, target, "postings")
+      assert(gens == Seq(1L) && dirs == Seq(2L),
+        s"expected generation 1 + tail batch 2, got gens=$gens dirs=$dirs")
+      // a second external compaction folds generation + live tail
+      assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+        targetFiles = 1, minBatches = 1) == Some(2L))
+      assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+        == oneShot(), "re-compaction over the live tail changed the ranking")
+    } finally q.stop()
+  }
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
@@ -1891,6 +2014,117 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(Streams.vacuumIndex(spark, target, "postings") == Seq(0L, 1L))
     assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
       == before, "the repaired generation changed the served ranking")
+  }
+
+  test("S6t ±op partials: delta-sized writes; retraction cancels THROUGH a compacted generation") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double, Int)]
+    val target = tmp("graft-ivmp-tgt")
+    val q = Streams.aggSnapshotSink(in.toDF().toDF("k", "v", "op"),
+      target, tmp("graft-ivmp-ck"), Seq("k"), "op", Seq("v"),
+      compactEvery = 1)
+    try {
+      in.addData(("a", 1.0, 1), ("b", 2.0, 1)); q.processAllAvailable()
+      in.addData(("c", 3.0, 1)); q.processAllAvailable()
+      // write amplification: batch 1 touched ONE key, so its delta layer
+      // holds one partial row — never the whole snapshot
+      assert(spark.read.parquet(s"$target/delta/batch=1").count() == 1,
+        "per-batch delta write is not touched-keys-sized")
+      // the geometric hook compacted at batches 0 and 1; vacuum waited
+      // for the second generation (first-vacuum grace), then freed the
+      // batch dirs the OLDEST retained generation covers
+      assert(Streams.compactionsOf(spark, target, "delta")._1 == Seq(0L, 1L))
+      assert(!new java.io.File(s"$target/delta/batch=0").exists(),
+        "vacuum left the batch dir the oldest generation covers")
+      // batch 2 fully retracts key a — whose only row lives INSIDE the
+      // c=1 generation: the tail partial must cancel it at the fold
+      in.addData(("a", 1.0, -1), ("b", 5.0, 1)); q.processAllAvailable()
+      val snap = Streams.latestSnapshot(spark, target).get
+        .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+      val rebuilt = graft.ops.Cdc.aggSnapshot(
+          Seq(("b", 2.0), ("b", 5.0), ("c", 3.0)).toDF("k", "v"),
+          Seq("k"), Seq("v"))
+        .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+      assert(snap == rebuilt,
+        s"partials resolution diverged from rebuild:\n$snap\nvs\n$rebuilt")
+      // and MvRewrite serves the same answer off generation ∪ tail —
+      // the vanished key must not resurface as a zero row
+      val baseDir = tmp("graft-ivmp-base")
+      Seq(("b", 2.0), ("b", 5.0), ("c", 3.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(baseDir)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"),
+        Seq("v"), target)
+      try {
+        val out = spark.read.parquet(baseDir).groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val plan = out.queryExecution.executedPlan.toString
+        assert(!plan.contains(baseDir), s"±op partials MV not navigated:\n$plan")
+        assert(out.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+          Seq(("b", 2L, 7.0), ("c", 1L, 3.0)))
+      } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
+  }
+
+  test("S6u append-only partials: compactSnapshot folds to one row per key; vacuum changes nothing") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)]
+    val target = tmp("graft-aopc-tgt")
+    val q = Streams.aggSnapshotSinkAppendOnly(in.toDF().toDF("k", "v", "u"),
+      target, tmp("graft-aopc-ck"), Seq("k"), Seq("v"),
+      distinctCols = Seq("u"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("k").collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+        case x => String.valueOf(x)
+      }.mkString("|")).toSeq
+    try {
+      in.addData(("a", 5.0, "u1"), ("b", 7.5, "x1")); q.processAllAvailable()
+      in.addData(("a", 2.0, "u2"), ("c", 3.0, "y1")); q.processAllAvailable()
+      in.addData(("a", 1.25, "u2"), ("b", 4.0, "x2")); q.processAllAvailable()
+      val before = canon(Streams.latestSnapshot(spark, target).get)
+      // out-of-band compaction folds the three layers per key
+      assert(Streams.compactSnapshot(spark, target, targetFiles = 1) == Some(2L))
+      val gen = spark.read.parquet(s"$target/compact/delta/c=2")
+      assert(gen.groupBy("k").count().filter(col("count") > 1).isEmpty,
+        "generation still holds several partials per key — the fold did not run")
+      assert(canon(Streams.latestSnapshot(spark, target).get) == before,
+        "compaction changed the resolved snapshot")
+      // vacuum frees the covered batch dirs; answers cannot move
+      assert(Streams.vacuumIndex(spark, target, "delta") == Seq(0L, 1L, 2L))
+      assert(canon(Streams.latestSnapshot(spark, target).get) == before,
+        "vacuum changed the resolved snapshot")
+      // ...and equals the one-shot rebuild bit-for-bit, sketches included
+      val all = Seq(("a", 5.0, "u1"), ("b", 7.5, "x1"), ("a", 2.0, "u2"),
+        ("c", 3.0, "y1"), ("a", 1.25, "u2"), ("b", 4.0, "x2"))
+      assert(canon(Streams.latestSnapshot(spark, target).get) ==
+        canon(graft.ops.Cdc.aggSnapshotMinMax(all.toDF("k", "v", "u"),
+          Seq("k"), Seq("v"), distinctCols = Seq("u"))),
+        "compacted+vacuumed snapshot diverged from the one-shot rebuild")
+      // a post-vacuum batch lands as a tail layer over the generation;
+      // MvRewrite folds generation ∪ tail
+      in.addData(("d", 9.0, "z1"), ("a", 1.0, "u3")); q.processAllAvailable()
+      val baseDir = tmp("graft-aopc-base")
+      (all ++ Seq(("d", 9.0, "z1"), ("a", 1.0, "u3"))).toDF("k", "v", "u")
+        .write.mode("overwrite").parquet(baseDir)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"),
+        Seq("v"), target, minMaxMeasures = Seq("v"), distinctCols = Seq("u"))
+      try {
+        val out = spark.read.parquet(baseDir).groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"), min("v").as("mn"),
+            max("v").as("mx"), expr("kmv_distinct(u)").as("du"))
+        val plan = out.queryExecution.executedPlan.toString
+        assert(!plan.contains(baseDir),
+          s"post-vacuum partials MV not navigated:\n$plan")
+        assert(out.orderBy("k")
+          .as[(String, Long, Double, Double, Double, Long)].collect().toSeq ==
+          Seq(("a", 4L, 9.25, 1.0, 5.0, 3L), ("b", 2L, 11.5, 4.0, 7.5, 2L),
+            ("c", 1L, 3.0, 3.0, 3.0, 1L), ("d", 1L, 9.0, 9.0, 9.0, 1L)))
+      } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
   }
 
   test("S6i freshnessOf: committed versions expose batchId + source offsets for lag gating") {
