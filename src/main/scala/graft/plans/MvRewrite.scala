@@ -73,7 +73,8 @@ object MvRewrite {
                          kllK: Int = 200,
                          tail: Option[String => Option[DataFrame]] = None,
                          base: String = "",
-                         nullFiltered: Set[String] = Set.empty)
+                         nullFiltered: Set[String] = Set.empty,
+                         staleGate: () => Option[String] = () => None)
 
   /** Keyed by (basePath, sorted key set): ONE BASE MAY CARRY SEVERAL
     * VIEWS — a (flag, status) rollup and a (day) rollup over the same
@@ -241,7 +242,24 @@ object MvRewrite {
     * kept around while the stream advances pins the version it planned
     * against, which the sink's retention may eventually delete — build
     * queries fresh per use (the normal shape), or size
-    * `retainVersions` to the longest handle lifetime. */
+    * `retainVersions` to the longest handle lifetime.
+    *
+    * `maxPendingFiles` is the STALENESS GATE: a versioned view serves
+    * answers one committed microbatch behind by contract, which is
+    * usually fine — but when it isn't (the maintaining stream died on
+    * Friday, a backfill landed a thousand files), silently serving last
+    * week's snapshot is worse than scanning. With the gate set, every
+    * rewrite first counts the base files the freshest version's
+    * `_files` manifest has NOT covered ([[graft.streaming.Streams
+    * .freshnessLagOf]]'s pending count — one base listing, the same
+    * listing planning pays anyway) and NAVIGATES ONLY when
+    * `pending <= maxPendingFiles`; beyond it the query falls back to
+    * the direct scan — always current, just slower — and the bail is
+    * recorded in [[recentBails]] with the measured lag. Requires the
+    * sink to write manifests (a file-source single-stream
+    * aggSnapshotSinkAppendOnly); an unverifiable lag (no manifest, no
+    * freshness record) also bails, because unverifiable currency is
+    * not currency. */
   def registerVersioned(spark: SparkSession, basePath: String, keys: Seq[String],
                         measures: Seq[String], targetDir: String,
                         scale: Int = 2, minMaxMeasures: Seq[String] = Nil,
@@ -249,11 +267,32 @@ object MvRewrite {
                         kmvK: Int = graft.functions.Kmv.DefaultK,
                         distinctTuples: Seq[Seq[String]] = Nil,
                         kllCols: Seq[String] = Nil, kllK: Int = 200,
-                        derivedKeys: Map[String, Column] = Map.empty): Unit = {
+                        derivedKeys: Map[String, Column] = Map.empty,
+                        maxPendingFiles: Option[Long] = None): Unit = {
     val e = versionedEntry(spark, basePath, keys, measures, targetDir, scale,
       minMaxMeasures, distinctCols, kmvK, distinctTuples, kllCols, kllK,
       derivedKeys)
-    entries.put(entryKey(basePath, keys), e)
+    val gated = maxPendingFiles match {
+      case None => e
+      case Some(max) => e.copy(staleGate = () =>
+        try {
+          graft.streaming.Streams.freshnessLagOf(
+            SparkSession.active, targetDir, Some(basePath)) match {
+            case Some(lag) => lag.pendingFiles match {
+              case Some(p) if p <= max => None
+              case Some(p) => Some(s"staleness gate: $p base files not " +
+                s"covered by version ${lag.version} (max $max allowed)")
+              case None => Some("staleness gate: version carries no _files " +
+                "manifest — lag unverifiable")
+            }
+            case None => Some("staleness gate: no freshness record yet")
+          }
+        } catch {
+          case scala.util.control.NonFatal(ex) =>
+            Some(s"staleness gate unreadable: ${ex.getMessage}")
+        })
+    }
+    entries.put(entryKey(basePath, keys), gated)
   }
 
   /** [[registerVersioned]] plus EXACTLY-CURRENT answers: the freshest
@@ -925,6 +964,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val snapPath =
       try e.snapshotPath()
       catch { case ex: IllegalStateException => bail(ex.getMessage) }
+    // staleness gate (registerVersioned's maxPendingFiles): a view
+    // whose maintained snapshot trails its base by more than the
+    // registration allows must NOT answer — the direct scan is always
+    // current, so bailing is the correct-and-fresh degradation. The
+    // gate's own failure (unreadable freshness record) also bails:
+    // unverifiable currency is not currency.
+    e.staleGate() match {
+      case Some(reason) => bail(reason)
+      case None =>
+    }
     // a snapshot that fails to READ (deleted by retention between
     // resolution and planning, torn directory, wrong path) must degrade
     // to the unrewritten plan — never abort the user's query. Same for

@@ -1214,6 +1214,52 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6x staleness-gated navigation: within the gate the MV answers; beyond it the direct scan does") {
+    import spark.implicits._
+    val baseDir = tmp("graft-gate-base")
+    val target = tmp("graft-gate-tgt")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, tmp("graft-gate-ck"), Seq("k"), Seq("v"))
+    try q.processAllAvailable() finally q.stop()
+    graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"),
+      Seq("v"), target, maxPendingFiles = Some(0L))
+    try {
+      def query = spark.read.parquet(baseDir).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      // caught up (pending = 0): navigates
+      val plan0 = query.queryExecution.executedPlan.toString
+      assert(plan0.contains(s"$target/delta") && !plan0.contains(baseDir),
+        s"caught-up gated MV did not navigate:\n$plan0")
+      assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+        Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+      // a file lands with the stream down: pending = 1 > 0 — the gate
+      // must route to the direct scan, whose answer INCLUDES the new
+      // rows (current, just unaccelerated) — never the stale snapshot
+      Seq(("a", 10.0), ("c", 3.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+      val plan1 = query.queryExecution.executedPlan.toString
+      assert(plan1.contains(baseDir) && !plan1.contains(target),
+        s"stale gated MV still navigated:\n$plan1")
+      assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+        Seq(("a", 2L, 11.0), ("b", 1L, 2.0), ("c", 1L, 3.0)),
+        "gated fallback did not serve the current base")
+      assert(graft.plans.MvRewrite.recentBails.exists(_.contains("staleness gate")),
+        s"gate bail not recorded: ${graft.plans.MvRewrite.recentBails}")
+      // a looser gate tolerates the one-file lag and navigates again —
+      // serving the snapshot's (behind-by-contract) answer
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"),
+        Seq("v"), target, maxPendingFiles = Some(5L))
+      val plan2 = query.queryExecution.executedPlan.toString
+      assert(plan2.contains(s"$target/delta"),
+        s"loose gate did not navigate:\n$plan2")
+      assert(query.orderBy("k").as[(String, Long, Double)].collect().toSeq ==
+        Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    } finally graft.plans.MvRewrite.unregister(baseDir)
+  }
+
   test("S6h fresh + bucketed: exactly-current date_trunc rollup from a day-keyed stream snapshot") {
     import spark.implicits._
     // the dashboard combination: GROUP BY date_trunc('day', ts), served
