@@ -447,16 +447,27 @@ object Dedup {
     require(ids.length <= maxValues,
       s"Dedup.lshIndexDelete: ${ids.length} ids exceeds $maxValues — " +
         "a deletion set that large is a rebuild, not an index op")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal a previous crashed swap: the index renamed aside with
+    // no replacement in place is restored before anything else
+    val aside = new org.apache.hadoop.fs.Path(s"$indexDir.__old")
+    if (fs.exists(aside) && !fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+      fs.rename(aside, new org.apache.hadoop.fs.Path(indexDir))
+    fs.delete(aside, true)
     spark.read.parquet(indexDir)
       // NULL ids are not in the deletion set — `!isin` alone would
       // evaluate to NULL on them and silently drop the rows
       .filter(col(idCol).isNull || !col(idCol).isin(ids: _*))
       .write.mode("overwrite").parquet(s"$indexDir.__new")
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    // two-rename swap (old aside, new in, old dropped): a crash at any
+    // point leaves either the original or the aside copy restorable —
+    // delete-then-rename could lose the whole index to a crash between
+    // the two steps
+    fs.rename(new org.apache.hadoop.fs.Path(indexDir), aside)
     fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir.__new"),
       new org.apache.hadoop.fs.Path(indexDir))
+    fs.delete(aside, true)
     spark.catalog.refreshByPath(indexDir)
   }
 

@@ -54,11 +54,13 @@ object Acceleration {
       }
 
     // ---- MvRewrite views: navigation verdict + freshness -------------
-    // explainNavigation's per-entry lines come first and in allEntries'
-    // exact order (both sort by (base, keys)); trailing lines (the
-    // cache note) are kept verbatim
+    // ONE registry snapshot feeds both the navigation pass and the
+    // freshness column, so a concurrent register/unregister can never
+    // misalign a verdict with another view's staleness; per-entry lines
+    // come first in this exact order, trailing lines (the cache note)
+    // are kept verbatim
     val mvEntries = MvRewrite.allEntries
-    val navReport = MvRewrite.explainNavigation(df).split("\n").toSeq
+    val navReport = MvRewrite.explainNavigationFor(df, mvEntries).split("\n").toSeq
     val mvLines =
       if (mvEntries.isEmpty) Seq("MvRewrite: no views registered")
       else {

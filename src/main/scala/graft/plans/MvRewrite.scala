@@ -421,9 +421,15 @@ object MvRewrite {
     * when the plan touches neither. A cached base is called out
     * explicitly (cache substitution precedes optimizer extensions, so
     * a .cache()d base can never navigate — expected Spark precedence). */
-  def explainNavigation(df: DataFrame): String = {
-    import scala.jdk.CollectionConverters._
-    val es = entries.values().asScala.toSeq.sortBy(e => (e.base, e.keys.mkString(",")))
+  def explainNavigation(df: DataFrame): String =
+    explainNavigationFor(df, allEntries)
+
+  /** [[explainNavigation]] over a CALLER-HELD entry snapshot — what
+    * lets [[Acceleration.explainAcceleration]] pair each verdict line
+    * with its freshness line by position without racing a concurrent
+    * register/unregister between two registry reads. */
+  private[plans] def explainNavigationFor(df: DataFrame,
+                                          es: Seq[Entry]): String = {
     if (es.isEmpty) return "MvRewrite: no views registered"
     val optimized = df.queryExecution.optimizedPlan
     // scheme-insensitive (a registration path "/x" must match the

@@ -277,6 +277,35 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     * layout. */
   private def rangesOf(cond: Expression): Seq[(String, Option[Any], Option[Any])] =
     conjunctsOf(cond).flatMap {
+      // an equality whose literal the FINGERPRINT rendering can't serve
+      // (dates/timestamps — probeValue rejects them) still box-prunes
+      // exactly as the degenerate range [v, v]: the min/max compare is
+      // the same integer compare the row filter performs. Probe-able
+      // literals stay out of here — probesOf owns them (fingerprint
+      // membership beats a box on hash-clustered layouts, and the
+      // eqAsRange fallback in rewrite() already covers stats-only
+      // columns).
+      case EqualTo(a: AttributeReference, l: Literal)
+          if probeValue(l).isEmpty =>
+        boundValue(l).map(v => (a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if probeValue(l).isEmpty =>
+        boundValue(l).map(v => (a.name, Some(v), Some(v)))
+      // a date/timestamp IN-list prunes by its [min, max] ENVELOPE — a
+      // conservative superset of the OR-of-points (sound: a file whose
+      // box misses the envelope misses every point). The common
+      // dashboard list is a few adjacent days, where the envelope is
+      // nearly as tight as the points; every boundValue output is
+      // Comparable, so the natural order is the column's order.
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(v => v.isInstanceOf[Literal] &&
+            probeValue(v.asInstanceOf[Literal]).isEmpty) =>
+        val bs = vs.map(v => boundValue(v.asInstanceOf[Literal]))
+        if (bs.forall(_.isDefined)) {
+          val sorted = bs.map(_.get).sortWith((x, y) =>
+            x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+          Some((a.name, Some(sorted.head), Some(sorted.last)))
+        } else None
       case GreaterThan(a: AttributeReference, l: Literal) =>
         boundValue(l).map(v => (a.name, Some(v), None))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>

@@ -893,9 +893,14 @@ object Streams extends org.apache.spark.internal.Logging {
       // MvRewrite.registerVersionedFresh's exactly-current tail
       // composition subtracts from; a missing file log writes none and
       // fresh bails — degraded, never wrong), then the v=<id>/_SUCCESS
-      // marker LAST, then freshness + retention. Committed even for an
-      // empty batch: coverage and freshness keep advancing.
-      commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+      // marker LAST, then freshness + retention. An empty FIRST batch
+      // commits nothing (a resolvable version with no delta layers
+      // would make latestSnapshot read a nonexistent path — the same
+      // guard the other sinks carry); after the first data lands, even
+      // empty batches commit so coverage and freshness keep advancing.
+      if (listBatchDirs(spark, targetDir, "delta").nonEmpty ||
+          committedCompactions(spark, targetDir, "delta").nonEmpty)
+        commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
         compactEvery, batchId, mergePartialsFor(layout, keepBatch = true))
     }
@@ -1479,6 +1484,25 @@ object Streams extends org.apache.spark.internal.Logging {
         "a deletion set that large is a rebuild, not an index op")
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingDir = s"$targetDir/.delete_staging"
+    // self-heal a previous CRASHED swap before listing anything: a
+    // layer renamed aside (<name>.old) whose original dir is missing
+    // means the crash hit between the two renames — restore it (no
+    // silent loss, the re-run redoes the whole delete); an .old whose
+    // original exists again is a completed swap's leftover. Everything
+    // else in staging is a stale survivor write — recomputed anyway.
+    val stagingPath = new org.apache.hadoop.fs.Path(stagingDir)
+    if (fs.exists(stagingPath)) {
+      fs.listStatus(stagingPath)
+        .filter(_.getPath.getName.endsWith(".old")).foreach { st =>
+          val layer = st.getPath.getName.stripSuffix(".old")
+          val orig = new org.apache.hadoop.fs.Path(
+            if (layer.startsWith("c=")) s"$targetDir/compact/index/$layer"
+            else s"$targetDir/index/$layer")
+          if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+        }
+      fs.delete(stagingPath, true)
+    }
     val layers =
       listBatchDirs(spark, targetDir, "index").sorted
         .map(id => s"$targetDir/index/batch=$id") ++
@@ -1491,17 +1515,25 @@ object Streams extends org.apache.spark.internal.Logging {
         // survivors staged OUTSIDE the layer listings (dot-prefixed, so
         // batch=/c= parsers and Spark's own file listing never see it —
         // a "batch=5.__new" sibling would poison listBatchDirs forever
-        // after a crash)
-        val tmp = s"$targetDir/.delete_staging/${new org.apache.hadoop.fs.Path(dir).getName}"
+        // after a crash), then a two-rename swap: old aside, new in,
+        // old dropped. A crash at any point is recoverable — worst case
+        // the layer sits aside as <name>.old and the self-heal above
+        // restores it on the next run; the old delete-then-rename order
+        // could silently lose the WHOLE layer while versions kept
+        // resolving.
+        val name = new org.apache.hadoop.fs.Path(dir).getName
+        val tmp = s"$stagingDir/$name"
         layer.filter(col(idCol).isNull || !col(idCol).isin(ids: _*))
           .write.mode("overwrite").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val aside = new org.apache.hadoop.fs.Path(s"$stagingDir/$name.old")
+        fs.rename(new org.apache.hadoop.fs.Path(dir), aside)
         fs.rename(new org.apache.hadoop.fs.Path(tmp),
           new org.apache.hadoop.fs.Path(dir))
+        fs.delete(aside, true)
         rewritten += 1
       }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/.delete_staging"), true)
+    fs.delete(stagingPath, true)
     if (rewritten > 0) {
       // raw FS swaps: same-session listings must not serve the removed
       // files (the targetedDelete lesson)
@@ -1544,19 +1576,20 @@ object Streams extends org.apache.spark.internal.Logging {
                                  targetDir: String, checkpoint: String,
                                  batchId: Long, retainVersions: Int,
                                  withManifest: Boolean = true): Unit = {
-    val prev = snapshotVersions(spark, targetDir).filter(_ < batchId)
-      .sorted.lastOption
-    val prevManifest: Option[Seq[String]] = prev match {
-      case Some(v) => snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
-      case None => Some(Nil)
-    }
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // withManifest = false for ±op (retraction) sinks: file-coverage is
     // meaningless under retractions (tail composition is unsound), so
-    // recording one would only invite a wrong fresh registration
+    // recording one would only invite a wrong fresh registration — and
+    // the predecessor listing/manifest read is skipped with it (a
+    // per-trigger FS round-trip on object stores, for nothing)
     if (withManifest) for {
-      pm <- prevManifest
+      pm <- (snapshotVersions(spark, targetDir).filter(_ < batchId)
+        .sorted.lastOption match {
+          case Some(v) =>
+            snapshotManifest(spark, s"$targetDir/v=$v").map(_.toSeq)
+          case None => Some(Nil)
+        }): Option[Seq[String]]
       bf <- sourceBatchFiles(spark, checkpoint, batchId)
     } {
       val all = (pm ++ bf).distinct.sorted
@@ -1869,16 +1902,29 @@ object Streams extends org.apache.spark.internal.Logging {
                              targetDir: String, layout: AggLayout): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$targetDir/$LayoutFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      layout.keys.foreach(k => require(!k.contains(","),
-        s"agg snapshot sink: key column '$k' contains a comma — the " +
-          "_layout marker cannot encode it"))
-      val out = fs.create(p, true)
-      try out.write((s"layout=agg-partials\nretract=${layout.retract}\n" +
-        s"scale=${layout.scale}\nkmvK=${layout.kmvK}\n" +
-        s"keys=${layout.keys.mkString(",")}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    aggLayoutOf(spark, targetDir) match {
+      case Some(existing) =>
+        // a sink restarted with DIFFERENT configuration against an
+        // existing target would write partials in other units next to
+        // the old ones and the fold would silently mix them (e.g.
+        // scale=3 sums added to scale=2 sums are off by 10×) — the
+        // loud per-batch scale check the old eager-refresh path
+        // performed, reinstated at the layout marker
+        require(existing == layout,
+          s"agg snapshot sink: $targetDir was built with $existing but " +
+            s"this sink is configured as $layout — mixing layouts would " +
+            "silently corrupt the folded sums; use a fresh target (or " +
+            "the original configuration)")
+      case None =>
+        layout.keys.foreach(k => require(!k.contains(","),
+          s"agg snapshot sink: key column '$k' contains a comma — the " +
+            "_layout marker cannot encode it"))
+        val out = fs.create(p, true)
+        try out.write((s"layout=agg-partials\nretract=${layout.retract}\n" +
+          s"scale=${layout.scale}\nkmvK=${layout.kmvK}\n" +
+          s"keys=${layout.keys.mkString(",")}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
     }
   }
 

@@ -183,6 +183,28 @@ class SkipRewriteSpec extends AnyFunSuite {
         assert(febTokyo.count() == direct,
           "timestamp pruning diverged from the full scan under a tz change")
       } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+      // date/timestamp EQUALITY prunes too — as the degenerate range
+      // [v, v] (probeValue rejects these literals for fingerprints, but
+      // the box compare is exact)
+      val eqD = spark.read.parquet(s"$dir/t")
+        .filter(col("d") === lit("2024-06-03").cast("date"))
+      assert(scannedFiles(eqD) <= 3,
+        s"date equality opened ${scannedFiles(eqD)} of 12")
+      assert(eqD.count() == 24)
+      val eqT = spark.read.parquet(s"$dir/t")
+        .filter(col("ts") === "2024-02-10 05:00:00")
+      assert(scannedFiles(eqT) <= 3 && eqT.count() == 1,
+        "timestamp equality did not box-prune")
+      // a date IN-list prunes by its [min, max] envelope (adjacent-days
+      // dashboard shape)
+      val inD = spark.read.parquet(s"$dir/t")
+        .filter(col("d").isin(
+          java.sql.Date.valueOf("2024-06-02"),
+          java.sql.Date.valueOf("2024-06-04"),
+          java.sql.Date.valueOf("2024-06-03")))
+      assert(scannedFiles(inD) <= 3,
+        s"date IN-list opened ${scannedFiles(inD)} of 12")
+      assert(inD.count() == 3L * 24)
       // doubles stay out: a fractional range must NOT navigate
       val dbl = spark.read.parquet(s"$dir/t")
         .filter(col("g").cast("double") >= 1.5 && col("g").cast("double") <= 3.5)

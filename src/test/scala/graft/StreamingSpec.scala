@@ -1214,6 +1214,43 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally graft.plans.MvRewrite.unregister(baseDir)
   }
 
+  test("S6y partials-layout guards: empty first batch commits nothing; a reconfigured sink fails loudly") {
+    import spark.implicits._
+    val baseDir = tmp("graft-guard-base")
+    val target = tmp("graft-guard-tgt")
+    // batch 0 carries a FILE but zero rows: no delta layer exists, so
+    // no version may commit (a resolvable version over a nonexistent
+    // delta/ would make latestSnapshot throw instead of returning None)
+    Seq.empty[(String, Double)].toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, tmp("graft-guard-ck"), Seq("k"), Seq("v"))
+    try q.processAllAvailable() finally q.stop()
+    assert(Streams.latestSnapshot(spark, target).isEmpty,
+      "an empty first batch must not commit a resolvable version")
+    // real data lands: the SAME checkpoint commits normally
+    Seq(("a", 1.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q2 = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, s"${target}-ck2", Seq("k"), Seq("v"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Streams.latestSnapshot(spark, target).get.count() == 1)
+    // a sink reconfigured against the existing target (different scale)
+    // must fail LOUDLY at its first trigger — mixing fixed-point units
+    // across layers would silently corrupt every folded sum
+    val q3 = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double").parquet(baseDir),
+      target, s"${target}-ck3", Seq("k"), Seq("v"), scale = 3)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(ex.getMessage.contains("mixing layouts") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixing layouts")),
+      s"expected the layout-mismatch guard, got: ${ex.getMessage}")
+  }
+
   test("S6x staleness-gated navigation: within the gate the MV answers; beyond it the direct scan does") {
     import spark.implicits._
     val baseDir = tmp("graft-gate-base")
