@@ -74,7 +74,8 @@ object MvRewrite {
                          tail: Option[String => Option[DataFrame]] = None,
                          base: String = "",
                          nullFiltered: Set[String] = Set.empty,
-                         staleGate: () => Option[String] = () => None)
+                         staleGate: () => Option[String] = () => None,
+                         predicate: Seq[Expression] = Nil)
 
   /** Keyed by (basePath, sorted key set): ONE BASE MAY CARRY SEVERAL
     * VIEWS — a (flag, status) rollup and a (day) rollup over the same
@@ -85,8 +86,15 @@ object MvRewrite {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  private def entryKey(basePath: String, keys: Seq[String]): String =
-    basePath + "#" + keys.sorted.mkString(",")
+  private def entryKey(basePath: String, keys: Seq[String],
+                       predicate: Seq[Expression] = Nil): String =
+    basePath + "#" + keys.sorted.mkString(",") +
+      // a filtered view keys separately from its unfiltered sibling —
+      // a full view and a hot-subset view over the same (base, keys)
+      // coexist; re-registering the same (base, keys, predicate) still
+      // replaces (the refresh idiom)
+      (if (predicate.isEmpty) ""
+       else "#" + predicate.map(_.canonicalized.toString).sorted.mkString("&"))
 
   /** Lookup matches on EXACT root-path sets, so two registrations whose
     * roots intersect but differ (e.g. a parent dir and one partition
@@ -155,6 +163,52 @@ object MvRewrite {
         s"$who: cannot resolve $n: $other")
     }
 
+  /** Is `c` guaranteed FALSE-or-filtered on a NULL in column `name` —
+    * i.e. does a row surviving `c` certainly have `name` non-null? A
+    * conservative whitelist of null-rejecting shapes (comparisons, IN,
+    * string predicates); anything else answers false. Used to decide
+    * when an `isnotnull` conjunct is implied by its neighbors — both
+    * when canonicalizing a registered view predicate and when dropping
+    * the query's own inferred `isnotnull` after its implying conjunct
+    * was consumed by the predicate match. */
+  private[plans] def nullRejectingOn(c: Expression, name: String): Boolean =
+    c.references.exists(_.name == name) && (c match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: In | _: InSet |
+           _: StartsWith | _: EndsWith | _: Contains | _: Like => true
+      case _ => false
+    })
+
+  private def splitConjuncts(ex: Expression): Seq[Expression] = ex match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Resolve a view PREDICATE against the base through the optimizer
+    * (the [[resolveAgainst]] trip — query conjuncts arrive constant-
+    * folded, so the stored ones must too), canonicalized to conjuncts
+    * with optimizer-inferred `isnotnull`s dropped when another
+    * null-rejecting conjunct on the same column already implies them
+    * (the query side infers — and we consume — the same way). A
+    * predicate the optimizer folds away entirely (tautology) or folds
+    * to an empty relation (contradiction) is rejected: the first needs
+    * no filtered view, the second describes an empty one. */
+  private def resolvePredicate(base: DataFrame, pred: Column,
+                               who: String): Seq[Expression] =
+    base.filter(pred).queryExecution.optimizedPlan match {
+      case Filter(cond, _) =>
+        val conjuncts = splitConjuncts(cond)
+        conjuncts.filter {
+          case nn @ IsNotNull(a: AttributeReference) =>
+            !conjuncts.exists(c => !c.fastEquals(nn) && nullRejectingOn(c, a.name))
+          case _ => true
+        }
+      case other => throw new IllegalArgumentException(
+        s"$who: predicate ${pred.toString} did not survive optimization as a " +
+          s"Filter over the base (got ${other.nodeName}) — a tautology needs " +
+          "no filtered view and a contradiction describes an empty one")
+    }
+
   /** The canonical string a composite distinct key hashes —
     * [[graft.ops.Sketches.kmvTupleHash]]'s inner concat, resolved
     * against the base so a query-side `kmv_distinct(concat_ws(…))`
@@ -175,10 +229,11 @@ object MvRewrite {
                distinctCols: Seq[String] = Nil,
                kmvK: Int = graft.functions.Kmv.DefaultK,
                distinctTuples: Seq[Seq[String]] = Nil,
-               kllCols: Seq[String] = Nil, kllK: Int = 200): Unit =
+               kllCols: Seq[String] = Nil, kllK: Int = 200,
+               predicate: Option[Column] = None): Unit =
     registerDerived(spark, basePath, keys, measures, Map.empty, snapshotPath,
       scale, minMaxMeasures, distinctCols, kmvK, Map.empty, distinctTuples,
-      kllCols, kllK)
+      kllCols, kllK, predicate)
 
   /** Like [[register]], plus DERIVED measures (name → Column expression
     * over base columns, e.g. `"disc_price" -> col("l_extendedprice") *
@@ -190,6 +245,17 @@ object MvRewrite {
     * queries summing/averaging/grouping by a SEMANTICALLY EQUAL
     * expression are then answered from it. Derived key names must be
     * listed in `keys` (they ARE snapshot keys, just not base columns). */
+  /** `predicate` makes the registration a PARTIAL (filtered) view: the
+    * snapshot was built over `base.filter(predicate)` only — the
+    * "hot subset" MV (this quarter's rows, one tenant, the curated
+    * split). A query navigates ONLY when its own predicates contain
+    * every conjunct of the view predicate (matched semantically, the
+    * derived-formula machinery's equality — exact-conjunct matching,
+    * no implication reasoning: `x > 3` does not serve `x > 5`);
+    * matched conjuncts are consumed (every snapshot row already
+    * passed them), and any residual predicates still face the
+    * key-only gate. A query NOT carrying the predicate keeps its
+    * direct scan — never answered from a subset. */
   def registerDerived(spark: SparkSession, basePath: String, keys: Seq[String],
                       measures: Seq[String],
                       derived: Map[String, Column],
@@ -199,7 +265,8 @@ object MvRewrite {
                       kmvK: Int = graft.functions.Kmv.DefaultK,
                       derivedKeys: Map[String, Column] = Map.empty,
                       distinctTuples: Seq[Seq[String]] = Nil,
-                      kllCols: Seq[String] = Nil, kllK: Int = 200): Unit = {
+                      kllCols: Seq[String] = Nil, kllK: Int = 200,
+                      predicate: Option[Column] = None): Unit = {
     val base = spark.read.parquet(basePath)
     val roots = rootPathsOf(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -226,10 +293,13 @@ object MvRewrite {
         resolveAgainst(base, t.mkString("_"), tupleConcat(t),
           "MvRewrite.registerDerived")))
     requireNoOverlap(basePath, roots)
-    entries.put(entryKey(basePath, keys),
+    val predExprs = predicate.map(resolvePredicate(base, _,
+      "MvRewrite.registerDerived")).getOrElse(Nil)
+    entries.put(entryKey(basePath, keys, predExprs),
       Entry(roots, keys, measures, scale, () => snapshotPath, derivedExprs,
         minMaxMeasures, distinctCols, kmvK, derivedKeyExprs, tupleExprs,
-        kllCols, kllK, base = basePath, nullFiltered = nullFiltered))
+        kllCols, kllK, base = basePath, nullFiltered = nullFiltered,
+        predicate = predExprs))
   }
 
   /** Register against a [[graft.streaming.Streams.aggSnapshotSink]]
@@ -444,7 +514,9 @@ object MvRewrite {
     val cached = optimized.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
     val lines = es.map { e =>
-      val head = s"view(base=${e.base}, keys=${e.keys.mkString(",")})"
+      val head = s"view(base=${e.base}, keys=${e.keys.mkString(",")}" +
+        (if (e.predicate.isEmpty) ")"
+         else s", where=${e.predicate.map(_.sql).mkString(" AND ")})")
       val snapPath = try Some(e.snapshotPath())
         catch { case _: IllegalStateException => None }
       val baseScanned = e.rootPaths.map(norm).exists(scannedRoots.contains)
@@ -560,7 +632,7 @@ object MvRewrite {
     rootPathsAndFilters(child, Nil, Map.empty).flatMap { case (roots, conds, binds) =>
       import scala.jdk.CollectionConverters._
       val matches = entries.values().asScala.filter(_.rootPaths == roots)
-        .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+        .toSeq.sortBy(e => (e.keys.size, -e.predicate.size, e.keys.sorted.mkString(",")))
       if (matches.isEmpty) None else Some((matches, conds, binds))
     }
 
@@ -618,7 +690,7 @@ object MvRewrite {
         val factMatches = resolved.flatMap { case (b, r) =>
           r.flatMap { case (roots, fConds, fBinds) =>
             val matches = entries.values().asScala.filter(_.rootPaths == roots)
-              .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+              .toSeq.sortBy(e => (e.keys.size, -e.predicate.size, e.keys.sorted.mkString(",")))
             if (matches.isEmpty) None else Some((b, matches, fConds, fBinds))
           }
         }
@@ -676,7 +748,7 @@ object MvRewrite {
         .map { case (roots, conds, cBinds) =>
           import scala.jdk.CollectionConverters._
           val matches = entries.values().asScala.filter(_.rootPaths == roots)
-            .toSeq.sortBy(e => (e.keys.size, e.keys.sorted.mkString(",")))
+            .toSeq.sortBy(e => (e.keys.size, -e.predicate.size, e.keys.sorted.mkString(",")))
           (matches, conds, cBinds, Seq.empty[LogicalPlan])
         }
         .orElse(lookupStar(ex.child).map { case (ms, conds, sBinds, dims) =>
@@ -948,13 +1020,44 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // an `isnotnull(c)` conjunct the derived-key registration implied
     // (window()'s TimeWindowing filter) is already baked into the
     // snapshot's groups — drop it rather than reject the query
-    val inlinedFilters = filters.flatMap(f => conjunctsOf(inline(f)))
+    val allFilters = filters.flatMap(f => conjunctsOf(inline(f)))
       .filterNot {
         case IsNotNull(a: AttributeReference) =>
           !dimOut.contains(a) && e.nullFiltered.contains(a.name)
         case _ => false
       }
       .map(bucketize)
+    // PARTIAL (filtered) view: the snapshot holds only base rows that
+    // passed the registered predicate, so the query must be at least
+    // as selective — every predicate conjunct must appear semantically
+    // among the query's own fact-side conjuncts (exact-conjunct match,
+    // no implication reasoning: `x > 3` never serves `x > 5`). Matched
+    // conjuncts are CONSUMED — every snapshot row passed them at build
+    // time, so replaying them is unnecessary (and impossible: they may
+    // reference non-key columns the snapshot doesn't carry). The
+    // query's own optimizer-inferred `isnotnull`s whose implying
+    // conjunct was just consumed go with it (same null-rejecting
+    // whitelist the registration canonicalized by); a query NOT
+    // carrying the predicate bails to its always-complete direct scan.
+    val inlinedFilters =
+      if (e.predicate.isEmpty) allFilters
+      else {
+        def factOnly(q: Expression): Boolean =
+          q.references.nonEmpty && !q.references.exists(dimOut.contains)
+        var rem = allFilters
+        e.predicate.foreach { p =>
+          val i = rem.indexWhere(q => factOnly(q) && sameFormula(q, p))
+          if (i < 0) bail(s"view is filtered on ${p.sql}, which the " +
+            "query's own predicates do not contain — a partial view " +
+            "answers only queries at least as selective")
+          rem = rem.patch(i, Nil, 1)
+        }
+        rem.filterNot {
+          case IsNotNull(a: AttributeReference) if !dimOut.contains(a) =>
+            e.predicate.exists(MvRewrite.nullRejectingOn(_, a.name))
+          case _ => false
+        }
+      }
     // answerable filters select WHOLE fact groups: every reference is a
     // dim attribute (evaluated per joined pair, untouched) or a snapshot
     // key (constant within a group)

@@ -1732,6 +1732,147 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  // Right-to-be-forgotten for the MAINTAINED MV itself — the fifth leg
+  // (corpus, BM25 postings, ANN assignments, LSH signatures, and now
+  // the agg-snapshot partials): the real aggSnapshotSinkAppendOnly
+  // stream builds the snapshot over three microbatches, compactSnapshot
+  // folds them into a generation, and snapshotDelete scrubs one key's
+  // groups from EVERY layer — all three batch dirs AND the generation
+  // (the require pins 4 rewrites). The served snapshot then hash-equals
+  // the oracle's rebuild-without-those-groups: deletion leaves no
+  // residue in any layer a reader could resolve.
+  private val qMvForget = QueryDef("q_mv_forget", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS cnt,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_l_quantity,
+      |       min(l_quantity) AS min_l_quantity,
+      |       max(l_quantity) AS max_l_quantity
+      |FROM lineitem
+      |WHERE l_returnflag <> 'R'
+      |GROUP BY 1, 2""".stripMargin), bench = false) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val work = java.nio.file.Files.createTempDirectory("graft-forget-q").toString
+    try {
+      val baseDir = s"$work/base"
+      (0 until 3).foreach(i => li.filter(col("l_orderkey") % 3 === i)
+        .drop("l_orderkey").coalesce(1).write.mode("append").parquet(baseDir))
+      val sink = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+        spark.readStream.schema(spark.read.parquet(baseDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(baseDir),
+        s"$work/tgt", s"$work/ck", keys, Seq("l_quantity"))
+      try sink.processAllAvailable() finally sink.stop()
+      require(graft.streaming.Streams.compactSnapshot(spark, s"$work/tgt",
+        targetFiles = 2).contains(2L),
+        "q_mv_forget: compaction did not cover the three batches")
+      val rewritten = graft.streaming.Streams.snapshotDelete(spark,
+        s"$work/tgt", "l_returnflag", Seq("R"))
+      require(rewritten == 4,
+        s"q_mv_forget: expected all 3 batch dirs + 1 generation rewritten, " +
+          s"got $rewritten")
+      val snap = graft.streaming.Streams.latestSnapshot(spark, s"$work/tgt")
+        .getOrElse(throw new IllegalStateException("q_mv_forget: no snapshot"))
+      graft.ops.Cdc.aggView(snap, Seq("l_quantity"))
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_l_quantity",
+          "min_l_quantity", "max_l_quantity")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // TIME TRAVEL on the maintained MV: the v=<id>/_SUCCESS markers the
+  // sinks already write ARE a version log, so "what did this MV serve
+  // before that batch landed" is one resolution away. Two real sink
+  // runs (stop, land the last 10%, restart on the same checkpoint) give
+  // two committed versions; snapshotAsOf at the FIRST must hash-equal
+  // the oracle's aggregate over only the first run's rows — the later
+  // batch is invisible at the pinned version. The require()s gate that
+  // a second version genuinely exists above the pin (this row is not
+  // latestSnapshot in disguise).
+  private val qMvAsOf = QueryDef("q_mv_asof", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS cnt,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_l_quantity,
+      |       min(l_quantity) AS min_l_quantity,
+      |       max(l_quantity) AS max_l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey % 10 <> 0
+      |GROUP BY 1, 2""".stripMargin), bench = false) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val work = java.nio.file.Files.createTempDirectory("graft-asof-q").toString
+    try {
+      val baseDir = s"$work/base"
+      li.filter(col("l_orderkey") % 10 =!= 0).drop("l_orderkey")
+        .coalesce(1).write.mode("overwrite").parquet(baseDir)
+      def runSink(): Unit = {
+        val sink = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+          spark.readStream.schema(spark.read.parquet(baseDir).schema)
+            .parquet(baseDir),
+          s"$work/tgt", s"$work/ck", keys, Seq("l_quantity"))
+        try sink.processAllAvailable() finally sink.stop()
+      }
+      runSink()
+      val pin = graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/tgt").max
+      li.filter(col("l_orderkey") % 10 === 0).drop("l_orderkey")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+      runSink()
+      require(graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/tgt")
+        .max > pin, "q_mv_asof: no version committed above the pinned one")
+      val asOf = graft.streaming.Streams.snapshotAsOf(spark, s"$work/tgt", pin)
+      graft.ops.Cdc.aggView(asOf, Seq("l_quantity"))
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_l_quantity",
+          "min_l_quantity", "max_l_quantity")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // PARTIAL (filtered) MV navigation — the hot-subset view: the
+  // snapshot materializes only `l_quantity > 25` rows (a NON-key
+  // predicate, which a full view could never answer — non-key filters
+  // select partial groups), and a query carrying the same predicate is
+  // answered from it with the predicate consumed (every snapshot row
+  // already passed it). The require() pins that the navigated plan
+  // scans the kilobyte snapshot, not the base; the oracle recomputes
+  // the aggregate over the filtered base with the snapshot's own
+  // fixed-point cents arithmetic, so the navigation hash-checks.
+  private val qMvFiltered = QueryDef("q_mv_filtered", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS cnt,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem
+      |WHERE l_quantity > 25
+      |GROUP BY 1, 2""".stripMargin), bench = false) { (spark, dir) =>
+    val basePath = s"$dir/lineitem.parquet"
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val work = java.nio.file.Files.createTempDirectory("graft-mvfilt-q").toString
+    try {
+      val base = spark.read.parquet(basePath)
+      val pred = col("l_quantity") > 25
+      graft.ops.Cdc.aggSnapshot(base.filter(pred), keys, Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$work/hot")
+      graft.plans.MvRewrite.register(spark, basePath, keys, Seq("l_quantity"),
+        s"$work/hot", predicate = Some(pred))
+      try {
+        val out = spark.read.parquet(basePath)
+          .filter(col("l_quantity") > 25)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains(s"$work/hot") && !plan.contains("lineitem.parquet"),
+          s"q_mv_filtered: partial-view navigation did not engage:\n$plan")
+        out.localCheckpoint(true)
+      } finally graft.plans.MvRewrite.unregister(basePath)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1, q1d, q2, q2n, q3, q3p, q3s, q3m, q4, q4l, q4s, q4a, q4f, q5, q6,
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12kmv, qUdaf,
@@ -1740,5 +1881,6 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipJoin, qDelete)
+    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipJoin, qDelete,
+    qMvForget, qMvAsOf, qMvFiltered)
 }

@@ -978,13 +978,20 @@ object Streams extends org.apache.spark.internal.Logging {
     * `readPrunedEquals`/`filesForPredicates` unchanged. None before
     * the first committed version that indexed any file. */
   def latestSkippingIndex(spark: org.apache.spark.sql.SparkSession,
-                          targetDir: String): Option[DataFrame] =
-    snapshotVersions(spark, targetDir).sorted.lastOption.flatMap { v =>
+                          targetDir: String,
+                          asOf: Option[Long] = None): Option[DataFrame] = {
+    val vOpt = asOf match {
+      case Some(_) => Some(resolveVersion(spark, targetDir, Seq("stats"),
+        asOf, "Streams.latestSkippingIndex"))
+      case None => snapshotVersions(spark, targetDir).sorted.lastOption
+    }
+    vOpt.flatMap { v =>
       val hasBatches = listBatchDirs(spark, targetDir, "stats").exists(_ <= v)
       val hasGen = committedCompactions(spark, targetDir, "stats").exists(_ <= v)
       if (!hasBatches && !hasGen) None
       else Some(maintainedBatchRows(spark, targetDir, "stats", v).drop("batch"))
     }
+  }
 
   /** Maintain a [[graft.ops.TextAnalysis.bm25IndexBuild]]-shaped
     * retrieval index from the ingestion stream — ranked retrieval that
@@ -1098,16 +1105,20 @@ object Streams extends org.apache.spark.internal.Logging {
     * query's term IN-list (pushed into the scan), df/stats from the
     * version's own tables — rankings equal
     * [[graft.ops.TextAnalysis.bm25BatchTopK]] over exactly the
-    * documents the version covers, bit-for-bit (spec-pinned). */
+    * documents the version covers, bit-for-bit (spec-pinned). `asOf`
+    * time-travels the ranking to any retained version — "what did
+    * retrieval serve before that batch landed" ([[snapshotAsOf]]'s
+    * window contract: refuses below the oldest retained postings/df
+    * generation). */
   def bm25SearchMaintained(spark: org.apache.spark.sql.SparkSession,
                            targetDir: String, queries: DataFrame, k: Int,
                            k1: Double = 1.2, b: Double = 0.75,
-                           maxTerms: Int = 4096): DataFrame = {
+                           maxTerms: Int = 4096,
+                           asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(k > 0, "Streams.bm25SearchMaintained: k must be positive")
-    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"Streams.bm25SearchMaintained: no committed index version under $targetDir"))
+    val version = resolveVersion(spark, targetDir, Seq("postings", "df"),
+      asOf, "Streams.bm25SearchMaintained")
     val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
       "Streams.bm25SearchMaintained")
     val postings = maintainedBatchRows(spark, targetDir, "postings", version)
@@ -1273,10 +1284,11 @@ object Streams extends org.apache.spark.internal.Logging {
                             codebooksDir: String, queries: DataFrame,
                             corpus: DataFrame, topK: Int, nProbe: Int = 4,
                             dim: Int = 64, rescore: Int = 4,
-                            maxQueries: Int = 4096): DataFrame = {
+                            maxQueries: Int = 4096,
+                            asOf: Option[Long] = None): DataFrame = {
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
-      maxQueries, "Streams.ivfPqSearchMaintained")
+      maxQueries, "Streams.ivfPqSearchMaintained", asOf)
     graft.ops.Similarity.ivfPqSearch(queries, corpus, indexed,
       cellS, cellN, pqS, pqN, topK, nProbe, dim, rescore)
   }
@@ -1334,14 +1346,13 @@ object Streams extends org.apache.spark.internal.Logging {
                                    targetDir: String, centroidsDir: String,
                                    codebooksDir: String, queries: DataFrame,
                                    nProbe: Int, dim: Int, maxQueries: Int,
-                                   caller: String):
+                                   caller: String,
+                                   asOf: Option[Long] = None):
       (DataFrame, Array[Array[Long]], Array[Long],
        Array[Array[Array[Long]]], Array[Array[Long]]) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"$caller: no committed index version under $targetDir"))
+    val version = resolveVersion(spark, targetDir, Seq("assign"), asOf, caller)
     val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(spark, centroidsDir)
     val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(spark, codebooksDir)
     // bounded BEFORE collecting: limit(maxQueries+1) caps what can ever
@@ -1407,11 +1418,11 @@ object Streams extends org.apache.spark.internal.Logging {
   def nearDupsMaintained(spark: org.apache.spark.sql.SparkSession,
                          targetDir: String, batch: DataFrame, idCol: String,
                          shingleCol: String, threshold: Double,
-                         broadcastBatch: Boolean = true): DataFrame = {
+                         broadcastBatch: Boolean = true,
+                         asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"Streams.nearDupsMaintained: no committed index version under $targetDir"))
+    val version = resolveVersion(spark, targetDir, Seq("index"), asOf,
+      "Streams.nearDupsMaintained")
     val index = maintainedBatchRows(spark, targetDir, "index", version)
       .select(idCol, "sig", "shset")
     graft.ops.Dedup.nearDupsAgainstIndex(index, batch, idCol, shingleCol,
@@ -1477,14 +1488,83 @@ object Streams extends org.apache.spark.internal.Logging {
   def lshIndexDelete(spark: org.apache.spark.sql.SparkSession,
                      targetDir: String, idCol: String, ids: Seq[Long],
                      maxValues: Int = 1024): Int = {
-    import org.apache.spark.sql.functions.col
     require(ids.nonEmpty, "Streams.lshIndexDelete: no ids")
     require(ids.length <= maxValues,
       s"Streams.lshIndexDelete: ${ids.length} ids exceeds $maxValues — " +
         "a deletion set that large is a rebuild, not an index op")
+    scrubLayers(spark, targetDir, "index", idCol, ids)
+  }
+
+  /** Targeted deletion from a partials-layout agg-snapshot target
+    * ([[aggSnapshotSink]] / [[aggSnapshotSinkAppendOnly]]) — the FIFTH
+    * right-to-be-forgotten leg, completing the set (corpus, BM25
+    * postings, ANN assignments, LSH signatures): a maintained per-user
+    * MV keeps serving a forgotten user's GROUP forever, because no
+    * retraction ever arrives for keys the stream has stopped carrying.
+    * `keyCol` must be one of the snapshot's key columns (the `_layout`
+    * marker's `keys`): this forgets whole snapshot GROUPS — every
+    * partial row whose key matches, in every `delta/batch=<id>` layer
+    * AND every committed `compact/delta/c=<id>` generation, rewritten
+    * via the shared staged two-rename swap (crash-recoverable,
+    * listings never poisoned). Untouched layers stay byte-identical;
+    * commit markers are untouched, so versions keep resolving and
+    * [[latestSnapshot]] / MvRewrite navigation fold the surviving
+    * partials — the deleted groups simply vanish, exactly as if the
+    * snapshot had been rebuilt without them.
+    *
+    * Scope contract: removing one key's whole group IS the GDPR shape
+    * when the key identifies the data subject (per-user/per-doc MVs).
+    * Removing a subject's CONTRIBUTION to other-keyed aggregates is
+    * arithmetic, not deletion — feed retraction rows through the ±op
+    * sink (its algebra exists for exactly that), or rebuild. Order
+    * with the base-table delete: base first
+    * ([[graft.ops.Layout.targetedDelete]]), then this — a later full
+    * rebuild must not resurrect the groups. Offline-maintenance
+    * contract like its four siblings: run without a concurrent reader
+    * of the same target. Returns the number of layers rewritten. */
+  def snapshotDelete(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String, keyCol: String, values: Seq[Any],
+                     maxValues: Int = 1024): Int = {
+    val layout = aggLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.snapshotDelete: $targetDir has no _layout marker — not a " +
+          "partials-layout agg-snapshot target (lshIndexDelete / " +
+          "bm25IndexDelete / ivfPqIndexDelete handle the index sinks; " +
+          "Layout.targetedDelete handles raw tables)"))
+    require(layout.keys.contains(keyCol),
+      s"Streams.snapshotDelete: '$keyCol' is not a snapshot key of " +
+        s"$targetDir (keys: ${layout.keys.mkString(", ")}) — only whole " +
+        "groups can be forgotten; contribution removal is a retraction, " +
+        "not a deletion")
+    require(values.nonEmpty, "Streams.snapshotDelete: no values")
+    require(values.length <= maxValues,
+      s"Streams.snapshotDelete: ${values.length} values exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    scrubLayers(spark, targetDir, "delta", keyCol, values)
+  }
+
+  /** The shared scrub behind [[lshIndexDelete]] and [[snapshotDelete]]:
+    * rewrite every on-disk LAYER of a maintained batch-dir artifact —
+    * each `<subdir>/batch=<id>` dir and each committed
+    * `compact/<subdir>/c=<id>` generation — without the rows whose
+    * `colName` matches `values`, touching ONLY layers that contain a
+    * match (one column-pruned probe scan per layer). Survivors are
+    * staged OUTSIDE the layer listings (dot-prefixed, so batch=/c=
+    * parsers and Spark's own file listing never see them — a
+    * "batch=5.__new" sibling would poison listBatchDirs forever after
+    * a crash), then a two-rename swap: old aside, new in, old dropped.
+    * A crash at any point is recoverable — worst case the layer sits
+    * aside as `<name>.old` and the self-heal pass restores it on the
+    * next run; a delete-then-rename order could silently lose the
+    * WHOLE layer while versions kept resolving. NULL-keyed rows always
+    * survive (a null never matches a deletion value). */
+  private def scrubLayers(spark: org.apache.spark.sql.SparkSession,
+                          targetDir: String, subdir: String,
+                          colName: String, values: Seq[Any]): Int = {
+    import org.apache.spark.sql.functions.col
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stagingDir = s"$targetDir/.delete_staging"
+    val stagingDir = s"$targetDir/.delete_staging_$subdir"
     // self-heal a previous CRASHED swap before listing anything: a
     // layer renamed aside (<name>.old) whose original dir is missing
     // means the crash hit between the two renames — restore it (no
@@ -1497,38 +1577,37 @@ object Streams extends org.apache.spark.internal.Logging {
         .filter(_.getPath.getName.endsWith(".old")).foreach { st =>
           val layer = st.getPath.getName.stripSuffix(".old")
           val orig = new org.apache.hadoop.fs.Path(
-            if (layer.startsWith("c=")) s"$targetDir/compact/index/$layer"
-            else s"$targetDir/index/$layer")
+            if (layer.startsWith("c=")) s"$targetDir/compact/$subdir/$layer"
+            else s"$targetDir/$subdir/$layer")
           if (!fs.exists(orig)) fs.rename(st.getPath, orig)
         }
       fs.delete(stagingPath, true)
     }
     val layers =
-      listBatchDirs(spark, targetDir, "index").sorted
-        .map(id => s"$targetDir/index/batch=$id") ++
-      committedCompactions(spark, targetDir, "index").sorted
-        .map(c => s"$targetDir/compact/index/c=$c")
+      listBatchDirs(spark, targetDir, subdir).sorted
+        .map(id => s"$targetDir/$subdir/batch=$id") ++
+      committedCompactions(spark, targetDir, subdir).sorted
+        .map(c => s"$targetDir/compact/$subdir/c=$c")
     var rewritten = 0
     layers.foreach { dir =>
       val layer = spark.read.parquet(dir)
-      if (!layer.filter(col(idCol).isin(ids: _*)).isEmpty) {
-        // survivors staged OUTSIDE the layer listings (dot-prefixed, so
-        // batch=/c= parsers and Spark's own file listing never see it —
-        // a "batch=5.__new" sibling would poison listBatchDirs forever
-        // after a crash), then a two-rename swap: old aside, new in,
-        // old dropped. A crash at any point is recoverable — worst case
-        // the layer sits aside as <name>.old and the self-heal above
-        // restores it on the next run; the old delete-then-rename order
-        // could silently lose the WHOLE layer while versions kept
-        // resolving.
+      if (!layer.filter(col(colName).isin(values: _*)).isEmpty) {
         val name = new org.apache.hadoop.fs.Path(dir).getName
         val tmp = s"$stagingDir/$name"
-        layer.filter(col(idCol).isNull || !col(idCol).isin(ids: _*))
+        layer.filter(col(colName).isNull || !col(colName).isin(values: _*))
           .write.mode("overwrite").parquet(tmp)
         val aside = new org.apache.hadoop.fs.Path(s"$stagingDir/$name.old")
         fs.rename(new org.apache.hadoop.fs.Path(dir), aside)
         fs.rename(new org.apache.hadoop.fs.Path(tmp),
           new org.apache.hadoop.fs.Path(dir))
+        // a generation layer is resolvable only through its _SUCCESS
+        // (committedCompactions): recreate it explicitly — the staged
+        // survivor write may not have produced one in sessions where
+        // parquet success markers are disabled (compactCore's own
+        // precaution), and losing it would silently un-commit the
+        // generation
+        if (name.startsWith("c="))
+          fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
         fs.delete(aside, true)
         rewritten += 1
       }
@@ -1537,9 +1616,9 @@ object Streams extends org.apache.spark.internal.Logging {
     if (rewritten > 0) {
       // raw FS swaps: same-session listings must not serve the removed
       // files (the targetedDelete lesson)
-      spark.catalog.refreshByPath(s"$targetDir/index")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/compact/index")))
-        spark.catalog.refreshByPath(s"$targetDir/compact/index")
+      spark.catalog.refreshByPath(s"$targetDir/$subdir")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/compact/$subdir")))
+        spark.catalog.refreshByPath(s"$targetDir/compact/$subdir")
     }
     rewritten
   }
@@ -2217,14 +2296,87 @@ object Streams extends org.apache.spark.internal.Logging {
                      targetDir: String): Option[DataFrame] = {
     snapshotVersions(spark, targetDir)
       .sorted.lastOption
-      .map { v =>
-        aggLayoutOf(spark, targetDir) match {
-          case Some(l) => mergePartialsFor(l, keepBatch = false)(
-            maintainedBatchRows(spark, targetDir, "delta", v).drop("batch"))
-          case None => spark.read.parquet(s"$targetDir/v=$v")
-        }
-      }
+      .map(snapshotAtVersion(spark, targetDir, _))
   }
+
+  /** TIME TRAVEL: the snapshot as of one RETAINED committed version —
+    * "what did this MV serve last trigger / before that backfill",
+    * answered off the versioned layout the sinks already maintain (the
+    * `v=<id>/_SUCCESS` markers ARE a version log; serving any retained
+    * one costs nothing extra). Works across layouts like
+    * [[latestSnapshot]]: a partials-layout target folds only the
+    * `delta/batch=<id>` layers (and covering generation) `<= version`
+    * — later batches are invisible, so the result is bit-identical to
+    * what [[latestSnapshot]] returned when `version` WAS the latest; an
+    * [[upsertSink]] / [[ivfStatsSink]] target reads the version
+    * directory directly. The travel window is bounded by the sinks'
+    * `retainVersions` AND, for a compacted partials target, the OLDEST
+    * retained generation: a version older than it may depend on batch
+    * dirs [[vacuumIndex]] has freed, and a missing layer is
+    * indistinguishable from an empty batch — so travel below the
+    * oldest generation throws rather than serving a silently
+    * incomplete fold (versions at or above it are always whole: vacuum
+    * never frees dirs beyond the oldest generation). Asking for an
+    * uncommitted or expired version likewise throws, listing what IS
+    * retained — never a wrong nearest-neighbor answer. */
+  def snapshotAsOf(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String, version: Long): DataFrame = {
+    val subdirs =
+      if (aggLayoutOf(spark, targetDir).isDefined) Seq("delta") else Nil
+    resolveVersion(spark, targetDir, subdirs, Some(version),
+      "Streams.snapshotAsOf")
+    snapshotAtVersion(spark, targetDir, version)
+  }
+
+  /** Version resolution shared by every maintained-artifact read path:
+    * `asOf = None` serves the freshest committed version (the default
+    * everywhere); `asOf = Some(v)` TIME-TRAVELS to `v`, refusing
+    * loudly when `v` is uncommitted/expired or — for batch-dir layouts
+    * — predates the oldest retained compaction generation of any of
+    * `subdirs` (its batch dirs may have been vacuumed, and a missing
+    * layer is indistinguishable from an empty batch: the read would be
+    * silently incomplete; versions at or above the oldest generation
+    * are always whole — vacuum never frees beyond it). */
+  private def resolveVersion(spark: org.apache.spark.sql.SparkSession,
+                             targetDir: String, subdirs: Seq[String],
+                             asOf: Option[Long], caller: String): Long = {
+    val retained = snapshotVersions(spark, targetDir).sorted
+    asOf match {
+      case None => retained.lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"$caller: no committed index version under $targetDir"))
+      case Some(v) =>
+        require(retained.contains(v),
+          s"$caller: version $v is not a retained committed version under " +
+            s"$targetDir (retained: ${retained.mkString(", ")}) — raise the " +
+            "sink's retainVersions to widen the travel window")
+        subdirs.foreach { sd =>
+          val cs = committedCompactions(spark, targetDir, sd)
+          require(cs.isEmpty || v >= cs.min,
+            s"$caller: version $v predates the oldest retained compaction " +
+              s"generation (c=${cs.min}) of $targetDir/$sd — its batch dirs " +
+              "may have been vacuumed, so the read could be silently " +
+              s"incomplete; travel is available at versions >= ${cs.min} " +
+              "(raise retainCompactions to keep older generations)")
+        }
+        v
+    }
+  }
+
+  /** Committed, still-retained snapshot versions under a versioned
+    * sink's target, oldest first — the travel window [[snapshotAsOf]]
+    * accepts, as data (one row per `v=<id>/_SUCCESS` marker). */
+  def snapshotVersionsOf(spark: org.apache.spark.sql.SparkSession,
+                         targetDir: String): Seq[Long] =
+    snapshotVersions(spark, targetDir).sorted.toSeq
+
+  private def snapshotAtVersion(spark: org.apache.spark.sql.SparkSession,
+                                targetDir: String, v: Long): DataFrame =
+    aggLayoutOf(spark, targetDir) match {
+      case Some(l) => mergePartialsFor(l, keepBatch = false)(
+        maintainedBatchRows(spark, targetDir, "delta", v).drop("batch"))
+      case None => spark.read.parquet(s"$targetDir/v=$v")
+    }
 
   /** Committed `v=<batchId>` snapshot versions under `targetDir`,
     * listed through the Hadoop filesystem of the path's scheme —

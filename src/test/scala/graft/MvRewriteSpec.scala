@@ -1542,4 +1542,75 @@ class MvRewriteSpec extends AnyFunSuite {
         "non-key FILTER in a mixed aggregate list wrongly navigated")
     }
   }
+
+  test("filtered (partial) view: only queries carrying the predicate navigate; coexists with the full view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvf").toString
+    try {
+      val base = spark.read.parquet(basePath)
+      // a NON-key predicate — the case a full view can never answer
+      // (non-key filters select partial groups): the hot-subset MV
+      val pred = col("l_quantity") > 25
+      Cdc.aggSnapshot(base.filter(pred), keys, Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/hot")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"),
+        s"$dir/hot", predicate = Some(pred))
+      def hotQ() = spark.read.parquet(basePath)
+        .filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      val plan = scansOf(hotQ())
+      assert(plan.contains(s"$dir/hot") && !plan.contains("lineitem.parquet"),
+        s"predicate-carrying query must navigate the filtered view:\n$plan")
+      val got = hotQ().orderBy("l_returnflag")
+        .as[(String, Long, Double)].collect().toSeq
+      MvRewrite.clear()
+      val want = hotQ().orderBy("l_returnflag")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == want && want.nonEmpty,
+        s"filtered-view answer diverged:\n$got\nvs\n$want")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"),
+        s"$dir/hot", predicate = Some(pred))
+      // predicate + additional KEY conjunct: predicate consumed, the
+      // key filter replays over the snapshot — still navigated, exact
+      def hotKeyQ() = spark.read.parquet(basePath)
+        .filter(col("l_quantity") > 25 && col("l_returnflag") === "A")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      assert(scansOf(hotKeyQ()).contains(s"$dir/hot"),
+        "predicate + key-conjunct query must still navigate")
+      val got2 = hotKeyQ().orderBy("l_linestatus")
+        .as[(String, Long, Double)].collect().toSeq
+      MvRewrite.clear()
+      assert(got2 == hotKeyQ().orderBy("l_linestatus")
+        .as[(String, Long, Double)].collect().toSeq)
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"),
+        s"$dir/hot", predicate = Some(pred))
+      // a query WITHOUT the predicate — or with a weaker/different one —
+      // keeps its complete direct scan: a subset never answers for the
+      // whole (exact-conjunct matching, no implication reasoning)
+      val unfiltered = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scansOf(unfiltered).contains("lineitem.parquet"),
+        "unfiltered query wrongly navigated a partial view")
+      val weaker = spark.read.parquet(basePath)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scansOf(weaker).contains("lineitem.parquet"),
+        "weaker predicate (>10) wrongly navigated the >25 view")
+      // the FULL view registers alongside on the SAME (base, keys) —
+      // distinct entry keys — and the unfiltered query now navigates to
+      // it while the hot query keeps the (smaller) filtered snapshot
+      Cdc.aggSnapshot(base, keys, Seq("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/full")
+      MvRewrite.register(spark, basePath, keys, Seq("l_quantity"), s"$dir/full")
+      assert(scansOf(spark.read.parquet(basePath)
+          .groupBy("l_returnflag").agg(sum("l_quantity").as("s")))
+        .contains(s"$dir/full"), "full view must serve the unfiltered query")
+      assert(scansOf(hotQ()).contains(s"$dir/hot"),
+        "filtered query must prefer the more selective view")
+    } finally {
+      MvRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

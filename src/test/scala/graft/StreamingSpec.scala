@@ -1534,6 +1534,22 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(!canon(Streams.bm25SearchMaintained(spark, target, fq, 5))
       .exists(_.startsWith("[3,")),
       "version-only search must not see the un-indexed tail")
+    // TIME TRAVEL: asOf the FIRST committed version ranks exactly what
+    // retrieval served before the second batch landed — the one-shot
+    // pass over docs 0..49 alone (w63 exists only at version 1)
+    val asOf0 = canon(Streams.bm25SearchMaintained(spark, target, queries, 5,
+      asOf = Some(0L)))
+    assert(asOf0 == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      (0 until 50).map(i => (i.toLong,
+        s"join hash w$i " + Seq.fill(i % 5)("filler").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", queries, 5)),
+      "asOf-0 retrieval diverged from the one-shot over the first batch")
+    assert(asOf0 != served, "the two versions must rank differently here")
+    // expired/uncommitted travel refuses rather than nearest-neighboring
+    assert(intercept[IllegalArgumentException](
+      Streams.bm25SearchMaintained(spark, target, queries, 5, asOf = Some(42L)))
+      .getMessage.contains("not a retained committed version"))
   }
 
   test("S6m ivfpq index sink: maintained ANN == one-shot; torn batches never served; fresh tail found") {
@@ -2207,6 +2223,101 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
           Seq(("a", 4L, 9.25, 1.0, 5.0, 3L), ("b", 2L, 11.5, 4.0, 7.5, 2L),
             ("c", 1L, 3.0, 3.0, 3.0, 1L), ("d", 1L, 9.0, 9.0, 9.0, 1L)))
       } finally graft.plans.MvRewrite.unregister(baseDir)
+    } finally q.stop()
+  }
+
+  test("S6z snapshotDelete: a forgotten key's groups vanish from every layer — batch dirs AND generations") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val target = tmp("graft-snapdel-tgt")
+    val q = Streams.aggSnapshotSinkAppendOnly(in.toDF().toDF("k", "v"),
+      target, tmp("graft-snapdel-ck"), Seq("k"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("k").collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    try {
+      // key "a" lands in batches 0 and 2; batch 1 is b/c-only
+      in.addData(("a", 1.0), ("b", 2.0)); q.processAllAvailable()
+      in.addData(("b", 3.0), ("c", 4.0)); q.processAllAvailable()
+      in.addData(("a", 5.0), ("c", 6.0)); q.processAllAvailable()
+      // fold a generation but keep the batch dirs: the scrub must cover
+      // BOTH layer kinds in one run
+      assert(Streams.compactSnapshot(spark, target, targetFiles = 1) == Some(2L))
+      // only layers containing the key are rewritten: batches 0 and 2
+      // plus the generation — batch 1 stays byte-identical
+      val b1Files = new java.io.File(s"$target/delta/batch=1").listFiles().toSet
+      assert(Streams.snapshotDelete(spark, target, "k", Seq("a")) == 3,
+        "expected batches 0,2 + the generation rewritten, batch 1 untouched")
+      assert(new java.io.File(s"$target/delta/batch=1").listFiles().toSet == b1Files,
+        "a layer without the key was rewritten")
+      // the served snapshot == rebuilt without the forgotten groups
+      val survivors = Seq(("b", 2.0), ("b", 3.0), ("c", 4.0), ("c", 6.0))
+      assert(canon(Streams.latestSnapshot(spark, target).get) ==
+        canon(graft.ops.Cdc.aggSnapshotMinMax(survivors.toDF("k", "v"),
+          Seq("k"), Seq("v"))),
+        "scrubbed snapshot diverged from rebuild-without-the-key")
+      // versions kept resolving throughout; an absent key rewrites nothing
+      assert(Streams.snapshotVersionsOf(spark, target).nonEmpty)
+      assert(Streams.snapshotDelete(spark, target, "k", Seq("zz")) == 0)
+      // post-vacuum: the generation is the only layer left — scrub it
+      assert(Streams.vacuumIndex(spark, target, "delta") == Seq(0L, 1L, 2L))
+      assert(Streams.snapshotDelete(spark, target, "k", Seq("b")) == 1)
+      assert(canon(Streams.latestSnapshot(spark, target).get) ==
+        canon(graft.ops.Cdc.aggSnapshotMinMax(
+          Seq(("c", 4.0), ("c", 6.0)).toDF("k", "v"), Seq("k"), Seq("v"))),
+        "generation-only scrub diverged from rebuild")
+      // guard rails: non-key column and non-partials target refuse loudly
+      val e1 = intercept[IllegalArgumentException](
+        Streams.snapshotDelete(spark, target, "v", Seq(1.0)))
+      assert(e1.getMessage.contains("not a snapshot key"))
+      val e2 = intercept[IllegalStateException](
+        Streams.snapshotDelete(spark, tmp("graft-snapdel-nolayout"), "k", Seq("a")))
+      assert(e2.getMessage.contains("no _layout marker"))
+    } finally q.stop()
+  }
+
+  test("S6aa snapshotAsOf: any retained version resolves to exactly what it served; expired travel refuses") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val target = tmp("graft-asof-tgt")
+    val q = Streams.aggSnapshotSinkAppendOnly(in.toDF().toDF("k", "v"),
+      target, tmp("graft-asof-ck"), Seq("k"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("k").collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    def rebuilt(rows: Seq[(String, Double)]): Seq[String] =
+      canon(graft.ops.Cdc.aggSnapshotMinMax(rows.toDF("k", "v"),
+        Seq("k"), Seq("v")))
+    val b0 = Seq(("a", 1.0), ("b", 2.0))
+    val b1 = Seq(("a", 3.0), ("c", 4.0))
+    val b2 = Seq(("b", 5.0))
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(Streams.snapshotVersionsOf(spark, target) == Seq(0L, 1L, 2L))
+      // each version folds ONLY the layers <= it — bit-identical to the
+      // rebuild over exactly the rows that had arrived by then
+      assert(canon(Streams.snapshotAsOf(spark, target, 0L)) == rebuilt(b0))
+      assert(canon(Streams.snapshotAsOf(spark, target, 1L)) == rebuilt(b0 ++ b1))
+      assert(canon(Streams.snapshotAsOf(spark, target, 2L)) ==
+        canon(Streams.latestSnapshot(spark, target).get))
+      // an uncommitted version refuses, naming the window
+      val e = intercept[IllegalArgumentException](
+        Streams.snapshotAsOf(spark, target, 99L))
+      assert(e.getMessage.contains("not a retained committed version"))
+      // after compaction + vacuum, versions >= the oldest generation
+      // still travel (vacuum never frees beyond it); older ones refuse
+      // rather than serve a fold missing vacuumed layers
+      assert(Streams.compactSnapshot(spark, target, targetFiles = 1) == Some(2L))
+      assert(Streams.vacuumIndex(spark, target, "delta") == Seq(0L, 1L, 2L))
+      assert(canon(Streams.snapshotAsOf(spark, target, 2L)) ==
+        rebuilt(b0 ++ b1 ++ b2))
+      val e2 = intercept[IllegalArgumentException](
+        Streams.snapshotAsOf(spark, target, 0L))
+      assert(e2.getMessage.contains("predates the oldest retained compaction"))
     } finally q.stop()
   }
 
