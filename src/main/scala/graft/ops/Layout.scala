@@ -457,13 +457,21 @@ object Layout {
     * intersects `[lo, hi]` (an open side passes None). Exclusive query
     * bounds are probed inclusively — conservative, never a false
     * negative. Ranges need only the stats columns, not fingerprints,
-    * so a plain [[statsIndex]] serves them too. */
+    * so a plain [[statsIndex]] serves them too. `boxedIn` carries
+    * equality/IN probes over stats-ONLY columns (no fingerprint):
+    * a file survives when ANY probed value sits inside its box — the
+    * exact per-point check, not the values' envelope, so a sparse
+    * IN-list over a range-clustered layout prunes the gaps between
+    * its points too. All compares run Spark-side via `lit(v)`, the
+    * same ordering the row-level Filter uses. */
   private[graft] def filesForPredicates(index: DataFrame,
                                         eqs: Seq[(String, Seq[Any])],
                                         ranges: Seq[(String, Option[Any], Option[Any])],
-                                        who: String)
+                                        who: String,
+                                        boxedIn: Seq[(String, Seq[Any])] = Nil)
       : (Array[String], Array[String]) = {
-    require(eqs.nonEmpty || ranges.nonEmpty, s"$who: no probes")
+    require(eqs.nonEmpty || ranges.nonEmpty || boxedIn.nonEmpty,
+      s"$who: no probes")
     val fields = index.schema.fieldNames.toSet
     lazy val (bits, k) = fpParams(index, who)
     val eqKeep = eqs.map { case (c, values) =>
@@ -482,6 +490,13 @@ object Layout {
       }.reduce(_ || _)
       col(s"fp_$c").isNotNull && anyValue
     }
+    val boxKeep = boxedIn.map { case (c, values) =>
+      require(values.nonEmpty, s"$who: no values for column $c")
+      require(fields.contains(s"min_$c"),
+        s"$who: column $c carries no min/max stats")
+      values.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+        .reduce(_ || _)
+    }
     val rangeKeep = ranges.map { case (c, lo, hi) =>
       require(fields.contains(s"min_$c"),
         s"$who: column $c carries no min/max stats")
@@ -489,7 +504,7 @@ object Layout {
           hi.map(v => col(s"min_$c") <= lit(v)))
         .flatten.reduceOption(_ && _).getOrElse(lit(true))
     }
-    val keep = (eqKeep ++ rangeKeep).reduce(_ && _)
+    val keep = (eqKeep ++ boxKeep ++ rangeKeep).reduce(_ && _)
     // a NULL verdict (all-null stats column) means "cannot contain it"
     val rows = index.select(col("file"), coalesce(keep, lit(false)).as("keep"))
       .collect()

@@ -36,9 +36,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * equality/IN conjuncts over fingerprinted columns with integral or
   * string literals (the canonical-string rendering the build used is
   * unambiguous for those); range conjuncts (`>`, `>=`, `<`, `<=`,
-  * BETWEEN's two halves) over min/max-indexed columns with integral
-  * literals — the time-range shape over a range- or z-order-clustered
-  * layout; only unpartitioned layouts (a hive-partitioned scan prunes
+  * BETWEEN's two halves) over min/max-indexed columns with integral,
+  * date, or timestamp literals — the time-range shape over a range- or
+  * z-order-clustered layout; prefix predicates (`LIKE 'abc%'` /
+  * `startswith`) over min/max-indexed string columns as the
+  * [prefix, successor) box — the domain/source filter over a
+  * URL-clustered corpus; only unpartitioned layouts (a hive-partitioned scan prunes
   * by partition values the leaf-file listing cannot see). Any failure
   * to resolve the index bails to the original plan with a log line —
   * degraded, never wrong.
@@ -199,6 +202,14 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     * subtleties — the explicit readPruned API serves those. */
   private def boundValue(l: Literal): Option[Any] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType => Option(l.value)
+    // string bounds are exact too: the box compare runs Spark-side
+    // against Spark-built min/max stats, so both sides use the same
+    // UTF8 binary (code-point) ordering the row-level Filter does.
+    // Strings never reach the IN-envelope branch (probeValue claims
+    // them for fingerprint probing first), so no JVM-side Comparable
+    // sort — whose UTF-16 order differs on supplementary characters —
+    // ever touches one.
+    case StringType => Option(l.value).map(_.toString)
     case org.apache.spark.sql.types.DateType => Option(l.value).map(v =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .toJavaDate(v.asInstanceOf[Int]))
@@ -306,6 +317,23 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
             x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
           Some((a.name, Some(sorted.head), Some(sorted.last)))
         } else None
+      // prefix predicates over a min/max-indexed STRING column —
+      // `url LIKE 'https://en.wikipedia%'`, the domain/path filter of
+      // a corpus pipeline: every match lies in [prefix,
+      // successor(prefix)) lexicographically, so a URL- or
+      // source-clustered layout prunes it like a range. StartsWith is
+      // what LikeSimplification rewrites a trailing-% pattern to; a
+      // raw Like still prunes by its leading literal run (the row
+      // filter enforces the rest of the pattern). The box compare runs
+      // Spark-side against Spark-built min/max stats, so both sides
+      // order strings identically (UTF8 binary = code-point order).
+      case StartsWith(a: AttributeReference, l: Literal)
+          if l.dataType == StringType && l.value != null =>
+        prefixRange(a.name, l.value.toString)
+      case Like(a: AttributeReference, l: Literal, escapeChar)
+          if l.dataType == StringType && l.value != null =>
+        likePrefix(l.value.toString, escapeChar)
+          .flatMap(prefixRange(a.name, _))
       case GreaterThan(a: AttributeReference, l: Literal) =>
         boundValue(l).map(v => (a.name, Some(v), None))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
@@ -324,6 +352,44 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
         boundValue(l).map(v => (a.name, Some(v), None))
       case _ => None
     }
+
+  /** The leading LITERAL run of a LIKE pattern — the chars before its
+    * first unescaped wildcard, with escapes resolved. None when the
+    * pattern opens with a wildcard (nothing to bound) or is malformed
+    * (trailing bare escape — bail, never guess a prefix: a wrong
+    * prefix would prune wrongly). A wildcard-free pattern is plain
+    * equality and [prefix, successor) still bounds it exactly. */
+  private def likePrefix(pattern: String, escapeChar: Char): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == escapeChar) {
+        if (i + 1 >= pattern.length) return None
+        sb.append(pattern.charAt(i + 1)); i += 2
+      } else if (c == '%' || c == '_') i = pattern.length
+      else { sb.append(c); i += 1 }
+    }
+    if (sb.isEmpty) None else Some(sb.toString)
+  }
+
+  /** The least string GREATER (code-point order — UTF8String's) than
+    * every string starting with `prefix`: increment the last char that
+    * can be incremented without touching the surrogate range and drop
+    * everything after it. None when no char qualifies (all ≥ U+D7FF)
+    * — the prefix then prunes lower-bound-only, still sound. */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix.charAt(i) >= '\uD7FF') i -= 1
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
+  private def prefixRange(name: String, prefix: String)
+      : Option[(String, Option[Any], Option[Any])] =
+    if (prefix.isEmpty) None
+    else Some((name, Some(prefix),
+      prefixSuccessor(prefix).map(s => s: Any)))
 
   private def uriPath(s: String): String = new java.net.URI(s).getPath
 
@@ -350,21 +416,20 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     }
     val spark = SparkSession.active
     val fields = idx.schema.fieldNames.toSet
-    // only probe what the index can answer: equalities need the
-    // column's fingerprint, ranges only its min/max stats. A single
-    // equality on a stats-only column still box-prunes as the
-    // degenerate range [v, v] — what a range-clustered layout gives a
-    // point lookup even without fingerprints.
+    // only probe what the index can answer: equalities prefer the
+    // column's fingerprint; on a stats-only column they box-prune
+    // instead — each probed value checked against the [min, max] box
+    // individually (a sparse IN-list over a range-clustered layout
+    // prunes the gaps between its points), ranges off the same stats.
     val usableEq = probes.filter(p =>
       fields.contains(s"fp_${p._1}") && fields.contains("fp_bits"))
-    val eqAsRange = probes.filter(p =>
+    val boxedIn = probes.filter(p =>
       !(fields.contains(s"fp_${p._1}") && fields.contains("fp_bits")) &&
-        fields.contains(s"min_${p._1}") && p._2.size == 1)
-      .map(p => (p._1, Some(p._2.head): Option[Any], Some(p._2.head): Option[Any]))
-    val usableRg = ranges.filter(r => fields.contains(s"min_${r._1}")) ++ eqAsRange
-    if (usableEq.isEmpty && usableRg.isEmpty) return None
-    val (indexed, survivors) =
-      graft.ops.Layout.filesForPredicates(idx, usableEq, usableRg, "SkipRewrite")
+        fields.contains(s"min_${p._1}"))
+    val usableRg = ranges.filter(r => fields.contains(s"min_${r._1}"))
+    if (usableEq.isEmpty && boxedIn.isEmpty && usableRg.isEmpty) return None
+    val (indexed, survivors) = graft.ops.Layout.filesForPredicates(
+      idx, usableEq, usableRg, "SkipRewrite", boxedIn)
     // the scan's OWN listing decides coverage: the rewritten plan must
     // answer over exactly the files the unrewritten scan would read —
     // files the index has not covered yet (the un-indexed tail) are

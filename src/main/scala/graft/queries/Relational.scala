@@ -1531,6 +1531,59 @@ object Relational {
     }
   }
 
+  // AUTO-consulted PREFIX skipping over a STRING column — the
+  // domain/source filter of a corpus pipeline (`WHERE url LIKE
+  // 'https://<domain>%'`): the corpus is clustered by url, a plain
+  // stats index is registered, and the bare LIKE auto-prunes to the
+  // files whose [min, max] string boxes intersect [prefix,
+  // successor(prefix)). Both sides of the box compare are Spark
+  // strings (UTF8 code-point order), so no false negatives and the
+  // aggregate hash-matches the full-scan oracle; the require() proves
+  // the plan opened a fraction of the files.
+  private val qSkipPrefix = QueryDef("q_skip_prefix", Some(
+    """WITH d AS (SELECT doc_id, n_chars,
+      |                  'https://' || source || '.example.com/'
+      |                    || CAST(doc_id AS VARCHAR) AS url
+      |           FROM documents)
+      |SELECT cast(count(*) AS BIGINT) AS n,
+      |       cast(sum(n_chars) AS BIGINT) AS total_chars,
+      |       count(DISTINCT doc_id) AS n_docs
+      |FROM d WHERE url LIKE 'https://src12.%'""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skipprefix-q").toString
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("doc_id").cast("string")))
+        .repartitionByRange(16, col("url"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndex(spark, s"$work/t", Seq("url"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      graft.plans.SkipRewrite.register(spark, s"$work/t", s"$work/idx")
+      val out = spark.read.parquet(s"$work/t")
+        .filter(col("url").like("https://src12.%"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val opened = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+      // one source of twenty, url-clustered: most of the 16 files
+      // must be skipped at every SF
+      require(opened <= 4,
+        s"q_skip_prefix: prefix auto-prune did not engage ($opened of 16 files)")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.SkipRewrite.unregister(s"$work/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Semi-join file skipping (Layout.readPrunedBy) — the unpartitioned
   // analogue of dynamic partition pruning: a selective dim filter
   // (one week of orders) yields a bounded key set; the fact table's
@@ -1881,6 +1934,6 @@ object Relational {
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipJoin, qDelete,
+    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipJoin, qDelete,
     qMvForget, qMvAsOf, qMvFiltered)
 }

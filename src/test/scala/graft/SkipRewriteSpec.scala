@@ -132,6 +132,14 @@ class SkipRewriteSpec extends AnyFunSuite {
       // range-clustered layout
       val eq = spark.read.parquet(s"$dir/t").filter(col("ts") === 20500L)
       assert(scannedFiles(eq) <= 2 && eq.count() == 1)
+      // a sparse IN-list prunes to the POINT files, not the list's
+      // [min, max] envelope — each value is box-checked individually,
+      // so the ~6 files between the two probed points stay closed
+      val sparseIn = spark.read.parquet(s"$dir/t")
+        .filter(col("ts").isin(100L, 79000L))
+      assert(scannedFiles(sparseIn) <= 2,
+        s"sparse IN opened ${scannedFiles(sparseIn)} of 8 — envelope, not points")
+      assert(sparseIn.count() == 2)
     } finally {
       SkipRewrite.unregister(s"$dir/t")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -398,6 +406,98 @@ class SkipRewriteSpec extends AnyFunSuite {
     } finally {
       graft.plans.MvRewrite.unregister(mvBase)
       SkipRewrite.unregister(skBase)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("prefix predicates (LIKE 'abc%' / startswith) auto-prune string min/max boxes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-px").toString
+    try {
+      // source-clustered layout: sources s00..s19, one narrow band of
+      // them per file — the domain/source filter of a corpus pipeline
+      spark.range(20000)
+        .select(format_string("s%02d", col("id") % 20).as("src"),
+          col("id").as("v"))
+        .repartitionByRange(8, col("src")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("src"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      def t = spark.read.parquet(s"$dir/t")
+
+      // LIKE 'abc%' (the optimizer simplifies it to StartsWith): the
+      // [prefix, successor) box opens a fraction of the files and the
+      // answer matches the full-scan count exactly
+      val p0 = t.filter(col("src").like("s0%"))
+      assert(scannedFiles(p0) <= 5, s"prefix opened ${scannedFiles(p0)} of 8")
+      assert(p0.count() == 10000)
+      // startswith() spelled directly
+      val p1 = t.filter(startswith(col("src"), lit("s1")))
+      assert(scannedFiles(p1) <= 5 && p1.count() == 10000)
+      // a narrower prefix prunes harder — one source = 1/20 of rows
+      val p2 = t.filter(col("src").like("s07%"))
+      assert(scannedFiles(p2) <= 2 && p2.count() == 1000)
+      // a MIDDLE wildcard still prunes by the leading literal run; the
+      // untouched row filter enforces the rest of the pattern
+      val p3 = t.filter(col("src").like("s0%7"))
+      assert(scannedFiles(p3) <= 5 && p3.count() == 1000)
+      // '_' bounds the prefix too
+      val p4 = t.filter(col("src").like("s1_"))
+      assert(scannedFiles(p4) <= 5 && p4.count() == 10000)
+      // a pattern OPENING with a wildcard has no prefix: full scan,
+      // same answer
+      val p5 = t.filter(col("src").like("%07"))
+      assert(scannedFiles(p5) == 8 && p5.count() == 1000)
+      // out-of-domain prefix prunes everything
+      val p6 = t.filter(col("src").like("zzz%"))
+      assert(scannedFiles(p6) == 0 && p6.count() == 0)
+      // string IN over the stats-only column: per-value box checks
+      val p9 = t.filter(col("src").isin("s02", "s11"))
+      assert(scannedFiles(p9) <= 4 && p9.count() == 2000)
+      // plain string range bounds prune off the same stats
+      val p7 = t.filter(col("src") >= "s18")
+      assert(scannedFiles(p7) <= 2 && p7.count() == 2000)
+      val p8 = t.filter(col("src") > "s03" && col("src") < "s05")
+      assert(scannedFiles(p8) <= 2 && p8.count() == 1000)
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("prefix pruning stays sound on escapes and non-ASCII successor edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiprw-pe").toString
+    try {
+      // values that exercise the edges: a literal '%' in data, a
+      // max-char prefix (no incrementable char -> lower-bound-only)
+      val rows = Seq("a%x1", "a%x2", "abc1", "abd2", "퟿￿z", "zz9")
+      rows.zipWithIndex.toDF("s", "v")
+        .repartitionByRange(3, col("s")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("s"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      def t = spark.read.parquet(s"$dir/t")
+
+      // escaped '%' is a literal: prefix "a%x" (answers exact; may or
+      // may not prune depending on file boxes — soundness is the gate)
+      val e1 = t.filter(col("s").like("a\\%x%"))
+      assert(e1.count() == 2)
+      // successor excludes the nearest non-match: "abd2" sits right
+      // past the "abc" box and must not poison the count
+      val e2 = t.filter(col("s").like("abc%"))
+      assert(e2.count() == 1)
+      // a prefix of non-incrementable chars prunes lower-bound-only
+      // and still finds its match
+      val e3 = t.filter(col("s").like("퟿￿%"))
+      assert(e3.count() == 1)
+      // successor carry: prefix "abc" -> successor "abd" EXCLUDES
+      // "abd2" from the box only via the row filter, never a false
+      // negative for "abc1"
+      val e4 = t.filter(col("s").like("ab%"))
+      assert(e4.count() == 2)
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
