@@ -480,6 +480,60 @@ object DedupQueries {
       new java.io.File(work))
   }
 
+  // CONSISTENT PINNED near-dup (Streams.corpusPin): the pin names the
+  // full real corpus (%4 != 0 across three files); a post-pin file
+  // CLONING the probe docs (+1000000 ids, identical shingles — every
+  // probe would self-pair at jaccard 1.0 if visible) then lands AND
+  // gets indexed, so the latest version covers beyond the pin while no
+  // retained version aligns with it. The pinned probe must walk BACK,
+  // sign the pin-only tail on the fly, and hash-match the same
+  // full-corpus minhash replay — the clones invisible even though the
+  // index already serves them. The require()s gate on that shape.
+  private val lshPinned = QueryDef("e1_lsh_pinned", Some(lshIncrSql(4)),
+      bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lshpin-q").toString
+    try {
+      val docs = Tables(spark, dir).documents
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) => (id, shingleHashes3Typed(text)) }
+        .toDF("doc_id", "sh")
+      val probe = docs.filter(col("doc_id") % 4 === 0)
+      (1 until 3).foreach(i => docs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.lshIndexSink(
+        spark.readStream.schema("doc_id long, sh array<bigint>")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "sh")
+      try sink.processAllAvailable() finally sink.stop()
+      // the last real slice lands after the stream stopped — inside
+      // the pin, signed by no retained version (the pin-only tail)
+      docs.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val pin = graft.streaming.Streams.corpusPin(spark, s"$work/base")
+      // post-pin: probe clones land AND a restarted sink signs them
+      probe.withColumn("doc_id", col("doc_id") + 1000000L).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val sink2 = graft.streaming.Streams.lshIndexSink(
+        spark.readStream.schema("doc_id long, sh array<bigint>")
+          .option("maxFilesPerTrigger", 2).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "sh")
+      try sink2.processAllAvailable() finally sink2.stop()
+      val sizes = graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/idx")
+        .flatMap(v => graft.streaming.Streams
+          .snapshotManifest(spark, s"$work/idx/v=$v").map(_.size))
+      require(sizes.max == 4,
+        s"e1_lsh_pinned: the latest version must index beyond the pin ($sizes)")
+      require(!sizes.contains(3),
+        s"e1_lsh_pinned: no version may align with the pin ($sizes)")
+      graft.streaming.Streams.nearDupsFresh(spark, s"$work/idx",
+          s"$work/base", probe, "doc_id", "sh", threshold = 0.5,
+          pin = Some(pin))
+        .localCheckpoint(true)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(work))
+  }
+
   // Arbitrary-offset duplicated spans (Lee et al. 2022 substring-dedup
   // shape): 5-gram inverted-index self-join + diagonal gaps-and-islands
   // run detection, runs >= 10 grams (14+ shared tokens). The oracle
@@ -601,5 +655,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(ngramJaccard, dupClusters, minhash, simhash, embed,
     winnow, dedupAgainst, dedupAgainstBloom, segmentDedup, lshIncremental,
-    lshStream, lshFresh, dupSpans, spanRemoved, clusterRep)
+    lshStream, lshFresh, lshPinned, dupSpans, spanRemoved, clusterRep)
 }

@@ -465,6 +465,63 @@ object TextQueries {
     }
   }
 
+  // CONSISTENT PINNED retrieval (Streams.corpusPin): the pin names the
+  // full real corpus; a post-pin file of CLONED docs (+1000000 ids,
+  // duplicated text — df/idf poison if visible) then lands AND gets
+  // indexed, so the latest committed version covers files beyond the
+  // pin while NO retained version aligns with it exactly. The pinned
+  // search must walk BACK to the newest version the pin contains,
+  // compose the pin-only tail on the fly, and hash-match the same
+  // full-corpus replay — the clones invisible even though the index
+  // already serves them. The require()s gate on that shape actually
+  // holding (a version aligned with the pin would make this row
+  // txt_bm25_fresh in disguise).
+  private val bm25Pinned = QueryDef("txt_bm25_pinned", Some(bm25ReplaySql(
+    "(1, 'hash'), (1, 'state'), (2, 'join'), (2, 'window')", 4)),
+    bench = false) { (spark, dir) =>
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25pin-q").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (0 until 2).foreach(i => docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "text")
+      try sink.processAllAvailable() finally sink.stop()
+      // the last real slice lands after the stream stopped — inside
+      // the pin, indexed by no retained version (the pin-only tail)
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val pin = graft.streaming.Streams.corpusPin(spark, s"$work/base")
+      // post-pin: cloned docs land AND a restarted sink indexes them
+      // (batch of two files, so no version ever aligns with the pin)
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L).coalesce(1)
+        .write.mode("append").parquet(s"$work/base")
+      val sink2 = graft.streaming.Streams.bm25IndexSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$work/base"),
+        s"$work/idx", s"$work/ck", "doc_id", "text")
+      try sink2.processAllAvailable() finally sink2.stop()
+      val sizes = graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/idx")
+        .flatMap(v => graft.streaming.Streams
+          .snapshotManifest(spark, s"$work/idx/v=$v").map(_.size))
+      require(sizes.max == 4,
+        s"txt_bm25_pinned: the latest version must index beyond the pin ($sizes)")
+      require(!sizes.contains(3),
+        s"txt_bm25_pinned: no version may align with the pin ($sizes)")
+      val q = Seq((1, "hash"), (1, "state"), (2, "join"), (2, "window"))
+        .toDF("query_id", "term")
+      graft.streaming.Streams.bm25SearchFresh(spark, s"$work/idx",
+          s"$work/base", q, 4, pin = Some(pin))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // Repetition / boilerplate detection: duplicate-token ratio and the
   // dominant token's share — high values flag low-quality repetitive
   // text for pipeline filtering. Narrow per-doc expressions; the mode
@@ -960,6 +1017,6 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(wordcount, stats, langid, quality, fp, ngrams,
     tokenCountQ, tfidf, bm25, bm25Batch, bm25Indexed, bm25Stream, bm25Compact,
-    bm25Fresh, repetition, sourceStats, contamination, lmScore, heavyHitters,
+    bm25Fresh, bm25Pinned, repetition, sourceStats, contamination, lmScore, heavyHitters,
     clean, nbClassifier, bpe, dsir, gopher, keywordTags, pii, normalize, urlCanon)
 }

@@ -1163,26 +1163,38 @@ object Streams extends org.apache.spark.internal.Logging {
     * all four maintained derived artifacts now serve exactly-current
     * answers. Fails loudly when the version carries no manifest
     * (non-file or multi-source ingestion): fresh composition would be
-    * a guess — gate on [[freshnessLagOf]] instead. */
+    * a guess — gate on [[freshnessLagOf]] instead. `pin` switches the
+    * read to a [[corpusPin]]-CONSISTENT one: the ranking covers
+    * exactly the pinned file set — the newest retained version whose
+    * coverage is contained in the pin (walking back when the index ran
+    * ahead) plus the pin-only tail — so it composes consistently with
+    * the other artifacts' reads at the same pin. */
   def bm25SearchFresh(spark: org.apache.spark.sql.SparkSession,
                       targetDir: String, baseDir: String,
                       queries: DataFrame, k: Int,
                       idCol: String = "doc_id", textCol: String = "text",
                       k1: Double = 1.2, b: Double = 0.75,
-                      maxTerms: Int = 4096): DataFrame = {
+                      maxTerms: Int = 4096,
+                      pin: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(k > 0, "Streams.bm25SearchFresh: k must be positive")
-    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"Streams.bm25SearchFresh: no committed index version under $targetDir"))
-    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
-      throw new IllegalStateException(
-        s"Streams.bm25SearchFresh: version $version under $targetDir has " +
-          "no file-coverage manifest — fresh composition is unavailable " +
-          "(non-file or multi-source ingestion); use bm25SearchMaintained " +
-          "and gate on freshnessLagOf instead"))
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+    val (version, covered) = pin match {
+      case Some(p) => versionAtPin(spark, targetDir, Seq("postings", "df"),
+        p.map(norm).toSet, "Streams.bm25SearchFresh")
+      case None =>
+        val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"Streams.bm25SearchFresh: no committed index version under $targetDir"))
+        (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
+          throw new IllegalStateException(
+            s"Streams.bm25SearchFresh: version $v under $targetDir has " +
+              "no file-coverage manifest — fresh composition is unavailable " +
+              "(non-file or multi-source ingestion); use bm25SearchMaintained " +
+              "and gate on freshnessLagOf instead")))
+    }
+    val tailFiles = pin.map(_.map(norm))
+      .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
       .filterNot(covered).toIndexedSeq
     val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
       "Streams.bm25SearchFresh")
@@ -1301,29 +1313,44 @@ object Streams extends org.apache.spark.internal.Logging {
     * files), never a missing neighbor. The [[graft.plans.MvRewrite
     * .registerVersionedFresh]] contract transplanted to ANN serving.
     * Fails loudly when the version carries no manifest (non-file or
-    * multi-source ingestion) — fresh composition would be a guess. */
+    * multi-source ingestion) — fresh composition would be a guess.
+    * `pin` switches the read to a [[corpusPin]]-CONSISTENT one: the
+    * candidate set AND the rescore corpus cover exactly the pinned
+    * file set — a vector that landed after the pin (even one already
+    * indexed) is invisible. */
   def ivfPqSearchFresh(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String, centroidsDir: String,
                        codebooksDir: String, baseDir: String,
                        queries: DataFrame, topK: Int, nProbe: Int = 4,
                        dim: Int = 64, rescore: Int = 4,
                        idCol: String = "vec_id", embCol: String = "embedding",
-                       maxQueries: Int = 4096): DataFrame = {
+                       maxQueries: Int = 4096,
+                       pin: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val pinned = pin.map(p => versionAtPin(spark, targetDir, Seq("assign"),
+      p.map(norm).toSet, "Streams.ivfPqSearchFresh"))
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
-      maxQueries, "Streams.ivfPqSearchFresh")
-    val version = snapshotVersions(spark, targetDir).sorted.last
-    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
-      throw new IllegalStateException(
-        s"Streams.ivfPqSearchFresh: version $version under $targetDir has " +
-          "no file-coverage manifest — fresh composition is unavailable " +
-          "(non-file or multi-source ingestion); use ivfPqSearchMaintained " +
-          "and gate on freshnessLagOf instead"))
-    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val base = spark.read.parquet(baseDir)
+      maxQueries, "Streams.ivfPqSearchFresh", pinned.map(_._1))
+    val (_, covered) = pinned.getOrElse {
+      val v = snapshotVersions(spark, targetDir).sorted.last
+      (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
+        throw new IllegalStateException(
+          s"Streams.ivfPqSearchFresh: version $v under $targetDir has " +
+            "no file-coverage manifest — fresh composition is unavailable " +
+            "(non-file or multi-source ingestion); use ivfPqSearchMaintained " +
+            "and gate on freshnessLagOf instead")))
+    }
+    val baseFiles = pin.map(_.map(norm).toSeq)
+    // pinned read: the rescore corpus is the pinned files only — the
+    // full baseDir could hold a re-ingested vec_id whose newer vector
+    // would silently rescore a pre-pin candidate
+    val base = baseFiles.map(fs => spark.read.parquet(fs: _*))
+      .getOrElse(spark.read.parquet(baseDir))
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+    val tailFiles = baseFiles
+      .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
       .filterNot(covered).toSeq
     val withTail =
       if (tailFiles.isEmpty) indexed
@@ -1437,22 +1464,33 @@ object Streams extends org.apache.spark.internal.Logging {
     * document that landed seconds ago still blocks its duplicates —
     * the exactly-current contract the other maintained artifacts give,
     * closed for near-dup too. Fails loudly when the version carries no
-    * manifest (non-file or multi-source ingestion). */
+    * manifest (non-file or multi-source ingestion). `pin` switches the
+    * read to a [[corpusPin]]-CONSISTENT one: candidates come from
+    * exactly the pinned file set — a document that landed after the
+    * pin (even one already indexed) never blocks, matching what the
+    * other artifacts' reads at the same pin see. */
   def nearDupsFresh(spark: org.apache.spark.sql.SparkSession,
                     targetDir: String, baseDir: String, batch: DataFrame,
                     idCol: String, shingleCol: String, threshold: Double,
-                    broadcastBatch: Boolean = true): DataFrame = {
-    val version = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"Streams.nearDupsFresh: no committed index version under $targetDir"))
-    val covered = snapshotManifest(spark, s"$targetDir/v=$version").getOrElse(
-      throw new IllegalStateException(
-        s"Streams.nearDupsFresh: version $version under $targetDir has " +
-          "no file-coverage manifest — fresh composition is unavailable " +
-          "(non-file or multi-source ingestion); use nearDupsMaintained " +
-          "and gate on freshnessLagOf instead"))
+                    broadcastBatch: Boolean = true,
+                    pin: Option[Seq[String]] = None): DataFrame = {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val tailFiles = spark.read.parquet(baseDir).inputFiles.map(norm)
+    val (version, covered) = pin match {
+      case Some(p) => versionAtPin(spark, targetDir, Seq("index"),
+        p.map(norm).toSet, "Streams.nearDupsFresh")
+      case None =>
+        val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"Streams.nearDupsFresh: no committed index version under $targetDir"))
+        (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
+          throw new IllegalStateException(
+            s"Streams.nearDupsFresh: version $v under $targetDir has " +
+              "no file-coverage manifest — fresh composition is unavailable " +
+              "(non-file or multi-source ingestion); use nearDupsMaintained " +
+              "and gate on freshnessLagOf instead")))
+    }
+    val tailFiles = pin.map(_.map(norm))
+      .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
       .filterNot(covered).toIndexedSeq
     val indexed = maintainedBatchRows(spark, targetDir, "index", version)
       .select(idCol, "sig", "shset")
@@ -2241,6 +2279,63 @@ object Streams extends org.apache.spark.internal.Logging {
           .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
       } finally in.close()
     }
+  }
+
+  /** ONE normalized listing of an ingestion base directory — the
+    * PINNED CORPUS STATE for consistent cross-artifact reads. Each
+    * maintained artifact trails ingestion independently (the BM25 sink
+    * may be a microbatch behind the LSH sink, the ANN sink ahead of
+    * both), and each `*Fresh` read does its own base listing — so two
+    * reads inside one pipeline step can answer over two different
+    * corpus states (classic read skew: a doc ranked by retrieval but
+    * invisible to the dedup check, or vice versa). Capture the pin
+    * once and pass it to [[bm25SearchFresh]] / [[nearDupsFresh]] /
+    * [[ivfPqSearchFresh]]: every artifact then answers over EXACTLY
+    * the pinned file set — served from the newest retained version
+    * whose coverage manifest is contained in the pin (walking BACK
+    * when that index already ran ahead of it) plus the pin-only tail
+    * composed on the fly. Files that land after the pin are invisible
+    * even when an index already serves them, so the answers are
+    * mutually consistent, as if the corpus froze at the listing.
+    * Pin lifetime is bounded by the sinks' version retention (an old
+    * pin refuses loudly rather than guessing) and by corpus deletes
+    * (a pinned file that was physically removed fails its read —
+    * re-pin after [[graft.ops.Layout.targetedDelete]]). */
+  def corpusPin(spark: org.apache.spark.sql.SparkSession,
+                baseDir: String): Seq[String] = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    spark.read.parquet(baseDir).inputFiles.map(norm).sorted.toIndexedSeq
+  }
+
+  /** The newest retained version of a maintained artifact whose
+    * coverage manifest is CONTAINED IN the pinned file set, with that
+    * coverage — the version a [[corpusPin]]-consistent read serves
+    * from (its tail is `pin -- covered`, composed on the fly). Walks
+    * versions newest-first; a version with no manifest cannot PROVE
+    * containment and is skipped (unverifiable coverage is not
+    * coverage). Refuses loudly when nothing qualifies — the pin
+    * predates the retention window — and applies the same
+    * oldest-generation bound as time travel: a qualifying version
+    * whose batch dirs may have been vacuumed is an error, never a
+    * silently incomplete read. */
+  private def versionAtPin(spark: org.apache.spark.sql.SparkSession,
+                           targetDir: String, subdirs: Seq[String],
+                           pin: Set[String], caller: String)
+      : (Long, Set[String]) = {
+    val retained = snapshotVersions(spark, targetDir).sorted
+    if (retained.isEmpty) throw new IllegalStateException(
+      s"$caller: no committed index version under $targetDir")
+    val hit = retained.reverseIterator.flatMap { v =>
+      snapshotManifest(spark, s"$targetDir/v=$v")
+        .filter(_.subsetOf(pin)).map(cov => (v, cov))
+    }.nextOption().getOrElse(throw new IllegalStateException(
+      s"$caller: no retained version under $targetDir is covered by the " +
+        s"pinned corpus state (${pin.size} files) — every retained version " +
+        "either indexes files beyond the pin or carries no coverage " +
+        "manifest; the pin predates the retention window (raise the " +
+        "sink's retainVersions, or re-pin)"))
+    resolveVersion(spark, targetDir, subdirs, Some(hit._1), caller)
+    hit
   }
 
   /** Maintain incremental-IVF per-cell membership stats as a versioned

@@ -1623,6 +1623,8 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     // freshness: caught-up index reports 0 pending base files
     assert(Streams.freshnessLagOf(spark, target, Some(baseDir))
       .exists(_.pendingFiles.contains(0L)))
+    // the pinned corpus state, captured BEFORE the tail vector lands
+    val pin = Streams.corpusPin(spark, baseDir)
     // fresh composition: a vector landing AFTER the stream stopped —
     // identical to query 1, so it must rank first for it — is found by
     // the fresh path (tail encoded on the fly) and invisible to the
@@ -1654,6 +1656,25 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       topK = 3, nProbe = 2, dim = 8, rescore = 32))
     assert(canon(fresh) == freshOracle,
       "fresh composition diverged from the one-shot over the full base")
+    // PINNED read: the pin predates 999 — even after a restarted sink
+    // INDEXES 999 (the latest version now covers files beyond the
+    // pin), the pinned search walks BACK to the newest version the pin
+    // contains and answers exactly what `served` saw at that state
+    val q2 = Streams.ivfPqIndexSink(
+      spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, cells, books, dim = 8)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(!Streams.ivfPqSearchMaintained(spark, target, cells, books,
+      queries, spark.read.parquet(baseDir), topK = 3, nProbe = 2, dim = 8,
+      rescore = 32).filter($"neighbor_id" === 999L).isEmpty,
+      "the restarted sink must have indexed the twin")
+    val pinnedRes = Streams.ivfPqSearchFresh(spark, target, cells, books,
+      baseDir, queries, topK = 3, nProbe = 2, dim = 8, pin = Some(pin))
+    assert(pinnedRes.filter($"neighbor_id" === 999L).isEmpty,
+      "a post-pin vector leaked into the pinned ANN read")
+    assert(canon(pinnedRes) == oneShot,
+      "pinned ANN read diverged from the one-shot over the pinned corpus")
   }
 
   test("S6n lsh index sink: maintained near-dup == one-shot; torn batches never probed") {
@@ -1728,6 +1749,93 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       Dedup.buildLshIndex(spark.read.parquet(baseDir), "doc_id", "sh"),
       probe2, "doc_id", "sh", threshold = 0.5)),
       "fresh near-dup diverged from the one-shot index over the full base")
+  }
+
+  test("S6ab corpusPin: every artifact answers at ONE pinned corpus state — walk-back + pin-only tail") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // ONE corpus feeds BOTH maintained artifacts (text for retrieval,
+    // shingles for near-dup), each trailing ingestion differently —
+    // the read-skew setup corpusPin exists to fix
+    val baseDir = tmp("graft-pin-base")
+    val bmTgt = tmp("graft-pin-bm"); val bmCk = tmp("graft-pin-bmck")
+    val lshTgt = tmp("graft-pin-lsh"); val lshCk = tmp("graft-pin-lshck")
+    def land(rows: Seq[(Long, String, Array[Long])]): Unit =
+      rows.toDF("doc_id", "text", "sh")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    def doc(i: Long) = (i, s"alpha w$i beta g${i % 7}",
+      (0 until 8).map(j => (i * 8 + j)).toArray)
+    land((0L until 10L).map(doc))   // f0
+    land((10L until 20L).map(doc))  // f1
+    // the files every committed version will cover — the stale-pin
+    // probe below must drop one of THESE (pin order is lexicographic,
+    // not arrival)
+    val firstTwo = Streams.corpusPin(spark, baseDir)
+    // the LSH sink indexes f0,f1 and stops — it will TRAIL the pin
+    val lq = Streams.lshIndexSink(
+      spark.readStream.schema("doc_id long, text string, sh array<bigint>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      lshTgt, lshCk, "doc_id", "sh")
+    try lq.processAllAvailable() finally lq.stop()
+    land((20L until 30L).map(doc))  // f2 — in the pin, indexed by NO ONE
+    val pin = Streams.corpusPin(spark, baseDir)
+    assert(pin.size == 3)
+    // doc 777 duplicates doc 5 exactly (text AND shingles) but lands
+    // AFTER the pin; the BM25 sink then indexes EVERYTHING in batches
+    // of two files, so its latest version covers files beyond the pin
+    land(Seq((777L, doc(5L)._2, doc(5L)._3))) // f3 — post-pin
+    val bq = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string, sh array<bigint>")
+        .option("maxFilesPerTrigger", 2).parquet(baseDir),
+      bmTgt, bmCk, "doc_id", "text")
+    try bq.processAllAvailable() finally bq.stop()
+    val queries = Seq((1, "w5"), (2, "w25")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    // UNPINNED reads see the skew: retrieval ranks the post-pin twin…
+    assert(canon(Streams.bm25SearchMaintained(spark, bmTgt, queries, 5))
+      .exists(_.contains("[1,777")),
+      "the latest BM25 version must already serve the post-pin doc")
+    // …while the pinned read walks BACK to the version covering
+    // {f0,f1}, composes the pin-only tail {f2}, and equals the
+    // one-shot pass over exactly the pinned files — 777 invisible,
+    // the tail's w25 doc found
+    val bmPinned = canon(Streams.bm25SearchFresh(spark, bmTgt, baseDir,
+      queries, 5, pin = Some(pin)))
+    assert(bmPinned == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+      spark.read.parquet(pin: _*), "doc_id", "text", queries, 5)),
+      "pinned retrieval diverged from the one-shot over the pinned corpus")
+    assert(!bmPinned.exists(_.contains("777")),
+      s"a post-pin doc leaked into the pinned ranking: $bmPinned")
+    assert(bmPinned.exists(_.startsWith("[2,25")),
+      s"the pin-only tail doc must rank: $bmPinned")
+    // near-dup at the SAME pin: probe 900 duplicates doc 25 (pin-only
+    // tail — must block), probe 901 duplicates doc 5/777
+    val probe = Seq((900L, doc(25L)._3), (901L, doc(5L)._3))
+      .toDF("doc_id", "sh")
+    val lshPinned = Streams.nearDupsFresh(spark, lshTgt, baseDir, probe,
+      "doc_id", "sh", threshold = 0.5, pin = Some(pin))
+      .orderBy("corpus_id", "batch_id").collect().map(_.toString).toSeq
+    assert(lshPinned.exists(_.contains("[25,900,1.0]")),
+      s"pin-only tail doc must block its duplicate: $lshPinned")
+    assert(lshPinned.exists(_.contains("[5,901,1.0]")),
+      s"indexed doc must block its duplicate: $lshPinned")
+    assert(!lshPinned.exists(_.contains("777")),
+      s"a post-pin doc leaked into the pinned near-dup read: $lshPinned")
+    // the pinned reads are mutually CONSISTENT: both artifacts answer
+    // over {f0,f1,f2} exactly — one-shot over the pinned files
+    assert(lshPinned == Dedup.nearDupsAgainstIndex(
+      Dedup.buildLshIndex(spark.read.parquet(pin: _*), "doc_id", "sh"),
+      probe, "doc_id", "sh", threshold = 0.5)
+      .orderBy("corpus_id", "batch_id").collect().map(_.toString).toSeq,
+      "pinned near-dup diverged from the one-shot over the pinned corpus")
+    // a pin OLDER than every retained version refuses loudly: drop a
+    // file every committed version covers — unverifiable coverage is
+    // not coverage
+    val stale = pin.filterNot(_ == firstTwo.head)
+    assert(intercept[IllegalStateException](
+      Streams.bm25SearchFresh(spark, bmTgt, baseDir, queries, 5,
+        pin = Some(stale))).getMessage.contains("pinned corpus state"))
   }
 
   test("S6v lshIndexDelete: a forgotten doc pairs with nothing — batch dirs AND generations scrubbed") {
