@@ -446,6 +446,82 @@ object SimilarityQueries {
         new java.io.File(work))
   }
 
+  // CONSISTENT PINNED ANN (Streams.corpusPin): the pin names the full
+  // real corpus (three files); a post-pin file CLONING the query
+  // vectors (+1000000 ids, identical embeddings — each query's l2=0
+  // twin, guaranteed rank-1 poison if visible) then lands AND gets
+  // indexed, so the latest committed version covers files beyond the
+  // pin while NO retained version aligns with it. The pinned search
+  // must walk BACK to the newest contained version, encode the
+  // pin-only tail on the fly, rescore against the pinned files alone,
+  // and hash-match the SAME full-pipeline SQL replay over the real
+  // corpus — the clones invisible even though the index serves them
+  // (distinct topK=4/nProbe=2 params keep this row from being a copy
+  // of its siblings' glue).
+  private val ivfpqPinned = QueryDef("e2_ivfpq_pinned", Some(
+    s"""WITH ${pqProloguesCtes(16)},
+       |st0 AS (SELECT cast(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell_id,
+       |               qv AS sv, 1::BIGINT AS n FROM sd),
+       |${ivfAssign("st0", "1")},
+       |${ivfUpdate("st0", "1")},
+       |${ivfAssign("st1", "2")},
+       |${ivfUpdate("st1", "2")},
+       |${ivfAssign("st2", "f")},
+       |pf AS (SELECT vec_id AS query_id, cell_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY m DESC, cell_id) AS rn
+       |       FROM af WHERE vec_id < 5),
+       |pr AS (SELECT query_id, cell_id FROM pf WHERE rn <= 2),
+       |${pqSubspaceCtes(4, 16, 5)},
+       |cand AS (SELECT pr.query_id AS qid, gf.vec_id AS nid
+       |         FROM pr JOIN gf USING (cell_id) WHERE pr.query_id <> gf.vec_id),
+       |${pqRankCtes(4, 16, 4, 4, "cand")}""".stripMargin), bench = false) {
+    (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val work = java.nio.file.Files.createTempDirectory("graft-ivfpqpin-q").toString
+      try {
+        val idx = Similarity.ivfPqBuild(e, nCells = 16, ivfIters = 2,
+          m = 4, codes = 16, pqIters = 1)
+        Similarity.saveIvfCentroids(spark, idx.cellSums, idx.cellCounts,
+          s"$work/cells")
+        Similarity.savePqCodebooks(spark, idx.pqSums, idx.pqCounts,
+          s"$work/codebooks")
+        (0 until 2).foreach(i => e.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(s"$work/base"))
+        val sink = graft.streaming.Streams.ivfPqIndexSink(
+          spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+          s"$work/idx", s"$work/ck", s"$work/cells", s"$work/codebooks")
+        try sink.processAllAvailable() finally sink.stop()
+        // the last real slice lands after the stream stopped — inside
+        // the pin, encoded by no retained version (the pin-only tail)
+        e.filter(col("vec_id") % 3 === 2).coalesce(1)
+          .write.mode("append").parquet(s"$work/base")
+        val pin = graft.streaming.Streams.corpusPin(spark, s"$work/base")
+        // post-pin: query clones land AND a restarted sink encodes them
+        e.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + 1000000L).coalesce(1)
+          .write.mode("append").parquet(s"$work/base")
+        val sink2 = graft.streaming.Streams.ivfPqIndexSink(
+          spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 2).parquet(s"$work/base"),
+          s"$work/idx", s"$work/ck", s"$work/cells", s"$work/codebooks")
+        try sink2.processAllAvailable() finally sink2.stop()
+        val sizes = graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/idx")
+          .flatMap(v => graft.streaming.Streams
+            .snapshotManifest(spark, s"$work/idx/v=$v").map(_.size))
+        require(sizes.max == 4,
+          s"e2_ivfpq_pinned: the latest version must index beyond the pin ($sizes)")
+        require(!sizes.contains(3),
+          s"e2_ivfpq_pinned: no version may align with the pin ($sizes)")
+        graft.streaming.Streams.ivfPqSearchFresh(spark, s"$work/idx",
+            s"$work/cells", s"$work/codebooks", s"$work/base",
+            e.filter(col("vec_id") < 5), topK = 4, nProbe = 2,
+            pin = Some(pin))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(work))
+  }
+
   // Incremental IVF maintenance — the index-never-reshuffles pattern
   // for embeddings (round-7 item #5): centroids trained ONCE over the
   // 90% base corpus and frozen; the 10% delta arrives in three batches,
@@ -509,5 +585,5 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(knn, ann, ivf, semdedup, centroids, quantize,
-    ivfIncr, pq, ivfpq, ivfpqSearch, ivfpqStream)
+    ivfIncr, pq, ivfpq, ivfpqSearch, ivfpqStream, ivfpqPinned)
 }
