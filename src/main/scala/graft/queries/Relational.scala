@@ -811,6 +811,61 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
   }
 
+  // MERGE-ON-READ keyed table (Streams.mergeSink): lineitem rows
+  // replayed as a three-batch CDC stream keyed by l_orderkey —
+  // seq = a (linenumber, partkey, suppkey) composite (the driver's
+  // lineitem carries duplicate (orderkey, linenumber) pairs, and
+  // latest-wins needs a TOTAL per-key order — the composite is unique
+  // and fits a long at any driver SF), tombstone when
+  // l_returnflag = 'R', batch =
+  // l_suppkey % 3 (so the file split IS the batch assignment,
+  // deterministically replayable in SQL). Each microbatch lands as one
+  // O(|touched keys|) delta layer; the read resolves latest-wins by
+  // (batch, seq) descending and drops tombstones — upsertSink's exact
+  // application order without its per-trigger full-table rewrite. The
+  // require() gates on compaction having folded the layers into a
+  // live-rows generation, so the served answer provably comes off the
+  // compacted path and still hash-matches the window replay.
+  private val qMergeTable = QueryDef("q_merge_table", Some(
+    """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+      |                  l_extendedprice,
+      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+      |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-mergetable-q").toString
+    try {
+      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+            + col("l_suppkey")).cast("long").as("seq"),
+          (col("l_returnflag") === "R").as("del"))
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
+      try sink.processAllAvailable() finally sink.stop()
+      val r = graft.streaming.Streams.maintainArtifact(spark, s"$work/t",
+        targetFiles = 2, minBatches = 1)
+      require(r.exists(x => x._1 == "rows" && x._2.contains(2L)),
+        s"q_merge_table: compaction did not cover the three batches ($r)")
+      graft.streaming.Streams.latestTable(spark, s"$work/t").get
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 dimension build (Cdc.scd2Build): every order is a "change"
   // to its customer's record; versions get [own date, next change)
   // validity with (o_orderdate, o_orderkey) as the deterministic
@@ -1931,7 +1986,8 @@ object Relational {
     q7u, q7i, q7e, q8, q9r, q9c, q9g, q10, q11a, q12, q12kmv, qUdaf,
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
-    qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qZorder, qHilbert,
+    qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
+    qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
     qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipJoin, qDelete,

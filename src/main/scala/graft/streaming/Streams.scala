@@ -714,6 +714,160 @@ object Streams extends org.apache.spark.internal.Logging {
       .foreachBatch(fn)
       .start()
 
+  /** [[upsertSink]] on the batch-dir MERGE-ON-READ layout — the
+    * row-level twin of the agg-partials move: upsertSink rewrites the
+    * WHOLE keyed table at `v=<batchId>` every trigger (per-batch write
+    * cost O(|all rows|) — fine for a dimension, a scale-killer for a
+    * 100 TB keyed fact), while this sink writes each microbatch's
+    * changes ONCE under `rows/batch=<id>/` — reduced to the latest
+    * change per key within the batch, TOMBSTONES INCLUDED (a delete
+    * must mask older layers at read time) — so per-batch write cost is
+    * O(|touched keys|) whatever the table has grown to. Read-side
+    * resolution is latest-wins by `(batch, seqCol)` descending with
+    * tombstones dropped ([[latestTable]]) — bit-identical to replaying
+    * the same changes through [[upsertSink]] (a later BATCH wins over
+    * a higher earlier seq, within a batch the highest seq wins —
+    * exactly [[graft.ops.Cdc.mergeUpsert]]'s application order;
+    * spec-pinned). Same lifecycle as every maintained artifact here:
+    * `v=<id>/_SUCCESS` + `_files` manifest + `_freshness`,
+    * [[compactTable]] folds layers into a live-rows-only generation
+    * (tombstones VANISH there — a generation is the complete state
+    * `<= version`, nothing older survives to resurrect), `compactEvery`
+    * enables the in-line geometric trigger, [[maintainArtifact]] runs
+    * the scheduled half, [[tableDelete]] scrubs forgotten keys,
+    * `latestTable(asOf = …)` time-travels. The `_merge` marker makes
+    * the target self-describing; a sink restarted with different
+    * key/seq/delete configuration fails loudly at its first trigger.
+    * Ties on `seqCol` within one (key, batch) resolve arbitrarily —
+    * the same non-contract mergeUpsert has; give changes a total
+    * per-key order. */
+  def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
+                keyCols: Seq[String], seqCol: String, deleteCol: String,
+                retainVersions: Int = 3, filesPerBatch: Int = 1,
+                compactEvery: Int = 0,
+                compactFiles: Int = 4): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(keyCols.nonEmpty, "Streams.mergeSink: empty key")
+    require(retainVersions >= 2,
+      "Streams.mergeSink: must retain >= 2 versions (in-flight readers " +
+        "may hold the predecessor)")
+    require(filesPerBatch > 0, "Streams.mergeSink: filesPerBatch must be positive")
+    require(!keyCols.contains("batch") && seqCol != "batch" && deleteCol != "batch",
+      "Streams.mergeSink: 'batch' is the layout's own partition column")
+    val streamingLeaves = changes.queryExecution.logical.collectLeaves()
+      .count(_.isStreaming)
+    if (streamingLeaves != 1)
+      logWarning(s"Streams.mergeSink: plan has $streamingLeaves streaming " +
+        "sources — no _files manifest will be written, so freshnessLagOf " +
+        "cannot count pending files for this target")
+    val layout = MergeLayout(keyCols, seqCol, deleteCol)
+    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      unresolveReplayedVersion(spark, targetDir, batchId)
+      writeMergeLayout(spark, targetDir, layout)
+      if (!batch.isEmpty) {
+        // the batch's own latest-per-key slice, nothing else read or
+        // rewritten (a replayed batch overwrites only its own
+        // subdirectory — the slice is a pure function of the batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+        batch.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+          .coalesce(filesPerBatch)
+          .write.mode("overwrite").parquet(s"$targetDir/rows/batch=$batchId")
+      }
+      if (listBatchDirs(spark, targetDir, "rows").nonEmpty ||
+          committedCompactions(spark, targetDir, "rows").nonEmpty)
+        commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
+      maybeAutoCompact(spark, targetDir, "rows", keyCols, compactFiles,
+        compactEvery, batchId, mergeResolveFor(layout))
+    }
+  }
+
+  /** The served state of a [[mergeSink]] target: layers `<= version`
+    * resolved latest-wins by `(batch, seq)` descending, tombstones
+    * dropped, layout columns hidden — the same table [[upsertSink]]
+    * would have materialized, read off O(|touched keys| per batch)
+    * writes instead of per-trigger full rewrites. None before the
+    * first committed version. `asOf` time-travels to any retained
+    * version under [[snapshotAsOf]]'s window contract. */
+  def latestTable(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String,
+                  asOf: Option[Long] = None): Option[DataFrame] = {
+    val layout = mergeLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.latestTable: $targetDir has no _merge marker — not a " +
+          "merge-on-read table target (latestSnapshot serves the agg " +
+          "snapshots; upsertSink targets read their v= dir directly)"))
+    val vOpt = asOf match {
+      case Some(_) => Some(resolveVersion(spark, targetDir, Seq("rows"),
+        asOf, "Streams.latestTable"))
+      case None => snapshotVersions(spark, targetDir).sorted.lastOption
+    }
+    vOpt.map { v =>
+      mergeResolveFor(layout)(maintainedBatchRows(spark, targetDir, "rows", v))
+        .drop("batch", layout.seqCol, layout.deleteCol)
+    }
+  }
+
+  /** [[compactIndex]] for a [[mergeSink]] target: the generation is
+    * the RESOLVED state of the covered layers — latest-wins applied,
+    * tombstones dropped (safe exactly because a generation folds
+    * everything `<= version`: no older layer survives for a dropped
+    * tombstone to un-mask) — key-range-clustered so key lookups and
+    * range reads prune generation files. Configuration comes from the
+    * target's own `_merge` marker. */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String, targetFiles: Int = 4,
+                   minBatches: Int = 2,
+                   retainCompactions: Int = 2): Option[Long] = {
+    val layout = mergeLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.compactTable: $targetDir has no _merge marker — not a " +
+          "merge-on-read table target"))
+    compactCore(spark, targetDir, "rows", layout.keys, targetFiles,
+      minBatches, retainCompactions, mergeResolveFor(layout))
+  }
+
+  /** Targeted deletion from a [[mergeSink]] target — right-to-be-
+    * forgotten for the merge-on-read table: CDC tombstones only mask
+    * a key (older layers keep its bytes until compaction folds them
+    * away); this scrubs every layer that CONTAINS it, batch dirs and
+    * generations, via the shared staged-swap rewrite. `keyCol` must
+    * be one of the table's key columns. Offline-maintenance contract
+    * like its siblings. Returns the number of layers rewritten. */
+  def tableDelete(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String, keyCol: String, values: Seq[Any],
+                  maxValues: Int = 1024): Int = {
+    val layout = mergeLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.tableDelete: $targetDir has no _merge marker — not a " +
+          "merge-on-read table target"))
+    require(layout.keys.contains(keyCol),
+      s"Streams.tableDelete: '$keyCol' is not a key of $targetDir " +
+        s"(keys: ${layout.keys.mkString(", ")})")
+    require(values.nonEmpty, "Streams.tableDelete: no values")
+    require(values.length <= maxValues,
+      s"Streams.tableDelete: ${values.length} values exceeds $maxValues — " +
+        "a deletion set that large is a rewrite, not a maintenance op")
+    scrubLayers(spark, targetDir, "rows", keyCol, values)
+  }
+
+  /** Latest-wins resolution for [[mergeSink]] layers: ONE survivor per
+    * key by `(batch, seq)` descending, tombstones dropped. Keeps the
+    * `batch` column — a compacted generation must remember each
+    * survivor's origin batch so resolution against a newer tail stays
+    * correctly ordered. */
+  private def mergeResolveFor(layout: MergeLayout)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(layout.keys.map(col): _*)
+      .orderBy(col("batch").desc, col(layout.seqCol).desc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .filter(!col(layout.deleteCol))
+  }
+
   /** Streaming CDC apply: maintain a parquet snapshot under a change
     * STREAM — each microbatch is merged via [[graft.ops.Cdc.mergeUpsert]]
     * (latest seq wins per key, deletes vanish, inserts append) and the
@@ -729,7 +883,9 @@ object Streams extends org.apache.spark.internal.Logging {
     * Scale note: at real scale the per-version rewrite cost is bounded
     * the same way [[graft.ops.Cdc.mergeUpsert]] bounds it — the
     * snapshot is touched by one broadcast key anti-join per batch — and
-    * old versions are retired by retention, not by this operator. */
+    * old versions are retired by retention, not by this operator; for
+    * a keyed table too large to rewrite per trigger, use [[mergeSink]]
+    * (the merge-on-read layout) instead. */
   def upsertSink(changes: DataFrame, targetDir: String, checkpoint: String,
                  keyCols: Seq[String], seqCol: String,
                  deleteCol: String): StreamingQuery = {
@@ -1934,6 +2090,83 @@ object Streams extends org.apache.spark.internal.Logging {
     (committedCompactions(spark, targetDir, subdir).sorted.toSeq,
       listBatchDirs(spark, targetDir, subdir).sorted.toSeq)
 
+  /** ONE-CALL scheduled maintenance for any maintained-artifact target
+    * — the out-of-band twin of the sinks' in-line `compactEvery` hook,
+    * with zero artifact-specific knowledge required of the operator.
+    * Discovers which data subdirectories the target actually carries
+    * (the sinks' shared layout vocabulary: `delta` = agg-snapshot
+    * partials, `rows` = merge-on-read table, `stats` = file-skipping,
+    * `postings`/`df` = BM25, `assign` = ANN assignments, `index` =
+    * LSH signatures) and runs
+    * each through the geometric lifecycle's scheduled half:
+    * [[compactSnapshot]] for partials (the per-key FOLD, configured by
+    * the target's own `_layout` marker) or [[compactIndex]] with that
+    * subdir's serving-path clustering (`file` / `term` / `cell_id`;
+    * the LSH id column is inferred from a committed layer's schema —
+    * the one field that is not `sig`/`shset` — and refuses loudly on
+    * ambiguity), then [[vacuumIndex]] under the same first-vacuum
+    * grace rule the in-line hook applies (never before a SECOND
+    * generation exists, so pre-compaction readers keep every batch dir
+    * they could have resolved). Steady-state calls are no-ops
+    * (`minBatches` unmet → nothing rewritten) — schedule it like any
+    * maintenance job, against targets whose sinks run with
+    * `compactEvery = 0` or to fold a long tail between geometric
+    * firings. Single-maintainer contract per target, like
+    * [[compactIndex]] itself (concurrent with a LIVE sink is safe —
+    * spec-pinned — but don't run two maintainers on one target).
+    * Returns one row per data subdir found: (subdir,
+    * compacted-through version or None, vacuumed batch ids). */
+  def maintainArtifact(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String, targetFiles: Int = 4,
+                       minBatches: Int = 2, retainCompactions: Int = 2,
+                       vacuum: Boolean = true)
+      : Seq[(String, Option[Long], Seq[Long])] = {
+    val subdirs = Seq("delta", "rows", "stats", "postings", "df", "assign",
+      "index")
+    subdirs.flatMap { sd =>
+      val (gens, batches) = compactionsOf(spark, targetDir, sd)
+      if (gens.isEmpty && batches.isEmpty) None
+      else {
+        val compacted = sd match {
+          case "delta" =>
+            compactSnapshot(spark, targetDir, targetFiles, minBatches,
+              retainCompactions)
+          case "rows" =>
+            compactTable(spark, targetDir, targetFiles, minBatches,
+              retainCompactions)
+          case "stats" =>
+            compactIndex(spark, targetDir, sd, Seq("file"), targetFiles,
+              minBatches, retainCompactions)
+          case "postings" | "df" =>
+            compactIndex(spark, targetDir, sd, Seq("term"), targetFiles,
+              minBatches, retainCompactions)
+          case "assign" =>
+            compactIndex(spark, targetDir, sd, Seq("cell_id"), targetFiles,
+              minBatches, retainCompactions)
+          case "index" =>
+            val layer =
+              if (gens.nonEmpty) s"$targetDir/compact/$sd/c=${gens.max}"
+              else s"$targetDir/$sd/batch=${batches.min}"
+            val idCols = spark.read.parquet(layer).schema.fieldNames.toSeq
+              .filterNot(Set("sig", "shset"))
+            require(idCols.size == 1,
+              s"Streams.maintainArtifact: cannot infer the LSH id column " +
+                s"of $targetDir/$sd (non-signature fields: " +
+                s"${idCols.mkString(", ")}) — compact it explicitly with " +
+                "compactIndex")
+            compactIndex(spark, targetDir, sd, idCols, targetFiles,
+              minBatches, retainCompactions)
+        }
+        val vacuumed =
+          if (vacuum &&
+              committedCompactions(spark, targetDir, sd).length >= 2)
+            vacuumIndex(spark, targetDir, sd)
+          else Nil
+        Some((sd, compacted, vacuumed))
+      }
+    }
+  }
+
   /** Committed compaction generations under
     * `targetDir/compact/<subdir>` (nested per data subdirectory — a
     * sink with several compactable tables, e.g. bm25's postings + df,
@@ -2014,6 +2247,68 @@ object Streams extends org.apache.spark.internal.Logging {
     * restriction of the plain-text marker). */
   final case class AggLayout(retract: Boolean, keys: Seq[String],
                              scale: Int, kmvK: Int)
+
+  /** The on-disk self-description of a [[mergeSink]] merge-on-read
+    * table target: the key columns, the intra-batch ordering column,
+    * and the tombstone flag — everything [[latestTable]] /
+    * [[compactTable]] / [[maintainArtifact]] need to resolve layers
+    * without being told the sink's configuration. Same plain-text
+    * marker discipline as [[AggLayout]] (no commas in column names). */
+  final case class MergeLayout(keys: Seq[String], seqCol: String,
+                               deleteCol: String)
+
+  private val MergeFile = "_merge"
+
+  private def writeMergeLayout(spark: org.apache.spark.sql.SparkSession,
+                               targetDir: String, layout: MergeLayout): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetDir/$MergeFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergeLayoutOf(spark, targetDir) match {
+      case Some(existing) =>
+        // a sink restarted with DIFFERENT key/seq/delete configuration
+        // would write rows the resolution then mis-orders or mis-drops
+        // — fail at the first trigger, like the agg-partials marker
+        require(existing == layout,
+          s"merge sink: $targetDir was built with $existing but this sink " +
+            s"is configured as $layout — mixing layouts would corrupt " +
+            "latest-wins resolution; use a fresh target (or the original " +
+            "configuration)")
+      case None =>
+        (layout.keys :+ layout.seqCol :+ layout.deleteCol).foreach(k =>
+          require(!k.contains(","),
+            s"merge sink: column '$k' contains a comma — the _merge " +
+              "marker cannot encode it"))
+        val out = fs.create(p, true)
+        try out.write((s"layout=merge-rows\nkeys=${layout.keys.mkString(",")}\n" +
+          s"seq=${layout.seqCol}\ndelete=${layout.deleteCol}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+  }
+
+  /** The [[MergeLayout]] marker of a [[mergeSink]] target, or None for
+    * targets on other layouts. */
+  def mergeLayoutOf(spark: org.apache.spark.sql.SparkSession,
+                    targetDir: String): Option[MergeLayout] = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetDir/$MergeFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val kv = text.split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l =>
+          val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+      if (!kv.get("layout").contains("merge-rows")) None
+      else Some(MergeLayout(
+        kv("keys").split(",").toIndexedSeq.filter(_.nonEmpty),
+        kv("seq"), kv("delete")))
+    }
+  }
 
   private def writeAggLayout(spark: org.apache.spark.sql.SparkSession,
                              targetDir: String, layout: AggLayout): Unit = {
@@ -2417,7 +2712,9 @@ object Streams extends org.apache.spark.internal.Logging {
   def snapshotAsOf(spark: org.apache.spark.sql.SparkSession,
                    targetDir: String, version: Long): DataFrame = {
     val subdirs =
-      if (aggLayoutOf(spark, targetDir).isDefined) Seq("delta") else Nil
+      if (aggLayoutOf(spark, targetDir).isDefined) Seq("delta")
+      else if (mergeLayoutOf(spark, targetDir).isDefined) Seq("rows")
+      else Nil
     resolveVersion(spark, targetDir, subdirs, Some(version),
       "Streams.snapshotAsOf")
     snapshotAtVersion(spark, targetDir, version)
@@ -2470,7 +2767,14 @@ object Streams extends org.apache.spark.internal.Logging {
     aggLayoutOf(spark, targetDir) match {
       case Some(l) => mergePartialsFor(l, keepBatch = false)(
         maintainedBatchRows(spark, targetDir, "delta", v).drop("batch"))
-      case None => spark.read.parquet(s"$targetDir/v=$v")
+      case None => mergeLayoutOf(spark, targetDir) match {
+        // a mergeSink target's v= dirs hold only markers — resolve its
+        // rows/ layers instead (same answer latestTable(asOf) serves)
+        case Some(ml) => mergeResolveFor(ml)(
+          maintainedBatchRows(spark, targetDir, "rows", v))
+          .drop("batch", ml.seqCol, ml.deleteCol)
+        case None => spark.read.parquet(s"$targetDir/v=$v")
+      }
     }
 
   /** Committed `v=<batchId>` snapshot versions under `targetDir`,

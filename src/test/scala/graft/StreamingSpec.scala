@@ -1958,6 +1958,156 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     } finally q.stop()
   }
 
+  test("S6ac maintainArtifact: one call discovers and runs the whole lifecycle; answers never change") {
+    assume(!rocksdb)
+    import spark.implicits._
+    import graft.ops.Dedup
+    // --- BM25 target: postings + df discovered together -------------
+    val bmBase = tmp("graft-maint-bmb"); val bmTgt = tmp("graft-maint-bmt")
+    val bmCk = tmp("graft-maint-bmc")
+    def landDocs(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong, s"alpha w$i beta"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(bmBase)
+    landDocs(0, 10); landDocs(10, 20); landDocs(20, 30)
+    def bmSink() = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(bmBase),
+      bmTgt, bmCk, "doc_id", "text")
+    val q1 = bmSink(); try q1.processAllAvailable() finally q1.stop()
+    val queries = Seq((1, "alpha"), (2, "w15")).toDF("query_id", "term")
+    def rank() = Streams.bm25SearchMaintained(spark, bmTgt, queries, 4)
+      .orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    val before = rank()
+    // one call: finds postings AND df, compacts both, first-vacuum
+    // grace holds (one generation -> nothing freed)
+    val r1 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    assert(r1.map(_._1).sorted == Seq("df", "postings"), s"discovered: $r1")
+    assert(r1.forall(_._2.contains(2L)), s"not compacted through 2: $r1")
+    assert(r1.forall(_._3.isEmpty), s"first vacuum must wait: $r1")
+    assert(rank() == before, "maintenance changed the ranking")
+    // steady state: nothing to do, still no vacuum beyond grace
+    val r2 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    assert(r2.forall(r => r._2.isEmpty && r._3.isEmpty), s"no-op expected: $r2")
+    // more batches land -> second generation; NOW vacuum frees the
+    // batches the oldest generation covers
+    landDocs(30, 40); landDocs(40, 50)
+    val q2 = bmSink(); try q2.processAllAvailable() finally q2.stop()
+    val afterLand = rank()
+    val r3 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    assert(r3.forall(_._2.contains(4L)), s"second generation missing: $r3")
+    assert(r3.forall(_._3 == Seq(0L, 1L, 2L)),
+      s"vacuum must free the oldest generation's batches: $r3")
+    assert(rank() == afterLand, "vacuum changed the ranking")
+    // --- LSH target: id column inferred from the layer schema -------
+    val lshBase = tmp("graft-maint-lb"); val lshTgt = tmp("graft-maint-lt")
+    def sig(i: Long) = (0 until 8).map(j => i * 8 + j).toArray
+    (0 until 2).foreach(k => (k * 10 until k * 10 + 10)
+      .map(i => (i.toLong, sig(i.toLong))).toDF("doc_id", "sh")
+      .coalesce(1).write.mode("append").parquet(lshBase))
+    val lq = Streams.lshIndexSink(
+      spark.readStream.schema("doc_id long, sh array<bigint>")
+        .option("maxFilesPerTrigger", 1).parquet(lshBase),
+      lshTgt, tmp("graft-maint-lc"), "doc_id", "sh")
+    try lq.processAllAvailable() finally lq.stop()
+    val probe = Seq((100L, sig(7L))).toDF("doc_id", "sh")
+    def pairs() = Streams.nearDupsMaintained(spark, lshTgt, probe,
+      "doc_id", "sh", threshold = 0.5)
+      .orderBy("corpus_id").collect().map(_.toString).toSeq
+    val lshBefore = pairs()
+    val lr = Streams.maintainArtifact(spark, lshTgt, targetFiles = 1,
+      minBatches = 1)
+    assert(lr.map(_._1) == Seq("index") && lr.head._2.contains(1L),
+      s"LSH layer not discovered/compacted: $lr")
+    assert(pairs() == lshBefore && lshBefore.nonEmpty,
+      "maintenance changed the near-dup answer")
+    // --- agg-snapshot target: partials FOLDED, not concatenated -----
+    val agBase = tmp("graft-maint-ab"); val agTgt = tmp("graft-maint-at")
+    (0 until 2).foreach(k => Seq(("a", 1.0 + k), ("b", 2.0))
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(agBase))
+    val aq = Streams.aggSnapshotSinkAppendOnly(
+      spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1).parquet(agBase),
+      agTgt, tmp("graft-maint-ac"), Seq("k"), Seq("v"))
+    try aq.processAllAvailable() finally aq.stop()
+    def snap() = Streams.latestSnapshot(spark, agTgt).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    val agBefore = snap()
+    val ar = Streams.maintainArtifact(spark, agTgt, targetFiles = 1,
+      minBatches = 1)
+    assert(ar.map(_._1) == Seq("delta") && ar.head._2.contains(1L),
+      s"partials layer not discovered/compacted: $ar")
+    assert(snap() == agBefore, "maintenance changed the snapshot")
+    // folded: the generation holds one partial row per live key
+    assert(spark.read.parquet(s"$agTgt/compact/delta/c=1")
+      .groupBy("k").count().filter(col("count") > 1).isEmpty,
+      "generation must hold ONE folded partial per key")
+  }
+
+  test("S6ad mergeSink: merge-on-read == upsertSink bit-for-bit; tombstones vanish in generations") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-mor-base")
+    val morTgt = tmp("graft-mor-t"); val morCk = tmp("graft-mor-tc")
+    val upTgt = tmp("graft-mor-u"); val upCk = tmp("graft-mor-uc")
+    def land(rows: Seq[(Long, String, Long, Boolean)]): Unit =
+      rows.toDF("k", "payload", "seq", "del")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    // batch 0: keys 1..10 inserted
+    land((1L to 10L).map(k => (k, s"v1-$k", 1L, false)))
+    // batch 1: 1..5 updated, 11 inserted, 3 DELETED at a HIGH seq
+    land((1L to 5L).map(k => (k, s"v2-$k", 2L, false)) ++
+      Seq((11L, "v1-11", 1L, false), (3L, "gone", 9L, true)))
+    // batch 2: 3 REINSERTED at a LOWER seq than its tombstone — a
+    // later BATCH must win over a higher earlier seq (upsertSink's
+    // application order) — and 7 deleted
+    land(Seq((3L, "back-3", 1L, false), (7L, "gone", 5L, true)))
+    def stream() = spark.readStream
+      .schema("k long, payload string, seq long, del boolean")
+      .option("maxFilesPerTrigger", 1).parquet(baseDir)
+    val mq = Streams.mergeSink(stream(), morTgt, morCk, Seq("k"), "seq", "del")
+    try mq.processAllAvailable() finally mq.stop()
+    val uq = Streams.upsertSink(stream(), upTgt, upCk, Seq("k"), "seq", "del")
+    try uq.processAllAvailable() finally uq.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toString).toSeq
+    def upsertAt(v: Long) = spark.read.parquet(s"$upTgt/v=$v")
+    val served = canon(Streams.latestTable(spark, morTgt).get)
+    assert(served == canon(upsertAt(2L)),
+      s"merge-on-read diverged from the upsert snapshot:\n$served")
+    assert(served.exists(_ == "[3,back-3]"),
+      "a later batch must win over a higher earlier seq")
+    assert(!served.exists(_.startsWith("[7,")), "deleted key must vanish")
+    assert(served.size == 10) // 10 original + 11 inserted - 3rein ok - 7 del
+    // TIME TRAVEL: version 1 == what upsertSink served at version 1
+    // (3 still deleted, 11 present)
+    val at1 = canon(Streams.snapshotAsOf(spark, morTgt, 1L))
+    assert(at1 == canon(upsertAt(1L)), "asOf-1 diverged from upsert v=1")
+    assert(!at1.exists(_.startsWith("[3,")) && at1.exists(_.startsWith("[11,")))
+    // compaction folds to live rows only: tombstones and masked
+    // versions VANISH from the generation (it is the complete state)
+    val r = Streams.maintainArtifact(spark, morTgt, targetFiles = 1,
+      minBatches = 1)
+    assert(r.map(_._1) == Seq("rows") && r.head._2.contains(2L),
+      s"rows layer not discovered/compacted: $r")
+    val gen = spark.read.parquet(s"$morTgt/compact/rows/c=2")
+    assert(gen.filter(col("del")).isEmpty, "tombstones must vanish in a generation")
+    assert(gen.count() == 10, "generation must hold exactly the live rows")
+    assert(canon(Streams.latestTable(spark, morTgt).get) == served,
+      "compaction changed the served table")
+    // right-to-be-forgotten: scrub a key through every layer
+    assert(Streams.tableDelete(spark, morTgt, "k", Seq(2L)) >= 1)
+    val after = canon(Streams.latestTable(spark, morTgt).get)
+    assert(after == served.filterNot(_.startsWith("[2,")),
+      "tableDelete must remove exactly the forgotten key")
+    // the key's BYTES are gone from every layer, batch dirs and
+    // generation alike — not merely masked
+    assert(spark.read.parquet(s"$morTgt/rows")
+      .filter(col("k") === 2L).isEmpty, "forgotten key still in a batch dir")
+    assert(spark.read.parquet(s"$morTgt/compact/rows/c=2")
+      .filter(col("k") === 2L).isEmpty, "forgotten key still in the generation")
+  }
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
