@@ -810,6 +810,50 @@ object Streams extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** [[latestTable]] restricted by a KEY predicate, applied BEFORE
+    * latest-wins resolution — sound exactly because resolution
+    * partitions by the key columns, so filtering whole key-groups
+    * first commutes with it ((σ_key ∘ resolve) = (resolve ∘ σ_key)),
+    * while a non-key predicate would NOT (it could drop a key's
+    * winning row and resurrect an older version — refused loudly).
+    * This is the 100 TB point-lookup shape: the predicate reaches the
+    * layer scans as a pushed parquet filter, the compacted generation
+    * is key-range-clustered so its row groups/footers prune, and the
+    * latest-wins window then runs over the handful of surviving rows
+    * instead of the whole table. */
+  def latestTableWhere(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String,
+                       pred: org.apache.spark.sql.Column,
+                       asOf: Option[Long] = None): Option[DataFrame] = {
+    val layout = mergeLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.latestTableWhere: $targetDir has no _merge marker — not " +
+          "a merge-on-read table target"))
+    val vOpt = asOf match {
+      case Some(_) => Some(resolveVersion(spark, targetDir, Seq("rows"),
+        asOf, "Streams.latestTableWhere"))
+      case None => snapshotVersions(spark, targetDir).sorted.lastOption
+    }
+    vOpt.map { v =>
+      val filtered = maintainedBatchRows(spark, targetDir, "rows", v)
+        .where(pred)
+      // the key-only gate reads the ANALYZED filter (a Spark-4 Column
+      // is a ColumnNode wrapper until it meets a plan — only the
+      // resolved condition exposes real attribute references)
+      val refs = filtered.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+          c.references.map(_.name).toSet
+      }.getOrElse(Set.empty[String])
+      require(refs.nonEmpty && refs.subsetOf(layout.keys.toSet),
+        s"Streams.latestTableWhere: the predicate references " +
+          s"${refs.mkString(", ")} but only key columns " +
+          s"(${layout.keys.mkString(", ")}) commute with latest-wins " +
+          "resolution — filter non-key columns on latestTable's OUTPUT")
+      mergeResolveFor(layout)(filtered)
+        .drop("batch", layout.seqCol, layout.deleteCol)
+    }
+  }
+
   /** [[compactIndex]] for a [[mergeSink]] target: the generation is
     * the RESOLVED state of the covered layers — latest-wins applied,
     * tombstones dropped (safe exactly because a generation folds

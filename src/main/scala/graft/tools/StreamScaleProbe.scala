@@ -217,6 +217,73 @@ object StreamScaleProbe {
       } finally q.stop()
     }
 
+    // ---- merge-on-read keyed table vs full-rewrite upsert (round 11) -
+    // The write-amplification A/B the mergeSink layout exists for: both
+    // sinks consume the same CDC cadence over a ~200k-row keyed table —
+    // a seeding batch touching every key, then alternating wide (50k)
+    // and narrow (5k) updates with 5% deletes. mergeSink's batchBytes
+    // must track |touched| (narrow batches ~10x smaller, forever),
+    // while upsertSink's per-version bytes stay ~|whole table| however
+    // small the batch — the exact shape that kills a keyed fact at
+    // 100 TB. liveRows (latestTable count) pins that the cheap writes
+    // still serve the right state.
+    locally {
+      val tableKeys = 200000
+      val tgt = ckpt("mor-tgt")
+      def rowsDirs(t: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$t/rows")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+      }
+      val changes = MemoryStream[(Long, Long, String, Boolean)]
+      val q = graft.streaming.Streams.mergeSink(
+        changes.toDF().toDF("k", "seq", "payload", "del"), tgt, ckpt("mor-ck"),
+        Seq("k"), "seq", "del", compactEvery = 8)
+      def batchRows(i: Int, touched: Int): Seq[(Long, Long, String, Boolean)] =
+        (0 until touched).map { j =>
+          val k = if (i == 0) j else (j * 3 + i) % tableKeys
+          (k.toLong, i.toLong, s"p$i-$k", i > 0 && j % 20 == 19)
+        }
+      try {
+        var i = 0
+        val morBatches = math.max(10, ivmBatches / 5)
+        while (i < morBatches) {
+          val touched = if (i == 0) tableKeys else if (i % 2 == 1) 50000 else 5000
+          val t0 = System.nanoTime()
+          changes.addData(batchRows(i, touched))
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (i < 6 || i % 10 == 0 || i == morBatches - 1) {
+            val live = graft.streaming.Streams.latestTable(spark, tgt)
+              .map(_.count()).getOrElse(0L)
+            val batchBytes = dirBytes(s"$tgt/rows/batch=$i")
+            println(f"STAGE merge_table_200k      batch=$i%3d $sec%7.2fs touched=$touched%6d liveRows=$live%8d rowsDirs=${rowsDirs(tgt)}%3d batchBytes=$batchBytes%9d dirBytes=${dirBytes(tgt)}%10d")
+          }
+          i += 1
+        }
+      } finally q.stop()
+      // A/B: the same first batches through upsertSink — per-version
+      // bytes == the whole table even for a 5k-row change batch
+      val upTgt = ckpt("mor-up")
+      val upChanges = MemoryStream[(Long, Long, String, Boolean)]
+      val uq = graft.streaming.Streams.upsertSink(
+        upChanges.toDF().toDF("k", "seq", "payload", "del"), upTgt,
+        ckpt("mor-upck"), Seq("k"), "seq", "del")
+      try {
+        var i = 0
+        while (i < 5) {
+          val touched = if (i == 0) tableKeys else if (i % 2 == 1) 50000 else 5000
+          val t0 = System.nanoTime()
+          upChanges.addData(batchRows(i, touched))
+          uq.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"STAGE merge_table_upsertAB  batch=$i%3d $sec%7.2fs touched=$touched%6d versionBytes=${dirBytes(s"$upTgt/v=$i")}%10d")
+          i += 1
+        }
+      } finally uq.stop()
+    }
+
     // ---- streaming IVM with KMV distinct sketches (round 6) ----------
     // aggSnapshotSinkAppendOnly maintaining per-group kmv_<c> sketch
     // columns: each batch's partial adds a k-bounded sketch array per

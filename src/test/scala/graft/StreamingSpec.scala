@@ -2106,6 +2106,18 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       .filter(col("k") === 2L).isEmpty, "forgotten key still in a batch dir")
     assert(spark.read.parquet(s"$morTgt/compact/rows/c=2")
       .filter(col("k") === 2L).isEmpty, "forgotten key still in the generation")
+    // point lookup: a key predicate pushed BELOW resolution returns
+    // exactly the filtered table — including the reinsert-after-delete
+    // key, whose tombstone the pre-filter must still see and out-order
+    val looked = canon(Streams.latestTableWhere(spark, morTgt,
+      col("k").isin(3L, 7L, 9L)).get)
+    assert(looked == after.filter(s =>
+      s.startsWith("[3,") || s.startsWith("[7,") || s.startsWith("[9,")),
+      s"pushed key lookup diverged: $looked")
+    // a non-key predicate cannot commute with latest-wins — refused
+    assert(intercept[IllegalArgumentException](
+      Streams.latestTableWhere(spark, morTgt, col("payload") === "x"))
+      .getMessage.contains("commute"))
   }
 
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
