@@ -740,7 +740,15 @@ object Streams extends org.apache.spark.internal.Logging {
     * key/seq/delete configuration fails loudly at its first trigger.
     * Ties on `seqCol` within one (key, batch) resolve arbitrarily —
     * the same non-contract mergeUpsert has; give changes a total
-    * per-key order. */
+    * per-key order.
+    *
+    * SCHEMA EVOLUTION: adding nullable columns is supported — layers
+    * keep the schema they were written with, reads merge schemas and
+    * surface the new columns as null on old rows (compaction folds the
+    * widened shape forward). Dropping or renaming a key/seq/delete
+    * column fails the stream loudly; changing an existing column's
+    * TYPE fails at read (parquet schema merge refuses) — also loud,
+    * never a silent reinterpretation. */
   def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
                 keyCols: Seq[String], seqCol: String, deleteCol: String,
                 retainVersions: Int = 3, filesPerBatch: Int = 1,
@@ -761,7 +769,7 @@ object Streams extends org.apache.spark.internal.Logging {
         "sources — no _files manifest will be written, so freshnessLagOf " +
         "cannot count pending files for this target")
     val layout = MergeLayout(keyCols, seqCol, deleteCol)
-    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+    toVersionedSink(changes, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
       writeMergeLayout(spark, targetDir, layout)
@@ -780,7 +788,7 @@ object Streams extends org.apache.spark.internal.Logging {
           committedCompactions(spark, targetDir, "rows").nonEmpty)
         commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "rows", keyCols, compactFiles,
-        compactEvery, batchId, mergeResolveFor(layout))
+        compactEvery, batchId, mergeResolveFor(layout), evolving = true)
     }
   }
 
@@ -805,7 +813,8 @@ object Streams extends org.apache.spark.internal.Logging {
       case None => snapshotVersions(spark, targetDir).sorted.lastOption
     }
     vOpt.map { v =>
-      mergeResolveFor(layout)(maintainedBatchRows(spark, targetDir, "rows", v))
+      mergeResolveFor(layout)(
+        maintainedBatchRows(spark, targetDir, "rows", v, evolving = true))
         .drop("batch", layout.seqCol, layout.deleteCol)
     }
   }
@@ -835,8 +844,8 @@ object Streams extends org.apache.spark.internal.Logging {
       case None => snapshotVersions(spark, targetDir).sorted.lastOption
     }
     vOpt.map { v =>
-      val filtered = maintainedBatchRows(spark, targetDir, "rows", v)
-        .where(pred)
+      val filtered = maintainedBatchRows(spark, targetDir, "rows", v,
+        evolving = true).where(pred)
       // the key-only gate reads the ANALYZED filter (a Spark-4 Column
       // is a ColumnNode wrapper until it meets a plan — only the
       // resolved condition exposes real attribute references)
@@ -870,7 +879,8 @@ object Streams extends org.apache.spark.internal.Logging {
         s"Streams.compactTable: $targetDir has no _merge marker — not a " +
           "merge-on-read table target"))
     compactCore(spark, targetDir, "rows", layout.keys, targetFiles,
-      minBatches, retainCompactions, mergeResolveFor(layout))
+      minBatches, retainCompactions, mergeResolveFor(layout),
+      evolving = true)
   }
 
   /** Targeted deletion from a [[mergeSink]] target — right-to-be-
@@ -934,7 +944,7 @@ object Streams extends org.apache.spark.internal.Logging {
                  keyCols: Seq[String], seqCol: String,
                  deleteCol: String): StreamingQuery = {
     val targetCols = changes.columns.filterNot(c => c == seqCol || c == deleteCol)
-    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+    toVersionedSink(changes, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir)
         .filter(_ < batchId) // replay must ignore its own failed attempt
@@ -1000,7 +1010,7 @@ object Streams extends org.apache.spark.internal.Logging {
     require(filesPerBatch > 0, "aggSnapshotSink: filesPerBatch must be positive")
     val layout = AggLayout(retract = true, keyCols, scale,
       graft.functions.Kmv.DefaultK)
-    toForeachBatchSink(changes, checkpoint) { (batch, batchId) =>
+    toVersionedSink(changes, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
       writeAggLayout(spark, targetDir, layout)
@@ -1077,7 +1087,7 @@ object Streams extends org.apache.spark.internal.Logging {
         "registerVersionedFresh over this target will always bail to the " +
         "direct scan (registerVersioned still works)")
     val layout = AggLayout(retract = false, keyCols, scale, kmvK)
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
       writeAggLayout(spark, targetDir, layout)
@@ -1138,7 +1148,7 @@ object Streams extends org.apache.spark.internal.Logging {
     require(cols.nonEmpty, "skippingIndexSink: no columns")
     require(retainVersions >= 2,
       "skippingIndexSink: must retain >= 2 versions (replay needs the predecessor)")
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
       sourceBatchFiles(spark, checkpoint, batchId) match {
@@ -1228,7 +1238,7 @@ object Streams extends org.apache.spark.internal.Logging {
     require(retainVersions >= 2,
       "bm25IndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "bm25IndexSink: filesPerBatch must be positive")
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
       unresolveReplayedVersion(spark, targetDir, batchId)
@@ -1463,7 +1473,7 @@ object Streams extends org.apache.spark.internal.Logging {
     val session = rows.sparkSession
     val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(session, centroidsDir)
     val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(session, codebooksDir)
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions.col
       unresolveReplayedVersion(spark, targetDir, batchId)
@@ -1622,7 +1632,7 @@ object Streams extends org.apache.spark.internal.Logging {
     require(retainVersions >= 2,
       "lshIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "lshIndexSink: filesPerBatch must be positive")
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
       graft.ops.Dedup.buildLshIndex(batch, idCol, shingleCol)
@@ -1880,6 +1890,83 @@ object Streams extends org.apache.spark.internal.Logging {
     * overwrite-the-v=dir layout got this for free because the parquet
     * overwrite removed the marker first); the replay recommits the
     * version after its rewrite completes. */
+  /** [[toForeachBatchSink]] for sinks that own a VERSIONED target
+    * directory, with the checkpoint-identity guard run once per sink
+    * instance before the first batch: streaming batch ids are local to
+    * a CHECKPOINT, so a sink pointed at an existing target from a
+    * fresh (or wiped-and-recreated) checkpoint restarts numbering at 0
+    * and the replay-idempotence discipline — "a replayed batch
+    * overwrites its own subdirectory/version" — would then treat
+    * committed history as its own failed attempts and silently
+    * overwrite it. The target records the query id of the checkpoint
+    * that maintains it (`_query` marker; Structured Streaming assigns
+    * a fresh UUID whenever a checkpoint is created, so even the same
+    * PATH wiped and recreated is caught); a mismatch fails the stream
+    * loudly at its first trigger. Resuming from the original
+    * checkpoint is always clean; adopting a new one means a fresh
+    * target (or an explicit, eyes-open delete of the marker). */
+  private def toVersionedSink(df: DataFrame, checkpoint: String,
+                              targetDir: String)(
+      fn: (DataFrame, Long) => Unit): StreamingQuery = {
+    var checked = false
+    toForeachBatchSink(df, checkpoint) { (batch, id) =>
+      if (!checked) {
+        guardSinkIdentity(batch.sparkSession, targetDir, checkpoint)
+        checked = true
+      }
+      fn(batch, id)
+    }
+  }
+
+  private def checkpointQueryId(spark: org.apache.spark.sql.SparkSession,
+                                checkpoint: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def guardSinkIdentity(spark: org.apache.spark.sql.SparkSession,
+                                targetDir: String,
+                                checkpoint: String): Unit =
+    checkpointQueryId(spark, checkpoint) match {
+      case None =>
+        // metadata unreadable — nothing to pin against; stay permissive
+        // (the guard is a footgun catch, not a correctness dependency)
+        logWarning(s"versioned sink: could not read a query id from " +
+          s"$checkpoint/metadata — checkpoint-identity guard inactive " +
+          s"for $targetDir")
+      case Some(id) =>
+        val mk = new org.apache.hadoop.fs.Path(s"$targetDir/_query")
+        val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(mk)) {
+          val out = fs.create(mk, true)
+          try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } else {
+          val in = fs.open(mk)
+          val old = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          require(old == id,
+            s"versioned sink: $targetDir is maintained by checkpoint query " +
+              s"$old but this sink runs as $id — a fresh checkpoint restarts " +
+              "batch numbering at 0, and the replay-overwrite discipline " +
+              "would silently destroy committed layers. Resume from the " +
+              "original checkpoint, or use a fresh target (to adopt a new " +
+              s"checkpoint deliberately, delete $targetDir/_query first)")
+        }
+    }
+
   private def unresolveReplayedVersion(spark: org.apache.spark.sql.SparkSession,
                                        targetDir: String,
                                        batchId: Long): Unit = {
@@ -1991,7 +2078,8 @@ object Streams extends org.apache.spark.internal.Logging {
                           targetDir: String, subdir: String,
                           clusterCols: Seq[String], targetFiles: Int,
                           minBatches: Int, retainCompactions: Int,
-                          transform: DataFrame => DataFrame): Option[Long] = {
+                          transform: DataFrame => DataFrame,
+                          evolving: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.col
     require(targetFiles > 0, "Streams.compactIndex: targetFiles must be positive")
     require(minBatches >= 1, "Streams.compactIndex: minBatches must be >= 1")
@@ -2007,13 +2095,15 @@ object Streams extends org.apache.spark.internal.Logging {
       if (batchIds.length < minBatches) None
       else {
         val basePath = s"$targetDir/$subdir"
-        val tail = spark.read.option("basePath", basePath)
+        def rd = if (evolving) spark.read.option("mergeSchema", "true")
+                 else spark.read
+        val tail = rd.option("basePath", basePath)
           .parquet(batchIds.map(id => s"$basePath/batch=$id").toIndexedSeq: _*)
           .withColumn("batch", col("batch").cast("long"))
         val all = prevC match {
           case Some(c) =>
-            spark.read.parquet(s"$targetDir/compact/$subdir/c=$c")
-              .unionByName(tail)
+            rd.parquet(s"$targetDir/compact/$subdir/c=$c")
+              .unionByName(tail, allowMissingColumns = evolving)
           case None => tail
         }
         val out = s"$targetDir/compact/$subdir/c=$version"
@@ -2096,7 +2186,8 @@ object Streams extends org.apache.spark.internal.Logging {
                                targetDir: String, subdir: String,
                                clusterCols: Seq[String], compactFiles: Int,
                                compactEvery: Int, batchId: Long,
-                               transform: DataFrame => DataFrame = identity)
+                               transform: DataFrame => DataFrame = identity,
+                               evolving: Boolean = false)
       : Unit =
     if (compactEvery > 0) {
       val prevC = committedCompactions(spark, targetDir, subdir)
@@ -2107,7 +2198,7 @@ object Streams extends org.apache.spark.internal.Logging {
       val tail = batchId - prevC.getOrElse(-1L)
       if (tail >= math.max(compactEvery.toLong, covered)) {
         compactCore(spark, targetDir, subdir, clusterCols, compactFiles,
-          minBatches = 1, retainCompactions = 2, transform)
+          minBatches = 1, retainCompactions = 2, transform, evolving)
         // vacuum only once a SECOND generation exists: on the very first
         // compaction the just-committed generation IS the oldest one, so
         // vacuuming now would free every covered batch dir with zero
@@ -2247,27 +2338,37 @@ object Streams extends org.apache.spark.internal.Logging {
     * generation this is exactly the plain partitioned read the sinks
     * originally served — compaction is invisible to answers by
     * construction. */
+  /** `evolving = true` (the merge-on-read table's read mode) turns on
+    * parquet schema merging and missing-column-tolerant unions, so a
+    * target whose sink gained ADDED nullable columns over time reads
+    * deterministically — old layers surface the new columns as null.
+    * The index sinks keep the strict default: their schemas are fixed
+    * by construction, and a drifted layer should fail loudly. */
   private def maintainedBatchRows(spark: org.apache.spark.sql.SparkSession,
                                   targetDir: String, subdir: String,
-                                  version: Long): DataFrame = {
+                                  version: Long,
+                                  evolving: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    def rd = if (evolving) spark.read.option("mergeSchema", "true")
+             else spark.read
     val cOpt = committedCompactions(spark, targetDir, subdir)
       .filter(_ <= version).sorted.lastOption
     cOpt match {
       case None =>
-        spark.read.parquet(s"$targetDir/$subdir")
+        rd.parquet(s"$targetDir/$subdir")
           .where(col("batch") <= version)
       case Some(c) =>
-        val compacted = spark.read.parquet(s"$targetDir/compact/$subdir/c=$c")
+        val compacted = rd.parquet(s"$targetDir/compact/$subdir/c=$c")
         val tailIds = listBatchDirs(spark, targetDir, subdir)
           .filter(id => id > c && id <= version).sorted
         if (tailIds.isEmpty) compacted
         else {
           val basePath = s"$targetDir/$subdir"
           compacted.unionByName(
-            spark.read.option("basePath", basePath)
+            rd.option("basePath", basePath)
               .parquet(tailIds.map(id => s"$basePath/batch=$id").toIndexedSeq: _*)
-              .withColumn("batch", col("batch").cast("long")))
+              .withColumn("batch", col("batch").cast("long")),
+            allowMissingColumns = evolving)
         }
     }
   }
@@ -2693,7 +2794,7 @@ object Streams extends org.apache.spark.internal.Logging {
                    dim: Int = 64, retainVersions: Int = 3): StreamingQuery = {
     require(retainVersions >= 2,
       "ivfStatsSink: must retain >= 2 versions (replay needs the predecessor)")
-    toForeachBatchSink(rows, checkpoint) { (batch, batchId) =>
+    toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       val versions = snapshotVersions(spark, targetDir).filter(_ < batchId)
       val batchStats = graft.ops.Similarity.ivfCellStats(batch, sums, counts, dim)
@@ -2815,7 +2916,7 @@ object Streams extends org.apache.spark.internal.Logging {
         // a mergeSink target's v= dirs hold only markers — resolve its
         // rows/ layers instead (same answer latestTable(asOf) serves)
         case Some(ml) => mergeResolveFor(ml)(
-          maintainedBatchRows(spark, targetDir, "rows", v))
+          maintainedBatchRows(spark, targetDir, "rows", v, evolving = true))
           .drop("batch", ml.seqCol, ml.deleteCol)
         case None => spark.read.parquet(s"$targetDir/v=$v")
       }

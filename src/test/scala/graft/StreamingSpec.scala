@@ -2120,6 +2120,61 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       .getMessage.contains("commute"))
   }
 
+  test("S6ae checkpoint-identity guard: a fresh checkpoint cannot silently overwrite a target; add-column evolution reads clean") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-guard-base")
+    val tgt = tmp("graft-guard-t")
+    val ck1 = tmp("graft-guard-ck1")
+    Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "payload", "seq", "del")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q = Streams.mergeSink(
+      spark.readStream.schema("k long, payload string, seq long, del boolean")
+        .parquet(baseDir), tgt, ck1, Seq("k"), "seq", "del")
+    try q.processAllAvailable() finally q.stop()
+    assert(Streams.latestTable(spark, tgt).get.count() == 2)
+    // a DIFFERENT checkpoint against the same target: batch numbering
+    // would restart at 0 and the replay-overwrite discipline would
+    // treat committed history as its own failed attempt — the guard
+    // must kill the stream at its first trigger, target untouched
+    Seq((9L, "x", 9L, false)).toDF("k", "payload", "seq", "del")
+      .coalesce(1).write.mode("append").parquet(s"$baseDir-2")
+    val rogue = Streams.mergeSink(
+      spark.readStream.schema("k long, payload string, seq long, del boolean")
+        .parquet(s"$baseDir-2"), tgt, tmp("graft-guard-ck2"),
+      Seq("k"), "seq", "del")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try rogue.processAllAvailable() finally rogue.stop()
+    }
+    assert(ex.getMessage.contains("maintained by checkpoint query"),
+      s"guard message missing: ${ex.getMessage}")
+    assert(canon2(Streams.latestTable(spark, tgt).get)
+      == Seq("[1,a]", "[2,b]"), "the rogue sink must not have touched the target")
+    // same checkpoint, schema gains a nullable column: old rows read
+    // with the new column null, updates resolve normally, compaction
+    // folds the widened shape
+    Seq((1L, "a2", 2L, false, "x1"), (3L, "c", 1L, false, "x3"))
+      .toDF("k", "payload", "seq", "del", "extra")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q2 = Streams.mergeSink(
+      spark.readStream
+        .schema("k long, payload string, seq long, del boolean, extra string")
+        .parquet(baseDir), tgt, ck1, Seq("k"), "seq", "del")
+    try q2.processAllAvailable() finally q2.stop()
+    def rows() = Streams.latestTable(spark, tgt).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    val evolved = rows()
+    assert(evolved == Seq("[1,a2,x1]", "[2,b,null]", "[3,c,x3]"),
+      s"evolved read wrong: $evolved")
+    assert(Streams.compactTable(spark, tgt, targetFiles = 1,
+      minBatches = 1).contains(1L))
+    assert(rows() == evolved, "compaction changed the evolved table")
+  }
+
+  private def canon2(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("k").collect().map(_.toString).toSeq
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
