@@ -866,6 +866,51 @@ object Relational {
     }
   }
 
+  // TIME TRAVEL on the merge-on-read table: the same three-batch CDC
+  // replay as q_merge_table, served AS OF version 1 — what the table
+  // held before the third batch landed, which the oracle replays by
+  // simply bounding the batch column (b <= 1). The require() gates on
+  // a version ABOVE the pinned one existing, so the row can never
+  // silently degrade into "read the latest".
+  private val qMergeAsOf = QueryDef("q_merge_asof", Some(
+    """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+      |                  l_extendedprice,
+      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem
+      |           WHERE l_suppkey % 3 <= 1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+      |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-mergeasof-q").toString
+    try {
+      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+            + col("l_suppkey")).cast("long").as("seq"),
+          (col("l_returnflag") === "R").as("del"))
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
+      try sink.processAllAvailable() finally sink.stop()
+      require(graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/t")
+        .max > 1L, "q_merge_asof: no version committed above the pinned one")
+      graft.streaming.Streams.latestTable(spark, s"$work/t", asOf = Some(1L))
+        .get.localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 dimension build (Cdc.scd2Build): every order is a "change"
   // to its customer's record; versions get [own date, next change)
   // validity with (o_orderdate, o_orderkey) as the deterministic
@@ -1987,7 +2032,7 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
-    qZorder, qHilbert,
+    qMergeAsOf, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
     qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipJoin, qDelete,

@@ -1223,26 +1223,32 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     // delta/ would make latestSnapshot throw instead of returning None)
     Seq.empty[(String, Double)].toDF("k", "v")
       .coalesce(1).write.mode("append").parquet(baseDir)
+    val ck = tmp("graft-guard-ck")
     val q = Streams.aggSnapshotSinkAppendOnly(
       spark.readStream.schema("k string, v double").parquet(baseDir),
-      target, tmp("graft-guard-ck"), Seq("k"), Seq("v"))
+      target, ck, Seq("k"), Seq("v"))
     try q.processAllAvailable() finally q.stop()
     assert(Streams.latestSnapshot(spark, target).isEmpty,
       "an empty first batch must not commit a resolvable version")
-    // real data lands: the SAME checkpoint commits normally
+    // real data lands: the SAME checkpoint commits normally (a fresh
+    // checkpoint would now die on the _query identity guard — S6ae)
     Seq(("a", 1.0)).toDF("k", "v")
       .coalesce(1).write.mode("append").parquet(baseDir)
     val q2 = Streams.aggSnapshotSinkAppendOnly(
       spark.readStream.schema("k string, v double").parquet(baseDir),
-      target, s"${target}-ck2", Seq("k"), Seq("v"))
+      target, ck, Seq("k"), Seq("v"))
     try q2.processAllAvailable() finally q2.stop()
     assert(Streams.latestSnapshot(spark, target).get.count() == 1)
     // a sink reconfigured against the existing target (different scale)
     // must fail LOUDLY at its first trigger — mixing fixed-point units
-    // across layers would silently corrupt every folded sum
+    // across layers would silently corrupt every folded sum (a new
+    // file lands first: the resumed checkpoint needs a fresh batch to
+    // trigger on)
+    Seq(("b", 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(baseDir)
     val q3 = Streams.aggSnapshotSinkAppendOnly(
       spark.readStream.schema("k string, v double").parquet(baseDir),
-      target, s"${target}-ck3", Seq("k"), Seq("v"), scale = 3)
+      target, ck, Seq("k"), Seq("v"), scale = 3)
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q3.processAllAvailable() finally q3.stop()
     }
