@@ -866,6 +866,61 @@ object Relational {
     }
   }
 
+  // CHANGE FEED of the merge-on-read table (Streams.changelogOf): the
+  // sink derives ±op retraction rows per batch — -1 with each touched
+  // key's PRE-batch values, +1 with its new values — and the ops
+  // TELESCOPE per key, so a grouped integer-algebra aggregate computed
+  // ONLY from the feed must equal the same aggregate over the resolved
+  // final table, which is what the oracle replays (window latest-wins,
+  // then GROUP BY). Fixed-point sums keep the compare exact (float
+  // addition over ±ops visits different addends than the final-state
+  // sum). The require() gates on retractions actually flowing — a
+  // feed without -1 rows would be an insert-only run in disguise.
+  private val qMergeChangelog = QueryDef("q_merge_changelog", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey, l_quantity,
+      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-mergecdf-q").toString
+    try {
+      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"),
+          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+            + col("l_suppkey")).cast("long").as("seq"),
+          (col("l_returnflag") === "R").as("del"))
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del",
+        changelog = true)
+      try sink.processAllAvailable() finally sink.stop()
+      val feed = graft.streaming.Streams.changelogOf(spark, s"$work/t")
+      require(!feed.filter(col("op") === -1).isEmpty,
+        "q_merge_changelog: the feed must carry retractions")
+      feed.groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
+            / 100.0).as("sum_qty"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // TIME TRAVEL on the merge-on-read table: the same three-batch CDC
   // replay as q_merge_table, served AS OF version 1 — what the table
   // held before the third batch landed, which the oracle replays by
@@ -2032,7 +2087,7 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
-    qMergeAsOf, qZorder, qHilbert,
+    qMergeAsOf, qMergeChangelog, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
     qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipJoin, qDelete,

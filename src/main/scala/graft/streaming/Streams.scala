@@ -752,8 +752,8 @@ object Streams extends org.apache.spark.internal.Logging {
   def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
                 keyCols: Seq[String], seqCol: String, deleteCol: String,
                 retainVersions: Int = 3, filesPerBatch: Int = 1,
-                compactEvery: Int = 0,
-                compactFiles: Int = 4): StreamingQuery = {
+                compactEvery: Int = 0, compactFiles: Int = 4,
+                changelog: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, row_number}
     require(keyCols.nonEmpty, "Streams.mergeSink: empty key")
     require(retainVersions >= 2,
@@ -769,6 +769,10 @@ object Streams extends org.apache.spark.internal.Logging {
         "sources — no _files manifest will be written, so freshnessLagOf " +
         "cannot count pending files for this target")
     val layout = MergeLayout(keyCols, seqCol, deleteCol)
+    if (changelog)
+      require(!changes.columns.contains("op"),
+        "Streams.mergeSink: the changelog emits an 'op' column — rename " +
+          "the change stream's own 'op' column to enable it")
     toVersionedSink(changes, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
@@ -779,10 +783,46 @@ object Streams extends org.apache.spark.internal.Logging {
         // subdirectory — the slice is a pure function of the batch)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
-        batch.withColumn("__rk", row_number().over(w))
+        val reduced = batch.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1).drop("__rk")
-          .coalesce(filesPerBatch)
+        reduced.coalesce(filesPerBatch)
           .write.mode("overwrite").parquet(s"$targetDir/rows/batch=$batchId")
+        if (changelog) {
+          // RETRACTION DERIVATION (the CDF the downstream IVM needs):
+          // the batch's keys are looked up in the PRE-batch state —
+          // one key-semi-join per trigger against the resolved layers
+          // < batchId (replay-safe: the failed attempt's own batch dir
+          // sits above that bound, so re-deriving is idempotent).
+          // Every looked-up old row retracts (-1, old values); every
+          // non-tombstone winner asserts (+1, new values). The ±ops
+          // TELESCOPE per key — -v1+v2, -v2+v3 … — so any grouped
+          // integer-algebra aggregate over the changelog equals the
+          // same aggregate over the final table, which is what lets an
+          // aggSnapshotSink-style MV follow a MUTABLE base.
+          val targetCols = reduced.columns
+            .filterNot(c => c == seqCol || c == deleteCol).toIndexedSeq
+          val hasPrev = listBatchDirs(spark, targetDir, "rows")
+            .exists(_ < batchId) ||
+            committedCompactions(spark, targetDir, "rows")
+              .exists(_ < batchId)
+          val plus = reduced.filter(!col(deleteCol))
+            .select(targetCols.map(col): _*)
+            .withColumn("op", org.apache.spark.sql.functions.lit(1))
+          val out =
+            if (!hasPrev) plus
+            else {
+              val prev = mergeResolveFor(layout)(maintainedBatchRows(
+                spark, targetDir, "rows", batchId - 1, evolving = true))
+              val minus = prev
+                .join(reduced.select(keyCols.map(col): _*).distinct(),
+                  keyCols, "left_semi")
+                .select(targetCols.map(col): _*)
+                .withColumn("op", org.apache.spark.sql.functions.lit(-1))
+              minus.unionByName(plus, allowMissingColumns = true)
+            }
+          out.coalesce(filesPerBatch).write.mode("overwrite")
+            .parquet(s"$targetDir/changelog/batch=$batchId")
+        }
       }
       if (listBatchDirs(spark, targetDir, "rows").nonEmpty ||
           committedCompactions(spark, targetDir, "rows").nonEmpty)
@@ -790,6 +830,38 @@ object Streams extends org.apache.spark.internal.Logging {
       maybeAutoCompact(spark, targetDir, "rows", keyCols, compactFiles,
         compactEvery, batchId, mergeResolveFor(layout), evolving = true)
     }
+  }
+
+  /** The ±op CHANGE FEED of a [[mergeSink]] target run with
+    * `changelog = true` — the table's mutations as retraction algebra:
+    * per committed batch, `op = -1` rows carrying each touched key's
+    * PRE-batch values and `op = +1` rows carrying its new values
+    * (a delete emits only the retraction; a reinsert after delete only
+    * the assertion). The ops telescope per key, so any grouped
+    * combinable aggregate over the feed equals the same aggregate over
+    * [[latestTable]] — feed it to [[graft.ops.Cdc.aggSnapshotDelta]] /
+    * the ±op [[aggSnapshotSink]] to maintain MVs over a MUTABLE base,
+    * the thing append-only file coverage can never express. Rows carry
+    * the layer's `batch` column; `asOf` bounds the feed to a retained
+    * version's history, `sinceVersion` cuts re-consumed prefixes.
+    * The feed is append-only HISTORY: compaction and vacuum of the
+    * `rows/` layers never touch it (storage is the consumer's
+    * retention decision). */
+  def changelogOf(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String, sinceVersion: Long = -1L,
+                  asOf: Option[Long] = None): DataFrame = {
+    require(mergeLayoutOf(spark, targetDir).isDefined,
+      s"Streams.changelogOf: $targetDir has no _merge marker — not a " +
+        "merge-on-read table target")
+    val version = resolveVersion(spark, targetDir, Nil, asOf,
+      "Streams.changelogOf")
+    val col = org.apache.spark.sql.functions.col _
+    maintainedBatchRows(spark, targetDir, "changelog", version,
+        evolving = true)
+      // partition discovery types batch as int; serve the long the
+      // version markers use
+      .withColumn("batch", col("batch").cast("long"))
+      .where(col("batch") > sinceVersion)
   }
 
   /** The served state of a [[mergeSink]] target: layers `<= version`

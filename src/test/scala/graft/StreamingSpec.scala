@@ -2181,6 +2181,62 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
   private def canon2(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.orderBy("k").collect().map(_.toString).toSeq
 
+  test("S6af mergeSink changelog: ±ops telescope to the final table; deletes/reinserts emit the right sides") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-cdf-base")
+    val tgt = tmp("graft-cdf-t")
+    def land(rows: Seq[(Long, String, Long, Boolean)]): Unit =
+      rows.toDF("k", "payload", "seq", "del")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land((1L to 5L).map(k => (k, s"v1-$k", 1L, false)))
+    land(Seq((1L, "v2-1", 2L, false),          // update
+      (3L, "gone", 9L, true),                  // delete
+      (6L, "v1-6", 1L, false)))                // insert
+    land(Seq((3L, "back-3", 1L, false)))       // reinsert after delete
+    val q = Streams.mergeSink(
+      spark.readStream.schema("k long, payload string, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      tgt, tmp("graft-cdf-ck"), Seq("k"), "seq", "del", changelog = true)
+    try q.processAllAvailable() finally q.stop()
+    val feed = Streams.changelogOf(spark, tgt)
+      .orderBy("batch", "op", "k").collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[Int]("op"),
+        r.getAs[Long]("k"), r.getAs[String]("payload"))).toSeq
+    // batch 0: assertions only
+    assert(feed.filter(_._1 == 0L) ==
+      (1L to 5L).map(k => (0L, 1, k, s"v1-$k")), s"batch-0 feed: $feed")
+    // batch 1: update retracts OLD value and asserts new; delete
+    // retracts only; insert asserts only
+    assert(feed.filter(_._1 == 1L).toSet == Set(
+      (1L, -1, 1L, "v1-1"), (1L, -1, 3L, "v1-3"),
+      (1L, 1, 1L, "v2-1"), (1L, 1, 6L, "v1-6")), s"batch-1 feed: $feed")
+    // batch 2: reinsert of a DELETED key asserts only (nothing to
+    // retract — the pre-batch state has no row for it)
+    assert(feed.filter(_._1 == 2L) == Seq((2L, 1, 3L, "back-3")),
+      s"batch-2 feed: $feed")
+    // the ops TELESCOPE: net count per key == presence, and the
+    // net-asserted payload set == the final table
+    val net = feed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val table = Streams.latestTable(spark, tgt).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(table.forall { case (k, _) => net(k) == 1 } &&
+      net.filter(_._2 == 0).keySet ==
+        net.keySet -- table.map(_._1).toSet,
+      s"net ops do not telescope: $net vs $table")
+    // sinceVersion cuts the consumed prefix
+    assert(Streams.changelogOf(spark, tgt, sinceVersion = 1L)
+      .count() == 1)
+    // compaction + vacuum of the rows/ layers never touch the feed
+    assert(Streams.maintainArtifact(spark, tgt, targetFiles = 1,
+      minBatches = 1).exists(r => r._1 == "rows" && r._2.contains(2L)))
+    assert(Streams.changelogOf(spark, tgt)
+      .orderBy("batch", "op", "k").collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[Int]("op"),
+        r.getAs[Long]("k"), r.getAs[String]("payload"))).toSeq == feed,
+      "maintenance changed the change feed")
+  }
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
