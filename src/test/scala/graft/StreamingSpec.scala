@@ -2237,6 +2237,59 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       "maintenance changed the change feed")
   }
 
+  test("S6ag changelog -> ±op MV: a grouped snapshot over a MUTABLE base tracks updates, moves, deletes") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // merge table keyed by k with a GROUP column g and measure v: an
+    // update can MOVE a row between groups — exactly what append-only
+    // coverage can't express and the derived retractions can
+    val baseDir = tmp("graft-cdfmv-base")
+    val tgt = tmp("graft-cdfmv-t")
+    def land(rows: Seq[(Long, String, Double, Long, Boolean)]): Unit =
+      rows.toDF("k", "g", "v", "seq", "del")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land(Seq((1L, "a", 10.0, 1L, false), (2L, "a", 20.0, 1L, false),
+      (3L, "b", 30.0, 1L, false)))
+    land(Seq((1L, "b", 15.0, 2L, false),   // moves 1 from a to b, new v
+      (4L, "a", 5.0, 1L, false)))          // insert
+    land(Seq((2L, "a", 0.0, 9L, true)))    // delete 2
+    val q = Streams.mergeSink(
+      spark.readStream
+        .schema("k long, g string, v double, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      tgt, tmp("graft-cdfmv-ck"), Seq("k"), "seq", "del", changelog = true)
+    try q.processAllAvailable() finally q.stop()
+    // feed the change feed, batch order preserved, into the ±op MV
+    // sink — the algebra must compose with no adaptation at all
+    val feed = Streams.changelogOf(spark, tgt)
+      .select("batch", "g", "v", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sortBy(_._1)
+    val in = MemoryStream[(String, Double, Int)]
+    val mvTgt = tmp("graft-cdfmv-mv")
+    val mv = Streams.aggSnapshotSink(in.toDF().toDF("g", "v", "op"),
+      mvTgt, tmp("graft-cdfmv-mvck"), Seq("g"), "op", Seq("v"))
+    try {
+      feed.map(_._1).distinct.sorted.foreach { b =>
+        in.addData(feed.filter(_._1 == b).map(t => (t._2, t._3, t._4)))
+        mv.processAllAvailable()
+      }
+    } finally mv.stop()
+    val snap = Streams.latestSnapshot(spark, mvTgt).get
+      .orderBy("g").collect().map(_.toString).toSeq
+    // == the snapshot REBUILT from the final table: group a holds only
+    // the inserted key 4 (1 moved out, 2 deleted), b holds 3 and the
+    // moved-in 1 at its new measure
+    val rebuilt = graft.ops.Cdc.aggSnapshot(
+        Streams.latestTable(spark, tgt).get.select("g", "v"),
+        Seq("g"), Seq("v"))
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(snap == rebuilt,
+      s"changelog-driven MV diverged from rebuild:\n$snap\nvs\n$rebuilt")
+    assert(Streams.latestTable(spark, tgt).get.count() == 3)
+  }
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
