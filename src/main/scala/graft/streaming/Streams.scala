@@ -959,9 +959,15 @@ object Streams extends org.apache.spark.internal.Logging {
     * forgotten for the merge-on-read table: CDC tombstones only mask
     * a key (older layers keep its bytes until compaction folds them
     * away); this scrubs every layer that CONTAINS it, batch dirs and
-    * generations, via the shared staged-swap rewrite. `keyCol` must
-    * be one of the table's key columns. Offline-maintenance contract
-    * like its siblings. Returns the number of layers rewritten. */
+    * generations, via the shared staged-swap rewrite — INCLUDING the
+    * `changelog/` history when the sink emits one (the feed carries
+    * the key's old values in its retraction rows; forgetting the
+    * table while keeping its change history would forget nothing).
+    * Consumers that aggregate the feed see the scrub as history
+    * rewritten — re-derive downstream state for the forgotten keys,
+    * exactly as with the base-table scrub. `keyCol` must be one of
+    * the table's key columns. Offline-maintenance contract like its
+    * siblings. Returns the number of layers rewritten. */
   def tableDelete(spark: org.apache.spark.sql.SparkSession,
                   targetDir: String, keyCol: String, values: Seq[Any],
                   maxValues: Int = 1024): Int = {
@@ -976,7 +982,8 @@ object Streams extends org.apache.spark.internal.Logging {
     require(values.length <= maxValues,
       s"Streams.tableDelete: ${values.length} values exceeds $maxValues — " +
         "a deletion set that large is a rewrite, not a maintenance op")
-    scrubLayers(spark, targetDir, "rows", keyCol, values)
+    scrubLayers(spark, targetDir, "rows", keyCol, values) +
+      scrubLayers(spark, targetDir, "changelog", keyCol, values)
   }
 
   /** Latest-wins resolution for [[mergeSink]] layers: ONE survivor per

@@ -2235,6 +2235,14 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       .map(r => (r.getAs[Long]("batch"), r.getAs[Int]("op"),
         r.getAs[Long]("k"), r.getAs[String]("payload"))).toSeq == feed,
       "maintenance changed the change feed")
+    // right-to-be-forgotten reaches the HISTORY too: scrubbing key 1
+    // removes its rows from the table layers AND its old values from
+    // the feed's retraction rows — forgetting the table while keeping
+    // its change history would forget nothing
+    assert(Streams.tableDelete(spark, tgt, "k", Seq(1L)) >= 2)
+    assert(Streams.changelogOf(spark, tgt).filter(col("k") === 1L).isEmpty,
+      "forgotten key still in the change feed")
+    assert(Streams.latestTable(spark, tgt).get.filter(col("k") === 1L).isEmpty)
   }
 
   test("S6ag changelog -> ±op MV: a grouped snapshot over a MUTABLE base tracks updates, moves, deletes") {
