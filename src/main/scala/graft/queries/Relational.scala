@@ -815,8 +815,9 @@ object Relational {
   // replayed as a three-batch CDC stream keyed by l_orderkey —
   // seq = a (linenumber, partkey, suppkey) composite (the driver's
   // lineitem carries duplicate (orderkey, linenumber) pairs, and
-  // latest-wins needs a TOTAL per-key order — the composite is unique
-  // and fits a long at any driver SF), tombstone when
+  // latest-wins needs a TOTAL per-key order — the composite is
+  // injective while partkey and suppkey stay below 1e7, far above any
+  // TPC-H SF this repo meets, and fits a long), tombstone when
   // l_returnflag = 'R', batch =
   // l_suppkey % 3 (so the file split IS the batch assignment,
   // deterministically replayable in SQL). Each microbatch lands as one
@@ -829,7 +830,7 @@ object Relational {
   private val qMergeTable = QueryDef("q_merge_table", Some(
     """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
       |                  l_extendedprice,
-      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
       |                    + l_suppkey AS seq,
       |                  (l_returnflag = 'R') AS del,
       |                  l_suppkey % 3 AS b
@@ -845,7 +846,7 @@ object Relational {
       val changes = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"),
-          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
             + col("l_suppkey")).cast("long").as("seq"),
           (col("l_returnflag") === "R").as("del"))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
@@ -878,7 +879,7 @@ object Relational {
   // feed without -1 rows would be an insert-only run in disguise.
   private val qMergeChangelog = QueryDef("q_merge_changelog", Some(
     """WITH c AS (SELECT l_orderkey, l_suppkey, l_quantity,
-      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
       |                    + l_suppkey AS seq,
       |                  (l_returnflag = 'R') AS del,
       |                  l_suppkey % 3 AS b
@@ -897,7 +898,7 @@ object Relational {
       val changes = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"),
-          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
             + col("l_suppkey")).cast("long").as("seq"),
           (col("l_returnflag") === "R").as("del"))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
@@ -930,7 +931,7 @@ object Relational {
   private val qMergeAsOf = QueryDef("q_merge_asof", Some(
     """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
       |                  l_extendedprice,
-      |                  l_linenumber * 10000000000 + l_partkey * 100000
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
       |                    + l_suppkey AS seq,
       |                  (l_returnflag = 'R') AS del,
       |                  l_suppkey % 3 AS b
@@ -947,7 +948,7 @@ object Relational {
       val changes = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"),
-          (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L
+          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
             + col("l_suppkey")).cast("long").as("seq"),
           (col("l_returnflag") === "R").as("del"))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)

@@ -760,8 +760,10 @@ object Streams extends org.apache.spark.internal.Logging {
       "Streams.mergeSink: must retain >= 2 versions (in-flight readers " +
         "may hold the predecessor)")
     require(filesPerBatch > 0, "Streams.mergeSink: filesPerBatch must be positive")
-    require(!keyCols.contains("batch") && seqCol != "batch" && deleteCol != "batch",
-      "Streams.mergeSink: 'batch' is the layout's own partition column")
+    require(!changes.columns.contains("batch"),
+      "Streams.mergeSink: 'batch' is the layout's own partition column — " +
+        "rename that change column (reads would die on a data/partition " +
+        "schema collision after the commits succeeded)")
     val streamingLeaves = changes.queryExecution.logical.collectLeaves()
       .count(_.isStreaming)
     if (streamingLeaves != 1)
@@ -811,11 +813,17 @@ object Streams extends org.apache.spark.internal.Logging {
           val out =
             if (!hasPrev) plus
             else {
-              val prev = mergeResolveFor(layout)(maintainedBatchRows(
-                spark, targetDir, "rows", batchId - 1, evolving = true))
+              // prune the layers by the batch's keys BEFORE the
+              // latest-wins window — sound because resolution
+              // partitions by the key columns (latestTableWhere's
+              // commuting argument), and it keeps the per-trigger
+              // window O(|touched keys'| layers), never O(|table|)
+              val touched = reduced.select(keyCols.map(col): _*).distinct()
+              val prev = mergeResolveFor(layout)(
+                maintainedBatchRows(spark, targetDir, "rows", batchId - 1,
+                    evolving = true)
+                  .join(touched, keyCols, "left_semi"))
               val minus = prev
-                .join(reduced.select(keyCols.map(col): _*).distinct(),
-                  keyCols, "left_semi")
                 .select(targetCols.map(col): _*)
                 .withColumn("op", org.apache.spark.sql.functions.lit(-1))
               minus.unionByName(plus, allowMissingColumns = true)
@@ -855,6 +863,11 @@ object Streams extends org.apache.spark.internal.Logging {
         "merge-on-read table target")
     val version = resolveVersion(spark, targetDir, Nil, asOf,
       "Streams.changelogOf")
+    val chDir = new org.apache.hadoop.fs.Path(s"$targetDir/changelog")
+    require(chDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(chDir),
+      s"Streams.changelogOf: $targetDir carries no changelog/ history — " +
+        "run its mergeSink with changelog = true to emit the change feed")
     val col = org.apache.spark.sql.functions.col _
     maintainedBatchRows(spark, targetDir, "changelog", version,
         evolving = true)
@@ -1468,20 +1481,8 @@ object Streams extends org.apache.spark.internal.Logging {
     import org.apache.spark.sql.functions._
     require(k > 0, "Streams.bm25SearchFresh: k must be positive")
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val (version, covered) = pin match {
-      case Some(p) => versionAtPin(spark, targetDir, Seq("postings", "df"),
-        p.map(norm).toSet, "Streams.bm25SearchFresh")
-      case None =>
-        val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-          throw new IllegalStateException(
-            s"Streams.bm25SearchFresh: no committed index version under $targetDir"))
-        (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
-          throw new IllegalStateException(
-            s"Streams.bm25SearchFresh: version $v under $targetDir has " +
-              "no file-coverage manifest — fresh composition is unavailable " +
-              "(non-file or multi-source ingestion); use bm25SearchMaintained " +
-              "and gate on freshnessLagOf instead")))
-    }
+    val (version, covered) = resolveFreshCoverage(spark, targetDir,
+      Seq("postings", "df"), pin, "Streams.bm25SearchFresh")
     val tailFiles = pin.map(_.map(norm))
       .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
       .filterNot(covered).toIndexedSeq
@@ -1617,20 +1618,13 @@ object Streams extends org.apache.spark.internal.Logging {
                        pin: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val pinned = pin.map(p => versionAtPin(spark, targetDir, Seq("assign"),
-      p.map(norm).toSet, "Streams.ivfPqSearchFresh"))
+    val pinned = pin.map(_ => resolveFreshCoverage(spark, targetDir,
+      Seq("assign"), pin, "Streams.ivfPqSearchFresh"))
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
       maxQueries, "Streams.ivfPqSearchFresh", pinned.map(_._1))
-    val (_, covered) = pinned.getOrElse {
-      val v = snapshotVersions(spark, targetDir).sorted.last
-      (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
-        throw new IllegalStateException(
-          s"Streams.ivfPqSearchFresh: version $v under $targetDir has " +
-            "no file-coverage manifest — fresh composition is unavailable " +
-            "(non-file or multi-source ingestion); use ivfPqSearchMaintained " +
-            "and gate on freshnessLagOf instead")))
-    }
+    val (_, covered) = pinned.getOrElse(resolveFreshCoverage(spark,
+      targetDir, Seq("assign"), None, "Streams.ivfPqSearchFresh"))
     val baseFiles = pin.map(_.map(norm).toSeq)
     // pinned read: the rescore corpus is the pinned files only — the
     // full baseDir could hold a re-ingested vec_id whose newer vector
@@ -1764,20 +1758,8 @@ object Streams extends org.apache.spark.internal.Logging {
                     broadcastBatch: Boolean = true,
                     pin: Option[Seq[String]] = None): DataFrame = {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val (version, covered) = pin match {
-      case Some(p) => versionAtPin(spark, targetDir, Seq("index"),
-        p.map(norm).toSet, "Streams.nearDupsFresh")
-      case None =>
-        val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
-          throw new IllegalStateException(
-            s"Streams.nearDupsFresh: no committed index version under $targetDir"))
-        (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
-          throw new IllegalStateException(
-            s"Streams.nearDupsFresh: version $v under $targetDir has " +
-              "no file-coverage manifest — fresh composition is unavailable " +
-              "(non-file or multi-source ingestion); use nearDupsMaintained " +
-              "and gate on freshnessLagOf instead")))
-    }
+    val (version, covered) = resolveFreshCoverage(spark, targetDir,
+      Seq("index"), pin, "Streams.nearDupsFresh")
     val tailFiles = pin.map(_.map(norm))
       .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
       .filterNot(covered).toIndexedSeq
@@ -2027,9 +2009,14 @@ object Streams extends org.apache.spark.internal.Logging {
         val mk = new org.apache.hadoop.fs.Path(s"$targetDir/_query")
         val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(mk)) {
-          val out = fs.create(mk, true)
+          // staged write + rename: a crash between create and write
+          // would otherwise leave an EMPTY marker that rejects the
+          // legitimate resume forever (the scrubLayers swap discipline)
+          val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/._query.tmp")
+          val out = fs.create(tmp, true)
           try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          fs.rename(tmp, mk)
         } else {
           val in = fs.open(mk)
           val old = try new String(
@@ -2361,8 +2348,11 @@ object Streams extends org.apache.spark.internal.Logging {
             val layer =
               if (gens.nonEmpty) s"$targetDir/compact/$sd/c=${gens.max}"
               else s"$targetDir/$sd/batch=${batches.min}"
+            // a compacted generation STORES the batch column a raw
+            // batch dir carries only as a partition — exclude it from
+            // the id-column candidates in both shapes
             val idCols = spark.read.parquet(layer).schema.fieldNames.toSeq
-              .filterNot(Set("sig", "shset"))
+              .filterNot(Set("sig", "shset", "batch"))
             require(idCols.size == 1,
               s"Streams.maintainArtifact: cannot infer the LSH id column " +
                 s"of $targetDir/$sd (non-signature fields: " +
@@ -2855,6 +2845,34 @@ object Streams extends org.apache.spark.internal.Logging {
         "sink's retainVersions, or re-pin)"))
     resolveVersion(spark, targetDir, subdirs, Some(hit._1), caller)
     hit
+  }
+
+  /** Shared by the `*Fresh` read paths: the (version, coverage) a
+    * fresh or PINNED read serves from — pinned: [[versionAtPin]]'s
+    * newest-contained walk-back; unpinned: the freshest committed
+    * version and its manifest, refusing loudly when it carries none
+    * (non-file or multi-source ingestion — fresh composition would be
+    * a guess; use the maintained search and gate on
+    * [[freshnessLagOf]] instead). */
+  private def resolveFreshCoverage(spark: org.apache.spark.sql.SparkSession,
+                                   targetDir: String, subdirs: Seq[String],
+                                   pin: Option[Seq[String]], caller: String)
+      : (Long, Set[String]) = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    pin match {
+      case Some(p) =>
+        versionAtPin(spark, targetDir, subdirs, p.map(norm).toSet, caller)
+      case None =>
+        val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"$caller: no committed index version under $targetDir"))
+        (v, snapshotManifest(spark, s"$targetDir/v=$v").getOrElse(
+          throw new IllegalStateException(
+            s"$caller: version $v under $targetDir has no file-coverage " +
+              "manifest — fresh composition is unavailable (non-file or " +
+              "multi-source ingestion); use the maintained search and " +
+              "gate on freshnessLagOf instead")))
+    }
   }
 
   /** Maintain incremental-IVF per-cell membership stats as a versioned

@@ -2027,6 +2027,14 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       s"LSH layer not discovered/compacted: $lr")
     assert(pairs() == lshBefore && lshBefore.nonEmpty,
       "maintenance changed the near-dup answer")
+    // a SECOND call must no-op, not throw: the generation's schema
+    // stores the batch column a raw batch dir only carries as a
+    // partition, and the id-column inference must not trip on it
+    val lr2 = Streams.maintainArtifact(spark, lshTgt, targetFiles = 1,
+      minBatches = 1)
+    assert(lr2.forall(r => r._2.isEmpty),
+      s"second LSH maintenance must be a no-op: $lr2")
+    assert(pairs() == lshBefore)
     // --- agg-snapshot target: partials FOLDED, not concatenated -----
     val agBase = tmp("graft-maint-ab"); val agTgt = tmp("graft-maint-at")
     (0 until 2).foreach(k => Seq(("a", 1.0 + k), ("b", 2.0))
