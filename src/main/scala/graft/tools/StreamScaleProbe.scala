@@ -237,9 +237,13 @@ object StreamScaleProbe {
         else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
       }
       val changes = MemoryStream[(Long, Long, String, Boolean)]
+      // changelog on: per-trigger cost now includes the retraction
+      // derivation (key-semi-joined layers -> window over touched keys
+      // only), so flat narrow-batch latency here is the proof the
+      // derivation is O(|touched|), not O(|table|)
       val q = graft.streaming.Streams.mergeSink(
         changes.toDF().toDF("k", "seq", "payload", "del"), tgt, ckpt("mor-ck"),
-        Seq("k"), "seq", "del", compactEvery = 8)
+        Seq("k"), "seq", "del", compactEvery = 8, changelog = true)
       def batchRows(i: Int, touched: Int): Seq[(Long, Long, String, Boolean)] =
         (0 until touched).map { j =>
           val k = if (i == 0) j else (j * 3 + i) % tableKeys
@@ -258,7 +262,8 @@ object StreamScaleProbe {
             val live = graft.streaming.Streams.latestTable(spark, tgt)
               .map(_.count()).getOrElse(0L)
             val batchBytes = dirBytes(s"$tgt/rows/batch=$i")
-            println(f"STAGE merge_table_200k      batch=$i%3d $sec%7.2fs touched=$touched%6d liveRows=$live%8d rowsDirs=${rowsDirs(tgt)}%3d batchBytes=$batchBytes%9d dirBytes=${dirBytes(tgt)}%10d")
+            val clBytes = dirBytes(s"$tgt/changelog/batch=$i")
+            println(f"STAGE merge_table_200k      batch=$i%3d $sec%7.2fs touched=$touched%6d liveRows=$live%8d rowsDirs=${rowsDirs(tgt)}%3d batchBytes=$batchBytes%9d clBytes=$clBytes%9d dirBytes=${dirBytes(tgt)}%10d")
           }
           i += 1
         }

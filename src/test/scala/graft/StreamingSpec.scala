@@ -2306,6 +2306,55 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(Streams.latestTable(spark, tgt).get.count() == 3)
   }
 
+  test("S6ah live pipeline: CDC -> merge table -> change feed -> grouped MV, every hop streaming") {
+    assume(!rocksdb)
+    import spark.implicits._
+    // the medallion shape end to end: raw CDC files (bronze) feed the
+    // merge table (silver), whose emitted change feed is itself a
+    // file STREAM feeding the grouped ±op MV (gold) — no batch glue
+    // anywhere, and the retraction algebra is order-free so the gold
+    // sink may split a feed batch across triggers without harm
+    val baseDir = tmp("graft-pipe-base")
+    val tgt = tmp("graft-pipe-t"); val mvTgt = tmp("graft-pipe-mv")
+    def land(rows: Seq[(Long, String, Double, Long, Boolean)]): Unit =
+      rows.toDF("k", "g", "v", "seq", "del")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land(Seq((1L, "a", 10.0, 1L, false), (2L, "a", 20.0, 1L, false),
+      (3L, "b", 30.0, 1L, false)))
+    land(Seq((1L, "b", 15.0, 2L, false), (4L, "a", 5.0, 1L, false)))
+    val silver = Streams.mergeSink(
+      spark.readStream
+        .schema("k long, g string, v double, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      tgt, tmp("graft-pipe-ck"), Seq("k"), "seq", "del", changelog = true)
+    try {
+      silver.processAllAvailable()
+      val gold = Streams.aggSnapshotSink(
+        spark.readStream.schema("k long, g string, v double, op int")
+          .option("maxFilesPerTrigger", 1).parquet(s"$tgt/changelog/*"),
+        mvTgt, tmp("graft-pipe-mvck"), Seq("g"), "op", Seq("v"))
+      try {
+        gold.processAllAvailable()
+        def snap() = Streams.latestSnapshot(spark, mvTgt).get
+          .orderBy("g").collect().map(_.toString).toSeq
+        def rebuilt() = graft.ops.Cdc.aggSnapshot(
+            Streams.latestTable(spark, tgt).get.select("g", "v"),
+            Seq("g"), Seq("v"))
+          .orderBy("g").collect().map(_.toString).toSeq
+        assert(snap() == rebuilt(),
+          s"gold diverged from silver rebuild:\n${snap()}\nvs\n${rebuilt()}")
+        // more CDC lands while BOTH hops run: a delete and another
+        // group move flow through without restarts
+        land(Seq((2L, "a", 0.0, 9L, true), (4L, "b", 7.0, 2L, false)))
+        silver.processAllAvailable()
+        gold.processAllAvailable()
+        assert(snap() == rebuilt(),
+          s"gold diverged after live mutations:\n${snap()}\nvs\n${rebuilt()}")
+        assert(Streams.latestTable(spark, tgt).get.count() == 3)
+      } finally gold.stop()
+    } finally silver.stop()
+  }
+
   test("S6o compactIndex lifecycle: answers identical before/after compaction and vacuum; file count collapses") {
     // FS-level lifecycle, state-store independent — run once
     assume(!rocksdb)
