@@ -931,21 +931,66 @@ object Streams extends org.apache.spark.internal.Logging {
     vOpt.map { v =>
       val filtered = maintainedBatchRows(spark, targetDir, "rows", v,
         evolving = true).where(pred)
-      // the key-only gate reads the ANALYZED filter (a Spark-4 Column
-      // is a ColumnNode wrapper until it meets a plan — only the
-      // resolved condition exposes real attribute references)
-      val refs = filtered.queryExecution.analyzed.collectFirst {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
-          c.references.map(_.name).toSet
-      }.getOrElse(Set.empty[String])
-      require(refs.nonEmpty && refs.subsetOf(layout.keys.toSet),
-        s"Streams.latestTableWhere: the predicate references " +
-          s"${refs.mkString(", ")} but only key columns " +
-          s"(${layout.keys.mkString(", ")}) commute with latest-wins " +
-          "resolution — filter non-key columns on latestTable's OUTPUT")
+      requireKeyOnlyPredicate(filtered, layout.keys,
+        "Streams.latestTableWhere", "latest-wins resolution",
+        "latestTable")
       mergeResolveFor(layout)(filtered)
         .drop("batch", layout.seqCol, layout.deleteCol)
     }
+  }
+
+  /** [[latestSnapshot]] restricted by a KEY predicate, applied BEFORE
+    * the partials fold — sound exactly because the fold groups by the
+    * snapshot keys, so filtering whole key-groups first commutes with
+    * it; a non-key predicate (a measure threshold, say) would drop
+    * partial rows a key's fold still needs and is refused loudly. The
+    * 100 TB dashboard point-lookup shape for maintained MVs: the
+    * predicate reaches the delta/generation scans as a pushed parquet
+    * filter (generations are key-range-clustered, so files/row groups
+    * prune), and the fold then runs over the surviving partials
+    * instead of every group. Partials-layout targets only. */
+  def latestSnapshotWhere(spark: org.apache.spark.sql.SparkSession,
+                          targetDir: String,
+                          pred: org.apache.spark.sql.Column,
+                          asOf: Option[Long] = None): Option[DataFrame] = {
+    val layout = aggLayoutOf(spark, targetDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.latestSnapshotWhere: $targetDir has no _layout marker — " +
+          "not a partials-layout agg-snapshot target"))
+    val vOpt = asOf match {
+      case Some(_) => Some(resolveVersion(spark, targetDir, Seq("delta"),
+        asOf, "Streams.latestSnapshotWhere"))
+      case None => snapshotVersions(spark, targetDir).sorted.lastOption
+    }
+    vOpt.map { v =>
+      val filtered = maintainedBatchRows(spark, targetDir, "delta", v)
+        .where(pred)
+      requireKeyOnlyPredicate(filtered, layout.keys,
+        "Streams.latestSnapshotWhere", "the partials fold",
+        "latestSnapshot")
+      mergePartialsFor(layout, keepBatch = false)(filtered.drop("batch"))
+    }
+  }
+
+  /** The key-only gate shared by the pushdown point reads: the
+    * predicate must reference ONLY key columns — filtering whole key
+    * groups commutes with per-key resolution/folding, anything else
+    * could drop a row the winner/fold still needs. Reads the ANALYZED
+    * filter (a Spark-4 Column is a ColumnNode wrapper until it meets a
+    * plan — only the resolved condition exposes real attribute
+    * references). */
+  private def requireKeyOnlyPredicate(filtered: DataFrame,
+                                      keys: Seq[String], caller: String,
+                                      operation: String,
+                                      fullRead: String): Unit = {
+    val refs = filtered.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+        c.references.map(_.name).toSet
+    }.getOrElse(Set.empty[String])
+    require(refs.nonEmpty && refs.subsetOf(keys.toSet),
+      s"$caller: the predicate references ${refs.mkString(", ")} but only " +
+        s"key columns (${keys.mkString(", ")}) commute with $operation — " +
+        s"filter non-key columns on $fullRead's OUTPUT")
   }
 
   /** [[compactIndex]] for a [[mergeSink]] target: the generation is

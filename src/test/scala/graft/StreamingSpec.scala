@@ -2708,6 +2708,17 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         canon(graft.ops.Cdc.aggSnapshotMinMax(all.toDF("k", "v", "u"),
           Seq("k"), Seq("v"), distinctCols = Seq("u"))),
         "compacted+vacuumed snapshot diverged from the one-shot rebuild")
+      // pushdown point read: a key predicate applied BELOW the fold
+      // returns exactly the filtered snapshot (generation + any tail),
+      // and a non-key predicate (a partials column) is refused — it
+      // would drop rows a key's fold still needs
+      assert(canon(Streams.latestSnapshotWhere(spark, target,
+        col("k").isin("a", "c")).get) ==
+        before.filter(s => s.startsWith("a|") || s.startsWith("c|")),
+        "pushed key lookup diverged from the filtered snapshot")
+      assert(intercept[IllegalArgumentException](
+        Streams.latestSnapshotWhere(spark, target, col("cnt") > 0L))
+        .getMessage.contains("commute"))
       // a post-vacuum batch lands as a tail layer over the generation;
       // MvRewrite folds generation ∪ tail
       in.addData(("d", 9.0, "z1"), ("a", 1.0, "u3")); q.processAllAvailable()
