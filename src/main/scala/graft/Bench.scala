@@ -125,6 +125,16 @@ object Bench {
     // shared VM swings single runs +/-50%, so min/med/max lets a reader
     // tell a real regression from scheduler noise
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // 1-minute host load at each query's start (round-11 VERDICT #8):
+    // two rounds of 1.3-1.5x shared-VM swings made per-query deltas
+    // unreadable — the load column lets a reader see WHICH queries ran
+    // under contention without cross-referencing anything
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     def record(name: String, ts: Seq[Double], warm: Double): Unit = {
       samples(name) = ts
       results(name) = median(ts)
@@ -132,6 +142,7 @@ object Bench {
     }
     Registry.all.filter(q => only.map(_.contains(q.name)).getOrElse(q.bench)).foreach { q =>
       try {
+        loads(q.name) = load1()
         quiesce()
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
         // quiesce between samples too, not just between queries: a run's
@@ -190,8 +201,55 @@ object Bench {
     val calibEnd = calibrate()
     val calib =
       s"""{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
+    // Noise-normalized deltas vs the PREVIOUS committed run (round-11
+    // VERDICT #8): each query's median divided by its run's own
+    // calibration median cancels a uniform host swing, so
+    // delta = (med_new/calib_new) / (med_old/calib_old) reads ~1.0 for
+    // drift and moves only for genuine plan/code changes. Parsed from
+    // the prior BENCH_FULL.json (our own single-line format) BEFORE it
+    // is overwritten below; absent/unparsable prior run -> no deltas.
+    val calibNew = (calibStart + calibEnd) / 2.0
+    val entryRe = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+    val prevRun: Option[(Map[String, Double], Double)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qStart = txt.indexOf("\"queries\":{")
+        val qEnd = txt.indexOf("}", qStart)
+        val qmap = entryRe.findAllMatchIn(
+          txt.substring(qStart + 11, qEnd))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val cStart = txt.indexOf("\"calibration\":{")
+        val cEnd = txt.indexOf("}", cStart)
+        val cvals = entryRe.findAllMatchIn(txt.substring(cStart, cEnd + 1))
+          .map(_.group(2).toDouble).toSeq
+        // deltas are meaningful only against the SAME scale factor —
+        // a local sf0.001 iteration run must not poison the driver's
+        // sf0.1 round-over-round comparison (or vice versa)
+        val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
+        if (sameSf && qmap.nonEmpty && cvals.nonEmpty && cvals.forall(_ > 0))
+          Some((qmap, cvals.sum / cvals.length))
+        else None
+      } catch { case _: Throwable => None }
+    val deltas: Map[String, Double] = prevRun match {
+      case Some((old, calibOld)) if calibNew > 0 =>
+        results.collect {
+          case (k, v) if v > 0 && old.get(k).exists(_ > 0) =>
+            k -> (v / calibNew) / (old(k) / calibOld)
+        }.toMap
+      case _ => Map.empty
+    }
+    val moversUp = deltas.count(_._2 > 1.25)
+    val moversDown = deltas.count(_._2 < 0.8)
+    val deltasJson = deltas.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val loadsJson = loads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val moversJson =
+      s"""{"up":$moversUp,"down":$moversDown,"of":${deltas.size},"threshold":1.25}"""
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"calibration":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"calibration":$calib,"normalized_deltas":$deltasJson,"movers":$moversJson,"loadavg":$loadsJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -226,7 +284,7 @@ object Bench {
     }
     val headQs = headEntries.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"calibration":$calib,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"calibration":$calib,"movers":$moversJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     Console.out.flush()
     // Halt, don't exit: RocksDB's native teardown runs during session
     // stop / JVM shutdown hooks, and a native std::bad_alloc there turns

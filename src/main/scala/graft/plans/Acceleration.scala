@@ -19,16 +19,20 @@ object Acceleration {
     val spark = df.sparkSession
     def norm(p: String): String =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
-    def rootsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Set[String] = plan.collect {
+    // PER-SCAN root sets (one entry per LogicalRelation instance, not
+    // merged) — a self-join scans one base twice and the two scans can
+    // resolve differently (one pruned, one not); a blended set would
+    // report a single wrong verdict for both
+    def scansOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[Set[String]] = plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.map(p => norm(p.toString)).toSet
-        case _ => Set.empty[String]
+          Some(fs.location.rootPaths.map(p => norm(p.toString)).toSet)
+        case _ => None
       }
-    }.flatten.toSet
-    val analyzedRoots = rootsOf(df.queryExecution.analyzed)
-    val optimizedRoots = rootsOf(df.queryExecution.optimizedPlan)
+    }.flatten
+    val analyzedScans = scansOf(df.queryExecution.analyzed)
+    val optimizedScans = scansOf(df.queryExecution.optimizedPlan)
 
     // freshness of a versioned target, rendered for humans; the v= path
     // comes from the entry's own resolution, its parent is the target
@@ -82,16 +86,37 @@ object Acceleration {
       case es => es.map { e =>
         val head = s"skip(base=${e.base})"
         val baseRoots = e.rootPaths.map(norm)
-        val referenced = analyzedRoots.exists(baseRoots.contains)
-        val stillFull = optimizedRoots.exists(baseRoots.contains)
-        val prunedFiles = optimizedRoots
-          .count(r => baseRoots.exists(b => r.startsWith(b + "/")))
+        // classify each OPTIMIZED scan instance of this base: roots
+        // equal to the base dir = still a full scan; roots that are
+        // files UNDER the base = a pruned rewrite (its file count is
+        // the roots' size); a scan pruned to the empty relation leaves
+        // no LogicalRelation at all — counted off the analyzed total
+        val baseAnalyzed = analyzedScans.count(_ == baseRoots)
+        val fullScans = optimizedScans.count(_ == baseRoots)
+        val prunedScans = optimizedScans.filter(rs => rs != baseRoots &&
+          rs.nonEmpty &&
+          rs.forall(r => baseRoots.exists(b => r.startsWith(b + "/"))))
+        val emptied = math.max(0,
+          baseAnalyzed - fullScans - prunedScans.length)
         val status =
-          if (!referenced) "NOT REFERENCED — the plan does not scan this base"
-          else if (stillFull) "NOT PRUNED — full scan (no eligible " +
-            "equality/range conjunct, index pruned nothing, or no " +
-            "committed version)"
-          else s"PRUNED — scan rewritten to $prunedFiles file(s)"
+          if (baseAnalyzed == 0 && fullScans == 0 && prunedScans.isEmpty)
+            "NOT REFERENCED — the plan does not scan this base"
+          else if (baseAnalyzed <= 1)
+            if (fullScans > 0) "NOT PRUNED — full scan (no eligible " +
+              "equality/range conjunct, index pruned nothing, or no " +
+              "committed version)"
+            else if (prunedScans.nonEmpty)
+              s"PRUNED — scan rewritten to ${prunedScans.head.size} file(s)"
+            else "PRUNED — scan rewritten to the empty relation"
+          else {
+            // self-join / multi-scan: one verdict per scan, not blended
+            val prunedPart =
+              if (prunedScans.isEmpty) ""
+              else s" to ${prunedScans.map(_.size).mkString("/")} file(s)"
+            s"$baseAnalyzed scans of this base: " +
+              s"${prunedScans.length} PRUNED$prunedPart, " +
+              s"$fullScans NOT PRUNED (full), $emptied pruned to empty"
+          }
         val fresh = (try e.location() catch {
           case scala.util.control.NonFatal(_) => None
         }) match {

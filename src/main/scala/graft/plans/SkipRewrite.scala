@@ -227,6 +227,11 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def disjunctsOf(ex: Expression): Seq[Expression] = ex match {
+    case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
+    case other => Seq(other)
+  }
+
   /** Equality probes the condition implies, per column: `c = v`,
     * `c <=> v` (non-null v), and `c IN (v…)` conjuncts. OR within a
     * column's IN-list, AND across conjuncts — exactly the semantics
@@ -404,9 +409,25 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
       case Some(e) => e
       case None => return None
     }
-    val probes = probesOf(cond)
-    val ranges = rangesOf(cond)
-    if (probes.isEmpty && ranges.isEmpty) return None
+    // disjunctive split: a condition whose conjunct walk yields
+    // nothing prunable may still be an OR of independently prunable
+    // branches — `ts BETWEEN a AND b OR k IN (…)`, the mixed
+    // dashboard shape. Each disjunct's surviving file set
+    // over-approximates its matches, so their UNION over-approximates
+    // the OR's — sound. Every disjunct must prune (one unprunable
+    // branch can match anywhere → the union is the full listing).
+    val condParts: Seq[Expression] = {
+      val whole = probesOf(cond).nonEmpty || rangesOf(cond).nonEmpty
+      if (whole) Seq(cond)
+      else cond match {
+        case or @ Or(_, _) =>
+          val ds = disjunctsOf(or)
+          if (ds.forall(d => probesOf(d).nonEmpty || rangesOf(d).nonEmpty))
+            ds
+          else return None
+        case _ => return None
+      }
+    }
     val idx = entry.index() match {
       case Some(frame) => frame
       case None =>
@@ -421,26 +442,35 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
     // instead — each probed value checked against the [min, max] box
     // individually (a sparse IN-list over a range-clustered layout
     // prunes the gaps between its points), ranges off the same stats.
-    val usableEq = probes.filter(p =>
-      fields.contains(s"fp_${p._1}") && fields.contains("fp_bits"))
-    val boxedIn = probes.filter(p =>
-      !(fields.contains(s"fp_${p._1}") && fields.contains("fp_bits")) &&
-        fields.contains(s"min_${p._1}"))
-    val usableRg = ranges.filter(r => fields.contains(s"min_${r._1}"))
-    if (usableEq.isEmpty && boxedIn.isEmpty && usableRg.isEmpty) return None
-    val (indexed, survivors) = graft.ops.Layout.filesForPredicates(
-      idx, usableEq, usableRg, "SkipRewrite", boxedIn)
+    val perPart = condParts.map { part =>
+      val probes = probesOf(part)
+      val ranges = rangesOf(part)
+      val usableEq = probes.filter(p =>
+        fields.contains(s"fp_${p._1}") && fields.contains("fp_bits"))
+      val boxedIn = probes.filter(p =>
+        !(fields.contains(s"fp_${p._1}") && fields.contains("fp_bits")) &&
+          fields.contains(s"min_${p._1}"))
+      val usableRg = ranges.filter(r => fields.contains(s"min_${r._1}"))
+      (usableEq, usableRg, boxedIn)
+    }
+    if (perPart.exists { case (eq, rg, bx) =>
+        eq.isEmpty && rg.isEmpty && bx.isEmpty }) return None
     // the scan's OWN listing decides coverage: the rewritten plan must
     // answer over exactly the files the unrewritten scan would read —
     // files the index has not covered yet (the un-indexed tail) are
     // read unpruned, so a seconds-old key is still found
     val baseFiles = fsRel.location.inputFiles
-    val indexedSet = indexed.map(uriPath).toSet
-    val survivorSet = survivors.map(uriPath).toSet
-    val keep = baseFiles.filter { bf =>
-      val p = uriPath(bf)
-      !indexedSet.contains(p) || survivorSet.contains(p)
+    val keepSets = perPart.map { case (usableEq, usableRg, boxedIn) =>
+      val (indexed, survivors) = graft.ops.Layout.filesForPredicates(
+        idx, usableEq, usableRg, "SkipRewrite", boxedIn)
+      val indexedSet = indexed.map(uriPath).toSet
+      val survivorSet = survivors.map(uriPath).toSet
+      baseFiles.filter { bf =>
+        val p = uriPath(bf)
+        !indexedSet.contains(p) || survivorSet.contains(p)
+      }.toSet
     }
+    val keep = baseFiles.filter(bf => keepSets.exists(_.contains(bf)))
     if (keep.length >= baseFiles.length) {
       logDebug(s"SkipRewrite: index pruned nothing for ${entry.base} — " +
         "plan left untouched")
@@ -464,9 +494,10 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
         Project(aliases, scan)
       }
     logInfo(s"SkipRewrite: ${entry.base} lookup pruned to ${keep.length} " +
-      s"of ${baseFiles.length} files " +
-      s"(${survivors.length} fingerprint survivors, " +
-      s"${keep.length - survivors.length} un-indexed tail)")
+      s"of ${baseFiles.length} files" +
+      (if (condParts.length > 1)
+         s" (union of ${condParts.length} disjunct survivor sets)"
+       else ""))
     val inner = projList.map(pl => Project(pl, pruned)).getOrElse(pruned)
     Some(Filter(cond, inner))
   }

@@ -811,13 +811,39 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
   }
 
+  // Shared change-stream frame for the q_merge_* trio: seq = the
+  // (linenumber, partkey, suppkey) composite (the driver's lineitem
+  // carries duplicate (orderkey, linenumber) pairs, and latest-wins
+  // needs a TOTAL per-key order). The composite is injective only
+  // while partkey/suppkey < 1e7 and linenumber < 92233 (long
+  // headroom); TPC-H crosses the partkey bound around SF >= 50, where
+  // duplicate (key, seq) pairs would make the row_number tie-break
+  // nondeterministic and flake the oracle hash — so the bounds are
+  // REQUIRED loudly instead of assumed (one tiny agg, bench = false
+  // rows only).
+  private def mergeChangeFrame(spark: SparkSession, dir: String,
+                               extraCols: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    val mx = raw.agg(
+      max(col("l_partkey").cast("long")), max(col("l_suppkey").cast("long")),
+      max(col("l_linenumber").cast("long"))).head
+    require(mx.getLong(0) < 10000000L && mx.getLong(1) < 10000000L &&
+        mx.getLong(2) < 92233L,
+      s"mergeChangeFrame: composite seq loses injectivity at this scale " +
+        s"(max partkey=${mx.getLong(0)}, suppkey=${mx.getLong(1)}, " +
+        s"linenumber=${mx.getLong(2)}) — widen the seq derivation")
+    raw.select(
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity") ++ extraCols)
+        .map(col) ++ Seq(
+        (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
+          + col("l_suppkey")).cast("long").as("seq"),
+        (col("l_returnflag") === "R").as("del")): _*)
+  }
+
   // MERGE-ON-READ keyed table (Streams.mergeSink): lineitem rows
   // replayed as a three-batch CDC stream keyed by l_orderkey —
-  // seq = a (linenumber, partkey, suppkey) composite (the driver's
-  // lineitem carries duplicate (orderkey, linenumber) pairs, and
-  // latest-wins needs a TOTAL per-key order — the composite is
-  // injective while partkey and suppkey stay below 1e7, far above any
-  // TPC-H SF this repo meets, and fits a long), tombstone when
+  // seq = the injectivity-guarded composite from mergeChangeFrame,
+  // tombstone when
   // l_returnflag = 'R', batch =
   // l_suppkey % 3 (so the file split IS the batch assignment,
   // deterministically replayable in SQL). Each microbatch lands as one
@@ -843,12 +869,7 @@ object Relational {
     bench = false) { (spark, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft-mergetable-q").toString
     try {
-      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"),
-          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
-            + col("l_suppkey")).cast("long").as("seq"),
-          (col("l_returnflag") === "R").as("del"))
+      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
         .coalesce(1).write.mode("append").parquet(s"$work/base"))
       val sink = graft.streaming.Streams.mergeSink(
@@ -895,12 +916,7 @@ object Relational {
     bench = false) { (spark, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft-mergecdf-q").toString
     try {
-      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"),
-          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
-            + col("l_suppkey")).cast("long").as("seq"),
-          (col("l_returnflag") === "R").as("del"))
+      val changes = mergeChangeFrame(spark, dir, Nil)
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
         .coalesce(1).write.mode("append").parquet(s"$work/base"))
       val sink = graft.streaming.Streams.mergeSink(
@@ -945,12 +961,7 @@ object Relational {
     bench = false) { (spark, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft-mergeasof-q").toString
     try {
-      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"),
-          (col("l_linenumber") * 100000000000000L + col("l_partkey") * 10000000L
-            + col("l_suppkey")).cast("long").as("seq"),
-          (col("l_returnflag") === "R").as("del"))
+      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
         .coalesce(1).write.mode("append").parquet(s"$work/base"))
       val sink = graft.streaming.Streams.mergeSink(
@@ -1687,6 +1698,56 @@ object Relational {
     }
   }
 
+  // AUTO-consulted skipping of a MIXED DISJUNCTION — `range OR
+  // IN-list`, the dashboard-plus-drilldown shape neither pure handler
+  // owns: each disjunct's surviving file set over-approximates its
+  // matches, so SkipRewrite unions them (sound — a row matching the OR
+  // matches some disjunct, whose survivors retain its file). The fact
+  // is range-clustered on the key; the range disjunct prunes by
+  // [min, max] box intersection, the IN disjunct box-probes each point
+  // individually, and the plan opens the union. No false negatives, so
+  // the aggregate hash-matches the full-scan oracle; the require()
+  // proves the union actually pruned.
+  private val qSkipOr = QueryDef("q_skip_or", Some(
+    """SELECT cast(count(*) AS BIGINT) AS n,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 2000 OR l_orderkey IN (1, 32)""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-skipor-q").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/t")
+      graft.ops.Layout.statsIndex(spark, s"$work/t", Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$work/idx")
+      graft.plans.SkipRewrite.register(spark, s"$work/t", s"$work/idx")
+      val out = spark.read.parquet(s"$work/t")
+        .filter(col("l_orderkey").between(1000L, 2000L) ||
+          col("l_orderkey").isin(1L, 32L))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val opened = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+      // the range survives in a few adjacent files, the two points in
+      // the first — the union must still skip most of the 16
+      require(opened <= 8,
+        s"q_skip_or: disjunction auto-prune did not engage ($opened of 16 files)")
+      out.localCheckpoint(true)
+    } finally {
+      graft.plans.SkipRewrite.unregister(s"$work/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // AUTO-consulted PREFIX skipping over a STRING column — the
   // domain/source filter of a corpus pipeline (`WHERE url LIKE
   // 'https://<domain>%'`): the corpus is clustered by url, a plain
@@ -2091,6 +2152,7 @@ object Relational {
     qMergeAsOf, qMergeChangelog, qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
-    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipJoin, qDelete,
+    qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipOr,
+    qSkipJoin, qDelete,
     qMvForget, qMvAsOf, qMvFiltered)
 }

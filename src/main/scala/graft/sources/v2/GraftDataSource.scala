@@ -1,0 +1,187 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `format("graft")` — the DSv2 face of graft's MAINTAINED targets:
+  * plain `spark.read`, SQL (`CREATE TABLE t USING graft OPTIONS
+  * (path '…')`), and EXTERNAL Spark sessions (any session with graft
+  * on the classpath) open a merge-on-read table or a partials-layout
+  * agg snapshot with the SAME versioned resolution the Scala API
+  * serves — the difference between an engine feature and a library
+  * convention. The target self-describes through its on-disk marker
+  * ([[graft.streaming.Streams.mergeLayoutOf]] `_merge` → latest-wins
+  * row resolution; [[graft.streaming.Streams.aggLayoutOf]] `_layout`
+  * → partials fold), so the reader needs no configuration beyond the
+  * path.
+  *
+  * Options:
+  *  - `path` (required): the maintained target directory
+  *  - `asOf`: a retained committed version to time-travel to
+  *    (default: latest; refuses loudly for uncommitted/expired
+  *    versions — [[graft.streaming.Streams.snapshotAsOf]]'s window
+  *    contract)
+  *
+  * The read is a DERIVED PLAN (latest-wins window / fold over the
+  * resolved layers), not a file scan — so the scan implements
+  * [[V1Scan]]: the planner sees one leaf and the resolution executes
+  * as the full distributed plan beneath it (nothing is materialized
+  * driver-side). Pushdown still reaches the parquet layers:
+  * KEY-column-only predicates are routed through the commuting
+  * point-read shapes ([[graft.streaming.Streams.latestTableWhere]] /
+  * `latestSnapshotWhere` — filter whole key groups BEFORE resolution,
+  * pruning the key-range-clustered generation at row-group level),
+  * and column pruning projects the resolved frame. Every pushed
+  * filter is also re-applied above the scan (returned as post-scan),
+  * so acceptance is never a correctness bet. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.resolve(SparkSession.active,
+      GraftDataSource.refOf(SparkSession.active, options), None).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftTable(new CaseInsensitiveStringMap(properties), schema)
+}
+
+object GraftDataSource {
+  /** What the marker said the target is, resolved once per read. */
+  final case class TargetRef(path: String, asOf: Option[Long],
+                             keys: Seq[String], kind: String)
+
+  private[v2] def refOf(spark: SparkSession,
+                        options: CaseInsensitiveStringMap): TargetRef = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft source: the 'path' option is required — " +
+          "spark.read.format(\"graft\").load(<target dir>)"))
+    val asOf = Option(options.get("asOf")).map(_.toLong)
+    graft.streaming.Streams.mergeLayoutOf(spark, path) match {
+      case Some(l) => TargetRef(path, asOf, l.keys, "merge")
+      case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {
+        case Some(l) => TargetRef(path, asOf, l.keys, "snapshot")
+        case None => throw new IllegalArgumentException(
+          s"graft source: $path carries no _merge or _layout marker — not " +
+            "a maintained merge-table or agg-snapshot target (plain " +
+            "parquet directories are format(\"parquet\")'s job)")
+      }
+    }
+  }
+
+  /** The resolved serving frame — pre-filtered through the commuting
+    * key-pushdown shape when a key-only predicate was accepted. */
+  private[v2] def resolve(spark: SparkSession, ref: TargetRef,
+                          pred: Option[Column]): DataFrame = {
+    def noVersion = throw new IllegalStateException(
+      s"graft source: no committed version under ${ref.path} yet")
+    ref.kind match {
+      case "merge" => pred match {
+        case Some(p) => graft.streaming.Streams
+          .latestTableWhere(spark, ref.path, p, ref.asOf).getOrElse(noVersion)
+        case None => graft.streaming.Streams
+          .latestTable(spark, ref.path, ref.asOf).getOrElse(noVersion)
+      }
+      case _ => pred match {
+        case Some(p) => graft.streaming.Streams
+          .latestSnapshotWhere(spark, ref.path, p, ref.asOf)
+          .getOrElse(noVersion)
+        case None => ref.asOf match {
+          case Some(v) =>
+            graft.streaming.Streams.snapshotAsOf(spark, ref.path, v)
+          case None => graft.streaming.Streams
+            .latestSnapshot(spark, ref.path).getOrElse(noVersion)
+        }
+      }
+    }
+  }
+
+  /** V1-filter → Column for the shapes the key pushdown serves; None
+    * for anything else (stays above the scan). */
+  private[v2] def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case _ => None
+  }
+}
+
+final class GraftTable(options: CaseInsensitiveStringMap,
+                       declaredSchema: StructType)
+    extends Table with SupportsRead {
+  private val spark = SparkSession.active
+  private val ref = GraftDataSource.refOf(spark, options)
+  override def name(): String = s"graft(${ref.kind}: ${ref.path})"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, ref, declaredSchema)
+}
+
+final class GraftScanBuilder(spark: SparkSession,
+                             ref: GraftDataSource.TargetRef,
+                             fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Array[sources.Filter])
+      : Array[sources.Filter] = {
+    // accept only key-column-only, shape-convertible filters: those
+    // commute with resolution (latestTableWhere's argument), so
+    // applying them BEFORE the fold prunes layers without changing the
+    // answer. Everything is returned as post-scan regardless — Spark
+    // re-applies, so acceptance only ever REMOVES read I/O.
+    pushed = filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(ref.keys.contains) &&
+        GraftDataSource.toColumn(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (COUNT(*)) keeps one key column: the V1
+    // bridge still needs row objects to count
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(fullSchema.fields.filter(f => ref.keys.contains(f.name))
+        .take(1))
+
+  override def build(): Scan = {
+    val pred = pushed.flatMap(GraftDataSource.toColumn(_))
+      .reduceOption(_ && _)
+    val frame0 = GraftDataSource.resolve(spark, ref, pred)
+    val frame = frame0.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    new GraftScan(frame, required)
+  }
+}
+
+/** The derived-plan scan: V1Scan hands Spark a BaseRelation whose
+  * buildScan IS the resolved DataFrame's RDD — one leaf above, the
+  * full distributed resolution below, nothing driver-side. */
+final class GraftScan(frame: DataFrame, outSchema: StructType)
+    extends V1Scan {
+  override def readSchema(): StructType = outSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        frame.rdd
+    }.asInstanceOf[T]
+}

@@ -748,12 +748,24 @@ object Streams extends org.apache.spark.internal.Logging {
     * widened shape forward). Dropping or renaming a key/seq/delete
     * column fails the stream loudly; changing an existing column's
     * TYPE fails at read (parquet schema merge refuses) — also loud,
-    * never a silent reinterpretation. */
+    * never a silent reinterpretation. With `changelog = true` a batch
+    * that DROPS any data column the table's history carries also fails
+    * loudly: retraction rows would surface null for it while earlier
+    * +1 rows carried real values, silently breaking ±op telescoping.
+    *
+    * `changelogKeyPushdown`: when a batch touches at most this many
+    * distinct keys, the changelog's pre-image read builds an IN-list
+    * predicate from them so the layer scan prunes at the parquet
+    * row-group level (the compacted generation is key-range-clustered)
+    * — per-trigger read I/O tracks |touched keys|, not |table|. Above
+    * the bound (or at 0) it falls back to the un-pruned key semi-join,
+    * which is exact but scans every resolved layer. */
   def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
                 keyCols: Seq[String], seqCol: String, deleteCol: String,
                 retainVersions: Int = 3, filesPerBatch: Int = 1,
                 compactEvery: Int = 0, compactFiles: Int = 4,
-                changelog: Boolean = false): StreamingQuery = {
+                changelog: Boolean = false,
+                changelogKeyPushdown: Int = 1024): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, row_number}
     require(keyCols.nonEmpty, "Streams.mergeSink: empty key")
     require(retainVersions >= 2,
@@ -813,16 +825,54 @@ object Streams extends org.apache.spark.internal.Logging {
           val out =
             if (!hasPrev) plus
             else {
+              val preBatch = maintainedBatchRows(spark, targetDir, "rows",
+                batchId - 1, evolving = true)
+              // dropped-column guard: the retraction side reads the
+              // history's merged schema; if the batch dropped a data
+              // column, -1 rows would carry its real old values while
+              // +1 rows carried nothing — telescoping over that column
+              // breaks silently downstream. Fail here instead.
+              val droppedCols = preBatch.columns
+                .filterNot(c => c == "batch" || c == seqCol || c == deleteCol)
+                .filterNot(reduced.columns.contains)
+              require(droppedCols.isEmpty,
+                s"Streams.mergeSink: changelog derivation: the batch " +
+                  s"schema drops column(s) ${droppedCols.mkString(", ")} " +
+                  "present in the table's history — retractions would " +
+                  "carry real old values while assertions carried none, " +
+                  "breaking ±op telescoping for downstream MVs; schema " +
+                  "evolution may only ADD nullable columns")
               // prune the layers by the batch's keys BEFORE the
               // latest-wins window — sound because resolution
               // partitions by the key columns (latestTableWhere's
               // commuting argument), and it keeps the per-trigger
               // window O(|touched keys'| layers), never O(|table|)
               val touched = reduced.select(keyCols.map(col): _*).distinct()
+              // KEY PUSHDOWN (the 100 TB move): a semi-join bounds the
+              // window but not the SCAN — without a pushed predicate
+              // every trigger reads the whole compacted generation.
+              // When the touched-key set is small, collect it (bounded
+              // like tableDelete's maxValues) and pre-filter with one
+              // IN-list per key column: each references only key
+              // columns, so whole key-groups pass or fail together and
+              // the filter commutes with latest-wins resolution; the
+              // per-column lists over-approximate the touched TUPLES,
+              // and the semi-join below restores exactness.
+              val touchedRows =
+                if (changelogKeyPushdown > 0)
+                  Some(touched.limit(changelogKeyPushdown + 1).collect())
+                    .filter(_.length <= changelogKeyPushdown)
+                else None
+              val prunedLayers = touchedRows match {
+                case Some(rows) if rows.nonEmpty =>
+                  keyCols.zipWithIndex.foldLeft(preBatch) {
+                    case (df, (k, i)) => df.where(col(k).isin(
+                      rows.map(_.get(i)).distinct.toIndexedSeq: _*))
+                  }
+                case _ => preBatch
+              }
               val prev = mergeResolveFor(layout)(
-                maintainedBatchRows(spark, targetDir, "rows", batchId - 1,
-                    evolving = true)
-                  .join(touched, keyCols, "left_semi"))
+                prunedLayers.join(touched, keyCols, "left_semi"))
               val minus = prev
                 .select(targetCols.map(col): _*)
                 .withColumn("op", org.apache.spark.sql.functions.lit(-1))
@@ -963,8 +1013,8 @@ object Streams extends org.apache.spark.internal.Logging {
       case None => snapshotVersions(spark, targetDir).sorted.lastOption
     }
     vOpt.map { v =>
-      val filtered = maintainedBatchRows(spark, targetDir, "delta", v)
-        .where(pred)
+      val filtered = maintainedBatchRows(spark, targetDir, "delta", v,
+        evolving = true).where(pred)
       requireKeyOnlyPredicate(filtered, layout.keys,
         "Streams.latestSnapshotWhere", "the partials fold",
         "latestSnapshot")
@@ -1131,6 +1181,19 @@ object Streams extends org.apache.spark.internal.Logging {
     * on the append-only sink ([[aggSnapshotSinkAppendOnly]]); this ±op
     * sink maintains exactly the retraction-safe algebra (count,
     * fixed-point sums, non-null counts). */
+  /** MEASURE-SET EVOLUTION (both agg-snapshot sinks): ADDING a measure
+    * or sketch column is supported — restart the sink with the widened
+    * measure list (same keys/scale/kmvK; the `_layout` marker checks
+    * those): new partials carry the new columns, old layers surface
+    * them as null under the merged-schema read, and the fold's algebra
+    * ignores nulls — so the folded snapshot equals a one-shot rebuild
+    * over the evolved base (whose old rows are null in the new column;
+    * under retractions, a retraction of a pre-evolution row must carry
+    * null there too, exactly as the row was inserted). A registered
+    * MvRewrite view over the new measure bails to the direct scan
+    * until the first evolved batch commits (the snapshot has no such
+    * column to serve — recorded in recentBails), then navigates.
+    * Dropping or renaming keys/scale still fails loudly. */
   def aggSnapshotSink(changes: DataFrame, targetDir: String, checkpoint: String,
                       keyCols: Seq[String], opCol: String,
                       measures: Seq[String], scale: Int = 2,
@@ -1165,7 +1228,8 @@ object Streams extends org.apache.spark.internal.Logging {
         commitIndexVersion(spark, targetDir, checkpoint, batchId,
           retainVersions, withManifest = false)
       maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
-        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true))
+        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true),
+        evolving = true)
     }
   }
 
@@ -1249,7 +1313,8 @@ object Streams extends org.apache.spark.internal.Logging {
           committedCompactions(spark, targetDir, "delta").nonEmpty)
         commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
-        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true))
+        compactEvery, batchId, mergePartialsFor(layout, keepBatch = true),
+        evolving = true)
     }
   }
 
@@ -1663,13 +1728,16 @@ object Streams extends org.apache.spark.internal.Logging {
                        pin: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val pinned = pin.map(_ => resolveFreshCoverage(spark, targetDir,
-      Seq("assign"), pin, "Streams.ivfPqSearchFresh"))
+    // resolve (version, coverage) ONCE and pin the index read to that
+    // version — resolving twice would let a concurrent sink commit
+    // land between the two, pairing candidates-at-v1 with
+    // coverage-of-v2 and silently dropping vectors indexed only in v2
+    // from both the index read and the tail
+    val (version, covered) = resolveFreshCoverage(spark, targetDir,
+      Seq("assign"), pin, "Streams.ivfPqSearchFresh")
     val (indexed, cellS, cellN, pqS, pqN) = ivfPqMaintainedIndex(
       spark, targetDir, centroidsDir, codebooksDir, queries, nProbe, dim,
-      maxQueries, "Streams.ivfPqSearchFresh", pinned.map(_._1))
-    val (_, covered) = pinned.getOrElse(resolveFreshCoverage(spark,
-      targetDir, Seq("assign"), None, "Streams.ivfPqSearchFresh"))
+      maxQueries, "Streams.ivfPqSearchFresh", Some(version))
     val baseFiles = pin.map(_.map(norm).toSeq)
     // pinned read: the rescore corpus is the pinned files only — the
     // full baseDir could hold a re-ingested vec_id whose newer vector
@@ -1897,6 +1965,248 @@ object Streams extends org.apache.spark.internal.Logging {
     scrubLayers(spark, targetDir, "delta", keyCol, values)
   }
 
+  /** Targeted deletion from a MAINTAINED [[ivfPqIndexSink]] target —
+    * the streamed twin of [[graft.ops.Similarity.ivfPqIndexDelete]]
+    * (which serves the one-shot flat-directory layout): a forgotten
+    * vector's PQ codes persist in the `assign/` batch dirs AND in
+    * compacted generations, and codes reconstruct the vector to
+    * quantization error — content, not just an id. Assignments carry
+    * no cross-row statistics (unlike BM25's df/doc-stats algebra), so
+    * removing the rows IS the complete fix: searches simply stop
+    * surfacing the id, and rescoring never sees it once the corpus
+    * leg has run. Same compaction-aware staged-swap scrub, same
+    * offline-maintenance contract as its siblings. Returns the number
+    * of layers rewritten. */
+  def annIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                     targetDir: String, ids: Seq[Long],
+                     maxValues: Int = 1024): Int = {
+    require(ids.nonEmpty, "Streams.annIndexDelete: no ids")
+    require(ids.length <= maxValues,
+      s"Streams.annIndexDelete: ${ids.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    scrubLayers(spark, targetDir, "assign", "neighbor_id", ids)
+  }
+
+  /** Targeted deletion from a MAINTAINED [[bm25IndexSink]] target —
+    * the streamed twin of [[graft.ops.TextAnalysis.bm25IndexDelete]]:
+    * scrub the forgotten docs' postings (term → doc_id rows ARE the
+    * document's content) from every `postings/` layer and generation,
+    * AND keep the scoring algebra equal to a rebuilt index by
+    * decrementing the per-batch `df/` partials (each term the doc
+    * carried in batch b decrements that batch's df row; a generation
+    * folds batches ≤ c, so it takes the summed decrements ≤ c joined
+    * on its STORED batch column) and each retained version's
+    * cumulative `v=<v>/stats` row (minus the doomed docs with
+    * batch ≤ v).
+    *
+    * CRASH SAFETY: the decrements are computed from the live postings
+    * and PERSISTED under `.bm25_delete/` (committed by a marker)
+    * BEFORE the first byte is scrubbed — once postings are gone the
+    * decrements are unrecoverable, so a re-run after a crash resumes
+    * from the persisted set instead of recomputing from scrubbed
+    * layers (which would silently skip the df/stats fix). Per-layer
+    * and per-version `applied_*` markers make the arithmetic
+    * exactly-once across re-runs (re-filtering postings is naturally
+    * idempotent; re-subtracting df is not). Offline-maintenance
+    * contract like its siblings. Returns layers rewritten
+    * (postings + df + stats). */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String, ids: Seq[Any],
+                      maxValues: Int = 1024): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    require(ids.nonEmpty, "Streams.bm25IndexDelete: no ids")
+    require(ids.length <= maxValues,
+      s"Streams.bm25IndexDelete: ${ids.length} ids exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not an index op")
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = s"$targetDir/.bm25_delete"
+    val committedMark = p(s"$staging/_COMMITTED")
+    val versions = snapshotVersions(spark, targetDir).sorted
+    require(versions.nonEmpty,
+      s"Streams.bm25IndexDelete: $targetDir has no committed version — " +
+        "not a maintained BM25 target")
+    // self-heal a crashed stats swap before anything reads stats
+    versions.foreach { v =>
+      val statsDir = p(s"$targetDir/v=$v/stats")
+      val aside = p(s"$targetDir/v=$v/.stats_old")
+      if (!fs.exists(statsDir) && fs.exists(aside)) fs.rename(aside, statsDir)
+    }
+    if (!fs.exists(committedMark)) {
+      fs.delete(p(staging), true)
+      // ALL on-disk layers with batch provenance (generations store
+      // the batch column; raw dirs partition-encode it)
+      val doomed = maintainedBatchRows(spark, targetDir, "postings",
+          Long.MaxValue)
+        .filter(col("doc_id").isin(ids: _*))
+      if (doomed.isEmpty) return 0
+      doomed.groupBy("batch", "term").agg(count(lit(1)).cast("long").as("ddf"))
+        .write.mode("overwrite").parquet(s"$staging/df_del")
+      doomed.select("batch", "doc_id", "dl").distinct()
+        .groupBy("batch").agg(count(lit(1)).cast("long").as("dn"),
+          sum("dl").cast("long").as("ddl"))
+        .write.mode("overwrite").parquet(s"$staging/stats_del")
+      fs.create(committedMark, true).close()
+    }
+    // resumable from here: every mutation below is marker-guarded or
+    // naturally idempotent
+    val scrubbed = scrubLayers(spark, targetDir, "postings", "doc_id", ids)
+    val dfDel = spark.read.parquet(s"$staging/df_del")
+    def applied(name: String) = p(s"$staging/applied_$name")
+    val dfAdjusted = rewriteLayers(spark, targetDir, "df",
+        onSwapped = ref => fs.create(applied(s"df_${ref.name}"), true).close()) {
+      ref =>
+        if (fs.exists(applied(s"df_${ref.name}"))) None
+        else {
+          val layer = spark.read.parquet(ref.dir)
+          val adjusted =
+            if (ref.isGeneration) {
+              if (dfDel.filter(col("batch") <= ref.id).isEmpty) None
+              else {
+                val dec = dfDel.select(col("batch").as("__b"),
+                  col("term").as("__t"), col("ddf"))
+                Some(layer
+                  .join(dec, layer("batch") === col("__b") &&
+                    layer("term") === col("__t"), "left")
+                  .select(layer("term"), layer("batch"),
+                    (layer("df") - coalesce(col("ddf"), lit(0L)))
+                      .cast("long").as("df"))
+                  .filter(col("df") > 0))
+              }
+            } else {
+              val dec = dfDel.filter(col("batch") === ref.id)
+                .select(col("term"), col("ddf"))
+              if (dec.isEmpty) None
+              else Some(layer.join(dec, Seq("term"), "left")
+                .select(col("term"),
+                  (col("df") - coalesce(col("ddf"), lit(0L)))
+                    .cast("long").as("df"))
+                .filter(col("df") > 0))
+            }
+          adjusted
+        }
+    }
+    val statsDel = spark.read.parquet(s"$staging/stats_del")
+    var statsAdjusted = 0
+    versions.foreach { v =>
+      if (!fs.exists(applied(s"stats_$v"))) {
+        val dRow = statsDel.filter(col("batch") <= v)
+          .agg(coalesce(sum("dn"), lit(0L)).as("dn"),
+            coalesce(sum("ddl"), lit(0L)).as("ddl")).head
+        if (dRow.getLong(0) > 0 || dRow.getLong(1) > 0) {
+          val statsDir = s"$targetDir/v=$v/stats"
+          spark.read.parquet(statsDir)
+            .select((col("n_docs") - dRow.getLong(0)).cast("long").as("n_docs"),
+              (col("tot_dl") - dRow.getLong(1)).cast("long").as("tot_dl"))
+            .write.mode("overwrite").parquet(s"$targetDir/v=$v/.stats_new")
+          fs.rename(p(statsDir), p(s"$targetDir/v=$v/.stats_old"))
+          fs.rename(p(s"$targetDir/v=$v/.stats_new"), p(statsDir))
+          fs.delete(p(s"$targetDir/v=$v/.stats_old"), true)
+          spark.catalog.refreshByPath(statsDir)
+          statsAdjusted += 1
+        }
+        fs.create(applied(s"stats_$v"), true).close()
+      }
+    }
+    fs.delete(p(staging), true)
+    scrubbed + dfAdjusted + statsAdjusted
+  }
+
+  /** The report of one [[forget]] leg: which target, what kind of
+    * artifact its markers identified it as, and how many on-disk
+    * layers were rewritten. */
+  final case class ForgetReport(target: String, kind: String,
+                                layersRewritten: Int)
+
+  /** ONE-CALL right-to-be-forgotten across a corpus's maintained
+    * artifacts — the GDPR story as a single call with a single report.
+    * Each target classifies ITSELF by its on-disk self-description
+    * (the [[maintainArtifact]] discipline): a `_merge` marker is a
+    * merge-on-read table ([[tableDelete]] — rows + changelog history),
+    * a `_layout` marker a partials-layout agg snapshot
+    * ([[snapshotDelete]] — whole groups), `postings/` layers a
+    * maintained BM25 index ([[bm25IndexDelete]] — postings scrubbed,
+    * df/stats algebra kept equal to a rebuild), `assign/` layers a
+    * maintained ANN index ([[annIndexDelete]]), `index/` layers a
+    * maintained LSH index ([[lshIndexDelete]]). Every target's kind —
+    * and, for the keyed kinds, that `keyCol` is actually one of its
+    * keys — is validated BEFORE the first byte is rewritten, so an
+    * unrecognizable target fails the whole call with nothing
+    * half-forgotten.
+    *
+    * Scope: maintained artifacts only. The RAW corpus directory is
+    * [[graft.ops.Layout.targetedDelete]]'s job (it needs the skipping
+    * index to prune the probe) — run it FIRST, then this over the
+    * derived artifacts, so fresh-composition reads cannot re-derive
+    * the forgotten rows from the un-indexed base tail. `keyCol` names
+    * the subject key for the table/snapshot/LSH legs; BM25 and ANN
+    * key by their own fixed id columns (`doc_id` / `neighbor_id`) and
+    * interpret `values` as those ids. Offline-maintenance contract
+    * like every leg. */
+  def forget(spark: org.apache.spark.sql.SparkSession, keyCol: String,
+             values: Seq[Any], targets: Seq[String],
+             maxValues: Int = 1024): Seq[ForgetReport] = {
+    require(targets.nonEmpty, "Streams.forget: no targets")
+    require(values.nonEmpty, "Streams.forget: no values")
+    require(values.length <= maxValues,
+      s"Streams.forget: ${values.length} values exceeds $maxValues — " +
+        "a deletion set that large is a rebuild, not a maintenance op")
+    val fs0 = new org.apache.hadoop.fs.Path(targets.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasLayers(t: String, sub: String): Boolean =
+      fs0.exists(new org.apache.hadoop.fs.Path(s"$t/$sub")) ||
+        fs0.exists(new org.apache.hadoop.fs.Path(s"$t/compact/$sub"))
+    // classify AND validate everything before mutating anything
+    val kinds = targets.map { t =>
+      val kind = mergeLayoutOf(spark, t) match {
+        case Some(l) =>
+          require(l.keys.contains(keyCol),
+            s"Streams.forget: '$keyCol' is not a key of merge table $t " +
+              s"(keys: ${l.keys.mkString(", ")})")
+          "merge-table"
+        case None => aggLayoutOf(spark, t) match {
+          case Some(l) =>
+            require(l.keys.contains(keyCol),
+              s"Streams.forget: '$keyCol' is not a snapshot key of $t " +
+                s"(keys: ${l.keys.mkString(", ")})")
+            "agg-snapshot"
+          case None =>
+            if (hasLayers(t, "postings")) "bm25-index"
+            else if (hasLayers(t, "assign")) "ann-index"
+            else if (hasLayers(t, "index")) "lsh-index"
+            else throw new IllegalArgumentException(
+              s"Streams.forget: $t is not a recognizable maintained " +
+                "artifact (no _merge/_layout marker, no postings/assign/" +
+                "index layers) — raw corpus directories are " +
+                "Layout.targetedDelete's job")
+        }
+      }
+      (t, kind)
+    }
+    lazy val longIds: Seq[Long] = values.map {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"Streams.forget: '$other' is not an integral id — the LSH/ANN " +
+          "legs key by long ids")
+    }
+    // force the integral-id validation before any leg mutates
+    if (kinds.exists(k => k._2 == "ann-index" || k._2 == "lsh-index")) {
+      val _ = longIds
+    }
+    kinds.map { case (t, kind) =>
+      val n = kind match {
+        case "merge-table" => tableDelete(spark, t, keyCol, values, maxValues)
+        case "agg-snapshot" => snapshotDelete(spark, t, keyCol, values, maxValues)
+        case "bm25-index" => bm25IndexDelete(spark, t, values, maxValues)
+        case "ann-index" => annIndexDelete(spark, t, longIds, maxValues)
+        case "lsh-index" => lshIndexDelete(spark, t, keyCol, longIds, maxValues)
+      }
+      ForgetReport(t, kind, n)
+    }
+  }
+
   /** The shared scrub behind [[lshIndexDelete]] and [[snapshotDelete]]:
     * rewrite every on-disk LAYER of a maintained batch-dir artifact —
     * each `<subdir>/batch=<id>` dir and each committed
@@ -1916,6 +2226,38 @@ object Streams extends org.apache.spark.internal.Logging {
                           targetDir: String, subdir: String,
                           colName: String, values: Seq[Any]): Int = {
     import org.apache.spark.sql.functions.col
+    rewriteLayers(spark, targetDir, subdir) { ref =>
+      val layer = spark.read.parquet(ref.dir)
+      if (layer.filter(col(colName).isin(values: _*)).isEmpty) None
+      else Some(layer.filter(col(colName).isNull ||
+        !col(colName).isin(values: _*)))
+    }
+  }
+
+  /** One on-disk layer of a maintained batch-dir artifact: a raw
+    * `<subdir>/batch=<id>` dir or a committed `compact/<subdir>/c=<id>`
+    * generation. */
+  private final case class LayerRef(dir: String, name: String,
+                                    isGeneration: Boolean, id: Long)
+
+  /** The staged-swap rewrite engine behind [[scrubLayers]] and the
+    * BM25 df adjustment: visit every on-disk LAYER of `subdir` (raw
+    * batch dirs and committed generations); `transform` returns the
+    * layer's replacement rows (None = leave the layer byte-identical).
+    * Survivors are staged OUTSIDE the layer listings (dot-prefixed, so
+    * batch=/c= parsers and Spark's own file listing never see them —
+    * a "batch=5.__new" sibling would poison listBatchDirs forever
+    * after a crash), then a two-rename swap: old aside, new in, old
+    * dropped. A crash at any point is recoverable — worst case the
+    * layer sits aside as `<name>.old` and the self-heal pass restores
+    * it on the next run; a delete-then-rename order could silently
+    * lose the WHOLE layer while versions kept resolving. `onSwapped`
+    * fires after each completed swap (for callers that need
+    * re-run-idempotence markers). */
+  private def rewriteLayers(spark: org.apache.spark.sql.SparkSession,
+                            targetDir: String, subdir: String,
+                            onSwapped: LayerRef => Unit = _ => ())(
+      transform: LayerRef => Option[DataFrame]): Int = {
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingDir = s"$targetDir/.delete_staging_$subdir"
@@ -1939,30 +2281,31 @@ object Streams extends org.apache.spark.internal.Logging {
     }
     val layers =
       listBatchDirs(spark, targetDir, subdir).sorted
-        .map(id => s"$targetDir/$subdir/batch=$id") ++
+        .map(id => LayerRef(s"$targetDir/$subdir/batch=$id", s"batch=$id",
+          isGeneration = false, id)) ++
       committedCompactions(spark, targetDir, subdir).sorted
-        .map(c => s"$targetDir/compact/$subdir/c=$c")
+        .map(c => LayerRef(s"$targetDir/compact/$subdir/c=$c", s"c=$c",
+          isGeneration = true, c))
     var rewritten = 0
-    layers.foreach { dir =>
-      val layer = spark.read.parquet(dir)
-      if (!layer.filter(col(colName).isin(values: _*)).isEmpty) {
-        val name = new org.apache.hadoop.fs.Path(dir).getName
-        val tmp = s"$stagingDir/$name"
-        layer.filter(col(colName).isNull || !col(colName).isin(values: _*))
-          .write.mode("overwrite").parquet(tmp)
-        val aside = new org.apache.hadoop.fs.Path(s"$stagingDir/$name.old")
-        fs.rename(new org.apache.hadoop.fs.Path(dir), aside)
+    layers.foreach { ref =>
+      transform(ref).foreach { replacement =>
+        val tmp = s"$stagingDir/${ref.name}"
+        replacement.write.mode("overwrite").parquet(tmp)
+        val aside = new org.apache.hadoop.fs.Path(s"$stagingDir/${ref.name}.old")
+        fs.rename(new org.apache.hadoop.fs.Path(ref.dir), aside)
         fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(dir))
+          new org.apache.hadoop.fs.Path(ref.dir))
         // a generation layer is resolvable only through its _SUCCESS
         // (committedCompactions): recreate it explicitly — the staged
         // survivor write may not have produced one in sessions where
         // parquet success markers are disabled (compactCore's own
         // precaution), and losing it would silently un-commit the
         // generation
-        if (name.startsWith("c="))
-          fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+        if (ref.isGeneration)
+          fs.create(new org.apache.hadoop.fs.Path(s"${ref.dir}/_SUCCESS"),
+            true).close()
         fs.delete(aside, true)
+        onSwapped(ref)
         rewritten += 1
       }
     }
@@ -2053,16 +2396,7 @@ object Streams extends org.apache.spark.internal.Logging {
       case Some(id) =>
         val mk = new org.apache.hadoop.fs.Path(s"$targetDir/_query")
         val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(mk)) {
-          // staged write + rename: a crash between create and write
-          // would otherwise leave an EMPTY marker that rejects the
-          // legitimate resume forever (the scrubLayers swap discipline)
-          val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/._query.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          fs.rename(tmp, mk)
-        } else {
+        def requireMatch(): Unit = {
           val in = fs.open(mk)
           val old = try new String(
               org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -2076,6 +2410,25 @@ object Streams extends org.apache.spark.internal.Logging {
               "original checkpoint, or use a fresh target (to adopt a new " +
               s"checkpoint deliberately, delete $targetDir/_query first)")
         }
+        if (!fs.exists(mk)) {
+          // staged write + rename: a crash between create and write
+          // would otherwise leave an EMPTY marker that rejects the
+          // legitimate resume forever (the scrubLayers swap discipline)
+          val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/._query.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (!fs.rename(tmp, mk)) {
+            // rename-to-existing fails on some filesystems, and two
+            // first-trigger sinks can race to adopt a fresh target —
+            // either way the marker's content decides, not our write
+            fs.delete(tmp, false)
+            if (fs.exists(mk)) requireMatch()
+            else logWarning(s"versioned sink: could not write the _query " +
+              s"marker under $targetDir (rename refused) — " +
+              "checkpoint-identity guard inactive for this target")
+          }
+        } else requireMatch()
     }
 
   private def unresolveReplayedVersion(spark: org.apache.spark.sql.SparkSession,
@@ -2182,7 +2535,8 @@ object Streams extends org.apache.spark.internal.Logging {
           "a partials-layout agg-snapshot target (compactIndex handles the " +
           "batch-dir index sinks)"))
     compactCore(spark, targetDir, "delta", layout.keys, targetFiles,
-      minBatches, retainCompactions, mergePartialsFor(layout, keepBatch = true))
+      minBatches, retainCompactions, mergePartialsFor(layout, keepBatch = true),
+      evolving = true)
   }
 
   private def compactCore(spark: org.apache.spark.sql.SparkSession,
@@ -2657,8 +3011,8 @@ object Streams extends org.apache.spark.internal.Logging {
     layoutOpt match {
       case Some(l) =>
         val v = name.stripPrefix("v=").toLong
-        val rows = maintainedBatchRows(spark, parent.get, "delta", v)
-          .drop("batch")
+        val rows = maintainedBatchRows(spark, parent.get, "delta", v,
+          evolving = true).drop("batch")
         if (l.retract) mergePartialsFor(l, keepBatch = false)(rows) else rows
       case None => spark.read.parquet(versionPath)
     }
@@ -3053,7 +3407,8 @@ object Streams extends org.apache.spark.internal.Logging {
                                 targetDir: String, v: Long): DataFrame =
     aggLayoutOf(spark, targetDir) match {
       case Some(l) => mergePartialsFor(l, keepBatch = false)(
-        maintainedBatchRows(spark, targetDir, "delta", v).drop("batch"))
+        maintainedBatchRows(spark, targetDir, "delta", v, evolving = true)
+          .drop("batch"))
       case None => mergeLayoutOf(spark, targetDir) match {
         // a mergeSink target's v= dirs hold only markers — resolve its
         // rows/ layers instead (same answer latestTable(asOf) serves)

@@ -47,4 +47,81 @@ class DataSourceV2Spec extends AnyFunSuite {
       assert(q.recentProgress.length >= 3, "expected >= 3 microbatches")
     } finally q.stop()
   }
+
+  test("format(\"graft\"): merge tables and snapshots read with the API " +
+      "path's exact resolution; asOf time-travels; SQL opens them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().map(_.toString).toSeq
+    }
+    // merge-on-read table: three batches with updates and a tombstone
+    val morTgt = tmp("graft-dsv2-mor")
+    val morIn = MemoryStream[(Long, String, Long, Boolean)]
+    val mq = graft.streaming.Streams.mergeSink(
+      morIn.toDF().toDF("k", "v", "seq", "del"), morTgt,
+      tmp("graft-dsv2-morck"), Seq("k"), "seq", "del")
+    try {
+      morIn.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false))
+      mq.processAllAvailable()
+      morIn.addData((1L, "a2", 2L, false), (3L, "c1", 1L, false))
+      mq.processAllAvailable()
+      morIn.addData((2L, "gone", 3L, true))
+      mq.processAllAvailable()
+    } finally mq.stop()
+    val viaApi = canon(graft.streaming.Streams.latestTable(spark, morTgt).get)
+    val viaFormat = canon(spark.read.format("graft").load(morTgt))
+    assert(viaFormat == viaApi,
+      s"format read diverged from the API path:\n$viaFormat\nvs\n$viaApi")
+    // asOf: version 1 == the API's time travel
+    assert(canon(spark.read.format("graft").option("asOf", 1L).load(morTgt)) ==
+      canon(graft.streaming.Streams.latestTable(spark, morTgt,
+        asOf = Some(1L)).get), "asOf diverged from the API time travel")
+    // key filter (commutes -> pushed) and non-key filter (post-scan)
+    // both answer exactly
+    assert(spark.read.format("graft").load(morTgt)
+      .filter(col("k") === 1L).collect().map(_.getString(1)).toSeq ==
+      Seq("a2"))
+    assert(spark.read.format("graft").load(morTgt)
+      .filter(col("v") === "a2").count() == 1)
+    // SQL: the same target as a catalog table
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mor_sql " +
+      s"USING graft OPTIONS (path '$morTgt')")
+    assert(canon(spark.sql("SELECT * FROM mor_sql")) == viaApi,
+      "SQL read diverged from the API path")
+    assert(spark.sql("SELECT count(*) AS n FROM mor_sql").head.getLong(0) ==
+      viaApi.size)
+
+    // agg snapshot: fold served identically
+    val snapTgt = tmp("graft-dsv2-snap")
+    val snapIn = MemoryStream[(String, Double)]
+    val sq = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+      snapIn.toDF().toDF("k", "v"), snapTgt, tmp("graft-dsv2-snapck"),
+      Seq("k"), Seq("v"))
+    try {
+      snapIn.addData(("a", 1.0), ("b", 2.0)); sq.processAllAvailable()
+      snapIn.addData(("a", 3.0), ("c", 4.0)); sq.processAllAvailable()
+    } finally sq.stop()
+    val snapApi = canon(graft.streaming.Streams.latestSnapshot(spark, snapTgt).get)
+    assert(canon(spark.read.format("graft").load(snapTgt)) == snapApi,
+      "snapshot format read diverged from the API fold")
+    assert(canon(spark.read.format("graft").option("asOf", 0L).load(snapTgt)) ==
+      canon(graft.streaming.Streams.snapshotAsOf(spark, snapTgt, 0L)),
+      "snapshot asOf diverged")
+    // projection pruning composes (COUNT(*) included)
+    assert(spark.read.format("graft").load(snapTgt).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    assert(spark.read.format("graft").load(snapTgt).count() == 3)
+    // a plain parquet dir refuses loudly
+    val plain = tmp("graft-dsv2-plain")
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$plain/p")
+    val ex = intercept[Exception](
+      spark.read.format("graft").load(s"$plain/p").collect())
+    assert(ex.getMessage.contains("no _merge or _layout marker"))
+  }
 }

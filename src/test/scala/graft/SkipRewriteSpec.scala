@@ -501,4 +501,83 @@ class SkipRewriteSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("mixed disjunctions prune by union of per-disjunct survivors; " +
+      "an unprunable disjunct bails to the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipor").toString
+    try {
+      // range-clustered key over 16 files; stats-only index (no
+      // fingerprints) so the IN disjunct exercises the box-probe path
+      spark.range(160000)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(16, col("k")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("k"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      def t = spark.read.parquet(s"$dir/t")
+
+      // range OR IN on one column: each disjunct prunes independently,
+      // the plan opens their union — a few adjacent files for the
+      // range, one point file each for the INs
+      val mixed = t.filter(col("k").between(20000L, 29999L) ||
+        col("k").isin(5L, 155555L))
+      assert(scannedFiles(mixed) <= 6,
+        s"union prune opened ${scannedFiles(mixed)} of 16")
+      assert(mixed.count() == 10002, "no false negatives across the union")
+
+      // OR of two ranges: both disjuncts box-prune, union stays small
+      val twoRanges = t.filter(col("k") < 10000L || col("k") >= 150000L)
+      assert(scannedFiles(twoRanges) <= 5)
+      assert(twoRanges.count() == 20000)
+
+      // one disjunct references an un-indexed column: it can match
+      // anywhere, so the whole OR must fall back to the full scan —
+      // bail, never a wrong prune
+      val bail = t.filter(col("k").between(20000L, 29999L) ||
+        col("v") === 3L)
+      assert(scannedFiles(bail) == 16, "unprunable disjunct must not prune")
+      val expected = (0L until 160000L).count(id =>
+        (id >= 20000L && id <= 29999L) || id % 7 == 3L)
+      assert(bail.count() === expected, "bail shape answers exactly")
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("explainAcceleration reports per-scan verdicts on a self-join " +
+      "(one side pruned, one full — never blended)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipsj").toString
+    try {
+      spark.range(80000)
+        .select(col("id").as("k"), (col("id") % 5).as("v"))
+        .repartitionByRange(8, col("k")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("k"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      // first scan: a tight range on the indexed key — prunes; second
+      // scan: an equality on the UN-indexed column — bails to the full
+      // scan. (A join would let constraint propagation infer the range
+      // onto the other side — a union keeps the two scans independent.)
+      val pruned = spark.read.parquet(s"$dir/t")
+        .filter(col("k").between(100L, 199L))
+      val full = spark.read.parquet(s"$dir/t")
+        .filter(col("v") === 3L)
+      val j = pruned.unionByName(full)
+      assert(j.count() == 100 + 16000)
+      val report = graft.plans.Acceleration.explainAcceleration(j)
+      assert(report.contains("2 scans of this base"),
+        s"expected per-scan verdicts, got:\n$report")
+      assert(report.contains("1 PRUNED") && report.contains("1 NOT PRUNED"),
+        s"expected one pruned + one full verdict, got:\n$report")
+      // single-scan shape unchanged: the round-10 verdict strings
+      val single = spark.read.parquet(s"$dir/t")
+        .filter(col("k").between(100L, 199L))
+      assert(graft.plans.Acceleration.explainAcceleration(single)
+        .contains("PRUNED — scan rewritten to"))
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -3002,6 +3002,301 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
         s"batch 1 saw a stale dimension: ${byBatch(1L)}")
     } finally q.stop()
   }
+
+  test("measure-set evolution: a live snapshot sink ADDS a measure — fold " +
+      "== rebuild over the mixed history; MvRewrite bails until the " +
+      "measure is served, then navigates") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-evo-base")
+    val target = tmp("graft-evo-tgt")
+    val ck = tmp("graft-evo-ck")
+    // merged parquet schemas everywhere: the base genuinely EVOLVED, so
+    // every read of it (registration included) must see the union shape
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try {
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+      val q1 = Streams.aggSnapshotSinkAppendOnly(
+        spark.readStream.schema("k string, v double").parquet(baseDir),
+        target, ck, Seq("k"), Seq("v"))
+      try q1.processAllAvailable() finally q1.stop()
+      // the base gains nullable w (old rows are null there); files land
+      // but the sink has not indexed them yet
+      Seq(("a", 3.0, 10.0), ("c", 4.0, 20.0)).toDF("k", "v", "w")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+      graft.plans.MvRewrite.registerVersioned(spark, baseDir, Seq("k"),
+        Seq("v", "w"), target)
+      def wQuery = spark.read.parquet(baseDir).groupBy("k")
+        .agg(sum("w").as("s"))
+      // version 0's layers carry no w columns: the rewrite must BAIL to
+      // the direct scan — never a fold that silently misses the measure
+      val plan0 = wQuery.queryExecution.executedPlan.toString
+      assert(plan0.contains(baseDir) && !plan0.contains(target),
+        s"un-served measure must not navigate:\n$plan0")
+      assert(graft.plans.MvRewrite.recentBails.nonEmpty,
+        "the bail must be recorded, not silent")
+      // the sink RESUMES from the same checkpoint with the widened
+      // schema and measure set — the layout marker (keys/scale) is
+      // unchanged, so this is the supported ADD evolution
+      val q2 = Streams.aggSnapshotSinkAppendOnly(
+        spark.readStream.schema("k string, v double, w double")
+          .parquet(baseDir),
+        target, ck, Seq("k"), Seq("v", "w"))
+      try q2.processAllAvailable() finally q2.stop()
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val cols = df.columns.sorted.toIndexedSeq
+        df.select(cols.map(col): _*).orderBy("k")
+          .collect().map(_.toString).toSeq
+      }
+      val rebuilt = canon(graft.ops.Cdc.aggSnapshotMinMax(
+        spark.read.parquet(baseDir), Seq("k"), Seq("v", "w")))
+      assert(canon(Streams.latestSnapshot(spark, target).get) == rebuilt,
+        "mixed-history fold diverged from the one-shot rebuild")
+      // the measure is served now: the SAME query navigates and answers
+      // exactly (b has no w rows anywhere -> null, like the direct scan)
+      val plan1 = wQuery.queryExecution.executedPlan.toString
+      assert(plan1.contains(s"$target/delta") && !plan1.contains(baseDir),
+        s"served measure did not navigate:\n$plan1")
+      assert(wQuery.orderBy("k").collect().map(_.toString).toSeq ==
+        Seq("[a,10.0]", "[b,null]", "[c,20.0]"))
+      // compaction folds the widened shape; vacuum changes nothing
+      assert(Streams.compactSnapshot(spark, target, targetFiles = 1,
+        minBatches = 1).isDefined)
+      assert(canon(Streams.latestSnapshot(spark, target).get) == rebuilt,
+        "compaction changed the evolved fold")
+      assert(Streams.vacuumIndex(spark, target, "delta").nonEmpty)
+      assert(canon(Streams.latestSnapshot(spark, target).get) == rebuilt,
+        "vacuum changed the evolved fold")
+    } finally {
+      graft.plans.MvRewrite.unregister(baseDir)
+      spark.conf.unset("spark.sql.parquet.mergeSchema")
+    }
+  }
+
+  test("mergeSink changelog: key-pushdown pre-image read equals the " +
+      "unpruned semi-join derivation") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // same change history through both derivations: the IN-list
+    // pre-filter over-approximates touched TUPLES but is key-group
+    // stable, and the semi-join restores exactness — the feeds must be
+    // identical row-for-row
+    def run(pushdown: Int, tag: String): Seq[String] = {
+      val in = MemoryStream[(Long, String, Long, Boolean)]
+      val tgt = tmp(s"graft-cdfpd-$tag")
+      val q = Streams.mergeSink(in.toDF().toDF("k", "v", "seq", "del"), tgt,
+        tmp(s"graft-cdfpd-$tag-ck"), Seq("k"), "seq", "del",
+        changelog = true, changelogKeyPushdown = pushdown)
+      try {
+        in.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false),
+          (3L, "c1", 1L, false))
+        q.processAllAvailable()
+        in.addData((2L, "b2", 2L, false), (3L, "c2", 2L, true))
+        q.processAllAvailable()
+        in.addData((1L, "a3", 3L, false), (3L, "c3", 3L, false))
+        q.processAllAvailable()
+      } finally q.stop()
+      Streams.changelogOf(spark, tgt).orderBy("batch", "k", "op")
+        .collect().map(_.toString).toSeq
+    }
+    val pushed = run(1024, "on")
+    val unpruned = run(0, "off")
+    assert(pushed == unpruned,
+      s"pushdown changed the derived feed:\n$pushed\nvs\n$unpruned")
+    assert(pushed.exists(_.contains("-1")), "feed must carry retractions")
+  }
+
+  test("bm25IndexDelete (maintained): forgotten docs rank nowhere; " +
+      "df/stats algebra equals a rebuilt index — batch dirs AND generations") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-bmdel-base")
+    val target = tmp("graft-bmdel-tgt")
+    val ckpt = tmp("graft-bmdel-ck")
+    def land(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong,
+        s"join hash w$i " + Seq.fill(i % 5)("filler").mkString(" ")))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land(0, 50)
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, "doc_id", "text")
+    try {
+      q.processAllAvailable()
+      land(50, 100)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((1, "join"), (1, "hash"), (2, "w7"), (2, "w63"),
+      (3, "filler")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    def rebuilt(excluded: Seq[Long]) = canon(graft.ops.TextAnalysis
+      .bm25BatchTopK(spark.read.parquet(baseDir)
+        .filter(!col("doc_id").isin(excluded: _*)),
+        "doc_id", "text", queries, 5))
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == rebuilt(Nil), "pre-delete sanity")
+    // forget docs 7 (batch 0) and 63 (batch 1): postings scrubbed in
+    // both raw layers, df partials decremented per batch, BOTH retained
+    // versions' stats adjusted — 2 + 2 + 2 layers
+    assert(Streams.bm25IndexDelete(spark, target, Seq(7L, 63L)) == 6)
+    val after = canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+    assert(after == rebuilt(Seq(7L, 63L)),
+      "post-delete ranking diverged from rebuild-without-the-docs " +
+        "(df/stats algebra broken?)")
+    // fold postings + df into generations, vacuum the raw dirs, and
+    // forget a doc FROM the generations: postings gen + df gen + the
+    // one version whose stats cover its batch
+    assert(Streams.compactIndex(spark, target, "postings", Seq("term"),
+      targetFiles = 1).isDefined)
+    assert(Streams.compactIndex(spark, target, "df", Seq("term"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, target, "postings").nonEmpty)
+    assert(Streams.vacuumIndex(spark, target, "df").nonEmpty)
+    assert(Streams.bm25IndexDelete(spark, target, Seq(80L)) == 3)
+    assert(canon(Streams.bm25SearchMaintained(spark, target, queries, 5))
+      == rebuilt(Seq(7L, 63L, 80L)),
+      "generation-scrub ranking diverged from rebuild")
+    // absent ids rewrite nothing
+    assert(Streams.bm25IndexDelete(spark, target, Seq(424242L)) == 0)
+  }
+
+  test("annIndexDelete (maintained): forgotten vectors surface nowhere — " +
+      "batch dirs AND generations; assignments equal a rebuilt encode") {
+    assume(!rocksdb)
+    import spark.implicits._
+    import graft.ops.Similarity
+    val baseDir = tmp("graft-anndel-base")
+    val target = tmp("graft-anndel-tgt")
+    val ckpt = tmp("graft-anndel-ck")
+    val cells = tmp("graft-anndel-cells") + "/c"
+    val books = tmp("graft-anndel-books") + "/b"
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 101) - 50).toFloat / 16f)
+    def land(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(baseDir)
+    land((0 until 60).map(i => (i.toLong, vec(i))))
+    val idx0 = Similarity.ivfPqBuild(spark.read.parquet(baseDir),
+      nCells = 4, ivfIters = 2, m = 2, codes = 4, pqIters = 1, dim = 8)
+    Similarity.saveIvfCentroids(spark, idx0.cellSums, idx0.cellCounts, cells)
+    Similarity.savePqCodebooks(spark, idx0.pqSums, idx0.pqCounts, books)
+    val q = Streams.ivfPqIndexSink(
+      spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(baseDir),
+      target, ckpt, cells, books, dim = 8)
+    try {
+      q.processAllAvailable()
+      land((60 until 90).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val base = spark.read.parquet(baseDir)
+    val queries = base.filter($"vec_id" < 3)
+    // victims in both batch layers
+    assert(Streams.annIndexDelete(spark, target, Seq(5L, 70L)) == 2)
+    val assigns = spark.read.parquet(s"$target/assign")
+      .select("neighbor_id", "cell_id", "codes")
+      .collect().map(_.toString).sorted.toSeq
+    val rebuiltIdx = Similarity.ivfPqEncode(
+      base.filter(!$"vec_id".isin(5L, 70L)), idx0.cellSums, idx0.cellCounts,
+      idx0.pqSums, idx0.pqCounts, dim = 8)
+    assert(assigns == rebuiltIdx.collect().map(_.toString).sorted.toSeq,
+      "scrubbed assignments diverged from the rebuilt-without-them encode")
+    assert(Streams.ivfPqSearchMaintained(spark, target, cells, books,
+      queries, base, topK = 5, nProbe = 4, dim = 8)
+      .filter($"neighbor_id".isin(5L, 70L)).isEmpty,
+      "forgotten vectors still surface in the maintained search")
+    // generation half
+    assert(Streams.compactIndex(spark, target, "assign", Seq("cell_id"),
+      targetFiles = 1).isDefined)
+    assert(Streams.vacuumIndex(spark, target, "assign").nonEmpty)
+    assert(Streams.annIndexDelete(spark, target, Seq(12L)) == 1)
+    assert(Streams.ivfPqSearchMaintained(spark, target, cells, books,
+      queries, base, topK = 5, nProbe = 4, dim = 8)
+      .filter($"neighbor_id" === 12L).isEmpty,
+      "forgotten vector still surfaces after the generation scrub")
+    assert(Streams.annIndexDelete(spark, target, Seq(424242L)) == 0)
+  }
+
+  test("forget: one call drives every artifact kind by its on-disk " +
+      "self-description; validation precedes any mutation") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // REAL sinks for the marker-classified kinds (the marker is the
+    // dispatch signal under test)
+    val morTgt = tmp("graft-forget-mor")
+    val snapTgt = tmp("graft-forget-snap")
+    val morIn = MemoryStream[(Long, String, Long, Boolean)]
+    val mq = Streams.mergeSink(morIn.toDF().toDF("doc_id", "v", "seq", "del"),
+      morTgt, tmp("graft-forget-morck"), Seq("doc_id"), "seq", "del")
+    val snapIn = MemoryStream[(Long, Double)]
+    val sq = Streams.aggSnapshotSinkAppendOnly(
+      snapIn.toDF().toDF("doc_id", "v"), snapTgt,
+      tmp("graft-forget-snapck"), Seq("doc_id"), Seq("v"))
+    try {
+      morIn.addData((7L, "seven", 1L, false), (8L, "eight", 1L, false))
+      mq.processAllAvailable()
+      snapIn.addData((7L, 1.0), (8L, 2.0))
+      sq.processAllAvailable()
+    } finally { mq.stop(); sq.stop() }
+    // fabricated batch-dir layouts for the layer-classified kinds (the
+    // LAYERS are the dispatch signal; the full sink paths have their
+    // own delete specs)
+    val lshTgt = tmp("graft-forget-lsh")
+    val annTgt = tmp("graft-forget-ann")
+    val bmTgt = tmp("graft-forget-bm")
+    Seq((7L, 1L), (8L, 2L)).toDF("doc_id", "sig")
+      .write.parquet(s"$lshTgt/index/batch=0")
+    Seq((7L, 0L, Array(1, 2)), (8L, 1L, Array(3, 4)))
+      .toDF("neighbor_id", "cell_id", "codes")
+      .write.parquet(s"$annTgt/assign/batch=0")
+    Seq(("join", 7L, 1L, 2L), ("join", 8L, 1L, 2L), ("w7", 7L, 1L, 2L))
+      .toDF("term", "doc_id", "tf", "dl")
+      .write.parquet(s"$bmTgt/postings/batch=0")
+    Seq(("join", 2L), ("w7", 1L)).toDF("term", "df")
+      .write.parquet(s"$bmTgt/df/batch=0")
+    Seq((2L, 4L)).toDF("n_docs", "tot_dl")
+      .write.parquet(s"$bmTgt/v=0/stats")
+    assert(new java.io.File(s"$bmTgt/v=0/_SUCCESS").createNewFile())
+
+    val reports = Streams.forget(spark, "doc_id", Seq(7L),
+      Seq(morTgt, snapTgt, lshTgt, annTgt, bmTgt))
+    assert(reports.map(_.kind) == Seq("merge-table", "agg-snapshot",
+      "lsh-index", "ann-index", "bm25-index"), s"mis-dispatched: $reports")
+    assert(reports.forall(_.layersRewritten >= 1), s"a leg did nothing: $reports")
+    // each leg verified individually
+    assert(Streams.latestTable(spark, morTgt).get
+      .filter($"doc_id" === 7L).isEmpty, "merge table still serves the key")
+    assert(Streams.latestSnapshot(spark, snapTgt).get
+      .filter($"doc_id" === 7L).isEmpty, "snapshot still serves the group")
+    assert(spark.read.parquet(s"$lshTgt/index")
+      .filter($"doc_id" === 7L).isEmpty, "LSH signature survives")
+    assert(spark.read.parquet(s"$annTgt/assign")
+      .filter($"neighbor_id" === 7L).isEmpty, "ANN assignment survives")
+    assert(spark.read.parquet(s"$bmTgt/postings")
+      .filter($"doc_id" === 7L).isEmpty, "BM25 postings survive")
+    val stats = spark.read.parquet(s"$bmTgt/v=0/stats").head
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == 2L,
+      s"BM25 stats not decremented: $stats")
+    val dfRows = spark.read.parquet(s"$bmTgt/df")
+      .select("term", "df").collect().map(_.toString).sorted.toSeq
+    assert(dfRows == Seq("[join,1]"), s"df not decremented exactly: $dfRows")
+    // an unrecognizable target fails the WHOLE call before any byte moves
+    val bogus = tmp("graft-forget-bogus")
+    new java.io.File(bogus).mkdirs()
+    intercept[IllegalArgumentException](
+      Streams.forget(spark, "doc_id", Seq(8L), Seq(lshTgt, bogus)))
+    assert(!spark.read.parquet(s"$lshTgt/index")
+      .filter($"doc_id" === 8L).isEmpty, "validation must precede mutation")
+    // a keyCol that is not a key of a keyed target refuses
+    intercept[IllegalArgumentException](
+      Streams.forget(spark, "nope", Seq(7L), Seq(morTgt)))
+  }
 }
 
 /** Default (HDFS-backed, on-heap) state store provider. */
