@@ -87,12 +87,14 @@ object Acceleration {
         val head = s"skip(base=${e.base})"
         val baseRoots = e.rootPaths.map(norm)
         // classify each OPTIMIZED scan instance of this base: roots
-        // equal to the base dir = still a full scan; roots that are
-        // files UNDER the base = a pruned rewrite (its file count is
-        // the roots' size); a scan pruned to the empty relation leaves
-        // no LogicalRelation at all — counted off the analyzed total
-        val baseAnalyzed = analyzedScans.count(_ == baseRoots)
-        val fullScans = optimizedScans.count(_ == baseRoots)
+        // CONTAINING the base dir = still a full scan (a multi-root
+        // relation like parquet(base, other) reads the base unpruned
+        // too — never "not referenced"); roots that are files UNDER
+        // the base = a pruned rewrite (its file count is the roots'
+        // size); a scan pruned to the empty relation leaves no
+        // LogicalRelation at all — counted off the analyzed total
+        val baseAnalyzed = analyzedScans.count(rs => baseRoots.subsetOf(rs))
+        val fullScans = optimizedScans.count(rs => baseRoots.subsetOf(rs))
         val prunedScans = optimizedScans.filter(rs => rs != baseRoots &&
           rs.nonEmpty &&
           rs.forall(r => baseRoots.exists(b => r.startsWith(b + "/"))))

@@ -254,11 +254,7 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
       // tree alone — prune it like one when every disjunct is an
       // equality on the SAME column
       case or @ Or(_, _) =>
-        def disjuncts(ex: Expression): Seq[Expression] = ex match {
-          case Or(l, r) => disjuncts(l) ++ disjuncts(r)
-          case other => Seq(other)
-        }
-        val eqs = disjuncts(or).map {
+        val eqs = disjunctsOf(or).map {
           case EqualTo(a: AttributeReference, l: Literal) =>
             probeValue(l).map(v => (a.name, v))
           case EqualTo(l: Literal, a: AttributeReference) =>

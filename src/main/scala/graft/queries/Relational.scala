@@ -978,6 +978,91 @@ object Relational {
     }
   }
 
+  // THE DSv2 FACE of the merge table (GraftDataSource): the same
+  // three-batch CDC replay as q_merge_table, but the served state is
+  // read through plain `spark.read.format("graft")` — no graft API on
+  // the read path at all. The provider classifies the target by its
+  // _merge marker and serves the identical latest-wins resolution, so
+  // the oracle (window replay) must hash-match exactly as it does for
+  // the API read. This is what lets external Spark sessions / SQL
+  // open maintained tables: an engine feature, not a library
+  // convention.
+  private val qGraftFormat = QueryDef("q_graft_format", Some(
+    """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+      |                  l_extendedprice,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+      |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-fmt-q").toString
+    try {
+      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
+      try sink.processAllAvailable() finally sink.stop()
+      spark.read.format("graft").load(s"$work/t").localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  // The change feed through the same DSv2 face (`changelog` option):
+  // a pure-SQL consumer maintains downstream aggregates off the ±op
+  // telescoping algebra without graft on its read path — the grouped
+  // integer-algebra aggregate over the feed must equal the same
+  // aggregate over the resolved final table, which the oracle replays.
+  private val qGraftChangelog = QueryDef("q_graft_changelog", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey, l_quantity,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-fmtcdf-q").toString
+    try {
+      val changes = mergeChangeFrame(spark, dir, Nil)
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del",
+        changelog = true)
+      try sink.processAllAvailable() finally sink.stop()
+      val feed = spark.read.format("graft").option("changelog", true)
+        .load(s"$work/t")
+      require(!feed.filter(col("op") === -1).isEmpty,
+        "q_graft_changelog: the feed must carry retractions")
+      feed.groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
+            / 100.0).as("sum_qty"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 dimension build (Cdc.scd2Build): every order is a "change"
   // to its customer's record; versions get [own date, next change)
   // validity with (o_orderdate, o_orderkey) as the deterministic
@@ -2149,7 +2234,8 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
-    qMergeAsOf, qMergeChangelog, qZorder, qHilbert,
+    qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog,
+    qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,
     qSkipping, qSkipAuto, qSkipRange, qSkipDate, qSkipPrefix, qSkipOr,

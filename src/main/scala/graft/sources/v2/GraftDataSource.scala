@@ -29,6 +29,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (default: latest; refuses loudly for uncommitted/expired
   *    versions — [[graft.streaming.Streams.snapshotAsOf]]'s window
   *    contract)
+  *  - `changelog` (merge tables only): read the ±op CHANGE FEED
+  *    ([[graft.streaming.Streams.changelogOf]]) instead of the
+  *    resolved table — SQL consumers can maintain downstream state
+  *    off the feed's telescoping retraction algebra; `sinceVersion`
+  *    cuts a re-consumed prefix
   *
   * The read is a DERIVED PLAN (latest-wins window / fold over the
   * resolved layers), not a file scan — so the scan implements
@@ -55,7 +60,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 object GraftDataSource {
   /** What the marker said the target is, resolved once per read. */
   final case class TargetRef(path: String, asOf: Option[Long],
-                             keys: Seq[String], kind: String)
+                             keys: Seq[String], kind: String,
+                             changelog: Boolean = false,
+                             sinceVersion: Long = -1L)
 
   private[v2] def refOf(spark: SparkSession,
                         options: CaseInsensitiveStringMap): TargetRef = {
@@ -64,10 +71,16 @@ object GraftDataSource {
         "graft source: the 'path' option is required — " +
           "spark.read.format(\"graft\").load(<target dir>)"))
     val asOf = Option(options.get("asOf")).map(_.toLong)
+    val changelog = options.getBoolean("changelog", false)
+    val since = Option(options.get("sinceVersion")).map(_.toLong)
+      .getOrElse(-1L)
     graft.streaming.Streams.mergeLayoutOf(spark, path) match {
-      case Some(l) => TargetRef(path, asOf, l.keys, "merge")
+      case Some(l) => TargetRef(path, asOf, l.keys, "merge", changelog, since)
       case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {
-        case Some(l) => TargetRef(path, asOf, l.keys, "snapshot")
+        case Some(l) =>
+          require(!changelog, "graft source: the changelog option serves " +
+            "merge tables only — an agg snapshot's history IS its partials")
+          TargetRef(path, asOf, l.keys, "snapshot")
         case None => throw new IllegalArgumentException(
           s"graft source: $path carries no _merge or _layout marker — not " +
             "a maintained merge-table or agg-snapshot target (plain " +
@@ -82,6 +95,14 @@ object GraftDataSource {
                           pred: Option[Column]): DataFrame = {
     def noVersion = throw new IllegalStateException(
       s"graft source: no committed version under ${ref.path} yet")
+    if (ref.changelog) {
+      // the feed is append-only HISTORY, not resolved state: any pushed
+      // predicate is a plain row filter over it — exact by itself, no
+      // commuting argument needed
+      val feed = graft.streaming.Streams.changelogOf(spark, ref.path,
+        ref.sinceVersion, ref.asOf)
+      return pred.map(feed.where).getOrElse(feed)
+    }
     ref.kind match {
       case "merge" => pred match {
         case Some(p) => graft.streaming.Streams

@@ -759,13 +759,25 @@ object Streams extends org.apache.spark.internal.Logging {
     * row-group level (the compacted generation is key-range-clustered)
     * — per-trigger read I/O tracks |touched keys|, not |table|. Above
     * the bound (or at 0) it falls back to the un-pruned key semi-join,
-    * which is exact but scans every resolved layer. */
+    * which is exact but scans every resolved layer.
+    *
+    * `compactMaxTail`: caps the raw batch-dir TAIL the geometric
+    * trigger may accumulate. Pure geometric compaction lets the tail
+    * grow to |covered| before folding — write-amplification-optimal
+    * (O(N log B) lifetime rewrite bytes), but every read (the
+    * changelog pre-image included) plans and opens one file per tail
+    * dir, so per-trigger latency creeps linearly within an interval
+    * (MergeLifecycleProbe: med trigger 0.9s→1.6s as the tail grew
+    * 345→645 dirs). A cap bounds that read-side cost at the price of
+    * more frequent folds (lifetime rewrite bytes O(N·B/maxTail));
+    * 0 = uncapped, the pure geometric schedule. */
   def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
                 keyCols: Seq[String], seqCol: String, deleteCol: String,
                 retainVersions: Int = 3, filesPerBatch: Int = 1,
                 compactEvery: Int = 0, compactFiles: Int = 4,
                 changelog: Boolean = false,
-                changelogKeyPushdown: Int = 1024): StreamingQuery = {
+                changelogKeyPushdown: Int = 1024,
+                compactMaxTail: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, row_number}
     require(keyCols.nonEmpty, "Streams.mergeSink: empty key")
     require(retainVersions >= 2,
@@ -873,8 +885,14 @@ object Streams extends org.apache.spark.internal.Logging {
               }
               val prev = mergeResolveFor(layout)(
                 prunedLayers.join(touched, keyCols, "left_semi"))
+              // ADD evolution: a just-added data column may be absent
+              // from every resolved prior layer (targetCols comes from
+              // the NEW batch) — retraction rows correctly carry
+              // nothing for it (the pre-image had no value), which the
+              // allowMissingColumns union surfaces as null
+              val minusCols = targetCols.filter(prev.columns.contains)
               val minus = prev
-                .select(targetCols.map(col): _*)
+                .select(minusCols.map(col): _*)
                 .withColumn("op", org.apache.spark.sql.functions.lit(-1))
               minus.unionByName(plus, allowMissingColumns = true)
             }
@@ -886,7 +904,8 @@ object Streams extends org.apache.spark.internal.Logging {
           committedCompactions(spark, targetDir, "rows").nonEmpty)
         commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "rows", keyCols, compactFiles,
-        compactEvery, batchId, mergeResolveFor(layout), evolving = true)
+        compactEvery, batchId, mergeResolveFor(layout), evolving = true,
+        maxTail = compactMaxTail)
     }
   }
 
@@ -2033,6 +2052,12 @@ object Streams extends org.apache.spark.internal.Logging {
       val aside = p(s"$targetDir/v=$v/.stats_old")
       if (!fs.exists(statsDir) && fs.exists(aside)) fs.rename(aside, statsDir)
     }
+    // the caller's id set, rendered canonically — persisted alongside
+    // the decrements so a crashed run can only be RESUMED with the
+    // same set: resuming with different ids would scrub the new ids'
+    // postings while applying the OLD ids' df/stats decrements —
+    // silent algebra corruption in both directions
+    val idsRendered = ids.map(String.valueOf).sorted.mkString("\n")
     if (!fs.exists(committedMark)) {
       fs.delete(p(staging), true)
       // ALL on-disk layers with batch provenance (generations store
@@ -2047,7 +2072,22 @@ object Streams extends org.apache.spark.internal.Logging {
         .groupBy("batch").agg(count(lit(1)).cast("long").as("dn"),
           sum("dl").cast("long").as("ddl"))
         .write.mode("overwrite").parquet(s"$staging/stats_del")
+      val out = fs.create(p(s"$staging/_ids"), true)
+      try out.write(idsRendered.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       fs.create(committedMark, true).close()
+    } else {
+      val in = fs.open(p(s"$staging/_ids"))
+      val pending = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      require(pending == idsRendered,
+        s"Streams.bm25IndexDelete: $targetDir has a crashed delete " +
+          s"pending for a DIFFERENT id set — re-run with ids " +
+          s"[${pending.linesIterator.mkString(", ")}] to complete it " +
+          "first, then delete the new set")
     }
     // resumable from here: every mutation below is marker-guarded or
     // naturally idempotent
@@ -2152,11 +2192,13 @@ object Streams extends org.apache.spark.internal.Logging {
     require(values.length <= maxValues,
       s"Streams.forget: ${values.length} values exceeds $maxValues — " +
         "a deletion set that large is a rebuild, not a maintenance op")
-    val fs0 = new org.apache.hadoop.fs.Path(targets.head)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasLayers(t: String, sub: String): Boolean =
-      fs0.exists(new org.apache.hadoop.fs.Path(s"$t/$sub")) ||
-        fs0.exists(new org.apache.hadoop.fs.Path(s"$t/compact/$sub"))
+    // per-target FileSystem: targets can span schemes (file:/ + s3a://)
+    def hasLayers(t: String, sub: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(s"$t/$sub")
+      val tfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tfs.exists(path) ||
+        tfs.exists(new org.apache.hadoop.fs.Path(s"$t/compact/$sub"))
+    }
     // classify AND validate everything before mutating anything
     val kinds = targets.map { t =>
       val kind = mergeLayoutOf(spark, t) match {
@@ -2172,7 +2214,15 @@ object Streams extends org.apache.spark.internal.Logging {
                 s"(keys: ${l.keys.mkString(", ")})")
             "agg-snapshot"
           case None =>
-            if (hasLayers(t, "postings")) "bm25-index"
+            if (hasLayers(t, "postings")) {
+              // bm25IndexDelete refuses a version-less target — catch
+              // it HERE so the whole call fails before any leg mutates
+              require(snapshotVersions(spark, t).nonEmpty,
+                s"Streams.forget: $t has postings layers but no " +
+                  "committed version — not a servable BM25 target (did " +
+                  "its sink die before the first commit?)")
+              "bm25-index"
+            }
             else if (hasLayers(t, "assign")) "ann-index"
             else if (hasLayers(t, "index")) "lsh-index"
             else throw new IllegalArgumentException(
@@ -2652,7 +2702,8 @@ object Streams extends org.apache.spark.internal.Logging {
                                clusterCols: Seq[String], compactFiles: Int,
                                compactEvery: Int, batchId: Long,
                                transform: DataFrame => DataFrame = identity,
-                               evolving: Boolean = false)
+                               evolving: Boolean = false,
+                               maxTail: Int = 0)
       : Unit =
     if (compactEvery > 0) {
       val prevC = committedCompactions(spark, targetDir, subdir)
@@ -2661,7 +2712,14 @@ object Streams extends org.apache.spark.internal.Logging {
       // counts: covered = batches <= prevC, tail = batches since
       val covered = prevC.map(_ + 1).getOrElse(0L)
       val tail = batchId - prevC.getOrElse(-1L)
-      if (tail >= math.max(compactEvery.toLong, covered)) {
+      // geometric interval, optionally CAPPED: maxTail bounds the raw
+      // tail every read has to plan over (one file per dir), trading
+      // fold frequency for flat read latency — see mergeSink's doc
+      val interval = {
+        val geo = math.max(compactEvery.toLong, covered)
+        if (maxTail > 0) math.min(maxTail.toLong, geo) else geo
+      }
+      if (tail >= interval) {
         compactCore(spark, targetDir, subdir, clusterCols, compactFiles,
           minBatches = 1, retainCompactions = 2, transform, evolving)
         // vacuum only once a SECOND generation exists: on the very first

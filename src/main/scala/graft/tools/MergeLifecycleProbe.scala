@@ -62,14 +62,16 @@ object MergeLifecycleProbe {
         .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
     }
 
-    def run(pushdown: Int, nBatches: Int, label: String): Unit = {
+    def run(pushdown: Int, nBatches: Int, label: String,
+            maxTail: Int = 0): Unit = {
       val tgt = tmpd(s"mlp-$label-tgt")
       val ck = tmpd(s"mlp-$label-ck")
       val in = MemoryStream[(Long, Long, String, Boolean)]
       val q = graft.streaming.Streams.mergeSink(
         in.toDF().toDF("k", "seq", "payload", "del"), tgt, ck,
         Seq("k"), "seq", "del", compactEvery = 16,
-        changelog = true, changelogKeyPushdown = pushdown)
+        changelog = true, changelogKeyPushdown = pushdown,
+        compactMaxTail = maxTail)
       try {
         // seed: one batch touching every key — the "table" the narrow
         // batches then mutate
@@ -115,11 +117,18 @@ object MergeLifecycleProbe {
         f"totalBytes=${dirBytes(tgt)}%11d")
     }
 
-    run(1024, batches, "pushdown")
+    // leg selector (4th arg): run one leg for iterating; default all
+    val legs = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("pushdown", "semijoin", "cappedtail"))
+    if (legs("pushdown")) run(1024, batches, "pushdown")
     // the A/B leg: same cadence, unpruned semi-join pre-image — its
     // per-trigger time grows with the generation; fewer batches are
     // enough to show the trend
-    run(0, abBatches, "semijoin")
+    if (legs("semijoin")) run(0, abBatches, "semijoin")
+    // the capped-tail leg: same cadence as pushdown, raw tail bounded
+    // at 128 dirs — per-trigger time must stay flat where the pure
+    // geometric schedule's creeps with its growing tail
+    if (legs("cappedtail")) run(1024, batches, "cappedtail", maxTail = 128)
     Runtime.getRuntime.halt(0)
   }
 }

@@ -89,6 +89,10 @@ class DataSourceV2Spec extends AnyFunSuite {
       Seq("a2"))
     assert(spark.read.format("graft").load(morTgt)
       .filter(col("v") === "a2").count() == 1)
+    // a merge sink without changelog=true has no feed: loud refusal
+    val exNoCl = intercept[Exception](spark.read.format("graft")
+      .option("changelog", true).load(morTgt).collect())
+    assert(exNoCl.getMessage.contains("changelog"))
     // SQL: the same target as a catalog table
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mor_sql " +
       s"USING graft OPTIONS (path '$morTgt')")
@@ -117,6 +121,30 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("graft").load(snapTgt).select("k")
       .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
     assert(spark.read.format("graft").load(snapTgt).count() == 3)
+    // the change FEED through the format face: changelog=true over a
+    // feed-emitting merge sink equals changelogOf row-for-row, and
+    // sinceVersion cuts the prefix; the option refuses on a snapshot
+    val clTgt = tmp("graft-dsv2-cl")
+    val clIn = MemoryStream[(Long, String, Long, Boolean)]
+    val cq = graft.streaming.Streams.mergeSink(
+      clIn.toDF().toDF("k", "v", "seq", "del"), clTgt,
+      tmp("graft-dsv2-clck"), Seq("k"), "seq", "del", changelog = true)
+    try {
+      clIn.addData((1L, "a1", 1L, false)); cq.processAllAvailable()
+      clIn.addData((1L, "a2", 2L, false), (2L, "b1", 1L, false))
+      cq.processAllAvailable()
+    } finally cq.stop()
+    assert(canon(spark.read.format("graft").option("changelog", true)
+      .load(clTgt)) ==
+      canon(graft.streaming.Streams.changelogOf(spark, clTgt)),
+      "format changelog diverged from changelogOf")
+    assert(canon(spark.read.format("graft").option("changelog", true)
+      .option("sinceVersion", 0L).load(clTgt)) ==
+      canon(graft.streaming.Streams.changelogOf(spark, clTgt,
+        sinceVersion = 0L)), "sinceVersion diverged")
+    val exSnapCl = intercept[Exception](spark.read.format("graft")
+      .option("changelog", true).load(snapTgt).collect())
+    assert(exSnapCl.getMessage.contains("merge tables only"))
     // a plain parquet dir refuses loudly
     val plain = tmp("graft-dsv2-plain")
     Seq((1L, "x")).toDF("a", "b").write.parquet(s"$plain/p")

@@ -3108,6 +3108,84 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(pushed.exists(_.contains("-1")), "feed must carry retractions")
   }
 
+  test("mergeSink compactMaxTail: the raw tail stays bounded (folds fire " +
+      "at the cap instead of the geometric interval) and answers are " +
+      "unchanged") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val tgt = tmp("graft-maxtail-tgt")
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.mergeSink(in.toDF().toDF("k", "v", "seq", "del"), tgt,
+      tmp("graft-maxtail-ck"), Seq("k"), "seq", "del",
+      compactEvery = 2, compactMaxTail = 2)
+    def rawDirs: Int = Option(new java.io.File(s"$tgt/rows").listFiles)
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    try {
+      (0 until 12).foreach { i =>
+        in.addData((i.toLong % 5, s"v$i", i.toLong, false))
+        q.processAllAvailable()
+        // pure geometric would let the tail grow to |covered| (up to
+        // 6+ dirs by batch 11); the cap folds every 2 batches and
+        // vacuum (from the 2nd generation on) frees covered dirs
+        assert(rawDirs <= 4, s"tail exceeded the cap at batch $i: $rawDirs")
+      }
+    } finally q.stop()
+    val gens = Option(new java.io.File(s"$tgt/compact/rows").listFiles)
+      .map(_.count(f => f.getName.startsWith("c=") &&
+        new java.io.File(f, "_SUCCESS").exists)).getOrElse(0)
+    assert(gens == 2, s"retained generations: $gens") // retainCompactions
+    // latest-wins per key unchanged by the aggressive fold cadence
+    val served = Streams.latestTable(spark, tgt).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(served == Seq("[0,v10]", "[1,v11]", "[2,v7]", "[3,v8]", "[4,v9]"),
+      s"served: $served")
+  }
+
+  test("mergeSink changelog: ADD-column evolution derives retractions over " +
+      "a COMPACTED target whose layers lack the new column") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val baseDir = tmp("graft-cdfevo-base")
+    val tgt = tmp("graft-cdfevo-tgt")
+    val ck = tmp("graft-cdfevo-ck")
+    Seq((1L, "a1", 1L, false), (2L, "b1", 1L, false))
+      .toDF("k", "v", "seq", "del")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q1 = Streams.mergeSink(
+      spark.readStream.schema("k long, v string, seq long, del boolean")
+        .parquet(baseDir),
+      tgt, ck, Seq("k"), "seq", "del", changelog = true)
+    try q1.processAllAvailable() finally q1.stop()
+    // fold the only layer into a generation: the pre-image read now
+    // comes off compact/rows, whose schema will NOT have the column
+    // the evolved batch adds
+    assert(Streams.compactTable(spark, tgt, targetFiles = 1,
+      minBatches = 1).isDefined)
+    Seq((1L, "a2", 10.5, 2L, false)).toDF("k", "v", "w", "seq", "del")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q2 = Streams.mergeSink(
+      spark.readStream
+        .schema("k long, v string, w double, seq long, del boolean")
+        .parquet(baseDir),
+      tgt, ck, Seq("k"), "seq", "del", changelog = true)
+    try q2.processAllAvailable() finally q2.stop()
+    val feed = Streams.changelogOf(spark, tgt)
+      .orderBy("batch", "k", "op").collect().map(_.toString).toSeq
+    // the retraction carries the OLD values and null for the added
+    // column (the pre-image had no value); the assertion carries the
+    // new ones — and the stream survived the evolved trigger
+    assert(feed.exists(s => s.contains("a1") && s.contains("-1") &&
+      s.contains("null")), s"missing evolved retraction: $feed")
+    assert(feed.exists(s => s.contains("a2") && s.contains("10.5")),
+      s"missing evolved assertion: $feed")
+    // the served table reflects the update with the new column
+    val served = Streams.latestTable(spark, tgt).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(served.exists(s => s.contains("a2") && s.contains("10.5")) &&
+      served.exists(_.contains("b1")), s"served table wrong: $served")
+  }
+
   test("bm25IndexDelete (maintained): forgotten docs rank nowhere; " +
       "df/stats algebra equals a rebuilt index — batch dirs AND generations") {
     assume(!rocksdb)
