@@ -840,6 +840,33 @@ object Relational {
         (col("l_returnflag") === "R").as("del")): _*)
   }
 
+  // Shared replay harness for the whole q_merge_*/q_graft_* family:
+  // lineitem split into three deterministic batches (l_suppkey % 3 —
+  // the file split IS the batch assignment, SQL-replayable), streamed
+  // through mergeSink one file per trigger, and the populated target
+  // handed to `body`. The result is materialized (localCheckpoint)
+  // BEFORE the temp dirs are deleted. One copy of the harness means
+  // one place to change its batch-ordering assumptions.
+  private def withMergeReplay(spark: SparkSession, dir: String,
+                              extraCols: Seq[String], changelog: Boolean)(
+      body: String => DataFrame): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-mor-q").toString
+    try {
+      val changes = mergeChangeFrame(spark, dir, extraCols)
+      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$work/base"))
+      val sink = graft.streaming.Streams.mergeSink(
+        spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
+        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del",
+        changelog = changelog)
+      try sink.processAllAvailable() finally sink.stop()
+      body(s"$work/t").localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // MERGE-ON-READ keyed table (Streams.mergeSink): lineitem rows
   // replayed as a three-batch CDC stream keyed by l_orderkey —
   // seq = the injectivity-guarded composite from mergeChangeFrame,
@@ -867,24 +894,13 @@ object Relational {
       |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
       |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
     bench = false) { (spark, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-mergetable-q").toString
-    try {
-      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
-      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
-        .coalesce(1).write.mode("append").parquet(s"$work/base"))
-      val sink = graft.streaming.Streams.mergeSink(
-        spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
-        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
-      try sink.processAllAvailable() finally sink.stop()
-      val r = graft.streaming.Streams.maintainArtifact(spark, s"$work/t",
-        targetFiles = 2, minBatches = 1)
-      require(r.exists(x => x._1 == "rows" && x._2.contains(2L)),
-        s"q_merge_table: compaction did not cover the three batches ($r)")
-      graft.streaming.Streams.latestTable(spark, s"$work/t").get
-        .localCheckpoint(true)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    withMergeReplay(spark, dir, Seq("l_extendedprice"), changelog = false) {
+      tgt =>
+        val r = graft.streaming.Streams.maintainArtifact(spark, tgt,
+          targetFiles = 2, minBatches = 1)
+        require(r.exists(x => x._1 == "rows" && x._2.contains(2L)),
+          s"q_merge_table: compaction did not cover the three batches ($r)")
+        graft.streaming.Streams.latestTable(spark, tgt).get
     }
   }
 
@@ -914,27 +930,14 @@ object Relational {
       |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
       |FROM f GROUP BY 1""".stripMargin),
     bench = false) { (spark, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-mergecdf-q").toString
-    try {
-      val changes = mergeChangeFrame(spark, dir, Nil)
-      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
-        .coalesce(1).write.mode("append").parquet(s"$work/base"))
-      val sink = graft.streaming.Streams.mergeSink(
-        spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
-        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del",
-        changelog = true)
-      try sink.processAllAvailable() finally sink.stop()
-      val feed = graft.streaming.Streams.changelogOf(spark, s"$work/t")
+    withMergeReplay(spark, dir, Nil, changelog = true) { tgt =>
+      val feed = graft.streaming.Streams.changelogOf(spark, tgt)
       require(!feed.filter(col("op") === -1).isEmpty,
         "q_merge_changelog: the feed must carry retractions")
       feed.groupBy((col("l_suppkey") % 10).as("g"))
         .agg(sum(col("op")).cast("long").as("n_rows"),
           (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
             / 100.0).as("sum_qty"))
-        .localCheckpoint(true)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
 
@@ -959,22 +962,11 @@ object Relational {
       |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
       |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
     bench = false) { (spark, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-mergeasof-q").toString
-    try {
-      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
-      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
-        .coalesce(1).write.mode("append").parquet(s"$work/base"))
-      val sink = graft.streaming.Streams.mergeSink(
-        spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
-        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
-      try sink.processAllAvailable() finally sink.stop()
-      require(graft.streaming.Streams.snapshotVersionsOf(spark, s"$work/t")
-        .max > 1L, "q_merge_asof: no version committed above the pinned one")
-      graft.streaming.Streams.latestTable(spark, s"$work/t", asOf = Some(1L))
-        .get.localCheckpoint(true)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    withMergeReplay(spark, dir, Seq("l_extendedprice"), changelog = false) {
+      tgt =>
+        require(graft.streaming.Streams.snapshotVersionsOf(spark, tgt)
+          .max > 1L, "q_merge_asof: no version committed above the pinned one")
+        graft.streaming.Streams.latestTable(spark, tgt, asOf = Some(1L)).get
     }
   }
 
@@ -1001,19 +993,8 @@ object Relational {
       |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
       |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
     bench = false) { (spark, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-fmt-q").toString
-    try {
-      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
-      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
-        .coalesce(1).write.mode("append").parquet(s"$work/base"))
-      val sink = graft.streaming.Streams.mergeSink(
-        spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
-        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del")
-      try sink.processAllAvailable() finally sink.stop()
-      spark.read.format("graft").load(s"$work/t").localCheckpoint(true)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    withMergeReplay(spark, dir, Seq("l_extendedprice"), changelog = false) {
+      tgt => spark.read.format("graft").load(tgt)
     }
   }
 
@@ -1038,28 +1019,15 @@ object Relational {
       |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
       |FROM f GROUP BY 1""".stripMargin),
     bench = false) { (spark, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft-fmtcdf-q").toString
-    try {
-      val changes = mergeChangeFrame(spark, dir, Nil)
-      (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
-        .coalesce(1).write.mode("append").parquet(s"$work/base"))
-      val sink = graft.streaming.Streams.mergeSink(
-        spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$work/base"),
-        s"$work/t", s"$work/ck", Seq("l_orderkey"), "seq", "del",
-        changelog = true)
-      try sink.processAllAvailable() finally sink.stop()
+    withMergeReplay(spark, dir, Nil, changelog = true) { tgt =>
       val feed = spark.read.format("graft").option("changelog", true)
-        .load(s"$work/t")
+        .load(tgt)
       require(!feed.filter(col("op") === -1).isEmpty,
         "q_graft_changelog: the feed must carry retractions")
       feed.groupBy((col("l_suppkey") % 10).as("g"))
         .agg(sum(col("op")).cast("long").as("n_rows"),
           (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
             / 100.0).as("sum_qty"))
-        .localCheckpoint(true)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
 

@@ -74,6 +74,10 @@ object GraftDataSource {
     val changelog = options.getBoolean("changelog", false)
     val since = Option(options.get("sinceVersion")).map(_.toLong)
       .getOrElse(-1L)
+    require(since == -1L || changelog,
+      "graft source: sinceVersion is a CHANGE-FEED cut — it requires " +
+        "changelog=true (silently serving the whole resolved state to an " +
+        "incremental consumer would double-apply every row)")
     graft.streaming.Streams.mergeLayoutOf(spark, path) match {
       case Some(l) => TargetRef(path, asOf, l.keys, "merge", changelog, since)
       case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {

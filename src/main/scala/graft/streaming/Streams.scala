@@ -788,6 +788,10 @@ object Streams extends org.apache.spark.internal.Logging {
       "Streams.mergeSink: 'batch' is the layout's own partition column — " +
         "rename that change column (reads would die on a data/partition " +
         "schema collision after the commits succeeded)")
+    require(compactMaxTail == 0 || compactMaxTail >= compactEvery,
+      s"Streams.mergeSink: compactMaxTail ($compactMaxTail) below " +
+        s"compactEvery ($compactEvery) would silently override the " +
+        "configured fold floor — raise the cap or lower the floor")
     val streamingLeaves = changes.queryExecution.logical.collectLeaves()
       .count(_.isStreaming)
     if (streamingLeaves != 1)
@@ -2078,16 +2082,22 @@ object Streams extends org.apache.spark.internal.Logging {
       finally out.close()
       fs.create(committedMark, true).close()
     } else {
-      val in = fs.open(p(s"$staging/_ids"))
-      val pending = try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      require(pending == idsRendered,
-        s"Streams.bm25IndexDelete: $targetDir has a crashed delete " +
-          s"pending for a DIFFERENT id set — re-run with ids " +
-          s"[${pending.linesIterator.mkString(", ")}] to complete it " +
-          "first, then delete the new set")
+      bm25PendingIds(spark, targetDir) match {
+        case Some(pending) =>
+          require(pending == idsRendered,
+            s"Streams.bm25IndexDelete: $targetDir has a crashed delete " +
+              s"pending for a DIFFERENT id set — re-run with ids " +
+              s"[${pending.linesIterator.mkString(", ")}] to complete it " +
+              "first, then delete the new set")
+        case None => throw new IllegalStateException(
+          s"Streams.bm25IndexDelete: $targetDir carries a committed " +
+            ".bm25_delete staging without an id record — an unknown " +
+            "crashed delete. Its persisted decrements cannot be verified " +
+            "against this call's ids; discarding the staging dir would " +
+            "lose decrements for postings already scrubbed (silent " +
+            "df/stats drift). Inspect .bm25_delete/df_del to identify " +
+            "the pending docs, or rebuild the index")
+      }
     }
     // resumable from here: every mutation below is marker-guarded or
     // naturally idempotent
@@ -2153,6 +2163,23 @@ object Streams extends org.apache.spark.internal.Logging {
     scrubbed + dfAdjusted + statsAdjusted
   }
 
+  /** The id record of a committed-but-unfinished [[bm25IndexDelete]]
+    * under `targetDir/.bm25_delete` — None when no `_ids` record
+    * exists (callers check the `_COMMITTED` marker themselves). */
+  private def bm25PendingIds(spark: org.apache.spark.sql.SparkSession,
+                             targetDir: String): Option[String] = {
+    val idsP = new org.apache.hadoop.fs.Path(s"$targetDir/.bm25_delete/_ids")
+    val fs = idsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idsP)) None
+    else {
+      val in = fs.open(idsP)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   /** The report of one [[forget]] leg: which target, what kind of
     * artifact its markers identified it as, and how many on-disk
     * layers were rewritten. */
@@ -2215,12 +2242,31 @@ object Streams extends org.apache.spark.internal.Logging {
             "agg-snapshot"
           case None =>
             if (hasLayers(t, "postings")) {
-              // bm25IndexDelete refuses a version-less target — catch
-              // it HERE so the whole call fails before any leg mutates
+              // every precondition bm25IndexDelete would refuse on is
+              // checked HERE so the whole call fails before any leg
+              // mutates: committed version, and no crashed delete
+              // pending for a different (or unverifiable) id set
               require(snapshotVersions(spark, t).nonEmpty,
                 s"Streams.forget: $t has postings layers but no " +
                   "committed version — not a servable BM25 target (did " +
                   "its sink die before the first commit?)")
+              val mark = new org.apache.hadoop.fs.Path(
+                s"$t/.bm25_delete/_COMMITTED")
+              if (mark.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(mark)) {
+                val rendered = values.map(String.valueOf).sorted.mkString("\n")
+                bm25PendingIds(spark, t) match {
+                  case Some(pending) => require(pending == rendered,
+                    s"Streams.forget: $t has a crashed BM25 delete " +
+                      s"pending for a DIFFERENT id set " +
+                      s"[${pending.linesIterator.mkString(", ")}] — " +
+                      "complete it via bm25IndexDelete first")
+                  case None => throw new IllegalStateException(
+                    s"Streams.forget: $t carries an unverifiable crashed " +
+                      "BM25 delete (committed staging, no id record) — " +
+                      "see bm25IndexDelete's recovery guidance")
+                }
+              }
               "bm25-index"
             }
             else if (hasLayers(t, "assign")) "ann-index"

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *    the table has absorbed).
   *
   * Usage: runMain graft.tools.MergeLifecycleProbe [batches] [keys]
-  *        [abBatches]
+  *        [abBatches] [legs]
+  * `legs` is a comma-separated subset of pushdown,semijoin,cappedtail
+  * (default: all three) for single-leg iteration.
   */
 object MergeLifecycleProbe {
   def main(args: Array[String]): Unit = {
