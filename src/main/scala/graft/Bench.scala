@@ -140,9 +140,19 @@ object Bench {
       results(name) = median(ts)
       System.err.println(f"[bench] $name%-22s warm=$warm%8.2fs med=${results(name)}%8.2fs")
     }
+    // mid-run calibration samples: one measured in-run drift pair was
+    // start=0.512/end=0.276 (1.85x WITHIN a run) — a two-point mean is
+    // a crude divisor for queries that ran near either extreme. A
+    // sample every 25 queries costs ~1.5s each and makes the run mean
+    // (which normalized_deltas divides by) track the run's actual
+    // average host state.
+    val calibMids = scala.collection.mutable.ListBuffer[Double]()
+    var sinceCalib = 0
     Registry.all.filter(q => only.map(_.contains(q.name)).getOrElse(q.bench)).foreach { q =>
       try {
         loads(q.name) = load1()
+        sinceCalib += 1
+        if (sinceCalib >= 25) { sinceCalib = 0; calibMids += calibrate() }
         quiesce()
         val warm = timeIt(materialize(q.run(spark, sfDir))) // plan + JIT + page cache
         // quiesce between samples too, not just between queries: a run's
@@ -199,8 +209,14 @@ object Bench {
     // repo root, and stdout gets ONE compact line whose `queries` map is a
     // fixed headline subset, budget-capped well under the tail window.
     val calibEnd = calibrate()
-    val calib =
-      s"""{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
+    // "mid" values join the same flat object the cross-run parser
+    // reads (it averages every number it finds in the calibration
+    // block), so old and new runs compare on their respective means
+    val calib = {
+      val mids = calibMids.zipWithIndex
+        .map { case (v, i) => s""""mid$i":${r3(v)}""" }.mkString(",")
+      s"""{"start":${r3(calibStart)}${if (mids.nonEmpty) "," + mids else ""},"end":${r3(calibEnd)}}"""
+    }
     // Noise-normalized deltas vs the PREVIOUS committed run (round-11
     // VERDICT #8): each query's median divided by its run's own
     // calibration median cancels a uniform host swing, so
@@ -208,7 +224,8 @@ object Bench {
     // drift and moves only for genuine plan/code changes. Parsed from
     // the prior BENCH_FULL.json (our own single-line format) BEFORE it
     // is overwritten below; absent/unparsable prior run -> no deltas.
-    val calibNew = (calibStart + calibEnd) / 2.0
+    val calibNew = (Seq(calibStart, calibEnd) ++ calibMids).sum /
+      (2 + calibMids.length)
     val entryRe = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
     val prevRun: Option[(Map[String, Double], Double)] =
       try {
