@@ -94,14 +94,21 @@ object Acceleration {
         // size); a scan pruned to the empty relation leaves no
         // LogicalRelation at all — counted off the analyzed total
         val baseAnalyzed = analyzedScans.count(rs => baseRoots.subsetOf(rs))
+        // a "pruned" verdict requires the ANALYZED plan to have scanned
+        // the base dir: a query that reads files/subdirs under the base
+        // DIRECTLY (spark.read.parquet("<base>/part-3.parquet")) also
+        // has under-base optimized roots, but SkipRewrite never touched
+        // it — claiming PRUNED would mislead the operator
+        val prunedScans =
+          if (baseAnalyzed == 0) Seq.empty[Set[String]]
+          else optimizedScans.filter(rs => rs != baseRoots &&
+            rs.nonEmpty &&
+            rs.forall(r => baseRoots.exists(b => r.startsWith(b + "/"))))
         val fullScans = optimizedScans.count(rs => baseRoots.subsetOf(rs))
-        val prunedScans = optimizedScans.filter(rs => rs != baseRoots &&
-          rs.nonEmpty &&
-          rs.forall(r => baseRoots.exists(b => r.startsWith(b + "/"))))
         val emptied = math.max(0,
           baseAnalyzed - fullScans - prunedScans.length)
         val status =
-          if (baseAnalyzed == 0 && fullScans == 0 && prunedScans.isEmpty)
+          if (baseAnalyzed == 0 && fullScans == 0)
             "NOT REFERENCED — the plan does not scan this base"
           else if (baseAnalyzed <= 1)
             if (fullScans > 0) "NOT PRUNED — full scan (no eligible " +

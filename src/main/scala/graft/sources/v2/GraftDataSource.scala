@@ -48,13 +48,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * filter is also re-applied above the scan (returned as post-scan),
   * so acceptance is never a correctness bet. */
 class GraftDataSource extends TableProvider with DataSourceRegister {
+  // inferSchema already resolved the marker for these options — hand
+  // the ref to getTable instead of repeating the filesystem
+  // round-trips (marker reads are several network calls per planning
+  // on object stores)
+  @volatile private var cached: Option[GraftDataSource.TargetRef] = None
   override def shortName(): String = "graft"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.resolve(SparkSession.active,
-      GraftDataSource.refOf(SparkSession.active, options), None).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ref = GraftDataSource.refOf(SparkSession.active, options)
+    cached = Some(ref)
+    GraftDataSource.resolve(SparkSession.active, ref, None).schema
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftTable(new CaseInsensitiveStringMap(properties), schema)
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val ref = cached
+      .filter(r => Option(opts.get("path")).contains(r.path) &&
+        Option(opts.get("asOf")).map(_.toLong) == r.asOf &&
+        opts.getBoolean("changelog", false) == r.changelog)
+      .getOrElse(GraftDataSource.refOf(SparkSession.active, opts))
+    new GraftTable(ref, schema)
+  }
 }
 
 object GraftDataSource {
@@ -143,17 +157,15 @@ object GraftDataSource {
   }
 }
 
-final class GraftTable(options: CaseInsensitiveStringMap,
+final class GraftTable(ref: GraftDataSource.TargetRef,
                        declaredSchema: StructType)
     extends Table with SupportsRead {
-  private val spark = SparkSession.active
-  private val ref = GraftDataSource.refOf(spark, options)
   override def name(): String = s"graft(${ref.kind}: ${ref.path})"
   override def schema(): StructType = declaredSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, ref, declaredSchema)
+    new GraftScanBuilder(SparkSession.active, ref, declaredSchema)
 }
 
 final class GraftScanBuilder(spark: SparkSession,

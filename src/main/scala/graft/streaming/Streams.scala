@@ -2065,10 +2065,14 @@ object Streams extends org.apache.spark.internal.Logging {
     if (!fs.exists(committedMark)) {
       fs.delete(p(staging), true)
       // ALL on-disk layers with batch provenance (generations store
-      // the batch column; raw dirs partition-encode it)
+      // the batch column; raw dirs partition-encode it). ONE pass over
+      // the postings — the most expensive read of the whole operation
+      // — serves the emptiness probe and both decrement aggregates
+      // (bounded: ≤ maxValues docs' postings rows by contract)
       val doomed = maintainedBatchRows(spark, targetDir, "postings",
           Long.MaxValue)
         .filter(col("doc_id").isin(ids: _*))
+        .localCheckpoint(true)
       if (doomed.isEmpty) return 0
       doomed.groupBy("batch", "term").agg(count(lit(1)).cast("long").as("ddf"))
         .write.mode("overwrite").parquet(s"$staging/df_del")
@@ -2099,15 +2103,21 @@ object Streams extends org.apache.spark.internal.Logging {
             "the pending docs, or rebuild the index")
       }
     }
-    // resumable from here: every mutation below is marker-guarded or
-    // naturally idempotent
+    // resumable from here: the postings scrub is naturally idempotent
+    // (re-filtering removes nothing new); the df/stats arithmetic is
+    // NOT, so each adjusted layer carries an id-set-specific STAMP
+    // installed atomically WITH the rewrite (rewriteLayers puts it
+    // inside the replacement dir before the swap — a marker written
+    // after the swap would leave a crash window where a resume
+    // re-subtracts)
     val scrubbed = scrubLayers(spark, targetDir, "postings", "doc_id", ids)
     val dfDel = spark.read.parquet(s"$staging/df_del")
-    def applied(name: String) = p(s"$staging/applied_$name")
+    val stampName =
+      s"_bm25del_${graft.ops.Dedup.strHash64(idsRendered).toHexString}"
     val dfAdjusted = rewriteLayers(spark, targetDir, "df",
-        onSwapped = ref => fs.create(applied(s"df_${ref.name}"), true).close()) {
+        stamp = Some(stampName)) {
       ref =>
-        if (fs.exists(applied(s"df_${ref.name}"))) None
+        if (fs.exists(p(s"${ref.dir}/$stampName"))) None
         else {
           val layer = spark.read.parquet(ref.dir)
           val adjusted =
@@ -2140,23 +2150,25 @@ object Streams extends org.apache.spark.internal.Logging {
     val statsDel = spark.read.parquet(s"$staging/stats_del")
     var statsAdjusted = 0
     versions.foreach { v =>
-      if (!fs.exists(applied(s"stats_$v"))) {
+      val statsDir = s"$targetDir/v=$v/stats"
+      // the stamp lives INSIDE the stats dir and swaps in atomically
+      // with the adjusted row — same exactly-once shape as the layers
+      if (!fs.exists(p(s"$statsDir/$stampName"))) {
         val dRow = statsDel.filter(col("batch") <= v)
           .agg(coalesce(sum("dn"), lit(0L)).as("dn"),
             coalesce(sum("ddl"), lit(0L)).as("ddl")).head
         if (dRow.getLong(0) > 0 || dRow.getLong(1) > 0) {
-          val statsDir = s"$targetDir/v=$v/stats"
           spark.read.parquet(statsDir)
             .select((col("n_docs") - dRow.getLong(0)).cast("long").as("n_docs"),
               (col("tot_dl") - dRow.getLong(1)).cast("long").as("tot_dl"))
             .write.mode("overwrite").parquet(s"$targetDir/v=$v/.stats_new")
+          fs.create(p(s"$targetDir/v=$v/.stats_new/$stampName"), true).close()
           fs.rename(p(statsDir), p(s"$targetDir/v=$v/.stats_old"))
           fs.rename(p(s"$targetDir/v=$v/.stats_new"), p(statsDir))
           fs.delete(p(s"$targetDir/v=$v/.stats_old"), true)
           spark.catalog.refreshByPath(statsDir)
           statsAdjusted += 1
         }
-        fs.create(applied(s"stats_$v"), true).close()
       }
     }
     fs.delete(p(staging), true)
@@ -2270,7 +2282,21 @@ object Streams extends org.apache.spark.internal.Logging {
               "bm25-index"
             }
             else if (hasLayers(t, "assign")) "ann-index"
-            else if (hasLayers(t, "index")) "lsh-index"
+            else if (hasLayers(t, "index")) {
+              // the LSH leg probes layers by keyCol: check one layer's
+              // schema NOW — an unresolved column mid-sequence would
+              // leave earlier legs half-forgotten
+              val firstLayer =
+                listBatchDirs(spark, t, "index").sorted.headOption
+                  .map(id => s"$t/index/batch=$id")
+                  .orElse(committedCompactions(spark, t, "index").sorted
+                    .headOption.map(c => s"$t/compact/index/c=$c"))
+              require(firstLayer.exists(l => spark.read.parquet(l)
+                  .schema.fieldNames.contains(keyCol)),
+                s"Streams.forget: '$keyCol' is not a column of LSH index " +
+                  s"$t — its layers key by a different id column")
+              "lsh-index"
+            }
             else throw new IllegalArgumentException(
               s"Streams.forget: $t is not a recognizable maintained " +
                 "artifact (no _merge/_layout marker, no postings/assign/" +
@@ -2347,12 +2373,18 @@ object Streams extends org.apache.spark.internal.Logging {
     * dropped. A crash at any point is recoverable — worst case the
     * layer sits aside as `<name>.old` and the self-heal pass restores
     * it on the next run; a delete-then-rename order could silently
-    * lose the WHOLE layer while versions kept resolving. `onSwapped`
-    * fires after each completed swap (for callers that need
-    * re-run-idempotence markers). */
+    * lose the WHOLE layer while versions kept resolving. `stamp`
+    * (underscore-prefixed, so parquet readers skip it) is created
+    * INSIDE the replacement dir before the swap: the rename installs
+    * data and stamp atomically, so "was this transform already applied
+    * to this layer" is answerable exactly — a marker written after the
+    * swap would leave a crash window in which a resume re-applies a
+    * non-idempotent transform (the BM25 df-decrement lesson).
+    * Transforms that must not re-apply check `ref.dir/<stamp>` and
+    * return None. */
   private def rewriteLayers(spark: org.apache.spark.sql.SparkSession,
                             targetDir: String, subdir: String,
-                            onSwapped: LayerRef => Unit = _ => ())(
+                            stamp: Option[String] = None)(
       transform: LayerRef => Option[DataFrame]): Int = {
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2387,6 +2419,8 @@ object Streams extends org.apache.spark.internal.Logging {
       transform(ref).foreach { replacement =>
         val tmp = s"$stagingDir/${ref.name}"
         replacement.write.mode("overwrite").parquet(tmp)
+        stamp.foreach(s =>
+          fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$s"), true).close())
         val aside = new org.apache.hadoop.fs.Path(s"$stagingDir/${ref.name}.old")
         fs.rename(new org.apache.hadoop.fs.Path(ref.dir), aside)
         fs.rename(new org.apache.hadoop.fs.Path(tmp),
@@ -2401,7 +2435,6 @@ object Streams extends org.apache.spark.internal.Logging {
           fs.create(new org.apache.hadoop.fs.Path(s"${ref.dir}/_SUCCESS"),
             true).close()
         fs.delete(aside, true)
-        onSwapped(ref)
         rewritten += 1
       }
     }
