@@ -121,6 +121,14 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("graft").load(snapTgt).select("k")
       .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
     assert(spark.read.format("graft").load(snapTgt).count() == 3)
+    // a KEY filter on the snapshot routes through the PRE-FOLD pushdown
+    // (latestSnapshotWhere) and still folds exactly — key "a" has
+    // partials in BOTH batches
+    assert(canon(spark.read.format("graft").load(snapTgt)
+      .filter(col("k") === "a")) ==
+      canon(graft.streaming.Streams.latestSnapshot(spark, snapTgt).get
+        .filter(col("k") === "a")),
+      "key-filtered snapshot read diverged from the filtered fold")
     // the change FEED through the format face: changelog=true over a
     // feed-emitting merge sink equals changelogOf row-for-row, and
     // sinceVersion cuts the prefix; the option refuses on a snapshot

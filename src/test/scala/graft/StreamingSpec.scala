@@ -3108,6 +3108,52 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(pushed.exists(_.contains("-1")), "feed must carry retractions")
   }
 
+  test("measure-set evolution on the ±op (retraction) sink: an added " +
+      "measure folds == rebuild, and retractions of pre-evolution rows " +
+      "carry null there") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val baseDir = tmp("graft-evoret-base")
+    val target = tmp("graft-evoret-tgt")
+    val ck = tmp("graft-evoret-ck")
+    // phase 1: (op, k, v) only — file streams so the SAME checkpoint
+    // resumes over the widened schema (a fresh MemoryStream would not
+    // re-source a checkpointed query)
+    Seq((1, "a", 1.0), (1, "b", 2.0), (1, "b", 3.0))
+      .toDF("op", "k", "v")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q1 = Streams.aggSnapshotSink(
+      spark.readStream.schema("op int, k string, v double").parquet(baseDir),
+      target, ck, Seq("k"), "op", Seq("v"))
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: measure w added; the stream retracts a PRE-evolution row
+    // (b, 3.0) — its w is null, exactly as it was inserted — and adds
+    // evolved rows
+    Seq((-1, "b", 3.0, None), (1, "a", 4.0, Some(10.0)),
+      (1, "c", 5.0, Some(20.0)))
+      .toDF("op", "k", "v", "w")
+      .coalesce(1).write.mode("append").parquet(baseDir)
+    val q2 = Streams.aggSnapshotSink(
+      spark.readStream.schema("op int, k string, v double, w double")
+        .parquet(baseDir),
+      target, ck, Seq("k"), "op", Seq("v", "w"))
+    try q2.processAllAvailable() finally q2.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).orderBy("k")
+        .collect().map(_.toString).toSeq
+    }
+    // rebuild: the surviving rows over the EVOLVED shape (old rows null
+    // in w) — the fold over mixed-layer history must match exactly
+    val survivors = Seq(("a", 1.0, None), ("b", 2.0, None),
+      ("a", 4.0, Some(10.0)), ("c", 5.0, Some(20.0)))
+      .toDF("k", "v", "w")
+    assert(canon(Streams.latestSnapshot(spark, target).get) ==
+      canon(graft.ops.Cdc.aggSnapshot(survivors, Seq("k"), Seq("v", "w"))),
+      "retraction-sink evolved fold diverged from rebuild")
+  }
+
   test("mergeSink compactMaxTail: the raw tail stays bounded (folds fire " +
       "at the cap instead of the geometric interval) and answers are " +
       "unchanged") {
