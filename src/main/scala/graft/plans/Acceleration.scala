@@ -22,16 +22,22 @@ object Acceleration {
     // PER-SCAN root sets (one entry per LogicalRelation instance, not
     // merged) — a self-join scans one base twice and the two scans can
     // resolve differently (one pruned, one not); a blended set would
-    // report a single wrong verdict for both
+    // report a single wrong verdict for both. Analyzed scans also carry
+    // their output exprIds, the key SkipRewrite's emptied ledger records
+    // under.
+    final case class ScanInfo(roots: Set[String], outputIds: Set[Long])
     def scansOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Seq[Set[String]] = plan.collect {
+        : Seq[ScanInfo] = plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          Some(fs.location.rootPaths.map(p => norm(p.toString)).toSet)
+          Some(ScanInfo(fs.location.rootPaths.map(p => norm(p.toString)).toSet,
+            lr.output.map(_.exprId.id).toSet))
         case _ => None
       }
     }.flatten
     val analyzedScans = scansOf(df.queryExecution.analyzed)
+    // forces optimization — which runs SkipRewriteRule and fills its
+    // emptied ledger for this plan's exprIds, consulted below
     val optimizedScans = scansOf(df.queryExecution.optimizedPlan)
 
     // freshness of a versioned target, rendered for humans; the v= path
@@ -93,7 +99,9 @@ object Acceleration {
         // the base = a pruned rewrite (its file count is the roots'
         // size); a scan pruned to the empty relation leaves no
         // LogicalRelation at all — counted off the analyzed total
-        val baseAnalyzed = analyzedScans.count(rs => baseRoots.subsetOf(rs))
+        val analyzedOfBase = analyzedScans.filter(s =>
+          baseRoots.subsetOf(s.roots))
+        val baseAnalyzed = analyzedOfBase.length
         // a "pruned" verdict requires the ANALYZED plan to have scanned
         // the base dir: a query that reads files/subdirs under the base
         // DIRECTLY (spark.read.parquet("<base>/part-3.parquet")) also
@@ -101,12 +109,19 @@ object Acceleration {
         // it — claiming PRUNED would mislead the operator
         val prunedScans =
           if (baseAnalyzed == 0) Seq.empty[Set[String]]
-          else optimizedScans.filter(rs => rs != baseRoots &&
+          else optimizedScans.map(_.roots).filter(rs => rs != baseRoots &&
             rs.nonEmpty &&
             rs.forall(r => baseRoots.exists(b => r.startsWith(b + "/"))))
-        val fullScans = optimizedScans.count(rs => baseRoots.subsetOf(rs))
-        val emptied = math.max(0,
-          baseAnalyzed - fullScans - prunedScans.length)
+        val fullScans = optimizedScans.count(s => baseRoots.subsetOf(s.roots))
+        // pruned-to-empty comes from the rule's OWN ledger (keyed by the
+        // scan's output exprIds), not from plan-shape subtraction: the
+        // optimizer also removes scans for reasons SkipRewrite never
+        // touched (constant-false folding, join/column pruning), and
+        // those must not be reported as the index's work
+        val emptied = analyzedOfBase.count(s =>
+          SkipRewrite.wasEmptied(s.outputIds))
+        val eliminated = math.max(0,
+          baseAnalyzed - fullScans - prunedScans.length - emptied)
         val status =
           if (baseAnalyzed == 0 && fullScans == 0)
             "NOT REFERENCED — the plan does not scan this base"
@@ -116,15 +131,22 @@ object Acceleration {
               "committed version)"
             else if (prunedScans.nonEmpty)
               s"PRUNED — scan rewritten to ${prunedScans.head.size} file(s)"
-            else "PRUNED — scan rewritten to the empty relation"
+            else if (emptied > 0)
+              "PRUNED — scan rewritten to the empty relation"
+            else "SCAN ELIMINATED by the optimizer — not by this index " +
+              "(constant folding or join/column pruning removed it)"
           else {
             // self-join / multi-scan: one verdict per scan, not blended
             val prunedPart =
               if (prunedScans.isEmpty) ""
               else s" to ${prunedScans.map(_.size).mkString("/")} file(s)"
+            val elimPart =
+              if (eliminated == 0) ""
+              else s", $eliminated eliminated by the optimizer (not the index)"
             s"$baseAnalyzed scans of this base: " +
               s"${prunedScans.length} PRUNED$prunedPart, " +
-              s"$fullScans NOT PRUNED (full), $emptied pruned to empty"
+              s"$fullScans NOT PRUNED (full), $emptied pruned to empty" +
+              elimPart
           }
         val fresh = (try e.location() catch {
           case scala.util.control.NonFatal(_) => None

@@ -51,10 +51,16 @@ object SkipRewrite {
   /** `index` is a THUNK so a versioned registration resolves the
     * freshest committed version at every rewrite; None means "no index
     * available yet" and the rule bails. `location` is the
-    * human-readable resolved source for [[registered]] operability. */
+    * human-readable resolved source for [[registered]] operability.
+    * `persistedPath` is set only for [[register]]'s static on-disk
+    * index — the path a corpus-mutating maintenance op
+    * ([[graft.streaming.Streams.forget]]'s corpus leg) writes the
+    * refreshed index back to; a versioned registration maintains
+    * itself. */
   final case class Entry(base: String, rootPaths: Set[String],
                          index: () => Option[org.apache.spark.sql.DataFrame],
-                         location: () => Option[String])
+                         location: () => Option[String],
+                         persistedPath: Option[String] = None)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -87,7 +93,7 @@ object SkipRewrite {
     entries.put(basePath,
       Entry(basePath, rootsOf(spark, basePath, "SkipRewrite.register"),
         () => Some(SparkSession.active.read.parquet(indexPath)),
-        () => Some(indexPath)))
+        () => Some(indexPath), persistedPath = Some(indexPath)))
 
   /** Register against a [[graft.streaming.Streams.skippingIndexSink]]
     * TARGET DIRECTORY: the freshest committed index version is
@@ -120,6 +126,13 @@ object SkipRewrite {
       }))
   }
 
+  /** The registration of a base directory (exact path-string match,
+    * the key [[register]]/[[registerVersioned]] stored) — the handle
+    * [[graft.streaming.Streams.forget]]'s corpus leg resolves its
+    * probe index and write-back path through. */
+  def registrationOf(basePath: String): Option[Entry] =
+    Option(entries.get(basePath))
+
   private[plans] def lookup(roots: Set[String]): Option[Entry] = {
     import scala.jdk.CollectionConverters._
     entries.values().asScala.find(_.rootPaths == roots)
@@ -131,6 +144,31 @@ object SkipRewrite {
     import scala.jdk.CollectionConverters._
     entries.values().asScala.toSeq.sortBy(_.base)
   }
+
+  // ---- emptied-scan ledger -------------------------------------------
+  // The optimizer can remove a scan for reasons SkipRewrite had nothing
+  // to do with (constant-false folding, join pruning), so "this scan
+  // vanished between analyzed and optimized" does NOT mean "the index
+  // pruned it to empty". The rule records the OUTPUT exprIds of every
+  // scan it actually rewrites to the empty relation (exprIds are
+  // JVM-unique, so entries from other queries can never match this
+  // plan's scans); explainAcceleration reports from the ledger instead
+  // of inferring from plan-shape subtraction. Bounded FIFO — operability
+  // metadata, not a correctness dependency.
+  private val emptiedLedger = new java.util.LinkedHashSet[Set[Long]]()
+
+  private[plans] def recordEmptied(outputIds: Set[Long]): Unit =
+    emptiedLedger.synchronized {
+      emptiedLedger.add(outputIds)
+      while (emptiedLedger.size > 256) {
+        val it = emptiedLedger.iterator(); it.next(); it.remove()
+      }
+    }
+
+  /** Did the rule rewrite the scan with these output exprIds to the
+    * empty relation? (Force the plan's optimization first.) */
+  private[plans] def wasEmptied(outputIds: Set[Long]): Boolean =
+    emptiedLedger.synchronized(emptiedLedger.contains(outputIds))
 }
 
 object SkipRewriteRule extends Rule[LogicalPlan] {
@@ -473,8 +511,10 @@ object SkipRewriteRule extends Rule[LogicalPlan] {
       return None
     }
     val pruned: LogicalPlan =
-      if (keep.isEmpty) LocalRelation(lr.output)
-      else {
+      if (keep.isEmpty) {
+        SkipRewrite.recordEmptied(lr.output.map(_.exprId.id).toSet)
+        LocalRelation(lr.output)
+      } else {
         val scan = spark.read.parquet(keep.toIndexedSeq: _*)
           .queryExecution.analyzed
         // re-establish the original output attributes (exprIds) so the

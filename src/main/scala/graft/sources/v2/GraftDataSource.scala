@@ -72,11 +72,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftDataSource {
-  /** What the marker said the target is, resolved once per read. */
+  /** What the marker said the target is, resolved once per read.
+    * `pinned` is the committed version resolved at ref time (planning):
+    * every scan build of this read serves it, so a sink commit between
+    * planning and execution — or between two scans of the SAME table
+    * in one query (self-join, union) — can never shift the read
+    * mid-query (a torn read). The Scala API pins the same way
+    * (latestTable resolves its layer listing eagerly); `asOf` remains
+    * the user's explicit request and always wins. */
   final case class TargetRef(path: String, asOf: Option[Long],
                              keys: Seq[String], kind: String,
                              changelog: Boolean = false,
-                             sinceVersion: Long = -1L)
+                             sinceVersion: Long = -1L,
+                             pinned: Option[Long] = None) {
+    /** The version every resolve of this ref serves. None only before
+      * the first commit (resolve then refuses, as an unpinned read
+      * would). */
+    def effectiveAsOf: Option[Long] = asOf.orElse(pinned)
+  }
 
   private[v2] def refOf(spark: SparkSession,
                         options: CaseInsensitiveStringMap): TargetRef = {
@@ -92,13 +105,19 @@ object GraftDataSource {
       "graft source: sinceVersion is a CHANGE-FEED cut — it requires " +
         "changelog=true (silently serving the whole resolved state to an " +
         "incremental consumer would double-apply every row)")
+    // pin the committed version ONCE, at ref (planning) time: None only
+    // before the first commit, where resolve refuses anyway — a commit
+    // racing the very first read can at worst make it succeed
+    def pin: Option[Long] = asOf.orElse(graft.streaming.Streams
+      .snapshotVersionsOf(spark, path).lastOption)
     graft.streaming.Streams.mergeLayoutOf(spark, path) match {
-      case Some(l) => TargetRef(path, asOf, l.keys, "merge", changelog, since)
+      case Some(l) =>
+        TargetRef(path, asOf, l.keys, "merge", changelog, since, pin)
       case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {
         case Some(l) =>
           require(!changelog, "graft source: the changelog option serves " +
             "merge tables only — an agg snapshot's history IS its partials")
-          TargetRef(path, asOf, l.keys, "snapshot")
+          TargetRef(path, asOf, l.keys, "snapshot", pinned = pin)
         case None => throw new IllegalArgumentException(
           s"graft source: $path carries no _merge or _layout marker — not " +
             "a maintained merge-table or agg-snapshot target (plain " +
@@ -113,26 +132,30 @@ object GraftDataSource {
                           pred: Option[Column]): DataFrame = {
     def noVersion = throw new IllegalStateException(
       s"graft source: no committed version under ${ref.path} yet")
+    // the ref's pin, not a fresh "latest": every scan build of one read
+    // — and both scans of a self-join — serves the version resolved at
+    // planning time (explicit asOf always wins inside effectiveAsOf)
+    val asOf = ref.effectiveAsOf
     if (ref.changelog) {
       // the feed is append-only HISTORY, not resolved state: any pushed
       // predicate is a plain row filter over it — exact by itself, no
       // commuting argument needed
       val feed = graft.streaming.Streams.changelogOf(spark, ref.path,
-        ref.sinceVersion, ref.asOf)
+        ref.sinceVersion, asOf)
       return pred.map(feed.where).getOrElse(feed)
     }
     ref.kind match {
       case "merge" => pred match {
         case Some(p) => graft.streaming.Streams
-          .latestTableWhere(spark, ref.path, p, ref.asOf).getOrElse(noVersion)
+          .latestTableWhere(spark, ref.path, p, asOf).getOrElse(noVersion)
         case None => graft.streaming.Streams
-          .latestTable(spark, ref.path, ref.asOf).getOrElse(noVersion)
+          .latestTable(spark, ref.path, asOf).getOrElse(noVersion)
       }
       case _ => pred match {
         case Some(p) => graft.streaming.Streams
-          .latestSnapshotWhere(spark, ref.path, p, ref.asOf)
+          .latestSnapshotWhere(spark, ref.path, p, asOf)
           .getOrElse(noVersion)
-        case None => ref.asOf match {
+        case None => asOf match {
           case Some(v) =>
             graft.streaming.Streams.snapshotAsOf(spark, ref.path, v)
           case None => graft.streaming.Streams
@@ -162,8 +185,15 @@ final class GraftTable(ref: GraftDataSource.TargetRef,
     extends Table with SupportsRead {
   override def name(): String = s"graft(${ref.kind}: ${ref.path})"
   override def schema(): StructType = declaredSchema
+  // MICRO_BATCH_READ only on the change feed: a resolved table/snapshot
+  // is STATE — Spark's missing-capability refusal is the right answer
+  // for readStream on those (re-deriving deltas from state would be a
+  // guess; the feed-emitting sink is where deltas come from)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (ref.changelog)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, ref, declaredSchema)
 }
@@ -201,24 +231,38 @@ final class GraftScanBuilder(spark: SparkSession,
   override def build(): Scan = {
     val pred = pushed.flatMap(GraftDataSource.toColumn(_))
       .reduceOption(_ && _)
-    val frame0 = GraftDataSource.resolve(spark, ref, pred)
-    val frame = frame0.select(required.fieldNames.toIndexedSeq.map(col): _*)
-    new GraftScan(frame, required)
+    // LAZY: the streaming face must not resolve the batch frame — a
+    // stream outlives the version a batch read would pin, and a feed
+    // read at stream start may legitimately still be empty
+    def frame = GraftDataSource.resolve(spark, ref, pred)
+      .select(required.fieldNames.toIndexedSeq.map(col): _*)
+    new GraftScan(() => frame, required, ref, spark)
   }
 }
 
 /** The derived-plan scan: V1Scan hands Spark a BaseRelation whose
   * buildScan IS the resolved DataFrame's RDD — one leaf above, the
-  * full distributed resolution below, nothing driver-side. */
-final class GraftScan(frame: DataFrame, outSchema: StructType)
+  * full distributed resolution below, nothing driver-side. The SAME
+  * scan carries the streaming face ([[GraftChangelogStream]]) when the
+  * ref is a change feed — readStream plans version-offset microbatches
+  * off it instead of the resolved frame. */
+final class GraftScan(frame: () => DataFrame, outSchema: StructType,
+                      ref: GraftDataSource.TargetRef,
+                      spark: SparkSession)
     extends V1Scan {
   override def readSchema(): StructType = outSchema
   override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
+      context: SQLContext): T = {
+    val resolved = frame()
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = outSchema
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-        frame.rdd
+        resolved.rdd
     }.asInstanceOf[T]
+  }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangelogStream(ref, outSchema,
+      spark.sessionState.newHadoopConf())
 }

@@ -770,16 +770,23 @@ object Streams extends org.apache.spark.internal.Logging {
     * (MergeLifecycleProbe: med trigger 0.9s→1.6s as the tail grew
     * 345→645 dirs). A cap bounds that read-side cost at the price of
     * more frequent folds (lifetime rewrite bytes O(N·B/maxTail));
-    * 0 = uncapped, the pure geometric schedule. */
+    * 0 = uncapped, the pure geometric schedule; -1 (the default) =
+    * DERIVED: `8 × compactEvery` — the probe showed the uncapped creep
+    * costs 2× per-trigger time and point reads at 10³ batches, so
+    * bounded-by-default is the right long-run posture and 8 intervals
+    * keeps fold frequency within a constant factor of pure geometric.
+    * Shared by all six maintained sinks ([[resolvedMaxTail]]). */
   def mergeSink(changes: DataFrame, targetDir: String, checkpoint: String,
                 keyCols: Seq[String], seqCol: String, deleteCol: String,
                 retainVersions: Int = 3, filesPerBatch: Int = 1,
                 compactEvery: Int = 0, compactFiles: Int = 4,
                 changelog: Boolean = false,
                 changelogKeyPushdown: Int = 1024,
-                compactMaxTail: Int = 0): StreamingQuery = {
+                compactMaxTail: Int = -1): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, row_number}
     require(keyCols.nonEmpty, "Streams.mergeSink: empty key")
+    val maxTail = resolvedMaxTail("Streams.mergeSink", compactMaxTail,
+      compactEvery)
     require(retainVersions >= 2,
       "Streams.mergeSink: must retain >= 2 versions (in-flight readers " +
         "may hold the predecessor)")
@@ -788,10 +795,6 @@ object Streams extends org.apache.spark.internal.Logging {
       "Streams.mergeSink: 'batch' is the layout's own partition column — " +
         "rename that change column (reads would die on a data/partition " +
         "schema collision after the commits succeeded)")
-    require(compactMaxTail == 0 || compactMaxTail >= compactEvery,
-      s"Streams.mergeSink: compactMaxTail ($compactMaxTail) below " +
-        s"compactEvery ($compactEvery) would silently override the " +
-        "configured fold floor — raise the cap or lower the floor")
     val streamingLeaves = changes.queryExecution.logical.collectLeaves()
       .count(_.isStreaming)
     if (streamingLeaves != 1)
@@ -909,8 +912,30 @@ object Streams extends org.apache.spark.internal.Logging {
         commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "rows", keyCols, compactFiles,
         compactEvery, batchId, mergeResolveFor(layout), evolving = true,
-        maxTail = compactMaxTail)
+        maxTail = maxTail)
     }
+  }
+
+  /** The shared `compactMaxTail` contract of the six maintained sinks:
+    * -1 (every sink's default) derives `8 × compactEvery` — reads stay
+    * bounded by default (the lifecycle probe measured the uncapped
+    * geometric tail creeping per-trigger time AND point reads 2× by
+    * 10³ batches) while fold frequency stays within a constant factor
+    * of the pure geometric schedule's write amplification; 0 = uncapped
+    * (pure geometric, the write-amplification optimum); > 0 = explicit
+    * cap, at or above the `compactEvery` floor. */
+  private def resolvedMaxTail(caller: String, compactMaxTail: Int,
+                              compactEvery: Int): Int = {
+    require(compactMaxTail >= -1,
+      s"$caller: compactMaxTail must be -1 (derived), 0 (uncapped), or " +
+        "a positive cap")
+    require(compactMaxTail <= 0 || compactMaxTail >= compactEvery,
+      s"$caller: compactMaxTail ($compactMaxTail) below " +
+        s"compactEvery ($compactEvery) would silently override the " +
+        "configured fold floor — raise the cap or lower the floor")
+    if (compactMaxTail == -1) {
+      if (compactEvery > 0) 8 * compactEvery else 0
+    } else compactMaxTail
   }
 
   /** The ±op CHANGE FEED of a [[mergeSink]] target run with
@@ -1223,7 +1248,8 @@ object Streams extends org.apache.spark.internal.Logging {
                       retainVersions: Int = 3,
                       filesPerBatch: Int = 1,
                       compactEvery: Int = 0,
-                      compactFiles: Int = 4): StreamingQuery = {
+                      compactFiles: Int = 4,
+                      compactMaxTail: Int = -1): StreamingQuery = {
     // >= 2 so a reader that resolved the previous version keeps its
     // marker for one more trigger — the grace contract shared by every
     // versioned sink here
@@ -1231,6 +1257,8 @@ object Streams extends org.apache.spark.internal.Logging {
       "aggSnapshotSink: must retain >= 2 versions (in-flight readers may " +
         "hold the predecessor)")
     require(filesPerBatch > 0, "aggSnapshotSink: filesPerBatch must be positive")
+    val maxTail = resolvedMaxTail("aggSnapshotSink", compactMaxTail,
+      compactEvery)
     val layout = AggLayout(retract = true, keyCols, scale,
       graft.functions.Kmv.DefaultK)
     toVersionedSink(changes, checkpoint, targetDir) { (batch, batchId) =>
@@ -1252,7 +1280,7 @@ object Streams extends org.apache.spark.internal.Logging {
           retainVersions, withManifest = false)
       maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
         compactEvery, batchId, mergePartialsFor(layout, keepBatch = true),
-        evolving = true)
+        evolving = true, maxTail = maxTail)
     }
   }
 
@@ -1290,13 +1318,16 @@ object Streams extends org.apache.spark.internal.Logging {
                                 kllK: Int = 200,
                                 filesPerBatch: Int = 1,
                                 compactEvery: Int = 0,
-                                compactFiles: Int = 4): StreamingQuery = {
+                                compactFiles: Int = 4,
+                                compactMaxTail: Int = -1): StreamingQuery = {
     // >= 2 for the same reader-grace reason as aggSnapshotSink
     require(retainVersions >= 2,
       "aggSnapshotSinkAppendOnly: must retain >= 2 versions (in-flight " +
         "readers may hold the predecessor)")
     require(filesPerBatch > 0,
       "aggSnapshotSinkAppendOnly: filesPerBatch must be positive")
+    val maxTail = resolvedMaxTail("aggSnapshotSinkAppendOnly",
+      compactMaxTail, compactEvery)
     // LOUD degradation at construction: the file-coverage manifest (and
     // so registerVersionedFresh) is defined only for a single-source
     // plan whose one source is a file stream — a union of sources would
@@ -1337,7 +1368,7 @@ object Streams extends org.apache.spark.internal.Logging {
         commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "delta", keyCols, compactFiles,
         compactEvery, batchId, mergePartialsFor(layout, keepBatch = true),
-        evolving = true)
+        evolving = true, maxTail = maxTail)
     }
   }
 
@@ -1369,10 +1400,13 @@ object Streams extends org.apache.spark.internal.Logging {
                         fpCols: Seq[String] = Nil,
                         fpBits: Int = 1 << 17, fpHashes: Int = 4,
                         retainVersions: Int = 3, compactEvery: Int = 0,
-                        compactFiles: Int = 8): StreamingQuery = {
+                        compactFiles: Int = 8,
+                        compactMaxTail: Int = -1): StreamingQuery = {
     require(cols.nonEmpty, "skippingIndexSink: no columns")
     require(retainVersions >= 2,
       "skippingIndexSink: must retain >= 2 versions (replay needs the predecessor)")
+    val maxTail = resolvedMaxTail("skippingIndexSink", compactMaxTail,
+      compactEvery)
     toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
@@ -1399,7 +1433,7 @@ object Streams extends org.apache.spark.internal.Logging {
             commitIndexVersion(spark, targetDir, checkpoint, batchId,
               retainVersions)
             maybeAutoCompact(spark, targetDir, "stats", Seq("file"),
-              compactFiles, compactEvery, batchId)
+              compactFiles, compactEvery, batchId, maxTail = maxTail)
           }
       }
     }
@@ -1459,10 +1493,13 @@ object Streams extends org.apache.spark.internal.Logging {
                     retainVersions: Int = 3,
                     filesPerBatch: Int = 4,
                     compactEvery: Int = 0,
-                    compactFiles: Int = 8): StreamingQuery = {
+                    compactFiles: Int = 8,
+                    compactMaxTail: Int = -1): StreamingQuery = {
     require(retainVersions >= 2,
       "bm25IndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "bm25IndexSink: filesPerBatch must be positive")
+    val maxTail = resolvedMaxTail("bm25IndexSink", compactMaxTail,
+      compactEvery)
     toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -1529,9 +1566,10 @@ object Streams extends org.apache.spark.internal.Logging {
         .foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$targetDir/v=$v"), true))
       maybeAutoCompact(spark, targetDir, "postings", Seq("term"),
-        compactFiles, compactEvery, batchId)
+        compactFiles, compactEvery, batchId, maxTail = maxTail)
       maybeAutoCompact(spark, targetDir, "df", Seq("term"),
-        math.max(1, compactFiles / 4), compactEvery, batchId)
+        math.max(1, compactFiles / 4), compactEvery, batchId,
+        maxTail = maxTail)
     }
   }
 
@@ -1679,10 +1717,13 @@ object Streams extends org.apache.spark.internal.Logging {
                      idCol: String = "vec_id", embCol: String = "embedding",
                      dim: Int = 64, retainVersions: Int = 3,
                      filesPerBatch: Int = 2, compactEvery: Int = 0,
-                     compactFiles: Int = 8): StreamingQuery = {
+                     compactFiles: Int = 8,
+                     compactMaxTail: Int = -1): StreamingQuery = {
     require(retainVersions >= 2,
       "ivfPqIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "ivfPqIndexSink: filesPerBatch must be positive")
+    val maxTail = resolvedMaxTail("ivfPqIndexSink", compactMaxTail,
+      compactEvery)
     val session = rows.sparkSession
     val (cellS, cellN) = graft.ops.Similarity.loadIvfCentroids(session, centroidsDir)
     val (pqS, pqN) = graft.ops.Similarity.loadPqCodebooks(session, codebooksDir)
@@ -1698,7 +1739,7 @@ object Streams extends org.apache.spark.internal.Logging {
         .write.mode("overwrite").parquet(s"$targetDir/assign/batch=$batchId")
       commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "assign", Seq("cell_id"),
-        compactFiles, compactEvery, batchId)
+        compactFiles, compactEvery, batchId, maxTail = maxTail)
     }
   }
 
@@ -1837,10 +1878,13 @@ object Streams extends org.apache.spark.internal.Logging {
                    idCol: String, shingleCol: String,
                    retainVersions: Int = 3,
                    filesPerBatch: Int = 1, compactEvery: Int = 0,
-                   compactFiles: Int = 8): StreamingQuery = {
+                   compactFiles: Int = 8,
+                   compactMaxTail: Int = -1): StreamingQuery = {
     require(retainVersions >= 2,
       "lshIndexSink: must retain >= 2 versions (replay needs the predecessor)")
     require(filesPerBatch > 0, "lshIndexSink: filesPerBatch must be positive")
+    val maxTail = resolvedMaxTail("lshIndexSink", compactMaxTail,
+      compactEvery)
     toVersionedSink(rows, checkpoint, targetDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       unresolveReplayedVersion(spark, targetDir, batchId)
@@ -1849,7 +1893,7 @@ object Streams extends org.apache.spark.internal.Logging {
         .write.mode("overwrite").parquet(s"$targetDir/index/batch=$batchId")
       commitIndexVersion(spark, targetDir, checkpoint, batchId, retainVersions)
       maybeAutoCompact(spark, targetDir, "index", Seq(idCol),
-        compactFiles, compactEvery, batchId)
+        compactFiles, compactEvery, batchId, maxTail = maxTail)
     }
   }
 
@@ -2050,11 +2094,22 @@ object Streams extends org.apache.spark.internal.Logging {
     require(versions.nonEmpty,
       s"Streams.bm25IndexDelete: $targetDir has no committed version — " +
         "not a maintained BM25 target")
-    // self-heal a crashed stats swap before anything reads stats
+    // self-heal a crashed stats swap before anything reads stats: a
+    // missing stats dir restores the aside; a LINGERING aside next to a
+    // live stats dir (crash between the final rename and the delete) is
+    // dropped — left in place it would fail the next delete's
+    // rename(stats, .stats_old) and silently skip that delete's
+    // decrement while the return value still counted it
     versions.foreach { v =>
       val statsDir = p(s"$targetDir/v=$v/stats")
       val aside = p(s"$targetDir/v=$v/.stats_old")
-      if (!fs.exists(statsDir) && fs.exists(aside)) fs.rename(aside, statsDir)
+      if (!fs.exists(statsDir) && fs.exists(aside)) {
+        if (!fs.rename(aside, statsDir)) throw new IllegalStateException(
+          s"Streams.bm25IndexDelete: could not restore $aside to $statsDir " +
+            "(crashed swap self-heal) — fix the filesystem state before " +
+            "deleting")
+      } else if (fs.exists(statsDir) && fs.exists(aside))
+        fs.delete(aside, true)
     }
     // the caller's id set, rendered canonically — persisted alongside
     // the decrements so a crashed run can only be RESUMED with the
@@ -2163,8 +2218,18 @@ object Streams extends org.apache.spark.internal.Logging {
               (col("tot_dl") - dRow.getLong(1)).cast("long").as("tot_dl"))
             .write.mode("overwrite").parquet(s"$targetDir/v=$v/.stats_new")
           fs.create(p(s"$targetDir/v=$v/.stats_new/$stampName"), true).close()
-          fs.rename(p(statsDir), p(s"$targetDir/v=$v/.stats_old"))
-          fs.rename(p(s"$targetDir/v=$v/.stats_new"), p(statsDir))
+          // every rename checked: a silent false would leave the
+          // decrement unapplied while the return value counted it
+          if (!fs.rename(p(statsDir), p(s"$targetDir/v=$v/.stats_old")))
+            throw new IllegalStateException(
+              s"Streams.bm25IndexDelete: could not set $statsDir aside — " +
+                "stats swap aborted before any mutation of this version " +
+                "(re-run to resume)")
+          if (!fs.rename(p(s"$targetDir/v=$v/.stats_new"), p(statsDir)))
+            throw new IllegalStateException(
+              s"Streams.bm25IndexDelete: could not install the adjusted " +
+                s"stats at $statsDir — the original is aside at .stats_old " +
+                "and the next run's self-heal restores it (re-run to resume)")
           fs.delete(p(s"$targetDir/v=$v/.stats_old"), true)
           spark.catalog.refreshByPath(statsDir)
           statsAdjusted += 1
@@ -2214,15 +2279,28 @@ object Streams extends org.apache.spark.internal.Logging {
     * unrecognizable target fails the whole call with nothing
     * half-forgotten.
     *
-    * Scope: maintained artifacts only. The RAW corpus directory is
-    * [[graft.ops.Layout.targetedDelete]]'s job (it needs the skipping
-    * index to prune the probe) — run it FIRST, then this over the
-    * derived artifacts, so fresh-composition reads cannot re-derive
-    * the forgotten rows from the un-indexed base tail. `keyCol` names
-    * the subject key for the table/snapshot/LSH legs; BM25 and ANN
-    * key by their own fixed id columns (`doc_id` / `neighbor_id`) and
-    * interpret `values` as those ids. Offline-maintenance contract
-    * like every leg. */
+    * The RAW corpus directory is a first-class leg too: a target that
+    * carries no artifact markers but has a
+    * [[graft.plans.SkipRewrite]] registration (the engine's own
+    * record of "this directory has a skipping index") classifies as
+    * `corpus` and runs [[graft.ops.Layout.targetedDelete]] — and
+    * corpus legs always run FIRST, whatever order `targets` lists
+    * them in, so a fresh-composition read after the call cannot
+    * re-derive the forgotten rows from the un-indexed base tail.
+    * The registered index must fingerprint `keyCol` (validated before
+    * any byte moves); a [[graft.plans.SkipRewrite.register]]ed
+    * on-disk index is overwritten with the refreshed rows targeted-
+    * delete returns, so registered pruning stays exact. A VERSIONED
+    * registration's maintained stats layers keep rows for the
+    * rewritten files — harmless to SkipRewrite's pruning (it
+    * intersects with the scan's live listing) but stale for the
+    * explicit `readPruned*` APIs until a [[graft.ops.Layout
+    * .statsIndexUpdate]] rebuild, which the call logs.
+    *
+    * `keyCol` names the subject key for the corpus/table/snapshot/LSH
+    * legs; BM25 and ANN key by their own fixed id columns (`doc_id` /
+    * `neighbor_id`) and interpret `values` as those ids.
+    * Offline-maintenance contract like every leg. */
   def forget(spark: org.apache.spark.sql.SparkSession, keyCol: String,
              values: Seq[Any], targets: Seq[String],
              maxValues: Int = 1024): Seq[ForgetReport] = {
@@ -2282,6 +2360,28 @@ object Streams extends org.apache.spark.internal.Logging {
               "bm25-index"
             }
             else if (hasLayers(t, "assign")) "ann-index"
+            else if (graft.plans.SkipRewrite.registrationOf(t).isDefined &&
+                !hasLayers(t, "index")) {
+              // RAW corpus with a registered skipping index: validate
+              // the probe is answerable NOW (fingerprint on keyCol) —
+              // targetedDelete mid-sequence would otherwise refuse
+              // after earlier legs already mutated
+              val entry = graft.plans.SkipRewrite.registrationOf(t).get
+              val idx = entry.index().getOrElse(
+                throw new IllegalStateException(
+                  s"Streams.forget: corpus $t has a versioned " +
+                    "skipping-index registration with no committed " +
+                    "version yet — the delete has no index to prune its " +
+                    "probe with"))
+              val fields = idx.schema.fieldNames.toSet
+              require(fields.contains("fp_bits") &&
+                  fields.contains(s"fp_$keyCol"),
+                s"Streams.forget: the skipping index registered for " +
+                  s"corpus $t does not fingerprint '$keyCol' — " +
+                  "targetedDelete cannot prune its probe; rebuild the " +
+                  "index with statsIndexFingerprint fpCols including it")
+              "corpus"
+            }
             else if (hasLayers(t, "index")) {
               // the LSH leg probes layers by keyCol: check one layer's
               // schema NOW — an unresolved column mid-sequence would
@@ -2298,10 +2398,12 @@ object Streams extends org.apache.spark.internal.Logging {
               "lsh-index"
             }
             else throw new IllegalArgumentException(
-              s"Streams.forget: $t is not a recognizable maintained " +
-                "artifact (no _merge/_layout marker, no postings/assign/" +
-                "index layers) — raw corpus directories are " +
-                "Layout.targetedDelete's job")
+              s"Streams.forget: $t is not a recognizable target (no " +
+                "_merge/_layout marker, no postings/assign/index layers, " +
+                "no SkipRewrite registration) — register a raw corpus " +
+                "directory's skipping index (SkipRewrite.register / " +
+                "registerVersioned) to include it as the corpus leg, or " +
+                "run Layout.targetedDelete on it directly")
         }
       }
       (t, kind)
@@ -2317,8 +2419,12 @@ object Streams extends org.apache.spark.internal.Logging {
     if (kinds.exists(k => k._2 == "ann-index" || k._2 == "lsh-index")) {
       val _ = longIds
     }
-    kinds.map { case (t, kind) =>
+    // DEPENDENCY ORDER: corpus legs first (stable within each group) —
+    // a fresh-composition read between legs must never re-derive a
+    // forgotten row from the un-indexed base tail
+    kinds.sortBy(k => if (k._2 == "corpus") 0 else 1).map { case (t, kind) =>
       val n = kind match {
+        case "corpus" => corpusForgetLeg(spark, t, keyCol, values, maxValues)
         case "merge-table" => tableDelete(spark, t, keyCol, values, maxValues)
         case "agg-snapshot" => snapshotDelete(spark, t, keyCol, values, maxValues)
         case "bm25-index" => bm25IndexDelete(spark, t, values, maxValues)
@@ -2327,6 +2433,50 @@ object Streams extends org.apache.spark.internal.Logging {
       }
       ForgetReport(t, kind, n)
     }
+  }
+
+  /** [[forget]]'s corpus leg: [[graft.ops.Layout.targetedDelete]]
+    * driven by the directory's own [[graft.plans.SkipRewrite]]
+    * registration — the index prunes the probe to the files that may
+    * hold the doomed keys, the rewrite is the anti-join over only
+    * those. A persisted registration's on-disk index is overwritten
+    * with the refreshed rows (decoupled from its own path first), so
+    * registered pruning keeps answering exactly after the rewrite.
+    * Returns the number of corpus files rewritten. */
+  private def corpusForgetLeg(spark: org.apache.spark.sql.SparkSession,
+                              corpusDir: String, keyCol: String,
+                              values: Seq[Any], maxValues: Int): Int = {
+    val entry = graft.plans.SkipRewrite.registrationOf(corpusDir).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.forget: the SkipRewrite registration for $corpusDir " +
+          "disappeared mid-call — re-run forget"))
+    val idx = entry.index().getOrElse(throw new IllegalStateException(
+      s"Streams.forget: the skipping index for $corpusDir resolved to " +
+        "no committed version mid-call — re-run forget"))
+    val statCols = idx.schema.fieldNames
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      .toSeq
+    val affected = graft.ops.Layout.filesForEqualities(idx,
+      Seq((keyCol, values)), "Streams.forget")._2.length
+    val refreshed = graft.ops.Layout.targetedDelete(spark, corpusDir, idx,
+      keyCol, values, statCols, maxValues)
+    entry.persistedPath match {
+      case Some(indexPath) =>
+        // decouple from the path being overwritten (the refreshed frame
+        // unions checkpointed rows with fresh-file stats — neither reads
+        // indexPath, but pin it to be structurally safe)
+        refreshed.localCheckpoint(true)
+          .write.mode("overwrite").parquet(indexPath)
+        spark.catalog.refreshByPath(indexPath)
+      case None =>
+        logWarning(s"Streams.forget: $corpusDir has a VERSIONED skipping " +
+          "registration — its maintained stats layers keep rows for the " +
+          "files this delete rewrote (harmless to SkipRewrite pruning, " +
+          "which intersects with the live listing; run " +
+          "Layout.statsIndexUpdate before using the explicit readPruned* " +
+          "APIs against them)")
+    }
+    affected
   }
 
   /** The shared scrub behind [[lshIndexDelete]] and [[snapshotDelete]]:
@@ -2853,17 +3003,41 @@ object Streams extends org.apache.spark.internal.Logging {
     * spec-pinned — but don't run two maintainers on one target).
     * Returns one row per data subdir found: (subdir,
     * compacted-through version or None, vacuumed batch ids). */
+  /** `maxTail` (0 = off, the default): turns the unconditional
+    * at-`minBatches` fold into the sinks' own CAPPED GEOMETRIC
+    * schedule, evaluated at call time — compact only when the
+    * uncompacted tail has reached `min(maxTail, max(minBatches,
+    * batches-already-covered))`. Callers can then run maintainArtifact
+    * on a fixed timer (every few minutes) against sinks running
+    * `compactEvery = 0` and get the same bounded-read / amortized-write
+    * lifecycle the in-line hook gives, without every call paying a
+    * whole-index rewrite. */
   def maintainArtifact(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String, targetFiles: Int = 4,
                        minBatches: Int = 2, retainCompactions: Int = 2,
-                       vacuum: Boolean = true)
+                       vacuum: Boolean = true,
+                       maxTail: Int = 0)
       : Seq[(String, Option[Long], Seq[Long])] = {
     val subdirs = Seq("delta", "rows", "stats", "postings", "df", "assign",
       "index")
+    val versionOpt = snapshotVersions(spark, targetDir).sorted.lastOption
     subdirs.flatMap { sd =>
       val (gens, batches) = compactionsOf(spark, targetDir, sd)
       if (gens.isEmpty && batches.isEmpty) None
       else {
+        // the scheduled twin of maybeAutoCompact's trigger: fire only
+        // when the tail since the last generation has reached the
+        // capped geometric interval (maxTail = 0 keeps the historical
+        // always-at-minBatches behavior)
+        val due = maxTail <= 0 || versionOpt.exists { v =>
+          val prevC = gens.filter(_ <= v).lastOption
+          val covered = prevC.map(_ + 1).getOrElse(0L)
+          val tail = v - prevC.getOrElse(-1L)
+          tail >= math.min(maxTail.toLong,
+            math.max(minBatches.toLong, covered))
+        }
+        if (!due) Some((sd, None, Seq.empty[Long]))
+        else {
         val compacted = sd match {
           case "delta" =>
             compactSnapshot(spark, targetDir, targetFiles, minBatches,
@@ -2903,6 +3077,7 @@ object Streams extends org.apache.spark.internal.Logging {
             vacuumIndex(spark, targetDir, sd)
           else Nil
         Some((sd, compacted, vacuumed))
+        }
       }
     }
   }

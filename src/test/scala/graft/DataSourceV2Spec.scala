@@ -160,4 +160,130 @@ class DataSourceV2Spec extends AnyFunSuite {
       spark.read.format("graft").load(s"$plain/p").collect())
     assert(ex.getMessage.contains("no _merge or _layout marker"))
   }
+
+  test("readStream.format(\"graft\") changelog: an external streaming " +
+      "aggregation over the feed equals the rebuilt table across a " +
+      "mid-feed restart; snapshots and non-feed tables refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val tgt = tmp("graft-dsv2-stream")
+    val in = MemoryStream[(Long, Double, Long, Boolean)]
+    val q = graft.streaming.Streams.mergeSink(
+      in.toDF().toDF("k", "x", "seq", "del"), tgt,
+      tmp("graft-dsv2-streamck"), Seq("k"), "seq", "del", changelog = true)
+    val consumerCk = tmp("graft-dsv2-consck")
+    def startConsumer() = spark.readStream.format("graft")
+      .option("changelog", true).load(tgt)
+      .groupBy("k")
+      .agg(sum(col("op") * col("x")).as("sx"),
+        sum(col("op")).as("n"))
+      .writeStream.format("memory").queryName("graft_feed_agg")
+      .option("checkpointLocation", consumerCk)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((1L, 10.0, 1L, false), (2L, 20.0, 1L, false))
+      q.processAllAvailable()
+      in.addData((1L, 11.0, 2L, false), (3L, 30.0, 1L, false))
+      q.processAllAvailable()
+      // consume the first two versions, then STOP the consumer mid-feed
+      val c1 = startConsumer()
+      try c1.processAllAvailable() finally c1.stop()
+      val partial = spark.table("graft_feed_agg").collect()
+      assert(partial.nonEmpty, "consumer saw nothing before the restart")
+      // more mutations land while the consumer is down: an update, a
+      // delete, and a fresh key
+      in.addData((2L, 21.0, 2L, false), (3L, 0.0, 2L, true),
+        (4L, 40.0, 1L, false))
+      q.processAllAvailable()
+      // restart from the SAME checkpoint: Spark's offset log replays
+      // nothing already committed and serves exactly the new versions
+      val c2 = startConsumer()
+      try c2.processAllAvailable() finally c2.stop()
+      // the telescoped feed aggregate == the rebuilt table: live keys
+      // carry (sx = latest x, n = 1), deleted keys telescope to n = 0
+      val viaFeed = spark.table("graft_feed_agg")
+        .filter(col("n") =!= 0L)
+        .select("k", "sx").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaTable = graft.streaming.Streams.latestTable(spark, tgt).get
+        .select("k", "x").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaFeed == viaTable,
+        s"feed-maintained aggregate diverged after restart:\n" +
+          s"$viaFeed\nvs\n$viaTable")
+      assert(viaFeed == Seq((1L, 11.0), (2L, 21.0), (4L, 40.0)))
+    } finally q.stop()
+    // refusals: a stream over the resolved table (no changelog option)
+    // lacks the capability; a snapshot target refuses the option itself
+    val exTable = intercept[Exception] {
+      spark.readStream.format("graft").load(tgt)
+        .writeStream.format("memory").queryName("graft_refuse1")
+        .option("checkpointLocation", tmp("graft-dsv2-r1"))
+        .outputMode(OutputMode.Append()).start()
+    }
+    assert(exTable.getMessage.contains("does not support streamed reading") ||
+      exTable.getMessage.contains("MICRO_BATCH_READ"),
+      s"unexpected refusal: ${exTable.getMessage}")
+    val snapTgt2 = tmp("graft-dsv2-snapstream")
+    val snapIn2 = MemoryStream[(String, Double)]
+    val sq2 = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+      snapIn2.toDF().toDF("k", "v"), snapTgt2, tmp("graft-dsv2-snapstreamck"),
+      Seq("k"), Seq("v"))
+    try {
+      snapIn2.addData(("a", 1.0)); sq2.processAllAvailable()
+    } finally sq2.stop()
+    val exSnap = intercept[Exception](
+      spark.readStream.format("graft").option("changelog", true)
+        .load(snapTgt2))
+    assert(exSnap.getMessage.contains("merge tables only"))
+  }
+
+  test("format(\"graft\") reads are version-pinned at planning: a commit " +
+      "between plan and execution cannot shift the read") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().map(_.toString).toSeq
+    }
+    val tgt = tmp("graft-dsv2-pin")
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    val q = graft.streaming.Streams.mergeSink(
+      in.toDF().toDF("k", "v", "seq", "del"), tgt,
+      tmp("graft-dsv2-pinck"), Seq("k"), "seq", "del")
+    try {
+      in.addData((1L, "a1", 1L, false)); q.processAllAvailable()
+      in.addData((2L, "b1", 1L, false)); q.processAllAvailable()
+      // PLAN the read now (load() resolves the provider and pins the
+      // committed version), then let the live sink commit another batch
+      // BEFORE the first action
+      val planned = spark.read.format("graft").load(tgt)
+      val expectAtPlan = canon(
+        graft.streaming.Streams.latestTable(spark, tgt).get)
+      in.addData((1L, "a2", 2L, false), (3L, "c1", 1L, false))
+      q.processAllAvailable()
+      // the planned read serves the version it was planned against —
+      // and keeps serving it on a SECOND action (no re-resolution drift)
+      assert(canon(planned) == expectAtPlan,
+        "planned read shifted to a version committed after planning")
+      assert(planned.count() == expectAtPlan.size.toLong)
+      // a self-join of the planned read resolves ONE version on both
+      // sides: every joined row pairs identical v values
+      val joined = planned.as("l").join(planned.as("r"), "k")
+        .filter(col("l.v") =!= col("r.v"))
+      assert(joined.isEmpty, "self-join saw two versions of one table")
+      // a FRESH read picks up the new commit; explicit asOf unchanged
+      assert(canon(spark.read.format("graft").load(tgt)) ==
+        canon(graft.streaming.Streams.latestTable(spark, tgt).get))
+      assert(canon(spark.read.format("graft").option("asOf", 1L).load(tgt)) ==
+        expectAtPlan, "asOf=1 must equal the state at planning time")
+    } finally q.stop()
+  }
 }

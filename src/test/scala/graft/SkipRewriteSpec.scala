@@ -580,4 +580,42 @@ class SkipRewriteSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("explainAcceleration distinguishes index-emptied scans from scans " +
+      "the optimizer removed for its own reasons") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipelim").toString
+    try {
+      spark.range(50000)
+        .select(col("id").as("k"), (col("id") % 5).as("v"))
+        .repartitionByRange(4, col("k")).write.parquet(s"$dir/t")
+      Layout.statsIndex(spark, s"$dir/t", Seq("k"))
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      SkipRewrite.register(spark, s"$dir/t", s"$dir/idx")
+      // the INDEX empties this one: k outside every file's [min, max]
+      val emptied = spark.read.parquet(s"$dir/t")
+        .filter(col("k") === 999999999L)
+      assert(emptied.count() == 0)
+      assert(graft.plans.Acceleration.explainAcceleration(emptied)
+        .contains("PRUNED — scan rewritten to the empty relation"))
+      // the OPTIMIZER removes this one (constant-false folding) — the
+      // rule never touched it, and the report must not claim it did
+      val folded = spark.read.parquet(s"$dir/t").filter(lit(1) === lit(2))
+      assert(folded.count() == 0)
+      val report = graft.plans.Acceleration.explainAcceleration(folded)
+      assert(report.contains("SCAN ELIMINATED by the optimizer"),
+        s"a constant-false fold must not be reported as index work:\n$report")
+      // multi-scan: one of each, counted separately
+      val mixed = spark.read.parquet(s"$dir/t")
+        .filter(col("k") === 999999999L)
+        .unionByName(spark.read.parquet(s"$dir/t").filter(lit(1) === lit(2)))
+      assert(mixed.count() == 0)
+      val mixedReport = graft.plans.Acceleration.explainAcceleration(mixed)
+      assert(mixedReport.contains("1 pruned to empty") &&
+        mixedReport.contains("1 eliminated by the optimizer"),
+        s"expected one emptied + one eliminated verdict, got:\n$mixedReport")
+    } finally {
+      SkipRewrite.unregister(s"$dir/t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

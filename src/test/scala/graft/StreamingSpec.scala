@@ -3188,6 +3188,111 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       s"served: $served")
   }
 
+  test("compactMaxTail on the snapshot and index sinks: the cap bounds " +
+      "every sink's raw tail and answers equal the rebuild") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def rawDirs(tgt: String, sub: String): Int =
+      Option(new java.io.File(s"$tgt/$sub").listFiles)
+        .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    // append-only agg snapshot (delta/): capped folds, fold == rebuild
+    val snapTgt = tmp("graft-maxtail-snap")
+    val snapIn = MemoryStream[(String, Double)]
+    val allRows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val sq = Streams.aggSnapshotSinkAppendOnly(
+      snapIn.toDF().toDF("k", "v"), snapTgt, tmp("graft-maxtail-snapck"),
+      Seq("k"), Seq("v"), compactEvery = 2, compactMaxTail = 2)
+    try {
+      (0 until 12).foreach { i =>
+        val row = (s"k${i % 5}", i.toDouble)
+        allRows += row; snapIn.addData(row)
+        sq.processAllAvailable()
+        assert(rawDirs(snapTgt, "delta") <= 4,
+          s"snapshot tail exceeded the cap at batch $i")
+      }
+    } finally sq.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().map(_.toString).toSeq
+    }
+    assert(canon(Streams.latestSnapshot(spark, snapTgt).get) ==
+      canon(graft.ops.Cdc.aggSnapshotMinMax(allRows.toSeq.toDF("k", "v"),
+        Seq("k"), Seq("v"))),
+      "capped-fold snapshot diverged from the one-shot rebuild")
+    // LSH index (index/): capped folds, maintained probe == one-shot
+    val lshTgt = tmp("graft-maxtail-lsh")
+    val lshIn = MemoryStream[(Long, Seq[String])]
+    val allDocs = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    val lq = Streams.lshIndexSink(
+      lshIn.toDF().toDF("doc_id", "shingles"), lshTgt,
+      tmp("graft-maxtail-lshck"), "doc_id", "shingles",
+      compactEvery = 2, compactMaxTail = 2)
+    try {
+      (0 until 10).foreach { i =>
+        val doc = (i.toLong,
+          Seq(s"sh${i % 3}a", s"sh${i % 3}b", s"sh${i % 3}c", s"shared$i"))
+        allDocs += doc; lshIn.addData(doc)
+        lq.processAllAvailable()
+        assert(rawDirs(lshTgt, "index") <= 4,
+          s"LSH tail exceeded the cap at batch $i")
+      }
+    } finally lq.stop()
+    val probe = Seq((100L, Seq("sh1a", "sh1b", "sh1c", "nope")))
+      .toDF("doc_id", "shingles")
+    val viaMaintained = canon(Streams.nearDupsMaintained(spark, lshTgt,
+      probe, "doc_id", "shingles", 0.5))
+    val viaOneShot = canon(graft.ops.Dedup.nearDupsAgainstIndex(
+      graft.ops.Dedup.buildLshIndex(allDocs.toSeq.toDF("doc_id", "shingles"),
+        "doc_id", "shingles").select("doc_id", "sig", "shset"),
+      probe, "doc_id", "shingles", 0.5))
+    assert(viaMaintained == viaOneShot && viaMaintained.nonEmpty,
+      s"capped-fold LSH probe diverged: $viaMaintained vs $viaOneShot")
+  }
+
+  test("maintainArtifact maxTail: the scheduled trigger fires only when " +
+      "the tail reaches the capped geometric interval") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val tgt = tmp("graft-mtail-sched")
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      in.toDF().toDF("k", "v"), tgt, tmp("graft-mtail-schedck"),
+      Seq("k"), Seq("v")) // compactEvery = 0: maintenance is scheduled
+    try {
+      (0 until 5).foreach { i =>
+        in.addData((s"k$i", i.toDouble)); q.processAllAvailable()
+      }
+      // no generation yet: interval = minBatches floor — fires, and the
+      // generation now covers 5 batches
+      val first = Streams.maintainArtifact(spark, tgt, minBatches = 1,
+        maxTail = 4)
+      assert(first.exists(r => r._1 == "delta" && r._2.contains(4L)),
+        s"first scheduled fold did not fire: $first")
+      (5 until 7).foreach { i =>
+        in.addData((s"k$i", i.toDouble)); q.processAllAvailable()
+      }
+      // tail = 2: an UNGATED call (maxTail = 0) would fold at the
+      // minBatches = 1 floor every time — the geometric gate holds off
+      // until min(cap = 4, covered = 5) = 4
+      val early = Streams.maintainArtifact(spark, tgt, minBatches = 1,
+        maxTail = 4)
+      assert(early.exists(r => r._1 == "delta" && r._2.isEmpty),
+        s"scheduled fold fired below the capped geometric interval: $early")
+      (7 until 9).foreach { i =>
+        in.addData((s"k$i", i.toDouble)); q.processAllAvailable()
+      }
+      // tail = 4 reaches the cap (pure geometric would wait for 5)
+      val due = Streams.maintainArtifact(spark, tgt, minBatches = 1,
+        maxTail = 4)
+      assert(due.exists(r => r._1 == "delta" && r._2.contains(8L)),
+        s"scheduled fold did not fire at the cap: $due")
+    } finally q.stop()
+    assert(Streams.latestSnapshot(spark, tgt).get.count() == 9)
+  }
+
   test("mergeSink changelog: ADD-column evolution derives retractions over " +
       "a COMPACTED target whose layers lack the new column") {
     assume(!rocksdb)
@@ -3420,6 +3525,65 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     // a keyCol that is not a key of a keyed target refuses
     intercept[IllegalArgumentException](
       Streams.forget(spark, "nope", Seq(7L), Seq(morTgt)))
+  }
+
+  test("forget: the raw-corpus leg runs FIRST off the SkipRewrite " +
+      "registration, and a fresh-composition read after the call cannot " +
+      "resurrect the forgotten doc from the un-indexed tail") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val work = tmp("graft-forget-corpus")
+    val corpus = s"$work/docs"
+    // three range-clustered files; doc 7 carries a unique shingle set
+    (1L to 30L).map(i => (i, Seq(s"u${i}a", s"u${i}b", s"u${i}c")))
+      .toDF("doc_id", "shingles")
+      .repartitionByRange(3, $"doc_id").write.parquet(corpus)
+    graft.ops.Layout.statsIndexFingerprint(spark, corpus,
+        Seq("doc_id"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/idx")
+    graft.plans.SkipRewrite.register(spark, corpus, s"$work/idx")
+    try {
+      // a REAL maintained LSH index over the corpus (file stream →
+      // coverage manifest → the fresh composition path under test)
+      val lshTgt = s"$work/lsh"
+      val lq = Streams.lshIndexSink(
+        spark.readStream.schema("doc_id long, shingles array<string>")
+          .parquet(corpus),
+        lshTgt, s"$work/lshck", "doc_id", "shingles")
+      try lq.processAllAvailable() finally lq.stop()
+      val probe7 = Seq((700L, Seq("u7a", "u7b", "u7c")))
+        .toDF("doc_id", "shingles")
+      // sanity: before the forget, the fresh path finds doc 7
+      assert(!Streams.nearDupsFresh(spark, lshTgt, corpus, probe7,
+          "doc_id", "shingles", 0.8).filter($"corpus_id" === 7L).isEmpty,
+        "precondition: doc 7 must be findable before the forget")
+      // corpus listed LAST on purpose: the call must reorder it first
+      val reports = Streams.forget(spark, "doc_id", Seq(7L),
+        Seq(lshTgt, corpus))
+      assert(reports.map(_.kind) == Seq("corpus", "lsh-index"),
+        s"corpus leg must run first: $reports")
+      assert(reports.forall(_.layersRewritten >= 1), s"a leg did nothing: $reports")
+      // the corpus itself no longer holds the doc, and the registered
+      // index was refreshed in place — registered pruning stays exact
+      assert(spark.read.parquet(corpus).filter($"doc_id" === 7L).isEmpty)
+      assert(spark.read.parquet(corpus).count() == 29)
+      assert(spark.read.parquet(s"$work/idx").count() ==
+        spark.read.parquet(corpus).inputFiles.length.toLong,
+        "refreshed index out of sync with the rewritten corpus")
+      assert(!spark.read.parquet(corpus).filter($"doc_id" === 9L).isEmpty)
+      // THE dependency-order assertion: the fresh composition re-signs
+      // the not-yet-covered tail (the rewritten survivor file) but can
+      // never resurrect doc 7 — its rows are gone from corpus AND index
+      assert(Streams.nearDupsFresh(spark, lshTgt, corpus, probe7,
+          "doc_id", "shingles", 0.8).filter($"corpus_id" === 7L).isEmpty,
+        "fresh composition resurrected the forgotten doc")
+      // validation precedes mutation: a keyCol the index does not
+      // fingerprint refuses the whole call, nothing rewritten
+      val before = spark.read.parquet(corpus).count()
+      intercept[IllegalArgumentException](
+        Streams.forget(spark, "shingles", Seq(8L), Seq(corpus)))
+      assert(spark.read.parquet(corpus).count() == before)
+    } finally graft.plans.SkipRewrite.unregister(corpus)
   }
 }
 
