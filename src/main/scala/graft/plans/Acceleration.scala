@@ -15,6 +15,23 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object Acceleration {
 
+  // ---- maintained-target registry -------------------------------------
+  // Merge tables and agg snapshots registered for the report: the
+  // _merge/_layout marker is the self-description, so registration is
+  // just the path. MvRewrite/SkipRewrite entries register through their
+  // own rules; targets read directly (the Scala API or format("graft"))
+  // have no rule, hence this list.
+  private val targets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Include a maintained merge-table / agg-snapshot target in
+    * [[explainAcceleration]] reports: version, freshness, lifecycle
+    * (generations + uncompacted tail), and — when the plan reads it
+    * through `format("graft")` — which key predicates pushed down. */
+  def registerTarget(targetDir: String): Unit = targets.add(targetDir)
+  def unregisterTarget(targetDir: String): Unit = targets.remove(targetDir)
+  def clearTargets(): Unit = targets.clear()
+
   def explainAcceleration(df: DataFrame): String = {
     val spark = df.sparkSession
     def norm(p: String): String =
@@ -157,6 +174,68 @@ object Acceleration {
         s"$head: $status$fresh"
       }
     }
-    (mvLines ++ skipLines).mkString("\n")
+
+    // ---- maintained targets: version, freshness, lifecycle, pushdown --
+    import scala.jdk.CollectionConverters._
+    val tgtLines = targets.asScala.toSeq.sorted match {
+      case Seq() => Seq.empty[String]
+      case ts => ts.map { t =>
+        try {
+          val streams = graft.streaming.Streams
+          val (kind, keys, sub) = streams.mergeLayoutOf(spark, t) match {
+            case Some(l) => ("merge-table", l.keys, "rows")
+            case None => streams.aggLayoutOf(spark, t) match {
+              case Some(l) => ("agg-snapshot", l.keys, "delta")
+              case None => throw new IllegalStateException(
+                "no _merge/_layout marker — not a maintained target")
+            }
+          }
+          val version = streams.snapshotVersionsOf(spark, t).lastOption
+          val fresh = version match {
+            case None => "no committed version yet"
+            case Some(v) => freshLineOf(s"$t/v=$v", t)
+          }
+          val (gens, batches) = streams.compactionsOf(spark, t, sub)
+          val tail = batches.count(_ > gens.lastOption.getOrElse(-1L))
+          // plan attribution: format("graft") scans of THIS target —
+          // their accepted key filters are the commuting pushdown.
+          // After pushdown the optimizer wraps a V1Scan in
+          // V1ScanWrapper; unwrap to reach the graft scan either way.
+          def graftScanOf(s: org.apache.spark.sql.connector.read.Scan)
+              : Option[graft.sources.v2.GraftScan] = s match {
+            case g: graft.sources.v2.GraftScan => Some(g)
+            case w: org.apache.spark.sql.execution.datasources.v2
+                .V1ScanWrapper => w.v1Scan match {
+              case g: graft.sources.v2.GraftScan => Some(g)
+              case _ => None
+            }
+            case _ => None
+          }
+          val graftScans = df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation =>
+              graftScanOf(r.scan).filter(_.ref.path == t)
+          }.flatten
+          val push =
+            if (graftScans.isEmpty)
+              s"not read via format(\"graft\") in this plan; key " +
+                s"predicates on (${keys.mkString(", ")}) push down " +
+                "through the commuting point-read shapes"
+            else graftScans.map { s =>
+              if (s.acceptedFilters.isEmpty)
+                "scan: no key-only predicate pushed (full resolution)"
+              else s"scan: pushed ${s.acceptedFilters.mkString(", ")} " +
+                "before resolution"
+            }.mkString("; ")
+          s"target($kind: $t): version=${version.getOrElse("none")}, " +
+            s"generations=${gens.length}, uncompactedTail=$tail\n" +
+            s"  freshness: $fresh\n  pushdown: $push"
+        } catch {
+          case scala.util.control.NonFatal(ex) =>
+            s"target($t): unreadable (${ex.getMessage})"
+        }
+      }
+    }
+    (mvLines ++ skipLines ++ tgtLines).mkString("\n")
   }
 }

@@ -1031,6 +1031,103 @@ object Relational {
     }
   }
 
+  // THE STREAMING FACE of the change feed (readStream.format("graft")):
+  // an EXTERNAL streaming aggregation subscribes to the feed —
+  // version-offset microbatches, each committed version served exactly
+  // once — and its final state must equal the same grouped
+  // integer-algebra aggregate over the resolved table, which the oracle
+  // replays (the ±ops telescope per key). This is the cross-session
+  // medallion hop as a driver-checked row: no polling, no graft API on
+  // the consumer beyond the format name.
+  private val qGraftStream = QueryDef("q_graft_stream", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey, l_quantity,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    withMergeReplay(spark, dir, Nil, changelog = true) { tgt =>
+      val qn = s"graft_stream_q_${System.nanoTime}"
+      val ck = java.nio.file.Files.createTempDirectory("graft-stream-qck")
+      val q = spark.readStream.format("graft").option("changelog", true)
+        .load(tgt)
+        .groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
+            / 100.0).as("sum_qty"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+    }
+  }
+
+  // THE WRITE FACE of the merge table (Streams.mergeTableInsert /
+  // format("graft") writes): the same three-batch lineitem replay as
+  // q_merge_table, but applied as EXTERNAL batch writes — no streaming
+  // sink anywhere. Each source batch is reduced to its per-key winner
+  // (the write face's one-version-per-write contract), split into
+  // upsert and tombstone writes, and committed; the resolved table must
+  // hash-match the same window replay the sink path matches, proving
+  // the two write paths share one latest-wins contract. Read back
+  // through format("graft") so both faces are on the oracle path.
+  private val qGraftWrite = QueryDef("q_graft_write", Some(
+    """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+      |                  l_extendedprice,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+      |FROM r WHERE rk = 1 AND NOT del""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-write-q").toString
+    try {
+      val changes = mergeChangeFrame(spark, dir, Seq("l_extendedprice"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy(col("seq").desc)
+      (0 until 3).foreach { i =>
+        // one external write carries one version: reduce the source
+        // batch to its per-key seq-winner, then apply upserts and
+        // tombstones as separate writes (latest batch wins, so the
+        // tombstone write landing after the upserts of the SAME source
+        // batch preserves the winner's verdict exactly)
+        val winners = changes.filter(col("l_suppkey") % 3 === i)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+          .localCheckpoint(true)
+        val dataCols = winners.columns.filterNot(c => c == "seq" || c == "del")
+          .toIndexedSeq
+        val ups = winners.filter(!col("del")).select(dataCols.map(col): _*)
+        val dels = winners.filter(col("del")).select(dataCols.map(col): _*)
+        if (!ups.isEmpty)
+          graft.streaming.Streams.mergeTableInsert(spark, s"$work/t", ups,
+            createKeys = Seq("l_orderkey"))
+        if (!dels.isEmpty)
+          graft.streaming.Streams.mergeTableInsert(spark, s"$work/t", dels,
+            delete = true, createKeys = Seq("l_orderkey"))
+      }
+      spark.read.format("graft").load(s"$work/t").localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   // SCD-2 dimension build (Cdc.scd2Build): every order is a "change"
   // to its customer's record; versions get [own date, next change)
   // validity with (o_orderdate, o_orderkey) as the deterministic
@@ -2202,7 +2299,8 @@ object Relational {
     q4ex, q4nx, q4sc, q7ia, q7ea, qPivot, q8b, qStrings,
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
-    qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog,
+    qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog, qGraftWrite,
+    qGraftStream,
     qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,

@@ -2,12 +2,13 @@ package graft.sources.v2
 
 import java.util
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -73,18 +74,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 object GraftDataSource {
   /** What the marker said the target is, resolved once per read.
-    * `pinned` is the committed version resolved at ref time (planning):
-    * every scan build of this read serves it, so a sink commit between
+    * `pinned` is the committed version resolved at ref/planning time:
+    * every scan build of this ref serves it, so a sink commit between
     * planning and execution — or between two scans of the SAME table
     * in one query (self-join, union) — can never shift the read
     * mid-query (a torn read). The Scala API pins the same way
     * (latestTable resolves its layer listing eagerly); `asOf` remains
-    * the user's explicit request and always wins. */
+    * the user's explicit request and always wins. `pinnedEpoch` is the
+    * session-local commit epoch the pin was taken at
+    * ([[graft.streaming.Streams.commitEpochOf]]): a long-lived table
+    * handle (a SQL view) RE-PINS at the next planning after a local
+    * commit, so views over live tables serve fresh versions while a
+    * plan in flight never shifts. */
   final case class TargetRef(path: String, asOf: Option[Long],
                              keys: Seq[String], kind: String,
                              changelog: Boolean = false,
                              sinceVersion: Long = -1L,
-                             pinned: Option[Long] = None) {
+                             pinned: Option[Long] = None,
+                             pinnedEpoch: Long = 0L) {
     /** The version every resolve of this ref serves. None only before
       * the first commit (resolve then refuses, as an unpinned read
       * would). */
@@ -108,22 +115,39 @@ object GraftDataSource {
     // pin the committed version ONCE, at ref (planning) time: None only
     // before the first commit, where resolve refuses anyway — a commit
     // racing the very first read can at worst make it succeed
+    val epoch = graft.streaming.Streams.commitEpochOf(spark, path)
     def pin: Option[Long] = asOf.orElse(graft.streaming.Streams
       .snapshotVersionsOf(spark, path).lastOption)
     graft.streaming.Streams.mergeLayoutOf(spark, path) match {
       case Some(l) =>
-        TargetRef(path, asOf, l.keys, "merge", changelog, since, pin)
+        TargetRef(path, asOf, l.keys, "merge", changelog, since, pin, epoch)
       case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {
         case Some(l) =>
           require(!changelog, "graft source: the changelog option serves " +
             "merge tables only — an agg snapshot's history IS its partials")
-          TargetRef(path, asOf, l.keys, "snapshot", pinned = pin)
+          TargetRef(path, asOf, l.keys, "snapshot", pinned = pin,
+            pinnedEpoch = epoch)
         case None => throw new IllegalArgumentException(
           s"graft source: $path carries no _merge or _layout marker — not " +
             "a maintained merge-table or agg-snapshot target (plain " +
             "parquet directories are format(\"parquet\")'s job)")
       }
     }
+  }
+
+  /** The ref a NEW planning should scan with: re-pin when a commit has
+    * landed from this session since the pin was taken (epoch moved) —
+    * otherwise keep the existing pin, so every scan builder of one
+    * planning shares one version. Explicit asOf never re-pins. */
+  private[v2] def repinned(spark: SparkSession,
+                           ref: TargetRef): TargetRef = {
+    if (ref.asOf.isDefined) return ref
+    val epoch = graft.streaming.Streams.commitEpochOf(spark, ref.path)
+    if (epoch == ref.pinnedEpoch && ref.pinned.isDefined) ref
+    else ref.copy(
+      pinned = graft.streaming.Streams
+        .snapshotVersionsOf(spark, ref.path).lastOption,
+      pinnedEpoch = epoch)
   }
 
   /** The resolved serving frame — pre-filtered through the commuting
@@ -182,20 +206,73 @@ object GraftDataSource {
 
 final class GraftTable(ref: GraftDataSource.TargetRef,
                        declaredSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft(${ref.kind}: ${ref.path})"
   override def schema(): StructType = declaredSchema
   // MICRO_BATCH_READ only on the change feed: a resolved table/snapshot
   // is STATE — Spark's missing-capability refusal is the right answer
   // for readStream on those (re-deriving deltas from state would be a
-  // guess; the feed-emitting sink is where deltas come from)
-  override def capabilities(): util.Set[TableCapability] =
-    if (ref.changelog)
-      util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.MICRO_BATCH_READ)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, ref, declaredSchema)
+  // guess; the feed-emitting sink is where deltas come from).
+  // Write capabilities are always advertised so the refusal for
+  // snapshots/feeds comes from newWriteBuilder with an actionable
+  // message — Spark's missing-capability fallback routes into a
+  // misleading "does not allow create table as select" internal error.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    if (ref.changelog) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
+  // the live ref this table's NEXT planning scans with: re-pinned when
+  // a local commit moved the epoch (a SQL view over a live table must
+  // not freeze at creation), stable otherwise (all scan builders of one
+  // planning share one pin — no torn reads)
+  @volatile private var live: GraftDataSource.TargetRef = ref
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    live = GraftDataSource.repinned(spark, live)
+    new GraftScanBuilder(spark, live, declaredSchema)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(ref.kind == "merge",
+      "graft source: only merge-on-read TABLES are writable — an agg " +
+        "snapshot is derived state (write to the stream its sink " +
+        "maintains it from)")
+    require(!ref.changelog,
+      "graft source: the change feed is DERIVED from table writes — " +
+        "write the table (drop the changelog option) and the feed " +
+        "follows")
+    require(ref.asOf.isEmpty,
+      "graft source: asOf pins a historical read — writes go to the head")
+    new GraftWriteBuilder(ref, info)
+  }
+}
+
+/** The write face: one V1 batch write = ONE merge-table version
+  * ([[graft.streaming.Streams.mergeTableInsert]]'s contract — upsert
+  * by key, constant intra-batch seq, in-batch duplicate keys refused;
+  * `option("delete", true)` tombstones the rows' keys; an existing
+  * `changelog/` history keeps emitting ±ops). SQL `INSERT INTO` a
+  * `USING graft` view and `df.write.format("graft").mode("append")`
+  * both land here. */
+final class GraftWriteBuilder(ref: GraftDataSource.TargetRef,
+                              info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(!overwrite,
+            "graft source: overwrite would silently drop the table's " +
+              "committed history — the write face is append/upsert only " +
+              "(tombstone keys with option(\"delete\", true); rebuild a " +
+              "table with a fresh target)")
+          graft.streaming.Streams.mergeTableInsert(
+            SparkSession.active, ref.path, data,
+            delete = info.options.getBoolean("delete", false))
+        }
+      }
+  }
 }
 
 final class GraftScanBuilder(spark: SparkSession,
@@ -236,7 +313,7 @@ final class GraftScanBuilder(spark: SparkSession,
     // read at stream start may legitimately still be empty
     def frame = GraftDataSource.resolve(spark, ref, pred)
       .select(required.fieldNames.toIndexedSeq.map(col): _*)
-    new GraftScan(() => frame, required, ref, spark)
+    new GraftScan(() => frame, required, ref, spark, pushed)
   }
 }
 
@@ -247,8 +324,9 @@ final class GraftScanBuilder(spark: SparkSession,
   * ref is a change feed — readStream plans version-offset microbatches
   * off it instead of the resolved frame. */
 final class GraftScan(frame: () => DataFrame, outSchema: StructType,
-                      ref: GraftDataSource.TargetRef,
-                      spark: SparkSession)
+                      val ref: GraftDataSource.TargetRef,
+                      spark: SparkSession,
+                      val acceptedFilters: Array[sources.Filter] = Array.empty)
     extends V1Scan {
   override def readSchema(): StructType = outSchema
   override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -820,92 +820,9 @@ object Streams extends org.apache.spark.internal.Logging {
           .filter(col("__rk") === 1).drop("__rk")
         reduced.coalesce(filesPerBatch)
           .write.mode("overwrite").parquet(s"$targetDir/rows/batch=$batchId")
-        if (changelog) {
-          // RETRACTION DERIVATION (the CDF the downstream IVM needs):
-          // the batch's keys are looked up in the PRE-batch state —
-          // one key-semi-join per trigger against the resolved layers
-          // < batchId (replay-safe: the failed attempt's own batch dir
-          // sits above that bound, so re-deriving is idempotent).
-          // Every looked-up old row retracts (-1, old values); every
-          // non-tombstone winner asserts (+1, new values). The ±ops
-          // TELESCOPE per key — -v1+v2, -v2+v3 … — so any grouped
-          // integer-algebra aggregate over the changelog equals the
-          // same aggregate over the final table, which is what lets an
-          // aggSnapshotSink-style MV follow a MUTABLE base.
-          val targetCols = reduced.columns
-            .filterNot(c => c == seqCol || c == deleteCol).toIndexedSeq
-          val hasPrev = listBatchDirs(spark, targetDir, "rows")
-            .exists(_ < batchId) ||
-            committedCompactions(spark, targetDir, "rows")
-              .exists(_ < batchId)
-          val plus = reduced.filter(!col(deleteCol))
-            .select(targetCols.map(col): _*)
-            .withColumn("op", org.apache.spark.sql.functions.lit(1))
-          val out =
-            if (!hasPrev) plus
-            else {
-              val preBatch = maintainedBatchRows(spark, targetDir, "rows",
-                batchId - 1, evolving = true)
-              // dropped-column guard: the retraction side reads the
-              // history's merged schema; if the batch dropped a data
-              // column, -1 rows would carry its real old values while
-              // +1 rows carried nothing — telescoping over that column
-              // breaks silently downstream. Fail here instead.
-              val droppedCols = preBatch.columns
-                .filterNot(c => c == "batch" || c == seqCol || c == deleteCol)
-                .filterNot(reduced.columns.contains)
-              require(droppedCols.isEmpty,
-                s"Streams.mergeSink: changelog derivation: the batch " +
-                  s"schema drops column(s) ${droppedCols.mkString(", ")} " +
-                  "present in the table's history — retractions would " +
-                  "carry real old values while assertions carried none, " +
-                  "breaking ±op telescoping for downstream MVs; schema " +
-                  "evolution may only ADD nullable columns")
-              // prune the layers by the batch's keys BEFORE the
-              // latest-wins window — sound because resolution
-              // partitions by the key columns (latestTableWhere's
-              // commuting argument), and it keeps the per-trigger
-              // window O(|touched keys'| layers), never O(|table|)
-              val touched = reduced.select(keyCols.map(col): _*).distinct()
-              // KEY PUSHDOWN (the 100 TB move): a semi-join bounds the
-              // window but not the SCAN — without a pushed predicate
-              // every trigger reads the whole compacted generation.
-              // When the touched-key set is small, collect it (bounded
-              // like tableDelete's maxValues) and pre-filter with one
-              // IN-list per key column: each references only key
-              // columns, so whole key-groups pass or fail together and
-              // the filter commutes with latest-wins resolution; the
-              // per-column lists over-approximate the touched TUPLES,
-              // and the semi-join below restores exactness.
-              val touchedRows =
-                if (changelogKeyPushdown > 0)
-                  Some(touched.limit(changelogKeyPushdown + 1).collect())
-                    .filter(_.length <= changelogKeyPushdown)
-                else None
-              val prunedLayers = touchedRows match {
-                case Some(rows) if rows.nonEmpty =>
-                  keyCols.zipWithIndex.foldLeft(preBatch) {
-                    case (df, (k, i)) => df.where(col(k).isin(
-                      rows.map(_.get(i)).distinct.toIndexedSeq: _*))
-                  }
-                case _ => preBatch
-              }
-              val prev = mergeResolveFor(layout)(
-                prunedLayers.join(touched, keyCols, "left_semi"))
-              // ADD evolution: a just-added data column may be absent
-              // from every resolved prior layer (targetCols comes from
-              // the NEW batch) — retraction rows correctly carry
-              // nothing for it (the pre-image had no value), which the
-              // allowMissingColumns union surfaces as null
-              val minusCols = targetCols.filter(prev.columns.contains)
-              val minus = prev
-                .select(minusCols.map(col): _*)
-                .withColumn("op", org.apache.spark.sql.functions.lit(-1))
-              minus.unionByName(plus, allowMissingColumns = true)
-            }
-          out.coalesce(filesPerBatch).write.mode("overwrite")
-            .parquet(s"$targetDir/changelog/batch=$batchId")
-        }
+        if (changelog)
+          deriveChangelog(spark, targetDir, layout, reduced, batchId,
+            changelogKeyPushdown, filesPerBatch, "Streams.mergeSink")
       }
       if (listBatchDirs(spark, targetDir, "rows").nonEmpty ||
           committedCompactions(spark, targetDir, "rows").nonEmpty)
@@ -914,6 +831,231 @@ object Streams extends org.apache.spark.internal.Logging {
         compactEvery, batchId, mergeResolveFor(layout), evolving = true,
         maxTail = maxTail)
     }
+  }
+
+  /** The per-batch CHANGE-FEED derivation shared by [[mergeSink]]'s
+    * trigger body and the external batch write ([[mergeTableInsert]])
+    * — the RETRACTION DERIVATION the downstream IVM needs: the batch's
+    * keys are looked up in the PRE-batch state (one key-semi-join per
+    * application against the resolved layers `< batchId`; replay-safe
+    * because a failed attempt's own batch dir sits above that bound,
+    * so re-deriving is idempotent). Every looked-up old row retracts
+    * (-1, old values); every non-tombstone winner asserts (+1, new
+    * values). The ±ops TELESCOPE per key — -v1+v2, -v2+v3 … — so any
+    * grouped integer-algebra aggregate over the changelog equals the
+    * same aggregate over the final table, which is what lets an
+    * aggSnapshotSink-style MV follow a MUTABLE base. */
+  private def deriveChangelog(spark: org.apache.spark.sql.SparkSession,
+                              targetDir: String, layout: MergeLayout,
+                              reduced: DataFrame, batchId: Long,
+                              changelogKeyPushdown: Int,
+                              filesPerBatch: Int, caller: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keyCols = layout.keys
+    val seqCol = layout.seqCol
+    val deleteCol = layout.deleteCol
+    val targetCols = reduced.columns
+      .filterNot(c => c == seqCol || c == deleteCol).toIndexedSeq
+    val hasPrev = listBatchDirs(spark, targetDir, "rows")
+      .exists(_ < batchId) ||
+      committedCompactions(spark, targetDir, "rows")
+        .exists(_ < batchId)
+    val plus = reduced.filter(!col(deleteCol))
+      .select(targetCols.map(col): _*)
+      .withColumn("op", org.apache.spark.sql.functions.lit(1))
+    val out =
+      if (!hasPrev) plus
+      else {
+        val preBatch = maintainedBatchRows(spark, targetDir, "rows",
+          batchId - 1, evolving = true)
+        // dropped-column guard: the retraction side reads the
+        // history's merged schema; if the batch dropped a data
+        // column, -1 rows would carry its real old values while
+        // +1 rows carried nothing — telescoping over that column
+        // breaks silently downstream. Fail here instead.
+        val droppedCols = preBatch.columns
+          .filterNot(c => c == "batch" || c == seqCol || c == deleteCol)
+          .filterNot(reduced.columns.contains)
+        require(droppedCols.isEmpty,
+          s"$caller: changelog derivation: the batch " +
+            s"schema drops column(s) ${droppedCols.mkString(", ")} " +
+            "present in the table's history — retractions would " +
+            "carry real old values while assertions carried none, " +
+            "breaking ±op telescoping for downstream MVs; schema " +
+            "evolution may only ADD nullable columns")
+        // prune the layers by the batch's keys BEFORE the
+        // latest-wins window — sound because resolution
+        // partitions by the key columns (latestTableWhere's
+        // commuting argument), and it keeps the per-trigger
+        // window O(|touched keys'| layers), never O(|table|)
+        val touched = reduced.select(keyCols.map(col): _*).distinct()
+        // KEY PUSHDOWN (the 100 TB move): a semi-join bounds the
+        // window but not the SCAN — without a pushed predicate
+        // every trigger reads the whole compacted generation.
+        // When the touched-key set is small, collect it (bounded
+        // like tableDelete's maxValues) and pre-filter with one
+        // IN-list per key column: each references only key
+        // columns, so whole key-groups pass or fail together and
+        // the filter commutes with latest-wins resolution; the
+        // per-column lists over-approximate the touched TUPLES,
+        // and the semi-join below restores exactness.
+        val touchedRows =
+          if (changelogKeyPushdown > 0)
+            Some(touched.limit(changelogKeyPushdown + 1).collect())
+              .filter(_.length <= changelogKeyPushdown)
+          else None
+        val prunedLayers = touchedRows match {
+          case Some(rows) if rows.nonEmpty =>
+            keyCols.zipWithIndex.foldLeft(preBatch) {
+              case (df, (k, i)) => df.where(col(k).isin(
+                rows.map(_.get(i)).distinct.toIndexedSeq: _*))
+            }
+          case _ => preBatch
+        }
+        val prev = mergeResolveFor(layout)(
+          prunedLayers.join(touched, keyCols, "left_semi"))
+        // ADD evolution: a just-added data column may be absent
+        // from every resolved prior layer (targetCols comes from
+        // the NEW batch) — retraction rows correctly carry
+        // nothing for it (the pre-image had no value), which the
+        // allowMissingColumns union surfaces as null
+        val minusCols = targetCols.filter(prev.columns.contains)
+        val minus = prev
+          .select(minusCols.map(col): _*)
+          .withColumn("op", org.apache.spark.sql.functions.lit(-1))
+        minus.unionByName(plus, allowMissingColumns = true)
+      }
+    out.coalesce(filesPerBatch).write.mode("overwrite")
+      .parquet(s"$targetDir/changelog/batch=$batchId")
+  }
+
+  /** EXTERNAL batch write to a merge-on-read table — the write face of
+    * [[mergeSink]]'s layout: ONE call applies one batch (one
+    * O(|rows|) layer dir + one version commit, the same latest-wins
+    * contract), which is what lets plain SQL sessions mutate a graft
+    * table (`INSERT INTO` a `USING graft` view routes here through
+    * [[graft.sources.v2.GraftDataSource]]'s V1 write bridge, as does
+    * `df.write.format("graft").mode("append")`).
+    *
+    * Semantics — the write face carries DATA COLUMNS ONLY (the read
+    * face's schema): ordering across writes comes from the batch id
+    * (resolution orders by `(batch, seq)` descending, and each
+    * external write IS one batch), so the write assigns the layout's
+    * seq column a constant and duplicate keys WITHIN one batch are
+    * refused (one write is one version — in-batch duplicates would
+    * have no defined order). `delete = true` tombstones the rows'
+    * keys instead of asserting values. A target whose `changelog/`
+    * history exists keeps emitting the ±op feed — external writes
+    * derive retractions exactly as the sink's triggers do, so
+    * downstream IVM consumers (and the streaming feed source) never
+    * miss a mutation; `changelog = true` starts a feed on a table's
+    * FIRST write.
+    *
+    * Creation: with `createKeys` and no existing `_merge` marker, the
+    * call CREATES the table (internal `__seq`/`__del` layout columns).
+    * Ownership: a target maintained by a LIVE streaming sink (its
+    * `_query` marker) refuses — the sink's checkpoint owns batch
+    * numbering, and an external layer at the sink's next id would be
+    * replay-overwritten. Retire the sink first (delete `_query`).
+    * Crash safety: uncommitted layer dirs above the last committed
+    * version are overwritten/cleared before writing (a torn external
+    * write is invisible to readers and reclaimed by the next write);
+    * SINGLE-WRITER contract per target, like every maintenance op
+    * here. Returns the committed version. */
+  def mergeTableInsert(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String, rows: DataFrame,
+                       delete: Boolean = false,
+                       createKeys: Seq[String] = Nil,
+                       changelog: Boolean = false,
+                       retainVersions: Int = 3,
+                       filesPerBatch: Int = 1,
+                       changelogKeyPushdown: Int = 1024): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val who = "Streams.mergeTableInsert"
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/_query")),
+      s"$who: $targetDir is maintained by a streaming mergeSink " +
+        "checkpoint — an external layer at the sink's next batch id " +
+        "would be silently replay-overwritten; stop the sink and delete " +
+        s"$targetDir/_query to adopt external writes")
+    val layout = mergeLayoutOf(spark, targetDir) match {
+      case Some(l) =>
+        require(createKeys.isEmpty || createKeys == l.keys,
+          s"$who: $targetDir exists with keys ${l.keys.mkString(", ")} — " +
+            s"createKeys (${createKeys.mkString(", ")}) conflicts")
+        l
+      case None =>
+        require(createKeys.nonEmpty,
+          s"$who: $targetDir has no _merge marker — pass createKeys to " +
+            "CREATE the table on first write")
+        require(!rows.columns.contains("__seq") &&
+            !rows.columns.contains("__del"),
+          s"$who: '__seq'/'__del' are the created table's layout " +
+            "columns — rename those data columns")
+        MergeLayout(createKeys, "__seq", "__del")
+    }
+    layout.keys.foreach(k => require(rows.columns.contains(k),
+      s"$who: the write is missing key column '$k'"))
+    require(!rows.columns.contains("batch"),
+      s"$who: 'batch' is the layout's own partition column — rename it")
+    require(!rows.columns.contains(layout.seqCol) &&
+        !rows.columns.contains(layout.deleteCol),
+      s"$who: the write face carries data columns only — " +
+        s"'${layout.seqCol}'/'${layout.deleteCol}' are assigned by the " +
+        "write itself (use delete = true to tombstone)")
+    // evaluate the incoming query ONCE (an INSERT…SELECT would
+    // otherwise run for the duplicate check, the layer write, and the
+    // feed derivation separately)
+    val batch = rows.localCheckpoint(true)
+    // one write is one version: in-batch duplicate keys have no defined
+    // order under the constant seq this write assigns
+    require(batch.count() ==
+        batch.select(layout.keys.map(col): _*).distinct().count(),
+      s"$who: duplicate keys within one write — one external write is " +
+        "one version; split conflicting rows into separate writes")
+    writeMergeLayout(spark, targetDir, layout)
+    val nextId = (snapshotVersions(spark, targetDir) ++
+      committedCompactions(spark, targetDir, "rows")).maxOption
+      .map(_ + 1).getOrElse(0L)
+    // reclaim torn previous writes (crash between layer write and
+    // commit): anything above the last committed version is invisible
+    // to readers and this writer's to overwrite
+    Seq("rows", "changelog").foreach { sd =>
+      listBatchDirs(spark, targetDir, sd).filter(_ >= nextId).foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$targetDir/$sd/batch=$id"), true))
+    }
+    // match the existing layers' seq/delete types so the merged-schema
+    // read never sees an int/long or boolean/string conflict
+    val existingSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (listBatchDirs(spark, targetDir, "rows").nonEmpty ||
+          committedCompactions(spark, targetDir, "rows").nonEmpty)
+        Some(maintainedBatchRows(spark, targetDir, "rows", Long.MaxValue,
+          evolving = true).schema)
+      else None
+    def typeOf(c: String, dflt: org.apache.spark.sql.types.DataType) =
+      existingSchema.flatMap(_.find(_.name == c).map(_.dataType))
+        .getOrElse(dflt)
+    val withMeta = batch
+      .withColumn(layout.seqCol, lit(0L).cast(
+        typeOf(layout.seqCol, org.apache.spark.sql.types.LongType)))
+      .withColumn(layout.deleteCol, lit(delete).cast(
+        typeOf(layout.deleteCol, org.apache.spark.sql.types.BooleanType)))
+    val feed = changelog || fs.exists(
+      new org.apache.hadoop.fs.Path(s"$targetDir/changelog"))
+    if (feed)
+      require(!batch.columns.contains("op"),
+        s"$who: the changelog emits an 'op' column — rename the write's " +
+          "own 'op' column")
+    withMeta.coalesce(filesPerBatch)
+      .write.mode("overwrite").parquet(s"$targetDir/rows/batch=$nextId")
+    if (feed)
+      deriveChangelog(spark, targetDir, layout, withMeta, nextId,
+        changelogKeyPushdown, filesPerBatch, who)
+    commitIndexVersion(spark, targetDir, checkpoint = "", nextId,
+      retainVersions, withManifest = false)
+    nextId
   }
 
   /** The shared `compactMaxTail` contract of the six maintained sinks:
@@ -1561,6 +1703,7 @@ object Streams extends org.apache.spark.internal.Logging {
       // this target unchanged.
       fs.create(new org.apache.hadoop.fs.Path(
         s"$targetDir/v=$batchId/_SUCCESS"), true).close()
+      bumpCommitEpoch(spark, targetDir)
       writeFreshness(spark, targetDir, checkpoint, batchId)
       snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
         .foreach(v => fs.delete(
@@ -2719,6 +2862,36 @@ object Streams extends org.apache.spark.internal.Logging {
     if (fs.exists(marker)) fs.delete(marker, false)
   }
 
+  // ---- commit epochs --------------------------------------------------
+  // One counter per target path, bumped on every version commit THIS
+  // session performs (sinks and external writes alike). The graft
+  // DataSource's per-planning version pin is memoized against it: all
+  // scans of one planning serve one version (no torn reads), while the
+  // next planning after a local commit re-pins to the fresh version —
+  // a long-lived SQL view over a live table never goes permanently
+  // stale. Foreign-session commits don't bump it, so an already-pinned
+  // read can never shift mid-flight under them either.
+  private val commitEpochs =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def epochKey(spark: org.apache.spark.sql.SparkSession,
+                       targetDir: String): String =
+    new org.apache.hadoop.fs.Path(targetDir).toString
+
+  /** The session-local commit epoch of a maintained target — changes
+    * exactly when a version commit lands from THIS JVM. */
+  def commitEpochOf(spark: org.apache.spark.sql.SparkSession,
+                    targetDir: String): Long = {
+    val a = commitEpochs.get(epochKey(spark, targetDir))
+    if (a == null) 0L else a.get()
+  }
+
+  private def bumpCommitEpoch(spark: org.apache.spark.sql.SparkSession,
+                              targetDir: String): Unit =
+    commitEpochs.computeIfAbsent(epochKey(spark, targetDir),
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+
   private def commitIndexVersion(spark: org.apache.spark.sql.SparkSession,
                                  targetDir: String, checkpoint: String,
                                  batchId: Long, retainVersions: Int,
@@ -2748,6 +2921,7 @@ object Streams extends org.apache.spark.internal.Logging {
     }
     fs.create(new org.apache.hadoop.fs.Path(
       s"$targetDir/v=$batchId/_SUCCESS"), true).close()
+    bumpCommitEpoch(spark, targetDir)
     writeFreshness(spark, targetDir, checkpoint, batchId)
     snapshotVersions(spark, targetDir).sorted.dropRight(retainVersions)
       .foreach(v => fs.delete(

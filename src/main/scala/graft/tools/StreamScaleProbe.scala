@@ -417,7 +417,10 @@ object StreamScaleProbe {
         spark.readStream.schema("uid long, payload string")
           .option("maxFilesPerTrigger", 1).parquet(base),
         tgt, ck, Seq("uid"), fpCols = Seq("uid"),
-        compactEvery = 1, compactFiles = 4)
+        // this leg measures the PURE geometric schedule — opt out of
+        // the round-13 derived cap (compactMaxTail defaults to
+        // 8 × compactEvery; Bm25LifecycleProbe measures capped-vs-not)
+        compactEvery = 1, compactFiles = 4, compactMaxTail = 0)
       val t1 = System.nanoTime()
       try q.processAllAvailable() finally q.stop()
       val ingestS = (System.nanoTime() - t1) / 1e9

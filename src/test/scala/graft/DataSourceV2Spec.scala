@@ -241,6 +241,91 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(exSnap.getMessage.contains("merge tables only"))
   }
 
+  test("format(\"graft\") write face: SQL INSERT and df.write apply one " +
+      "version each (upsert/delete, feed keeps emitting, compaction " +
+      "folds); snapshots, feeds, overwrite, and live-sink targets refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val tgt = tmp("graft-dsv2-write")
+    // CREATE on first write (feed on from the start), then mutate via
+    // SQL and the writer API only — no streaming sink anywhere
+    val v0 = graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((1L, "a1", 10.0), (2L, "b1", 20.0)).toDF("k", "v", "x"),
+      createKeys = Seq("k"), changelog = true)
+    assert(v0 == 0L)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW w_sql " +
+      s"USING graft OPTIONS (path '$tgt')")
+    // SQL INSERT: an upsert of k=1 and a fresh k=3, one version
+    spark.sql("INSERT INTO w_sql VALUES (1, 'a2', 11.0), (3, 'c1', 30.0)")
+    def served: Seq[(Long, String, Double)] =
+      graft.streaming.Streams.latestTable(spark, tgt).get
+        .select("k", "v", "x").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+    assert(served == Seq((1L, "a2", 11.0), (2L, "b1", 20.0),
+      (3L, "c1", 30.0)), s"SQL insert not applied: $served")
+    // the format read face serves the same rows (same provider, both
+    // directions), and the view sees its own insert
+    assert(spark.sql("SELECT count(*) FROM w_sql").head.getLong(0) == 3L)
+    // the feed kept emitting: the upsert derived a retraction of a1
+    val feed = graft.streaming.Streams.changelogOf(spark, tgt)
+    assert(!feed.filter(col("op") === -1 && col("v") === "a1").isEmpty,
+      "external write did not derive the retraction")
+    // writer API: tombstone k=2 (values ignored), one more version
+    Seq((2L, "", 0.0)).toDF("k", "v", "x")
+      .write.format("graft").option("delete", true).mode("append").save(tgt)
+    assert(served == Seq((1L, "a2", 11.0), (3L, "c1", 30.0)))
+    assert(!graft.streaming.Streams.changelogOf(spark, tgt)
+      .filter(col("op") === -1 && col("v") === "b1").isEmpty,
+      "tombstone write did not derive the retraction")
+    // compaction folds external layers exactly like sink layers
+    val folded = graft.streaming.Streams.maintainArtifact(spark, tgt,
+      targetFiles = 1, minBatches = 1)
+    assert(folded.exists(r => r._1 == "rows" && r._2.isDefined))
+    assert(served == Seq((1L, "a2", 11.0), (3L, "c1", 30.0)),
+      "compaction changed the served table")
+    // in-batch duplicate keys refuse (one write is one version)
+    val exDup = intercept[Exception](spark.sql(
+      "INSERT INTO w_sql VALUES (5, 'x', 1.0), (5, 'y', 2.0)"))
+    assert(exDup.getMessage.contains("duplicate keys"))
+    // overwrite refuses loudly
+    val exOw = intercept[Exception](
+      Seq((9L, "z", 9.0)).toDF("k", "v", "x")
+        .write.format("graft").mode("overwrite").save(tgt))
+    assert(exOw.getMessage.contains("overwrite") ||
+      exOw.getMessage.contains("truncate"), exOw.getMessage)
+    // a snapshot target refuses writes
+    val snapTgt = tmp("graft-dsv2-wsnap")
+    val snapIn = MemoryStream[(String, Double)]
+    val sq = graft.streaming.Streams.aggSnapshotSinkAppendOnly(
+      snapIn.toDF().toDF("k", "v"), snapTgt, tmp("graft-dsv2-wsnapck"),
+      Seq("k"), Seq("v"))
+    try { snapIn.addData(("a", 1.0)); sq.processAllAvailable() }
+    finally sq.stop()
+    // a schema-matching write (round-tripping the snapshot's own row)
+    // reaches the provider's refusal rather than schema validation
+    val exSnap = intercept[Exception](
+      spark.read.format("graft").load(snapTgt).limit(1)
+        .write.format("graft").mode("append").save(snapTgt))
+    assert(exSnap.getMessage.contains("derived state"), exSnap.getMessage)
+    // a LIVE sink's target refuses external writes (batch numbering)
+    val liveTgt = tmp("graft-dsv2-wlive")
+    val liveIn = MemoryStream[(Long, String, Long, Boolean)]
+    val lq = graft.streaming.Streams.mergeSink(
+      liveIn.toDF().toDF("k", "v", "seq", "del"), liveTgt,
+      tmp("graft-dsv2-wliveck"), Seq("k"), "seq", "del")
+    try {
+      liveIn.addData((1L, "a", 1L, false)); lq.processAllAvailable()
+      val exLive = intercept[Exception](
+        Seq((2L, "b")).toDF("k", "v")
+          .write.format("graft").mode("append").save(liveTgt))
+      assert(exLive.getMessage.contains("_query"), exLive.getMessage)
+    } finally lq.stop()
+  }
+
   test("format(\"graft\") reads are version-pinned at planning: a commit " +
       "between plan and execution cannot shift the read") {
     import spark.implicits._
@@ -261,29 +346,46 @@ class DataSourceV2Spec extends AnyFunSuite {
     try {
       in.addData((1L, "a1", 1L, false)); q.processAllAvailable()
       in.addData((2L, "b1", 1L, false)); q.processAllAvailable()
-      // PLAN the read now (load() resolves the provider and pins the
-      // committed version), then let the live sink commit another batch
-      // BEFORE the first action
-      val planned = spark.read.format("graft").load(tgt)
-      val expectAtPlan = canon(
-        graft.streaming.Streams.latestTable(spark, tgt).get)
-      in.addData((1L, "a2", 2L, false), (3L, "c1", 1L, false))
-      q.processAllAvailable()
-      // the planned read serves the version it was planned against —
-      // and keeps serving it on a SECOND action (no re-resolution drift)
-      assert(canon(planned) == expectAtPlan,
-        "planned read shifted to a version committed after planning")
-      assert(planned.count() == expectAtPlan.size.toLong)
-      // a self-join of the planned read resolves ONE version on both
-      // sides: every joined row pairs identical v values
-      val joined = planned.as("l").join(planned.as("r"), "k")
-        .filter(col("l.v") =!= col("r.v"))
-      assert(joined.isEmpty, "self-join saw two versions of one table")
-      // a FRESH read picks up the new commit; explicit asOf unchanged
-      assert(canon(spark.read.format("graft").load(tgt)) ==
-        canon(graft.streaming.Streams.latestTable(spark, tgt).get))
-      assert(canon(spark.read.format("graft").option("asOf", 1L).load(tgt)) ==
-        expectAtPlan, "asOf=1 must equal the state at planning time")
     } finally q.stop()
+    // PLAN the read (load() resolves the provider and pins the
+    // committed version), then land a FOREIGN commit — another
+    // session's sink, simulated at the filesystem level so this
+    // session's commit epoch never moves
+    val planned = spark.read.format("graft").load(tgt)
+    val expectAtPlan = canon(
+      graft.streaming.Streams.latestTable(spark, tgt).get)
+    Seq((1L, "a2", 2L, false), (3L, "c1", 1L, false))
+      .toDF("k", "v", "seq", "del")
+      .write.parquet(s"$tgt/rows/batch=2")
+    assert(new java.io.File(s"$tgt/v=2").mkdirs())
+    assert(new java.io.File(s"$tgt/v=2/_SUCCESS").createNewFile())
+    // the planned read keeps serving its pinned version — on the first
+    // action AND on a second one (no per-action re-resolution drift
+    // under foreign commits)
+    assert(canon(planned) == expectAtPlan,
+      "planned read shifted to a version committed after planning")
+    assert(planned.count() == expectAtPlan.size.toLong)
+    // a self-join of the planned read resolves ONE version on both
+    // sides — one pin per planning, never blended
+    assert(planned.as("l").join(planned.as("r"), "k")
+      .filter(col("l.v") =!= col("r.v")).isEmpty,
+      "self-join saw two versions of one table")
+    // a FRESH load re-resolves and serves the foreign commit; explicit
+    // asOf still time-travels
+    assert(canon(spark.read.format("graft").load(tgt)) ==
+      canon(graft.streaming.Streams.latestTable(spark, tgt).get))
+    assert(spark.read.format("graft").load(tgt).count() == 3L)
+    assert(canon(spark.read.format("graft").option("asOf", 1L).load(tgt)) ==
+      expectAtPlan, "asOf=1 must equal the state at planning time")
+    // a LOCAL commit (this session's writer) moves the epoch: the SAME
+    // handle serves the fresh version at its next planning — a SQL
+    // view over a live table never freezes at creation. (Deleting
+    // _query is the documented adoption step for external writes to a
+    // retired sink target.)
+    assert(new java.io.File(s"$tgt/_query").delete())
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((4L, "d1")).toDF("k", "v"))
+    assert(planned.count() == 4L,
+      "local commit must re-pin the handle's next planning")
   }
 }

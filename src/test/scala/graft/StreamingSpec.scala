@@ -3527,6 +3527,50 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       Streams.forget(spark, "nope", Seq(7L), Seq(morTgt)))
   }
 
+  test("explainAcceleration covers registered merge tables: version, " +
+      "freshness, lifecycle counts, and key pushdown per scan") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val tgt = tmp("graft-accel-mor")
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.mergeSink(in.toDF().toDF("k", "v", "seq", "del"), tgt,
+      tmp("graft-accel-morck"), Seq("k"), "seq", "del")
+    try {
+      in.addData((1L, "a1", 1L, false)); q.processAllAvailable()
+      in.addData((2L, "b1", 1L, false)); q.processAllAvailable()
+      graft.plans.Acceleration.registerTarget(tgt)
+      // fold one generation so the lifecycle counts are non-trivial
+      assert(Streams.compactTable(spark, tgt, targetFiles = 1,
+        minBatches = 1).isDefined)
+      // a key-filtered format read: the report must show the pushed
+      // predicate on this scan
+      val keyed = spark.read.format("graft").load(tgt)
+        .filter(col("k") === 1L)
+      assert(keyed.count() == 1)
+      val report = graft.plans.Acceleration.explainAcceleration(keyed)
+      assert(report.contains(s"target(merge-table: $tgt)"), report)
+      assert(report.contains("version=1"), report)
+      assert(report.contains("generations=1"), report)
+      assert(report.contains("freshness: version=1"), report)
+      assert(report.contains("pushed") && report.contains("k"),
+        s"key pushdown not reported:\n$report")
+      // a plan that reads the target through the Scala API (raw layer
+      // scans) still reports the target's state, without a scan verdict
+      val api = Streams.latestTable(spark, tgt).get
+      val apiReport = graft.plans.Acceleration.explainAcceleration(api)
+      assert(apiReport.contains("not read via format"), apiReport)
+      // an unfiltered format read reports the full resolution
+      val full = spark.read.format("graft").load(tgt)
+      assert(full.count() == 2)
+      assert(graft.plans.Acceleration.explainAcceleration(full)
+        .contains("no key-only predicate pushed"))
+    } finally {
+      graft.plans.Acceleration.unregisterTarget(tgt)
+      q.stop()
+    }
+  }
+
   test("forget: the raw-corpus leg runs FIRST off the SkipRewrite " +
       "registration, and a fresh-composition read after the call cannot " +
       "resurrect the forgotten doc from the un-indexed tail") {
