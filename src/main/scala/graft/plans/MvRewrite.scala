@@ -414,6 +414,20 @@ object MvRewrite {
             "needs aggSnapshotSinkAppendOnly's file accounting"))
       def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
       val baseFiles = s.read.parquet(basePath).inputFiles.map(norm)
+      // mutation guard: a covered file missing from the live listing
+      // means the base was REWRITTEN under the manifest (targetedDelete
+      // / offline compaction) — the snapshot still carries the vanished
+      // file's surviving rows AND its rewrite outputs would compose as
+      // tail, double-counting them. Throwing here surfaces as a
+      // recorded bail (degraded to the always-current direct scan,
+      // never a wrong dashboard); forget() repairs manifests for its
+      // corpus leg.
+      val vanished = covered.map(norm).diff(baseFiles.toSet)
+      if (vanished.nonEmpty) throw new IllegalStateException(
+        s"MvRewrite: ${vanished.size} file(s) covered by $snapPath no " +
+          s"longer exist under $basePath (base rewritten under the " +
+          "manifest) — fresh composition would double-count the " +
+          "rewritten files' surviving rows; re-run the sink or rebuild")
       val tailFiles = baseFiles.filterNot(covered.contains).sorted
       if (tailFiles.isEmpty) None
       else {

@@ -1797,9 +1797,11 @@ object Streams extends org.apache.spark.internal.Logging {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
     val (version, covered) = resolveFreshCoverage(spark, targetDir,
       Seq("postings", "df"), pin, "Streams.bm25SearchFresh")
-    val tailFiles = pin.map(_.map(norm))
+    val liveOrPin = pin.map(_.map(norm))
       .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
-      .filterNot(covered).toIndexedSeq
+    if (pin.isEmpty) requireCoverageLive(covered.map(norm), liveOrPin.toSet,
+      targetDir, "Streams.bm25SearchFresh")
+    val tailFiles = liveOrPin.filterNot(covered).toIndexedSeq
     val (q, terms) = graft.ops.TextAnalysis.bm25QueryTerms(queries, maxTerms,
       "Streams.bm25SearchFresh")
     val basePostings = maintainedBatchRows(spark, targetDir, "postings", version)
@@ -1952,9 +1954,11 @@ object Streams extends org.apache.spark.internal.Logging {
     val base = baseFiles.map(fs => spark.read.parquet(fs: _*))
       .getOrElse(spark.read.parquet(baseDir))
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val tailFiles = baseFiles
+    val liveOrPin = baseFiles
       .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
-      .filterNot(covered).toSeq
+    if (pin.isEmpty) requireCoverageLive(covered.map(norm), liveOrPin.toSet,
+      targetDir, "Streams.ivfPqSearchFresh")
+    val tailFiles = liveOrPin.filterNot(covered).toSeq
     val withTail =
       if (tailFiles.isEmpty) indexed
       else indexed.unionByName(graft.ops.Similarity.ivfPqEncode(
@@ -2083,9 +2087,11 @@ object Streams extends org.apache.spark.internal.Logging {
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
     val (version, covered) = resolveFreshCoverage(spark, targetDir,
       Seq("index"), pin, "Streams.nearDupsFresh")
-    val tailFiles = pin.map(_.map(norm))
+    val liveOrPin = pin.map(_.map(norm))
       .getOrElse(spark.read.parquet(baseDir).inputFiles.map(norm).toSeq)
-      .filterNot(covered).toIndexedSeq
+    if (pin.isEmpty) requireCoverageLive(covered.map(norm), liveOrPin.toSet,
+      targetDir, "Streams.nearDupsFresh")
+    val tailFiles = liveOrPin.filterNot(covered).toIndexedSeq
     val indexed = maintainedBatchRows(spark, targetDir, "index", version)
       .select(idCol, "sig", "shset")
     val index =
@@ -2565,16 +2571,70 @@ object Streams extends org.apache.spark.internal.Logging {
     // DEPENDENCY ORDER: corpus legs first (stable within each group) —
     // a fresh-composition read between legs must never re-derive a
     // forgotten row from the un-indexed base tail
-    kinds.sortBy(k => if (k._2 == "corpus") 0 else 1).map { case (t, kind) =>
-      val n = kind match {
-        case "corpus" => corpusForgetLeg(spark, t, keyCol, values, maxValues)
-        case "merge-table" => tableDelete(spark, t, keyCol, values, maxValues)
-        case "agg-snapshot" => snapshotDelete(spark, t, keyCol, values, maxValues)
-        case "bm25-index" => bm25IndexDelete(spark, t, values, maxValues)
-        case "ann-index" => annIndexDelete(spark, t, longIds, maxValues)
-        case "lsh-index" => lshIndexDelete(spark, t, keyCol, longIds, maxValues)
+    val mutations =
+      scala.collection.mutable.ArrayBuffer[(Set[String], Set[String])]()
+    val reports = kinds.sortBy(k => if (k._2 == "corpus") 0 else 1)
+      .map { case (t, kind) =>
+        val n = kind match {
+          case "corpus" =>
+            val (n0, vanished, added) =
+              corpusForgetLeg(spark, t, keyCol, values, maxValues)
+            if (vanished.nonEmpty) mutations += ((vanished, added))
+            n0
+          case "merge-table" => tableDelete(spark, t, keyCol, values, maxValues)
+          case "agg-snapshot" => snapshotDelete(spark, t, keyCol, values, maxValues)
+          case "bm25-index" => bm25IndexDelete(spark, t, values, maxValues)
+          case "ann-index" => annIndexDelete(spark, t, longIds, maxValues)
+          case "lsh-index" => lshIndexDelete(spark, t, keyCol, longIds, maxValues)
+        }
+        ForgetReport(t, kind, n)
       }
-      ForgetReport(t, kind, n)
+    // MANIFEST REPAIR: the corpus rewrite replaced affected files with
+    // survivor-only outputs, but every derived artifact's coverage
+    // manifest still names the vanished files — fresh composition
+    // would treat the rewrite outputs as un-indexed tail and
+    // DOUBLE-COUNT their surviving rows (the forgotten docs are gone
+    // from both sides; survivors are the hazard). Swap vanished files
+    // for the rewrite outputs in each retained version that covered
+    // ALL affected files (the outputs merge survivors of every
+    // affected file, so attribution is exact there); partial coverage
+    // is left for the readers' mutation guard to refuse loudly.
+    for ((vanished, added) <- mutations; (t, kind) <- kinds
+         if kind != "corpus")
+      repairManifestsAfterRewrite(spark, t, vanished, added)
+    reports
+  }
+
+  /** [[forget]]'s post-corpus-leg manifest repair — see the call site
+    * for the soundness argument. Only versions whose manifest names
+    * EVERY vanished file are rewritten. */
+  private def repairManifestsAfterRewrite(
+      spark: org.apache.spark.sql.SparkSession, targetDir: String,
+      vanished: Set[String], added: Set[String]): Unit = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotVersions(spark, targetDir).foreach { v =>
+      snapshotManifest(spark, s"$targetDir/v=$v").foreach { m =>
+        val mn = m.map(norm)
+        val hit = mn.intersect(vanished)
+        if (hit.nonEmpty) {
+          if (hit == vanished) {
+            val updated = ((mn -- vanished) ++ added).toSeq.sorted
+            val out = fs.create(new org.apache.hadoop.fs.Path(
+              s"$targetDir/v=$v/$ManifestFile"), true)
+            try out.write(updated.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          } else
+            logWarning(s"Streams.forget: $targetDir v=$v covered only " +
+              s"${hit.size} of ${vanished.size} rewritten corpus files — " +
+              "the merged rewrite outputs cannot be attributed to it " +
+              "exactly, so its manifest is left as-is; fresh reads " +
+              "resolving it will refuse (mutation guard) until the sink " +
+              "re-covers the base")
+        }
+      }
     }
   }
 
@@ -2585,10 +2645,13 @@ object Streams extends org.apache.spark.internal.Logging {
     * those. A persisted registration's on-disk index is overwritten
     * with the refreshed rows (decoupled from its own path first), so
     * registered pruning keeps answering exactly after the rewrite.
-    * Returns the number of corpus files rewritten. */
+    * Returns (files rewritten, vanished file set, rewrite-output file
+    * set) — the mutation record [[repairManifestsAfterRewrite]] swaps
+    * into the derived artifacts' coverage manifests. */
   private def corpusForgetLeg(spark: org.apache.spark.sql.SparkSession,
                               corpusDir: String, keyCol: String,
-                              values: Seq[Any], maxValues: Int): Int = {
+                              values: Seq[Any], maxValues: Int)
+      : (Int, Set[String], Set[String]) = {
     val entry = graft.plans.SkipRewrite.registrationOf(corpusDir).getOrElse(
       throw new IllegalStateException(
         s"Streams.forget: the SkipRewrite registration for $corpusDir " +
@@ -2601,8 +2664,26 @@ object Streams extends org.apache.spark.internal.Logging {
       .toSeq
     val affected = graft.ops.Layout.filesForEqualities(idx,
       Seq((keyCol, values)), "Streams.forget")._2.length
+    // pre/post recursive listings bracket the rewrite: vanished =
+    // affected files targetedDelete dropped, added = their
+    // survivor-only replacements (single-writer contract — nothing
+    // else mutates the corpus mid-call)
+    def listParquet(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = scala.collection.mutable.Set[String]()
+      val it = tfs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString
+      }
+      out.toSet
+    }
+    val pre = listParquet(corpusDir)
     val refreshed = graft.ops.Layout.targetedDelete(spark, corpusDir, idx,
       keyCol, values, statCols, maxValues)
+    val post = listParquet(corpusDir)
     entry.persistedPath match {
       case Some(indexPath) =>
         // decouple from the path being overwritten (the refreshed frame
@@ -2619,7 +2700,7 @@ object Streams extends org.apache.spark.internal.Logging {
           "Layout.statsIndexUpdate before using the explicit readPruned* " +
           "APIs against them)")
     }
-    affected
+    (affected, pre.diff(post), post.diff(pre))
   }
 
   /** The shared scrub behind [[lshIndexDelete]] and [[snapshotDelete]]:
@@ -3739,6 +3820,33 @@ object Streams extends org.apache.spark.internal.Logging {
     * (non-file or multi-source ingestion — fresh composition would be
     * a guess; use the maintained search and gate on
     * [[freshnessLagOf]] instead). */
+  /** Fresh-composition mutation guard shared by the `*Fresh` readers'
+    * latest-version path: every file the manifest covers must still
+    * EXIST in the live base listing. A covered file that vanished
+    * means the base was REWRITTEN under the manifest
+    * ([[graft.ops.Layout.targetedDelete]] / offline compaction): the
+    * vanished file's SURVIVING rows sit both in the index (covered)
+    * and in its rewrite-output files (un-covered tail), so composing
+    * would double-count them — doubled BM25 df/tf, duplicate ANN/LSH
+    * candidates, doubled MV contributions. [[forget]] repairs
+    * manifests after its corpus leg (vanished files swapped for their
+    * rewrite outputs where attribution is exact); any other mutation
+    * needs a sink re-run or rebuild before fresh serving. The pin path
+    * needs no guard: [[versionAtPin]] only accepts versions whose
+    * coverage is contained in the pin. */
+  private def requireCoverageLive(covered: Set[String], live: Set[String],
+                                  targetDir: String, caller: String): Unit = {
+    val vanished = covered.diff(live)
+    require(vanished.isEmpty,
+      s"$caller: ${vanished.size} file(s) covered by $targetDir's " +
+        "coverage manifest no longer exist in the base (e.g. " +
+        s"${vanished.take(3).mkString(", ")}) — the base was rewritten " +
+        "under the manifest (targetedDelete/compaction), and fresh " +
+        "composition would double-count the rewritten files' surviving " +
+        "rows; forget() repairs manifests for its corpus leg — otherwise " +
+        "re-ingest or rebuild the artifact (versioned reads stay exact)")
+  }
+
   private def resolveFreshCoverage(spark: org.apache.spark.sql.SparkSession,
                                    targetDir: String, subdirs: Seq[String],
                                    pin: Option[Seq[String]], caller: String)

@@ -3527,6 +3527,61 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       Streams.forget(spark, "nope", Seq(7L), Seq(morTgt)))
   }
 
+  test("forget repairs coverage manifests after the corpus rewrite: fresh " +
+      "retrieval equals the one-shot pass bit-for-bit (no survivor " +
+      "double-count); an unrepaired rewrite refuses loudly") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val work = tmp("graft-forget-manifests")
+    val corpus = s"$work/docs"
+    // every doc carries the shared term: a survivor double-count would
+    // shift its df/tf/n_docs and break the bit-for-bit compare below
+    (1L to 30L).map(i => (i, s"common w$i body$i"))
+      .toDF("doc_id", "text")
+      .repartitionByRange(3, $"doc_id").write.parquet(corpus)
+    graft.ops.Layout.statsIndexFingerprint(spark, corpus,
+        Seq("doc_id"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/idx")
+    graft.plans.SkipRewrite.register(spark, corpus, s"$work/idx")
+    try {
+      val bmTgt = s"$work/bm25"
+      val bq = Streams.bm25IndexSink(
+        spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", 1).parquet(corpus),
+        bmTgt, s"$work/bmck", "doc_id", "text")
+      try bq.processAllAvailable() finally bq.stop()
+      val queries = Seq((1, "common"), (2, "w9")).toDF("query_id", "term")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+      val reports = Streams.forget(spark, "doc_id", Seq(7L),
+        Seq(bmTgt, corpus))
+      assert(reports.map(_.kind) == Seq("corpus", "bm25-index"), reports)
+      // THE repair assertion: the rewrite outputs were swapped into the
+      // bm25 manifest, so fresh composition has NO tail to re-tokenize
+      // and the whole ranking equals the one-shot pass over the
+      // post-delete corpus exactly — without the repair the rewritten
+      // file's 9 surviving docs would tokenize twice (doubled df/tf,
+      // inflated n_docs) and the shared-term scores would diverge
+      val fresh = canon(Streams.bm25SearchFresh(spark, bmTgt, corpus,
+        queries, 5))
+      assert(fresh == canon(graft.ops.TextAnalysis.bm25BatchTopK(
+        spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
+        "fresh retrieval diverged from the one-shot pass after forget")
+      assert(fresh.nonEmpty)
+      // an UNREPAIRED rewrite (raw targetedDelete, no forget) trips the
+      // mutation guard instead of silently double-counting
+      graft.ops.Layout.targetedDelete(spark, corpus,
+        spark.read.parquet(s"$work/idx"), "doc_id", Seq(9L), Seq("doc_id"))
+      val ex = intercept[IllegalArgumentException](
+        Streams.bm25SearchFresh(spark, bmTgt, corpus, queries, 5))
+      assert(ex.getMessage.contains("rewritten under the manifest"),
+        ex.getMessage)
+      // the versioned (non-fresh) read stays exact and available
+      assert(Streams.bm25SearchMaintained(spark, bmTgt, queries, 5)
+        .count() > 0)
+    } finally graft.plans.SkipRewrite.unregister(corpus)
+  }
+
   test("explainAcceleration covers registered merge tables: version, " +
       "freshness, lifecycle counts, and key pushdown per scan") {
     assume(!rocksdb)
