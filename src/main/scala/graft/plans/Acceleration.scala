@@ -177,7 +177,26 @@ object Acceleration {
 
     // ---- maintained targets: version, freshness, lifecycle, pushdown --
     import scala.jdk.CollectionConverters._
-    val tgtLines = targets.asScala.toSeq.sorted match {
+    // AUTO-DISCOVERY: graft-format scans in THIS plan name their target
+    // on the scan itself — report them even when nobody registered the
+    // path (an operator pasting a slow dashboard query should not need
+    // to know the registration step first)
+    def scanGraftOf(s: org.apache.spark.sql.connector.read.Scan)
+        : Option[graft.sources.v2.GraftScan] = s match {
+      case g: graft.sources.v2.GraftScan => Some(g)
+      case w: org.apache.spark.sql.execution.datasources.v2
+          .V1ScanWrapper => w.v1Scan match {
+        case g: graft.sources.v2.GraftScan => Some(g)
+        case _ => None
+      }
+      case _ => None
+    }
+    val discovered = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => scanGraftOf(r.scan).map(_.ref.path)
+    }.flatten.distinct
+    val tgtLines = (targets.asScala.toSeq ++ discovered)
+      .distinct.sorted match {
       case Seq() => Seq.empty[String]
       case ts => ts.map { t =>
         try {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
                                  readSchema: StructType,
                                  hadoopConf: Configuration)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   import GraftChangelogStream._
 
   require(ref.changelog,
@@ -67,6 +67,28 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
     val committed = graft.streaming.Streams
       .snapshotVersionsOf(spark, ref.path)
     VersionOffset(committed.lastOption.getOrElse(ref.sinceVersion))
+  }
+
+  // ---- admission control (maxVersionsPerTrigger) ----------------------
+  // A consumer catching up on a long-lived feed must not receive 10⁵
+  // committed versions as one microbatch: the option caps each
+  // trigger's offset advance, so checkpoint commits land every few
+  // versions and a mid-catch-up crash replays a bounded range. Pacing
+  // is version-granular by design (a version is the sink's atomic
+  // unit), so the engine's own ReadLimit hints are left at
+  // all-available and the cap applies on top.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = latestOffset().asInstanceOf[VersionOffset].version
+    val s = start.asInstanceOf[VersionOffset].version
+    val capped =
+      if (ref.maxVersionsPerTrigger > 0L)
+        math.min(end, s + ref.maxVersionsPerTrigger)
+      else end
+    VersionOffset(capped)
   }
 
   override def deserializeOffset(json: String): Offset =

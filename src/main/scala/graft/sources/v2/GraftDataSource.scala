@@ -91,7 +91,8 @@ object GraftDataSource {
                              changelog: Boolean = false,
                              sinceVersion: Long = -1L,
                              pinned: Option[Long] = None,
-                             pinnedEpoch: Long = 0L) {
+                             pinnedEpoch: Long = 0L,
+                             maxVersionsPerTrigger: Long = 0L) {
     /** The version every resolve of this ref serves. None only before
       * the first commit (resolve then refuses, as an unpinned read
       * would). */
@@ -112,6 +113,14 @@ object GraftDataSource {
       "graft source: sinceVersion is a CHANGE-FEED cut — it requires " +
         "changelog=true (silently serving the whole resolved state to an " +
         "incremental consumer would double-apply every row)")
+    val maxVersions = Option(options.get("maxVersionsPerTrigger"))
+      .map(_.toLong).getOrElse(0L)
+    require(maxVersions == 0L || changelog,
+      "graft source: maxVersionsPerTrigger paces the STREAMING change " +
+        "feed — it requires changelog=true")
+    require(maxVersions >= 0L,
+      "graft source: maxVersionsPerTrigger must be positive (0 = all " +
+        "available per trigger)")
     // pin the committed version ONCE, at ref (planning) time: None only
     // before the first commit, where resolve refuses anyway — a commit
     // racing the very first read can at worst make it succeed
@@ -120,7 +129,8 @@ object GraftDataSource {
       .snapshotVersionsOf(spark, path).lastOption)
     graft.streaming.Streams.mergeLayoutOf(spark, path) match {
       case Some(l) =>
-        TargetRef(path, asOf, l.keys, "merge", changelog, since, pin, epoch)
+        TargetRef(path, asOf, l.keys, "merge", changelog, since, pin, epoch,
+          maxVersions)
       case None => graft.streaming.Streams.aggLayoutOf(spark, path) match {
         case Some(l) =>
           require(!changelog, "graft source: the changelog option serves " +

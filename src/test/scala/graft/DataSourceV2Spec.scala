@@ -241,6 +241,50 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(exSnap.getMessage.contains("merge tables only"))
   }
 
+  test("readStream changelog maxVersionsPerTrigger paces catch-up: " +
+      "bounded offset advance per microbatch, final state unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val tgt = tmp("graft-dsv2-pace")
+    val in = MemoryStream[(Long, Double, Long, Boolean)]
+    val q = graft.streaming.Streams.mergeSink(
+      in.toDF().toDF("k", "x", "seq", "del"), tgt,
+      tmp("graft-dsv2-paceck"), Seq("k"), "seq", "del", changelog = true)
+    try {
+      (0 until 4).foreach { i =>
+        in.addData((i.toLong % 2, 10.0 + i, i.toLong, false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // a catching-up consumer: 4 committed versions, paced 1 per trigger
+    val c = spark.readStream.format("graft").option("changelog", true)
+      .option("maxVersionsPerTrigger", 1).load(tgt)
+      .groupBy("k").agg(sum(col("op") * col("x")).as("sx"))
+      .writeStream.format("memory").queryName("graft_paced")
+      .option("checkpointLocation", tmp("graft-dsv2-paceconsck"))
+      .outputMode(OutputMode.Complete()).start()
+    try c.processAllAvailable() finally c.stop()
+    // every data-bearing microbatch advanced by at most one version
+    val dataBatches = c.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 4,
+      s"pacing must split the catch-up into >= 4 microbatches, got " +
+        s"${dataBatches.length}")
+    val viaFeed = spark.table("graft_paced").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaTable = graft.streaming.Streams.latestTable(spark, tgt).get
+      .select("k", "x").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaFeed == viaTable,
+      s"paced consumption diverged: $viaFeed vs $viaTable")
+    // the option is a feed pacer: refuse without changelog
+    val ex = intercept[Exception](spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(tgt))
+    assert(ex.getMessage.contains("maxVersionsPerTrigger"))
+  }
+
   test("format(\"graft\") write face: SQL INSERT and df.write apply one " +
       "version each (upsert/delete, feed keeps emitting, compaction " +
       "folds); snapshots, feeds, overwrite, and live-sink targets refuse") {

@@ -3620,6 +3620,15 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(full.count() == 2)
       assert(graft.plans.Acceleration.explainAcceleration(full)
         .contains("no key-only predicate pushed"))
+      // AUTO-DISCOVERY: a graft-format scan names its target on the
+      // scan itself — the report covers it even without registration
+      graft.plans.Acceleration.unregisterTarget(tgt)
+      val undiscovered = spark.read.format("graft").load(tgt)
+        .filter(col("k") === 1L)
+      assert(undiscovered.count() == 1)
+      assert(graft.plans.Acceleration.explainAcceleration(undiscovered)
+        .contains(s"target(merge-table: $tgt)"),
+        "format scans must be discovered without registration")
     } finally {
       graft.plans.Acceleration.unregisterTarget(tgt)
       q.stop()
