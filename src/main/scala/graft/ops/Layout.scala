@@ -600,6 +600,113 @@ object Layout {
     }
   }
 
+  /** PATH-STABLE targeted deletion — [[targetedDelete]]'s semantics
+    * with every affected file rewritten AT ITS OWN PATH (staged
+    * sibling + two-rename swap), designed for corpora that maintained
+    * artifacts WATCH: no file ever vanishes or appears, so
+    *
+    *  - a resumed [[graft.streaming.Streams.skippingIndexSink]] /
+    *    `bm25IndexSink` / `lshIndexSink` / `ivfPqIndexSink` file
+    *    source sees nothing new and never RE-INGESTS the surviving
+    *    rows (the double-index hazard of the append-new rewrite —
+    *    FileStreamSource tracks processed PATHS);
+    *  - version coverage manifests stay valid verbatim (no vanished
+    *    entries, nothing to repair, the fresh readers' mutation guard
+    *    never trips);
+    *  - the fingerprint index stays SOUND untouched: the deleted
+    *    values' bits remain set, which can only produce false-positive
+    *    file probes, never a miss — refresh for tightness whenever
+    *    convenient, not for correctness.
+    *
+    * A file whose every row is doomed is rewritten to a zero-row
+    * parquet file (schema kept) rather than deleted — path stability
+    * is the contract. Per-file probe-then-rewrite: a fingerprint
+    * false positive costs one file scan, not a rewrite, so re-running
+    * after success returns 0. Crash safety: the original is set aside
+    * as a dot-file before the replacement renames in, and the
+    * self-heal pass at entry restores or clears leftovers — a torn
+    * run never leaves a path missing or doubled. Offline-maintenance
+    * contract like its sibling (a concurrent reader can catch the
+    * per-file swap window). Returns the rewritten file paths.
+    *
+    * [[targetedDelete]] (append-new) remains the right shape for a
+    * corpus nothing watches: one distributed job over all affected
+    * files instead of one per file. */
+  def targetedDeleteInPlace(spark: org.apache.spark.sql.SparkSession,
+                            path: String, index: DataFrame, column: String,
+                            values: Seq[Any],
+                            maxValues: Int = 1024): Seq[String] = {
+    require(values.nonEmpty, "Layout.targetedDeleteInPlace: no values")
+    require(values.length <= maxValues,
+      s"Layout.targetedDeleteInPlace: ${values.length} values exceeds " +
+        s"$maxValues — a deletion set that large is an anti-join rewrite, " +
+        "not an index op")
+    val pinned = index.localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // self-heal torn swaps from a crashed run: an aside with its
+    // target missing is restored (crash between the two renames); an
+    // aside beside a live target is a completed swap's leftover
+    val asideSuffix = ".graftold"
+    val it0 = fs.listFiles(p(path), true)
+    while (it0.hasNext) {
+      val st = it0.next()
+      val name = st.getPath.getName
+      if (name.startsWith(".") && name.endsWith(asideSuffix)) {
+        val orig = new org.apache.hadoop.fs.Path(st.getPath.getParent,
+          name.stripPrefix(".").stripSuffix(asideSuffix))
+        if (!fs.exists(orig)) {
+          if (!fs.rename(st.getPath, orig)) throw new IllegalStateException(
+            s"Layout.targetedDeleteInPlace: could not restore $orig from " +
+              "its crashed-swap aside — fix the filesystem state first")
+        } else fs.delete(st.getPath, false)
+      }
+    }
+    val affected = filesMaybeContaining(pinned, column, values,
+      "Layout.targetedDeleteInPlace")
+    val rewritten = scala.collection.mutable.ArrayBuffer[String]()
+    affected.foreach { f =>
+      val file = spark.read.parquet(f)
+      // probe-then-rewrite: fingerprint false positives cost a scan,
+      // not a rewrite — and make a re-run after success a true no-op
+      if (!file.filter(col(column).isin(values: _*)).isEmpty) {
+        val survivors = file.filter(col(column).isNull ||
+          !col(column).isin(values: _*))
+        val target = p(f)
+        val tmpDir = new org.apache.hadoop.fs.Path(target.getParent,
+          s".graftdel_tmp_${target.getName}")
+        fs.delete(tmpDir, true)
+        // a zero-survivor file still writes: one empty parquet part
+        // (schema kept) keeps the PATH alive — the whole contract
+        survivors.coalesce(1).write.mode("overwrite")
+          .parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir).map(_.getPath)
+          .find(q => q.getName.startsWith("part-") &&
+            q.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"Layout.targetedDeleteInPlace: staged rewrite of $f " +
+              "produced no part file"))
+        val aside = new org.apache.hadoop.fs.Path(target.getParent,
+          s".${target.getName}$asideSuffix")
+        if (!fs.rename(target, aside)) throw new IllegalStateException(
+          s"Layout.targetedDeleteInPlace: could not set $f aside — " +
+            "nothing mutated for this file; re-run to resume")
+        if (!fs.rename(part, target)) throw new IllegalStateException(
+          s"Layout.targetedDeleteInPlace: could not install the rewrite " +
+            s"at $f — the original is aside and the next run's self-heal " +
+            "restores it; re-run to resume")
+        fs.delete(aside, false)
+        fs.delete(tmpDir, true)
+        rewritten += f
+      }
+    }
+    // content changed under unchanged paths: the session's cached file
+    // statuses (size/modtime) are stale — same lesson as targetedDelete
+    if (rewritten.nonEmpty) spark.catalog.refreshByPath(path)
+    rewritten.toSeq
+  }
+
   /** Fingerprint build parameters declared in the index's own rows —
     * an index with fp columns but ZERO rows can't tell us its hash
     * space, so fail with the remedy instead of a bare

@@ -2432,19 +2432,21 @@ object Streams extends org.apache.spark.internal.Logging {
     * carries no artifact markers but has a
     * [[graft.plans.SkipRewrite]] registration (the engine's own
     * record of "this directory has a skipping index") classifies as
-    * `corpus` and runs [[graft.ops.Layout.targetedDelete]] — and
-    * corpus legs always run FIRST, whatever order `targets` lists
-    * them in, so a fresh-composition read after the call cannot
-    * re-derive the forgotten rows from the un-indexed base tail.
-    * The registered index must fingerprint `keyCol` (validated before
-    * any byte moves); a [[graft.plans.SkipRewrite.register]]ed
-    * on-disk index is overwritten with the refreshed rows targeted-
-    * delete returns, so registered pruning stays exact. A VERSIONED
-    * registration's maintained stats layers keep rows for the
-    * rewritten files — harmless to SkipRewrite's pruning (it
-    * intersects with the scan's live listing) but stale for the
-    * explicit `readPruned*` APIs until a [[graft.ops.Layout
-    * .statsIndexUpdate]] rebuild, which the call logs.
+    * `corpus` and runs [[graft.ops.Layout.targetedDeleteInPlace]] —
+    * PATH-STABLE, so every derived artifact's coverage manifest stays
+    * valid verbatim, the artifacts' file sources see nothing new when
+    * their sinks resume (no survivor re-ingest), and the fresh
+    * readers' mutation guard never trips. Corpus legs always run
+    * FIRST, whatever order `targets` lists them in, so a
+    * fresh-composition read after the call cannot re-derive the
+    * forgotten rows from the un-indexed base tail. The registered
+    * index must fingerprint `keyCol` (validated before any byte
+    * moves); a [[graft.plans.SkipRewrite.register]]ed on-disk index
+    * gets the rewritten files' rows re-derived in place (exact, not
+    * just sound); a VERSIONED registration's layers keep
+    * pre-rewrite stats, which remain SOUND (over-approximate pruning
+    * only — deleted values' fingerprint bits cost false-positive file
+    * probes, never a miss).
     *
     * `keyCol` names the subject key for the corpus/table/snapshot/LSH
     * legs; BM25 and ANN key by their own fixed id columns (`doc_id` /
@@ -2570,17 +2572,15 @@ object Streams extends org.apache.spark.internal.Logging {
     }
     // DEPENDENCY ORDER: corpus legs first (stable within each group) —
     // a fresh-composition read between legs must never re-derive a
-    // forgotten row from the un-indexed base tail
-    val mutations =
-      scala.collection.mutable.ArrayBuffer[(Set[String], Set[String])]()
-    val reports = kinds.sortBy(k => if (k._2 == "corpus") 0 else 1)
+    // forgotten row from the un-indexed base tail. The corpus rewrite
+    // is PATH-STABLE (targetedDeleteInPlace), so nothing downstream
+    // needs repairing: coverage manifests stay valid verbatim, the
+    // artifacts' file sources see nothing new on resume, and the fresh
+    // readers' mutation guard never trips.
+    kinds.sortBy(k => if (k._2 == "corpus") 0 else 1)
       .map { case (t, kind) =>
         val n = kind match {
-          case "corpus" =>
-            val (n0, vanished, added) =
-              corpusForgetLeg(spark, t, keyCol, values, maxValues)
-            if (vanished.nonEmpty) mutations += ((vanished, added))
-            n0
+          case "corpus" => corpusForgetLeg(spark, t, keyCol, values, maxValues)
           case "merge-table" => tableDelete(spark, t, keyCol, values, maxValues)
           case "agg-snapshot" => snapshotDelete(spark, t, keyCol, values, maxValues)
           case "bm25-index" => bm25IndexDelete(spark, t, values, maxValues)
@@ -2589,53 +2589,6 @@ object Streams extends org.apache.spark.internal.Logging {
         }
         ForgetReport(t, kind, n)
       }
-    // MANIFEST REPAIR: the corpus rewrite replaced affected files with
-    // survivor-only outputs, but every derived artifact's coverage
-    // manifest still names the vanished files — fresh composition
-    // would treat the rewrite outputs as un-indexed tail and
-    // DOUBLE-COUNT their surviving rows (the forgotten docs are gone
-    // from both sides; survivors are the hazard). Swap vanished files
-    // for the rewrite outputs in each retained version that covered
-    // ALL affected files (the outputs merge survivors of every
-    // affected file, so attribution is exact there); partial coverage
-    // is left for the readers' mutation guard to refuse loudly.
-    for ((vanished, added) <- mutations; (t, kind) <- kinds
-         if kind != "corpus")
-      repairManifestsAfterRewrite(spark, t, vanished, added)
-    reports
-  }
-
-  /** [[forget]]'s post-corpus-leg manifest repair — see the call site
-    * for the soundness argument. Only versions whose manifest names
-    * EVERY vanished file are rewritten. */
-  private def repairManifestsAfterRewrite(
-      spark: org.apache.spark.sql.SparkSession, targetDir: String,
-      vanished: Set[String], added: Set[String]): Unit = {
-    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
-    val fs = new org.apache.hadoop.fs.Path(targetDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snapshotVersions(spark, targetDir).foreach { v =>
-      snapshotManifest(spark, s"$targetDir/v=$v").foreach { m =>
-        val mn = m.map(norm)
-        val hit = mn.intersect(vanished)
-        if (hit.nonEmpty) {
-          if (hit == vanished) {
-            val updated = ((mn -- vanished) ++ added).toSeq.sorted
-            val out = fs.create(new org.apache.hadoop.fs.Path(
-              s"$targetDir/v=$v/$ManifestFile"), true)
-            try out.write(updated.mkString("\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-          } else
-            logWarning(s"Streams.forget: $targetDir v=$v covered only " +
-              s"${hit.size} of ${vanished.size} rewritten corpus files — " +
-              "the merged rewrite outputs cannot be attributed to it " +
-              "exactly, so its manifest is left as-is; fresh reads " +
-              "resolving it will refuse (mutation guard) until the sink " +
-              "re-covers the base")
-        }
-      }
-    }
   }
 
   /** [[forget]]'s corpus leg: [[graft.ops.Layout.targetedDelete]]
@@ -2645,13 +2598,10 @@ object Streams extends org.apache.spark.internal.Logging {
     * those. A persisted registration's on-disk index is overwritten
     * with the refreshed rows (decoupled from its own path first), so
     * registered pruning keeps answering exactly after the rewrite.
-    * Returns (files rewritten, vanished file set, rewrite-output file
-    * set) — the mutation record [[repairManifestsAfterRewrite]] swaps
-    * into the derived artifacts' coverage manifests. */
+    * Returns the number of corpus files rewritten. */
   private def corpusForgetLeg(spark: org.apache.spark.sql.SparkSession,
                               corpusDir: String, keyCol: String,
-                              values: Seq[Any], maxValues: Int)
-      : (Int, Set[String], Set[String]) = {
+                              values: Seq[Any], maxValues: Int): Int = {
     val entry = graft.plans.SkipRewrite.registrationOf(corpusDir).getOrElse(
       throw new IllegalStateException(
         s"Streams.forget: the SkipRewrite registration for $corpusDir " +
@@ -2659,48 +2609,44 @@ object Streams extends org.apache.spark.internal.Logging {
     val idx = entry.index().getOrElse(throw new IllegalStateException(
       s"Streams.forget: the skipping index for $corpusDir resolved to " +
         "no committed version mid-call — re-run forget"))
-    val statCols = idx.schema.fieldNames
-      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
-      .toSeq
-    val affected = graft.ops.Layout.filesForEqualities(idx,
-      Seq((keyCol, values)), "Streams.forget")._2.length
-    // pre/post recursive listings bracket the rewrite: vanished =
-    // affected files targetedDelete dropped, added = their
-    // survivor-only replacements (single-writer contract — nothing
-    // else mutates the corpus mid-call)
-    def listParquet(dir: String): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val tfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = scala.collection.mutable.Set[String]()
-      val it = tfs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          out += st.getPath.toString
-      }
-      out.toSet
-    }
-    val pre = listParquet(corpusDir)
-    val refreshed = graft.ops.Layout.targetedDelete(spark, corpusDir, idx,
-      keyCol, values, statCols, maxValues)
-    val post = listParquet(corpusDir)
-    entry.persistedPath match {
+    val pinned = idx.localCheckpoint(true)
+    val rewritten = graft.ops.Layout.targetedDeleteInPlace(spark, corpusDir,
+      pinned, keyCol, values, maxValues)
+    // the untouched index is already SOUND (stale fingerprints only
+    // over-approximate); for a PERSISTED registration we additionally
+    // restore exactness by re-deriving the rewritten files' rows under
+    // the index's own build parameters — registered pruning then
+    // answers exactly, not just safely. A versioned registration's
+    // layers are its sink's to refresh; stale rows there stay sound.
+    if (rewritten.nonEmpty) entry.persistedPath match {
       case Some(indexPath) =>
-        // decouple from the path being overwritten (the refreshed frame
-        // unions checkpointed rows with fresh-file stats — neither reads
-        // indexPath, but pin it to be structurally safe)
-        refreshed.localCheckpoint(true)
+        import org.apache.spark.sql.functions.col
+        def uriPath(s: String): String = new java.net.URI(s).getPath
+        val rewrittenPaths = rewritten.map(uriPath).toSet
+        val staleNames = pinned.select("file").collect().map(_.getString(0))
+          .filter(f => rewrittenPaths.contains(uriPath(f))).toSeq
+        val fields = pinned.schema.fieldNames
+        val fpCols = fields.collect { case n if n.startsWith("fp_") &&
+          n != "fp_bits" && n != "fp_k" => n.stripPrefix("fp_") }.toSeq
+        val statCols = fields
+          .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+          .toSeq
+        val fpRow = pinned.select("fp_bits", "fp_k").head
+        val freshRows = graft.ops.Layout.indexForFiles(spark, rewritten,
+          statCols, fpCols, fpRow.getInt(0), fpRow.getInt(1))
+        pinned.filter(!col("file").isin(staleNames: _*))
+          .unionByName(freshRows)
+          .localCheckpoint(true)
           .write.mode("overwrite").parquet(indexPath)
         spark.catalog.refreshByPath(indexPath)
       case None =>
-        logWarning(s"Streams.forget: $corpusDir has a VERSIONED skipping " +
-          "registration — its maintained stats layers keep rows for the " +
-          "files this delete rewrote (harmless to SkipRewrite pruning, " +
-          "which intersects with the live listing; run " +
-          "Layout.statsIndexUpdate before using the explicit readPruned* " +
-          "APIs against them)")
+        logInfo(s"Streams.forget: $corpusDir has a VERSIONED skipping " +
+          "registration — its layers keep pre-rewrite stats for the " +
+          s"${rewritten.length} rewritten file(s), which stay SOUND " +
+          "(over-approximate pruning only); the sink's own lifecycle " +
+          "tightens them")
     }
-    (affected, pre.diff(post), post.diff(pre))
+    rewritten.length
   }
 
   /** The shared scrub behind [[lshIndexDelete]] and [[snapshotDelete]]:
@@ -3828,12 +3774,13 @@ object Streams extends org.apache.spark.internal.Logging {
     * vanished file's SURVIVING rows sit both in the index (covered)
     * and in its rewrite-output files (un-covered tail), so composing
     * would double-count them — doubled BM25 df/tf, duplicate ANN/LSH
-    * candidates, doubled MV contributions. [[forget]] repairs
-    * manifests after its corpus leg (vanished files swapped for their
-    * rewrite outputs where attribution is exact); any other mutation
-    * needs a sink re-run or rebuild before fresh serving. The pin path
-    * needs no guard: [[versionAtPin]] only accepts versions whose
-    * coverage is contained in the pin. */
+    * candidates, doubled MV contributions. [[forget]]'s corpus leg is
+    * PATH-STABLE ([[graft.ops.Layout.targetedDeleteInPlace]]) exactly
+    * so this never fires under it; an append-new
+    * [[graft.ops.Layout.targetedDelete]] or offline compaction of a
+    * manifest-covered base needs a sink re-run or rebuild before
+    * fresh serving. The pin path needs no guard: [[versionAtPin]]
+    * only accepts versions whose coverage is contained in the pin. */
   private def requireCoverageLive(covered: Set[String], live: Set[String],
                                   targetDir: String, caller: String): Unit = {
     val vanished = covered.diff(live)
@@ -3841,10 +3788,11 @@ object Streams extends org.apache.spark.internal.Logging {
       s"$caller: ${vanished.size} file(s) covered by $targetDir's " +
         "coverage manifest no longer exist in the base (e.g. " +
         s"${vanished.take(3).mkString(", ")}) — the base was rewritten " +
-        "under the manifest (targetedDelete/compaction), and fresh " +
-        "composition would double-count the rewritten files' surviving " +
-        "rows; forget() repairs manifests for its corpus leg — otherwise " +
-        "re-ingest or rebuild the artifact (versioned reads stay exact)")
+        "under the manifest (append-new targetedDelete/compaction), and " +
+        "fresh composition would double-count the rewritten files' " +
+        "surviving rows; use forget / targetedDeleteInPlace (path-stable) " +
+        "for watched corpora, or rebuild the artifact (versioned reads " +
+        "stay exact)")
   }
 
   private def resolveFreshCoverage(spark: org.apache.spark.sql.SparkSession,

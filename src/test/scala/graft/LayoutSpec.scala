@@ -303,6 +303,50 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("targetedDeleteInPlace: every path survives byte-addressably, " +
+      "doomed rows gone, survivors intact; re-run is a 0-rewrite no-op; " +
+      "the untouched index stays sound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdip").toString
+    try {
+      spark.range(40000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(8, col("uid")).write.parquet(s"$dir/t")
+      val idx = Layout.statsIndexFingerprint(spark, s"$dir/t",
+        Seq("uid"), Seq("uid"))
+      idx.write.mode("overwrite").parquet(s"$dir/idx")
+      val doomed = spark.read.parquet(s"$dir/t")
+        .limit(3).select("uid").as[Long].collect().toSeq
+      val before = spark.read.parquet(s"$dir/t").inputFiles.toSet
+      val expectSurvivors = spark.read.parquet(s"$dir/t")
+        .filter(!col("uid").isin(doomed: _*)).count()
+      val n = Layout.targetedDeleteInPlace(spark, s"$dir/t",
+        spark.read.parquet(s"$dir/idx"), "uid", doomed).length
+      assert(n >= 1 && n <= 3, s"expected a targeted rewrite, got $n files")
+      // THE contract: the file listing is IDENTICAL — nothing vanished,
+      // nothing appeared (watching file sources see nothing new)
+      val after = spark.read.parquet(s"$dir/t")
+      assert(after.inputFiles.toSet == before,
+        "in-place rewrite changed the path set")
+      assert(after.count() == expectSurvivors)
+      assert(after.filter(col("uid").isin(doomed: _*)).count() == 0,
+        "deleted keys still present")
+      // the UNTOUCHED index stays sound: stale fingerprints only
+      // over-approximate, so a probe for a surviving key still finds it
+      val probe = spark.read.parquet(s"$dir/t").limit(1)
+        .select("uid").as[Long].head()
+      assert(Layout.readPrunedEquals(spark,
+        spark.read.parquet(s"$dir/idx"), Map("uid" -> probe))
+        .filter(col("uid") === probe).count() >= 1)
+      // re-run: fingerprints still flag the rewritten files (stale,
+      // sound) but the per-file probe finds no doomed rows — 0 rewrites
+      assert(Layout.targetedDeleteInPlace(spark, s"$dir/t",
+        spark.read.parquet(s"$dir/idx"), "uid", doomed).isEmpty,
+        "re-run must rewrite nothing")
+      assert(spark.read.parquet(s"$dir/t").count() == expectSurvivors)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join without any shuffle") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
       .select("l_orderkey", "l_quantity")

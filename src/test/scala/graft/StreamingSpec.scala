@@ -3527,9 +3527,9 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       Streams.forget(spark, "nope", Seq(7L), Seq(morTgt)))
   }
 
-  test("forget repairs coverage manifests after the corpus rewrite: fresh " +
+  test("forget's path-stable corpus leg keeps manifests valid: fresh " +
       "retrieval equals the one-shot pass bit-for-bit (no survivor " +
-      "double-count); an unrepaired rewrite refuses loudly") {
+      "double-count); an append-new rewrite outside forget refuses") {
     assume(!rocksdb)
     import spark.implicits._
     val work = tmp("graft-forget-manifests")
@@ -3556,20 +3556,21 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       val reports = Streams.forget(spark, "doc_id", Seq(7L),
         Seq(bmTgt, corpus))
       assert(reports.map(_.kind) == Seq("corpus", "bm25-index"), reports)
-      // THE repair assertion: the rewrite outputs were swapped into the
-      // bm25 manifest, so fresh composition has NO tail to re-tokenize
-      // and the whole ranking equals the one-shot pass over the
-      // post-delete corpus exactly — without the repair the rewritten
-      // file's 9 surviving docs would tokenize twice (doubled df/tf,
-      // inflated n_docs) and the shared-term scores would diverge
+      // THE path-stability assertion: the corpus leg rewrote the
+      // affected file AT ITS OWN PATH, so the bm25 manifest stays valid
+      // verbatim, fresh composition has NO tail to re-tokenize, and the
+      // whole ranking equals the one-shot pass over the post-delete
+      // corpus exactly — an append-new rewrite would have tokenized the
+      // surviving 9 docs twice (doubled df/tf, inflated n_docs) and the
+      // shared-term scores would diverge
       val fresh = canon(Streams.bm25SearchFresh(spark, bmTgt, corpus,
         queries, 5))
       assert(fresh == canon(graft.ops.TextAnalysis.bm25BatchTopK(
         spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
         "fresh retrieval diverged from the one-shot pass after forget")
       assert(fresh.nonEmpty)
-      // an UNREPAIRED rewrite (raw targetedDelete, no forget) trips the
-      // mutation guard instead of silently double-counting
+      // an append-new rewrite OUTSIDE forget (raw targetedDelete) trips
+      // the mutation guard instead of silently double-counting
       graft.ops.Layout.targetedDelete(spark, corpus,
         spark.read.parquet(s"$work/idx"), "doc_id", Seq(9L), Seq("doc_id"))
       val ex = intercept[IllegalArgumentException](
@@ -3580,6 +3581,53 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(Streams.bm25SearchMaintained(spark, bmTgt, queries, 5)
         .count() > 0)
     } finally graft.plans.SkipRewrite.unregister(corpus)
+  }
+
+  test("targetedDeleteInPlace coexists with maintained sinks: a resumed " +
+      "file source re-ingests nothing, manifests never trip the guard, " +
+      "and with the artifact leg fresh retrieval equals the one-shot pass") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val work = tmp("graft-tdip-sink")
+    val corpus = s"$work/docs"
+    (1L to 30L).map(i => (i, s"common w$i body$i"))
+      .toDF("doc_id", "text")
+      .repartitionByRange(3, $"doc_id").write.parquet(corpus)
+    graft.ops.Layout.statsIndexFingerprint(spark, corpus,
+        Seq("doc_id"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/idx")
+    val bmTgt = s"$work/bm25"
+    def sink() = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(corpus),
+      bmTgt, s"$work/bmck", "doc_id", "text")
+    val q1 = sink(); try q1.processAllAvailable() finally q1.stop()
+    // corpus leg IN PLACE (paths stable), then the artifact leg
+    assert(graft.ops.Layout.targetedDeleteInPlace(spark, corpus,
+      spark.read.parquet(s"$work/idx"), "doc_id", Seq(7L)).length == 1)
+    assert(Streams.bm25IndexDelete(spark, bmTgt, Seq(7L)) >= 1)
+    val queries = Seq((1, "common"), (2, "w9")).toDF("query_id", "term")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    // no vanished files -> the mutation guard never trips, no manifest
+    // repair was needed, and the ranking equals the one-shot pass over
+    // the post-delete corpus bit-for-bit
+    assert(canon(Streams.bm25SearchFresh(spark, bmTgt, corpus,
+        queries, 5)) ==
+      canon(graft.ops.TextAnalysis.bm25BatchTopK(
+        spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
+      "in-place delete broke fresh retrieval")
+    // RESUME the sink over the rewritten corpus plus one genuinely new
+    // file: only the new file may be ingested — a re-ingest of the
+    // rewritten path would double the survivors' df/tf and break the
+    // equality below
+    Seq((31L, "common w31 body31")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val q2 = sink(); try q2.processAllAvailable() finally q2.stop()
+    assert(canon(Streams.bm25SearchMaintained(spark, bmTgt, queries, 5)) ==
+      canon(graft.ops.TextAnalysis.bm25BatchTopK(
+        spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
+      "resumed sink re-ingested the rewritten file (survivors doubled)")
   }
 
   test("explainAcceleration covers registered merge tables: version, " +
@@ -3671,17 +3719,18 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(reports.map(_.kind) == Seq("corpus", "lsh-index"),
         s"corpus leg must run first: $reports")
       assert(reports.forall(_.layersRewritten >= 1), s"a leg did nothing: $reports")
-      // the corpus itself no longer holds the doc, and the registered
-      // index was refreshed in place — registered pruning stays exact
+      // the corpus itself no longer holds the doc (paths stable), and
+      // the registered index was re-derived for the rewritten file —
+      // registered pruning stays exact
       assert(spark.read.parquet(corpus).filter($"doc_id" === 7L).isEmpty)
       assert(spark.read.parquet(corpus).count() == 29)
       assert(spark.read.parquet(s"$work/idx").count() ==
         spark.read.parquet(corpus).inputFiles.length.toLong,
         "refreshed index out of sync with the rewritten corpus")
       assert(!spark.read.parquet(corpus).filter($"doc_id" === 9L).isEmpty)
-      // THE dependency-order assertion: the fresh composition re-signs
-      // the not-yet-covered tail (the rewritten survivor file) but can
-      // never resurrect doc 7 — its rows are gone from corpus AND index
+      // THE dependency-order assertion: the fresh composition can never
+      // resurrect doc 7 — its rows are gone from corpus AND index, and
+      // the path-stable rewrite leaves no tail to re-sign
       assert(Streams.nearDupsFresh(spark, lshTgt, corpus, probe7,
           "doc_id", "shingles", 0.8).filter($"corpus_id" === 7L).isEmpty,
         "fresh composition resurrected the forgotten doc")
