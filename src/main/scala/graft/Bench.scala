@@ -221,16 +221,23 @@ object Bench {
     // VERDICT #8): each query's median divided by its run's own
     // calibration median cancels a uniform host swing, so
     // delta = (med_new/calib_new) / (med_old/calib_old) reads ~1.0 for
-    // drift and moves only for genuine plan/code changes. Parsed from
-    // the prior BENCH_FULL.json (our own single-line format) BEFORE it
-    // is overwritten below; absent/unparsable prior run -> no deltas.
+    // drift and moves only for genuine plan/code changes. Prior runs
+    // persist PER SCALE FACTOR (BENCH_FULL.<sfname>.json) — a local
+    // sf0.001 iteration run must never destroy the sf0.1
+    // round-over-round comparison (round 13 shipped movers {0,0,0} in
+    // the very round the machinery was supposed to pay off because the
+    // single BENCH_FULL.json had been overwritten at another SF).
+    // Fallback chain: per-SF file -> legacy BENCH_FULL.json (same-SF
+    // guarded) -> newest committed BENCH_r{N}.json headline set
+    // (same-SF guarded) -> a LOUD skip line.
     val calibNew = (Seq(calibStart, calibEnd) ++ calibMids).sum /
       (2 + calibMids.length)
     val entryRe = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
-    val prevRun: Option[(Map[String, Double], Double)] =
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def parsePrior(file: java.nio.file.Path)
+        : Option[(Map[String, Double], Double)] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL.json")),
+        val txt = new String(java.nio.file.Files.readAllBytes(file),
           java.nio.charset.StandardCharsets.UTF_8)
         val qStart = txt.indexOf("\"queries\":{")
         val qEnd = txt.indexOf("}", qStart)
@@ -241,14 +248,40 @@ object Bench {
         val cEnd = txt.indexOf("}", cStart)
         val cvals = entryRe.findAllMatchIn(txt.substring(cStart, cEnd + 1))
           .map(_.group(2).toDouble).toSeq
-        // deltas are meaningful only against the SAME scale factor —
-        // a local sf0.001 iteration run must not poison the driver's
-        // sf0.1 round-over-round comparison (or vice versa)
-        val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
+        // deltas are meaningful only against the SAME scale factor
+        // (matched on the directory's basename — prior rounds recorded
+        // absolute paths)
+        val sameSf = {
+          val m = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          m.exists(g => java.nio.file.Paths.get(g.group(1))
+            .getFileName.toString == sfName)
+        }
         if (sameSf && qmap.nonEmpty && cvals.nonEmpty && cvals.forall(_ > 0))
           Some((qmap, cvals.sum / cvals.length))
         else None
       } catch { case _: Throwable => None }
+    val priorCandidates: Seq[java.nio.file.Path] = {
+      val committed = try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator.asScala
+          .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString).reverse
+      } catch { case _: Throwable => Seq.empty }
+      Seq(java.nio.file.Paths.get(s"BENCH_FULL.$sfName.json"),
+        java.nio.file.Paths.get("BENCH_FULL.json")) ++ committed
+    }
+    val prevRun: Option[(Map[String, Double], Double)] =
+      priorCandidates.view.flatMap { f =>
+        val p = parsePrior(f)
+        if (p.isDefined)
+          System.err.println(s"[bench] prior for deltas: $f ($sfName)")
+        p
+      }.headOption
+    if (prevRun.isEmpty)
+      System.err.println(s"[bench] no same-SF prior ($sfName) among " +
+        s"${priorCandidates.take(2).mkString(", ")} or committed " +
+        "BENCH_r*.json — normalized deltas skipped")
     val deltas: Map[String, Double] = prevRun match {
       case Some((old, calibOld)) if calibNew > 0 =>
         results.collect {
@@ -267,10 +300,15 @@ object Bench {
       s"""{"up":$moversUp,"down":$moversDown,"of":${deltas.size},"threshold":1.25}"""
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"dispersion":$disp,"calibration":$calib,"normalized_deltas":$deltasJson,"movers":$moversJson,"loadavg":$loadsJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // both the legacy single file (driver/judge convention) and the
+    // per-SF twin the next same-SF run's deltas read
+    Seq("BENCH_FULL.json", s"BENCH_FULL.$sfName.json").foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $f write failed: ${e.getMessage}") }
+    }
     // Family-representative subset, most-informative first; the budget cap
     // (not the list length) is what guarantees the line fits even if names
     // grow. ~55 entries * ~22 chars ≈ 1.2KB, leaving room for the sbt

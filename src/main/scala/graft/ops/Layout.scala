@@ -625,9 +625,20 @@ object Layout {
     * after success returns 0. Crash safety: the original is set aside
     * as a dot-file before the replacement renames in, and the
     * self-heal pass at entry restores or clears leftovers — a torn
-    * run never leaves a path missing or doubled. Offline-maintenance
-    * contract like its sibling (a concurrent reader can catch the
-    * per-file swap window). Returns the rewritten file paths.
+    * run never leaves a path missing or doubled.
+    *
+    * CONCURRENCY contract: running against a corpus whose maintained
+    * sinks are LIVE is safe BETWEEN their triggers (spec-pinned:
+    * "forget under a LIVE maintained sink") — paths never change, so
+    * a running query's processed-files log stays valid and its next
+    * trigger ingests only genuinely-new files. A reader or trigger
+    * MID-TASK over an affected file during the two-rename swap window
+    * can observe a transient missing path; Spark's task retry then
+    * re-reads the complete post-swap file at the same path, so
+    * correctness holds and the worst case is one retried task. What is
+    * NOT supported is a second concurrent MUTATOR of the same corpus
+    * (two forgets, forget + compaction) — single-maintainer, like
+    * every maintenance op here. Returns the rewritten file paths.
     *
     * [[targetedDelete]] (append-new) remains the right shape for a
     * corpus nothing watches: one distributed job over all affected
@@ -641,14 +652,18 @@ object Layout {
       s"Layout.targetedDeleteInPlace: ${values.length} values exceeds " +
         s"$maxValues — a deletion set that large is an anti-join rewrite, " +
         "not an index op")
-    val pinned = index.localCheckpoint(true)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    // self-heal torn swaps from a crashed run: an aside with its
-    // target missing is restored (crash between the two renames); an
-    // aside beside a live target is a completed swap's leftover
+    // self-heal torn swaps from a crashed run BEFORE pinning the
+    // caller's index: an aside with its target missing is restored
+    // (crash between the two renames); an aside beside a live target
+    // is a completed swap's leftover. Order matters — a lazily-built
+    // index whose plan scans this directory would fail its checkpoint
+    // on the missing target (FILE_NOT_EXIST), and the heal that fixes
+    // exactly that state could then never run.
     val asideSuffix = ".graftold"
+    var healed = 0
     val it0 = fs.listFiles(p(path), true)
     while (it0.hasNext) {
       val st = it0.next()
@@ -660,9 +675,14 @@ object Layout {
           if (!fs.rename(st.getPath, orig)) throw new IllegalStateException(
             s"Layout.targetedDeleteInPlace: could not restore $orig from " +
               "its crashed-swap aside — fix the filesystem state first")
+          healed += 1
         } else fs.delete(st.getPath, false)
       }
     }
+    // restored content under previously-missing paths: drop the
+    // session's cached (absent/stale) file statuses before any scan
+    if (healed > 0) spark.catalog.refreshByPath(path)
+    val pinned = index.localCheckpoint(true)
     val affected = filesMaybeContaining(pinned, column, values,
       "Layout.targetedDeleteInPlace")
     val rewritten = scala.collection.mutable.ArrayBuffer[String]()

@@ -217,23 +217,12 @@ object Acceleration {
           val (gens, batches) = streams.compactionsOf(spark, t, sub)
           val tail = batches.count(_ > gens.lastOption.getOrElse(-1L))
           // plan attribution: format("graft") scans of THIS target —
-          // their accepted key filters are the commuting pushdown.
-          // After pushdown the optimizer wraps a V1Scan in
-          // V1ScanWrapper; unwrap to reach the graft scan either way.
-          def graftScanOf(s: org.apache.spark.sql.connector.read.Scan)
-              : Option[graft.sources.v2.GraftScan] = s match {
-            case g: graft.sources.v2.GraftScan => Some(g)
-            case w: org.apache.spark.sql.execution.datasources.v2
-                .V1ScanWrapper => w.v1Scan match {
-              case g: graft.sources.v2.GraftScan => Some(g)
-              case _ => None
-            }
-            case _ => None
-          }
+          // their accepted key filters are the commuting pushdown
+          // (scanGraftOf unwraps the post-pushdown V1ScanWrapper)
           val graftScans = df.queryExecution.optimizedPlan.collect {
             case r: org.apache.spark.sql.execution.datasources.v2
                 .DataSourceV2ScanRelation =>
-              graftScanOf(r.scan).filter(_.ref.path == t)
+              scanGraftOf(r.scan).filter(_.ref.path == t)
           }.flatten
           val push =
             if (graftScans.isEmpty)

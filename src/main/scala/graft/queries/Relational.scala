@@ -848,11 +848,12 @@ object Relational {
   // BEFORE the temp dirs are deleted. One copy of the harness means
   // one place to change its batch-ordering assumptions.
   private def withMergeReplay(spark: SparkSession, dir: String,
-                              extraCols: Seq[String], changelog: Boolean)(
+                              extraCols: Seq[String], changelog: Boolean,
+                              transform: DataFrame => DataFrame = identity)(
       body: String => DataFrame): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-mor-q").toString
     try {
-      val changes = mergeChangeFrame(spark, dir, extraCols)
+      val changes = transform(mergeChangeFrame(spark, dir, extraCols))
       (0 until 3).foreach(i => changes.filter(col("l_suppkey") % 3 === i)
         .coalesce(1).write.mode("append").parquet(s"$work/base"))
       val sink = graft.streaming.Streams.mergeSink(
@@ -1064,6 +1065,63 @@ object Relational {
         .agg(sum(col("op")).cast("long").as("n_rows"),
           (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
             / 100.0).as("sum_qty"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+    }
+  }
+
+  // DECIMAL through the STREAMING face: the same external feed
+  // subscription as q_graft_stream, but the table carries a
+  // decimal(12,2) measure — THE warehouse money type. The executor-side
+  // changelog stream reader decodes parquet's physical decimal
+  // encodings (INT64 unscaled cents here) into Catalyst Decimal, so an
+  // external consumer of a money-carrying merge table is a
+  // driver-checked row, not a refusal. The decimal is derived from
+  // exact integer cents on both sides (round(x*100)), so the oracle's
+  // replay hash-matches bit-for-bit; the require() gates on the feed
+  // schema actually carrying DecimalType, so the row can never
+  // silently degrade into a double-typed pass.
+  private val qGraftStreamDec = QueryDef("q_graft_stream_dec", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey,
+      |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       sum(cents) / 100.0 AS sum_price
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val asDecimal: DataFrame => DataFrame = df => df
+      .withColumn("price_d",
+        (round(col("l_extendedprice") * 100).cast("long")
+          .cast("decimal(14,2)") / 100).cast("decimal(12,2)"))
+      .drop("l_extendedprice")
+    withMergeReplay(spark, dir, Seq("l_extendedprice"), changelog = true,
+      transform = asDecimal) { tgt =>
+      val feed = spark.readStream.format("graft").option("changelog", true)
+        .load(tgt)
+      require(feed.schema("price_d").dataType ==
+          org.apache.spark.sql.types.DecimalType(12, 2),
+        "q_graft_stream_dec: the stream must serve the decimal column " +
+          s"as decimal(12,2), got ${feed.schema("price_d").dataType}")
+      val qn = s"graft_stream_dec_q_${System.nanoTime}"
+      val ck = java.nio.file.Files.createTempDirectory("graft-streamd-qck")
+      val q = feed
+        .groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          (sum(col("op") * (col("price_d") * 100).cast("long"))
+            / 100.0).as("sum_price"))
         .writeStream.format("memory").queryName(qn)
         .option("checkpointLocation", ck.toString)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -2300,7 +2358,7 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
     qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog, qGraftWrite,
-    qGraftStream,
+    qGraftStream, qGraftStreamDec,
     qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,

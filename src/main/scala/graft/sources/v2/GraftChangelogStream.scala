@@ -41,9 +41,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * declared read schema; a column missing from an older layer's file
   * (ADD-column evolution) surfaces as null, the same merged-schema
   * semantics the batch read serves. Flat schemas of the primitive
-  * Spark types only — the merge-table sinks write exactly those; a
-  * nested or exotic column refuses loudly at read rather than guessing
-  * an encoding. */
+  * Spark types (including decimal — the warehouse money type) only —
+  * the merge-table sinks write exactly those; a nested or exotic
+  * column refuses loudly at read rather than guessing an encoding. */
 final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
                                  readSchema: StructType,
                                  hadoopConf: Configuration)
@@ -63,11 +63,43 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
 
   override def initialOffset(): Offset = VersionOffset(ref.sinceVersion)
 
-  override def latestOffset(): Offset = {
-    val committed = graft.streaming.Streams
-      .snapshotVersionsOf(spark, ref.path)
-    VersionOffset(committed.lastOption.getOrElse(ref.sinceVersion))
+  // per-stream listing cursor: a version dir is IMMUTABLE once its
+  // _SUCCESS marker exists, so each trigger re-probes markers only for
+  // ids not already known committed — one directory listing plus
+  // O(|new versions|) exists calls per trigger instead of the naive
+  // O(|history|) marker probes (a long-lived feed at 10⁴ committed
+  // versions would otherwise pay 10⁴ RPCs every microbatch; the
+  // ChangelogCursorProbe pins planning time flat vs version count).
+  // Restart safety is untouched: a fresh instance re-lists once and
+  // reaches the same set, and planInputPartitions stays a pure
+  // function of its range (below).
+  private val knownCommitted = new java.util.TreeSet[java.lang.Long]()
+
+  private def latestCommitted(): Option[Long] = {
+    val dir = new Path(ref.path)
+    val fs = dir.getFileSystem(hadoopConf)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("v=")) {
+          val id = java.lang.Long.valueOf(n.stripPrefix("v=").toLong)
+          if (!knownCommitted.contains(id) &&
+              fs.exists(new Path(st.getPath, "_SUCCESS")))
+            knownCommitted.add(id)
+        }
+      }
+    }
+    if (knownCommitted.isEmpty) None else Some(knownCommitted.last())
   }
+
+  // clamped to never regress below sinceVersion: with a sinceVersion
+  // cut ABOVE the committed max, a raw "committed max" offset would be
+  // recorded below the initial offset, and versions the cut explicitly
+  // excluded would be served once new commits land (double-serving for
+  // an incremental consumer that already holds that prefix)
+  override def latestOffset(): Offset =
+    VersionOffset(math.max(ref.sinceVersion,
+      latestCommitted().getOrElse(ref.sinceVersion)))
 
   // ---- admission control (maxVersionsPerTrigger) ----------------------
   // A consumer catching up on a long-lived feed must not receive 10⁵
@@ -88,7 +120,9 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
       if (ref.maxVersionsPerTrigger > 0L)
         math.min(end, s + ref.maxVersionsPerTrigger)
       else end
-    VersionOffset(capped)
+    // never below start: an offset regression would re-open a range the
+    // checkpoint already cut (same clamp rationale as latestOffset())
+    VersionOffset(math.max(s, capped))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -107,20 +141,20 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
     if (!fs.exists(chDir)) return Array.empty
     // batch dirs in (start, end]: final once their version committed
     // (end never exceeds the committed max), so this plan is a pure
-    // function of the range — replay-identical after restarts
-    fs.listStatus(chDir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(st => (st.getPath, st.getPath.getName.stripPrefix("batch=").toLong))
-      .filter { case (_, id) => id > s && id <= e }
-      .sortBy(_._2)
-      .flatMap { case (dir, id) =>
-        fs.listStatus(dir).filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            n.endsWith(".parquet")
-        }.map(f => ChangelogFilePartition(f.getPath.toString, id))
-      }
-      .toArray[InputPartition]
+    // function of the range — replay-identical after restarts. The
+    // range's ids are PROBED directly instead of listing the whole
+    // changelog/ dir: planning cost is O(|this trigger's versions|),
+    // flat over stream lifetime, never O(|history|) (a version id with
+    // no batch dir — a compaction id, a no-op write — just misses).
+    (s + 1 to e).flatMap { id =>
+      val dir = new Path(chDir, s"batch=$id")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".parquet")
+      }.map(f => ChangelogFilePartition(f.getPath.toString, id)).toSeq
+    }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -231,6 +265,25 @@ object GraftChangelogStream {
           }
         case ShortType => g.getInteger(idx, 0).toShort
         case ByteType => g.getInteger(idx, 0).toByte
+        case dt: DecimalType =>
+          // parquet physically stores decimal as INT32 (precision <= 9),
+          // INT64 (<= 18), or a big-endian two's-complement unscaled
+          // value in FIXED_LEN_BYTE_ARRAY/BINARY — all Group-readable;
+          // the logical scale is the Spark type's own (the sinks wrote
+          // this schema)
+          prim.asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 =>
+              Decimal(g.getInteger(idx, 0).toLong, dt.precision, dt.scale)
+            case PrimitiveTypeName.INT64 =>
+              Decimal(g.getLong(idx, 0), dt.precision, dt.scale)
+            case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
+                 PrimitiveTypeName.BINARY =>
+              val unscaled = new java.math.BigInteger(
+                g.getBinary(idx, 0).getBytes)
+              Decimal(new java.math.BigDecimal(unscaled, dt.scale),
+                dt.precision, dt.scale)
+            case _ => unsupported
+          }
         case _ => unsupported
       }
     }

@@ -47,7 +47,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning the key-range-clustered generation at row-group level),
   * and column pruning projects the resolved frame. Every pushed
   * filter is also re-applied above the scan (returned as post-scan),
-  * so acceptance is never a correctness bet. */
+  * so acceptance is never a correctness bet.
+  *
+  * FRESHNESS CONTRACT of a long-lived handle (a `USING graft` view, a
+  * kept `spark.read` DataFrame): each planning serves ONE pinned
+  * committed version (no torn reads), and the pin advances at the
+  * next planning after a commit from THIS session — commits from a
+  * FOREIGN process are deliberately NOT observed by an existing
+  * handle (repeatable read per handle, matching the Scala API's eager
+  * layer-listing pin). To see foreign commits, open a fresh
+  * `spark.read.format("graft").load(path)` (a new handle re-resolves
+  * the marker and pins the then-latest version); `asOf` always wins
+  * and never re-pins. Spec-pinned in DataSourceV2Spec, so a change
+  * here is a deliberate one. */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   // inferSchema already resolved the marker for these options — hand
   // the ref to getTable instead of repeating the filesystem
@@ -63,10 +75,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // validity covers EVERY option that shapes the ref — a cached ref
+    // reused under a different sinceVersion/maxVersionsPerTrigger would
+    // silently ignore the caller's feed cut / pacing
     val ref = cached
       .filter(r => Option(opts.get("path")).contains(r.path) &&
         Option(opts.get("asOf")).map(_.toLong) == r.asOf &&
-        opts.getBoolean("changelog", false) == r.changelog)
+        opts.getBoolean("changelog", false) == r.changelog &&
+        Option(opts.get("sinceVersion")).map(_.toLong)
+          .getOrElse(-1L) == r.sinceVersion &&
+        Option(opts.get("maxVersionsPerTrigger")).map(_.toLong)
+          .getOrElse(0L) == r.maxVersionsPerTrigger)
       .getOrElse(GraftDataSource.refOf(SparkSession.active, opts))
     new GraftTable(ref, schema)
   }
@@ -238,10 +257,35 @@ final class GraftTable(ref: GraftDataSource.TargetRef,
   // not freeze at creation), stable otherwise (all scan builders of one
   // planning share one pin — no torn reads)
   @volatile private var live: GraftDataSource.TargetRef = ref
+  // the pin MEMOIZED per query execution: Spark sets the execution-id
+  // local property before the plan is forced, so every scan builder one
+  // planning creates (self-join, union over one handle) sees the same
+  // id — without this, a same-JVM commit landing between two builder
+  // creations of ONE planning would re-pin mid-plan and split the query
+  // across two versions, the torn read the pin contract excludes.
+  // Plannings with no execution id (explain, direct queryExecution
+  // access) fall back to repin-per-builder — freshness kept, memo lost.
+  private val pinByExec =
+    new java.util.LinkedHashMap[String, GraftDataSource.TargetRef](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GraftDataSource.TargetRef])
+          : Boolean = size > 8
+    }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
-    live = GraftDataSource.repinned(spark, live)
-    new GraftScanBuilder(spark, live, declaredSchema)
+    val execId = spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+    val pinned = synchronized {
+      if (execId != null && pinByExec.containsKey(execId))
+        pinByExec.get(execId)
+      else {
+        live = GraftDataSource.repinned(spark, live)
+        if (execId != null) pinByExec.put(execId, live)
+        live
+      }
+    }
+    new GraftScanBuilder(spark, pinned, declaredSchema)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(ref.kind == "merge",

@@ -957,11 +957,18 @@ object Streams extends org.apache.spark.internal.Logging {
     * `_query` marker) refuses — the sink's checkpoint owns batch
     * numbering, and an external layer at the sink's next id would be
     * replay-overwritten. Retire the sink first (delete `_query`).
-    * Crash safety: uncommitted layer dirs above the last committed
-    * version are overwritten/cleared before writing (a torn external
-    * write is invisible to readers and reclaimed by the next write);
-    * SINGLE-WRITER contract per target, like every maintenance op
-    * here. Returns the committed version. */
+    * Crash safety and CONCURRENT WRITERS: each write stakes an
+    * exclusive per-version claim (`v=<id>/_CLAIM`, atomic
+    * overwrite-false create) before touching any layer, so two racing
+    * external writers — even from different processes — land in
+    * DISTINCT versions (the loser of a claim race re-reads the id
+    * space and moves past the winner; pathological contention refuses
+    * loudly after bounded retries). A torn write (crash between layer
+    * write and commit) is invisible to readers and reclaimed by a
+    * later write only once its claim has aged past `inFlightClaimMs`
+    * (default 30 min) — size that window above your slowest expected
+    * write, or a slow writer's in-flight layer becomes reclaimable.
+    * Returns the committed version. */
   def mergeTableInsert(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String, rows: DataFrame,
                        delete: Boolean = false,
@@ -969,7 +976,8 @@ object Streams extends org.apache.spark.internal.Logging {
                        changelog: Boolean = false,
                        retainVersions: Int = 3,
                        filesPerBatch: Int = 1,
-                       changelogKeyPushdown: Int = 1024): Long = {
+                       changelogKeyPushdown: Int = 1024,
+                       inFlightClaimMs: Long = 30L * 60 * 1000): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val who = "Streams.mergeTableInsert"
     val fs = new org.apache.hadoop.fs.Path(targetDir)
@@ -1015,16 +1023,76 @@ object Streams extends org.apache.spark.internal.Logging {
       s"$who: duplicate keys within one write — one external write is " +
         "one version; split conflicting rows into separate writes")
     writeMergeLayout(spark, targetDir, layout)
-    val nextId = (snapshotVersions(spark, targetDir) ++
+    // ---- exclusive version claim -----------------------------------
+    // Two RACING external writers (the exact pattern format("graft")
+    // write support invites — SQL INSERT INTO from any session) must
+    // never write the same layer or double-claim one version id. The
+    // arbiter is an atomic exclusive create of `v=<id>/_CLAIM`
+    // (overwrite = false — the loser gets FileAlreadyExists, re-reads
+    // the id space, and moves PAST the winner): claims are invisible
+    // to readers (committed = `_SUCCESS`), live inside the version dir
+    // so retention removes them with it, and an orphaned claim (crash
+    // before commit) is reclaimed by a later writer only once older
+    // than `inFlightClaimMs` — a reclaim that ignored the window would
+    // itself destroy a slow writer's committed-intent layer.
+    val nowMs = System.currentTimeMillis()
+    val committedMax = (snapshotVersions(spark, targetDir) ++
       committedCompactions(spark, targetDir, "rows")).maxOption
-      .map(_ + 1).getOrElse(0L)
-    // reclaim torn previous writes (crash between layer write and
-    // commit): anything above the last committed version is invisible
-    // to readers and this writer's to overwrite
-    Seq("rows", "changelog").foreach { sd =>
-      listBatchDirs(spark, targetDir, sd).filter(_ >= nextId).foreach(id =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$targetDir/$sd/batch=$id"), true))
+      .getOrElse(-1L)
+    def claimPath(id: Long) = new org.apache.hadoop.fs.Path(
+      s"$targetDir/v=$id/_CLAIM")
+    def claimedIds: Array[Long] = {
+      val p = new org.apache.hadoop.fs.Path(targetDir)
+      if (!fs.exists(p)) Array.empty[Long]
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .filter(id => id > committedMax && fs.exists(claimPath(id)))
+    }
+    // reclaim TORN previous writes (crash between layer write and
+    // commit) — uncommitted ids are invisible to readers, but only
+    // those either claimless (pre-claim-protocol leftovers; no live
+    // writer can own them, the _query guard excluded a sink) or whose
+    // claim has aged past the in-flight window are this writer's to
+    // clear; a younger claim is another writer MID-FLIGHT
+    ((listBatchDirs(spark, targetDir, "rows") ++
+      listBatchDirs(spark, targetDir, "changelog")).filter(_ > committedMax)
+      ++ claimedIds).distinct.foreach { id =>
+      val cp = claimPath(id)
+      val inFlight = fs.exists(cp) &&
+        nowMs - fs.getFileStatus(cp).getModificationTime < inFlightClaimMs
+      if (!inFlight)
+        Seq(s"$targetDir/rows/batch=$id", s"$targetDir/changelog/batch=$id",
+          s"$targetDir/v=$id").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+    // claim the next free id: above every committed version, compaction
+    // id, and surviving in-flight claim; on a lost race re-read the id
+    // space (the winner may have committed) and retry bounded — refuse
+    // loudly rather than spin under pathological contention
+    def nextFree: Long = (snapshotVersions(spark, targetDir) ++
+      committedCompactions(spark, targetDir, "rows") ++ claimedIds)
+      .maxOption.map(_ + 1).getOrElse(0L)
+    var nextId = nextFree
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 64,
+        s"$who: could not claim a version id on $targetDir after 64 " +
+          "attempts — pathological writer contention; retry when the " +
+          "other writers drain")
+      try {
+        fs.create(claimPath(nextId), false).close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          // lost the race iff the claim now exists; anything else is a
+          // real filesystem failure and must surface
+          if (fs.exists(claimPath(nextId)))
+            nextId = math.max(nextFree, nextId + 1)
+          else throw e
+      }
     }
     // match the existing layers' seq/delete types so the merged-schema
     // read never sees an int/long or boolean/string conflict
@@ -3204,21 +3272,27 @@ object Streams extends org.apache.spark.internal.Logging {
     * spec-pinned — but don't run two maintainers on one target).
     * Returns one row per data subdir found: (subdir,
     * compacted-through version or None, vacuumed batch ids). */
-  /** `maxTail` (0 = off, the default): turns the unconditional
-    * at-`minBatches` fold into the sinks' own CAPPED GEOMETRIC
-    * schedule, evaluated at call time — compact only when the
-    * uncompacted tail has reached `min(maxTail, max(minBatches,
-    * batches-already-covered))`. Callers can then run maintainArtifact
-    * on a fixed timer (every few minutes) against sinks running
-    * `compactEvery = 0` and get the same bounded-read / amortized-write
-    * lifecycle the in-line hook gives, without every call paying a
-    * whole-index rewrite. */
+  /** `maxTail` follows the sinks' shared `compactMaxTail` contract
+    * ([[resolvedMaxTail]]): `-1` (the default) DERIVES `8 ×
+    * minBatches`, so the scheduled twin fires on the SAME capped
+    * geometric trigger shape as the in-line `compactEvery` hook — a
+    * user mixing in-line and scheduled maintenance gets one trigger
+    * discipline, not two. `0` keeps the historical unconditional
+    * at-`minBatches` fold (every call that finds `minBatches`
+    * uncompacted dirs rewrites); an explicit positive cap must be at
+    * or above the `minBatches` floor. Callers can then run
+    * maintainArtifact on a fixed timer (every few minutes) against
+    * sinks running `compactEvery = 0` and get the same bounded-read /
+    * amortized-write lifecycle the in-line hook gives, without every
+    * call paying a whole-index rewrite. */
   def maintainArtifact(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String, targetFiles: Int = 4,
                        minBatches: Int = 2, retainCompactions: Int = 2,
                        vacuum: Boolean = true,
-                       maxTail: Int = 0)
+                       maxTail: Int = -1)
       : Seq[(String, Option[Long], Seq[Long])] = {
+    val resolvedTail = resolvedMaxTail("Streams.maintainArtifact",
+      maxTail, minBatches)
     val subdirs = Seq("delta", "rows", "stats", "postings", "df", "assign",
       "index")
     val versionOpt = snapshotVersions(spark, targetDir).sorted.lastOption
@@ -3228,13 +3302,14 @@ object Streams extends org.apache.spark.internal.Logging {
       else {
         // the scheduled twin of maybeAutoCompact's trigger: fire only
         // when the tail since the last generation has reached the
-        // capped geometric interval (maxTail = 0 keeps the historical
-        // always-at-minBatches behavior)
-        val due = maxTail <= 0 || versionOpt.exists { v =>
+        // capped geometric interval (resolvedTail = 0 — an explicit
+        // maxTail = 0 — keeps the historical always-at-minBatches
+        // behavior)
+        val due = resolvedTail <= 0 || versionOpt.exists { v =>
           val prevC = gens.filter(_ <= v).lastOption
           val covered = prevC.map(_ + 1).getOrElse(0L)
           val tail = v - prevC.getOrElse(-1L)
-          tail >= math.min(maxTail.toLong,
+          tail >= math.min(resolvedTail.toLong,
             math.max(minBatches.toLong, covered))
         }
         if (!due) Some((sd, None, Seq.empty[Long]))

@@ -432,4 +432,141 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(planned.count() == 4L,
       "local commit must re-pin the handle's next planning")
   }
+
+  test("write face under RACING writers: exclusive claims land " +
+      "concurrent writes in distinct versions, both rows survive; torn " +
+      "writes reclaim only past the in-flight window") {
+    import spark.implicits._
+    val tgt = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val fs = new org.apache.hadoop.fs.Path(tgt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def exists(s: String) = fs.exists(p(s))
+    val v0 = graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((1L, "base")).toDF("k", "v"), createKeys = Seq("k"))
+    assert(v0 == 0L)
+    // writer A mid-flight: claim staked (fresh), layer written, commit
+    // NOT yet landed — exactly the state between fs.create(_CLAIM) and
+    // _SUCCESS in mergeTableInsert
+    fs.create(p(s"$tgt/v=1/_CLAIM"), false).close()
+    Seq((10L, "a-inflight")).toDF("k", "v")
+      .withColumn("__seq", lit(0L)).withColumn("__del", lit(false))
+      .coalesce(1).write.parquet(s"$tgt/rows/batch=1")
+    // writer B races: must move PAST A's claim, never destroy its layer
+    val vb = graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((2L, "b-row")).toDF("k", "v"))
+    assert(vb == 2L, s"racing writer must claim the NEXT free id, got $vb")
+    assert(exists(s"$tgt/rows/batch=1"),
+      "writer B reclaimed writer A's in-flight layer")
+    assert(!exists(s"$tgt/v=1/_SUCCESS") && exists(s"$tgt/v=2/_SUCCESS"))
+    // writer A completes: both committed-intent rows are served, in
+    // distinct versions — never silent loss
+    fs.create(p(s"$tgt/v=1/_SUCCESS"), true).close()
+    spark.catalog.refreshByPath(tgt)
+    val served = graft.streaming.Streams.latestTable(spark, tgt).get
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(served == Seq(1L, 2L, 10L), s"lost a racing write: $served")
+    // an EXPIRED claim (crashed writer) is reclaimed: garbage layer and
+    // claim dir cleared, the id re-used by the next write
+    fs.create(p(s"$tgt/v=3/_CLAIM"), false).close()
+    Seq((99L, "torn")).toDF("k", "v")
+      .withColumn("__seq", lit(0L)).withColumn("__del", lit(false))
+      .coalesce(1).write.parquet(s"$tgt/rows/batch=3")
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    fs.setTimes(p(s"$tgt/v=3/_CLAIM"), old, -1)
+    val vc = graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((4L, "after-reclaim")).toDF("k", "v"))
+    assert(vc == 3L, s"expired claim's id must be reclaimed and re-used: $vc")
+    spark.catalog.refreshByPath(tgt)
+    val served2 = graft.streaming.Streams.latestTable(spark, tgt).get
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(!served2.contains(99L), "torn layer's rows leaked into the table")
+    assert(served2.contains(4L))
+    // a CLAIMLESS torn layer (pre-claim-protocol leftover) is reclaimed
+    // unconditionally — no claim means no writer can own it
+    Seq((88L, "legacy-torn")).toDF("k", "v")
+      .withColumn("__seq", lit(0L)).withColumn("__del", lit(false))
+      .coalesce(1).write.parquet(s"$tgt/rows/batch=9")
+    val vd = graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((5L, "tail")).toDF("k", "v"))
+    assert(vd == 4L)
+    assert(!exists(s"$tgt/rows/batch=9"),
+      "claimless torn layer must be reclaimed")
+    spark.catalog.refreshByPath(tgt)
+    assert(!graft.streaming.Streams.latestTable(spark, tgt).get
+      .select("k").as[Long].collect().contains(88L))
+  }
+
+  test("pin memoized per query execution: a same-JVM commit between two " +
+      "scan-builder creations of ONE planning cannot split the plan " +
+      "across two versions; the NEXT planning re-pins") {
+    import spark.implicits._
+    val tgt = java.nio.file.Files.createTempDirectory("graft-pinexec").toString
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((1L, "a")).toDF("k", "v"), createKeys = Seq("k"))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", tgt))
+    val provider = new graft.sources.v2.GraftDataSource
+    val schema = provider.inferSchema(opts)
+    val table = provider
+      .getTable(schema, Array.empty, opts.asCaseSensitiveMap())
+      .asInstanceOf[graft.sources.v2.GraftTable]
+    def pinOf(): Option[Long] = table.newScanBuilder(opts).build()
+      .asInstanceOf[graft.sources.v2.GraftScan].ref.effectiveAsOf
+    val sc = spark.sparkContext
+    val KEY = org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY
+    val saved = sc.getLocalProperty(KEY)
+    try {
+      sc.setLocalProperty(KEY, "graft-spec-planning-1")
+      val p1 = pinOf()
+      assert(p1.contains(0L))
+      // a LOCAL commit lands between the two builder creations of the
+      // SAME planning (epoch moves) — the second builder must reuse
+      // the planning's pin, not re-pin to the fresh version
+      graft.streaming.Streams.mergeTableInsert(spark, tgt,
+        Seq((2L, "b")).toDF("k", "v"))
+      val p2 = pinOf()
+      assert(p2 == p1,
+        s"one planning split across two versions: $p1 then $p2")
+      // a NEW planning re-pins: the freshness contract
+      sc.setLocalProperty(KEY, "graft-spec-planning-2")
+      assert(pinOf().contains(1L),
+        "next planning after a local commit must serve the new version")
+    } finally sc.setLocalProperty(KEY, saved)
+  }
+
+  test("changelog stream sinceVersion above the committed max never " +
+      "regresses: versions the cut excluded are never served") {
+    import spark.implicits._
+    val tgt = java.nio.file.Files.createTempDirectory("graft-clamp").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-clampck").toString
+    def insert(k: Long): Long = graft.streaming.Streams.mergeTableInsert(
+      spark, tgt, Seq((k, s"v$k")).toDF("k", "v"),
+      createKeys = Seq("k"), changelog = true)
+    (1L to 3L).foreach(insert) // versions 0, 1, 2
+    // foreachBatch sink: supports checkpoint recovery (memory does not)
+    def drain(): Seq[Long] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft").option("changelog", true)
+        .option("sinceVersion", 5).load(tgt)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("batch").distinct().collect()
+            .foreach(r => seen.add(r.getLong(0)))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.iterator.asScala.toSeq.distinct.sorted
+    }
+    // cut above the committed max: nothing to serve, and the offset
+    // recorded must hold AT the cut, not regress to the committed max
+    assert(drain().isEmpty,
+      "sinceVersion above the committed max must serve nothing")
+    (4L to 7L).foreach(insert) // versions 3..6
+    // resume: only versions ABOVE the cut may appear — an unclamped
+    // offset would have recorded 2 and double-served versions 3..5
+    val served = drain()
+    assert(served == Seq(6L),
+      s"versions excluded by sinceVersion were served: $served")
+  }
 }

@@ -347,6 +347,45 @@ class LayoutSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("targetedDeleteInPlace heals a crashed swap BEFORE pinning the " +
+      "caller's index: a lazily-built index whose plan scans the torn " +
+      "corpus recovers instead of failing on the missing file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdip-heal")
+      .toString
+    try {
+      spark.range(10000)
+        .select(xxhash64(col("id")).as("uid"), (col("id") % 100).as("g"))
+        .repartition(4, col("uid")).write.parquet(s"$dir/t")
+      val doomed = spark.read.parquet(s"$dir/t")
+        .limit(2).select("uid").as[Long].collect().toSeq
+      val expectSurvivors = spark.read.parquet(s"$dir/t")
+        .filter(!col("uid").isin(doomed: _*)).count()
+      // LAZY index built over the INTACT corpus — its plan captured the
+      // full file listing, including the file about to go missing
+      val lazyIdx = Layout.statsIndexFingerprint(spark, s"$dir/t",
+        Seq("uid"), Seq("uid"))
+      // simulate a crash between the two renames: a data file set aside
+      // as the dot-file, its target path missing
+      val f = new java.io.File(s"$dir/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val aside = new java.io.File(f.getParent, s".${f.getName}.graftold")
+      assert(f.renameTo(aside))
+      // round-13 order pinned the index first and died FILE_NOT_EXIST,
+      // making the state unrecoverable by re-running; the heal-first
+      // order restores the path and the delete completes
+      val n = Layout.targetedDeleteInPlace(spark, s"$dir/t", lazyIdx,
+        "uid", doomed).length
+      assert(n >= 1, "delete did not rewrite anything after the heal")
+      assert(!aside.exists() && f.exists(),
+        "crashed swap not healed (aside still present or target missing)")
+      val after = spark.read.parquet(s"$dir/t")
+      assert(after.count() == expectSurvivors)
+      assert(after.filter(col("uid").isin(doomed: _*)).isEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join without any shuffle") {
     val li = graft.sources.Tables(spark, TestSession.sf0001).lineitem
       .select("l_orderkey", "l_quantity")

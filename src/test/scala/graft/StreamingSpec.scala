@@ -1987,20 +1987,23 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     val before = rank()
     // one call: finds postings AND df, compacts both, first-vacuum
     // grace holds (one generation -> nothing freed)
-    val r1 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    val r1 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1,
+      maxTail = 0)
     assert(r1.map(_._1).sorted == Seq("df", "postings"), s"discovered: $r1")
     assert(r1.forall(_._2.contains(2L)), s"not compacted through 2: $r1")
     assert(r1.forall(_._3.isEmpty), s"first vacuum must wait: $r1")
     assert(rank() == before, "maintenance changed the ranking")
     // steady state: nothing to do, still no vacuum beyond grace
-    val r2 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    val r2 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1,
+      maxTail = 0)
     assert(r2.forall(r => r._2.isEmpty && r._3.isEmpty), s"no-op expected: $r2")
     // more batches land -> second generation; NOW vacuum frees the
     // batches the oldest generation covers
     landDocs(30, 40); landDocs(40, 50)
     val q2 = bmSink(); try q2.processAllAvailable() finally q2.stop()
     val afterLand = rank()
-    val r3 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1)
+    val r3 = Streams.maintainArtifact(spark, bmTgt, targetFiles = 1,
+      maxTail = 0)
     assert(r3.forall(_._2.contains(4L)), s"second generation missing: $r3")
     assert(r3.forall(_._3 == Seq(0L, 1L, 2L)),
       s"vacuum must free the oldest generation's batches: $r3")
@@ -3293,6 +3296,48 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     assert(Streams.latestSnapshot(spark, tgt).get.count() == 9)
   }
 
+  test("maintainArtifact DERIVED default: maxTail = -1 resolves to " +
+      "8 x minBatches — the sinks' own bounded-read contract — so " +
+      "in-line and scheduled maintenance share ONE trigger shape; a " +
+      "cap below the floor refuses") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val tgt = tmp("graft-mtail-dflt")
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.aggSnapshotSinkAppendOnly(
+      in.toDF().toDF("k", "v"), tgt, tmp("graft-mtail-dfltck"),
+      Seq("k"), Seq("v"))
+    try {
+      def land(lo: Int, hi: Int): Unit = (lo until hi).foreach { i =>
+        in.addData((s"k$i", i.toDouble)); q.processAllAvailable()
+      }
+      land(0, 5)
+      // default call (maxTail = -1): no generation yet -> the
+      // minBatches floor fires, covering 5
+      val first = Streams.maintainArtifact(spark, tgt, minBatches = 1)
+      assert(first.exists(r => r._1 == "delta" && r._2.contains(4L)),
+        s"derived-default first fold did not fire: $first")
+      land(5, 7)
+      // tail = 2 < min(derived cap 8, covered 5): geometric hold-off —
+      // the old default (0) would have folded unconditionally here
+      val early = Streams.maintainArtifact(spark, tgt, minBatches = 1)
+      assert(early.exists(r => r._1 == "delta" && r._2.isEmpty),
+        s"derived default must hold off below the geometric interval: $early")
+      land(7, 10)
+      // tail = 5 = covered: due exactly where the in-line hook fires
+      val due = Streams.maintainArtifact(spark, tgt, minBatches = 1)
+      assert(due.exists(r => r._1 == "delta" && r._2.contains(9L)),
+        s"derived default did not fire at the geometric interval: $due")
+      assert(Streams.latestSnapshot(spark, tgt).get.count() == 10)
+      // an explicit cap below the minBatches floor refuses loudly —
+      // it would silently override the configured fold floor
+      val ex = intercept[IllegalArgumentException](
+        Streams.maintainArtifact(spark, tgt, minBatches = 4, maxTail = 2))
+      assert(ex.getMessage.contains("compactMaxTail"), ex.getMessage)
+    } finally q.stop()
+  }
+
   test("mergeSink changelog: ADD-column evolution derives retractions over " +
       "a COMPACTED target whose layers lack the new column") {
     assume(!rocksdb)
@@ -3628,6 +3673,62 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       canon(graft.ops.TextAnalysis.bm25BatchTopK(
         spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
       "resumed sink re-ingested the rewritten file (survivors doubled)")
+  }
+
+  test("forget under a LIVE maintained sink: with the sink's query " +
+      "running (idle between triggers), the one-call forget completes, " +
+      "the next trigger ingests only genuinely-new files, and retrieval " +
+      "equals the one-shot pass — the documented safe interleaving") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val work = tmp("graft-forget-live")
+    val corpus = s"$work/docs"
+    (1L to 30L).map(i => (i, s"common w$i body$i"))
+      .toDF("doc_id", "text")
+      .repartitionByRange(3, $"doc_id").write.parquet(corpus)
+    graft.ops.Layout.statsIndexFingerprint(spark, corpus,
+        Seq("doc_id"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/idx")
+    graft.plans.SkipRewrite.register(spark, corpus, s"$work/idx")
+    val bmTgt = s"$work/bm25"
+    val q = Streams.bm25IndexSink(
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(corpus),
+      bmTgt, s"$work/bmck", "doc_id", "text")
+    try {
+      q.processAllAvailable() // drained, but LIVE — between triggers
+      assert(q.isActive)
+      // forget doc 7 everywhere while the sink query is running: the
+      // corpus leg swaps files in place (paths stable — the live
+      // source's processed-files log stays valid), the artifact leg
+      // scrubs the index layers
+      val reports = Streams.forget(spark, "doc_id", Seq(7L),
+        Seq(corpus, bmTgt))
+      assert(reports.size == 2, s"forget must cover both legs: $reports")
+      assert(q.isActive, "forget must not kill the live sink")
+      // new data arrives; the LIVE query's next trigger must ingest
+      // ONLY the new file — a re-ingest of a rewritten path would
+      // double the survivors' df/tf and break the equality below
+      Seq((31L, "common w31 body31")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(corpus)
+      q.processAllAvailable()
+      val queries = Seq((1, "common"), (2, "w9")).toDF("query_id", "term")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+      assert(canon(Streams.bm25SearchMaintained(spark, bmTgt, queries, 5)) ==
+        canon(graft.ops.TextAnalysis.bm25BatchTopK(
+          spark.read.parquet(corpus), "doc_id", "text", queries, 5)),
+        "live sink re-ingested a rewritten file after forget")
+      // the forgotten doc is gone from both the corpus and the ranking
+      assert(spark.read.parquet(corpus)
+        .filter(col("doc_id") === 7L).isEmpty)
+      assert(Streams.bm25SearchMaintained(spark, bmTgt,
+        Seq((3, "w7")).toDF("query_id", "term"), 5)
+        .filter(col("doc_id") === 7L).isEmpty)
+    } finally {
+      q.stop()
+      graft.plans.SkipRewrite.unregister(corpus)
+    }
   }
 
   test("explainAcceleration covers registered merge tables: version, " +
