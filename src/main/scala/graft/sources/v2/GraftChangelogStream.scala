@@ -63,33 +63,63 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
 
   override def initialOffset(): Offset = VersionOffset(ref.sinceVersion)
 
-  // per-stream listing cursor: a version dir is IMMUTABLE once its
-  // _SUCCESS marker exists, so each trigger re-probes markers only for
-  // ids not already known committed — one directory listing plus
-  // O(|new versions|) exists calls per trigger instead of the naive
-  // O(|history|) marker probes (a long-lived feed at 10⁴ committed
-  // versions would otherwise pay 10⁴ RPCs every microbatch; the
-  // ChangelogCursorProbe pins planning time flat vs version count).
-  // Restart safety is untouched: a fresh instance re-lists once and
-  // reaches the same set, and planInputPartitions stays a pure
-  // function of its range (below).
-  private val knownCommitted = new java.util.TreeSet[java.lang.Long]()
+  // per-stream listing CURSOR: a version dir is IMMUTABLE once its
+  // _SUCCESS marker exists, and version ids are DENSE (sink batch ids
+  // and external claims both allocate max+1) modulo the narrow hole a
+  // crashed claim leaves — so a steady-state trigger probes FORWARD
+  // from the known committed frontier only: O(lookahead + |new|)
+  // exists calls, never a re-list or re-probe of the whole history (a
+  // long-lived feed at 10⁴ committed versions would otherwise pay 10⁴
+  // stat RPCs every microbatch; the ChangelogCursorProbe pins the
+  // steady-state median flat vs version count). The first call and
+  // every `reconcileEvery`-th trigger run the full listing — the
+  // backstop that finds commits beyond a wider-than-lookahead hole,
+  // amortized O(|history| / 64) per trigger. Restart safety is
+  // untouched: a fresh instance reconciles once and reaches the same
+  // frontier, and planInputPartitions stays a pure function of its
+  // range (below).
+  //
+  // Multi-writer visibility (the documented contract): the offset is
+  // the committed MAX — a slower RACING writer whose version commits
+  // below an offset this stream has already passed is served to
+  // restarts and batch reads but not to this live stream instance.
+  // Single-writer feeds (the sink path, or serialized external writes)
+  // are dense, so every version is served exactly once.
+  private var frontier: Option[Long] = None
+  private var triggersSinceReconcile = 0L
+  private val lookahead = 16
+  private val reconcileEvery = 64
 
   private def latestCommitted(): Option[Long] = {
     val dir = new Path(ref.path)
     val fs = dir.getFileSystem(hadoopConf)
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("v=")) {
-          val id = java.lang.Long.valueOf(n.stripPrefix("v=").toLong)
-          if (!knownCommitted.contains(id) &&
-              fs.exists(new Path(st.getPath, "_SUCCESS")))
-            knownCommitted.add(id)
-        }
+    def committed(id: Long): Boolean =
+      fs.exists(new Path(s"${ref.path}/v=$id/_SUCCESS"))
+    if (frontier.isEmpty || triggersSinceReconcile >= reconcileEvery) {
+      // full listing, but only ids ABOVE the frontier need a marker
+      // probe — a committed id at or below it can never raise the max
+      triggersSinceReconcile = 0
+      if (fs.exists(dir)) {
+        val above = fs.listStatus(dir).iterator.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("v="))
+            Some(n.stripPrefix("v=").toLong) else None
+        }.filter(id => frontier.forall(_ < id)).toArray.sorted
+        // highest committed first — probe from the top
+        above.reverseIterator.find(committed)
+          .foreach(id => frontier = Some(id))
+      }
+    } else {
+      triggersSinceReconcile += 1
+      var next = frontier.get + 1
+      var misses = 0
+      while (misses < lookahead) {
+        if (committed(next)) { frontier = Some(next); misses = 0 }
+        else misses += 1
+        next += 1
       }
     }
-    if (knownCommitted.isEmpty) None else Some(knownCommitted.last())
+    frontier
   }
 
   // clamped to never regress below sinceVersion: with a sinceVersion
