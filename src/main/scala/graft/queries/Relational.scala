@@ -1131,6 +1131,62 @@ object Relational {
     }
   }
 
+  // ARRAYS through the STREAMING face: the table carries an
+  // array<bigint> token-id column (the tokenized-document shape every
+  // training pipeline ships), and the external stream consumer folds
+  // it with integer algebra — the executor-side reader must decode
+  // parquet's LIST encoding, not refuse. The oracle replays the same
+  // arithmetic from the scalar columns the array was derived from, so
+  // the hash check is exact; the require() gates on the feed schema
+  // actually serving ArrayType.
+  private val qGraftStreamArr = QueryDef("q_graft_stream_arr", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       cast(sum((l_orderkey % 7) + (l_suppkey % 5)) AS BIGINT)
+      |         AS sum_tok
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val withTokens: DataFrame => DataFrame = df => df
+      .withColumn("tokens", array(
+        (col("l_orderkey") % 7).cast("long"),
+        (col("l_suppkey") % 5).cast("long")))
+      .drop("l_quantity")
+    withMergeReplay(spark, dir, Nil, changelog = true,
+      transform = withTokens) { tgt =>
+      val feed = spark.readStream.format("graft").option("changelog", true)
+        .load(tgt)
+      require(feed.schema("tokens").dataType ==
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType),
+        "q_graft_stream_arr: the stream must serve the token column as " +
+          s"array<bigint>, got ${feed.schema("tokens").dataType}")
+      val qn = s"graft_stream_arr_q_${System.nanoTime}"
+      val ck = java.nio.file.Files.createTempDirectory("graft-streama-qck")
+      val q = feed
+        .groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          sum(col("op") *
+            expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+            .cast("long").as("sum_tok"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+    }
+  }
+
   // THE WRITE FACE of the merge table (Streams.mergeTableInsert /
   // format("graft") writes): the same three-batch lineitem replay as
   // q_merge_table, but applied as EXTERNAL batch writes — no streaming
@@ -2358,7 +2414,7 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
     qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog, qGraftWrite,
-    qGraftStream, qGraftStreamDec,
+    qGraftStream, qGraftStreamDec, qGraftStreamArr,
     qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,

@@ -40,10 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver only lists directories), converting to Catalyst rows by the
   * declared read schema; a column missing from an older layer's file
   * (ADD-column evolution) surfaces as null, the same merged-schema
-  * semantics the batch read serves. Flat schemas of the primitive
-  * Spark types (including decimal — the warehouse money type) only —
-  * the merge-table sinks write exactly those; a nested or exotic
-  * column refuses loudly at read rather than guessing an encoding. */
+  * semantics the batch read serves. Served types: the flat primitive
+  * Spark types, decimal (the warehouse money type), and
+  * array-of-primitive (embeddings, token ids — both parquet LIST
+  * shapes) — the merge-table sinks write exactly those; a deeper
+  * nested or exotic column refuses loudly at read rather than
+  * guessing an encoding. */
 final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
                                  readSchema: StructType,
                                  hadoopConf: Configuration)
@@ -264,37 +266,67 @@ object GraftChangelogStream {
       new GenericInternalRow(values.asInstanceOf[Array[Any]])
     }
 
-    private def readValue(g: Group, idx: Int, f: StructField): Any = {
+    private def readValue(g: Group, idx: Int, f: StructField): Any =
+      f.dataType match {
+        case ArrayType(elem, _) =>
+          // LIST decoding, both parquet shapes Spark writes: the
+          // standard 3-level `group (LIST) { repeated group list {
+          // optional elem } }` and the legacy 2-level `group (LIST) {
+          // repeated elem }` — merge tables carry embeddings and
+          // token-id arrays, so an external stream consumer of those
+          // must not refuse
+          val listGroup = g.getGroup(idx, 0)
+          val n = listGroup.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          val inner = listGroup.getType.getType(0)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (inner.isPrimitive) // legacy 2-level: repeated elem
+                readPrim(listGroup, 0, i, elem, f.name)
+              else { // standard 3-level: repeated wrapper, optional elem
+                val entry = listGroup.getGroup(0, i)
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else readPrim(entry, 0, 0, elem, f.name)
+              }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case dt => readPrim(g, idx, 0, dt, f.name)
+      }
+
+    private def readPrim(g: Group, idx: Int, rep: Int,
+                         dataType: DataType, colName: String): Any = {
       val prim = g.getType.getType(idx)
       def unsupported = throw new UnsupportedOperationException(
-        s"graft changelog stream: column '${f.name}' of type " +
-          s"${f.dataType.catalogString} (parquet $prim) is not a flat " +
-          "primitive the stream reader serves — merge-table change " +
-          "streams carry flat primitive schemas")
-      f.dataType match {
-        case IntegerType | DateType => g.getInteger(idx, 0)
-        case LongType => g.getLong(idx, 0)
-        case DoubleType => g.getDouble(idx, 0)
-        case FloatType => g.getFloat(idx, 0)
-        case BooleanType => g.getBoolean(idx, 0)
+        s"graft changelog stream: column '$colName' of type " +
+          s"${dataType.catalogString} (parquet $prim) is not a type " +
+          "the stream reader serves — merge-table change streams carry " +
+          "flat primitive, decimal, and array-of-primitive schemas")
+      dataType match {
+        case IntegerType | DateType => g.getInteger(idx, rep)
+        case LongType => g.getLong(idx, rep)
+        case DoubleType => g.getDouble(idx, rep)
+        case FloatType => g.getFloat(idx, rep)
+        case BooleanType => g.getBoolean(idx, rep)
         case StringType =>
-          UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-        case BinaryType => g.getBinary(idx, 0).getBytes
+          UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+        case BinaryType => g.getBinary(idx, rep).getBytes
         case TimestampType | TimestampNTZType =>
           prim.asPrimitiveType().getPrimitiveTypeName match {
-            case PrimitiveTypeName.INT64 => g.getLong(idx, 0)
+            case PrimitiveTypeName.INT64 => g.getLong(idx, rep)
             case PrimitiveTypeName.INT96 =>
               // 12 bytes little-endian: nanos-of-day, julian day
               val b = java.nio.ByteBuffer
-                .wrap(g.getInt96(idx, 0).getBytes)
+                .wrap(g.getInt96(idx, rep).getBytes)
                 .order(java.nio.ByteOrder.LITTLE_ENDIAN)
               val nanos = b.getLong
               val julian = b.getInt
               (julian - 2440588L) * 86400000000L + nanos / 1000L
             case _ => unsupported
           }
-        case ShortType => g.getInteger(idx, 0).toShort
-        case ByteType => g.getInteger(idx, 0).toByte
+        case ShortType => g.getInteger(idx, rep).toShort
+        case ByteType => g.getInteger(idx, rep).toByte
         case dt: DecimalType =>
           // parquet physically stores decimal as INT32 (precision <= 9),
           // INT64 (<= 18), or a big-endian two's-complement unscaled
@@ -303,13 +335,13 @@ object GraftChangelogStream {
           // this schema)
           prim.asPrimitiveType().getPrimitiveTypeName match {
             case PrimitiveTypeName.INT32 =>
-              Decimal(g.getInteger(idx, 0).toLong, dt.precision, dt.scale)
+              Decimal(g.getInteger(idx, rep).toLong, dt.precision, dt.scale)
             case PrimitiveTypeName.INT64 =>
-              Decimal(g.getLong(idx, 0), dt.precision, dt.scale)
+              Decimal(g.getLong(idx, rep), dt.precision, dt.scale)
             case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
                  PrimitiveTypeName.BINARY =>
               val unscaled = new java.math.BigInteger(
-                g.getBinary(idx, 0).getBytes)
+                g.getBinary(idx, rep).getBytes)
               Decimal(new java.math.BigDecimal(unscaled, dt.scale),
                 dt.precision, dt.scale)
             case _ => unsupported

@@ -535,6 +535,56 @@ class DataSourceV2Spec extends AnyFunSuite {
     } finally sc.setLocalProperty(KEY, saved)
   }
 
+  test("changelog stream serves ARRAY columns: token-id and float-" +
+      "embedding arrays round-trip the executor-side reader identically " +
+      "to the batch feed read, including null arrays and null elements") {
+    import spark.implicits._
+    val tgt = java.nio.file.Files.createTempDirectory("graft-arr").toString
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((1L, Seq(1L, 2L, 3L), Seq(0.5f, 1.5f)),
+        (2L, Seq(10L), Seq(2.0f))).toDF("k", "tokens", "emb"),
+      createKeys = Seq("k"), changelog = true)
+    // upsert with a NULL element; a row with a NULL array; a delete —
+    // every shape the reader must not mangle
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      spark.range(1).selectExpr("1L AS k",
+        "array(7L, CAST(NULL AS BIGINT)) AS tokens",
+        "CAST(NULL AS ARRAY<FLOAT>) AS emb"))
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      spark.range(1).selectExpr("3L AS k",
+        "CAST(NULL AS ARRAY<BIGINT>) AS tokens",
+        "array(CAST(1.25 AS FLOAT), CAST(-2.5 AS FLOAT)) AS emb"))
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((2L, Seq.empty[Long], Seq.empty[Float])).toDF("k", "tokens", "emb"),
+      delete = true)
+    // canonicalize both paths through the same Catalyst JSON
+    // serialization (collection toString is not stable across readers)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr("to_json(struct(*)) AS j").as[String]
+        .collect().sorted.toSeq
+    val streamFeed = spark.readStream.format("graft")
+      .option("changelog", true).load(tgt)
+    assert(streamFeed.schema("tokens").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = streamFeed.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-arrck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        canon(b).foreach(buf.add)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = buf.iterator.asScala.toSeq.sorted
+    val batch = canon(graft.streaming.Streams.changelogOf(spark, tgt))
+    assert(streamed == batch,
+      s"stream decode diverged from the batch feed:\n${
+        streamed.zipAll(batch, "<missing>", "<missing>")
+          .filter(p => p._1 != p._2).take(5).mkString("\n")}")
+    assert(streamed.exists(_.contains("[7")), "upserted array missing")
+  }
+
   test("changelog stream sinceVersion above the committed max never " +
       "regresses: versions the cut excluded are never served") {
     import spark.implicits._
