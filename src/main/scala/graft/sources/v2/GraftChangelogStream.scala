@@ -41,11 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * declared read schema; a column missing from an older layer's file
   * (ADD-column evolution) surfaces as null, the same merged-schema
   * semantics the batch read serves. Served types: the flat primitive
-  * Spark types, decimal (the warehouse money type), and
-  * array-of-primitive (embeddings, token ids — both parquet LIST
-  * shapes) — the merge-table sinks write exactly those; a deeper
-  * nested or exotic column refuses loudly at read rather than
-  * guessing an encoding. */
+  * Spark types, decimal (the warehouse money type), array-of-primitive
+  * (embeddings, token ids — both parquet LIST shapes), and structs of
+  * those (typed metadata, recursively) — the merge-table sinks write
+  * exactly those; anything else (maps, arrays of structs) refuses
+  * loudly at read rather than guessing an encoding. */
 final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
                                  readSchema: StructType,
                                  hadoopConf: Configuration)
@@ -292,6 +292,21 @@ object GraftChangelogStream {
             i += 1
           }
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case StructType(fields) =>
+          // one level of typed metadata (the multimodal rows' shape):
+          // recurse per subfield — arrays/decimals inside the struct
+          // ride the same paths; a subfield missing from an older
+          // file's struct (ADD evolution) surfaces as null
+          val sub = g.getGroup(idx, 0)
+          val subSchema = sub.getType
+          new GenericInternalRow(fields.map { sf =>
+            if (!subSchema.containsField(sf.name)) null
+            else {
+              val si = subSchema.getFieldIndex(sf.name)
+              if (sub.getFieldRepetitionCount(si) == 0) null
+              else readValue(sub, si, sf)
+            }
+          }.asInstanceOf[Array[Any]])
         case dt => readPrim(g, idx, 0, dt, f.name)
       }
 

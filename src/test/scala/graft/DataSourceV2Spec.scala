@@ -544,18 +544,25 @@ class DataSourceV2Spec extends AnyFunSuite {
       Seq((1L, Seq(1L, 2L, 3L), Seq(0.5f, 1.5f)),
         (2L, Seq(10L), Seq(2.0f))).toDF("k", "tokens", "emb"),
       createKeys = Seq("k"), changelog = true)
-    // upsert with a NULL element; a row with a NULL array; a delete —
-    // every shape the reader must not mangle
+    // upsert with a NULL element; a row with a NULL array; an ADDED
+    // typed-metadata STRUCT column (the multimodal shape — older
+    // layers must surface it as null); a delete — every shape the
+    // reader must not mangle
     graft.streaming.Streams.mergeTableInsert(spark, tgt,
       spark.range(1).selectExpr("1L AS k",
         "array(7L, CAST(NULL AS BIGINT)) AS tokens",
-        "CAST(NULL AS ARRAY<FLOAT>) AS emb"))
+        "CAST(NULL AS ARRAY<FLOAT>) AS emb",
+        "named_struct('w', 640, 'fmt', 'png') AS meta"))
     graft.streaming.Streams.mergeTableInsert(spark, tgt,
       spark.range(1).selectExpr("3L AS k",
         "CAST(NULL AS ARRAY<BIGINT>) AS tokens",
-        "array(CAST(1.25 AS FLOAT), CAST(-2.5 AS FLOAT)) AS emb"))
+        "array(CAST(1.25 AS FLOAT), CAST(-2.5 AS FLOAT)) AS emb",
+        "CAST(NULL AS STRUCT<w:INT, fmt:STRING>) AS meta"))
     graft.streaming.Streams.mergeTableInsert(spark, tgt,
-      Seq((2L, Seq.empty[Long], Seq.empty[Float])).toDF("k", "tokens", "emb"),
+      spark.range(1).selectExpr("2L AS k",
+        "CAST(array() AS ARRAY<BIGINT>) AS tokens",
+        "CAST(array() AS ARRAY<FLOAT>) AS emb",
+        "CAST(NULL AS STRUCT<w:INT, fmt:STRING>) AS meta"),
       delete = true)
     // canonicalize both paths through the same Catalyst JSON
     // serialization (collection toString is not stable across readers)
@@ -583,6 +590,8 @@ class DataSourceV2Spec extends AnyFunSuite {
         streamed.zipAll(batch, "<missing>", "<missing>")
           .filter(p => p._1 != p._2).take(5).mkString("\n")}")
     assert(streamed.exists(_.contains("[7")), "upserted array missing")
+    assert(streamed.exists(_.contains("\"fmt\":\"png\"")),
+      "struct metadata missing from the streamed feed")
   }
 
   test("changelog stream sinceVersion above the committed max never " +
