@@ -2877,7 +2877,7 @@ object Streams extends org.apache.spark.internal.Logging {
     var checked = false
     toForeachBatchSink(df, checkpoint) { (batch, id) =>
       if (!checked) {
-        guardSinkIdentity(batch.sparkSession, targetDir, checkpoint)
+        guardSinkIdentity(batch.sparkSession, targetDir, checkpoint, id)
         checked = true
       }
       fn(batch, id)
@@ -2902,7 +2902,31 @@ object Streams extends org.apache.spark.internal.Logging {
 
   private def guardSinkIdentity(spark: org.apache.spark.sql.SparkSession,
                                 targetDir: String,
-                                checkpoint: String): Unit =
+                                checkpoint: String,
+                                firstBatchId: Long): Unit = {
+    // adoption is ONE-WAY: with the _query marker gone (the documented
+    // step for external writes to take over a retired sink's target)
+    // and committed versions present, this sink may only attach if its
+    // numbering lands ABOVE the committed head — its replay-overwrite
+    // discipline ("a replayed batch overwrites its own version") would
+    // otherwise silently destroy versions it never wrote (an adopted
+    // target's external commits, exactly the committed-intent loss the
+    // write face's claims exclude)
+    val committedHead = snapshotVersions(spark, targetDir).maxOption
+    committedHead.foreach { head =>
+      val mk = new org.apache.hadoop.fs.Path(s"$targetDir/_query")
+      val mkFs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(mkFs.exists(mk) || firstBatchId > head,
+        s"versioned sink: $targetDir has committed versions through " +
+          s"$head but no _query marker, and this checkpoint's next " +
+          s"batch id is $firstBatchId — resuming would overwrite " +
+          "versions this sink cannot prove it wrote (external writes " +
+          "adopted the target after the marker was deleted; adoption " +
+          "is one-way). Use a fresh target + checkpoint, or if these " +
+          "versions ARE this sink's own work under a lost marker, " +
+          s"delete $targetDir/v=<ids> above ${firstBatchId - 1} to let " +
+          "the replay re-run them")
+    }
     checkpointQueryId(spark, checkpoint) match {
       case None =>
         // metadata unreadable — nothing to pin against; stay permissive
@@ -2947,6 +2971,7 @@ object Streams extends org.apache.spark.internal.Logging {
           }
         } else requireMatch()
     }
+  }
 
   private def unresolveReplayedVersion(spark: org.apache.spark.sql.SparkSession,
                                        targetDir: String,

@@ -3675,6 +3675,41 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       "resumed sink re-ingested the rewritten file (survivors doubled)")
   }
 
+  test("adoption is ONE-WAY: a retired sink resumed over a target that " +
+      "external writes advanced refuses at its first trigger instead of " +
+      "replay-overwriting the external versions") {
+    assume(!rocksdb)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val tgt = tmp("graft-adopt-tgt")
+    val ck = tmp("graft-adopt-ck")
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    def sink() = Streams.mergeSink(in.toDF().toDF("k", "v", "seq", "del"),
+      tgt, ck, Seq("k"), "seq", "del")
+    val q1 = sink()
+    try {
+      in.addData((1L, "a", 1L, false)); q1.processAllAvailable()
+      in.addData((2L, "b", 1L, false)); q1.processAllAvailable()
+    } finally q1.stop()
+    // retire the sink (the documented adoption step), external write
+    assert(new java.io.File(s"$tgt/_query").delete())
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((3L, "external")).toDF("k", "v"))
+    // resuming the OLD checkpoint would restart numbering at batch 2 =
+    // the external version — the guard must refuse before any byte moves
+    val q2 = sink()
+    val ex = intercept[Exception] {
+      try { in.addData((4L, "c", 1L, false)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(ex.getMessage.contains("adoption is one-way") ||
+      Option(ex.getCause).exists(_.getMessage.contains("adoption is one-way")),
+      s"wrong refusal: ${ex.getMessage}")
+    // the external version survived untouched
+    assert(graft.streaming.Streams.latestTable(spark, tgt).get
+      .filter(col("k") === 3L).count() == 1)
+  }
+
   test("forget under a LIVE maintained sink: with the sink's query " +
       "running (idle between triggers), the one-call forget completes, " +
       "the next trigger ingests only genuinely-new files, and retrieval " +
