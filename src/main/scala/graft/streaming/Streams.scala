@@ -967,8 +967,11 @@ object Streams extends org.apache.spark.internal.Logging {
     * write and commit) is invisible to readers and reclaimed by a
     * later write only once its claim has aged past `inFlightClaimMs`
     * (default 30 min) — size that window above your slowest expected
-    * write, or a slow writer's in-flight layer becomes reclaimable.
-    * Returns the committed version. */
+    * write. A writer that DOES outlive the window and loses its claim
+    * to a racer refuses at commit time (claims carry the writer's
+    * nonce, re-checked before the marker is published): the caller
+    * sees "nothing was published — retry", never a success report for
+    * a reclaimed write. Returns the committed version. */
   def mergeTableInsert(spark: org.apache.spark.sql.SparkSession,
                        targetDir: String, rows: DataFrame,
                        delete: Boolean = false,
@@ -1076,6 +1079,11 @@ object Streams extends org.apache.spark.internal.Logging {
     var nextId = nextFree
     var claimed = false
     var attempts = 0
+    // the claim carries this writer's NONCE: a writer that outlives
+    // inFlightClaimMs may be reclaimed mid-flight by a racer, and the
+    // pre-commit ownership re-check (below) is what turns that from a
+    // silent loss reported as success into a loud refusal
+    val nonce = java.util.UUID.randomUUID().toString
     while (!claimed) {
       attempts += 1
       require(attempts <= 64,
@@ -1083,7 +1091,10 @@ object Streams extends org.apache.spark.internal.Logging {
           "attempts — pathological writer contention; retry when the " +
           "other writers drain")
       try {
-        fs.create(claimPath(nextId), false).close()
+        val out = fs.create(claimPath(nextId), false)
+        try out.write(nonce.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         claimed = true
       } catch {
         case e: java.io.IOException =>
@@ -1121,10 +1132,36 @@ object Streams extends org.apache.spark.internal.Logging {
     if (feed)
       deriveChangelog(spark, targetDir, layout, withMeta, nextId,
         changelogKeyPushdown, filesPerBatch, who)
+    mergeInsertInterleave.foreach(f => f(targetDir))
+    // OWNERSHIP re-check before publishing: a writer that outlived
+    // inFlightClaimMs may have had its claim and layer reclaimed by a
+    // racer — committing anyway would publish a version whose layer is
+    // gone (or a racer's), a silent loss reported as success. The
+    // nonce comparison shrinks that window from the whole write
+    // duration to the microseconds between this read and the marker
+    // create.
+    val claimNow = try {
+      val in = fs.open(claimPath(nextId))
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+    require(claimNow == nonce,
+      s"$who: the claim on version $nextId of $targetDir is no longer " +
+        "this writer's — the write outlived inFlightClaimMs and a " +
+        "racing writer reclaimed it; NOTHING was published (retry the " +
+        "write, and size inFlightClaimMs above your slowest write)")
     commitIndexVersion(spark, targetDir, checkpoint = "", nextId,
       retainVersions, withManifest = false)
     nextId
   }
+
+  // test seam: invoked after the layer (and feed) write, before the
+  // pre-commit claim-ownership check — lets specs interleave a racing
+  // writer into the claim window deterministically (production: None)
+  @volatile private[graft] var mergeInsertInterleave
+      : Option[String => Unit] = None
 
   /** The shared `compactMaxTail` contract of the six maintained sinks:
     * -1 (every sink's default) derives `8 × compactEvery` — reads stay

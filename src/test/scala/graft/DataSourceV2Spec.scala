@@ -497,6 +497,40 @@ class DataSourceV2Spec extends AnyFunSuite {
       .select("k").as[Long].collect().contains(88L))
   }
 
+  test("a writer that outlives the in-flight window REFUSES at commit " +
+      "instead of publishing over a reclaimed claim: the racer's version " +
+      "stands, nothing is lost silently") {
+    import spark.implicits._
+    val tgt = java.nio.file.Files.createTempDirectory("graft-slow").toString
+    graft.streaming.Streams.mergeTableInsert(spark, tgt,
+      Seq((1L, "base")).toDF("k", "v"), createKeys = Seq("k"))
+    // interleave a racer into the slow writer's claim window: expire
+    // the slow writer's claim (simulating a write that outlived
+    // inFlightClaimMs), then run a full racing insert — it reclaims
+    // the id, claims it itself, and commits
+    graft.streaming.Streams.mergeInsertInterleave = Some { dir =>
+      graft.streaming.Streams.mergeInsertInterleave = None
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/v=1/_CLAIM"),
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+      graft.streaming.Streams.mergeTableInsert(spark, dir,
+        Seq((7L, "racer")).toDF("k", "v"))
+    }
+    try {
+      val ex = intercept[IllegalArgumentException](
+        graft.streaming.Streams.mergeTableInsert(spark, tgt,
+          Seq((5L, "slow")).toDF("k", "v")))
+      assert(ex.getMessage.contains("no longer this writer's"),
+        ex.getMessage)
+    } finally graft.streaming.Streams.mergeInsertInterleave = None
+    spark.catalog.refreshByPath(tgt)
+    val served = graft.streaming.Streams.latestTable(spark, tgt).get
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(served == Seq(1L, 7L),
+      s"racer's version must stand, slow writer's must not publish: $served")
+  }
+
   test("pin memoized per query execution: a same-JVM commit between two " +
       "scan-builder creations of ONE planning cannot split the plan " +
       "across two versions; the NEXT planning re-pins") {
