@@ -237,8 +237,14 @@ object Bench {
     def parsePrior(file: java.nio.file.Path)
         : Option[(Map[String, Double], Double)] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(file),
+        val raw = new String(java.nio.file.Files.readAllBytes(file),
           java.nio.charset.StandardCharsets.UTF_8)
+        // the committed BENCH_r{N}.json wraps the bench line as an
+        // embedded JSON string ("tail"), so its quotes arrive escaped —
+        // unescape before matching or the fallback can never parse
+        val txt =
+          if (raw.contains("\"queries\":{")) raw
+          else raw.replace("\\\"", "\"")
         val qStart = txt.indexOf("\"queries\":{")
         val qEnd = txt.indexOf("}", qStart)
         val qmap = entryRe.findAllMatchIn(
