@@ -1187,6 +1187,134 @@ object Relational {
     }
   }
 
+  // FEED RETENTION (Streams.truncateChangelog): the same three-batch
+  // replay, then the feed's history at and below version 1 is DROPPED.
+  // The row verifies the whole retention contract end-to-end: the
+  // truncation reports exactly the dropped versions, a full-feed read
+  // below the recorded floor REFUSES (never a silently-gapped feed),
+  // and the documented consumer recipe — bootstrap from the retained
+  // table state AS OF the floor, plus the feed above it — reconstructs
+  // the exact full-history answer, which the oracle replays as the
+  // plain window replay over all three batches. Storage for a
+  // year-old feed is bounded by one call, losing no reconstructible
+  // state.
+  private val qGraftFeedTrunc = QueryDef("q_graft_feed_trunc", Some(
+    """WITH c AS (SELECT l_orderkey, l_suppkey, l_quantity,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       sum(cast(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    withMergeReplay(spark, dir, Nil, changelog = true) { tgt =>
+      val dropped = graft.streaming.Streams.truncateChangelog(
+        spark, tgt, keepAfter = 1L)
+      require(dropped == Seq(0L, 1L),
+        s"q_graft_feed_trunc: expected versions 0,1 dropped, got $dropped")
+      val refused =
+        try { graft.streaming.Streams.changelogOf(spark, tgt); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("truncateChangelog") }
+      require(refused,
+        "q_graft_feed_trunc: a feed read cutting below the floor must " +
+          "refuse, not serve gapped history")
+      val base = graft.streaming.Streams.latestTable(
+          spark, tgt, asOf = Some(1L)).get
+        .select(col("l_suppkey"), col("l_quantity"), lit(1L).as("op"))
+      val delta = graft.streaming.Streams.changelogOf(
+          spark, tgt, sinceVersion = 1L)
+        .select(col("l_suppkey"), col("l_quantity"),
+          col("op").cast("long").as("op"))
+      base.unionByName(delta)
+        .groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          (sum(col("op") * round(col("l_quantity") * 100).cast("long"))
+            / 100.0).as("sum_qty"))
+    }
+  }
+
+  // MAPS + ARRAYS-OF-STRUCTS through the STREAMING face: the table
+  // carries a map<string,bigint> feature bag and an
+  // array<struct<t,w>> weighted-token column — the two nested shapes
+  // the flat/array rows above don't cover — and the external consumer
+  // folds BOTH with integer algebra (element_at over the map, a
+  // struct-field product inside aggregate over the array). The oracle
+  // replays the same arithmetic from the scalar columns the nested
+  // values were derived from, so the hash check is exact; the
+  // require()s gate on the feed actually serving MapType and
+  // array-of-struct, so the row can never degrade into a flat pass.
+  private val qGraftStreamMap = QueryDef("q_graft_stream_map", Some(
+    """WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey,
+      |                  l_linenumber * 100000000000000 + l_partkey * 10000000
+      |                    + l_suppkey AS seq,
+      |                  (l_returnflag = 'R') AS del,
+      |                  l_suppkey % 3 AS b
+      |           FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                  ORDER BY b DESC, seq DESC) AS rk
+      |      FROM c),
+      |f AS (SELECT * FROM r WHERE rk = 1 AND NOT del)
+      |SELECT l_suppkey % 10 AS g,
+      |       cast(count(*) AS BIGINT) AS n_rows,
+      |       cast(sum((l_orderkey % 7) + (l_suppkey % 5)) AS BIGINT)
+      |         AS sum_map,
+      |       cast(sum((l_partkey % 11) * (l_orderkey % 3 + 1)) AS BIGINT)
+      |         AS sum_st
+      |FROM f GROUP BY 1""".stripMargin),
+    bench = false) { (spark, dir) =>
+    val withNested: DataFrame => DataFrame = df => df
+      .withColumn("feat", map(
+        lit("a"), (col("l_orderkey") % 7).cast("long"),
+        lit("b"), (col("l_suppkey") % 5).cast("long")))
+      .withColumn("toks", array(struct(
+        (col("l_partkey") % 11).cast("long").as("t"),
+        (col("l_orderkey") % 3 + 1).cast("long").as("w"))))
+      .drop("l_quantity")
+    withMergeReplay(spark, dir, Nil, changelog = true,
+      transform = withNested) { tgt =>
+      val feed = spark.readStream.format("graft").option("changelog", true)
+        .load(tgt)
+      require(feed.schema("feat").dataType ==
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType),
+        "q_graft_stream_map: the stream must serve the feature column " +
+          s"as map<string,bigint>, got ${feed.schema("feat").dataType}")
+      require(feed.schema("toks").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.StructType, _) => true
+          case _ => false
+        },
+        "q_graft_stream_map: the stream must serve the token column as " +
+          s"array<struct>, got ${feed.schema("toks").dataType}")
+      val qn = s"graft_stream_map_q_${System.nanoTime}"
+      val ck = java.nio.file.Files.createTempDirectory("graft-streamm-qck")
+      val q = feed
+        .groupBy((col("l_suppkey") % 10).as("g"))
+        .agg(sum(col("op")).cast("long").as("n_rows"),
+          sum(col("op") * (expr("element_at(feat, 'a')")
+            + expr("element_at(feat, 'b')")))
+            .cast("long").as("sum_map"),
+          sum(col("op") *
+            expr("aggregate(toks, 0L, (a, x) -> a + x.t * x.w)"))
+            .cast("long").as("sum_st"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+    }
+  }
+
   // THE WRITE FACE of the merge table (Streams.mergeTableInsert /
   // format("graft") writes): the same three-batch lineitem replay as
   // q_merge_table, but applied as EXTERNAL batch writes — no streaming
@@ -2414,7 +2542,8 @@ object Relational {
     qSortGlobal, qCross, q4in, qValidate, qSkewJoin, qSkewAgg, qMerge, qDiff,
     qIncr, qIncrAo, qIncrKmv, qKmvOverlap, qHist, qScd2, qMergeTable,
     qMergeAsOf, qMergeChangelog, qGraftFormat, qGraftChangelog, qGraftWrite,
-    qGraftStream, qGraftStreamDec, qGraftStreamArr,
+    qGraftStream, qGraftStreamDec, qGraftStreamArr, qGraftStreamMap,
+    qGraftFeedTrunc,
     qZorder, qHilbert,
     qOutliers, qIncrKmv2, qIncrBucket, qIncrFresh, qScd2Pit, qZorder3,
     qStarRollup, qStarRollup2, qStarDim, qStarCube, qMvRollup, qMvGroupingSets,

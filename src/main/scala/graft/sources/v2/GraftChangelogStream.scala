@@ -40,12 +40,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver only lists directories), converting to Catalyst rows by the
   * declared read schema; a column missing from an older layer's file
   * (ADD-column evolution) surfaces as null, the same merged-schema
-  * semantics the batch read serves. Served types: the flat primitive
-  * Spark types, decimal (the warehouse money type), array-of-primitive
-  * (embeddings, token ids — both parquet LIST shapes), and structs of
-  * those (typed metadata, recursively) — the merge-table sinks write
-  * exactly those; anything else (maps, arrays of structs) refuses
-  * loudly at read rather than guessing an encoding. */
+  * semantics the batch read serves. Served types: the full nested
+  * algebra the merge-table sinks can write — flat primitives, decimal
+  * (the warehouse money type), arrays (both parquet LIST shapes,
+  * elements of any served type — embeddings, token ids, arrays of
+  * structs), structs (typed metadata, recursively, with per-subfield
+  * ADD evolution), and maps — so any schema `mergeSink`/
+  * `mergeTableInsert` accepts is stream-consumable; an exotic
+  * primitive outside that algebra (interval, unknown physical
+  * encoding) refuses loudly rather than guessing. */
 final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
                                  readSchema: StructType,
                                  hadoopConf: Configuration)
@@ -168,6 +171,20 @@ final class GraftChangelogStream(ref: GraftDataSource.TargetRef,
     val s = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
     if (e <= s) return Array.empty
+    // retention floor (truncateChangelog): a consumer whose checkpoint
+    // or sinceVersion cut stands below it would plan a range whose
+    // batch dirs were dropped — refuse loudly instead of serving a
+    // silently-gapped feed (the dir-missing skip below is for version
+    // ids that never HAD a batch dir, not for truncated history). One
+    // tiny-dir listing per trigger, flat over stream lifetime.
+    val floor = graft.streaming.Streams.changelogFloor(hadoopConf, ref.path)
+    if (s < floor) throw new IllegalStateException(
+      s"graft changelog stream: the feed at and below version $floor " +
+        s"was dropped by truncateChangelog while this consumer stands " +
+        s"at version $s — continuing would silently skip the truncated " +
+        "history; re-bootstrap from a snapshot read (latestTable / " +
+        "format(\"graft\")) and a fresh checkpoint with sinceVersion " +
+        s">= $floor")
     val chDir = new Path(s"${ref.path}/changelog")
     val fs = chDir.getFileSystem(hadoopConf)
     if (!fs.exists(chDir)) return Array.empty
@@ -267,48 +284,93 @@ object GraftChangelogStream {
     }
 
     private def readValue(g: Group, idx: Int, f: StructField): Any =
-      f.dataType match {
-        case ArrayType(elem, _) =>
-          // LIST decoding, both parquet shapes Spark writes: the
-          // standard 3-level `group (LIST) { repeated group list {
-          // optional elem } }` and the legacy 2-level `group (LIST) {
-          // repeated elem }` — merge tables carry embeddings and
-          // token-id arrays, so an external stream consumer of those
-          // must not refuse
-          val listGroup = g.getGroup(idx, 0)
-          val n = listGroup.getFieldRepetitionCount(0)
-          val out = new Array[Any](n)
-          val inner = listGroup.getType.getType(0)
-          var i = 0
-          while (i < n) {
-            out(i) =
-              if (inner.isPrimitive) // legacy 2-level: repeated elem
-                readPrim(listGroup, 0, i, elem, f.name)
-              else { // standard 3-level: repeated wrapper, optional elem
-                val entry = listGroup.getGroup(0, i)
-                if (entry.getFieldRepetitionCount(0) == 0) null
-                else readPrim(entry, 0, 0, elem, f.name)
-              }
-            i += 1
-          }
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-        case StructType(fields) =>
-          // one level of typed metadata (the multimodal rows' shape):
-          // recurse per subfield — arrays/decimals inside the struct
-          // ride the same paths; a subfield missing from an older
-          // file's struct (ADD evolution) surfaces as null
-          val sub = g.getGroup(idx, 0)
-          val subSchema = sub.getType
-          new GenericInternalRow(fields.map { sf =>
-            if (!subSchema.containsField(sf.name)) null
-            else {
-              val si = subSchema.getFieldIndex(sf.name)
-              if (sub.getFieldRepetitionCount(si) == 0) null
-              else readValue(sub, si, sf)
-            }
-          }.asInstanceOf[Array[Any]])
-        case dt => readPrim(g, idx, 0, dt, f.name)
+      readTyped(g, idx, 0, f.dataType, f.name)
+
+    /** One value of any served type at (field idx, repetition rep) of
+      * `g` — the single recursive dispatch all nesting levels share, so
+      * arrays of structs of maps of decimals all ride the same code. */
+    private def readTyped(g: Group, idx: Int, rep: Int, dt: DataType,
+                          name: String): Any = dt match {
+      case ArrayType(elem, _) => readList(g.getGroup(idx, rep), elem, name)
+      case st: StructType => readStruct(g.getGroup(idx, rep), st)
+      case MapType(kt, vt, _) => readMap(g.getGroup(idx, rep), kt, vt, name)
+      case _ => readPrim(g, idx, rep, dt, name)
+    }
+
+    /** Typed metadata (the multimodal rows' shape), recursively: a
+      * subfield missing from an older file's struct (ADD evolution)
+      * surfaces as null, same as a missing top-level column. */
+    private def readStruct(sub: Group, st: StructType): InternalRow = {
+      val subSchema = sub.getType
+      new GenericInternalRow(st.fields.map { sf =>
+        if (!subSchema.containsField(sf.name)) null
+        else {
+          val si = subSchema.getFieldIndex(sf.name)
+          if (sub.getFieldRepetitionCount(si) == 0) null
+          else readTyped(sub, si, 0, sf.dataType, sf.name)
+        }
+      }.asInstanceOf[Array[Any]])
+    }
+
+    /** LIST decoding, both parquet shapes: the standard 3-level
+      * `group (LIST) { repeated group list { optional elem } }` and
+      * the legacy 2-level `group (LIST) { repeated elem }`. Which one
+      * a file carries is decided by the parquet-format backward-compat
+      * rules, not by guessing from the Spark type: a repeated
+      * PRIMITIVE is always the element itself; a repeated GROUP is the
+      * element iff it has more than one field or carries a legacy
+      * element name (`array`, `<list>_tuple`) — otherwise it is the
+      * 3-level wrapper whose single optional field is the element.
+      * Elements recurse through [[readTyped]], so arrays of structs /
+      * maps / arrays are served, not refused. */
+    private def readList(listGroup: Group, elem: DataType,
+                         name: String): Any = {
+      val n = listGroup.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      val inner = listGroup.getType.getType(0)
+      val innerIsElement = inner.isPrimitive || {
+        val ig = inner.asGroupType()
+        ig.getFieldCount != 1 || inner.getName == "array" ||
+          inner.getName == listGroup.getType.getName + "_tuple"
       }
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (innerIsElement) readTyped(listGroup, 0, i, elem, name)
+          else { // standard 3-level: repeated wrapper, optional elem
+            val entry = listGroup.getGroup(0, i)
+            if (entry.getFieldRepetitionCount(0) == 0) null
+            else readTyped(entry, 0, 0, elem, name)
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    /** MAP decoding: `repeated group key_value { required key;
+      * optional value }` — field POSITIONS are the contract (0 = key,
+      * 1 = value), which covers the legacy `map`/MAP_KEY_VALUE name
+      * too. Entry order is file order, matching what Spark's own
+      * parquet reader serves for the batch feed. */
+    private def readMap(mapGroup: Group, kt: DataType, vt: DataType,
+                        name: String): Any = {
+      val n = mapGroup.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val values = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val kv = mapGroup.getGroup(0, i)
+        keys(i) = readTyped(kv, 0, 0, kt, s"$name!key")
+        values(i) =
+          if (kv.getType.getFieldCount < 2 ||
+              kv.getFieldRepetitionCount(1) == 0) null
+          else readTyped(kv, 1, 0, vt, s"$name!value")
+        i += 1
+      }
+      import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+      new ArrayBasedMapData(new GenericArrayData(keys),
+        new GenericArrayData(values))
+    }
 
     private def readPrim(g: Group, idx: Int, rep: Int,
                          dataType: DataType, colName: String): Any = {
@@ -317,7 +379,7 @@ object GraftChangelogStream {
         s"graft changelog stream: column '$colName' of type " +
           s"${dataType.catalogString} (parquet $prim) is not a type " +
           "the stream reader serves — merge-table change streams carry " +
-          "flat primitive, decimal, and array-of-primitive schemas")
+          "primitives, decimal, arrays, structs, and maps (recursively)")
       dataType match {
         case IntegerType | DateType => g.getInteger(idx, rep)
         case LongType => g.getLong(idx, rep)

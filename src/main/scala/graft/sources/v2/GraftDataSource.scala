@@ -70,7 +70,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ref = GraftDataSource.refOf(SparkSession.active, options)
     cached = Some(ref)
-    GraftDataSource.resolve(SparkSession.active, ref, None).schema
+    GraftDataSource.resolve(SparkSession.active, ref, None,
+      forSchema = true).schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -180,9 +181,17 @@ object GraftDataSource {
   }
 
   /** The resolved serving frame — pre-filtered through the commuting
-    * key-pushdown shape when a key-only predicate was accepted. */
+    * key-pushdown shape when a key-only predicate was accepted.
+    * `forSchema` = inference-only resolution: the changelog cut is
+    * clamped to the retention floor, because a STREAM's sinceVersion is
+    * only its initial offset — a resumed consumer whose CHECKPOINT
+    * stands at or above the floor must not be refused at load() for a
+    * stale option (the real guards sit where the served range is
+    * known: changelogOf for batch scans, planInputPartitions for
+    * stream triggers — the schema is the same either way). */
   private[v2] def resolve(spark: SparkSession, ref: TargetRef,
-                          pred: Option[Column]): DataFrame = {
+                          pred: Option[Column],
+                          forSchema: Boolean = false): DataFrame = {
     def noVersion = throw new IllegalStateException(
       s"graft source: no committed version under ${ref.path} yet")
     // the ref's pin, not a fresh "latest": every scan build of one read
@@ -193,8 +202,13 @@ object GraftDataSource {
       // the feed is append-only HISTORY, not resolved state: any pushed
       // predicate is a plain row filter over it — exact by itself, no
       // commuting argument needed
+      val since =
+        if (forSchema) math.max(ref.sinceVersion,
+          graft.streaming.Streams.changelogFloor(
+            spark.sparkContext.hadoopConfiguration, ref.path))
+        else ref.sinceVersion
       val feed = graft.streaming.Streams.changelogOf(spark, ref.path,
-        ref.sinceVersion, asOf)
+        since, asOf)
       return pred.map(feed.where).getOrElse(feed)
     }
     ref.kind match {

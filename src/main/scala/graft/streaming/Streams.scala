@@ -1198,8 +1198,10 @@ object Streams extends org.apache.spark.internal.Logging {
     * the layer's `batch` column; `asOf` bounds the feed to a retained
     * version's history, `sinceVersion` cuts re-consumed prefixes.
     * The feed is append-only HISTORY: compaction and vacuum of the
-    * `rows/` layers never touch it (storage is the consumer's
-    * retention decision). */
+    * `rows/` layers never touch it — its storage is bounded by an
+    * explicit [[truncateChangelog]] call, after which reads must cut
+    * at or above the recorded floor (a read below it refuses loudly
+    * here rather than serving a feed with silently-missing history). */
   def changelogOf(spark: org.apache.spark.sql.SparkSession,
                   targetDir: String, sinceVersion: Long = -1L,
                   asOf: Option[Long] = None): DataFrame = {
@@ -1213,6 +1215,14 @@ object Streams extends org.apache.spark.internal.Logging {
         .exists(chDir),
       s"Streams.changelogOf: $targetDir carries no changelog/ history — " +
         "run its mergeSink with changelog = true to emit the change feed")
+    val floor = changelogFloor(
+      spark.sparkContext.hadoopConfiguration, targetDir)
+    require(sinceVersion >= floor,
+      s"Streams.changelogOf: the feed at and below version $floor was " +
+        s"dropped by truncateChangelog — a read cutting at sinceVersion=" +
+        s"$sinceVersion would silently miss that history; cut at or above " +
+        "the floor, or BOOTSTRAP: latestTable(asOf = a retained version " +
+        ">= the floor) plus the feed above it reconstructs any state")
     val col = org.apache.spark.sql.functions.col _
     maintainedBatchRows(spark, targetDir, "changelog", version,
         evolving = true)
@@ -1220,6 +1230,99 @@ object Streams extends org.apache.spark.internal.Logging {
       // version markers use
       .withColumn("batch", col("batch").cast("long"))
       .where(col("batch") > sinceVersion)
+  }
+
+  /** The change feed's RETENTION floor: the newest `floor=<v>` marker
+    * under `changelog/_retention`, -1 when the feed was never
+    * truncated. Versions at and below the floor have had their
+    * `changelog/batch=` dirs dropped by [[truncateChangelog]].
+    * Name-encoded empty marker files (the `v=<id>/_SUCCESS`
+    * discipline): recording a floor is one atomic create with no
+    * content to tear, and reading it is one tiny-dir listing — never a
+    * scan of the feed's history, so the streaming source can afford
+    * the check every trigger. */
+  def changelogFloor(conf: org.apache.hadoop.conf.Configuration,
+                     targetDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$targetDir/changelog/_retention")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("floor="))
+      .map(_.stripPrefix("floor=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Drops the change feed's history at and below version `keepAfter` —
+    * the retention decision [[changelogOf]]'s append-only contract
+    * otherwise defers forever. A year-old merge table carries every
+    * version ever committed in `changelog/`; one call bounds it, and
+    * every feed read path (batch [[changelogOf]], the DSv2 batch face,
+    * the streaming source) refuses below the recorded floor instead of
+    * serving silently-gapped history. A consumer whose cut or
+    * checkpoint is below the floor re-BOOTSTRAPS: `latestTable(asOf =
+    * a retained version >= floor)` plus the feed above that version
+    * reconstructs any state (the recipe `q_graft_feed_trunc` verifies
+    * against the full-replay oracle).
+    *
+    * Crash-safe ordering: the floor marker lands FIRST (atomic
+    * name-encoded create), then the batch dirs are deleted — a crash
+    * between the two leaves readers already refusing below the floor
+    * and a re-run of the same call completing the deletes (idempotent:
+    * re-recording an equal floor is a no-op, and only dirs at or below
+    * it are ever touched). The floor only advances: lowering it is
+    * refused (the history below the existing floor is gone), as is a
+    * floor above the newest committed version (it would refuse reads
+    * of history that never existed). Offline-maintenance contract as
+    * for [[graft.ops.Layout.targetedDeleteInPlace]]: don't race two
+    * MUTATORS of one feed — but a live [[mergeSink]] appending new
+    * versions above the floor is safe, truncation never touches them.
+    *
+    * Returns the dropped version ids, ascending. */
+  def truncateChangelog(spark: org.apache.spark.sql.SparkSession,
+                        targetDir: String, keepAfter: Long): Seq[Long] = {
+    require(mergeLayoutOf(spark, targetDir).isDefined,
+      s"Streams.truncateChangelog: $targetDir has no _merge marker — " +
+        "not a merge-on-read table target")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val chDir = new org.apache.hadoop.fs.Path(s"$targetDir/changelog")
+    val fs = chDir.getFileSystem(conf)
+    require(fs.exists(chDir),
+      s"Streams.truncateChangelog: $targetDir carries no changelog/ " +
+        "history — nothing to truncate")
+    val committed = snapshotVersions(spark, targetDir)
+    require(committed.nonEmpty && keepAfter <= committed.max,
+      s"Streams.truncateChangelog: keepAfter=$keepAfter is above the " +
+        s"newest committed version ${committed.sorted.lastOption
+          .getOrElse(-1L)} — a floor above committed history would " +
+        "refuse reads of versions that never existed")
+    val existing = changelogFloor(conf, targetDir)
+    require(keepAfter >= existing,
+      s"Streams.truncateChangelog: the feed is already truncated at " +
+        s"floor=$existing — that history is gone, the floor cannot move " +
+        s"back down to $keepAfter")
+    if (keepAfter > existing) {
+      val rDir = new org.apache.hadoop.fs.Path(chDir, "_retention")
+      fs.mkdirs(rDir)
+      fs.create(new org.apache.hadoop.fs.Path(rDir, s"floor=$keepAfter"),
+        true).close()
+      // older floor markers are redundant once the new one exists (the
+      // floor is the max); drop them so the tiny-dir listing stays tiny
+      fs.listStatus(rDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("floor=") &&
+            n.stripPrefix("floor=").toLong < keepAfter)
+          fs.delete(st.getPath, false)
+      }
+    }
+    fs.listStatus(chDir).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLong <= keepAfter) {
+        fs.delete(st.getPath, true)
+        Some(n.stripPrefix("batch=").toLong)
+      } else None
+    }.toArray.sorted.toSeq
   }
 
   /** The served state of a [[mergeSink]] target: layers `<= version`

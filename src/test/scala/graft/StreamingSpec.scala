@@ -3878,6 +3878,91 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(spark.read.parquet(corpus).count() == before)
     } finally graft.plans.SkipRewrite.unregister(corpus)
   }
+
+  test("truncateChangelog: the floor only advances, re-runs are " +
+      "idempotent, reads below the floor refuse (batch and stream), " +
+      "and consumers at or above it are untouched") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val tgt = tmp("graft-trunc-tgt")
+    def insert(k: Long, del: Boolean = false): Long =
+      Streams.mergeTableInsert(spark, tgt,
+        Seq((k, s"v$k")).toDF("k", "v"),
+        createKeys = Seq("k"), changelog = true, delete = del)
+    (1L to 4L).foreach(i => insert(i)) // versions 0..3
+    // a floor above the newest committed version refuses
+    intercept[IllegalArgumentException](
+      Streams.truncateChangelog(spark, tgt, keepAfter = 9L))
+    assert(Streams.truncateChangelog(spark, tgt, keepAfter = 1L)
+      == Seq(0L, 1L))
+    assert(Streams.changelogFloor(
+      spark.sparkContext.hadoopConfiguration, tgt) == 1L)
+    // idempotent re-run (the crash-recovery path): no error, nothing
+    // left to drop; and the floor never moves back down
+    assert(Streams.truncateChangelog(spark, tgt, keepAfter = 1L).isEmpty)
+    intercept[IllegalArgumentException](
+      Streams.truncateChangelog(spark, tgt, keepAfter = 0L))
+    // batch reads: below the floor refuses, at the floor serves
+    // exactly the surviving history
+    intercept[IllegalArgumentException](Streams.changelogOf(spark, tgt))
+    intercept[IllegalArgumentException](
+      Streams.changelogOf(spark, tgt, sinceVersion = 0L))
+    assert(Streams.changelogOf(spark, tgt, sinceVersion = 1L)
+      .select("batch").distinct().as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    // the DSv2 batch face inherits the guard
+    intercept[IllegalArgumentException](
+      spark.read.format("graft").option("changelog", true)
+        .option("sinceVersion", 0).load(tgt).count())
+    // a FRESH stream whose cut stands below the floor fails loudly at
+    // planning instead of serving a gapped feed
+    val ckFresh = tmp("graft-trunc-ckf")
+    val exS = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      val q = spark.readStream.format("graft").option("changelog", true)
+        .load(tgt).writeStream
+        .option("checkpointLocation", ckFresh)
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(exS.getMessage.contains("truncateChangelog") ||
+      Option(exS.getCause).exists(_.getMessage.contains("truncateChangelog")),
+      s"wrong stream refusal: ${exS.getMessage}")
+    // a consumer cutting AT the floor is untouched: serves the
+    // surviving versions, then resumes cleanly across a further
+    // truncation that stays at or below its checkpoint
+    val ck = tmp("graft-trunc-ck")
+    def drain(): Seq[Long] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft").option("changelog", true)
+        .option("sinceVersion", 1).load(tgt)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("batch").distinct().collect()
+            .foreach(r => seen.add(r.getLong(0)))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.iterator.asScala.toSeq.distinct.sorted
+    }
+    assert(drain() == Seq(2L, 3L))
+    insert(5L) // version 4
+    assert(Streams.truncateChangelog(spark, tgt, keepAfter = 3L)
+      == Seq(2L, 3L))
+    // the checkpoint stands at 3 == the new floor: resume serves ONLY
+    // the new version — nothing replayed, nothing refused
+    assert(drain() == Seq(4L))
+    // but a checkpoint now BELOW a further-advanced floor refuses on
+    // resume (insert so the stream has something to plan)
+    insert(6L) // version 5
+    assert(Streams.truncateChangelog(spark, tgt, keepAfter = 5L)
+      == Seq(4L, 5L))
+    val exR = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { insert(7L); drain() }
+    assert(exR.getMessage.contains("truncateChangelog") ||
+      Option(exR.getCause).exists(_.getMessage.contains("truncateChangelog")),
+      s"wrong resume refusal: ${exR.getMessage}")
+  }
 }
 
 /** Default (HDFS-backed, on-heap) state store provider. */
