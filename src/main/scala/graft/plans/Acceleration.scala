@@ -230,10 +230,25 @@ object Acceleration {
                 s"predicates on (${keys.mkString(", ")}) push down " +
                 "through the commuting point-read shapes"
             else graftScans.map { s =>
-              if (s.acceptedFilters.isEmpty)
-                "scan: no key-only predicate pushed (full resolution)"
-              else s"scan: pushed ${s.acceptedFilters.mkString(", ")} " +
-                "before resolution"
+              val base =
+                if (s.acceptedFilters.isEmpty)
+                  "scan: no key-only predicate pushed (full resolution)"
+                else s"scan: pushed ${s.acceptedFilters.mkString(", ")} " +
+                  "before resolution"
+              // a CHANGE-FEED scan serves history, not resolved state —
+              // report the version range it reads and the retention
+              // floor, the two numbers that explain both an unexpected
+              // row count and a sudden refusal after truncateChangelog
+              if (s.ref.changelog) {
+                val floor = streams.changelogFloor(
+                  spark.sparkContext.hadoopConfiguration, t)
+                val hi = s.ref.effectiveAsOf.orElse(version).getOrElse(-1L)
+                val floorTxt =
+                  if (floor >= 0L) s"retention floor=$floor"
+                  else "never truncated"
+                s"$base; change-feed read: versions " +
+                  s"(${s.ref.sinceVersion}, $hi], $floorTxt"
+              } else base
             }.mkString("; ")
           s"target($kind: $t): version=${version.getOrElse("none")}, " +
             s"generations=${gens.length}, uncompactedTail=$tail\n" +

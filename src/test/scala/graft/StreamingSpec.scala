@@ -3774,7 +3774,7 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
     val tgt = tmp("graft-accel-mor")
     val in = MemoryStream[(Long, String, Long, Boolean)]
     val q = Streams.mergeSink(in.toDF().toDF("k", "v", "seq", "del"), tgt,
-      tmp("graft-accel-morck"), Seq("k"), "seq", "del")
+      tmp("graft-accel-morck"), Seq("k"), "seq", "del", changelog = true)
     try {
       in.addData((1L, "a1", 1L, false)); q.processAllAvailable()
       in.addData((2L, "b1", 1L, false)); q.processAllAvailable()
@@ -3804,6 +3804,14 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       assert(full.count() == 2)
       assert(graft.plans.Acceleration.explainAcceleration(full)
         .contains("no key-only predicate pushed"))
+      // a CHANGE-FEED scan reports the version range it serves and the
+      // retention floor — the numbers that explain a surprising row
+      // count or a post-truncation refusal
+      val feedDf = spark.read.format("graft").option("changelog", true)
+        .load(tgt)
+      val feedReport = graft.plans.Acceleration.explainAcceleration(feedDf)
+      assert(feedReport.contains("change-feed read: versions (-1, 1], " +
+        "never truncated"), feedReport)
       // AUTO-DISCOVERY: a graft-format scan names its target on the
       // scan itself — the report covers it even without registration
       graft.plans.Acceleration.unregisterTarget(tgt)
