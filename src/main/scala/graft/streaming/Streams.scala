@@ -1325,6 +1325,56 @@ object Streams extends org.apache.spark.internal.Logging {
     }.toArray.sorted.toSeq
   }
 
+  /** [[truncateChangelog]] with the cut expressed the way retention
+    * policies are written — "keep N days of feed": drops history for
+    * every version whose COMMIT time (`v=<id>/_SUCCESS` mtime) is
+    * before `cutoffMillis`. Commit times are monotone with version ids
+    * (versions commit in order), so the resolved floor is the newest
+    * version older than the cutoff; when nothing is that old the call
+    * is a no-op. Same crash-safety, monotone-floor, and refusal
+    * contract as the version-id form it delegates to. */
+  def truncateChangelogOlderThan(spark: org.apache.spark.sql.SparkSession,
+                                 targetDir: String,
+                                 cutoffMillis: Long): Seq[Long] = {
+    require(mergeLayoutOf(spark, targetDir).isDefined,
+      s"Streams.truncateChangelogOlderThan: $targetDir has no _merge " +
+        "marker — not a merge-on-read table target")
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = snapshotVersions(spark, targetDir).filter { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$targetDir/v=$v/_SUCCESS")).getModificationTime < cutoffMillis
+    }
+    val existing = changelogFloor(
+      spark.sparkContext.hadoopConfiguration, targetDir)
+    if (old.isEmpty || old.max <= existing) Seq.empty
+    else truncateChangelog(spark, targetDir, old.max)
+  }
+
+  /** The gap-free BOOTSTRAP point for a new feed consumer — the
+    * companion to [[truncateChangelog]]'s refusal message: the newest
+    * committed version v PINNED FIRST, the table state as of exactly
+    * v, and the contract that subscribing with `sinceVersion = v`
+    * (batch [[changelogOf]] or the streaming source) continues
+    * gap-free from that state. The pin ordering is the point: the
+    * naive recipe — read `latestTable()` and separately pick a
+    * sinceVersion — tears when a version commits in between, silently
+    * double-serving or dropping one version's changes. Returns
+    * (v, state-as-of-v). */
+  def feedBootstrap(spark: org.apache.spark.sql.SparkSession,
+                    targetDir: String): (Long, DataFrame) = {
+    require(mergeLayoutOf(spark, targetDir).isDefined,
+      s"Streams.feedBootstrap: $targetDir has no _merge marker — not a " +
+        "merge-on-read table target")
+    val v = snapshotVersions(spark, targetDir).sorted.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"Streams.feedBootstrap: no committed version under $targetDir yet"))
+    (v, latestTable(spark, targetDir, asOf = Some(v)).getOrElse(
+      throw new IllegalStateException(
+        s"Streams.feedBootstrap: version $v vanished mid-bootstrap — " +
+          "racing vacuum? re-run")))
+  }
+
   /** The served state of a [[mergeSink]] target: layers `<= version`
     * resolved latest-wins by `(batch, seq)` descending, tombstones
     * dropped, layout columns hidden — the same table [[upsertSink]]

@@ -3971,6 +3971,49 @@ abstract class StreamingSpecBase(rocksdb: Boolean) extends AnyFunSuite
       Option(exR.getCause).exists(_.getMessage.contains("truncateChangelog")),
       s"wrong resume refusal: ${exR.getMessage}")
   }
+
+  test("feedBootstrap pins version-then-state so the continuation is " +
+      "gap-free under concurrent commits; truncateChangelogOlderThan " +
+      "resolves the commit-time cut") {
+    assume(!rocksdb)
+    import spark.implicits._
+    val tgt = tmp("graft-boot-tgt")
+    def insert(k: Long, x: Long, del: Boolean = false): Long =
+      Streams.mergeTableInsert(spark, tgt, Seq((k, x)).toDF("k", "x"),
+        createKeys = Seq("k"), changelog = true, delete = del)
+    (1L to 3L).foreach(k => insert(k, k * 10)) // versions 0..2
+    val (v, state) = Streams.feedBootstrap(spark, tgt)
+    assert(v == 2L)
+    // versions land AFTER the bootstrap: an update and a tombstone —
+    // the pinned state plus the feed above v must still reconstruct
+    // the full current table (the tear the pin ordering prevents)
+    insert(2L, 99L)              // version 3
+    insert(1L, 0L, del = true)   // version 4
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy((col("k") % 2).as("g"))
+        .agg(sum(col("op")).as("n"), sum(col("op") * col("x")).as("sx"))
+        .collect().map(_.toString).sorted.toSeq
+    val reconstructed = agg(
+      state.select(col("k"), col("x"), lit(1L).as("op"))
+        .unionByName(Streams.changelogOf(spark, tgt, sinceVersion = v)
+          .select(col("k"), col("x"), col("op").cast("long").as("op"))))
+    val direct = agg(Streams.latestTable(spark, tgt).get
+      .select(col("k"), col("x"), lit(1L).as("op")))
+    assert(reconstructed == direct,
+      s"bootstrap continuation diverged: $reconstructed vs $direct")
+    // commit-time retention: a cutoff before every commit is a no-op;
+    // one after every commit resolves to the newest version and
+    // truncates the whole feed; the floor then refuses re-cuts below
+    assert(Streams.truncateChangelogOlderThan(spark, tgt, 0L).isEmpty)
+    val dropped = Streams.truncateChangelogOlderThan(spark, tgt,
+      System.currentTimeMillis() + 60000L)
+    assert(dropped == Seq(0L, 1L, 2L, 3L, 4L), s"dropped: $dropped")
+    assert(Streams.changelogFloor(
+      spark.sparkContext.hadoopConfiguration, tgt) == 4L)
+    // idempotent re-run resolves at-or-below the floor: no-op
+    assert(Streams.truncateChangelogOlderThan(spark, tgt,
+      System.currentTimeMillis() + 60000L).isEmpty)
+  }
 }
 
 /** Default (HDFS-backed, on-heap) state store provider. */
