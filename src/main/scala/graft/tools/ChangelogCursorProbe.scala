@@ -90,6 +90,32 @@ object ChangelogCursorProbe {
       val p95 = times((times.length * 95) / 100)
       println(f"STAGE cursor: history=$hist%6d firstCallMs=$firstMs%8.1f " +
         f"steadyTriggerMedianMs=$med%6.2f p95Ms=$p95%6.2f")
+      // RETENTION leg (truncateChangelog at half the history): the
+      // truncation itself is ∝ |dropped dirs|, a steady-state trigger
+      // above the floor is untouched, and the batch bootstrap read
+      // (changelogOf at the floor — Spark lists the whole changelog/
+      // dir before partition pruning) gets cheaper with the dirs gone
+      val floor = hist / 2L
+      val preBoot = ms { graft.streaming.Streams.changelogOf(spark, tgt,
+        sinceVersion = floor).count() }
+      val truncMs = ms { graft.streaming.Streams.truncateChangelog(
+        spark, tgt, keepAfter = floor) }
+      val postBoot = ms { graft.streaming.Streams.changelogOf(spark, tgt,
+        sinceVersion = floor).count() }
+      val postTrig = ms {
+        val start = VersionOffset(hist - 11L)
+        stream.latestOffset()
+        val end = stream
+          .latestOffset(start,
+            org.apache.spark.sql.connector.read.streaming.ReadLimit
+              .allAvailable())
+          .asInstanceOf[VersionOffset]
+        require(stream.planInputPartitions(start, end).nonEmpty,
+          "post-truncation trigger planned empty")
+      }
+      println(f"STAGE retention: history=$hist%6d dropped=${floor + 1}%6d " +
+        f"truncateMs=$truncMs%8.1f steadyTriggerAfterMs=$postTrig%6.2f " +
+        f"bootstrapMs pre=$preBoot%8.1f post=$postBoot%8.1f")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tgt))
     }
     spark.stop()
