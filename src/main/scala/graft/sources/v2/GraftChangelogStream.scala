@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    that range, and those dirs are FINAL once their version committed
   *    (the feed is append-only history — compaction and vacuum never
   *    touch it), so a restarted query re-planning the same range reads
-  *    byte-identical rows;
+  *    byte-identical rows. The two deliberate exceptions are loud, not
+  *    silent: `truncateChangelog` drops old dirs behind a retention
+  *    floor this planner refuses below, and `forget`'s changelog leg
+  *    scrubs a forgotten key from history (GDPR outranks replay);
   *  - the un-replayed prefix is cut by Spark's own offset checkpoint;
   *    `sinceVersion` positions a FIRST run (it is the initial offset).
   *
