@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics over edge tables (the second graph
   * operator family next to [[Dedup.connectedComponents]]): PageRank
@@ -21,70 +25,118 @@ object Graph {
     * Fixed `iters` (not convergence-tested) keeps the operator
     * deterministic and mirrorable by an unrolled SQL oracle.
     *
-    * Scale shape: the degree-annotated edge list is materialized once
-    * (localCheckpoint — iteration N must not replay 1…N−1) and each
-    * round is one hash equi-join of the (|V|-row) rank vector against
-    * the edge list plus one map-side-combinable sum — the classic
-    * edge-cut PageRank round, linear in |E| per iteration. The rank
-    * vector is re-checkpointed each round to truncate lineage (chaining
-    * rounds into one job was measured SLOWER — the re-analysis of the
-    * deepening self-join plan under AQE costs more than the jobs it
-    * saves); nothing collects to the driver.
+    * Scale shape (round 14, optimization guide §2.4 "remove shuffles
+    * outright"): symmetrize+dedup runs as one SQL distinct (UnsafeRow
+    * exchange), then the loop runs on co-partitioned RDDs under one
+    * shared HashPartitioner — the degree-annotated edge list is
+    * shuffled ONCE and persisted, and every round's edge⋈rank join is
+    * a narrow `zipPartitions` against a primitive-keyed hash map of
+    * the co-partitioned rank partition (measured ~6× cheaper per round
+    * than the generic cogroup join, which funnels every edge through
+    * an ExternalAppendOnlyMap). Each round pays exactly one |V|-scale
+    * shuffle: the map-side-combined contribution sum (`reduceByKey`) —
+    * the floor any edge-cut PageRank must pay. The whole recurrence is
+    * ONE job (shuffle files bound each round's lineage), replacing the
+    * previous per-round eager DataFrame loop whose 10 jobs re-paid
+    * Catalyst analysis, per-round SMJ sorts and block-manager churn
+    * every iteration. The partitioner width derives from the
+    * symmetrized edge list's own (AQE-coalesced) partitioning, so it
+    * scales with data, not with a constant. Per-round arithmetic is
+    * unchanged (contribution = rank/deg per edge, rank = (1−d)/N +
+    * d·Σ, partial sums per partition then merged), so ranks agree with
+    * the unrolled SQL oracle at the compare's 6 significant digits
+    * exactly as before.
     *
-    * `broadcastRanks` broadcasts the |V|-row rank vector into the join
-    * so the |E|-row edge list is never shuffled per round. Measured at
-    * local[32] / 1M edges it LOSES (11.5s vs 6.5s median): the edge
-    * list's checkpoint partitioning already feeds the join exchange-
-    * free, so the broadcast only adds a per-round driver collect +
-    * broadcast build. It wins when the edge list CAN'T stay partitioned
-    * (multi-tenant clusters re-planning per round) or when |E|/|V| is
-    * large enough that even one rank-vector shuffle per round dominates
-    * — hence a flag, defaulting to the measured-faster shape.
+    * `broadcastRanks` broadcasts the |V|-entry rank map into every
+    * round instead of shuffling ranks — wins only when the rank fetch
+    * dominates; costs a per-round driver collect, so the default stays
+    * the co-partitioned narrow join.
     *
-    * `reliable` switches the per-round materialization from
-    * executor-local blocks to durable checkpoints
-    * ([[Checkpoints]] — set `spark.sparkContext.setCheckpointDir`
-    * first): identical ranks, but iteration state survives executor
-    * loss — the right call for hours-long cluster runs where the
-    * local default would abort the whole job on one lost executor.
+    * `reliable` checkpoints every round's rank vector durably
+    * ([[Checkpoints]] semantics — set
+    * `spark.sparkContext.setCheckpointDir` first): identical ranks
+    * (same partitioning, same per-round arithmetic — only where state
+    * is materialized changes), but iteration state survives executor
+    * loss at the cost of one job + checkpoint write per round — the
+    * right call for hours-long cluster runs where a lost executor
+    * would otherwise abort the whole recurrence.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
                broadcastRanks: Boolean = false,
                reliable: Boolean = false): DataFrame = {
     require(iters >= 0, "Graph.pageRank: negative iteration count")
-    def ckpt(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
-    def release(df: DataFrame): Unit = Checkpoints.release(df, reliable)
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+
+    // symmetrize + dedup in SQL: the one full-edge-list distinct runs
+    // on UnsafeRow exchanges (cheaper than an RDD tuple shuffle)
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val symDf = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val es = ckpt(sym.join(deg, "src")) // one materialization
+    val symRdd = symDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // partitioner width follows the distinct's AQE-coalesced output —
+    // proportional to |E|, adaptive to the session's parallelism
+    val parts = math.max(symRdd.getNumPartitions, 1)
+    val part = new HashPartitioner(parts)
+
+    val symP = symRdd.partitionBy(part) // the ONE edge-list shuffle
+    // degree per src: narrow — already partitioned by src
+    val deg: RDD[(Long, Long)] =
+      symP.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    // src -> (dst, deg(src)): narrow zip of two co-partitioned RDDs
+    val es: RDD[(Long, (Long, Long))] = symP
+      .zipPartitions(deg, preservesPartitioning = true) { (eIt, dIt) =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        dIt.foreach { case (k, v) => m(k) = v }
+        eIt.map { case (s, d) => (s, (d, m(s))) }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val n = deg.count()
     require(n > 0, "Graph.pageRank: empty graph")
     val base = (1.0 - damping) / n
-    var ranks = ckpt(
-      deg.select(col("src").as("node"), lit(1.0 / n).as("rank")))
+
+    var ranks: RDD[(Long, Double)] = deg.mapValues(_ => 1.0 / n)
     var it = 0
     while (it < iters) {
-      val r = if (broadcastRanks) broadcast(ranks) else ranks
-      val next = ckpt(es.join(r, es("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy("node")
-        .agg((lit(base) + lit(damping) * sum("c")).as("rank"))
-        ) // eager: `next` is fully materialized here
-      // release the superseded round's blocks NOW instead of waiting for
-      // the ContextCleaner: otherwise every round pins another |V|-row
-      // block set and a multi-sample bench accumulates iters× that —
-      // measured as the 11s→58s dispersion escalation in BENCH_r04.
-      release(ranks)
+      val contribs: RDD[(Long, Double)] =
+        if (broadcastRanks) {
+          val rmap = sc.broadcast(ranks.collectAsMap())
+          es.mapPartitions(p => p.flatMap { case (s, (d, dg)) =>
+            rmap.value.get(s) match {
+              case Some(r) => Iterator.single((d, r / dg))
+              case None => Iterator.empty
+            }
+          })
+        } else {
+          // narrow hash join: es and ranks share `part`; every src has
+          // a rank (the rank vector covers all nodes), so the map
+          // lookup is total
+          es.zipPartitions(ranks, preservesPartitioning = false) { (eIt, rIt) =>
+            val m = new scala.collection.mutable.LongMap[Double]()
+            rIt.foreach { case (k, v) => m(k) = v }
+            eIt.map { case (s, (d, dg)) => (d, m(s) / dg) }
+          }
+        }
+      val next = contribs
+        .reduceByKey(part, _ + _) // map-side combined: |V|-scale shuffle
+        .mapValues(s => base + damping * s)
+      if (reliable) { next.checkpoint(); next.count() }
       ranks = next
       it += 1
     }
-    // the edge materialization served its iters joins; the returned rank
-    // vector is self-contained (lineage-truncated, own blocks)
-    release(es)
-    ranks
+
+    // one eager job materializes the whole recurrence, then the edge
+    // blocks are released — the returned rank vector is self-contained
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    es.unpersist(blocking = false)
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("rank", DoubleType, nullable = false)))
+    spark.createDataFrame(out.map { case (v, r) => Row(v, r) }, schema)
   }
 }

@@ -673,7 +673,7 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)) { (spark, dir) =>
     val t = Tables(spark, dir)
     graft.ops.Skew.saltedJoin(
-        t.lineitem.select("l_orderkey", "l_quantity"),
+        graft.ops.Par.scan(t.lineitem.select("l_orderkey", "l_quantity")),
         t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
         "l_orderkey", salt = 8)
       .select("l_orderkey", "l_quantity", "o_totalprice")
@@ -2379,7 +2379,8 @@ object Relational {
       |       count(*) AS n_rows
       |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
       |GROUP BY l.l_returnflag""".stripMargin)) { (spark, dir) =>
-    val li = Tables(spark, dir).lineitem.select("l_returnflag", "l_extendedprice")
+    val li = graft.ops.Par.scan(
+      Tables(spark, dir).lineitem.select("l_returnflag", "l_extendedprice"))
     val fences = li.groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
         expr("percentile(l_extendedprice, 0.75)").as("q3"))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Dump `.explain("formatted")` (initial plan) plus the post-execution
+  * adaptive plan for named registry queries — the before/after evidence
+  * files the optimization rounds commit under `plans/rNN/`.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.DumpPlans <outDir> <suffix> name…
+  * Writes `<outDir>/<name>_<suffix>.txt`.
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: DumpPlans <outDir> <suffix> <query>...")
+    val outDir = java.nio.file.Paths.get(args(0))
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Engine.session("dump-plans")
+    java.nio.file.Files.createDirectories(outDir)
+
+    // capture the executed (AQE-final) plan of the noop write
+    @volatile var lastQe: QueryExecution = null
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        lastQe = qe
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    })
+
+    names.foreach { n =>
+      try {
+        val df = graft.queries.Registry.byName(n).run(spark, sfDir)
+        val initial = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        lastQe = null
+        df.write.format("noop").mode("overwrite").save()
+        // QueryExecutionListener delivery is async on the listener bus
+        var waited = 0
+        while (lastQe == null && waited < 5000) { Thread.sleep(50); waited += 50 }
+        val fin =
+          if (lastQe != null) lastQe.executedPlan.toString
+          else "(executed plan not captured)"
+        val txt = s"== initial (explain formatted) ==\n$initial\n\n== executed (AQE final) ==\n$fin\n"
+        java.nio.file.Files.write(
+          outDir.resolve(s"${n}_$suffix.txt"),
+          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[plans] wrote ${n}_$suffix.txt")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plans] $n FAILED: ${e.getMessage}")
+      }
+    }
+    Runtime.getRuntime.halt(0)
+  }
+}
