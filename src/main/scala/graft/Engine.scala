@@ -35,6 +35,15 @@ object Engine {
         "org.apache.spark.serializer.KryoSerializer"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash over
+      // sort-merge when its size conditions hold (no per-round sorts),
+      // and let AQE rewrite SMJ->SHJ at runtime from REAL partition
+      // sizes (per-partition build threshold, scale-safe by
+      // construction). Env-overridable for A/B.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,7 +39,8 @@ object GraphQueries {
     val o = t.orders.select("o_orderkey", "o_custkey")
     val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // no .distinct() here: pageRank's symmetrize+dedup subsumes it
+    // (identical graph, one less full-edge shuffle — guide §2.4)
     Graph.pageRank(edges, "src", "dst", iters = 10)
   }
 

@@ -460,12 +460,18 @@ object Relational {
       |       quantile_cont(l_quantity, 0.9)  AS p90_qty,
       |       quantile_cont(l_extendedprice, 0.25) AS p25_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)) { (spark, dir) =>
+    // one percentile buffer serves both l_quantity cuts (median is
+    // percentile 0.5 — same Percentile aggregate, same interpolation),
+    // halving the O(distinct)-sized map builds and merges
     Tables(spark, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
-        expr("median(l_quantity)").as("med_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, array(0.5D, 0.9D))").as("p_qty"),
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .select(col("l_returnflag"),
+        col("p_qty").getItem(0).as("med_qty"),
+        col("p_qty").getItem(1).as("p90_qty"),
+        col("p25_price"))
   }
 
   // Q3c — statistical aggregates.
@@ -2381,9 +2387,12 @@ object Relational {
       |GROUP BY l.l_returnflag""".stripMargin)) { (spark, dir) =>
     val li = graft.ops.Par.scan(
       Tables(spark, dir).lineitem.select("l_returnflag", "l_extendedprice"))
+    // q1 and q3 from ONE percentile buffer (one O(distinct) map build
+    // + merge instead of two over the same column)
     val fences = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("q13"))
+      .select(col("l_returnflag"),
+        col("q13").getItem(0).as("q1"), col("q13").getItem(1).as("q3"))
       .select(col("l_returnflag"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
