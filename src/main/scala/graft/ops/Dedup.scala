@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Document deduplication for LLM-data pipelines (SURVEY §2.6 E1):
   * exact, blocked n-gram Jaccard, MinHash-LSH, SimHash.
@@ -60,7 +61,16 @@ object Dedup {
   }
 
   /** K permutation-mins over a doc's shingle hashes in one tight JVM
-    * loop. Duplicate shingles can't change a min, so no de-dup pass. */
+    * loop. Duplicate shingles can't change a min, so no de-dup pass.
+    *
+    * The inner reduction exploits P being the Mersenne prime 2³¹−1:
+    * 2³¹ ≡ 1 (mod P), so x mod P folds as (x >>> 31) + (x & P) — two
+    * folds take any x < 2⁶³ below P + 4, one conditional subtract
+    * finishes. This replaces the 64-bit `%` (a hardware divide, the
+    * hot instruction of the whole signature pass: K=128 of them per
+    * shingle) with shift/mask/add; bit-identical to `%` for the
+    * non-negative x here (guide §1.2 "per-task work", checked
+    * exhaustively against `%` in DedupSpec). */
   private[graft] def sigOf(hs: Array[Long]): Array[Long] = {
     val sig = Array.fill(K)(Long.MaxValue)
     var i = 0
@@ -68,7 +78,10 @@ object Dedup {
       val hm = ((hs(i) % P) + P) % P // into [0, P); A*hm+B stays < 2^63
       var k = 0
       while (k < K) {
-        val v = (A(k) * hm + B(k)) % P
+        var v = A(k) * hm + B(k) // < 2^62 + 2^31: non-negative
+        v = (v >>> 31) + (v & P) // < 2^33
+        v = (v >>> 31) + (v & P) // < P + 4
+        if (v >= P) v -= P
         if (v < sig(k)) sig(k) = v
         k += 1
       }
@@ -753,74 +766,118 @@ object Dedup {
     * nodes appearing in an edge are returned (isolated nodes are their
     * own component — callers left-join and coalesce).
     *
-    * Min-label propagation: each round joins labels to the symmetric
-    * edge list and takes the per-node min over neighbors — one shuffle
-    * per round, rounds bounded by the component diameter. Near-dup
-    * clusters are shallow (most are pairs/triangles), so this
-    * terminates in 2-3 rounds in practice. If propagation has not
-    * converged after `switchAfter` rounds, the component diameter
-    * exceeds the budget (a long-chain graph) and the implementation
-    * switches to [[connectedComponentsStar]] — O(log n) rounds at the
-    * same per-round shuffle cost — instead of crawling one hop per
-    * round. Each round's state is materialized to truncate lineage —
-    * executor-local blocks by default, durable checkpoints with
-    * `reliable = true` ([[Checkpoints]] states the trade; set
-    * `spark.sparkContext.setCheckpointDir` first) so executor loss
-    * costs a re-read instead of the job; the driver loop carries only
-    * a 0/1 convergence probe, never data. */
+    * Min-label propagation on co-partitioned RDDs (the
+    * [[graft.ops.Graph.pageRank]] recurrence shape, optimization guide
+    * §2.4 "remove shuffles outright"): the symmetric edge list is
+    * shuffled ONCE (keyed by the neighbor side) and persisted; each
+    * round reads comp(neighbor) through a narrow `zipPartitions` +
+    * primitive `LongMap` lookup, pays exactly one |V|-scale
+    * map-side-combined `reduceByKey` shuffle for the per-node min, and
+    * folds the convergence probe into the SAME job via an accumulator
+    * counting changed labels — one job per round, versus the previous
+    * eager per-round DataFrame loop's three (propagate, materialize,
+    * probe), each re-paying Catalyst analysis. Per-round arithmetic is
+    * unchanged (comp' = min(comp, min over neighbors' comp); rounds
+    * bounded by component diameter; near-dup clusters converge in 2-3
+    * rounds), so labels and round counts match the old loop exactly.
+    * An accumulator can only over-count under task retry, never
+    * under-count, so a retry can at worst add one extra round — it can
+    * never produce a false early convergence.
+    *
+    * If propagation has not converged after `switchAfter` rounds, the
+    * component diameter exceeds the budget (a long-chain graph) and the
+    * implementation switches to [[connectedComponentsStar]] — O(log n)
+    * rounds at the same per-round shuffle cost — instead of crawling
+    * one hop per round, seeded from the already-materialized edge RDD.
+    * `reliable = true` durably checkpoints each round's label vector
+    * (set `spark.sparkContext.setCheckpointDir` first) so executor
+    * loss costs a re-read instead of the job; identical labels either
+    * way (spec-pinned). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50, switchAfter: Int = 8,
                           reliable: Boolean = false): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
-    def release(df: DataFrame): Unit = Checkpoints.release(df, reliable)
-    // materialize once: every round joins against sym — without this the
-    // whole upstream edge pipeline (e.g. the LSH join) re-executes per
-    // iteration
-    val sym = ckpt(edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
-    var labels = ckpt(sym.groupBy("a").agg(min("b").as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp")))
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // symmetrize in SQL (UnsafeRow union), then key each directed copy
+    // by its NEIGHBOR (b) so a round's comp(b) lookup is local
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val symDf = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    val symRdd = symDf.rdd.map(r => (r.getLong(1), r.getLong(0))) // (b, a)
+    // partitioner width follows the plan's own output partitioning —
+    // data-proportional, not a constant tuned to one host
+    val parts = math.max(symRdd.getNumPartitions, 1)
+    val part = new HashPartitioner(parts)
+    val es = symRdd.partitionBy(part) // the ONE edge-list shuffle
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels(v) = min(v, min neighbor) — same init as the DF loop had
+    var labels = es
+      .mapPartitions(_.map { case (b, a) => (a, math.min(a, b)) },
+        preservesPartitioning = false)
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < math.min(switchAfter, maxIter) && !converged) {
-      val viaNeighbors = sym
-        .join(labels.select(col("node").as("b"), col("comp").as("nb_comp")), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min("nb_comp").as("min_nb"))
-      val next = ckpt(labels
-        .join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("min_nb"), col("comp"))).as("comp")))
-      converged = next
-        .join(labels.select(col("node"), col("comp").as("old")), "node")
-        .filter(col("comp") =!= col("old"))
-        .limit(1).count() == 0
-      // superseded label vector: next is materialized, convergence probe
-      // was its last read — release rather than pin O(rounds) block sets
-      release(labels)
+      val changed = sc.longAccumulator(s"cc-changed-$iter")
+      // narrow hash join: es and labels share `part`; every node in an
+      // edge carries a label (labels were derived from es), so the
+      // LongMap lookup is total
+      val proposals = es.zipPartitions(labels,
+        preservesPartitioning = false) { (eIt, lIt) =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        lIt.foreach { case (k, v) => m(k) = v }
+        eIt.map { case (b, a) => (a, m(b)) }
+      }
+      val minNb = proposals.reduceByKey(part, math.min(_: Long, _: Long)) // map-side combined
+      val next = labels.zipPartitions(minNb,
+        preservesPartitioning = true) { (lIt, nIt) =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        nIt.foreach { case (k, v) => m(k) = v }
+        lIt.map { case (n, c) =>
+          val nc = math.min(c, m.getOrElse(n, c))
+          if (nc != c) changed.add(1L)
+          (n, nc)
+        }
+      }
+      if (reliable) next.checkpoint()
+      next.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // the round's ONE job: shuffle + merge + probe
+      converged = changed.value == 0
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("comp", LongType, nullable = false)))
     if (!converged) {
       // component diameter exceeds the propagation budget: a long-chain
       // graph where one-hop-per-round would crawl. Star contraction
       // finishes in O(log n) rounds on exactly these graphs. Seed it
-      // with the already-materialized symmetric edge set — re-deriving
-      // from `edges` would re-execute the whole upstream pipeline (LSH
-      // candidate join etc.) that `sym`'s localCheckpoint cut off.
-      val out = connectedComponentsStar(sym, "a", "b", maxIter, reliable)
-      // star ran to completion (driver-side loop): its result is its own
+      // with the already-materialized edge RDD — re-deriving from
+      // `edges` would re-execute the whole upstream pipeline (LSH
+      // candidate join etc.) the persist cut off.
+      val symBack = spark.createDataFrame(
+        es.map { case (b, a) => Row(a, b) },
+        StructType(Seq(StructField("a", LongType, nullable = false),
+          StructField("b", LongType, nullable = false))))
+      // star's driver loop eagerly materializes its first round from
+      // symBack, so releasing es afterwards cannot force a recompute
+      val out = connectedComponentsStar(symBack, "a", "b", maxIter, reliable)
+      // star ran to completion: its result reads only its own
       // checkpointed fixed point, so the seed edges and the abandoned
       // propagation labels are both dead
-      release(sym)
-      release(labels)
+      es.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       out
     } else {
-      // the returned labels are checkpointed (self-contained); the edge
-      // materialization served its last join
-      release(sym)
-      labels
+      // the returned labels are persisted and materialized
+      // (self-contained); the edge blocks served their last round
+      es.unpersist(blocking = false)
+      spark.createDataFrame(labels.map { case (n, c) => Row(n, c) }, schema)
     }
   }
 

@@ -100,40 +100,60 @@ object Graph {
     val base = (1.0 - damping) / n
 
     var ranks: RDD[(Long, Double)] = deg.mapValues(_ => 1.0 / n)
-    var it = 0
-    while (it < iters) {
-      val contribs: RDD[(Long, Double)] =
-        if (broadcastRanks) {
-          val rmap = sc.broadcast(ranks.collectAsMap())
-          es.mapPartitions(p => p.flatMap { case (s, (d, dg)) =>
-            rmap.value.get(s) match {
-              case Some(r) => Iterator.single((d, r / dg))
-              case None => Iterator.empty
+    // broadcastRanks mode: each round's |V|-entry broadcast is destroyed
+    // once the next round's ranks are materialized (it is consumed inside
+    // the same recurrence), and the try/finally guarantees the persisted
+    // edge blocks are released even when a round throws (e.g.
+    // reliable=true without a checkpoint dir) — without these, an
+    // exception mid-loop leaks every round's broadcast and the edge
+    // blocks until context GC.
+    var prevBc: org.apache.spark.broadcast.Broadcast[_] = null
+    val out = try {
+      var it = 0
+      while (it < iters) {
+        val contribs: RDD[(Long, Double)] =
+          if (broadcastRanks) {
+            val rmap = sc.broadcast(ranks.collectAsMap())
+            // the collect above executed the previous round's shuffle,
+            // so its broadcast's last planned read is done — destroy it
+            // now instead of pinning O(rounds) |V|-entry broadcasts
+            // (only a shuffle-file loss could re-demand it; acceptable
+            // for this flag-gated mode)
+            if (prevBc != null) prevBc.destroy()
+            prevBc = rmap
+            es.mapPartitions(p => p.flatMap { case (s, (d, dg)) =>
+              rmap.value.get(s) match {
+                case Some(r) => Iterator.single((d, r / dg))
+                case None => Iterator.empty
+              }
+            })
+          } else {
+            // narrow hash join: es and ranks share `part`; every src has
+            // a rank (the rank vector covers all nodes), so the map
+            // lookup is total
+            es.zipPartitions(ranks, preservesPartitioning = false) { (eIt, rIt) =>
+              val m = new scala.collection.mutable.LongMap[Double]()
+              rIt.foreach { case (k, v) => m(k) = v }
+              eIt.map { case (s, (d, dg)) => (d, m(s) / dg) }
             }
-          })
-        } else {
-          // narrow hash join: es and ranks share `part`; every src has
-          // a rank (the rank vector covers all nodes), so the map
-          // lookup is total
-          es.zipPartitions(ranks, preservesPartitioning = false) { (eIt, rIt) =>
-            val m = new scala.collection.mutable.LongMap[Double]()
-            rIt.foreach { case (k, v) => m(k) = v }
-            eIt.map { case (s, (d, dg)) => (d, m(s) / dg) }
           }
-        }
-      val next = contribs
-        .reduceByKey(part, _ + _) // map-side combined: |V|-scale shuffle
-        .mapValues(s => base + damping * s)
-      if (reliable) { next.checkpoint(); next.count() }
-      ranks = next
-      it += 1
-    }
+        val next = contribs
+          .reduceByKey(part, _ + _) // map-side combined: |V|-scale shuffle
+          .mapValues(s => base + damping * s)
+        if (reliable) { next.checkpoint(); next.count() }
+        ranks = next
+        it += 1
+      }
 
-    // one eager job materializes the whole recurrence, then the edge
-    // blocks are released — the returned rank vector is self-contained
-    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    es.unpersist(blocking = false)
+      // one eager job materializes the whole recurrence, then the edge
+      // blocks are released — the returned rank vector is self-contained
+      val res = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      res
+    } finally {
+      if (prevBc != null) prevBc.destroy()
+      es.unpersist(blocking = false)
+    }
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
       StructField("rank", DoubleType, nullable = false)))

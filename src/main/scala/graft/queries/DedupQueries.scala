@@ -158,7 +158,10 @@ object DedupQueries {
     // set_b re-verification); localCheckpoint materializes it once per
     // run instead of re-shingling 3x. At cluster scale this is a
     // persist/checkpoint of the shingled corpus — standard practice
-    // before an LSH join.
+    // before an LSH join. (Par.scan on the doc scan was A/B'd here in
+    // r15 and came out flat — the repartition exchange costs what the
+    // parallel shingling saves once sigOf's Mersenne fold made the
+    // signature loop cheap — so the scan stays unrepaired.)
     val docs = Tables(spark, dir).documents
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, shingleHashes3Typed(text)) }

@@ -88,10 +88,20 @@ object Tables {
   // bench re-builds Tables inside every timed sample — reusing the
   // resolved DataFrames is metadata reuse only (every query still scans
   // the parquet). Sessions here are few and long-lived (bench, verify,
-  // the shared test session), so a strong map stays tiny.
+  // the shared test session); stopped sessions are pruned on the next
+  // apply() so the map cannot pin dead sessions for the JVM lifetime.
+  //
+  // PINNING CONTRACT (with the schema cache above): the cached lazy-val
+  // DataFrames hold their InMemoryFileIndex from first resolution, so an
+  // in-process append/rewrite UNDER a cached table dir would serve a
+  // stale file list (and schemaCache a stale schema). That is exactly
+  // the immutability the sf dirs guarantee (TESTDATA.md); any future
+  // mutable-table source must bypass Tables or refreshByPath.
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Tables]()
 
-  def apply(spark: SparkSession, dir: String): Tables =
+  def apply(spark: SparkSession, dir: String): Tables = {
+    instances.keySet.removeIf(k => k._1.sparkContext.isStopped)
     instances.computeIfAbsent((spark, dir), k => new Tables(k._1, k._2))
+  }
 }

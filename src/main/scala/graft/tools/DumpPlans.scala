@@ -20,11 +20,17 @@ object DumpPlans {
     val spark = graft.Engine.session("dump-plans")
     java.nio.file.Files.createDirectories(outDir)
 
-    // capture the executed (AQE-final) plan of the noop write
+    // capture the executed (AQE-final) plan of the noop write — and ONLY
+    // it: several registry queries run intermediate actions inside their
+    // builders (require()/count/localCheckpoint), whose async
+    // QueryExecution events could otherwise race the save's and be
+    // committed as bogus "AQE final" evidence. Accept only `save` events
+    // whose executed plan is the noop write itself.
     @volatile var lastQe: QueryExecution = null
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        lastQe = qe
+        if (funcName == "save" && qe.executedPlan.toString.contains("NoopWrite"))
+          lastQe = qe
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     })
 

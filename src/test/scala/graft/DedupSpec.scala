@@ -41,6 +41,35 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("sigOf Mersenne-fold reduction is bit-identical to plain % P") {
+    // reference: the pre-r15 inner loop (hardware divide per permutation)
+    def sigRef(hs: Array[Long]): Array[Long] = {
+      val sig = Array.fill(Dedup.K)(Long.MaxValue)
+      for (h <- hs) {
+        val hm = ((h % Dedup.P) + Dedup.P) % Dedup.P
+        var k = 0
+        while (k < Dedup.K) {
+          val v = (Dedup.A(k) * hm + Dedup.B(k)) % Dedup.P
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      sig
+    }
+    val rnd = new scala.util.Random(123)
+    // adversarial inputs for the fold: extremes of hm and random hashes
+    val cases = Seq(
+      Array(0L), Array(1L), Array(-1L), Array(Long.MaxValue),
+      Array(Long.MinValue), Array(Dedup.P - 1, Dedup.P, Dedup.P + 1),
+      Array.fill(64)(rnd.nextLong()),
+      Array.fill(64)(rnd.nextLong()),
+      Array.fill(256)(rnd.nextLong()))
+    cases.foreach { hs =>
+      assert(Dedup.sigOf(hs).sameElements(sigRef(hs)),
+        s"fold != %% on input head=${hs.headOption}")
+    }
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     import spark.implicits._
     val d = Seq(
