@@ -35,13 +35,17 @@ object Engine {
         "org.apache.spark.serializer.KryoSerializer"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // guide §3.1/§9: let the planner pick shuffled-hash over
-      // sort-merge when its size conditions hold (no per-round sorts),
-      // and let AQE rewrite SMJ->SHJ at runtime from REAL partition
-      // sizes (per-partition build threshold, scale-safe by
-      // construction). Env-overridable for A/B.
+      // guide §3.1: SHJ via the AQE rewrite ONLY. Round 14 also set the
+      // static preferSortMergeJoin=false; round 15 A/B'd it at sf0.1
+      // with no-SHJ control queries and the delta was indistinguishable
+      // from the ±25% window noise, while the static flip carries a real
+      // scale risk (it picks SHJ from size ESTIMATES and SHJ's build
+      // side does not spill — a mis-estimate OOMs where SMJ degrades).
+      // The AQE threshold below rewrites SMJ->SHJ from REAL post-shuffle
+      // partition sizes — per-partition, scale-safe by construction —
+      // so small builds still get the sort-free join. Env-overridable.
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"))
       .config("spark.sql.extensions", "graft.GraftExtensions")

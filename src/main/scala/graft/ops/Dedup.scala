@@ -280,12 +280,21 @@ object Dedup {
           .map(i => (id, i, ws.slice(i, i + gramLen).mkString(" ")))
       }
       .toDF("id", "i", "gram")
-    val grams = maxGramFreq match {
+    val gramsCapped = maxGramFreq match {
       case None => gramsAll
       case Some(cap) =>
         val freq = gramsAll.groupBy("gram").agg(count(lit(1)).as("gf"))
         gramsAll.join(freq.filter(col("gf") <= cap), "gram").drop("gf")
     }
+    // Explicit hash repartition on the join key (the jaccardPairs
+    // pattern): both self-join sides share ONE exchange (ReusedExchange
+    // — the gram explosion runs once, not once per side), the join is
+    // co-partitioned (no broadcast build of the full |tokens|-row gram
+    // table, which the planner's typed-pipeline size guess otherwise
+    // picks and which cannot scale — an inverted index is fact-sized),
+    // and the probe parallelizes across partitions instead of running
+    // on the unsplittable scan's single task.
+    val grams = gramsCapped.repartition(col("gram"))
     val a = grams.select(col("id").as("id_a"), col("i").as("ia"), col("gram"))
     val b = grams.select(col("id").as("id_b"), col("i").as("ib"), col("gram"))
     val matches = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))

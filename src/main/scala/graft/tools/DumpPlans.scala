@@ -27,15 +27,26 @@ object DumpPlans {
     // committed as bogus "AQE final" evidence. Accept only `save` events
     // whose executed plan is the noop write itself.
     @volatile var lastQe: QueryExecution = null
+    // SPARK_GRAFT_DUMP_ALL=1 additionally appends every intermediate
+    // action's executed plan: queries whose builders run eager actions
+    // (localCheckpoint, count) do their join work there, invisible in
+    // the final noop-write plan
+    val dumpAll = sys.env.contains("SPARK_GRAFT_DUMP_ALL")
+    val allPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        if (funcName == "save" && qe.executedPlan.toString.contains("NoopWrite"))
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        // discriminate on the plan itself (the only noop write in a dump
+        // run is ours); funcName is command-shaped in Spark 4, not "save"
+        if (qe.executedPlan.toString.contains("NoopWrite"))
           lastQe = qe
+        else if (dumpAll) allPlans.add(qe.executedPlan.toString)
+      }
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     })
 
     names.foreach { n =>
       try {
+        allPlans.clear()
         val df = graft.queries.Registry.byName(n).run(spark, sfDir)
         val initial = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
@@ -47,7 +58,14 @@ object DumpPlans {
         val fin =
           if (lastQe != null) lastQe.executedPlan.toString
           else "(executed plan not captured)"
-        val txt = s"== initial (explain formatted) ==\n$initial\n\n== executed (AQE final) ==\n$fin\n"
+        val inter =
+          if (dumpAll) {
+            import scala.jdk.CollectionConverters._
+            allPlans.iterator.asScala.zipWithIndex
+              .map { case (p, i) => s"== intermediate action $i ==\n$p" }
+              .mkString("\n\n", "\n\n", "")
+          } else ""
+        val txt = s"== initial (explain formatted) ==\n$initial\n\n== executed (AQE final) ==\n$fin\n$inter"
         java.nio.file.Files.write(
           outDir.resolve(s"${n}_$suffix.txt"),
           txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
