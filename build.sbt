@@ -38,3 +38,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // suites) outgrew 8g once the MV sweep and PQ suites landed — the last
 // -Xmx wins, so tests get a larger ceiling without touching run mains
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "14g")}"
+// -oD: per-test durations in the report, so slow specs are findable
+// without archaeology (the suite's wall time is a driver deliverable)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

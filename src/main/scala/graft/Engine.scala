@@ -79,6 +79,15 @@ object Engine {
     // rather than per partition.
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "1024")
+    // Changelog checkpointing: each commit durably writes the batch's
+    // CHANGES instead of snapshotting the whole RocksDB instance into
+    // the checkpoint — the production setting for RocksDB state at
+    // scale (snapshot cost grows with STATE size, changelog cost with
+    // BATCH size; recovery replays snapshot + changelogs). Same
+    // exactly-once contract, same state contents (StreamingSpec runs
+    // both providers); env-overridable for A/B.
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
     spark
   }
 

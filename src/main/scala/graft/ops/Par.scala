@@ -34,6 +34,16 @@ object Par {
     if (sys.env.contains("SPARK_GRAFT_NO_PAR")) return df
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism
+    // KNOWN LIMIT (deliberate): getNumPartitions counts byte-range
+    // SPLITS, not row groups — a single-row-group file LARGER than
+    // maxPartitionBytes is carved into >= target mostly-empty splits
+    // and the repair no-ops even though only one task carries rows.
+    // Detecting that case needs parquet footer row-group counts (a
+    // driver-side footer read per file); the local test tables sit
+    // far below maxPartitionBytes so the split count is exact here,
+    // and on real layouts (many row groups) the no-op is correct.
+    // `.rdd` also finalizes this scan's AQE plan eagerly at
+    // query-construction time — acceptable for a leaf scan.
     val scanParts = df.rdd.getNumPartitions
     if (scanParts >= target) df
     else {

@@ -36,15 +36,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "txt_bm25_batch", "e2_knn_brute", "tpch_q11", "tpch_q22", "e2_pq_topk")
 
   private lazy val plans: Map[String, String] =
-    Registry.all.map { q =>
-      val df = q.run(spark, TestSession.sf0001)
-      // collect() executes THIS Dataset's QueryExecution (a write would
-      // plan a fresh one and leave this AQE plan isFinalPlan=false,
-      // codegen-unannotated); after execution the adaptive plan prints
-      // its final form with `*(n)` codegen stage markers.
-      df.collect()
-      q.name -> df.queryExecution.executedPlan.toString
-    }.toMap
+    // one shared execution per query (ExecutedSurface) — the same run
+    // also feeds QueriesSmokeSpec's row counts; the plan string is the
+    // AQE-final executed plan (see ExecutedSurface for why collect())
+    Registry.all.map(q => q.name -> ExecutedSurface(q)._2).toMap
 
   test("no undeclared nested-loop or cartesian joins anywhere in the surface") {
     val offenders = plans.collect {

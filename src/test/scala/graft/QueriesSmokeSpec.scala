@@ -11,7 +11,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs and returns rows") {
-      val n = q.run(spark, TestSession.sf0001).count()
+      // shared single execution per query (ExecutedSurface) — the same
+      // run also feeds PlanInvariantsSpec's structural checks
+      val n = ExecutedSurface(q)._1
       assert(n > 0, s"${q.name} returned 0 rows")
     }
   }
