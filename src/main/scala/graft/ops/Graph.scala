@@ -149,6 +149,13 @@ object Graph {
       // blocks are released — the returned rank vector is self-contained
       val res = ranks.persist(StorageLevel.MEMORY_AND_DISK)
       res.count()
+      // success: the FINAL round's broadcast must stay alive — a later
+      // eviction/executor loss recomputes res's last map stage through
+      // it, and a destroyed broadcast fails that recompute instead of
+      // degrading. One leaked broadcast goes to the ContextCleaner (the
+      // pre-r15 behavior for all of them); only the O(rounds) pile-up
+      // and the exception path destroy eagerly.
+      prevBc = null
       res
     } finally {
       if (prevBc != null) prevBc.destroy()

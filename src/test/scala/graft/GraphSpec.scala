@@ -67,6 +67,24 @@ class GraphSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("pageRank: broadcastRanks gives bit-identical ranks and a re-readable result") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1).toSeq
+    val narrow = canon(Graph.pageRank(edges, "src", "dst", iters = 8).collect())
+    val bcDf = Graph.pageRank(edges, "src", "dst", iters = 8, broadcastRanks = true)
+    assert(canon(bcDf.collect()) == narrow,
+      "broadcastRanks changed pageRank results")
+    // the returned DataFrame must stay consumable after the call — the
+    // final round's broadcast may not have been destroyed on success
+    // (a destroyed broadcast would fail any recompute of the last map
+    // stage instead of degrading); read it a second time
+    assert(canon(bcDf.collect()) == narrow, "second read differs")
+  }
+
   test("connectedComponents: reliable checkpoints give identical labels, star path included") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
     try {
